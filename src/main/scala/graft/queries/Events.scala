@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-stream analytics over the `events` table (JSON props + timestamps).
+  * The same projections run under Structured Streaming (`readStream` with the
+  * identical schema — see graft.streaming); these batch forms are the
+  * oracle-certified semantics.
+  */
+object Events {
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so `ts` arrives as
+    * nanos-since-epoch LongType. Integral `div` (not `/`, which goes through
+    * double and loses precision above 2^53) converts to a micros timestamp.
+    */
+  private def eventsTs(s: org.apache.spark.sql.SparkSession, d: String) =
+    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** JSON extraction from a string column + grouped rollup
+    * (JSON boundary handling, SURVEY.md §2.8 note). */
+  val qE1Json = Q(
+    "q_e1_json_extract",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       sum(value) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    eventsTs(s, d)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        sum(col("value")).as("sum_value"))
+  }
+
+  /** Hourly time-bucket aggregation — the batch equivalent of a streaming
+    * windowed aggregate (watermark + window in graft.streaming). */
+  val qE2HourlyWindow = Q(
+    "q_e2_hourly_window",
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_bucket,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       sum(value) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    eventsTs(s, d)
+      .select(
+        date_trunc("hour", col("ts")).cast("string").as("hour_bucket"),
+        col("event_type"),
+        col("value"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Per-user event ordering: previous event type + gap in seconds —
+    * window functions over event time (sessionization building block). */
+  val qE3UserSeq = Q(
+    "q_e3_user_seq",
+    """SELECT user_id, event_id, event_type,
+      |       lag(event_type, 1) OVER w AS prev_type,
+      |       CAST(date_diff('second',
+      |              lag(ts, 1) OVER w, ts) AS BIGINT) AS gap_sec
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsTs(s, d).select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .cast("long").as("gap_sec"))
+  }
+
+  val all: Seq[Q] = Seq(qE1Json, qE2HourlyWindow, qE3UserSeq)
+}
