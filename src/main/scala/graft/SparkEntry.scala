@@ -16,7 +16,11 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     graft.queries.Core.all ++
-      graft.queries.Events.all
+      graft.queries.Events.all ++
+      graft.queries.Text.all ++
+      graft.queries.DedupQ.all ++
+      graft.queries.SimilarityQ.all ++
+      graft.queries.MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4). */

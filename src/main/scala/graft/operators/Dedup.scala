@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-aggregate shuffle on a digest, never on the
+  *    raw text (shuffle bytes ∝ 16B digest, not document size);
+  *  - MinHash+LSH is the scale path for near-dup: per-doc signatures are a
+  *    single aggregation, banding turns the quadratic pair search into
+  *    equi-join buckets, and only bucket-collision candidates are verified
+  *    exactly. No driver-side collection anywhere.
+  *  - the all-pairs n-gram join is the verification/oracle path — use it on
+  *    samples or candidate sets, not whole corpora.
+  */
+object Dedup {
+
+  /** Distinct word-trigram shingle set as a Column expression (map-side). */
+  def wordTrigrams(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ",
+            element_at(t, i + 1),
+            element_at(t, i + 2),
+            element_at(t, i + 3))))
+        .otherwise(array(concat_ws(" ", t))))
+  }
+
+  /** Exact dedup: group by content digest, count members, keep min id as the
+    * canonical representative. */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(md5(lower(col(text)).cast("binary")).as("h"), col(id).as("doc_id"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** All-pairs n-gram Jaccard: explode distinct shingles, self-join on the
+    * shingle, count shared, Jaccard = |∩| / (|A|+|B|-|∩|). Quadratic in
+    * colliding docs — verification-scale only (the oracle path). */
+  def ngramJaccardPairs(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    val tg = docs.select(col(id).as("doc_id"),
+      explode(wordTrigrams(col(text))).as("tg"))
+    val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = tg.as("a")
+      .join(tg.as("b"),
+        col("a.tg") === col("b.tg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double")
+          / (col("sa.n") + col("sb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature length / LSH banding layout. With 128 hashes in
+    * 32 bands × 4 rows, a pair at Jaccard 0.9 is missed with probability
+    * (1 - 0.9^4)^32 ≈ 1e-15 — effectively exhaustive at the 0.6+ range
+    * while keeping the search linear in corpus size. */
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Near-dup pairs via MinHash+LSH candidates, exact-verified by shingle
+    * intersection. Output matches the exact all-pairs result (same doc_a,
+    * doc_b, jaccard) because verification recomputes true Jaccard and the
+    * banding miss probability is negligible.
+    */
+  def minHashLshPairs(
+      docs: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    val base = docs.select(col(id).as("doc_id"),
+      wordTrigrams(col(text)).as("tg_set"))
+
+    // Per-permutation min-hash: min over shingles of xxhash64(perm, shingle).
+    // One explode + one aggregation — a single shuffle keyed by doc.
+    val tg = base.select(col("doc_id"), explode(col("tg_set")).as("tg"))
+    val sigCols = (0 until NumHashes)
+      .map(i => min(xxhash64(lit(i), col("tg"))).as(s"h$i"))
+    val sig = tg.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+
+    // LSH banding: hash each 4-row band of the signature; docs sharing any
+    // (band, bandHash) bucket become candidates.
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+          .as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact verification on the (small) candidate set.
+    cand
+      .join(base.as("ba"), col("doc_a") === col("ba.doc_id"))
+      .join(base.as("bb"), col("doc_b") === col("bb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ba.tg_set"), col("bb.tg_set")))
+          .cast("double").as("inter"),
+        size(col("ba.tg_set")).as("na"), size(col("bb.tg_set")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash near-dup: per-shingle hash votes per bit, Hamming-
+    * distance candidates via 4×16-bit band collisions. Votes come from
+    * trigram shingles, not unigrams — on low-vocabulary corpora every
+    * document shares most unigrams, so token-level SimHash cannot separate
+    * near-dups from background; shingles restore discrimination.
+    * Engine-specific hashing → rows-only certification (no SQL oracle). */
+  def simHashPairs(
+      docs: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(wordTrigrams(col(text))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    // bit j vote: +1 when set, -1 when clear; simhash bit j = (vote > 0)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val sig = toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sim_sig"))
+
+    // 8 bands × 8 bits: by pigeonhole, any pair within Hamming distance 7
+    // shares at least one untouched band — candidate generation is
+    // exhaustive for the near-dup range, not probabilistic.
+    val bandStructs = (0 until 8).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("sim_sig"), k * 8).bitwiseAND(lit(0xFFL)).as("bv"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("sim_sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sim_sig"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim_sig").bitwiseXOR(col("y.sim_sig")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

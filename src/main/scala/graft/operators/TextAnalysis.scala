@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is a pure `Column` expression — codegen'd, no UDFs, no
+  * shuffles: at 100 TB these run map-side inside the parquet scan stage.
+  * Formulas are deliberately SQL-portable so the DuckDB oracle can replicate
+  * them term-for-term (identical double arithmetic order).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** BPE-ish regex word count: alpha runs + digit runs + single symbols. */
+  val wordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit(wordRegex)).cast("long")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(stopwords))).cast("long")
+
+  val EnglishStopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Heuristic quality score in [0,1]:
+    *  0.4 * length score (saturates at 80 tokens)
+    *  0.3 * lexical diversity (unique/total)
+    *  0.3 * stopword naturalness (saturating ratio) */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val uniq = uniqueTokenCount(text).cast("double")
+    val stop = stopwordCount(text, EnglishStopwords).cast("double")
+    lit(0.4) * least(lit(1.0), n / lit(80.0)) +
+      lit(0.3) * (uniq / n) +
+      lit(0.3) * least(lit(1.0), (stop / n) * lit(5.0))
+  }
+
+  /** Stopword marker sets per language for the n-gram/marker language-ID
+    * heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  /** Marker-vote language ID: the language with the most stopword hits wins;
+    * ties resolve in LangMarkers order; no hits → "und". */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val cases = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val laterGE = counts.drop(i + 1)
+        .map { case (_, c2) => c >= c2 }
+        .foldLeft(lit(true))(_ && _)
+      (lang, c > 0 && laterGE)
+    }
+    cases.foldRight(lit("und")) { case ((lang, cond), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Exact content fingerprint of the raw text. */
+  def fingerprintRaw(text: Column): Column = md5(text.cast("binary"))
+
+  /** Order-insensitive fingerprint: md5 over the sorted distinct token set —
+    * robust to token reordering (rolling-hash-class document fingerprint). */
+  def fingerprintContent(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+}

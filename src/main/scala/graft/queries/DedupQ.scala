@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import graft.Tables._
+import graft.operators.Dedup
+
+/** Dedup operator certification over the documents/embeddings corpora.
+  * The exact and n-gram paths have full DuckDB oracles; MinHash+LSH is
+  * oracle'd against the exact-Jaccard result it converges to (banding miss
+  * probability ≈ 1e-15 at the data's 0.9 Jaccard near-dups); SimHash has
+  * engine-specific hashing → rows-only. */
+object DedupQ {
+
+  private val NgramOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      |       CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+      |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.6""".stripMargin
+
+  val qD1Exact = Q(
+    "q_d1_exact_dedup",
+    """SELECT md5(lower(text)) AS h,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       min(doc_id) AS keeper
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(documents(s, d), "doc_id", "text")
+  }
+
+  val qD2NgramJaccard = Q("q_d2_ngram_jaccard", NgramOracle) { (s, d) =>
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 0.6)
+  }
+
+  /** Same certified output as the exact pairs (LSH candidates are
+    * exact-verified), via the linear-scale MinHash path. */
+  val qD3MinHashLsh = Q(
+    "q_d3_minhash_lsh",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+      |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.6""".stripMargin) {
+    (s, d) =>
+      Dedup.minHashLshPairs(documents(s, d), "doc_id", "text", 0.6)
+  }
+
+  val qD4SimHash = Q.rowsOnly("q_d4_simhash") { (s, d) =>
+    Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 10)
+  }
+
+  val qD5EmbedNearDup = Q(
+    "q_d5_embed_neardup",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT va, vb, sim FROM p WHERE sim >= 0.45""".stripMargin) { (s, d) =>
+    graft.operators.Similarity
+      .cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
+  }
+
+  val all: Seq[Q] =
+    Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup)
+}

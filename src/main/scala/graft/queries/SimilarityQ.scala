@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import graft.Tables._
+import graft.operators.Similarity
+
+/** Similarity-search certification: brute-force cosine top-k is the exact
+  * oracle'd baseline; hyperplane-LSH is the approximate scale path
+  * (rows-only — recall is probabilistic by construction). */
+object SimilarityQ {
+
+  val qX1TopK = Q(
+    "q_x1_ann_topk",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |      FROM n q JOIN n c
+      |        ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, cand_id, sim,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY sim DESC, cand_id) AS rn
+      |      FROM p)
+      |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, sim
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val n = Similarity.normed(embeddings(s, d), "vec_id", "embedding")
+    Similarity.bruteForceTopK(n.filter(col("vec_id") < 8), n, k = 5)
+  }
+
+  val qX2LshTopK = Q.rowsOnly("q_x2_ann_lsh") { (s, d) =>
+    Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5, dim = 64)
+  }
+
+  val all: Seq[Q] = Seq(qX1TopK, qX2LshTopK)
+}
