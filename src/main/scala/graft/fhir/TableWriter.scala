@@ -1,0 +1,47 @@
+package graft.fhir
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Per-resource table persistence (ref: bulk_table_write at
+  * 01_dbignite_sample.py:221-223,425-427): one catalog table per resource
+  * column, each carrying bundleUUID (+ timestamp for message bundles) so
+  * SQL can re-associate resources that arrived together.
+  *
+  * Format/location are pluggable (SURVEY.md §7: Delta on a cluster, parquet
+  * locally). `basePath` writes external tables with per-table locations —
+  * at 100 TB these would also be partitioned by ingest date.
+  */
+object TableWriter {
+
+  /** Resource columns = everything except the bundle-level keys. */
+  def resourceColumns(bundles: DataFrame): Seq[String] =
+    bundles.columns.filterNot(Set("bundleUUID", "timestamp")).toSeq
+
+  def bulkTableWrite(
+      bundles: DataFrame,
+      database: String,
+      writeMode: String = "overwrite",
+      columns: Seq[String] = Nil,
+      basePath: Option[String] = None,
+      format: String = "parquet"): Seq[String] = {
+    val spark = bundles.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    val cols = if (columns.nonEmpty) columns else resourceColumns(bundles)
+    // The reference notes the DataFrame "must be evaluated before writing"
+    // (01_dbignite_sample.py:422) because its reader minted UUIDs lazily —
+    // persist once so every per-resource table sees the same bundleUUIDs.
+    bundles.persist()
+    try {
+      cols.map { rt =>
+        val table = s"$database.${rt.toLowerCase}"
+        val w = bundles
+          .select(col("bundleUUID"), col("timestamp"), col(rt))
+          .write.mode(writeMode).format(format)
+        basePath.fold(w)(p => w.option("path", s"$p/${rt.toLowerCase}"))
+          .saveAsTable(table)
+        table
+      }
+    } finally bundles.unpersist()
+  }
+}
