@@ -55,6 +55,11 @@ object BundleReader {
       model: FhirSchemaModel = FhirSchemaModel()): DataFrame =
     pivotEntries(json.toDF("value"), model)
 
+  /** Streaming entry point: same pivot over a streaming `value` column
+    * (file-source text stream); used by graft.streaming.Streams. */
+  def pivotStream(raw: DataFrame, model: FhirSchemaModel): DataFrame =
+    pivotEntries(raw, model)
+
   /** Shared pivot over a one-JSON-document-per-row `value` column. */
   private[fhir] def pivotEntries(
       raw: DataFrame, model: FhirSchemaModel): DataFrame = {

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  import GraftSpark.{spark, sf}
+
+  test("streaming hourly counts match the batch query") {
+    // file-source streams take a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Streams.hourlyCounts(
+      Streams.readEventStream(spark, dir.toString))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with a bounded
+      // input everything except the trailing 2h closes.
+      val streamed = spark.table("hourly_out")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val batch = SparkEntry.queries("q_e2_hourly_window")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"window $k differs: stream $v vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
+    val adtDir = getClass.getResource("/adt").getPath
+    val bundles = Streams.readBundleStream(spark, adtDir)
+    val events = graft.fhir.Flatten.patients(bundles)
+      .drop("bundleUUID") // stream output: deterministic columns only
+    val q = events.writeStream
+      .outputMode("append")
+      .format("memory").queryName("adt_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("adt_out").collect()
+      assert(rows.length == 4)
+      val ssns = rows.map(_.getAs[String]("ssn")).toSet
+      assert(ssns == Set("555-55-5555", "666-66-6666"))
+    } finally q.stop()
+  }
+}
