@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is a
+  * higher-order function chain: interpreted lambda calls per element plus an
+  * intermediate array allocation per row. For the similarity operators the
+  * dot product is the innermost loop over |pairs|×dim elements, so it gets
+  * a real Catalyst expression with whole-stage codegen.
+  *
+  * Accumulation is a sequential ascending-index fold — bit-identical to the
+  * HOF form and to the oracle's formulation, so certified results are
+  * unchanged.
+  */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  /** MinHash family size and universal-hash constants (Mersenne prime
+    * 2^31-1 keeps a·x+b under 2^62 — no long overflow). Deterministic
+    * fixed-seed LCG, identical across runs and executors. */
+  val NumHashes = 128
+  val HashPrime = 2147483647L
+  val (permA: Array[Long], permB: Array[Long]) = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    def mod(x: Long, m: Long): Long = ((x % m) + m) % m
+    val a = Array.fill(NumHashes)(mod(next(), HashPrime - 1) + 1)
+    val b = Array.fill(NumHashes)(mod(next(), HashPrime))
+    (a, b)
+  }
+
+  /** Register engine expressions in the session's function registry;
+    * idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_trigrams", exprs => WordTrigrams(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSketch(exprs.head, permA, permB, HashPrime)
+        .toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashSketch(exprs.head).toAggregateExpression(),
+      "built-in")
+  }
+
+  /** Column-level dot product. Registers on the active session if there is
+    * one (operators also register explicitly on their own session). */
+  def doubleDot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Column-level distinct word-trigram shingles. */
+  def wordTrigrams(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_trigrams", text)
+  }
+
+  /** MinHash signature aggregate over a pre-hashed long column (values
+    * already folded into [0, HashPrime)). */
+  def minHashSketch(h: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_minhash", h)
+  }
+
+  /** SimHash signature aggregate over raw 64-bit hash values. */
+  def simHashSketch(h: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_simhash", h)
+  }
+}

@@ -18,18 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-trigram shingle set as a Column expression (map-side). */
-  def wordTrigrams(text: Column): Column = {
-    val t = split(text, " ")
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3), i =>
-          concat_ws(" ",
-            element_at(t, i + 1),
-            element_at(t, i + 2),
-            element_at(t, i + 3))))
-        .otherwise(array(concat_ws(" ", t))))
-  }
+  /** Spread rows across all cores before per-row-heavy shingle work: a
+    * compact source (one parquet file → one input split) would otherwise
+    * serialize the whole corpus through a single task. The shuffle moves
+    * raw text once — negligible next to the shingle/signature compute it
+    * parallelizes; with a well-split source it is harmless (one extra pass).
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct word-trigram shingle set (map-side). Uses the native
+    * [[graft.functions.WordTrigrams]] expression — semantically identical
+    * to the composable HOF form (array_distinct over a sliding concat_ws
+    * window) but one native call per row; the operators below register it
+    * on their session before use. */
+  def wordTrigrams(text: Column): Column =
+    graft.functions.GraftFunctions.wordTrigrams(text)
 
   /** Exact dedup: group by content digest, count members, keep min id as the
     * canonical representative. */
@@ -45,7 +49,8 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
-    val tg = docs.select(col(id).as("doc_id"),
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tg = fanOut(docs).select(col(id).as("doc_id"),
       explode(wordTrigrams(col(text))).as("tg"))
     val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = tg.as("a")
@@ -66,7 +71,7 @@ object Dedup {
     * 32 bands × 4 rows, a pair at Jaccard 0.9 is missed with probability
     * (1 - 0.9^4)^32 ≈ 1e-15 — effectively exhaustive at the 0.6+ range
     * while keeping the search linear in corpus size. */
-  val NumHashes = 128
+  val NumHashes: Int = graft.functions.GraftFunctions.NumHashes
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
 
@@ -78,18 +83,23 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
-    val base = docs.select(col(id).as("doc_id"),
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = fanOut(docs).select(col(id).as("doc_id"),
       wordTrigrams(col(text)).as("tg_set"))
 
-    // Per-permutation min-hash: min over shingles of xxhash64(perm, shingle).
-    // One explode + one aggregation — a single shuffle keyed by doc.
-    val tg = base.select(col("doc_id"), explode(col("tg_set")).as("tg"))
-    val sigCols = (0 until NumHashes)
-      .map(i => min(xxhash64(lit(i), col("tg"))).as(s"h$i"))
-    val sig = tg.groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    // Per-permutation min-hash. The shingle string is hashed ONCE
+    // (xxhash64, folded into [0, p)); the 128 permutations live inside the
+    // MinHashSketch TypedImperativeAggregate — one aggregate column with a
+    // primitive long[128] buffer and map-side partial merge, instead of
+    // 128 separate min() columns (whose generated update function blows
+    // past the JIT's method-size limit).
+    val tg = base
+      .select(col("doc_id"), explode(col("tg_set")).as("tg"))
       .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+        pmod(xxhash64(col("tg")),
+          lit(graft.functions.GraftFunctions.HashPrime)).as("h"))
+    val sig = tg.groupBy("doc_id")
+      .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
 
     // LSH banding: hash each 4-row band of the signature; docs sharing any
     // (band, bandHash) bucket become candidates.
@@ -130,20 +140,16 @@ object Dedup {
   def simHashPairs(
       docs: DataFrame, id: String, text: String,
       maxHamming: Int): DataFrame = {
-    val toks = docs.select(col(id).as("doc_id"),
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = fanOut(docs).select(col(id).as("doc_id"),
       explode(wordTrigrams(col(text))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    // bit j vote: +1 when set, -1 when clear; simhash bit j = (vote > 0)
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$j")
-    }
+    // bit j vote: +1 when set, -1 when clear; simhash bit j = (vote > 0) —
+    // one SimHashSketch aggregate (long[64] vote buffer) instead of 64
+    // sum() columns, same JIT-size reasoning as MinHashSketch.
     val sig = toks.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sim_sig"))
+      .agg(graft.functions.GraftFunctions.simHashSketch(col("h"))
+        .as("sim_sig"))
 
     // 8 bands × 8 bits: by pigeonhole, any pair within Hamming distance 7
     // shares at least one untouched band — candidate generation is

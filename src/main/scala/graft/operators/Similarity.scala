@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Sequential-fold dot product of two double-array columns. Uses the
+    * native codegen'd [[graft.functions.DoubleDot]] expression (identical
+    * ascending-index accumulation order to the HOF formulation — results
+    * are bit-equal; this is purely the fast path). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.doubleDot(a, b)
 
   /** vec_id, v (double array), nrm (L2 norm) — shared projection. */
   def normed(emb: DataFrame, id: String, vec: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = transform(col(vec), x => x.cast("double"))
     emb.select(col(id).as("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
