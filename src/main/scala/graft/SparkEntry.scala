@@ -16,6 +16,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     graft.queries.Core.all ++
+      graft.queries.Extras.all ++
       graft.queries.Events.all ++
       graft.queries.Text.all ++
       graft.queries.DedupQ.all ++
