@@ -101,6 +101,21 @@ object Flatten {
         col("pr.gender").as("gender"),
         get(col("pr.name"), lit(0)).getField("family").as("last_name"))
 
+  /** OMOP CDM PERSON projection (ref: the OMOP_PERSON CTAS at
+    * 01_dbignite_sample.py:468-484): patient demographics → the CDM person
+    * shape, birth date split into parts via date functions over the
+    * string-typed FHIR birthDate. */
+  def omopPerson(bundles: DataFrame): DataFrame =
+    bundles
+      .select(col("bundleUUID"), explode(col("Patient")).as("p"))
+      .select(
+        col("p.id").as("person_id"),
+        col("p.gender").as("gender_source_value"),
+        year(col("p.birthDate").cast("date")).as("year_of_birth"),
+        month(col("p.birthDate").cast("date")).as("month_of_birth"),
+        dayofmonth(col("p.birthDate").cast("date")).as("day_of_birth"),
+        to_timestamp(col("p.birthDate")).as("birth_datetime"))
+
   /** Extract a UUID embedded in a reference URL, both ways. */
   def refUuidFixedOffset(ref: Column): Column = substring(ref, 82, 36)
   def refUuidRegexp(ref: Column): Column =
