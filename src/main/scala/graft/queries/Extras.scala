@@ -123,8 +123,19 @@ object Extras {
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
   }
 
+  /** Salted two-phase aggregation — numerically equal to the direct
+    * groupBy (certified against it), shape-proof for hot keys. */
+  val qK1SaltedAgg = Q(
+    "q_k1_salted_agg",
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt,
+      |       sum(l_quantity) AS sum_v
+      |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+    graft.operators.Skew.saltedCountSum(
+      lineitem(s, d), "l_suppkey", "l_quantity", col("l_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube,
-    qF5Strings, qF6Case, qA5Approx)
+    qF5Strings, qF6Case, qA5Approx, qK1SaltedAgg)
 }

@@ -88,5 +88,19 @@ object Text {
       fingerprintContent(col("text")).as("fp_content"))
   }
 
-  val all: Seq[Q] = Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint)
+  /** Overlapping token-window chunking (32-token windows, stride 16). */
+  val qT5Chunks = Q(
+    "q_t5_chunks",
+    """SELECT doc_id,
+      |       CAST(start // 16 AS BIGINT) AS chunk_id,
+      |       array_to_string(t[start+1 : start+32], ' ') AS chunk,
+      |       CAST(least(32, len(t) - start) AS BIGINT) AS n_chunk_tokens
+      |FROM (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents))""".stripMargin) { (s, d) =>
+    graft.operators.Chunking.chunk(documents(s, d), "doc_id", "text")
+  }
+
+  val all: Seq[Q] =
+    Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks)
 }
