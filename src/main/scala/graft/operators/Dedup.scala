@@ -118,10 +118,15 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification on the (small) candidate set.
+    // Exact verification on the (small) candidate set. Rebuilt from the
+    // un-fanned source: the shingle expression is cheap per row and this
+    // avoids replaying the fan-out shuffle twice just to probe a handful
+    // of candidate doc ids.
+    val verifyBase = docs.select(col(id).as("doc_id"),
+      wordTrigrams(col(text)).as("tg_set"))
     cand
-      .join(base.as("ba"), col("doc_a") === col("ba.doc_id"))
-      .join(base.as("bb"), col("doc_b") === col("bb.doc_id"))
+      .join(verifyBase.as("ba"), col("doc_a") === col("ba.doc_id"))
+      .join(verifyBase.as("bb"), col("doc_b") === col("bb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ba.tg_set"), col("bb.tg_set")))
           .cast("double").as("inter"),

@@ -79,5 +79,51 @@ object Events {
           .cast("long").as("gap_sec"))
   }
 
-  val all: Seq[Q] = Seq(qE1Json, qE2HourlyWindow, qE3UserSeq)
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * session ids via a cumulative sum of gap-break flags, then per-session
+    * rollup. The streaming twin (graft.streaming.Streams.sessionize) keeps
+    * the same semantics with flatMapGroupsWithState. */
+  val qE4Sessionize = Q(
+    "q_e4_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, value,
+      |         CAST(date_diff('second',
+      |                lag(ts) OVER w, ts) AS BIGINT) AS gap_sec,
+      |         CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+      |              AS BIGINT) AS ts_sec
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, value, ts_sec,
+      |         sum(CASE WHEN gap_sec IS NULL OR gap_sec > 1800
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |           AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(ts_sec) AS BIGINT) AS start_sec,
+      |       CAST(max(ts_sec) AS BIGINT) AS end_sec,
+      |       sum(value) AS sum_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    eventsTs(s, d)
+      .withColumn("gap_sec",
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"))
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("session_id",
+        sum(when(col("gap_sec").isNull || col("gap_sec") > 1800, 1)
+          .otherwise(0)).over(ws).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"),
+        sum(col("value")).as("sum_value"))
+  }
+
+  val all: Seq[Q] = Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize)
 }

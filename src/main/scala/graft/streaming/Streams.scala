@@ -42,6 +42,54 @@ object Streams {
         col("window.start").cast("string").as("hour_bucket"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  final case class SessionEvent(
+      user_id: Long, event_id: Long, ts_sec: Long, value: Double)
+  final case class SessionState(
+      lastTs: Long, sessionId: Long, n: Long, start: Long, sum: Double)
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_sec: Long, end_sec: Long, sum_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: emits a
+    * session whenever a >30min gap closes it (append mode); the per-user
+    * open session rides in group state across micro-batches. Semantics
+    * match the batch q_e4_sessionize (same gap rule, same session ids).
+    * Events are sorted per group within each micro-batch — bounded by the
+    * batch size, not the corpus. */
+  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[SessionEvent],
+         state: org.apache.spark.sql.streaming.GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(e.ts_sec, 1L, 1L, e.ts_sec, e.value)
+            } else if (e.ts_sec - st.lastTs > 1800) {
+              out += SessionOut(userId, st.sessionId, st.n, st.start,
+                st.lastTs, st.sum)
+              st = SessionState(e.ts_sec, st.sessionId + 1, 1L, e.ts_sec,
+                e.value)
+            } else {
+              st = SessionState(e.ts_sec, st.sessionId, st.n + 1, st.start,
+                st.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

@@ -36,6 +36,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization matches the batch sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.sessionize(Streams.readEventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      val batch = SparkEntry.queries("q_e4_sessionize")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      assert(streamed.nonEmpty)
+      // append mode emits only gap-closed sessions; each must equal its
+      // batch twin exactly (the trailing open session per user stays in
+      // state)
+      streamed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"session $k differs: stream $v vs batch ${batch(k)}")
+      }
+      val emittedPerUser = streamed.keys.groupBy(_._1).view.mapValues(_.size)
+      val batchPerUser = batch.keys.groupBy(_._1).view.mapValues(_.size)
+      emittedPerUser.foreach { case (u, n) =>
+        assert(n == batchPerUser(u) - 1,
+          s"user $u: expected all but the open session emitted")
+      }
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
