@@ -101,6 +101,33 @@ object Flatten {
         col("pr.gender").as("gender"),
         get(col("pr.name"), lit(0)).getField("family").as("last_name"))
 
+  /** MedicationRequest flatten (ref: 01_dbignite_sample.py:151-160) —
+    * requires the bundle to have been read with the
+    * medicationCodeableConcept schema override
+    * (FhirSchemaModel.withFieldAdded, ref :123-146). */
+  def medications(bundles: DataFrame): DataFrame =
+    bundles
+      .select(col("bundleUUID"), explode(col("MedicationRequest")).as("m"))
+      .select(
+        col("bundleUUID"),
+        col("m.status").as("status"),
+        col("m.intent").as("intent"),
+        col("m.authoredOn").as("authored_on"),
+        col("m.medicationCodeableConcept.text").as("medication_text"),
+        get(col("m.medicationCodeableConcept.coding"), lit(0))
+          .getField("code").as("medication_code"))
+
+  /** Claim ⋈ Practitioner on the UUID embedded in the provider reference
+    * URL (ref: 01_dbignite_sample.py:326-333 — fixed offsets 82,36). */
+  def claimProviders(bundles: DataFrame): DataFrame = {
+    val cl = claims(bundles)
+      .withColumn("provider_uuid", refUuidFixedOffset(col("provider_ref")))
+    val pr = practitioners(bundles)
+    cl.join(pr, cl("provider_uuid") === pr("practitioner_id"))
+      .select(cl("claim_id"), cl("claim_billed_amount"),
+        cl("provider_uuid"), pr("active"), pr("gender"), pr("last_name"))
+  }
+
   /** OMOP CDM PERSON projection (ref: the OMOP_PERSON CTAS at
     * 01_dbignite_sample.py:468-484): patient demographics → the CDM person
     * shape, birth date split into parts via date functions over the
