@@ -18,13 +18,17 @@ object TableWriter {
   def resourceColumns(bundles: DataFrame): Seq[String] =
     bundles.columns.filterNot(Set("bundleUUID", "timestamp")).toSeq
 
+  /** @param partitionByIngestDate when set, each table is partitioned by an
+    *   `ingest_date` column derived from the bundle timestamp — the 100 TB
+    *   layout (partition pruning on date-bounded queries). */
   def bulkTableWrite(
       bundles: DataFrame,
       database: String,
       writeMode: String = "overwrite",
       columns: Seq[String] = Nil,
       basePath: Option[String] = None,
-      format: String = "parquet"): Seq[String] = {
+      format: String = "parquet",
+      partitionByIngestDate: Boolean = false): Seq[String] = {
     val spark = bundles.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val cols = if (columns.nonEmpty) columns else resourceColumns(bundles)
@@ -35,10 +39,18 @@ object TableWriter {
     try {
       cols.map { rt =>
         val table = s"$database.${rt.toLowerCase}"
-        val w = bundles
+        val selected = bundles
           .select(col("bundleUUID"), col("timestamp"), col(rt))
-          .write.mode(writeMode).format(format)
-        basePath.fold(w)(p => w.option("path", s"$p/${rt.toLowerCase}"))
+        val partitioned =
+          if (partitionByIngestDate)
+            selected.withColumn("ingest_date",
+              org.apache.spark.sql.functions
+                .to_date(org.apache.spark.sql.functions
+                  .substring(col("timestamp"), 1, 10)))
+          else selected
+        val w0 = partitioned.write.mode(writeMode).format(format)
+        val w1 = if (partitionByIngestDate) w0.partitionBy("ingest_date") else w0
+        basePath.fold(w1)(p => w1.option("path", s"$p/${rt.toLowerCase}"))
           .saveAsTable(table)
         table
       }

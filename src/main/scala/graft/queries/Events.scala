@@ -125,5 +125,41 @@ object Events {
         sum(col("value")).as("sum_value"))
   }
 
-  val all: Seq[Q] = Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize)
+  /** Pivot: per-user event-type value rollup as wide columns. sum-based
+    * (not count): both engines yield NULL for absent (user, type) cells. */
+  val qE5Pivot = Q(
+    "q_e5_pivot",
+    """SELECT user_id,
+      |       sum(value) FILTER (WHERE event_type = 'click') AS click,
+      |       sum(value) FILTER (WHERE event_type = 'error') AS error,
+      |       sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       sum(value) FILTER (WHERE event_type = 'signup') AS signup,
+      |       sum(value) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    eventsTs(s, d)
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value")))
+  }
+
+  /** Exact interpolated percentiles (both engines: linear interpolation). */
+  val qE6Percentiles = Q(
+    "q_e6_percentiles",
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.95) AS p95,
+      |       max(value) AS max_v
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    eventsTs(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        max(col("value")).as("max_v"))
+  }
+
+  val all: Seq[Q] =
+    Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize, qE5Pivot,
+      qE6Percentiles)
 }

@@ -133,4 +133,19 @@ class FhirSpec extends AnyFunSuite {
     assert(joined.count() == 4)
     spark.sql("DROP DATABASE graft_fhir_test CASCADE")
   }
+
+  test("bulkTableWrite with ingest-date partitioning prunes on date filters") {
+    val base = Files.createTempDirectory("graft_fhir_part").toString
+    TableWriter.bulkTableWrite(bundles, "graft_fhir_part",
+      columns = Seq("Patient"), basePath = Some(base),
+      partitionByIngestDate = true)
+    val p = spark.table("graft_fhir_part.patient")
+      .filter(col("ingest_date") === "2023-03-30")
+    p.collect()
+    val plan = p.queryExecution.executedPlan.toString
+    assert(p.count() == 1)
+    assert(plan.contains("PartitionFilters: [isnotnull(ingest_date"),
+      s"expected partition pruning:\n$plan")
+    spark.sql("DROP DATABASE graft_fhir_part CASCADE")
+  }
 }
