@@ -30,6 +30,17 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without query impl: $missing")
   }
 
+  test("registry names are unique (Map would silently drop duplicates)") {
+    val names = Seq(
+      graft.queries.Core.all, graft.queries.Extras.all,
+      graft.queries.Events.all, graft.queries.Text.all,
+      graft.queries.DedupQ.all, graft.queries.SimilarityQ.all,
+      graft.queries.MultimodalQ.all).flatten.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("q_s1_scan count equals raw lineitem count") {
     val n = Tables.lineitem(spark, sf).count()
     val row = SparkEntry.queries("q_s1_scan")(spark, sf).collect().head
