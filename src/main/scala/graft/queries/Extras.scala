@@ -134,8 +134,94 @@ object Extras {
       lineitem(s, d), "l_suppkey", "l_quantity", col("l_orderkey"))
   }
 
+  /** FULL OUTER join: customers×orders coverage flags on both sides. */
+  val qJ5FullOuter = Q(
+    "q_j5_full_outer",
+    """SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+      |            WHEN o.o_custkey IS NULL THEN 'customer_only'
+      |            ELSE 'both' END AS side,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 1000) c
+      |FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      |  ON c.c_custkey = o.o_custkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val c = customer(s, d).filter(col("c_custkey") < 1000)
+      .select(col("c_custkey"))
+    val o = orders(s, d).select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .groupBy("side").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CROSS join of the two smallest dims. */
+  val qJ6Cross = Q(
+    "q_j6_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin) {
+    (s, d) =>
+      region(s, d).select(col("r_name"))
+        .crossJoin(nation(s, d).select(col("n_name")))
+  }
+
+  /** Upsert/merge staging pattern: keep all target rows, add staging rows
+    * whose key is absent (the reference's manual dedup-then-insert flow,
+    * 01_dbignite_sample.py:350-397, as one operator). */
+  val qJ7Upsert = Q(
+    "q_j7_upsert",
+    """SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 900
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_custkey >= 600 AND c_custkey NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_custkey < 900)"""
+      .stripMargin) { (s, d) =>
+    val target = customer(s, d).filter(col("c_custkey") < 900)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val staging = customer(s, d).filter(col("c_custkey") >= 600)
+      .select(col("c_custkey"), col("c_acctbal"))
+    target.unionByName(
+      staging.join(target.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+  }
+
+  /** Order-sensitive string aggregation, made deterministic by sorting. */
+  val qA6StrAgg = Q(
+    "q_a6_str_agg",
+    """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS names,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM nation GROUP BY 1""".stripMargin) { (s, d) =>
+    nation(s, d)
+      .groupBy(col("n_regionkey").cast("long").as("rk"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Date arithmetic: day diffs from an epoch and quarter extraction. */
+  val qF7DateArith = Q(
+    "q_f7_date_arith",
+    """SELECT CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |       CAST(min(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+      |                          o_orderdate)) AS BIGINT) AS min_days,
+      |       CAST(max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+      |                          o_orderdate)) AS BIGINT) AS max_days,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select(
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).cast("long").as("days"))
+      .groupBy("q")
+      .agg(min(col("days")).as("min_days"), max(col("days")).as("max_days"),
+        count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[Q] = Seq(
     qU1Union, qU2Intersect, qU3Except,
-    qA3Rollup, qA4Cube,
-    qF5Strings, qF6Case, qA5Approx, qK1SaltedAgg)
+    qA3Rollup, qA4Cube, qA6StrAgg,
+    qF5Strings, qF6Case, qF7DateArith,
+    qA5Approx, qK1SaltedAgg,
+    qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }
