@@ -91,6 +91,55 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF coarse quantization: number of inverted lists and probed lists. */
+  val IvfLists = 16
+  val IvfProbes = 2
+
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    * corpus vectors with the IvfLists smallest ids — reproducible without
+    * RNG or iterative training; swap in k-means centroids at scale)
+    * partitions the corpus into inverted lists; each query probes its
+    * IvfProbes nearest lists only. The list assignment is one broadcast
+    * argmax over IvfLists cosines per vector — linear, shuffle-free — and
+    * the search joins on list id instead of crossing the corpus.
+    * Probabilistic recall → rows-only certification. */
+  def ivfTopK(
+      emb: DataFrame, id: String, vec: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val n = normed(emb, id, vec)
+    val cents = n.orderBy(col("vec_id")).limit(IvfLists)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+    // rank lists per vector by cosine; vectors keep 1 list, queries probe 2
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("cs"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("list_id"))
+    val ranked = scored.withColumn("lr", row_number().over(w))
+
+    val corpusLists = ranked.filter(col("lr") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    val queryLists = ranked.filter(queryPred && col("lr") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("list_id"))
+
+    val cand = broadcast(queryLists)
+      .join(corpusLists,
+        queryLists("list_id") === corpusLists("list_id")
+          && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+      .distinct()
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    cand
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Misses are possible by construction (rows-only certification); the
     * payoff is an equi-join on bucket instead of a cross join. */

@@ -34,5 +34,10 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5, dim = 64)
   }
 
-  val all: Seq[Q] = Seq(qX1TopK, qX2LshTopK)
+  val qX3IvfTopK = Q.rowsOnly("q_x3_ann_ivf") { (s, d) =>
+    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5)
+  }
+
+  val all: Seq[Q] = Seq(qX1TopK, qX2LshTopK, qX3IvfTopK)
 }

@@ -56,6 +56,22 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN probes lists and sims agree with brute force") {
+    val n = Similarity.normed(embs, "vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(n.filter(col("vec_id") < 8), n, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding",
+      col("vec_id") < 8, k = 5).collect()
+    assert(ivf.nonEmpty)
+    // ivf returns ≤ k per query, every sim matches the brute-force scoring
+    val perQuery = ivf.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) => assert(rows.length <= 5) }
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-12))
+    }
+  }
+
   test("quality scores live in [0,1]") {
     val mm = SparkEntry.queries("q_t2_quality")(spark, sf)
       .agg(min("quality"), max("quality")).collect().head
