@@ -77,7 +77,10 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("kind"), col("bytes"))
+    media
+      // decode is per-row heavy: spread a compact source across all cores
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (JNI handles etc.)

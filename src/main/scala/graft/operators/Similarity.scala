@@ -25,11 +25,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.doubleDot(a, b)
 
-  /** vec_id, v (double array), nrm (L2 norm) — shared projection. */
+  /** vec_id, v (double array), nrm (L2 norm) — shared projection. Fans the
+    * corpus across all cores first: a compact source (one parquet file →
+    * one input split) would otherwise run every downstream pair loop
+    * through a single task. */
   def normed(emb: DataFrame, id: String, vec: String): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = transform(col(vec), x => x.cast("double"))
-    emb.select(col(id).as("vec_id"), v.as("v"))
+    emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id).as("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
