@@ -159,7 +159,72 @@ object Events {
         max(col("value")).as("max_v"))
   }
 
+  /** As-of join: each purchase picks the value of the user's most recent
+    * prior-or-simultaneous click. Times compared in epoch microseconds on
+    * both sides (Spark reads the ns parquet at µs precision). The oracle
+    * replicates the same union+window construction. */
+  val qE7AsOf = Q(
+    "q_e7_asof_join",
+    """WITH u AS (
+      |  SELECT user_id AS part, CAST(epoch_us(ts) AS BIGINT) AS t, 0 AS side,
+      |         value AS av, NULL::BIGINT AS event_id, NULL::DOUBLE AS v
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1,
+      |         NULL::DOUBLE, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (
+      |  SELECT part, t, side, event_id, v,
+      |         last_value(av IGNORE NULLS) OVER (
+      |           PARTITION BY part ORDER BY t, side
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS asof_click_value
+      |  FROM u)
+      |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
+      |       t AS ts_us, asof_click_value
+      |FROM f WHERE side = 1""".stripMargin) { (s, d) =>
+    val ev = eventsTs(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("value").as("click_value"))
+    graft.operators.AsOfJoin.asOf(
+      purchases, clicks, "user_id", "ts_us", "ts_us", Seq("click_value"))
+  }
+
+  /** Range join: events falling inside each user's first-6-hours interval,
+    * executed as a bucketized equi-join (exactly equal to the naive
+    * inequality join the oracle runs). */
+  val qE8RangeJoin = Q(
+    "q_e8_range_join",
+    """WITH iv AS (
+      |  SELECT user_id,
+      |         CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+      |         CAST(min(epoch_us(ts)) + 21600000000 AS BIGINT) AS end_us
+      |  FROM events GROUP BY user_id)
+      |SELECT e.user_id, iv.start_us,
+      |       CAST(count(*) AS BIGINT) AS n_in_window,
+      |       sum(e.value) AS sum_value
+      |FROM events e JOIN iv
+      |  ON e.user_id = iv.user_id
+      | AND CAST(epoch_us(e.ts) AS BIGINT) >= iv.start_us
+      | AND CAST(epoch_us(e.ts) AS BIGINT) <= iv.end_us
+      |GROUP BY e.user_id, iv.start_us""".stripMargin) { (s, d) =>
+    val ev = eventsTs(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val intervals = ev.groupBy("user_id")
+      .agg(min(col("ts_us")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(21600000000L))
+    graft.operators.RangeJoin
+      .pointInInterval(
+        ev.select(col("user_id"), col("ts_us"), col("value")),
+        intervals, "user_id", "ts_us", "start_us", "end_us",
+        binSize = 3600000000L)
+      .groupBy(col("user_id"), col("start_us"))
+      .agg(count(lit(1)).as("n_in_window"), sum(col("value")).as("sum_value"))
+  }
+
   val all: Seq[Q] =
     Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize, qE5Pivot,
-      qE6Percentiles)
+      qE6Percentiles, qE7AsOf, qE8RangeJoin)
 }
