@@ -101,6 +101,58 @@ object Text {
     graft.operators.Chunking.chunk(documents(s, d), "doc_id", "text")
   }
 
+  /** The composed curation pipeline: drop near-duplicate losers (keep the
+    * smallest doc id of each pair), keep docs above the quality threshold,
+    * carry the predicted language. Exercises dedup + scoring + langid as
+    * one plan; the oracle recomputes the identical composition. */
+  val qT6Curation = Q(
+    "q_t6_curation",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |losers AS (SELECT DISTINCT doc_b AS doc_id
+      |           FROM sh JOIN sz x ON doc_a = x.doc_id
+      |                   JOIN sz y ON doc_b = y.doc_id
+      |           WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.6),
+      |q AS (SELECT doc_id, lang,
+      |        0.4 * least(1.0, nn / 80.0) + 0.3 * (u / nn)
+      |          + 0.3 * least(1.0, (st / nn) * 5.0) AS quality
+      |      FROM (SELECT doc_id, lang,
+      |              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nn,
+      |              CAST(len(list_distinct(string_split(text, ' ')))
+      |                   AS DOUBLE) AS u,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                     w -> w IN ('the','a','of','and','to')))
+      |                   AS DOUBLE) AS st
+      |            FROM documents))
+      |SELECT doc_id, lang, quality FROM q
+      |WHERE quality >= 0.5
+      |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
+    (s, d) =>
+      val docs = documents(s, d)
+      val losers = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text", 0.6)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+  }
+
   val all: Seq[Q] =
-    Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks)
+    Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
+      qT6Curation)
 }
