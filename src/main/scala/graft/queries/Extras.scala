@@ -218,7 +218,40 @@ object Extras {
         count(lit(1)).as("cnt"))
   }
 
+  /** CSV round trip: write → schema'd read back → checksum (string/number
+    * serialization survives the text format). */
+  val qS7CsvRoundTrip = Q(
+    "q_s7_csv_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |       CAST(count(DISTINCT n_name) AS BIGINT) AS n_names
+      |FROM nation""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val src = nation(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation")
+    s.read.schema(src.schema).option("header", "true").csv(s"$tmp/nation")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).as("sum_key"),
+        countDistinct(col("n_name")).as("n_names"))
+  }
+
+  /** ORC round trip: the columnar alternative sink. */
+  val qS8OrcRoundTrip = Q(
+    "q_s8_orc_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+      |       sum(s_acctbal) AS sum_bal
+      |FROM supplier""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    supplier(s, d).write.mode("overwrite").orc(s"$tmp/supplier")
+    s.read.orc(s"$tmp/supplier")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("s_suppkey")).as("sum_key"),
+        sum(col("s_acctbal")).as("sum_bal"))
+  }
+
   val all: Seq[Q] = Seq(
+    qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,

@@ -134,6 +134,22 @@ class FhirSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE graft_fhir_test CASCADE")
   }
 
+  test("malformed bundle JSON degrades to null columns, not a crash") {
+    import graft.GraftSpark.spark.implicits._
+    val mixed = Seq(
+      """{"resourceType":"Bundle","timestamp":"2024-01-01T00:00:00Z",
+        |"entry":[{"resource":{"resourceType":"Patient","id":"ok-1"}}]}"""
+        .stripMargin.replace("\n", ""),
+      """{"resourceType":"Bundle","entry": NOT VALID JSON""",
+      """{"totally": "unrelated"}""").toDS()
+    val df = BundleReader.fromJsonStrings(mixed)
+    val rows = df.collect()
+    assert(rows.length == 3) // every input row survives
+    val patients = df
+      .select(explode(col("Patient")).as("p")).select("p.id").collect()
+    assert(patients.map(_.getString(0)).toSeq == Seq("ok-1"))
+  }
+
   test("bulkTableWrite with ingest-date partitioning prunes on date filters") {
     val base = Files.createTempDirectory("graft_fhir_part").toString
     TableWriter.bulkTableWrite(bundles, "graft_fhir_part",
