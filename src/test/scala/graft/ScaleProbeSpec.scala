@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class ScaleProbeSpec extends AnyFunSuite {
+  import GraftSpark.spark
+  test("minhash scales ~linearly 5k -> 50k docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // each copy prefixes every token, so copies share no shingles — the
+    // true-pair count grows linearly (256 per copy), not quadratically
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"c$i"), w))).as("text"))).reduce(_ unionByName _)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    // warm
+    Dedup.minHashLshPairs(docs, "doc_id", "text", 0.6).count()
+    val t1 = time(Dedup.minHashLshPairs(docs, "doc_id", "text", 0.6))
+    val t10 = time(Dedup.minHashLshPairs(big, "doc_id", "text", 0.6))
+    println(f"minhash 5k: $t1%.2f s, 50k: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 15, s"super-linear blowup: $t1 vs $t10")
+  }
+}
