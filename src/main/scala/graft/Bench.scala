@@ -36,11 +36,13 @@ object Bench {
       // cluster amortizes away.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       }
-      val t = math.min(once(), once())
-      name -> t
+      val a = once(); val b = once()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -27,7 +27,9 @@ case class DoubleDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"graft_dot: dimension mismatch $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,7 +40,11 @@ case class DoubleDot(left: Expression, right: Expression)
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch " + n + " vs " + $b.numElements());
+         |}
          |double s = 0.0;
          |for (int i = 0; i < n; i++) {
          |  s += $a.getDouble(i) * $b.getDouble(i);

@@ -26,30 +26,38 @@ object AsOfJoin {
     *
     * Column name contract: `leftTime`/`rightTime` name the event-time
     * columns; picked columns get a `asof_` prefix in the output.
+    * `rightTieCol` breaks ties among right rows sharing a timestamp (the
+    * highest value wins) — without it the winner would be physical row
+    * order, which varies run to run.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       partitionCol: String,
       leftTime: String, rightTime: String,
-      pickCols: Seq[String]): DataFrame = {
+      pickCols: Seq[String],
+      rightTieCol: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tieType = rightTieCol.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     // side 0 = right (visible at equal time), side 1 = left
     val taggedRight = right.select(
       (col(partitionCol).as("__part") +:
         col(rightTime).as("__t") +:
         lit(0).as("__side") +:
+        rightTieCol.fold(lit(0L).cast(tieType))(col).as("__tie") +:
         pickCols.map(c => col(c).as(s"asof_$c"))) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (col(partitionCol).as("__part") +:
         col(leftTime).as("__t") +:
         lit(1).as("__side") +:
+        lit(0L).cast(tieType).as("__tie") +:
         pickCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))) ++
         leftCols.map(col): _*)
 
     val w = Window.partitionBy(col("__part"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = pickCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
       (df, c) =>

@@ -41,9 +41,18 @@ object Multimodal {
       h
     }
 
+    /** splitmix64-style finalizer: derives per-index values from the one
+      * base hash instead of re-scanning the payload per feature. */
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
     def decode(kind: String, bytes: Array[Byte], featureDim: Int)
         : (Int, Int, Long, Array[Float]) = {
-      val h = fnv(bytes, 0)
+      val h = fnv(bytes, 0) // single pass over the payload
       val width = 64 + math.floorMod(h, 1856).toInt
       val height = 64 + math.floorMod(h >>> 17, 1016).toInt
       val durationMs = kind match {
@@ -51,7 +60,7 @@ object Multimodal {
         case _       => 1000L + math.floorMod(h >>> 23, 600000L)
       }
       val feats = Array.tabulate(featureDim) { i =>
-        (math.floorMod(fnv(bytes, i + 1), 2000001L) / 1000000.0f) - 1.0f
+        (math.floorMod(mix(h ^ (i + 1)), 2000001L) / 1000000.0f) - 1.0f
       }
       (width, height, durationMs, feats)
     }

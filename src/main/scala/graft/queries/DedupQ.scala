@@ -46,7 +46,10 @@ object DedupQ {
   }
 
   /** Same certified output as the exact pairs (LSH candidates are
-    * exact-verified), via the linear-scale MinHash path. */
+    * exact-verified), via the linear-scale MinHash path. Certified at
+    * threshold 0.8, where the 32x4 banding miss probability is <= 4.6e-8
+    * per pair (at 0.6 it would be ~1.2e-2 — a data assumption, not a
+    * guarantee). */
   val qD3MinHashLsh = Q(
     "q_d3_minhash_lsh",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -67,13 +70,13 @@ object DedupQ {
       |SELECT doc_a, doc_b,
       |       CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
       |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.6""".stripMargin) {
+      |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8""".stripMargin) {
     (s, d) =>
-      Dedup.minHashLshPairs(documents(s, d), "doc_id", "text", 0.6)
+      Dedup.minHashLshPairs(documents(s, d), "doc_id", "text", 0.8)
   }
 
   val qD4SimHash = Q.rowsOnly("q_d4_simhash") { (s, d) =>
-    Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 10)
+    Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 7)
   }
 
   val qD5EmbedNearDup = Q(

@@ -167,16 +167,17 @@ object Events {
     "q_e7_asof_join",
     """WITH u AS (
       |  SELECT user_id AS part, CAST(epoch_us(ts) AS BIGINT) AS t, 0 AS side,
+      |         event_id AS tie,
       |         value AS av, NULL::BIGINT AS event_id, NULL::DOUBLE AS v
       |  FROM events WHERE event_type = 'click'
       |  UNION ALL
-      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1,
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1, 0,
       |         NULL::DOUBLE, event_id, value
       |  FROM events WHERE event_type = 'purchase'),
       |f AS (
       |  SELECT part, t, side, event_id, v,
       |         last_value(av IGNORE NULLS) OVER (
-      |           PARTITION BY part ORDER BY t, side
+      |           PARTITION BY part ORDER BY t, side, tie
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |           AS asof_click_value
       |  FROM u)
@@ -187,10 +188,11 @@ object Events {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"),
+      .select(col("user_id"), col("ts_us"), col("event_id"),
         col("value").as("click_value"))
     graft.operators.AsOfJoin.asOf(
-      purchases, clicks, "user_id", "ts_us", "ts_us", Seq("click_value"))
+      purchases, clicks, "user_id", "ts_us", "ts_us", Seq("click_value"),
+      rightTieCol = Some("event_id"))
   }
 
   /** Range join: events falling inside each user's first-6-hours interval,

@@ -125,7 +125,7 @@ object Text {
       |losers AS (SELECT DISTINCT doc_b AS doc_id
       |           FROM sh JOIN sz x ON doc_a = x.doc_id
       |                   JOIN sz y ON doc_b = y.doc_id
-      |           WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.6),
+      |           WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
       |q AS (SELECT doc_id, lang,
       |        0.4 * least(1.0, nn / 80.0) + 0.3 * (u / nn)
       |          + 0.3 * least(1.0, (st / nn) * 5.0) AS quality
@@ -143,7 +143,7 @@ object Text {
     (s, d) =>
       val docs = documents(s, d)
       val losers = graft.operators.Dedup
-        .minHashLshPairs(docs, "doc_id", "text", 0.6)
+        .minHashLshPairs(docs, "doc_id", "text", 0.8)
         .select(col("doc_b").as("doc_id")).distinct()
       docs
         .join(losers, Seq("doc_id"), "left_anti")

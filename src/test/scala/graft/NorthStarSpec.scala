@@ -27,7 +27,7 @@ class NorthStarSpec extends AnyFunSuite {
     val truePairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 10)
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (truePairs & sim).size.toDouble / truePairs.size
