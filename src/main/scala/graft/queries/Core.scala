@@ -374,7 +374,73 @@ object Core {
         .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** TPC-H Q3 shape: 3-way fact join with selective dim filter + top-k on
+    * an aggregated measure — the classic join-order/broadcast probe. */
+  val qA7ShippingPriority = Q(
+    "q_a7_shipping_priority",
+    """SELECT l_orderkey,
+      |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(
+        orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("order_date"))
+  }
+
+  /** TPC-H Q5 shape: 6-table snowflake join with region filter — the
+    * multi-way join-reorder probe. */
+  val qA8LocalSupplier = Q(
+    "q_a8_local_supplier",
+    """SELECT n_name,
+      |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[Q] = Seq(
+    qA7ShippingPriority, qA8LocalSupplier,
     qS1Scan, qS3RoundTrip, qS5Ctas, qS6ToJson,
     qP1Project, qP2ArrayIndex, qP3Explode, qP4Like, qP6HofFilter,
     qJ1Join, qJ2DerivedKey, qJ3LeftFlag, qJ4Anti,
