@@ -24,6 +24,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_j2_derived_key").contains("BroadcastHashJoin"))
   }
 
+  test("snowflake join broadcasts every dimension") {
+    val p = plan("q_a8_local_supplier")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected all dims broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no dim should fall back to a shuffled join:\n" + p)
+  }
+
   test("top-k avoids global sort") {
     assert(plan("q_o1_topk").contains("TakeOrderedAndProject"), plan("q_o1_topk"))
   }
