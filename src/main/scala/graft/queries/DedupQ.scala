@@ -93,6 +93,44 @@ object DedupQ {
       .cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
   }
 
+  /** Near-dup clusters: pairs → connected components, cluster id = min
+    * doc id. Oracle: recursive-CTE transitive closure over the same exact
+    * pairs. */
+  val qD6DupClusters = Q(
+    "q_d6_dup_clusters",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM sh JOIN sz x ON doc_a = x.doc_id
+      |                  JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node""".stripMargin.replace(
+      "WITH toks", "WITH RECURSIVE toks")) { (s, d) =>
+    graft.operators.ConnectedComponents
+      .dupClusters(documents(s, d), "doc_id", "text", 0.8)
+  }
+
   val all: Seq[Q] =
-    Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup)
+    Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
+      qD6DupClusters)
 }
