@@ -69,6 +69,17 @@ object TextAnalysis {
     }
   }
 
+  /** Deterministic train/val/test assignment from the md5 of the id —
+    * reproducible across runs, engines, and repartitioning (no RNG).
+    * First hex digit buckets 16 ways: 0-b → train (75%), c-d → val
+    * (12.5%), e-f → test (12.5%). */
+  def deterministicSplit(id: Column): Column = {
+    val digit = substring(md5(id.cast("string").cast("binary")), 1, 1)
+    when(digit.between("0", "b"), "train")
+      .when(digit.between("c", "d"), "val")
+      .otherwise("test")
+  }
+
   /** Exact content fingerprint of the raw text. */
   def fingerprintRaw(text: Column): Column = md5(text.cast("binary"))
 

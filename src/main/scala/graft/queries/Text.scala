@@ -152,7 +152,29 @@ object Text {
         .filter(col("quality") >= 0.5)
   }
 
+  /** Deterministic dataset splits: hash-bucketed, reproducible across
+    * engines (pure md5 string ops — no RNG). */
+  val qT7Split = Q(
+    "q_t7_det_split",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |           BETWEEN '0' AND 'b' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |           BETWEEN 'c' AND 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS cnt,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY split""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), deterministicSplit(col("doc_id")).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
-      qT6Curation)
+      qT6Curation, qT7Split)
 }
