@@ -28,13 +28,15 @@ object Core {
     """SELECT CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
       |       sum(l_quantity) AS sum_qty,
-      |       sum(l_extendedprice) AS sum_price
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
       |FROM lineitem""".stripMargin) { (s, d) =>
     lineitem(s, d).agg(
       count(lit(1)).as("cnt"),
       sum(col("l_orderkey")).as("sum_okey"),
+      // integral-valued doubles: partial sums are exact at any order
       sum(col("l_quantity")).as("sum_qty"),
-      sum(col("l_extendedprice")).as("sum_price"))
+      stableSum(col("l_extendedprice")).as("sum_price"))
   }
 
   /** Q-S3 — write → re-read round trip (ref: saveAsTable at
@@ -45,14 +47,15 @@ object Core {
     "q_s3_roundtrip",
     """SELECT CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
-      |       sum(o_totalprice) AS sum_price
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
       |FROM orders""".stripMargin) { (s, d) =>
     val tmp = Files.createTempDirectory("graft_s3_rt").toString
     orders(s, d).write.mode("overwrite").parquet(s"$tmp/orders_rt")
     s.read.parquet(s"$tmp/orders_rt").agg(
       count(lit(1)).as("cnt"),
       sum(col("o_orderkey")).as("sum_okey"),
-      sum(col("o_totalprice")).as("sum_price"))
+      stableSum(col("o_totalprice")).as("sum_price"))
   }
 
   /** Q-S5 — DDL passthrough: DROP TABLE IF EXISTS + CTAS
@@ -110,13 +113,15 @@ object Core {
     "q_p2_arrayindex",
     """SELECT split_part(p_name, ' ', 1) AS word0,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(p_retailprice) AS sum_price
+      |       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
       |FROM part GROUP BY 1""".stripMargin) { (s, d) =>
     part(s, d)
       .select(split(col("p_name"), " ").getItem(0).as("word0"),
         col("p_retailprice"))
       .groupBy("word0")
-      .agg(count(lit(1)).as("cnt"), sum(col("p_retailprice")).as("sum_price"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("p_retailprice")).as("sum_price"))
   }
 
   /** Q-P3 — explode / lateral flatten, the reference's workhorse
@@ -125,13 +130,15 @@ object Core {
     "q_p3_explode",
     """SELECT label,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(CAST(x AS DOUBLE)) AS sum_x
+      |       sum(CAST(round(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+      |         / 1000000000.0 AS sum_x
       |FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
       |GROUP BY label""".stripMargin) { (s, d) =>
     embeddings(s, d)
       .select(col("label"), explode(col("embedding")).as("x"))
       .groupBy("label")
-      .agg(count(lit(1)).as("cnt"), sum(col("x").cast("double")).as("sum_x"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("x").cast("double"), 1e9).as("sum_x"))
   }
 
   /** Q-P4 — LIKE-pattern filter with OR
@@ -167,13 +174,15 @@ object Core {
     "q_j1_join",
     """SELECT c_mktsegment,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(o_totalprice) AS revenue
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
     orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("o_totalprice")).as("revenue"))
   }
 
   /** Q-J2 — join on a derived (substring-extracted) key
@@ -183,7 +192,8 @@ object Core {
     "q_j2_derived_key",
     """SELECT c_mktsegment,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(o_totalprice) AS revenue
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
       |FROM orders
       |JOIN customer ON CAST(substring(c_name, 10, 9) AS BIGINT) = o_custkey
       |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -192,7 +202,8 @@ object Core {
         broadcast(customer(s, d)),
         substring(col("c_name"), 10, 9).cast("long") === col("o_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("o_totalprice")).as("revenue"))
   }
 
   /** Q-J3 — left-outer existence probe with Y/N flag
@@ -202,7 +213,7 @@ object Core {
     """SELECT CASE WHEN o.o_custkey IS NOT NULL THEN 'Y' ELSE 'N' END
       |         AS has_orders,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(c_acctbal) AS sum_bal
+      |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
       |FROM customer c
       |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
       |  ON c.c_custkey = o.o_custkey
@@ -214,21 +225,23 @@ object Core {
         when(col("o_custkey").isNotNull, "Y").otherwise("N").as("has_orders"),
         col("c_acctbal"))
       .groupBy("has_orders")
-      .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("sum_bal"))
+      .agg(count(lit(1)).as("cnt"), stableSum(col("c_acctbal")).as("sum_bal"))
   }
 
   /** Q-J4 — anti join (idiomatic form of the reference's manual
     * NOT-EXISTS dedup pattern, SURVEY.md §2.3). */
   val qJ4Anti = Q(
     "q_j4_anti",
-    """SELECT CAST(count(*) AS BIGINT) AS cnt, sum(c_acctbal) AS sum_bal
-      |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) {
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
     (s, d) =>
       customer(s, d)
         .join(orders(s, d).select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("cnt"), stableSum(col("c_acctbal")).as("sum_bal"))
   }
 
   /** Q-A1 — grouped aggregation, TPC-H Q1 shape
@@ -238,13 +251,18 @@ object Core {
     "q_a1_pricing",
     """SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
-      |       sum(l_extendedprice) AS sum_base_price,
-      |       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-      |       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-      |         AS sum_charge,
-      |       avg(l_quantity) AS avg_qty,
-      |       avg(l_extendedprice) AS avg_price,
-      |       avg(l_discount) AS avg_disc,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_base_price,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) / 100.0 AS sum_disc_price,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |                      * 100) AS BIGINT)) / 100.0 AS sum_charge,
+      |       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*)
+      |         AS avg_qty,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         / count(*) AS avg_price,
+      |       sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*)
+      |         AS avg_disc,
       |       CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -254,14 +272,16 @@ object Core {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        stableSum(col("l_extendedprice")).as("sum_base_price"),
+        // money products rounded to cents per row: deterministic on both
+        // engines (same parse tree → bit-equal input double), exact after
+        stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        stableSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))).as("sum_charge"),
-        avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_extendedprice")).as("avg_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        stableAvg(col("l_quantity")).as("avg_qty"),
+        stableAvg(col("l_extendedprice")).as("avg_price"),
+        stableAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -274,8 +294,10 @@ object Core {
       |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
       |       min(o_totalprice) AS min_price,
       |       max(o_totalprice) AS max_price,
-      |       sum(o_totalprice) AS sum_price,
-      |       avg(o_totalprice) AS avg_price,
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price,
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         / count(*) AS avg_price,
       |       CAST(count(*) AS BIGINT) AS cnt
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
     orders(s, d)
@@ -284,8 +306,8 @@ object Core {
         countDistinct(col("o_custkey")).as("n_cust"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
-        sum(col("o_totalprice")).as("sum_price"),
-        avg(col("o_totalprice")).as("avg_price"),
+        stableSum(col("o_totalprice")).as("sum_price"),
+        stableAvg(col("o_totalprice")).as("avg_price"),
         count(lit(1)).as("cnt"))
   }
 
@@ -295,12 +317,12 @@ object Core {
     "q_f2_substring",
     """SELECT substring(c_name, 13, 6) AS frag,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(c_acctbal) AS sum_bal
+      |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
       |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
     customer(s, d)
       .select(substring(col("c_name"), 13, 6).as("frag"), col("c_acctbal"))
       .groupBy("frag")
-      .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal")).as("sum_bal"))
+      .agg(count(lit(1)).as("cnt"), stableSum(col("c_acctbal")).as("sum_bal"))
   }
 
   /** Q-F4 — date-part extraction on timestamps
@@ -310,7 +332,8 @@ object Core {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
       |       CAST(month(o_orderdate) AS BIGINT) AS m,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(o_totalprice) AS revenue
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
       |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
     orders(s, d)
       .select(
@@ -318,7 +341,8 @@ object Core {
         month(col("o_orderdate")).cast("long").as("m"),
         col("o_totalprice"))
       .groupBy("y", "m")
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("o_totalprice")).as("revenue"))
   }
 
   /** Q-W1 — row_number window: latest order per customer, the idiomatic
@@ -343,9 +367,10 @@ object Core {
   val qW2Running = Q(
     "q_w2_running",
     """SELECT o_custkey, o_orderkey,
-      |       sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey
       |         ORDER BY o_orderdate, o_orderkey
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
       |         AS run_total,
       |       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
       |         ORDER BY o_orderdate, o_orderkey) AS prev_price
@@ -356,7 +381,10 @@ object Core {
     orders(s, d).select(
       col("o_custkey"),
       col("o_orderkey"),
-      sum(col("o_totalprice")).over(frame).as("run_total"),
+      // exact-integer running sum: engines may fold window frames in
+      // different orders (sequential vs segment tree) — longs don't care
+      (sum(round(col("o_totalprice") * 100).cast("long")).over(frame)
+        / 100.0).as("run_total"),
       lag(col("o_totalprice"), 1).over(ord).as("prev_price"))
   }
 
@@ -379,7 +407,8 @@ object Core {
   val qA7ShippingPriority = Q(
     "q_a7_shipping_priority",
     """SELECT l_orderkey,
-      |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) / 100.0 AS revenue,
       |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
@@ -399,7 +428,7 @@ object Core {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         col("o_orderdate").cast("date").cast("string").as("order_date"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -411,7 +440,8 @@ object Core {
   val qA8LocalSupplier = Q(
     "q_a8_local_supplier",
     """SELECT n_name,
-      |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) / 100.0 AS revenue,
       |       CAST(count(*) AS BIGINT) AS cnt
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -434,7 +464,7 @@ object Core {
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(stableSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"),
         count(lit(1)).as("cnt"))
   }

@@ -27,7 +27,8 @@ object Events {
       |       CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
       |            AS BIGINT) AS sum_k,
-      |       sum(value) AS sum_value
+      |       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+      |         AS sum_value
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     eventsTs(s, d)
       .select(
@@ -36,7 +37,7 @@ object Events {
         col("value"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
-        sum(col("value")).as("sum_value"))
+        stableSum(col("value"), 1e6).as("sum_value"))
   }
 
   /** Hourly time-bucket aggregation — the batch equivalent of a streaming
@@ -46,7 +47,8 @@ object Events {
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_bucket,
       |       event_type,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(value) AS sum_value
+      |       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+      |         AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
     eventsTs(s, d)
       .select(
@@ -54,7 +56,7 @@ object Events {
         col("event_type"),
         col("value"))
       .groupBy("hour_bucket", "event_type")
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), stableSum(col("value"), 1e6).as("sum_value"))
   }
 
   /** Per-user event ordering: previous event type + gap in seconds —
@@ -104,7 +106,8 @@ object Events {
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(min(ts_sec) AS BIGINT) AS start_sec,
       |       CAST(max(ts_sec) AS BIGINT) AS end_sec,
-      |       sum(value) AS sum_value
+      |       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+      |         AS sum_value
       |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -122,7 +125,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_sec")).as("start_sec"),
         max(col("ts_sec")).as("end_sec"),
-        sum(col("value")).as("sum_value"))
+        stableSum(col("value"), 1e6).as("sum_value"))
   }
 
   /** Pivot: per-user event-type value rollup as wide columns. sum-based
@@ -130,17 +133,22 @@ object Events {
   val qE5Pivot = Q(
     "q_e5_pivot",
     """SELECT user_id,
-      |       sum(value) FILTER (WHERE event_type = 'click') AS click,
-      |       sum(value) FILTER (WHERE event_type = 'error') AS error,
-      |       sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
-      |       sum(value) FILTER (WHERE event_type = 'signup') AS signup,
-      |       sum(value) FILTER (WHERE event_type = 'view') AS view
+      |       sum(CAST(round(value * 1000000) AS BIGINT))
+      |         FILTER (WHERE event_type = 'click') / 1000000.0 AS click,
+      |       sum(CAST(round(value * 1000000) AS BIGINT))
+      |         FILTER (WHERE event_type = 'error') / 1000000.0 AS error,
+      |       sum(CAST(round(value * 1000000) AS BIGINT))
+      |         FILTER (WHERE event_type = 'purchase') / 1000000.0 AS purchase,
+      |       sum(CAST(round(value * 1000000) AS BIGINT))
+      |         FILTER (WHERE event_type = 'signup') / 1000000.0 AS signup,
+      |       sum(CAST(round(value * 1000000) AS BIGINT))
+      |         FILTER (WHERE event_type = 'view') / 1000000.0 AS view
       |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
     eventsTs(s, d)
       .groupBy("user_id")
       .pivot("event_type",
         Seq("click", "error", "purchase", "signup", "view"))
-      .agg(sum(col("value")))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")) / lit(1e6))
   }
 
   /** Exact interpolated percentiles (both engines: linear interpolation). */
@@ -207,7 +215,8 @@ object Events {
       |  FROM events GROUP BY user_id)
       |SELECT e.user_id, iv.start_us,
       |       CAST(count(*) AS BIGINT) AS n_in_window,
-      |       sum(e.value) AS sum_value
+      |       sum(CAST(round(e.value * 1000000) AS BIGINT)) / 1000000.0
+      |         AS sum_value
       |FROM events e JOIN iv
       |  ON e.user_id = iv.user_id
       | AND CAST(epoch_us(e.ts) AS BIGINT) >= iv.start_us
@@ -223,7 +232,8 @@ object Events {
         intervals, "user_id", "ts_us", "start_us", "end_us",
         binSize = 3600000000L)
       .groupBy(col("user_id"), col("start_us"))
-      .agg(count(lit(1)).as("n_in_window"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_in_window"),
+        stableSum(col("value"), 1e6).as("sum_value"))
   }
 
   val all: Seq[Q] =

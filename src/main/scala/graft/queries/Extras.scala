@@ -46,7 +46,8 @@ object Extras {
     "q_a3_rollup",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(o_totalprice) AS revenue
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
       |FROM orders
       |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)"""
       .stripMargin) { (s, d) =>
@@ -54,7 +55,8 @@ object Extras {
       .select(year(col("o_orderdate")).cast("long").as("y"),
         col("o_orderstatus"), col("o_totalprice"))
       .rollup(col("y"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("o_totalprice")).as("revenue"))
   }
 
   /** CUBE over the same dimensions (adds the status-only slice). */
@@ -62,7 +64,8 @@ object Extras {
     "q_a4_cube",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus,
       |       CAST(count(*) AS BIGINT) AS cnt,
-      |       sum(o_totalprice) AS revenue
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
       |FROM orders
       |GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)"""
       .stripMargin) { (s, d) =>
@@ -70,7 +73,8 @@ object Extras {
       .select(year(col("o_orderdate")).cast("long").as("y"),
         col("o_orderstatus"), col("o_totalprice"))
       .cube(col("y"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("o_totalprice")).as("revenue"))
   }
 
   /** Scalar-function coverage: case transforms, lengths, concat, regex
@@ -240,14 +244,14 @@ object Extras {
     "q_s8_orc_roundtrip",
     """SELECT CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
-      |       sum(s_acctbal) AS sum_bal
+      |       sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
       |FROM supplier""".stripMargin) { (s, d) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     supplier(s, d).write.mode("overwrite").orc(s"$tmp/supplier")
     s.read.orc(s"$tmp/supplier")
       .agg(count(lit(1)).as("cnt"),
         sum(col("s_suppkey")).as("sum_key"),
-        sum(col("s_acctbal")).as("sum_bal"))
+        stableSum(col("s_acctbal")).as("sum_bal"))
   }
 
   val all: Seq[Q] = Seq(

@@ -24,9 +24,17 @@ object MultimodalQ {
         md5(col("bytes")).as("digest"))
   }
 
+  /** Library users get the typed Dataset (raw `features` array) from
+    * [[Multimodal.extractFeatures]]; the registered query projects the
+    * vector to a deterministic digest because the harness' rows-only
+    * sorter (pandas lexsort) cannot order raw arrays. */
   val qM2Features = Q.rowsOnly("q_m2_media_features") { (s, d) =>
     Multimodal.extractFeatures(
       Multimodal.asMediaTable(documents(s, d), "doc_id", "text")).toDF()
+      .select(
+        col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("duration_ms"),
+        md5(to_json(col("features")).cast("binary")).as("features_digest"))
   }
 
   val all: Seq[Q] = Seq(qM1BinaryMeta, qM2Features)

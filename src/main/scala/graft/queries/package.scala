@@ -1,8 +1,26 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit, round, sum}
 
 package object queries {
+
+  /** Order-insensitive floating-point aggregation (driver-gate hash
+    * stability): each value is rounded at a fixed decimal scale, summed as
+    * exact integers — associative and commutative, so partial-aggregation
+    * order can never flip a last bit — and divided back once. The DuckDB
+    * oracle twin is `sum(CAST(round(x * scale) AS BIGINT)) / scale`.
+    * Per-row rounding is engine-agreed: both sides round the *same* double
+    * (identical parse tree) half-away-from-zero. Cents scale leaves ~1e11
+    * max-value money rows per group of headroom before 2^63 overflow.
+    */
+  private[queries] def stableSum(e: Column, scale: Double = 100.0): Column =
+    sum(round(e * lit(scale)).cast("long")) / lit(scale)
+
+  /** avg as (exact-sum / scale) / count — same tree as the oracle's
+    * `sum(CAST(round(x * scale) AS BIGINT)) / scale / count(*)`. */
+  private[queries] def stableAvg(e: Column, scale: Double = 100.0): Column =
+    stableSum(e, scale) / count(lit(1))
 
   /** One certified operator: a Spark builder plus (when SQL-expressible) the
     * equivalent DuckDB oracle SQL over the same parquet tables. Column names
