@@ -32,69 +32,114 @@ object Streams {
 
   /** Watermarked hourly windowed aggregate — the streaming twin of the
     * batch q_e2_hourly_window (same grouping semantics, late data bounded
-    * by the watermark instead of assumed complete). */
+    * by the watermark instead of assumed complete). The sum uses the same
+    * fixed-point accumulation as the batch query's stableSum
+    * (queries/package.scala): per-row round at 1e-6, exact integer partial
+    * sums, divide once — so stream and batch agree to the last bit
+    * regardless of partial-aggregation order. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("value") * lit(1e6)).cast("long")) / lit(1e6))
+          .as("sum_value"))
       .select(
         col("window.start").cast("string").as("hour_bucket"),
         col("event_type"), col("cnt"), col("sum_value"))
 
   final case class SessionEvent(
-      user_id: Long, event_id: Long, ts_sec: Long, value: Double)
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(
-      lastTs: Long, sessionId: Long, n: Long, start: Long, sum: Double)
+      lastTs: Long, sessionId: Long, n: Long, start: Long, sumMicros: Long)
   final case class SessionOut(
       user_id: Long, session_id: Long, n_events: Long,
       start_sec: Long, end_sec: Long, sum_value: Double)
 
+  /** Exact twin of the batch stableSum's per-row step
+    * (queries/package.scala): Spark's `round(x, 0)` on a double is
+    * BigDecimal(Double.toString(x)).setScale(0, HALF_UP) — replicated here
+    * so the streaming state accumulates the identical integer micros the
+    * batch aggregate sums, and batch↔stream equality holds to the bit. */
+  private def fixedPointMicros(v: Double): Long =
+    BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState: emits a
     * session whenever a >30min gap closes it (append mode); the per-user
-    * open session rides in group state across micro-batches.
+    * open session rides in group state across micro-batches. The value sum
+    * is accumulated as fixed-point micros (exact integer adds — associative,
+    * so micro-batch boundaries can't flip a bit) and divided once at output,
+    * matching the batch q_e4_sessionize's stableSum.
     *
-    * Semantics match the batch q_e4_sessionize for in-order, bounded
-    * input (what the spec asserts). Production caveats, by design of this
-    * demo: events are sorted per group only WITHIN a micro-batch, so an
-    * event arriving in a later batch with an older timestamp than the
-    * open session's tail is clamped into that session (lastTs never
-    * regresses); state uses NoTimeout, so an unbounded user universe
-    * needs EventTimeTimeout + a watermark to bound the state store and to
-    * flush the final open session per user. */
-  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
+    * With `watermarkDelay = None` (spec/demo mode) state never expires:
+    * semantics match the batch query for in-order, bounded input, and the
+    * trailing open session per user is retained forever. Pass a delay
+    * (e.g. `Some("30 minutes")`) for production: a watermark bounds the
+    * state store via EventTimeTimeout — events older than the watermark are
+    * dropped, and an open session whose close time (last event + gap) falls
+    * behind the watermark is flushed as final without needing new input for
+    * that user. */
+  def sessionize(
+      events: DataFrame,
+      watermarkDelay: Option[String] = None,
+      gapSec: Long = 1800): org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+    val timeout = watermarkDelay
+      .map(_ => GroupStateTimeout.EventTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    src
+      // keep `ts` as the raw timestamp column: the event-time/watermark tag
+      // must survive into the stateful operator for late-row filtering and
+      // EventTimeTimeout to apply
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, timeout)(
         (userId: Long, it: Iterator[SessionEvent],
          state: org.apache.spark.sql.streaming.GroupState[SessionState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts_sec, e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            if (st == null) {
-              st = SessionState(e.ts_sec, 1L, 1L, e.ts_sec, e.value)
-            } else if (e.ts_sec - st.lastTs > 1800) {
-              out += SessionOut(userId, st.sessionId, st.n, st.start,
-                st.lastTs, st.sum)
-              st = SessionState(e.ts_sec, st.sessionId + 1, 1L, e.ts_sec,
-                e.value)
-            } else {
-              // math.max: a late cross-batch event must not regress the
-              // session tail (monotone state)
-              st = SessionState(math.max(st.lastTs, e.ts_sec), st.sessionId,
-                st.n + 1, st.start, st.sum + e.value)
+          def emit(st: SessionState): SessionOut =
+            SessionOut(userId, st.sessionId, st.n, st.start, st.lastTs,
+              st.sumMicros / 1e6)
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close time: flush final
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq
+              .map(e => (e.ts.getTime / 1000, e.event_id, e.value))
+              .sortBy { case (ts, id, _) => (ts, id) }
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (tsSec, _, value) =>
+              if (st == null) {
+                st = SessionState(tsSec, 1L, 1L, tsSec,
+                  fixedPointMicros(value))
+              } else if (tsSec - st.lastTs > gapSec) {
+                out += emit(st)
+                st = SessionState(tsSec, st.sessionId + 1, 1L, tsSec,
+                  fixedPointMicros(value))
+              } else {
+                // math.max: a late cross-batch event must not regress the
+                // session tail (monotone state)
+                st = SessionState(math.max(st.lastTs, tsSec), st.sessionId,
+                  st.n + 1, st.start, st.sumMicros + fixedPointMicros(value))
+              }
             }
+            if (st != null) {
+              state.update(st)
+              if (timeout == GroupStateTimeout.EventTimeTimeout) {
+                // fire once the watermark passes the gap after the last
+                // event — i.e. exactly when the session is provably closed
+                state.setTimeoutTimestamp((st.lastTs + gapSec) * 1000L)
+              }
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
         })
   }
 

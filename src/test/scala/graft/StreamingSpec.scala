@@ -68,6 +68,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout drops late events and flushes final sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = Streams.sessionize(events, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout").start()
+    try {
+      // batch 1: user 1's session — two events 100s apart
+      input.addData((1L, 1L, t(1000), 1.1), (1L, 2L, t(1100), 2.2))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0,
+        "session still open — nothing should emit yet")
+      // batch 2: user 2 far in the future advances the watermark to
+      // 100000-600s, past user 1's close time (1100+1800) → the no-data
+      // follow-up batch fires user 1's EventTimeTimeout and flushes it
+      input.addData((2L, 3L, t(100000), 5.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_timeout").collect()
+      assert(flushed.length == 1)
+      val r = flushed.head
+      assert(r.getLong(0) == 1L && r.getLong(2) == 2L
+        && r.getLong(3) == 1000L && r.getLong(4) == 1100L
+        && r.getDouble(5) == 3.3,
+        s"unexpected flushed session: $r")
+      // batch 3: a late event for user 1 (t=500 « watermark) must be
+      // dropped — no resurrected session, no state
+      input.addData((1L, 4L, t(500), 9.9))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 1,
+        "late event below the watermark must not create or reopen a session")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
