@@ -45,10 +45,18 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard: explode distinct shingles, self-join on the
     * shingle, count shared, Jaccard = |∩| / (|A|+|B|-|∩|). Quadratic in
-    * colliding docs — verification-scale only (the oracle path). */
+    * colliding docs — verification-scale only (the oracle path).
+    * `maxRows` makes that explicit at the API: a corpus-scale pipeline must
+    * consciously raise it (use [[minHashLshPairs]] instead — same certified
+    * output, linear candidate generation). */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 1000000L): DataFrame = {
+    val cnt = docs.count()
+    require(cnt <= maxRows,
+      s"ngramJaccardPairs is all-pairs (quadratic in shingle-colliding " +
+        s"docs): got $cnt rows > maxRows=$maxRows. Use minHashLshPairs at " +
+        "corpus scale, or raise maxRows explicitly.")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tg = fanOut(docs).select(col(id).as("doc_id"),
       explode(wordTrigrams(col(text))).as("tg"))

@@ -41,14 +41,55 @@ object Similarity {
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dot(va, vb) / (na * nb)
 
-  /** All near-duplicate pairs with cosine ≥ threshold (brute-force
-    * self-join; LSH-bucket first at scale). */
+  /** All near-duplicate pairs with cosine ≥ threshold — EXACT, as a
+    * balanced blocked self-join (the 1-Bucket-Theta layout of Okcan &
+    * Riedewald, SIGMOD'11 "Processing Theta-Joins using MapReduce").
+    *
+    * Hyperplane LSH cannot certify this operator: at threshold 0.45 the
+    * qualifying pairs sit at ~63° where each random plane separates them
+    * with p≈0.35, so any banding/multi-probe scheme misses a material
+    * fraction of true pairs. Exact all-pairs is inherently O(n²) compute;
+    * what kills it on a cluster is the BroadcastNestedLoopJoin a naive
+    * `a.id < b.id` join plans — one side fully materialized on every
+    * executor, no partition balance. Instead:
+    *
+    *  - each vector hashes to one of `groups` blocks (g);
+    *  - it is replicated once per block pair {g, h} it participates in
+    *    (`explode` over h, key = (min, max) — `groups`× row replication,
+    *    bounded and tunable, vs. whole-side broadcast);
+    *  - pairs come from an EQUI-join on the block-pair key, so the shuffle
+    *    partitions into groups·(groups+1)/2 uniformly-sized cells, each an
+    *    independent (n/groups)² micro-cartesian;
+    *  - a pair with g_a ≠ g_b matches in exactly one cell (h_a = g_b,
+    *    h_b = g_a); same-block pairs are kept only in the diagonal cell —
+    *    every pair computed exactly once, no distinct() needed.
+    *
+    * `maxRows` guards the quadratic path: computing all-pairs over more
+    * rows needs an explicit opt-in (raise it consciously), so a 100 TB
+    * pipeline cannot trip into O(n²) by accident. Sizing `groups` ≈
+    * √(2·cores) keeps every core busy with one cell.
+    */
   def cosineNearDupPairs(
       emb: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, groups: Int = 8,
+      maxRows: Long = 2000000L): DataFrame = {
+    val cnt = emb.count()
+    require(cnt <= maxRows,
+      s"cosineNearDupPairs is exact all-pairs (O(n^2) compute): got $cnt " +
+        s"rows > maxRows=$maxRows. Use lshTopK/lshBucket candidates + " +
+        "exact verify at corpus scale, or raise maxRows explicitly.")
     val n = normed(emb, id, vec)
-    n.as("a")
-      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
+    val expanded = n
+      .withColumn("h", explode(sequence(lit(0), lit(groups - 1))))
+      .withColumn("p1", least(col("g"), col("h")))
+      .withColumn("p2", greatest(col("g"), col("h")))
+    expanded.as("a")
+      .join(expanded.as("b"),
+        col("a.p1") === col("b.p1") && col("a.p2") === col("b.p2")
+          && col("a.vec_id") < col("b.vec_id")
+          && (col("a.g") =!= col("b.g")
+            || (col("a.p1") === col("a.g") && col("a.p2") === col("a.g"))))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
@@ -96,39 +137,104 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF coarse quantization: number of inverted lists and probed lists. */
+  /** IVF coarse quantization: inverted lists, probed lists, quantizer
+    * training sample bound and Lloyd iterations. */
   val IvfLists = 16
   val IvfProbes = 2
+  val IvfSample = 2048
+  val IvfKMeansIters = 3
 
-  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
-    * corpus vectors with the IvfLists smallest ids — reproducible without
-    * RNG or iterative training; swap in k-means centroids at scale)
-    * partitions the corpus into inverted lists; each query probes its
-    * IvfProbes nearest lists only. The list assignment is one broadcast
-    * argmax over IvfLists cosines per vector — linear, shuffle-free — and
-    * the search joins on list id instead of crossing the corpus.
-    * Probabilistic recall → rows-only certification. */
+  /** Spherical k-means centroids from a bounded deterministic sample
+    * (sketch-then-solve). The sample is the `sampleN` corpus vectors with
+    * the smallest xxhash64(vec_id) — a deterministic pseudo-random draw
+    * taken with one distributed TakeOrderedAndProject (no full sort) —
+    * and Lloyd's iterations run on the driver over ≤ sampleN·dim doubles
+    * (~1 MB): constant driver state regardless of corpus size, the same
+    * shape as collecting any aggregated sketch. Ties in the argmax go to
+    * the lowest list id; empty lists keep their previous centroid, so the
+    * whole training is reproducible bit-for-bit. Centroids are returned
+    * unit-normalized: argmax_c cos(v, c) then reduces to argmax_c dot(v, c),
+    * which the assignment expression exploits. */
+  private[graft] def kmeansCentroids(
+      n: DataFrame, lists: Int = IvfLists, iters: Int = IvfKMeansIters,
+      sampleN: Int = IvfSample): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = n
+      .select(col("v"), col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= lists,
+      s"IVF needs at least $lists vectors; got ${sample.length}")
+    val dim = sample.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    var cents = sample.take(lists).map(unit)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(lists, dim)(0.0)
+      val cnts = new Array[Long](lists)
+      sample.foreach { v =>
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < lists) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i) * cents(c)(i); i += 1 }
+          if (s > bestS) { bestS = s; best = c } // strict: ties → lowest id
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(lists) { c =>
+        if (cnts(c) == 0) cents(c)
+        else unit(sums(c).map(_ / cnts(c)))
+      }
+    }
+    cents
+  }
+
+  /** Per-list scores of a vector column against literal unit centroids:
+    * struct(dot, -list) columns, so lexicographic max = (best cosine,
+    * lowest list id) — the norm of `v` scales every score equally and
+    * drops out of the argmax. */
+  private def listScores(v: Column, cents: Array[Array[Double]]): Seq[Column] =
+    cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, typedlit(c.toSeq)).as("cs"), lit(-i).as("nl"))
+    }
+
+  /** IVF-style ANN. The coarse quantizer is k-means trained on a bounded
+    * deterministic sample ([[kmeansCentroids]]); centroids then ride into
+    * the plan as literals, so the corpus-side list assignment is a pure
+    * codegen'd projection — IvfLists dot products per row, argmax via
+    * `greatest` over (score, -list) structs. No crossJoin, no window, no
+    * shuffle touches a corpus vector until the candidate equi-join on
+    * list id; queries probe their IvfProbes nearest lists (sort_array over
+    * the same literal scores). Each candidate lives in exactly one list and
+    * probe lists are distinct, so a (query, candidate) pair joins at most
+    * once — no dedup pass. Probabilistic recall → rows-only certification.
+    */
   def ivfTopK(
       emb: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int): DataFrame = {
     val n = normed(emb, id, vec)
-    val cents = n.orderBy(col("vec_id")).limit(IvfLists)
-      .select(col("vec_id").as("list_id"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    val cents = kmeansCentroids(n)
+    val scores = listScores(col("v"), cents)
 
-    // rank lists per vector by cosine; vectors keep 1 list, queries probe 2
-    val scored = n.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("cs"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("list_id"))
-    val ranked = scored.withColumn("lr", row_number().over(w))
-
-    val corpusLists = ranked.filter(col("lr") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
-    val queryLists = ranked.filter(queryPred && col("lr") <= IvfProbes)
+    val corpusLists = n
+      .withColumn("list_id",
+        (greatest(scores: _*).getField("nl") * lit(-1)).cast("int"))
+    // sort_array desc on (cs, nl) structs: cs desc, then nl desc = list asc
+    val probes = transform(
+      slice(sort_array(array(scores: _*), asc = false), 1, IvfProbes),
+      s => (s.getField("nl") * lit(-1)).cast("int"))
+    val queryLists = n.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("list_id"))
+        col("nrm").as("qnrm"), explode(probes).as("list_id"))
 
     val cand = broadcast(queryLists)
       .join(corpusLists,
@@ -136,7 +242,6 @@ object Similarity {
           && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-      .distinct()
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     cand

@@ -36,6 +36,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_o1_topk").contains("TakeOrderedAndProject"), plan("q_o1_topk"))
   }
 
+  test("exact embedding near-dup plans an equi-join, not a nested loop") {
+    val p = plan("q_d5_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocked all-pairs must not degrade to a nested loop:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF list assignment is map-side — no corpus cross join") {
+    val p = plan("q_x3_ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "centroid scoring must ride as literal expressions:\n" + p)
+  }
+
+  test("all-pairs operators refuse oversized inputs") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6,
+        maxRows = 10L)
+    }
+    assert(e1.getMessage.contains("minHashLshPairs"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.cosineNearDupPairs(emb, "vec_id",
+        "embedding", 0.45, maxRows = 10L)
+    }
+    assert(e2.getMessage.contains("all-pairs"))
+  }
+
   test("like filter pushes to scan") {
     val p = plan("q_p4_like")
     assert(p.contains("PushedFilters") && p.contains("StringContains") || p.contains("Or(StringContains"), p)
