@@ -3,52 +3,92 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — turns near-dup
-  * PAIRS into dedup CLUSTERS (cluster id = smallest doc id in the
-  * component), which is what a curation pipeline actually consumes: keep
-  * one representative per cluster.
+/** Connected components by min-label propagation WITH pointer doubling —
+  * turns near-dup PAIRS into dedup CLUSTERS (cluster id = smallest doc id
+  * in the component), which is what a curation pipeline actually consumes:
+  * keep one representative per cluster.
   *
-  * Each round: every node adopts the minimum label among itself and its
-  * neighbors; converged when no label changes. Rounds ≈ component diameter
-  * (near-dup clusters are tiny), each round one join + one aggregation —
-  * all distributed; the only driver-side value is the convergence count.
+  * Each round does two distributed steps:
+  *  1. propagate: every node adopts the minimum label among itself and its
+  *     neighbors (one join + one aggregation);
+  *  2. shortcut (pointer doubling): every node then adopts the label OF its
+  *     label (`component ← label(component)` — valid because labels are
+  *     node ids and label(m) ≤ m, so the jump is monotone non-increasing).
+  *
+  * The shortcut halves the distance to the component minimum each round, so
+  * convergence is O(log diameter) rounds, not O(diameter): a 1M-hop chain
+  * converges in ~20 rounds where plain hash-min would need 1M. This is the
+  * same mechanism as the Hash-to-Min / large-star contraction family
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) expressed as two DataFrame joins.
+  *
+  * Iteration frames are materialized with `localCheckpoint`, which (a)
+  * truncates the logical plan each round — without it the plan doubles per
+  * iteration and analysis time explodes — and (b) stores blocks under
+  * reference tracking, so the ContextCleaner frees them when the frames are
+  * dropped: no CacheManager entry outlives the call (earlier rounds leaked
+  * the returned `persist()`ed frame forever).
+  *
+  * If the loop exhausts `maxIters` without converging it THROWS rather than
+  * silently returning split clusters (a wrong answer that hash-matches
+  * nothing): with pointer doubling, 30 rounds cover any component a 2^30-
+  * node graph can contain, so hitting the bound means something is broken,
+  * not big.
   */
 object ConnectedComponents {
 
   /** @param edges two columns `src`, `dst` (undirected pairs, any order)
-    * @return `node`, `component` (min node id of the component) */
-  def components(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+    * @param maxIters rounds bound — convergence needs ~log2(diameter)+1
+    * @return `node`, `component` (min node id of the component)
+    * @throws IllegalStateException if labels are still changing after
+    *         `maxIters` rounds */
+  def components(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = bidir.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // 1. propagate: min over self + neighbor labels.
       val neighborMin = bidir
         .join(labels, bidir("dst") === labels("node"))
         .groupBy(bidir("src").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels.as("l")
+      val prop = labels.as("l")
         .join(neighborMin.as("n"), Seq("node"), "left_outer")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
+      // 2. shortcut: component ← label(component). Every label IS a node id
+      // present in `prop` (labels only ever take values from the node set),
+      // so the lookup always matches; left_outer + coalesce is belt and
+      // braces. label(m) ≤ m ⇒ the jump never increases a label.
+      val next = prop.as("a")
+        .join(prop.select(col("node").as("pnode"), col("component").as("pcomp"))
+            .as("b"),
+          col("a.component") === col("pnode"), "left_outer")
+        .select(col("node"),
+          coalesce(col("pcomp"), col("a.component")).as("component"))
+        .localCheckpoint()
       val changed = next.as("a")
         .join(labels.as("b"), Seq("node"))
         .filter(col("a.component") =!= col("b.component"))
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    bidir.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIters rounds; " +
+          "with pointer doubling this needs ~log2(component diameter) " +
+          "rounds — raise maxIters only if the graph genuinely has a " +
+          s"component deeper than 2^$maxIters nodes")
     labels
   }
 

@@ -48,14 +48,16 @@ object Dedup {
     * colliding docs — verification-scale only (the oracle path).
     * `maxRows` makes that explicit at the API: a corpus-scale pipeline must
     * consciously raise it (use [[minHashLshPairs]] instead — same certified
-    * output, linear candidate generation). */
+    * output, linear candidate generation). The guard probes with
+    * `limit(maxRows+1).count()` so the refusal itself costs O(maxRows), not
+    * a full corpus scan — note this makes an otherwise-lazy builder run one
+    * small eager job at call time. */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
       threshold: Double, maxRows: Long = 1000000L): DataFrame = {
-    val cnt = docs.count()
-    require(cnt <= maxRows,
+    require(Guard.atMost(docs, maxRows),
       s"ngramJaccardPairs is all-pairs (quadratic in shingle-colliding " +
-        s"docs): got $cnt rows > maxRows=$maxRows. Use minHashLshPairs at " +
+        s"docs): input exceeds maxRows=$maxRows. Use minHashLshPairs at " +
         "corpus scale, or raise maxRows explicitly.")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tg = fanOut(docs).select(col(id).as("doc_id"),

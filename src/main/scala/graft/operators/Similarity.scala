@@ -66,17 +66,18 @@ object Similarity {
     *
     * `maxRows` guards the quadratic path: computing all-pairs over more
     * rows needs an explicit opt-in (raise it consciously), so a 100 TB
-    * pipeline cannot trip into O(n²) by accident. Sizing `groups` ≈
-    * √(2·cores) keeps every core busy with one cell.
+    * pipeline cannot trip into O(n²) by accident. The guard probes with
+    * `limit(maxRows+1).count()` — O(maxRows) refusal cost, one small eager
+    * job at call time. Sizing `groups` ≈ √(2·cores) keeps every core busy
+    * with one cell.
     */
   def cosineNearDupPairs(
       emb: DataFrame, id: String, vec: String,
       threshold: Double, groups: Int = 8,
       maxRows: Long = 2000000L): DataFrame = {
-    val cnt = emb.count()
-    require(cnt <= maxRows,
-      s"cosineNearDupPairs is exact all-pairs (O(n^2) compute): got $cnt " +
-        s"rows > maxRows=$maxRows. Use lshTopK/lshBucket candidates + " +
+    require(Guard.atMost(emb, maxRows),
+      s"cosineNearDupPairs is exact all-pairs (O(n^2) compute): input " +
+        s"exceeds maxRows=$maxRows. Use lshTopK/lshBucket candidates + " +
         "exact verify at corpus scale, or raise maxRows explicitly.")
     val n = normed(emb, id, vec)
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
@@ -217,11 +218,20 @@ object Similarity {
     * the same literal scores). Each candidate lives in exactly one list and
     * probe lists are distinct, so a (query, candidate) pair joins at most
     * once — no dedup pass. Probabilistic recall → rows-only certification.
+    *
+    * The normed corpus is materialized ONCE via `localCheckpoint` (the
+    * index-build pass every IVF structure pays): the quantizer sample, the
+    * corpus-list branch and the query-list branch all read the checkpointed
+    * blocks instead of each re-scanning + re-shuffling the source (three
+    * full corpus passes previously). `localCheckpoint` rather than
+    * `persist()` because its blocks are reference-tracked — the
+    * ContextCleaner frees them once the result frame is dropped, with no
+    * CacheManager entry to leak across a long-lived session.
     */
   def ivfTopK(
       emb: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int): DataFrame = {
-    val n = normed(emb, id, vec)
+    val n = normed(emb, id, vec).localCheckpoint()
     val cents = kmeansCentroids(n)
     val scores = listScores(col("v"), cents)
 

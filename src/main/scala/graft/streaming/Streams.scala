@@ -60,7 +60,14 @@ object Streams {
     * (queries/package.scala): Spark's `round(x, 0)` on a double is
     * BigDecimal(Double.toString(x)).setScale(0, HALF_UP) — replicated here
     * so the streaming state accumulates the identical integer micros the
-    * batch aggregate sums, and batch↔stream equality holds to the bit. */
+    * batch aggregate sums, and batch↔stream equality holds to the bit.
+    *
+    * Equivalence bound: the bit-for-bit claim holds while |v|·1e6 stays
+    * inside a double's exact-integer range (2^53), i.e. |v| ≲ 9e9 — above
+    * that Spark's round passes through a double intermediate before the
+    * long cast while this path stays exact in BigDecimal, so the last
+    * micro can differ. (stableSum's scaladoc documents the analogous 2^63
+    * accumulator headroom.) */
   private def fixedPointMicros(v: Double): Long =
     BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
@@ -72,13 +79,22 @@ object Streams {
     * matching the batch q_e4_sessionize's stableSum.
     *
     * With `watermarkDelay = None` (spec/demo mode) state never expires:
-    * semantics match the batch query for in-order, bounded input, and the
-    * trailing open session per user is retained forever. Pass a delay
-    * (e.g. `Some("30 minutes")`) for production: a watermark bounds the
-    * state store via EventTimeTimeout — events older than the watermark are
-    * dropped, and an open session whose close time (last event + gap) falls
-    * behind the watermark is flushed as final without needing new input for
-    * that user. */
+    * semantics match the batch query for in-order, bounded input — including
+    * the cumulative per-user session NUMBERING (1, 2, 3…) the batch
+    * q_e4_sessionize oracle emits — and the trailing open session per user
+    * is retained forever. Pass a delay (e.g. `Some("30 minutes")`) for
+    * production: a watermark bounds the state store via EventTimeTimeout —
+    * events older than the watermark are dropped, and an open session whose
+    * close time (last event + gap) falls behind the watermark is flushed as
+    * final without needing new input for that user.
+    *
+    * In watermark mode `session_id` is the session's `start_sec`, NOT the
+    * cumulative counter: a timeout flush removes the per-user state (that
+    * is the whole point of bounding the store), so a counter would restart
+    * at 1 and two distinct sessions could both emit as (user, 1). Start
+    * seconds are strictly increasing per user (each session starts > gap
+    * after the previous one's last event), so (user_id, start_sec) is
+    * collision-free with zero retained state. */
   def sessionize(
       events: DataFrame,
       watermarkDelay: Option[String] = None,
@@ -101,9 +117,11 @@ object Streams {
         OutputMode.Append, timeout)(
         (userId: Long, it: Iterator[SessionEvent],
          state: org.apache.spark.sql.streaming.GroupState[SessionState]) => {
+          val boundedState = timeout == GroupStateTimeout.EventTimeTimeout
           def emit(st: SessionState): SessionOut =
-            SessionOut(userId, st.sessionId, st.n, st.start, st.lastTs,
-              st.sumMicros / 1e6)
+            SessionOut(userId,
+              if (boundedState) st.start else st.sessionId,
+              st.n, st.start, st.lastTs, st.sumMicros / 1e6)
           if (state.hasTimedOut) {
             // watermark passed the open session's close time: flush final
             val out = state.getOption.map(emit).iterator

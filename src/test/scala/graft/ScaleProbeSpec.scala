@@ -28,4 +28,25 @@ class ScaleProbeSpec extends AnyFunSuite {
     println(f"minhash 5k: $t1%.2f s, 50k: $t10%.2f s, ratio ${t10 / t1}%.1f")
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
+
+  test("connected components converge on a 200-hop chain (pointer doubling)") {
+    import spark.implicits._
+    // chain 0-1-2-...-200: diameter 200, one component with min label 0.
+    // Plain hash-min needs 200 rounds; pointer doubling must close it
+    // within the default 30 (log2(200) ≈ 8 propagate+shortcut rounds).
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.operators.ConnectedComponents.components(edges)
+    val comps = labels.select("component").distinct().as[Long].collect()
+    assert(comps.sameElements(Array(0L)), s"split chain: ${comps.toSeq}")
+    assert(labels.count() == 201)
+  }
+
+  test("connected components fail loudly when iteration budget is too small") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.components(edges, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -69,11 +69,11 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("event-time timeout drops late events and flushes final sessions") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
-    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val input =
+      StreamTestSupport.memoryStream[(Long, Long, java.sql.Timestamp, Double)]
     val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
     val q = Streams.sessionize(events, watermarkDelay = Some("10 minutes"))
       .writeStream.outputMode("append")
@@ -102,6 +102,38 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("sess_timeout").count() == 1,
         "late event below the watermark must not create or reopen a session")
+    } finally q.stop()
+  }
+
+  test("timeout-flushed sessions of one user get collision-free ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input =
+      StreamTestSupport.memoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = Streams.sessionize(events, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ids").start()
+    try {
+      // two sessions for user 1, each flushed by a watermark advance that
+      // removes the state between them — the ids must still differ
+      input.addData((1L, 1L, t(1000), 1.0))
+      q.processAllAvailable()
+      input.addData((2L, 2L, t(100000), 0.0)) // watermark → flush session 1
+      q.processAllAvailable()
+      input.addData((1L, 3L, t(200000), 2.0))
+      q.processAllAvailable()
+      input.addData((2L, 4L, t(400000), 0.0)) // watermark → flush session 2
+      q.processAllAvailable()
+      val mine = spark.table("sess_ids").collect()
+        .filter(_.getLong(0) == 1L)
+      assert(mine.length == 2, s"expected both sessions flushed: ${mine.toSeq}")
+      val ids = mine.map(_.getLong(1)).toSet
+      assert(ids.size == 2,
+        s"session ids must be collision-free across state removal: $ids")
+      assert(ids == Set(1000L, 200000L),
+        s"watermark-mode ids are start_sec: $ids")
     } finally q.stop()
   }
 
