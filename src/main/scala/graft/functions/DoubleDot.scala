@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -91,6 +91,16 @@ object GraftFunctions {
       "graft_simhash",
       exprs => SimHashSketch(exprs.head).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fhir_pivot",
+      exprs => {
+        // arg 1 is a foldable string literal carrying the schema registry
+        // as DataType JSON (field order = output column order)
+        val registryJson = exprs(1).eval(null).toString
+        FhirBundlePivot(exprs.head,
+          DataType.fromJson(registryJson).asInstanceOf[StructType])
+      },
+      "built-in")
   }
 
   /** Column-level dot product. Registers on the active session if there is
@@ -117,5 +127,13 @@ object GraftFunctions {
   def simHashSketch(h: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_simhash", h)
+  }
+
+  /** One-tokenization FHIR bundle pivot (see [[FhirBundlePivot]]); the
+    * registry StructType's field order fixes the output column order. */
+  def fhirBundlePivot(value: Column, registry: StructType): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_fhir_pivot", value,
+      org.apache.spark.sql.functions.lit(registry.json))
   }
 }
