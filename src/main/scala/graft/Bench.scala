@@ -77,7 +77,9 @@ object Bench {
       name -> ((a, b))
     }
 
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE…) would emit invalid JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val best = results.map { case (k, (a, b)) =>
       k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
@@ -86,14 +88,27 @@ object Bench {
     val runs = results
       .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
       .mkString("{", ",", "}")
-    val total = best.map(_._2).sum
+    // failed queries (-1 sentinel) are excluded from the total — summing
+    // them in would make the aggregate look FASTER than reality — and
+    // surfaced in an errors list instead
+    val failed = best.collect { case (k, v) if v < 0 => k }
+    val total = best.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
 
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      Files.write(Paths.get(path), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    }
+    // stdout record first: a bad SPARK_GRAFT_BENCH_OUT path must not
+    // swallow the whole run's output
     println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      try Files.write(Paths.get(path),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] cannot write $path: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -40,7 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - malformed document → null result (all columns null downstream);
   *  - document without an `entry` array → null arrays;
   *  - `entry: []` → empty arrays;
-  *  - unregistered / missing resourceType → resource dropped everywhere.
+  *  - non-object `entry` elements (null, scalars) → skipped, the rest of
+  *    the document still parses;
+  *  - unregistered / missing resourceType → resource dropped everywhere;
+  *  - a resource whose typed parse fails → its PARTIAL row is kept when
+  *    the converter produced one (from_json's PERMISSIVE recovery), else a
+  *    null array element — never a silently shrunken array.
   *
   * `registry` field order defines the output array-column order (callers
   * pass the sorted registry); `resourceType` itself is not in any declared
@@ -89,16 +94,23 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
           } else if (name == "entry" && vt == JsonToken.START_ARRAY) {
             sawEntry = true
             var et = jp.nextToken()
-            while (et == JsonToken.START_OBJECT) {
-              var ft = jp.nextToken()
-              while (ft == JsonToken.FIELD_NAME) {
-                val fn = jp.currentName()
-                jp.nextToken()
-                if (fn == "resource"
-                    && jp.currentToken() == JsonToken.START_OBJECT) {
-                  handleResource(jp, buckets)
-                } else jp.skipChildren()
-                ft = jp.nextToken()
+            while (et != JsonToken.END_ARRAY && et != null) {
+              if (et == JsonToken.START_OBJECT) {
+                var ft = jp.nextToken()
+                while (ft == JsonToken.FIELD_NAME) {
+                  val fn = jp.currentName()
+                  jp.nextToken()
+                  if (fn == "resource"
+                      && jp.currentToken() == JsonToken.START_OBJECT) {
+                    handleResource(jp, buckets)
+                  } else jp.skipChildren()
+                  ft = jp.nextToken()
+                }
+              } else {
+                // non-object entry element (null, scalar, nested array):
+                // skip it, like the declarative filter does — it must not
+                // abort the rest of the document
+                jp.skipChildren()
               }
               et = jp.nextToken()
             }
@@ -138,7 +150,7 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
             parsers(idx)
               .parse[JsonParser](sub, (_, p) => p, _ => UTF8String.EMPTY_UTF8)
               .foreach(r => buckets(idx) += r)
-          } catch { case NonFatal(_) => () }
+          } catch { case NonFatal(e) => keepPartial(e, idx, buckets) }
           finally sub.finishSubtree()
         } else skipRestOfObject(jp)
       } else { jp.skipChildren(); skipRestOfObject(jp) }
@@ -199,9 +211,27 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
             .parse[TokenBuffer](buf, (_, b) => b.asParser(),
               _ => UTF8String.EMPTY_UTF8)
             .foreach(r => buckets(idx) += r)
-        } catch { case NonFatal(_) => () }
+        } catch { case NonFatal(e) => keepPartial(e, idx, buckets) }
       }
     }
+  }
+
+  /** PERMISSIVE handling for a resource whose typed parse failed: keep the
+    * partial rows a BadRecordException carries (the same recovery
+    * FailureSafeParser applies under from_json — e.g. one ill-typed field
+    * nulls out, the rest of the resource survives); if there is nothing
+    * partial, keep a null element so the entry is visibly lost rather than
+    * silently shrinking the array. */
+  private def keepPartial(
+      e: Throwable, idx: Int,
+      buckets: Array[ArrayBuffer[InternalRow]]): Unit = e match {
+    case bre: org.apache.spark.sql.catalyst.util.BadRecordException =>
+      val partial = try bre.partialResults() catch {
+        case NonFatal(_) => Array.empty[InternalRow]
+      }
+      if (partial.nonEmpty) partial.foreach(buckets(idx) += _)
+      else buckets(idx) += null
+    case _ => buckets(idx) += null
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -12,9 +12,11 @@ import org.apache.spark.sql.DataFrame
 private[operators] object Guard {
 
   /** True iff `df` has at most `maxRows` rows, established by reading at
-    * most `maxRows + 1` of them. Runs one small eager Spark job. */
-  def atMost(df: DataFrame, maxRows: Long): Boolean = {
-    require(maxRows < Int.MaxValue, s"maxRows=$maxRows must fit in an Int")
-    df.limit(maxRows.toInt + 1).count() <= maxRows
-  }
+    * most `maxRows + 1` of them. Runs one small eager Spark job. Bounds
+    * beyond `limit`'s Int range fall back to a full count — the caller has
+    * already opted into >2B-row quadratic work, so an O(corpus) probe is
+    * not the concern the cheap path exists for. */
+  def atMost(df: DataFrame, maxRows: Long): Boolean =
+    if (maxRows >= Int.MaxValue) df.count() <= maxRows
+    else df.limit(maxRows.toInt + 1).count() <= maxRows
 }

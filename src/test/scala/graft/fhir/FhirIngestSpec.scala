@@ -76,6 +76,44 @@ class FhirIngestSpec extends AnyFunSuite {
     assert(out(0).contains("p1") && out(0).contains("female"))
   }
 
+  test("non-object entry elements are skipped, not document-aborting") {
+    import spark.implicits._
+    val b =
+      """{"entry":[null,5,{"resource":{"resourceType":"Patient","id":"p1"}},
+        |[1,2],{"resource":{"resourceType":"Patient","id":"p2"}}],
+        |"timestamp":"2021-01-01T00:00:00Z"}"""
+        .stripMargin.replace("\n", "")
+    val out = BundleReader.pivotEntries(Seq(b).toDF("value"),
+      FhirSchemaModel()).collect().head
+    assert(out.getAs[String]("timestamp") == "2021-01-01T00:00:00Z",
+      "timestamp after the entry array must still parse")
+    val patients = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("Patient"))
+    assert(patients.map(_.getAs[String]("id")) == Seq("p1", "p2"),
+      s"both patients must survive the junk elements: $patients")
+  }
+
+  test("ill-typed resource keeps its partial row (PERMISSIVE recovery)") {
+    import spark.implicits._
+    // active declared Boolean; "yes" fails typed conversion — id must
+    // survive as a partial row, the array must not silently shrink
+    val b =
+      """{"timestamp":"2021-01-01T00:00:00Z","entry":[
+        |{"resource":{"resourceType":"Patient","id":"p1","active":"yes"}},
+        |{"resource":{"resourceType":"Patient","id":"p2","active":true}}]}"""
+        .stripMargin.replace("\n", "")
+    val out = BundleReader.pivotEntries(Seq(b).toDF("value"),
+      FhirSchemaModel()).collect().head
+    val patients = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("Patient"))
+    assert(patients.size == 2,
+      s"array must keep both entries (partial or null), got: $patients")
+    val byId = patients.filter(_ != null).map(r =>
+      r.getAs[String]("id") -> r.getAs[Any]("active")).toMap
+    assert(byId.get("p2").contains(true))
+    // p1 either surfaced partially (active null) or as a null element —
+    // both visible-loss shapes are acceptable; silent shrink is not
+    if (byId.contains("p1")) assert(byId("p1") == null)
+  }
+
   test("single-parse pivot ingests the ADT corpus faster than multi-parse") {
     import spark.implicits._
     val corpus = bigBundles(copies = 60, bundles = 256)
