@@ -64,23 +64,32 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint()
-      // 2. shortcut: component ← label(component). Every label IS a node id
-      // present in `prop` (labels only ever take values from the node set),
-      // so the lookup always matches; left_outer + coalesce is belt and
-      // braces. label(m) ≤ m ⇒ the jump never increases a label.
-      val next = prop.as("a")
-        .join(prop.select(col("node").as("pnode"), col("component").as("pcomp"))
-            .as("b"),
-          col("a.component") === col("pnode"), "left_outer")
-        .select(col("node"),
-          coalesce(col("pcomp"), col("a.component")).as("component"))
-        .localCheckpoint()
-      val changed = next.as("a")
+      // Convergence is checked on the PROPAGATE step alone — sound because
+      // a propagate fixed point forces label(u) = label(v) across every
+      // edge (each side's min-over-neighborhood bounds the other), i.e.
+      // uniform labels per component, under which the shortcut is a no-op.
+      // This makes the final round skip the shortcut join entirely.
+      val changed = prop.as("a")
         .join(labels.as("b"), Seq("node"))
         .filter(col("a.component") =!= col("b.component"))
         .count()
-      labels = next
       converged = changed == 0
+      if (converged) {
+        labels = prop
+      } else {
+        // 2. shortcut: component ← label(component). Every label IS a node
+        // id present in `prop` (labels only ever take values from the node
+        // set), so the lookup always matches; left_outer + coalesce is belt
+        // and braces. label(m) ≤ m ⇒ the jump never increases a label.
+        labels = prop.as("a")
+          .join(prop
+              .select(col("node").as("pnode"), col("component").as("pcomp"))
+              .as("b"),
+            col("a.component") === col("pnode"), "left_outer")
+          .select(col("node"),
+            coalesce(col("pcomp"), col("a.component")).as("component"))
+          .localCheckpoint()
+      }
       iter += 1
     }
     if (!converged)

@@ -43,6 +43,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("multi-table LSH stays equi-join — no nested loop or cartesian") {
+    val p = plan("q_x2_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucket candidates and vector join-back must be equi-joins:\n" + p)
+  }
+
   test("IVF list assignment is map-side — no corpus cross join") {
     val p = plan("q_x3_ann_ivf")
     assert(!p.contains("BroadcastNestedLoopJoin")
