@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents whose shingle sets
+  * substantially contain a probe (benchmark/eval) document's shingles — the
+  * screen every training pipeline must run so eval data does not leak into
+  * training data.
+  *
+  * Scale shape: the probe side is a benchmark suite — thousands of
+  * documents, not billions — so its exploded shingle set broadcasts; the
+  * corpus side streams map-side through shingle explode into one
+  * hash-aggregation on (doc, probe). No corpus self-join, no shuffle of
+  * document text, and the output is bounded by true overlaps. Containment
+  * (|corpus ∩ probe| / |probe|) rather than Jaccard: a 10-word benchmark
+  * answer embedded in a 10k-word document is 100% contained but has
+  * near-zero Jaccard.
+  */
+object Decontaminate {
+
+  /** @param probePred selects the probe (benchmark) rows of `docs`
+    * @param minContainment keep pairs with containment ≥ this
+    * @return doc_id, probe_id, overlap (shared distinct shingles),
+    *         containment */
+  def contamination(
+      docs: DataFrame, id: String, text: String,
+      probePred: Column, minContainment: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(id).as(as),
+        explode(Dedup.wordTrigrams(col(text))).as("tg"))
+    val probeGrams = grams(docs.filter(probePred), "probe_id")
+    val probeSizes = probeGrams.groupBy("probe_id")
+      .agg(count(lit(1)).as("probe_n"))
+    grams(docs.filter(!probePred), "doc_id")
+      .join(broadcast(probeGrams), Seq("tg"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(probeSizes), Seq("probe_id"))
+      .select(col("doc_id"), col("probe_id"), col("overlap"),
+        (col("overlap").cast("double") / col("probe_n")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+}

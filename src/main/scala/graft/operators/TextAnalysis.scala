@@ -87,4 +87,46 @@ object TextAnalysis {
     * robust to token reordering (rolling-hash-class document fingerprint). */
   def fingerprintContent(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** Adjacent word bigrams ("a b c" → ["a b", "b c"]); empty array below 2
+    * tokens (guarded — Spark's `sequence(1, 0)` would count DOWN). */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: the most frequent bigram's share of
+    * all bigrams. Highly repetitive (boilerplate, keyword-stuffed, looped)
+    * text concentrates mass in one bigram; natural text does not. Pure
+    * per-row HOF compute over bounded-length documents — O(unique·total)
+    * per row, fully map-side, zero shuffle at any corpus size. */
+  def topBigramFraction(text: Column): Column = {
+    val gs = bigrams(text)
+    val top = array_max(transform(array_distinct(gs),
+      g => size(filter(gs, x => x === g))))
+    top.cast("double") / size(gs)
+  }
+
+  /** PII redaction patterns — deliberately simple character-class regexes
+    * that behave identically under Java regex (Spark) and RE2 (DuckDB's
+    * regexp_replace with the 'g' flag), so redacted output is
+    * oracle-certifiable. Applied in declaration order. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9]+@[a-z]+\\.[a-z]+" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>")
+
+  /** Redacted text: every PII pattern replaced by its tag. Map-side
+    * codegen'd regexp_replace chain. */
+  def redact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Number of PII matches the redaction removes (audit metric). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce(_ + _).cast("long")
 }

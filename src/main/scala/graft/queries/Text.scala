@@ -174,7 +174,99 @@ object Text {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** Benchmark decontamination: corpus docs containing ≥50% of a probe
+    * (doc_id < 10 stand in for the benchmark suite) doc's distinct
+    * trigrams. The oracle reuses q_t6's trigram construction. */
+  val qT8Decontam = Q(
+    "q_t8_decontam",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |probe AS (SELECT doc_id AS probe_id, tg FROM tg WHERE doc_id < 10),
+      |psz AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
+      |        FROM probe GROUP BY 1),
+      |corp AS (SELECT doc_id, tg FROM tg WHERE doc_id >= 10),
+      |ov AS (SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS overlap
+      |       FROM corp c JOIN probe p USING (tg) GROUP BY 1, 2)
+      |SELECT doc_id, probe_id, overlap,
+      |       CAST(overlap AS DOUBLE) / probe_n AS containment
+      |FROM ov JOIN psz USING (probe_id)
+      |WHERE CAST(overlap AS DOUBLE) / probe_n >= 0.5""".stripMargin) {
+    (s, d) =>
+      graft.operators.Decontaminate.contamination(
+        documents(s, d), "doc_id", "text",
+        probePred = col("doc_id") < 10, minContainment = 0.5)
+  }
+
+  /** PII redaction: deterministic synthetic PII (email + SSN derived from
+    * doc_id) is injected on BOTH sides, then redacted — certifying that the
+    * redaction regexes behave identically across engines. */
+  val qT9Redact = Q(
+    "q_t9_redact",
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |              || '@mail.com id '
+      |              || printf('%03d-%02d-%04d', doc_id % 1000,
+      |                        doc_id % 100, doc_id % 10000) AS it
+      |  FROM documents)
+      |SELECT doc_id,
+      |       regexp_replace(regexp_replace(it,
+      |         '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted,
+      |       CAST(len(regexp_extract_all(it, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+      |          + len(regexp_extract_all(it, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+      |         AS BIGINT) AS n_pii
+      |FROM inj""".stripMargin) { (s, d) =>
+    val injected = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.com id "),
+      format_string("%03d-%02d-%04d",
+        col("doc_id") % 1000, col("doc_id") % 100, col("doc_id") % 10000))
+    documents(s, d)
+      .select(col("doc_id"), injected.as("it"))
+      .select(col("doc_id"),
+        redact(col("it")).as("redacted"),
+        piiCount(col("it")).as("n_pii"))
+  }
+
+  /** Gopher-style repetition screen: the most frequent bigram's share of
+    * all bigrams, with a keep/drop verdict. Pure per-row HOF compute —
+    * zero shuffle at any corpus size. */
+  val qT10Repetition = Q(
+    "q_t10_repetition",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 2
+      |           THEN list_transform(range(1, len(t)),
+      |                  i -> t[i] || ' ' || t[i+1])
+      |           ELSE [] END AS gs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |SELECT doc_id,
+      |       CAST(len(gs) AS BIGINT) AS n_bigrams,
+      |       CAST(list_max(list_transform(list_distinct(gs),
+      |              u -> len(list_filter(gs, x -> x = u)))) AS DOUBLE)
+      |         / len(gs) AS top_bigram_frac,
+      |       CASE WHEN CAST(list_max(list_transform(list_distinct(gs),
+      |                   u -> len(list_filter(gs, x -> x = u)))) AS DOUBLE)
+      |                 / len(gs) >= 0.05
+      |            THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM g WHERE len(gs) > 0""".stripMargin) { (s, d) =>
+    val frac = topBigramFraction(col("text"))
+    documents(s, d)
+      .select(col("doc_id"),
+        size(bigrams(col("text"))).cast("long").as("n_bigrams"),
+        frac.as("top_bigram_frac"),
+        when(frac >= 0.05, "drop").otherwise("keep").as("verdict"))
+      .filter(col("n_bigrams") > 0)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
-      qT6Curation, qT7Split)
+      qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition)
 }

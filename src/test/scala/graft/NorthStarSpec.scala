@@ -95,4 +95,52 @@ class NorthStarSpec extends AnyFunSuite {
     assert(schema == Seq("media_id", "kind", "n_bytes", "width", "height",
       "duration_ms", "features"))
   }
+
+  test("decontamination flags a planted verbatim inclusion at containment 1.0") {
+    import spark.implicits._
+    // doc 100 embeds doc 1's full text: every probe trigram is contained
+    val probe = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, probe),
+      (100L, s"intro words here $probe trailing words after"),
+      (101L, "completely unrelated content with different tokens entirely"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.Decontaminate.contamination(
+      corpus, "doc_id", "text",
+      probePred = col("doc_id") < 10, minContainment = 0.9)
+      .collect()
+    assert(hits.length == 1)
+    val h = hits.head
+    assert(h.getAs[Long]("doc_id") == 100L
+      && h.getAs[Long]("probe_id") == 1L
+      && h.getAs[Double]("containment") == 1.0, s"unexpected hit: $h")
+  }
+
+  test("redaction removes every injected PII instance") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "reach me at bob99@corp.net or 123-45-6789 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redact(col("text")).as("r"),
+      TextAnalysis.piiCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> or <SSN> thanks")
+    assert(out(1L)._2 == 2L && out(2L)._2 == 0L)
+  }
+
+  test("repetition screen separates looped text from varied text") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, Seq.fill(50)("buy now").mkString(" ")), // one bigram dominates
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))) // all bigrams unique
+      .toDF("doc_id", "text")
+    val fr = df.select(col("doc_id"),
+      TextAnalysis.topBigramFraction(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fr(1L) > 0.4, s"looped text must concentrate: ${fr(1L)}")
+    assert(fr(2L) < 0.05, s"varied text must not: ${fr(2L)}")
+  }
 }
