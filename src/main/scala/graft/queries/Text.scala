@@ -236,34 +236,28 @@ object Text {
   }
 
   /** Gopher-style repetition screen: the most frequent bigram's share of
-    * all bigrams, with a keep/drop verdict. Pure per-row HOF compute —
-    * zero shuffle at any corpus size. */
+    * all bigrams, with a keep/drop verdict. Aggregation-shaped (explode →
+    * hash-count → max), not per-row HOF: the HOF form is O(unique·total)
+    * per document and measured 160× slower on multi-KB docs. */
   val qT10Repetition = Q(
     "q_t10_repetition",
     """WITH g AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(t) >= 2
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
       |           THEN list_transform(range(1, len(t)),
       |                  i -> t[i] || ' ' || t[i+1])
-      |           ELSE [] END AS gs
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-      |SELECT doc_id,
-      |       CAST(len(gs) AS BIGINT) AS n_bigrams,
-      |       CAST(list_max(list_transform(list_distinct(gs),
-      |              u -> len(list_filter(gs, x -> x = u)))) AS DOUBLE)
-      |         / len(gs) AS top_bigram_frac,
-      |       CASE WHEN CAST(list_max(list_transform(list_distinct(gs),
-      |                   u -> len(list_filter(gs, x -> x = u)))) AS DOUBLE)
-      |                 / len(gs) >= 0.05
+      |           ELSE [] END) AS gm
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |c AS (SELECT doc_id, gm, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM g GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |             max(cnt) AS top
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |       CAST(top AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |       CASE WHEN CAST(top AS DOUBLE) / n_bigrams >= 0.05
       |            THEN 'drop' ELSE 'keep' END AS verdict
-      |FROM g WHERE len(gs) > 0""".stripMargin) { (s, d) =>
-    val frac = topBigramFraction(col("text"))
-    documents(s, d)
-      .select(col("doc_id"),
-        size(bigrams(col("text"))).cast("long").as("n_bigrams"),
-        frac.as("top_bigram_frac"),
-        when(frac >= 0.05, "drop").otherwise("keep").as("verdict"))
-      .filter(col("n_bigrams") > 0)
+      |FROM m""".stripMargin) { (s, d) =>
+    repetitionScreen(documents(s, d), "doc_id", "text")
   }
 
   val all: Seq[Q] =

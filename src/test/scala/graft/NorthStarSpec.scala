@@ -143,4 +143,18 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fr(1L) > 0.4, s"looped text must concentrate: ${fr(1L)}")
     assert(fr(2L) < 0.05, s"varied text must not: ${fr(2L)}")
   }
+
+  test("aggregation repetition screen equals the per-row HOF form") {
+    import graft.operators.TextAnalysis
+    val agg = TextAnalysis.repetitionScreen(docs, "doc_id", "text")
+      .select("doc_id", "top_bigram_frac").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = docs.select(col("doc_id"),
+      TextAnalysis.topBigramFraction(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg.keySet == hof.keySet)
+    agg.foreach { case (id, f) =>
+      assert(f == hof(id), s"doc $id: agg $f vs hof ${hof(id)}")
+    }
+  }
 }
