@@ -43,6 +43,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontamination broadcasts the probe side") {
+    val p = plan("q_t8_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe shingles must broadcast — corpus side stays map-side:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("multi-table LSH stays equi-join — no nested loop or cartesian") {
     val p = plan("q_x2_ann_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
