@@ -161,6 +161,25 @@ object Streams {
         })
   }
 
+  /** Streaming exact dedup: keep the FIRST arrival of each content digest
+    * (the streaming twin of Dedup.exactGroups' keeper semantics — same
+    * md5-of-lowercased-text key). With `watermark = Some((tsCol, delay))`
+    * the digest state is bounded via `dropDuplicatesWithinWatermark`:
+    * duplicates separated by more than the delay may both survive, which
+    * is the standard state-size/completeness trade. With None the state
+    * grows with distinct digests — spec/demo mode only, exact parity with
+    * batch. */
+  def dedupStream(
+      docs: DataFrame, text: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val keyed = watermark.fold(docs) { case (c, d) => docs.withWatermark(c, d) }
+      .withColumn("h", md5(lower(col(text)).cast("binary")))
+    watermark match {
+      case Some(_) => keyed.dropDuplicatesWithinWatermark("h")
+      case None => keyed.dropDuplicates("h")
+    }
+  }
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one row per content digest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.dedupStream(
+      spark.readStream.schema(schema).parquet(dir.toString), "text")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batchGroups = graft.operators.Dedup
+        .exactGroups(Tables.documents(spark, sf), "doc_id", "text").count()
+      assert(streamed == batchGroups,
+        s"stream kept $streamed digests, batch has $batchGroups groups")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
