@@ -36,16 +36,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * FhirIngestSpec certifies byte-identical output and measures the
   * speedup.
   *
-  * Semantics matched to the declarative pivot:
+  * Semantics matched to the declarative pivot (FhirPivotPropertySpec
+  * fuzzes the equality over shuffled field order, junk fields, missing /
+  * empty / unregistered resources):
   *  - malformed document → null result (all columns null downstream);
   *  - document without an `entry` array → null arrays;
   *  - `entry: []` → empty arrays;
-  *  - non-object `entry` elements (null, scalars) → skipped, the rest of
-  *    the document still parses;
-  *  - unregistered / missing resourceType → resource dropped everywhere;
-  *  - a resource whose typed parse fails → its PARTIAL row is kept when
-  *    the converter produced one (from_json's PERMISSIVE recovery), else a
-  *    null array element — never a silently shrunken array.
+  *  - unregistered / missing resourceType → resource dropped everywhere.
+  *
+  * Two deliberate IMPROVEMENTS over the declarative formulations (which
+  * the fuzz spec pins via a clean-twin property instead):
+  *  - a non-object `entry` element (null, scalar, nested array) is
+  *    skipped and every other entry still parses; from_json's PERMISSIVE
+  *    partial-result rule instead nulls the WHOLE entry array, losing
+  *    every resource in the bundle to one junk element;
+  *  - a resource whose typed parse fails keeps its PARTIAL row when the
+  *    converter produced one, else a null array element — never a
+  *    silently shrunken array.
   *
   * `registry` field order defines the output array-column order (callers
   * pass the sorted registry); `resourceType` itself is not in any declared
