@@ -99,13 +99,15 @@ object Bench {
         s""""queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
 
     // stdout record first: a bad SPARK_GRAFT_BENCH_OUT path must not
-    // swallow the whole run's output
+    // swallow the whole run's output. NonFatal, not just IOException —
+    // Paths.get itself throws InvalidPathException (a RuntimeException)
+    // on malformed paths.
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       try Files.write(Paths.get(path),
         (line + "\n").getBytes(StandardCharsets.UTF_8))
       catch {
-        case e: java.io.IOException =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] cannot write $path: ${e.getMessage}")
       }
     }

@@ -139,7 +139,8 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
     * feed the typed converter live via [[SubtreeParser]]. Fallback: buffer
     * the subtree's tokens, scan for the discriminator, replay. Either way
     * the parser is left ON the resource's END_OBJECT. A resource that
-    * fails its typed parse is dropped (permissive). */
+    * fails its typed parse keeps its partial row or a null element via
+    * [[keepPartial]]. */
   private def handleResource(
       jp: JsonParser, buckets: Array[ArrayBuffer[InternalRow]]): Unit = {
     val t1 = jp.nextToken()

@@ -33,7 +33,9 @@ object Decontaminate {
     val probeGrams = grams(docs.filter(probePred), "probe_id")
     val probeSizes = probeGrams.groupBy("probe_id")
       .agg(count(lit(1)).as("probe_n"))
-    grams(docs.filter(!probePred), "doc_id")
+    // fanOut: the corpus-side shingle explode must not run on the scan's
+    // (often single-file) partitioning — see Dedup.fanOut
+    grams(Dedup.fanOut(docs.filter(!probePred)), "doc_id")
       .join(broadcast(probeGrams), Seq("tg"))
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("overlap"))

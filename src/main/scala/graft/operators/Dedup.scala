@@ -23,8 +23,10 @@ object Dedup {
     * serialize the whole corpus through a single task. The shuffle moves
     * raw text once — negligible next to the shingle/signature compute it
     * parallelizes; with a well-split source it is harmless (one extra pass).
+    * Shared by every explode-heavy operator (ngram/minhash/simhash,
+    * repetitionScreen, contamination).
     */
-  private def fanOut(df: DataFrame): DataFrame =
+  private[operators] def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Distinct word-trigram shingle set (map-side). Uses the native

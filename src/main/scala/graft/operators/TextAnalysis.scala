@@ -115,9 +115,11 @@ object TextAnalysis {
 
   /** Corpus-scale repetition screen: explode bigrams → count per (doc,
     * bigram) with map-side partial aggregation → max share per doc. Work is
-    * O(total bigrams) with hash aggregation — the shuffle carries (doc,
-    * bigram, count) partials, never document text. Documents with fewer
-    * than 2 tokens produce no row (no bigrams to judge).
+    * O(total bigrams) with hash aggregation. Two shuffles: Dedup.fanOut's
+    * one bounded pass of raw text (the single-file-parallelism trade its
+    * scaladoc documents), then the aggregation exchange carrying only
+    * (doc, bigram, count) partials. Documents with fewer than 2 tokens
+    * produce no row (no bigrams to judge).
     *
     * @return doc_id, n_bigrams, top_bigram_frac, verdict ('drop' when the
     *         top bigram holds ≥ dropAt of all bigrams) */
@@ -125,8 +127,7 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       dropAt: Double = 0.05): org.apache.spark.sql.DataFrame = {
     val frac = col("top").cast("double") / col("n_bigrams")
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Dedup.fanOut(docs)
       .select(col(id).as("doc_id"), explode(bigrams(col(text))).as("gm"))
       .groupBy("doc_id", "gm")
       .agg(count(lit(1)).as("cnt"))
@@ -152,8 +153,13 @@ object TextAnalysis {
       regexp_replace(c, pat, tag)
     }
 
-  /** Number of PII matches the redaction removes (audit metric). */
+  /** Number of PII matches the redaction removes (audit metric). Counted
+    * SEQUENTIALLY — each pattern against the text as the previous
+    * replacements left it — so the count equals what [[redact]] actually
+    * replaced even when patterns overlap (an SSN whose tail also looks
+    * like an email is one removal, not two). */
   def piiCount(text: Column): Column =
-    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
-      .reduce(_ + _).cast("long")
+    PiiPatterns.foldLeft((text, lit(0))) { case ((t, n), (pat, tag)) =>
+      (regexp_replace(t, pat, tag), n + regexp_count(t, lit(pat)))
+    }._2.cast("long")
 }

@@ -220,7 +220,10 @@ object Text {
       |         '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
       |         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted,
       |       CAST(len(regexp_extract_all(it, '[a-z0-9]+@[a-z]+\.[a-z]+'))
-      |          + len(regexp_extract_all(it, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+      |          + len(regexp_extract_all(
+      |              regexp_replace(it, '[a-z0-9]+@[a-z]+\.[a-z]+',
+      |                             '<EMAIL>', 'g'),
+      |              '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
       |         AS BIGINT) AS n_pii
       |FROM inj""".stripMargin) { (s, d) =>
     val injected = concat(

@@ -161,14 +161,17 @@ object Streams {
         })
   }
 
-  /** Streaming exact dedup: keep the FIRST arrival of each content digest
-    * (the streaming twin of Dedup.exactGroups' keeper semantics — same
-    * md5-of-lowercased-text key). With `watermark = Some((tsCol, delay))`
-    * the digest state is bounded via `dropDuplicatesWithinWatermark`:
-    * duplicates separated by more than the delay may both survive, which
-    * is the standard state-size/completeness trade. With None the state
-    * grows with distinct digests — spec/demo mode only, exact parity with
-    * batch. */
+  /** Streaming exact dedup: keep the FIRST ARRIVAL of each content digest
+    * (same md5-of-lowercased-text key as the batch Dedup.exactGroups).
+    * Representative choice necessarily differs from batch: exactGroups
+    * keeps min(doc_id) per digest, while a stream cannot know a smaller id
+    * is coming — the DIGEST SET matches batch exactly (what the spec
+    * asserts), the surviving row per digest is arrival-order dependent.
+    * With `watermark = Some((tsCol, delay))` the digest state is bounded
+    * via `dropDuplicatesWithinWatermark`: duplicates separated by more
+    * than the delay may both survive, the standard state-size/completeness
+    * trade. With None the state grows with distinct digests — spec/demo
+    * mode only. */
   def dedupStream(
       docs: DataFrame, text: String,
       watermark: Option[(String, String)] = None): DataFrame = {

@@ -109,6 +109,8 @@ class FhirPivotPropertySpec extends AnyFunSuite {
   private def batch(gen: Gen[String], seed: Long): Seq[String] = {
     val bundles = Gen.listOfN(12, gen)
       .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    // generator retry exhaustion must fail loudly, not vacuously pass
+    assert(bundles.size == 12, s"generator failed for seed $seed")
     bundles.foreach(om.readTree) // sanity: valid JSON
     bundles
   }
