@@ -155,6 +155,23 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(v, dim, planes, t).as("b"))): _*)
 
+  /** Multi-probe variant (Lv et al., VLDB'07): per table, the exact bucket
+    * PLUS every single-bit-flip neighbor — a true neighbor separated by
+    * exactly one plane in a table still collides there, lifting per-table
+    * recall from p^planes to p^planes + planes·p^(planes-1)·(1-p). Applied
+    * to the QUERY side only, so the corpus index cost is unchanged; the
+    * query's bucket fan-out grows ×(planes+1), which is the multi-probe
+    * trade: more candidate lookups per query instead of more index
+    * replicas. */
+  def lshBucketsProbed(
+      v: Column, dim: Int, planes: Int = Planes,
+      tables: Int = LshTables): Column =
+    array((0 until tables).flatMap { t =>
+      val b = lshBucket(v, dim, planes, t)
+      (lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(flip =>
+        struct(lit(t).as("t"), b.bitwiseXOR(flip).as("b")))
+    }: _*)
+
   /** IVF coarse quantization: inverted lists, probed lists, quantizer
     * training sample bound and Lloyd iterations. Probes trade recall for
     * candidate volume linearly: on the sf0.1 fixture 2/16 probes measured
@@ -285,11 +302,12 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
 
-  /** Approximate top-k via multi-table hyperplane LSH: a candidate is any
-    * corpus vector sharing a (table, bucket) cell with the query in ANY of
-    * the [[LshTables]] tables. Misses remain possible by construction
-    * (rows-only certification; RecallSpec pins the measured recall floor);
-    * the payoff is equi-joins all the way — no cross join.
+  /** Approximate top-k via multi-table, multi-probe hyperplane LSH: a
+    * candidate is any corpus vector sharing a (table, bucket) cell with
+    * the query's exact OR single-bit-flip buckets ([[lshBucketsProbed]])
+    * in ANY of the [[LshTables]] tables. Misses remain possible by
+    * construction (rows-only certification; RecallSpec pins the measured
+    * recall floor); the payoff is equi-joins all the way — no cross join.
     *
     * Scale shape: the replicated bucket rows carry only (id, table,
     * bucket) — ~24 bytes × `tables`, NOT the embedding; candidate pairs
@@ -308,7 +326,7 @@ object Similarity {
         col("tb").getField("t").as("ct"), col("tb").getField("b").as("cbk"))
     val qb = n.filter(queryPred)
       .select(col("vec_id").as("q_id"),
-        explode(lshBuckets(col("v"), dim)).as("tb"))
+        explode(lshBucketsProbed(col("v"), dim)).as("tb"))
       .select(col("q_id"),
         col("tb").getField("t").as("qt"), col("tb").getField("b").as("qbk"))
     val cand = broadcast(qb)
