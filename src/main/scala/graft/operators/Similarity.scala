@@ -172,18 +172,19 @@ object Similarity {
         struct(lit(t).as("t"), b.bitwiseXOR(flip).as("b")))
     }: _*)
 
-  /** IVF coarse quantization: inverted lists, probed lists, quantizer
-    * training sample bound and Lloyd iterations. Probes trade recall for
-    * candidate volume linearly: on the sf0.1 fixture 2/16 probes measured
-    * recall@5 0.39 and 6/16 measures 0.67 (candidates ≈ 3/8 of the corpus,
-    * 2.7× fewer than brute force). The fixture is near-uniform random —
-    * the worst case for coarse quantization, since true neighbors sit
-    * barely above background cosine and scatter across cells; clustered
-    * real-world embedding corpora concentrate neighbors in few lists and
-    * probe far better. RecallSpec pins the measured floor so a quantizer
-    * regression (e.g. broken training) fails loudly. */
+  /** IVF coarse quantization: inverted lists, query probes, corpus-side
+    * soft assignment, quantizer training sample bound and Lloyd
+    * iterations. Recall levers, measured on the sf0.1 fixture: 2/16
+    * probes hard-assigned = 0.39; 6/16 probes = 0.67; 6/16 probes with
+    * each corpus vector soft-assigned to its [[IvfAssign]]=2 nearest
+    * lists = 0.89 (index 2×, candidates ≈ 2·6/16 of the corpus). The fixture is near-uniform random — the worst case for
+    * coarse quantization, since true neighbors sit barely above
+    * background cosine and scatter across cells; clustered real-world
+    * corpora concentrate neighbors and probe far better. RecallSpec pins
+    * the measured floor so a quantizer regression fails loudly. */
   val IvfLists = 16
   val IvfProbes = 6
+  val IvfAssign = 2
   val IvfSample = 2048
   val IvfKMeansIters = 3
 
@@ -277,16 +278,18 @@ object Similarity {
     val cents = kmeansCentroids(n)
     val scores = listScores(col("v"), cents)
 
-    val corpusLists = n
-      .withColumn("list_id",
-        (greatest(scores: _*).getField("nl") * lit(-1)).cast("int"))
     // sort_array desc on (cs, nl) structs: cs desc, then nl desc = list asc
-    val probes = transform(
-      slice(sort_array(array(scores: _*), asc = false), 1, IvfProbes),
+    def topLists(count: Int) = transform(
+      slice(sort_array(array(scores: _*), asc = false), 1, count),
       s => (s.getField("nl") * lit(-1)).cast("int"))
+    // soft assignment: each corpus vector lives in its IvfAssign nearest
+    // lists (2× index rows; recall lever — see the constants' scaladoc)
+    val corpusLists = n
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(topLists(IvfAssign)).as("list_id"))
     val queryLists = n.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), explode(probes).as("list_id"))
+        col("nrm").as("qnrm"), explode(topLists(IvfProbes)).as("list_id"))
 
     val cand = broadcast(queryLists)
       .join(corpusLists,
@@ -294,6 +297,11 @@ object Similarity {
           && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+      // a (query, candidate) pair can now meet in up to IvfAssign shared
+      // lists — collapse duplicates before ranking (sim is identical on
+      // every copy, so max() is just the dedup device)
+      .groupBy("query_id", "cand_id")
+      .agg(max(col("sim")).as("sim"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     cand

@@ -56,12 +56,13 @@ class RecallSpec extends AnyFunSuite {
       "measured 0.06)")
   }
 
-  test("IVF top-k recall@5 >= 0.6 on the sf0.1 embeddings") {
+  test("IVF top-k recall@5 >= 0.8 on the sf0.1 embeddings") {
     val approx = topSets(Similarity.ivfTopK(
       Tables.embeddings(spark, sf), "vec_id", "embedding", pred, K))
     val r = recallAt5(approx)
     println(f"ivf recall@5 = $r%.3f over ${exact.size} queries")
-    assert(r >= 0.6, f"IVF recall collapsed: $r%.3f (16 lists, 6 probes " +
-      "measured 0.67 on this near-uniform fixture)")
+    assert(r >= 0.8, f"IVF recall collapsed: $r%.3f (16 lists, 6 probes, " +
+      "2-way soft assignment measured 0.89 on this near-uniform fixture; " +
+      "hard assignment measured 0.67)")
   }
 }
