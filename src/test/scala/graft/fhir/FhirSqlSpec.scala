@@ -89,4 +89,21 @@ class FhirSqlSpec extends AnyFunSuite {
     assert(carl.getAs[Int]("day_of_birth") == 6)
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
+
+  test("graft_fhir_pivot is callable from pure SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val registry = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Patient",
+        FhirSchemas.Patient)))
+    spark.read.option("wholetext", value = true).text(adtDir)
+      .createOrReplaceTempView("raw_bundles")
+    val rows = spark.sql(
+      s"""SELECT p.id AS patient_id
+         |FROM (SELECT graft_fhir_pivot(value, '${registry.json}') AS piv
+         |      FROM raw_bundles)
+         |LATERAL VIEW explode(piv.Patient) AS p
+         |ORDER BY patient_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.contains("pat-carl"))
+  }
 }
