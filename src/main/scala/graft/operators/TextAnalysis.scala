@@ -138,6 +138,49 @@ object TextAnalysis {
         when(frac >= dropAt, "drop").otherwise("keep").as("verdict"))
   }
 
+  /** Greedy sequence packing: assign documents to training shards of
+    * ~`budgetTokens` tokens each, packing WITHIN `groupCol` partitions
+    * (source, split, …) in deterministic `id` order. A document belongs to
+    * the shard its cumulative starting offset falls in — the standard
+    * greedy packer. Per-group windows keep the sort parallel (one
+    * partition per group, not a global sort): at corpus scale groups are
+    * sources/shards-of-the-day, so no single window sees the whole
+    * corpus.
+    *
+    * @return id, groupCol, n_tokens, shard_id (0-based within group) */
+  def packShards(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      groupCol: String, budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(id)
+    docs
+      .select(col(id), col(groupCol), tokenCount(col(text)).as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col(id), col(groupCol), col("n_tokens"),
+        floor(col("start_tok") / lit(budgetTokens)).cast("long")
+          .as("shard_id"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates applied via
+    * an md5-prefix threshold (the q_t7 trick generalized) — reproducible
+    * across runs, engines, and repartitioning, no RNG. A document is kept
+    * iff the first 4 hex digits of md5(id) fall below
+    * floor(rate·65536) in hex; md5 prefixes are uniform, so the realized
+    * rate converges to the requested one per stratum. */
+  def stratifiedKeep(
+      id: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    def hexThreshold(rate: Double): String =
+      f"${math.min(65535, math.max(0, (rate * 65536).toLong))}%04x"
+    val prefix = substring(md5(id.cast("string").cast("binary")), 1, 4)
+    val byStratum = rates.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(defaultRate))) { case ((s, r), els) =>
+      when(stratum === s, lit(hexThreshold(r))).otherwise(els)
+    }
+    prefix < byStratum
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

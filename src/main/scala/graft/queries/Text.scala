@@ -263,7 +263,52 @@ object Text {
     repetitionScreen(documents(s, d), "doc_id", "text")
   }
 
+  /** Greedy sequence packing into ~1000-token shards per source. */
+  val qT11Pack = Q(
+    "q_t11_pack",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        COALESCE(sum(n_tokens) OVER (PARTITION BY source
+      |                    ORDER BY doc_id) - n_tokens, 0) AS start_tok
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(floor(start_tok / 1000) AS BIGINT) AS shard_id
+      |FROM c""".stripMargin) { (s, d) =>
+    packShards(documents(s, d), "doc_id", "text", "source",
+      budgetTokens = 1000L)
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates via md5
+    * thresholds, reported as per-stratum totals. */
+  val StratRates = Map("en" -> 0.8, "zh" -> 0.25)
+  val StratDefault = 0.5
+
+  val qT12Stratified = Q(
+    "q_t12_stratified",
+    """WITH k AS (
+      |  SELECT lang,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |           CASE lang WHEN 'en' THEN 'cccc'
+      |                     WHEN 'zh' THEN '4000'
+      |                     ELSE '8000' END AS keep
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS total,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      |FROM k GROUP BY lang""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        stratifiedKeep(col("doc_id"), col("lang"), StratRates, StratDefault)
+          .as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
-      qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition)
+      qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
+      qT11Pack, qT12Stratified)
 }
