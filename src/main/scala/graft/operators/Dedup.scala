@@ -87,6 +87,34 @@ object Dedup {
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** (doc_id, band, bh) LSH band buckets for a corpus: per-doc MinHash
+    * signature (one TypedImperativeAggregate — the shingle string is hashed
+    * ONCE via xxhash64 folded into [0, p); the 128 permutations live in a
+    * primitive long[128] buffer with map-side partial merge, instead of
+    * 128 separate min() columns whose generated update function blows past
+    * the JIT's method-size limit), then each 4-row band hashed to a bucket
+    * id. Shared by the self-join and cross-corpus pair paths. */
+  private def bandedBuckets(
+      docs: DataFrame, id: String, text: String): DataFrame = {
+    val base = fanOut(docs).select(col(id).as("doc_id"),
+      wordTrigrams(col(text)).as("tg_set"))
+    val tg = base
+      .select(col("doc_id"), explode(col("tg_set")).as("tg"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("tg")),
+          lit(graft.functions.GraftFunctions.HashPrime)).as("h"))
+    val sig = tg.groupBy("doc_id")
+      .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+          .as("bh"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** Near-dup pairs via MinHash+LSH candidates, exact-verified by shingle
     * intersection. Output matches the exact all-pairs result (same doc_a,
     * doc_b, jaccard) because verification recomputes true Jaccard and the
@@ -96,33 +124,8 @@ object Dedup {
       docs: DataFrame, id: String, text: String,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = fanOut(docs).select(col(id).as("doc_id"),
-      wordTrigrams(col(text)).as("tg_set"))
-
-    // Per-permutation min-hash. The shingle string is hashed ONCE
-    // (xxhash64, folded into [0, p)); the 128 permutations live inside the
-    // MinHashSketch TypedImperativeAggregate — one aggregate column with a
-    // primitive long[128] buffer and map-side partial merge, instead of
-    // 128 separate min() columns (whose generated update function blows
-    // past the JIT's method-size limit).
-    val tg = base
-      .select(col("doc_id"), explode(col("tg_set")).as("tg"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("tg")),
-          lit(graft.functions.GraftFunctions.HashPrime)).as("h"))
-    val sig = tg.groupBy("doc_id")
-      .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
-
-    // LSH banding: hash each 4-row band of the signature; docs sharing any
-    // (band, bandHash) bucket become candidates.
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
-          .as("bh"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // LSH banding: docs sharing any (band, bandHash) bucket are candidates.
+    val buckets = bandedBuckets(docs, id, text)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -145,6 +148,44 @@ object Dedup {
         size(col("ba.tg_set")).as("na"), size(col("bb.tg_set")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental (cross-corpus) near-dup pairs: each INCOMING document
+    * against an existing BASE corpus — the continual-pretraining shape,
+    * where a new crawl batch must be deduplicated against everything
+    * already in the training set without re-pairing the base with itself.
+    * Same MinHash banding on both sides, candidates from the cross
+    * equi-join on (band, bucket) only — base×base and new×new pairs are
+    * never generated — then exact Jaccard verification on candidates.
+    * Linear in |base| + |incoming|; the join output is bounded by true
+    * cross collisions.
+    *
+    * @return base_id, new_id, jaccard (≥ threshold) */
+  def minHashLshPairsAcross(
+      base: DataFrame, incoming: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val bb = bandedBuckets(base, id, text)
+      .withColumnRenamed("doc_id", "base_id")
+    val nb = bandedBuckets(incoming, id, text)
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = bb.join(nb, Seq("band", "bh"))
+      .select(col("base_id"), col("new_id"))
+      .distinct()
+    val vb = base.select(col(id).as("base_id"),
+      wordTrigrams(col(text)).as("tg_b"))
+    val vn = incoming.select(col(id).as("new_id"),
+      wordTrigrams(col(text)).as("tg_n"))
+    cand
+      .join(vb, Seq("base_id"))
+      .join(vn, Seq("new_id"))
+      .select(col("base_id"), col("new_id"),
+        size(array_intersect(col("tg_b"), col("tg_n")))
+          .cast("double").as("inter"),
+        size(col("tg_b")).as("nb"), size(col("tg_n")).as("nn"))
+      .select(col("base_id"), col("new_id"),
+        (col("inter") / (col("nb") + col("nn") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

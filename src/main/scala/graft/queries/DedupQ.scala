@@ -130,7 +130,46 @@ object DedupQ {
       .dupClusters(documents(s, d), "doc_id", "text", 0.8)
   }
 
+  /** Incremental dedup: a new batch (deterministic md5 half of the corpus)
+    * near-dup-checked against the existing base — candidates come only
+    * from the cross (band, bucket) join, verified exactly. The oracle is
+    * the exact cross-pair set. */
+  val qD7Incremental = Q(
+    "q_d7_incremental",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |lbl AS (SELECT doc_id,
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8' AS is_new
+      |        FROM toks),
+      |sh AS (SELECT a.doc_id AS base_id, b.doc_id AS new_id,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b ON a.tg = b.tg
+      |       JOIN lbl la ON a.doc_id = la.doc_id
+      |       JOIN lbl lb ON b.doc_id = lb.doc_id
+      |       WHERE NOT la.is_new AND lb.is_new
+      |       GROUP BY 1, 2)
+      |SELECT base_id, new_id,
+      |       CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+      |FROM sh JOIN sz x ON base_id = x.doc_id JOIN sz y ON new_id = y.doc_id
+      |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions.{md5, substring}
+      val docs = documents(s, d)
+      val isNew =
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "8"
+      Dedup.minHashLshPairsAcross(
+        docs.filter(!isNew), docs.filter(isNew), "doc_id", "text", 0.8)
+  }
+
   val all: Seq[Q] =
     Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
-      qD6DupClusters)
+      qD6DupClusters, qD7Incremental)
 }

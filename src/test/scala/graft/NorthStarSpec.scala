@@ -34,6 +34,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${truePairs.size} pairs")
   }
 
+  test("cross-corpus near-dup pairs equal the cross subset of all pairs") {
+    val isNew = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "8"
+    val newIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exactCross = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => newIds(a) != newIds(b) }
+      .map { case (a, b) => if (newIds(b)) (a, b) else (b, a) }
+      .toSet
+    val across = Dedup.minHashLshPairsAcross(
+      docs.filter(!isNew), docs.filter(isNew), "doc_id", "text", 0.6)
+      .select("base_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactCross.nonEmpty, "fixture should contain cross-split pairs")
+    assert(across == exactCross,
+      s"missed ${exactCross -- across} / extra ${across -- exactCross}")
+  }
+
   test("exact dedup groups partition the corpus") {
     val total = docs.count()
     val grouped = Dedup.exactGroups(docs, "doc_id", "text")
