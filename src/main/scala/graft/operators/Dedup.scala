@@ -133,21 +133,36 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification on the (small) candidate set. Rebuilt from the
-    // un-fanned source: the shingle expression is cheap per row and this
-    // avoids replaying the fan-out shuffle twice just to probe a handful
-    // of candidate doc ids.
-    val verifyBase = docs.select(col(id).as("doc_id"),
-      wordTrigrams(col(text)).as("tg_set"))
+    verifyPairs(cand, docs, docs, "doc_a", "doc_b", id, text, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, shared by the
+    * self-join and cross-corpus paths (a fix to this logic must hit both
+    * certified outputs at once). Shingle sets are rebuilt from the
+    * un-fanned sources: the shingle expression is cheap per row and this
+    * avoids replaying the fan-out shuffle just to probe a handful of
+    * candidate doc ids.
+    *
+    * @param cand two id columns named `aName`, `bName`
+    * @return aName, bName, jaccard (≥ threshold) */
+  private def verifyPairs(
+      cand: DataFrame, aDocs: DataFrame, bDocs: DataFrame,
+      aName: String, bName: String, id: String, text: String,
+      threshold: Double): DataFrame = {
+    val va = aDocs.select(col(id).as(aName),
+      wordTrigrams(col(text)).as("__tga"))
+    val vb = bDocs.select(col(id).as(bName),
+      wordTrigrams(col(text)).as("__tgb"))
     cand
-      .join(verifyBase.as("ba"), col("doc_a") === col("ba.doc_id"))
-      .join(verifyBase.as("bb"), col("doc_b") === col("bb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ba.tg_set"), col("bb.tg_set")))
-          .cast("double").as("inter"),
-        size(col("ba.tg_set")).as("na"), size(col("bb.tg_set")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .join(va, Seq(aName))
+      .join(vb, Seq(bName))
+      .select(col(aName), col(bName),
+        size(array_intersect(col("__tga"), col("__tgb")))
+          .cast("double").as("__inter"),
+        size(col("__tga")).as("__na"), size(col("__tgb")).as("__nb"))
+      .select(col(aName), col(bName),
+        (col("__inter") / (col("__na") + col("__nb") - col("__inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -173,20 +188,7 @@ object Dedup {
     val cand = bb.join(nb, Seq("band", "bh"))
       .select(col("base_id"), col("new_id"))
       .distinct()
-    val vb = base.select(col(id).as("base_id"),
-      wordTrigrams(col(text)).as("tg_b"))
-    val vn = incoming.select(col(id).as("new_id"),
-      wordTrigrams(col(text)).as("tg_n"))
-    cand
-      .join(vb, Seq("base_id"))
-      .join(vn, Seq("new_id"))
-      .select(col("base_id"), col("new_id"),
-        size(array_intersect(col("tg_b"), col("tg_n")))
-          .cast("double").as("inter"),
-        size(col("tg_b")).as("nb"), size(col("tg_n")).as("nn"))
-      .select(col("base_id"), col("new_id"),
-        (col("inter") / (col("nb") + col("nn") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(cand, base, incoming, "base_id", "new_id", id, text, threshold)
   }
 
   /** 64-bit SimHash near-dup: per-shingle hash votes per bit, Hamming-

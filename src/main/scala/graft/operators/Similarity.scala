@@ -155,22 +155,18 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(v, dim, planes, t).as("b"))): _*)
 
-  /** Multi-probe variant (Lv et al., VLDB'07): per table, the exact bucket
-    * PLUS every single-bit-flip neighbor — a true neighbor separated by
-    * exactly one plane in a table still collides there, lifting per-table
-    * recall from p^planes to p^planes + planes·p^(planes-1)·(1-p). Applied
-    * to the QUERY side only, so the corpus index cost is unchanged; the
-    * query's bucket fan-out grows ×(planes+1), which is the multi-probe
-    * trade: more candidate lookups per query instead of more index
-    * replicas. */
-  def lshBucketsProbed(
-      v: Column, dim: Int, planes: Int = Planes,
-      tables: Int = LshTables): Column =
-    array((0 until tables).flatMap { t =>
-      val b = lshBucket(v, dim, planes, t)
-      (lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(flip =>
-        struct(lit(t).as("t"), b.bitwiseXOR(flip).as("b")))
-    }: _*)
+  /** Multi-probe bucket variants (Lv et al., VLDB'07) of an ALREADY
+    * MATERIALIZED bucket column: the bucket itself plus every
+    * single-bit-flip neighbor — a true neighbor separated by exactly one
+    * plane in a table still collides there, lifting per-table recall from
+    * p^planes to p^planes + planes·p^(planes-1)·(1-p). Taking the bucket
+    * as a column (not recomputing it per probe) keeps the plane dot
+    * products at one evaluation per (row, table); embedding the full
+    * bucket expression in each probe struct would cost (planes+1)× the
+    * dot products unless codegen CSE happens to rescue it. */
+  def probeFlips(bucket: Column, planes: Int = Planes): Column =
+    array((lit(0L) +: (0 until planes).map(p => lit(1L << p)))
+      .map(bucket.bitwiseXOR): _*)
 
   /** IVF coarse quantization: inverted lists, query probes, corpus-side
     * soft assignment, quantizer training sample bound and Lloyd
@@ -258,9 +254,12 @@ object Similarity {
     * `greatest` over (score, -list) structs. No crossJoin, no window, no
     * shuffle touches a corpus vector until the candidate equi-join on
     * list id; queries probe their IvfProbes nearest lists (sort_array over
-    * the same literal scores). Each candidate lives in exactly one list and
-    * probe lists are distinct, so a (query, candidate) pair joins at most
-    * once — no dedup pass. Probabilistic recall → rows-only certification.
+    * the same literal scores). With [[IvfAssign]]-way soft assignment a
+    * (query, candidate) pair can meet in up to IvfAssign shared lists, so
+    * candidates are collapsed by a (query, candidate) aggregation before
+    * ranking — removing that dedup would hand row_number duplicate rows
+    * and displace true neighbors. Probabilistic recall → rows-only
+    * certification.
     *
     * The normed corpus is materialized ONCE via `localCheckpoint` (the
     * index-build pass every IVF structure pays): the quantizer sample, the
@@ -312,8 +311,8 @@ object Similarity {
 
   /** Approximate top-k via multi-table, multi-probe hyperplane LSH: a
     * candidate is any corpus vector sharing a (table, bucket) cell with
-    * the query's exact OR single-bit-flip buckets ([[lshBucketsProbed]])
-    * in ANY of the [[LshTables]] tables. Misses remain possible by
+    * the query's exact OR single-bit-flip buckets ([[probeFlips]]) in ANY
+    * of the [[LshTables]] tables. Misses remain possible by
     * construction (rows-only certification; RecallSpec pins the measured
     * recall floor); the payoff is equi-joins all the way — no cross join.
     *
@@ -332,11 +331,15 @@ object Similarity {
       .select(col("vec_id"), explode(lshBuckets(col("v"), dim)).as("tb"))
       .select(col("vec_id"),
         col("tb").getField("t").as("ct"), col("tb").getField("b").as("cbk"))
+    // query side: exact buckets materialized first (one dot-product pass),
+    // THEN the multi-probe single-bit flips explode over the bucket column
     val qb = n.filter(queryPred)
       .select(col("vec_id").as("q_id"),
-        explode(lshBucketsProbed(col("v"), dim)).as("tb"))
+        explode(lshBuckets(col("v"), dim)).as("tb"))
       .select(col("q_id"),
-        col("tb").getField("t").as("qt"), col("tb").getField("b").as("qbk"))
+        col("tb").getField("t").as("qt"), col("tb").getField("b").as("qb0"))
+      .select(col("q_id"), col("qt"),
+        explode(probeFlips(col("qb0"))).as("qbk"))
     val cand = broadcast(qb)
       .join(cb,
         col("qt") === col("ct") && col("qbk") === col("cbk")

@@ -171,8 +171,13 @@ object TextAnalysis {
   def stratifiedKeep(
       id: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double): Column = {
+    // rate >= 1.0 maps to 'g000' — lexicographically above every hex
+    // prefix, so keep-everything is expressible ('ffff' < 'g000'); the
+    // strict '<' against a clamped 'ffff' would silently drop the
+    // ~1/65536 ids whose md5 starts with ffff
     def hexThreshold(rate: Double): String =
-      f"${math.min(65535, math.max(0, (rate * 65536).toLong))}%04x"
+      if (rate >= 1.0) "g000"
+      else f"${math.max(0L, (rate * 65536).toLong)}%04x"
     val prefix = substring(md5(id.cast("string").cast("binary")), 1, 4)
     val byStratum = rates.toSeq.sortBy(_._1).foldRight(
       lit(hexThreshold(defaultRate))) { case ((s, r), els) =>
