@@ -169,7 +169,35 @@ object DedupQ {
         docs.filter(!isNew), docs.filter(isNew), "doc_id", "text", 0.8)
   }
 
+  /** Embedding-space dup clusters: the q_d5 exact cosine pairs fed through
+    * the same connected-components operator as the text path (q_d6) —
+    * cluster id = min vec id. Oracle: recursive-CTE transitive closure
+    * over the identical pair set. */
+  val qD8EmbedClusters = Q(
+    "q_d8_embed_clusters",
+    """WITH RECURSIVE e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45),
+      |edges AS (SELECT va AS src, vb AS dst FROM p
+      |          UNION SELECT vb, va FROM p),
+      |reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
+      |SELECT node AS vec_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node""".stripMargin) { (s, d) =>
+    graft.operators.ConnectedComponents.components(
+      graft.operators.Similarity
+        .cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
+        .select(col("va").as("src"), col("vb").as("dst")))
+      .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
-      qD6DupClusters, qD7Incremental)
+      qD6DupClusters, qD7Incremental, qD8EmbedClusters)
 }
