@@ -161,6 +161,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch curation projections compose unchanged onto a stream") {
+    // the quality/langid/redaction Columns are pure projections, so the
+    // same expressions run on readStream input with no code changes —
+    // values must match the batch run row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    import graft.operators.TextAnalysis
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col("text")).as("quality"),
+      TextAnalysis.langId(
+        org.apache.spark.sql.functions.col("text")).as("lang"),
+      TextAnalysis.piiCount(
+        org.apache.spark.sql.functions.col("text")).as("n_pii"))
+    val q = curate(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
+          r.getLong(3)))).toMap
+      val batch = curate(Tables.documents(spark, sf)).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
+          r.getLong(3)))).toMap
+      assert(streamed.size == batch.size && streamed == batch,
+        "streamed curation values must equal batch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
