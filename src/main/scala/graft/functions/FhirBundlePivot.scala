@@ -42,7 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - malformed document → null result (all columns null downstream);
   *  - document without an `entry` array → null arrays;
   *  - `entry: []` → empty arrays;
-  *  - unregistered / missing resourceType → resource dropped everywhere.
+  *  - unregistered / missing resourceType → resource dropped everywhere;
+  *  - duplicate top-level `timestamp`/`entry` keys → last occurrence wins
+  *    (the Jackson converter under from_json overwrites per occurrence).
   *
   * Two deliberate IMPROVEMENTS over the declarative formulations (which
   * the fuzz spec pins via a clean-twin property instead):
@@ -95,32 +97,45 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
         while (t == JsonToken.FIELD_NAME) {
           val name = jp.currentName()
           val vt = jp.nextToken()
-          if (name == "timestamp" && vt.isScalarValue
-              && vt != JsonToken.VALUE_NULL) {
-            timestamp = UTF8String.fromString(jp.getText)
-          } else if (name == "entry" && vt == JsonToken.START_ARRAY) {
-            sawEntry = true
-            var et = jp.nextToken()
-            while (et != JsonToken.END_ARRAY && et != null) {
-              if (et == JsonToken.START_OBJECT) {
-                var ft = jp.nextToken()
-                while (ft == JsonToken.FIELD_NAME) {
-                  val fn = jp.currentName()
-                  jp.nextToken()
-                  if (fn == "resource"
-                      && jp.currentToken() == JsonToken.START_OBJECT) {
-                    handleResource(jp, buckets)
-                  } else jp.skipChildren()
-                  ft = jp.nextToken()
+          if (name == "timestamp" && vt.isScalarValue) {
+            // last occurrence wins, including an explicit null — matching
+            // the Jackson-converter overwrite the from_json baselines apply
+            timestamp =
+              if (vt == JsonToken.VALUE_NULL) null
+              else UTF8String.fromString(jp.getText)
+          } else if (name == "entry") {
+            // duplicate top-level 'entry' keys: LAST occurrence wins —
+            // from_json's converter overwrites the field per occurrence, so
+            // accumulating across occurrences would diverge from the
+            // certified declarative baselines (FhirPivotPropertySpec pins
+            // this with a duplicate-key generator)
+            var bi = 0
+            while (bi < buckets.length) { buckets(bi).clear(); bi += 1 }
+            sawEntry = false
+            if (vt == JsonToken.START_ARRAY) {
+              sawEntry = true
+              var et = jp.nextToken()
+              while (et != JsonToken.END_ARRAY && et != null) {
+                if (et == JsonToken.START_OBJECT) {
+                  var ft = jp.nextToken()
+                  while (ft == JsonToken.FIELD_NAME) {
+                    val fn = jp.currentName()
+                    jp.nextToken()
+                    if (fn == "resource"
+                        && jp.currentToken() == JsonToken.START_OBJECT) {
+                      handleResource(jp, buckets)
+                    } else jp.skipChildren()
+                    ft = jp.nextToken()
+                  }
+                } else {
+                  // non-object entry element (null, scalar, nested array):
+                  // skip it, like the declarative filter does — it must not
+                  // abort the rest of the document
+                  jp.skipChildren()
                 }
-              } else {
-                // non-object entry element (null, scalar, nested array):
-                // skip it, like the declarative filter does — it must not
-                // abort the rest of the document
-                jp.skipChildren()
+                et = jp.nextToken()
               }
-              et = jp.nextToken()
-            }
+            } else jp.skipChildren()
           } else jp.skipChildren()
           t = jp.nextToken()
         }

@@ -21,16 +21,29 @@ object Decontaminate {
 
   /** @param probePred selects the probe (benchmark) rows of `docs`
     * @param minContainment keep pairs with containment ≥ this
+    * @param maxProbeRows refusal bound on the PROBE side: its exploded
+    *        shingles are broadcast, so the operator is asymmetric by design
+    *        — the corpus may be arbitrarily large, the probe must stay
+    *        benchmark-sized. A predicate that accidentally selects a corpus
+    *        slice would otherwise build a giant broadcast and OOM the driver.
     * @return doc_id, probe_id, overlap (shared distinct shingles),
     *         containment */
   def contamination(
       docs: DataFrame, id: String, text: String,
-      probePred: Column, minContainment: Double): DataFrame = {
+      probePred: Column, minContainment: Double,
+      maxProbeRows: Long = 100000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val probeDocs = docs.filter(probePred)
+    require(Guard.atMost(probeDocs, maxProbeRows),
+      s"contamination broadcasts the probe side's exploded shingles: " +
+        s"probePred selects more than maxProbeRows=$maxProbeRows rows. The " +
+        "probe is the (small) benchmark suite and the corpus the (large) " +
+        "streamed side — swap the sides or raise maxProbeRows explicitly " +
+        "if the probe set is genuinely this big.")
     def grams(df: DataFrame, as: String): DataFrame =
       df.select(col(id).as(as),
         explode(Dedup.wordTrigrams(col(text))).as("tg"))
-    val probeGrams = grams(docs.filter(probePred), "probe_id")
+    val probeGrams = grams(probeDocs, "probe_id")
     val probeSizes = probeGrams.groupBy("probe_id")
       .agg(count(lit(1)).as("probe_n"))
     // fanOut: the corpus-side shingle explode must not run on the scan's

@@ -186,6 +186,9 @@ object Dedup {
     val nb = bandedBuckets(incoming, id, text)
       .withColumnRenamed("doc_id", "new_id")
     val cand = bb.join(nb, Seq("band", "bh"))
+      // a document present in BOTH corpora under the same id would emit a
+      // trivial self-pair at jaccard 1.0 — not a duplicate to act on
+      .filter(col("base_id") =!= col("new_id"))
       .select(col("base_id"), col("new_id"))
       .distinct()
     verifyPairs(cand, base, incoming, "base_id", "new_id", id, text, threshold)

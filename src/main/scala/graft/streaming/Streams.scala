@@ -176,11 +176,12 @@ object Streams {
       docs: DataFrame, text: String,
       watermark: Option[(String, String)] = None): DataFrame = {
     val keyed = watermark.fold(docs) { case (c, d) => docs.withWatermark(c, d) }
-      .withColumn("h", md5(lower(col(text)).cast("binary")))
-    watermark match {
-      case Some(_) => keyed.dropDuplicatesWithinWatermark("h")
-      case None => keyed.dropDuplicates("h")
+      .withColumn("__h", md5(lower(col(text)).cast("binary")))
+    val deduped = watermark match {
+      case Some(_) => keyed.dropDuplicatesWithinWatermark("__h")
+      case None => keyed.dropDuplicates("__h")
     }
+    deduped.drop("__h") // internal digest key, not part of the output contract
   }
 
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource

@@ -50,8 +50,16 @@ class NorthStarSpec extends AnyFunSuite {
       .select("base_id", "new_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactCross.nonEmpty, "fixture should contain cross-split pairs")
-    assert(across == exactCross,
-      s"missed ${exactCross -- across} / extra ${across -- exactCross}")
+    // verification recomputes true Jaccard on every candidate, so false
+    // positives are impossible by construction — assert that exactly
+    assert(across.subsetOf(exactCross),
+      s"false positives: ${across -- exactCross}")
+    // recall is a floor, not equality: 32×4 banding misses a borderline
+    // pair with ~1% probability, so exact set equality would be brittle to
+    // any fixture or hash change even though it holds today
+    val recall = (exactCross & across).size.toDouble / exactCross.size
+    assert(recall >= 0.95,
+      s"recall $recall: missed ${exactCross -- across} of ${exactCross.size}")
   }
 
   test("exact dedup groups partition the corpus") {
@@ -134,6 +142,16 @@ class NorthStarSpec extends AnyFunSuite {
     assert(h.getAs[Long]("doc_id") == 100L
       && h.getAs[Long]("probe_id") == 1L
       && h.getAs[Double]("containment") == 1.0, s"unexpected hit: $h")
+  }
+
+  test("decontamination refuses a probe predicate that selects a corpus slice") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Decontaminate.contamination(
+        docs, "doc_id", "text",
+        probePred = col("doc_id") >= 0, minContainment = 0.9,
+        maxProbeRows = 10L)
+    }
+    assert(e.getMessage.contains("maxProbeRows"))
   }
 
   test("redaction removes every injected PII instance") {

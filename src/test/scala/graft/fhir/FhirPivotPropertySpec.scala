@@ -132,6 +132,35 @@ class FhirPivotPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate top-level entry/timestamp keys: last occurrence wins") {
+    // Jackson's converter under from_json overwrites a field per key
+    // occurrence, so the declarative baselines keep only the LAST 'entry'
+    // array — the token loop must match (it resets its buckets on a
+    // repeated key instead of accumulating across occurrences)
+    val dupBundleGen: Gen[String] = for {
+      n1 <- Gen.choose(0, 3)
+      n2 <- Gen.choose(0, 3)
+      e1 <- Gen.listOfN(n1, cleanEntryGen)
+      e2 <- Gen.listOfN(n2, cleanEntryGen)
+      ts1 <- Gen.option(word)
+      dupTsNull <- Gen.oneOf(true, false)
+    } yield {
+      val fields = scala.collection.mutable.ListBuffer[String]()
+      ts1.foreach(t => fields += s""""timestamp":"$t"""")
+      fields += s""""entry":[${e1.mkString(",")}]"""
+      if (dupTsNull && ts1.nonEmpty) fields += s""""timestamp":null"""
+      fields += s""""entry":[${e2.mkString(",")}]"""
+      fields.mkString("{", ",", "}")
+    }
+    (1 to 20).foreach { i =>
+      val bundles = batch(dupBundleGen, 2000L + i)
+      val a = pivotRows(bundles)(BundleReader.pivotEntries)
+      val b = pivotRows(bundles)(BundleReader.pivotEntriesEnvelope)
+      assert(a == b, s"seed $i diverged on duplicate keys:\n expr=$a\n" +
+        s" env =$b\n bundles=${bundles.mkString("\n")}")
+    }
+  }
+
   test("junk entry elements: expression equals its junk-stripped twin") {
     val mixedEntry = Gen.frequency(3 -> cleanEntryGen, 2 -> junkEntryGen)
     (1 to 40).foreach { i =>
