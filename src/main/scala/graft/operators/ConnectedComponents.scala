@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * in the component), which is what a curation pipeline actually consumes:
   * keep one representative per cluster.
   *
-  * Each round does two distributed steps:
+  * Each round does two distributed steps (and exactly two Spark jobs — the
+  * convergence changed-count rides the propagate checkpoint as an observed
+  * metric instead of a third per-round count job):
   *  1. propagate: every node adopts the minimum label among itself and its
   *     neighbors (one join + one aggregation);
   *  2. shortcut (pointer doubling): every node then adopts the label OF its
@@ -58,21 +60,32 @@ object ConnectedComponents {
         .join(labels, bidir("dst") === labels("node"))
         .groupBy(bidir("src").as("node"))
         .agg(min(col("component")).as("nbr_min"))
-      val prop = labels.as("l")
-        .join(neighborMin.as("n"), Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint()
       // Convergence is checked on the PROPAGATE step alone — sound because
       // a propagate fixed point forces label(u) = label(v) across every
       // edge (each side's min-over-neighborhood bounds the other), i.e.
       // uniform labels per component, under which the shortcut is a no-op.
       // This makes the final round skip the shortcut join entirely.
-      val changed = prop.as("a")
-        .join(labels.as("b"), Seq("node"))
-        .filter(col("a.component") =!= col("b.component"))
-        .count()
+      //
+      // The changed-count rides the checkpoint job as an observed metric
+      // (CollectMetrics accumulates while rows stream into the checkpoint
+      // blocks) instead of a separate join + count job per round: the old
+      // label is already on the propagate join, so comparing it there is
+      // free, and rounds cost 2 jobs (propagate, shortcut), not 3.
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$iter")
+      val prop = labels.as("l")
+        .join(neighborMin.as("n"), Seq("node"), "left_outer")
+        .select(col("node"), col("component").as("__prev"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("__next"))
+        .observe(obs,
+          sum(when(col("__next") =!= col("__prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("node"), col("__next").as("component"))
+        .localCheckpoint()
+      val changed = obs.get.get("changed") match {
+        case None | Some(null) => 0L // empty graph: sum over zero rows
+        case Some(n) => n.asInstanceOf[java.lang.Number].longValue()
+      }
       converged = changed == 0
       if (converged) {
         labels = prop

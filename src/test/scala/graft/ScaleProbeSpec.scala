@@ -41,6 +41,39 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(labels.count() == 201)
   }
 
+  test("cc convergence rides the checkpoint job — no count action per round") {
+    import spark.implicits._
+    val names =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { names.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (0L until 16L).map(i => (i, i + 1)).toDF("src", "dst")
+      graft.operators.ConnectedComponents.components(edges)
+      // the listener bus is async: wait for the event stream to quiesce
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (System.nanoTime() < deadline
+          && (names.size() != last || last == 0)) {
+        last = names.size(); Thread.sleep(200)
+      }
+      val counted = names.toArray.map(_.toString)
+      // every round is two checkpoint jobs (propagate with the observed
+      // changed-metric, shortcut); the per-round convergence count() job
+      // this test guards against would surface as a "count" action
+      assert(counted.count(_ == "localCheckpoint") >= 3, counted.toSeq)
+      assert(!counted.contains("count"),
+        s"convergence must not run a count job per round: ${counted.toSeq}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("connected components fail loudly when iteration budget is too small") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
