@@ -142,24 +142,96 @@ object TextAnalysis {
     * ~`budgetTokens` tokens each, packing WITHIN `groupCol` partitions
     * (source, split, …) in deterministic `id` order. A document belongs to
     * the shard its cumulative starting offset falls in — the standard
-    * greedy packer. Per-group windows keep the sort parallel (one
-    * partition per group, not a global sort): at corpus scale groups are
-    * sources/shards-of-the-day, so no single window sees the whole
-    * corpus.
+    * greedy packer.
+    *
+    * Scale shape — a distributed prefix sum, NOT a per-group window: a
+    * window `partitionBy(groupCol)` serializes each group through one task,
+    * which degenerates when `groupCol` is low-cardinality (one source =
+    * one task = the whole corpus). Instead:
+    *  1. range-repartition + sort by (group, id) — a parallel sort whose
+    *     partition count is independent of group cardinality, so a single
+    *     giant group still spreads over all tasks;
+    *  2. per partition, report token totals of its FIRST and LAST group
+    *     only (interior groups cannot cross a sorted range boundary, so
+    *     their cross-partition offset is zero by construction) — at most
+    *     2 entries per partition to the driver, regardless of corpus size;
+    *  3. per partition, a running sum seeded with the broadcast offset of
+    *     each boundary group yields every row's exact global start offset.
+    * Both passes share one range shuffle (same RDD ⇒ shuffle reuse); the
+    * offsets table is O(partitions), never O(rows) or O(groups).
     *
     * @return id, groupCol, n_tokens, shard_id (0-based within group) */
   def packShards(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       groupCol: String, budgetTokens: Long): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(id)
-    docs
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val spark = docs.sparkSession
+    val prepped = docs
       .select(col(id), col(groupCol), tokenCount(col(text)).as("n_tokens"))
-      .withColumn("start_tok",
-        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .select(col(id), col(groupCol), col("n_tokens"),
-        floor(col("start_tok") / lit(budgetTokens)).cast("long")
-          .as("shard_id"))
+    val nPart = math.max(spark.sparkContext.defaultParallelism, 1)
+    // explicit numPartitions: AQE must not coalesce a small shuffle down to
+    // one partition, or the giant-group parallelism claim dies quietly
+    val rows = prepped
+      .repartitionByRange(nPart, col(groupCol), col(id))
+      .sortWithinPartitions(col(groupCol), col(id))
+      .rdd
+    def tokensOf(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(2)) 0L else r.getLong(2)
+    // pass 1: boundary-group totals per partition
+    val boundaries: Array[(Int, Array[(Any, Long)])] =
+      rows.mapPartitionsWithIndex { (pi, it) =>
+        val acc = new scala.collection.mutable.ArrayBuffer[(Any, Long)](2)
+        var curG: Any = null
+        var started = false
+        var tot = 0L
+        it.foreach { r =>
+          val g = r.get(1)
+          if (started && java.util.Objects.equals(g, curG)) tot += tokensOf(r)
+          else {
+            if (started) acc += ((curG, tot))
+            curG = g; tot = tokensOf(r); started = true
+          }
+        }
+        if (started) acc += ((curG, tot))
+        // only the first and last group can span a sorted range boundary
+        val trimmed =
+          if (acc.length <= 2) acc.toArray
+          else Array(acc.head, acc.last)
+        Iterator.single((pi, trimmed))
+      }.collect()
+    // prefix totals per boundary group, in partition order
+    val cum = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets: Map[Int, Map[Any, Long]] =
+      boundaries.sortBy(_._1).map { case (pi, bs) =>
+        pi -> bs.map { case (g, tot) =>
+          val off = cum.getOrElse(g, 0L)
+          cum(g) = off + tot
+          g -> off
+        }.toMap
+      }.toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: running sum per partition, seeded at group changes
+    val outRows = rows.mapPartitionsWithIndex { (pi, it) =>
+      val off = bcOffsets.value.getOrElse(pi, Map.empty[Any, Long])
+      var curG: Any = null
+      var started = false
+      var run = 0L
+      it.map { r =>
+        val g = r.get(1)
+        if (!started || !java.util.Objects.equals(g, curG)) {
+          started = true; curG = g; run = off.getOrElse(g, 0L)
+        }
+        val start = run
+        run += tokensOf(r)
+        org.apache.spark.sql.Row(
+          r.get(0), g, if (r.isNullAt(2)) null else r.getLong(2),
+          start / budgetTokens)
+      }
+    }
+    spark.createDataFrame(outRows,
+      org.apache.spark.sql.types.StructType(prepped.schema.fields :+
+        org.apache.spark.sql.types.StructField("shard_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Deterministic stratified sampling: per-stratum keep rates applied via

@@ -29,6 +29,42 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("packShards packs a single giant group without a single-task sort") {
+    import spark.implicits._
+    // every row in ONE group: the old per-group window pulled the whole
+    // input through one task; the two-level pack must stay partitioned and
+    // still produce the exact greedy assignment
+    val n = 50000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"), lit("g").as("source"),
+      lit("a b c").as("text")) // 3 tokens per doc
+    val out = graft.operators.TextAnalysis.packShards(
+      docs, "doc_id", "text", "source", budgetTokens = 999L)
+    assert(out.rdd.getNumPartitions > 1,
+      "a giant group must not collapse into one partition")
+    val bad = out.select("doc_id", "shard_id").as[(Long, Long)].collect()
+      .filter { case (k, s) => s != (3 * k) / 999 }
+    assert(bad.isEmpty, s"wrong shard ids: ${bad.take(5).toSeq}")
+  }
+
+  test("packShards equals the window formulation on multi-group data") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, GraftSpark.sf)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / lit(1000L)).cast("long").as("shard_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val actual = graft.operators.TextAnalysis.packShards(
+        docs, "doc_id", "text", "source", budgetTokens = 1000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(actual == expected)
+  }
+
   test("connected components converge on a 200-hop chain (pointer doubling)") {
     import spark.implicits._
     // chain 0-1-2-...-200: diameter 200, one component with min label 0.
