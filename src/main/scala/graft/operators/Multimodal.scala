@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/feature-extracted per partition.
   *
   * The Spark side is real — schema, partition-iterator batch shape, typed
-  * Encoders, binary-column handling. The codec itself is [[StubDecoder]]:
-  * this container has no image/audio libraries, so decode is a
-  * clearly-marked deterministic fake with the exact signature a production
-  * decoder (JNI/FFI image lib) would have. Swapping it in changes no plan
-  * shape: decode stays a narrow map over partitions, no shuffle.
+  * Encoders, binary-column handling. IMAGE decode is real too:
+  * [[ImageCodec]] drives `javax.imageio` (ships in the JDK, works in this
+  * offline container) for PNG/JPEG/GIF/BMP payloads, emitting true
+  * dimensions plus a deterministic downsampled-luma feature vector.
+  * Audio/video decode remains [[StubDecoder]] — the JDK has no
+  * audio/video codecs and this container has no native ones — as do image
+  * payloads no ImageIO reader recognizes (asMediaTable stages text bytes
+  * as fake payloads). Either way decode stays a narrow map over
+  * partitions: swapping a production codec in changes no plan shape.
   */
 object Multimodal {
 
@@ -66,6 +70,48 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's `javax.imageio` — no external codec
+    * needed even offline. Features are `featureDim` equal horizontal bands,
+    * each the mean Rec.601 luma (0.299R + 0.587G + 0.114B) of its pixels
+    * normalized to [0,1] — a deterministic pure-arithmetic reduction of the
+    * decoded pixels (PNG decode is bit-exact, so features are reproducible
+    * across runs and executors). */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    /** None when no ImageIO reader recognizes the payload. */
+    def decode(bytes: Array[Byte], featureDim: Int)
+        : Option[(Int, Int, Array[Float])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](featureDim)
+        val counts = new Array[Long](featureDim)
+        var y = 0
+        while (y < h) {
+          val band = math.min(featureDim - 1, y * featureDim / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB regardless of source model
+            sums(band) += 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            counts(band) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(featureDim) { i =>
+          if (counts(i) == 0) 0f else (sums(i) / (counts(i) * 255.0)).toFloat
+        }
+        Some((w, h, feats))
+      }
+    }
+  }
+
   /** Fake a media table out of the documents corpus: payload = utf-8 bytes,
     * kind round-robined over image/audio/video. Real pipelines read payloads
     * straight off object storage as `binaryFile` / parquet binary columns —
@@ -94,9 +140,55 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder setup would go here (JNI handles etc.)
         it.map { case (mediaId, kind, bytes) =>
-          val (w, h, d, feats) = StubDecoder.decode(kind, bytes, featureDim)
-          MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, d, feats)
+          val real =
+            if (kind == "image") ImageCodec.decode(bytes, featureDim) else None
+          real match {
+            case Some((w, h, feats)) =>
+              MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, 0L, feats)
+            case None =>
+              // audio/video (no JDK codec) and unrecognizable image bytes
+              val (w, h, d, feats) = StubDecoder.decode(kind, bytes, featureDim)
+              MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, d, feats)
+          }
         }
       }
+  }
+
+  /** Deterministic synthetic PNG corpus keyed off an id column: each id
+    * renders a small gradient image whose pixels, dimensions, and encoded
+    * bytes are pure functions of the id. Exists so the REAL ImageIO decode
+    * path has a registered, driver-checkable query (q_m3) — production
+    * pipelines read genuine payloads off object storage instead; the
+    * decode side is identical. Rendering runs executor-side in the same
+    * narrow map shape as decode. */
+  def syntheticImages(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val w = 8 + (mid % 16).toInt
+          val h = 8 + (mid % 12).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // gradient seeded by the id: every channel a pure function
+              val r = ((mid * 31 + x * 8) % 256).toInt
+              val g = ((mid * 17 + y * 8) % 256).toInt
+              val b = ((mid + x + y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (mid, "image", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
   }
 }

@@ -37,5 +37,22 @@ object MultimodalQ {
         md5(to_json(col("features")).cast("binary")).as("features_digest"))
   }
 
-  val all: Seq[Q] = Seq(qM1BinaryMeta, qM2Features)
+  /** REAL image decode, hash-certified: synthetic PNGs are rendered with
+    * dimensions that are pure functions of the id, so the oracle can state
+    * what a correct decoder must recover — javax.imageio runs on the Spark
+    * side, closed-form arithmetic on the DuckDB side. The luma features
+    * ride the same decode and are pinned exactly in NorthStarSpec. */
+  val qM3ImageDecode = Q(
+    "q_m3_image_decode",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(8 + doc_id % 16 AS INT) AS width,
+      |       CAST(8 + doc_id % 12 AS INT) AS height
+      |FROM documents WHERE doc_id % 8 = 0""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticImages(
+        documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id")).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+  }
+
+  val all: Seq[Q] = Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode)
 }

@@ -112,6 +112,52 @@ class NorthStarSpec extends AnyFunSuite {
     assert(labels.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("ImageIO path decodes an authored PNG to exact dims and luma features") {
+    import spark.implicits._
+    // 4×8 PNG, rows paired into 4 bands of known solid color: the decoded
+    // mean-luma features are exactly the Rec.601 coefficients
+    val img = new java.awt.image.BufferedImage(
+      4, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bandColors = Seq(0xFFFFFF, 0x000000, 0xFF0000, 0x00FF00)
+    for (y <- 0 until 8; x <- 0 until 4)
+      img.setRGB(x, y, bandColors(y / 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, "image", bos.toByteArray))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.extractFeatures(media, featureDim = 4).collect().head
+    assert(out.width == 4 && out.height == 8 && out.duration_ms == 0L)
+    val expected = Seq(1.0f, 0.0f, 0.299f, 0.587f)
+    out.features.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6f, s"${out.features.toSeq} vs $expected")
+    }
+  }
+
+  test("unrecognizable image bytes fall back to the labeled stub decoder") {
+    import spark.implicits._
+    val junk = "definitely not a png".getBytes("UTF-8")
+    val media = Seq((3L, "image", junk)).toDF("media_id", "kind", "bytes")
+    val out = Multimodal.extractFeatures(media, featureDim = 8).collect().head
+    val (w, h, d, feats) = Multimodal.StubDecoder.decode("image", junk, 8)
+    assert(out.width == w && out.height == h && out.duration_ms == d
+      && out.features.sameElements(feats))
+  }
+
+  test("synthetic image corpus round-trips through the real decoder") {
+    val imgs = Multimodal.syntheticImages(
+      docs.filter(col("doc_id") % 8 === 0), "doc_id")
+    val feats = Multimodal.extractFeatures(imgs).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width == 8 + (f.media_id % 16).toInt
+        && f.height == 8 + (f.media_id % 12).toInt,
+        s"decoded dims disagree with authored dims: $f")
+      // gradient images are mid-toned: stub features live in [-1,1) and
+      // would violate this band often; real luma means never do
+      f.features.foreach(v => assert(v >= 0f && v <= 1f))
+    }
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val a = Multimodal.extractFeatures(media).collect()
