@@ -92,6 +92,10 @@ object GraftFunctions {
       exprs => SimHashSketch(exprs.head).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_minhash_row",
+      exprs => MinHashRow(exprs.head, permA, permB, HashPrime),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_fhir_pivot",
       exprs => {
         // arg 1 is a foldable string literal carrying the schema registry
@@ -127,6 +131,14 @@ object GraftFunctions {
   def simHashSketch(h: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_simhash", h)
+  }
+
+  /** Row-level MinHash signature over an array of pre-folded hashes —
+    * bit-identical to [[minHashSketch]] over the exploded column (see
+    * [[MinHashRow]]); the streaming near-dup path uses this. */
+  def minHashRow(hashes: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_minhash_row", hashes)
   }
 
   /** One-tokenization FHIR bundle pivot (see [[FhirBundlePivot]]); the

@@ -87,14 +87,32 @@ object Dedup {
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** 32 (band, bucket-hash) structs off a 128-long signature column —
+    * ONE banding definition shared by the aggregate (batch) and row-level
+    * (streaming) signature paths, so both land in identical buckets. */
+  private[graft] def bandStructs(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand)).as("bh"))
+    }: _*)
+
+  /** Exact Jaccard of two distinct-shingle-set columns — one arithmetic
+    * path shared by batch pair verification and the streaming candidate
+    * verify, so certified values agree bit-for-bit. */
+  private[graft] def jaccardOfSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** (doc_id, band, bh) LSH band buckets for a corpus: per-doc MinHash
     * signature (one TypedImperativeAggregate — the shingle string is hashed
     * ONCE via xxhash64 folded into [0, p); the 128 permutations live in a
     * primitive long[128] buffer with map-side partial merge, instead of
     * 128 separate min() columns whose generated update function blows past
     * the JIT's method-size limit), then each 4-row band hashed to a bucket
-    * id. Shared by the self-join and cross-corpus pair paths. */
-  private def bandedBuckets(
+    * id. Shared by the self-join, cross-corpus, and (as the static index)
+    * streaming incremental pair paths. */
+  private[graft] def bandedBuckets(
       docs: DataFrame, id: String, text: String): DataFrame = {
     val base = fanOut(docs).select(col(id).as("doc_id"),
       wordTrigrams(col(text)).as("tg_set"))
@@ -105,13 +123,8 @@ object Dedup {
           lit(graft.functions.GraftFunctions.HashPrime)).as("h"))
     val sig = tg.groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
-          .as("bh"))
-    }
     sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
@@ -157,12 +170,7 @@ object Dedup {
       .join(va, Seq(aName))
       .join(vb, Seq(bName))
       .select(col(aName), col(bName),
-        size(array_intersect(col("__tga"), col("__tgb")))
-          .cast("double").as("__inter"),
-        size(col("__tga")).as("__na"), size(col("__tgb")).as("__nb"))
-      .select(col(aName), col(bName),
-        (col("__inter") / (col("__na") + col("__nb") - col("__inter")))
-          .as("jaccard"))
+        jaccardOfSets(col("__tga"), col("__tgb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.fhir.{BundleReader, FhirSchemaModel}
+import graft.operators.Dedup
 
 /** Structured Streaming surfaces. The reference's "real-time" ADT feed is
   * batch directory re-reads (01_dbignite_sample.py:401-427 — no streaming
@@ -182,6 +183,61 @@ object Streams {
       case None => keyed.dropDuplicates("__h")
     }
     deduped.drop("__h") // internal digest key, not part of the output contract
+  }
+
+  /** Streaming incremental NEAR-dup: every incoming document checked
+    * against a STATIC base corpus — the streaming twin of the batch
+    * `Dedup.minHashLshPairsAcross` continual-pretraining shape (new crawl
+    * batches deduplicated against the existing training set as they
+    * arrive, base×base never paired).
+    *
+    * Mechanics: the base corpus is indexed ONCE — its (band, bucket) LSH
+    * rows and shingle sets are `localCheckpoint`ed so micro-batches join
+    * against materialized blocks instead of re-aggregating the corpus per
+    * trigger. The incoming side needs NO aggregation at all: each
+    * document's shingle set arrives whole on its row, so the 128-hash
+    * signature comes from the row-level [[graft.functions.MinHashRow]]
+    * expression (bit-identical constants/arithmetic to the batch sketch
+    * aggregate — stream candidates equal batch candidates exactly), bands
+    * explode map-side, and candidates fall out of a stream-static
+    * equi-join on (band, bh). Exact Jaccard verification reuses the same
+    * `Dedup.jaccardOfSets` arithmetic as every batch pair path.
+    *
+    * State: `dropDuplicates` on the candidate pair collapses multi-band
+    * collisions; without a watermark the pair-key state grows with
+    * distinct emitted candidates (spec/demo mode — same documented trade
+    * as [[dedupStream]]; production adds an event-time watermark on the
+    * incoming side and `dropDuplicatesWithinWatermark`).
+    *
+    * @return streaming frame of (base_id, new_id, jaccard ≥ threshold) */
+  def nearDupAgainstBase(
+      incoming: DataFrame, base: DataFrame, id: String, text: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val baseIdx = Dedup.bandedBuckets(base, id, text)
+      .withColumnRenamed("doc_id", "base_id")
+      .localCheckpoint()
+    val baseSets = base
+      .select(col(id).as("base_id"), Dedup.wordTrigrams(col(text)).as("__tgb"))
+      .localCheckpoint()
+    val prime = graft.functions.GraftFunctions.HashPrime
+    val newBuckets = incoming
+      .select(col(id).as("new_id"), Dedup.wordTrigrams(col(text)).as("__tga"))
+      .withColumn("__sig", graft.functions.GraftFunctions.minHashRow(
+        transform(col("__tga"), t => pmod(xxhash64(t), lit(prime)))))
+      .select(col("new_id"), col("__tga"),
+        explode(Dedup.bandStructs(col("__sig"))).as("bk"))
+      .select(col("new_id"), col("__tga"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    newBuckets
+      .join(baseIdx, Seq("band", "bh")) // stream-static equi-join
+      .filter(col("base_id") =!= col("new_id"))
+      .select(col("base_id"), col("new_id"), col("__tga"))
+      .dropDuplicates("base_id", "new_id")
+      .join(baseSets, Seq("base_id")) // stream-static: shingle sets once
+      .select(col("base_id"), col("new_id"),
+        Dedup.jaccardOfSets(col("__tga"), col("__tgb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource

@@ -161,6 +161,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup equals the batch cross-corpus pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // same md5 split as NorthStarSpec / the batch q_d7 shape
+    val isNew = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "8"
+    val base = docs.filter(!isNew).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+    docs.filter(isNew).select("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.nearDupAgainstBase(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      base, "doc_id", "text", threshold = 0.6)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Dedup.minHashLshPairsAcross(
+          base, docs.filter(isNew), "doc_id", "text", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(batch.nonEmpty, "fixture should contain cross-split pairs")
+      // the row-level signature is bit-identical to the batch aggregate,
+      // so candidates — and therefore verified pairs AND their jaccard
+      // values — must match the batch operator exactly
+      assert(streamed == batch,
+        s"missed ${batch.keySet -- streamed.keySet} / " +
+          s"extra ${streamed.keySet -- batch.keySet}")
+    } finally q.stop()
+  }
+
+  test("row-level MinHash signature equals the batch sketch aggregate") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(200)
+    val prime = graft.functions.GraftFunctions.HashPrime
+    val perRow = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minHashRow(
+        transform(graft.operators.Dedup.wordTrigrams(col("text")),
+          t => pmod(xxhash64(t), lit(prime)))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = docs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.wordTrigrams(col("text"))).as("tg"))
+      .select(col("doc_id"), pmod(xxhash64(col("tg")), lit(prime)).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow.keySet == agg.keySet)
+    perRow.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"doc $id signatures diverge")
+    }
+  }
+
   test("batch curation projections compose unchanged onto a stream") {
     // the quality/langid/redaction Columns are pure projections, so the
     // same expressions run on readStream input with no code changes —
