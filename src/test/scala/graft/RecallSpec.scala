@@ -39,12 +39,16 @@ class RecallSpec extends AnyFunSuite {
     topSets(Similarity.bruteForceTopK(n.filter(pred), n, K))
   }
 
-  private def recallAt5(approx: Map[Long, Set[Long]]): Double = {
-    val per = exact.map { case (q, truth) =>
-      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+  private def recall(
+      truth: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val per = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).count(t).toDouble / t.size
     }
     per.sum / per.size
   }
+
+  private def recallAt5(approx: Map[Long, Set[Long]]): Double =
+    recall(exact, approx)
 
   test("hyperplane-LSH top-k recall@5 >= 0.9 on the sf0.1 embeddings") {
     val approx = topSets(Similarity.lshTopK(
@@ -54,6 +58,41 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"LSH recall collapsed: $r%.3f (12 tables + " +
       "single-bit multi-probe measured 0.99; single-table with no probing " +
       "measured 0.06)")
+  }
+
+  test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
+    // The sf fixture is near-uniform — ANN's worst case and the reason the
+    // floor above sits at 0.8. Real corpora cluster; this planted-cluster
+    // case pins the HIGHER floor the quantizer actually earns there, so
+    // "IVF benefits from structure" is a tested claim, not prose.
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // deterministic uniform in [-1, 1] — no RNG state, stable across runs
+    def u(seed: Long): Double =
+      (Math.floorMod(mix(seed), 1000001L) / 500000.0) - 1.0
+    val dim = 64
+    val rows = for (c <- 0 until 32; m <- 0 until 64) yield {
+      val id = (c * 64 + m).toLong
+      val v = Array.tabulate(dim) { d =>
+        (u(c.toLong * 7919 + d) + 0.1 * u(id * 104729 + d)).toFloat
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 64 === 0 // one query per planted cluster
+    val n = Similarity.normed(emb, "vec_id", "embedding")
+    val truth = topSets(Similarity.bruteForceTopK(n.filter(qPred), n, K))
+    val approx = topSets(
+      Similarity.ivfTopK(emb, "vec_id", "embedding", qPred, K))
+    val r = recall(truth, approx)
+    println(f"ivf clustered recall@5 = $r%.3f over ${truth.size} queries")
+    assert(r >= 0.95,
+      f"IVF must excel on clustered data: $r%.3f (near-uniform floor is 0.8)")
   }
 
   test("IVF top-k recall@5 >= 0.8 on the sf0.1 embeddings") {
