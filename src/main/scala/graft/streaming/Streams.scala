@@ -240,6 +240,42 @@ object Streams {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming benchmark decontamination: every incoming document screened
+    * against a STATIC probe (benchmark/eval) suite as it arrives — the
+    * live-ingest twin of `Decontaminate.contamination`, so eval leakage is
+    * caught before a crawl batch ever lands in the training set.
+    *
+    * Scale shape differs from batch deliberately: batch explodes corpus
+    * shingles into a hash-aggregation (the right shape for a 100 TB
+    * re-screen), but aggregation on a stream is stateful. Here the probe
+    * suite is SMALL by contract (thousands of rows — the batch operator's
+    * maxProbeRows guard makes the same asymmetry explicit), so its shingle
+    * SETS broadcast whole and each incoming document computes containment
+    * per probe via `array_intersect` in one stateless map-side cross join —
+    * no shuffle, no state store, nothing retained across micro-batches.
+    * Containment values equal the batch operator's bit-for-bit (same
+    * distinct-trigram sets, same |∩|/|probe| arithmetic).
+    *
+    * @param probes static frame holding the benchmark suite
+    * @return streaming frame of (doc_id, probe_id, overlap, containment ≥
+    *         minContainment) — the batch operator's output schema */
+  def contaminationStream(
+      incoming: DataFrame, probes: DataFrame, id: String, text: String,
+      minContainment: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(probes.sparkSession)
+    val probeSets = probes.select(col(id).as("probe_id"),
+      Dedup.wordTrigrams(col(text)).as("__tgp"))
+    incoming
+      .select(col(id).as("doc_id"), Dedup.wordTrigrams(col(text)).as("__tgd"))
+      .crossJoin(broadcast(probeSets))
+      .select(col("doc_id"), col("probe_id"),
+        size(array_intersect(col("__tgd"), col("__tgp"))).cast("long")
+          .as("overlap"),
+        (size(array_intersect(col("__tgd"), col("__tgp"))).cast("double")
+          / size(col("__tgp"))).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

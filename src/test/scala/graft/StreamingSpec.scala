@@ -199,6 +199,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch containment screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val probe = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, probe), // the benchmark document
+      (100L, s"intro words here $probe trailing words after"), // full inclusion
+      (101L, "completely unrelated content with different tokens entirely"),
+      (102L, "alpha beta gamma delta filler filler filler")) // partial overlap
+      .toDF("doc_id", "text")
+    val batch = graft.operators.Decontaminate.contamination(
+        corpus, "doc_id", "text",
+        probePred = col("doc_id") < 10, minContainment = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(batch.size == 2, s"fixture should plant full + partial hits: $batch")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_decontam")
+    corpus.filter(col("doc_id") >= 10)
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.contaminationStream(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      corpus.filter(col("doc_id") < 10), "doc_id", "text",
+      minContainment = 0.3)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch,
+        s"stream $streamed must equal batch $batch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("row-level MinHash signature equals the batch sketch aggregate") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
