@@ -154,6 +154,60 @@ object Multimodal {
       }
   }
 
+  /** Typed output row of [[resizeImages]]: undecodable payloads pass
+    * through with width/height = -1 and their original bytes (flagged, not
+    * dropped — a curation pipeline decides downstream). */
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      bytes: Array[Byte])
+
+  /** Real image resize: ImageIO decode → bilinear resample to fit within
+    * (maxW, maxH) preserving aspect ratio (never upscaling) → PNG
+    * re-encode. Output dimensions are the closed form
+    * `floor(dim · min(1, maxW/w, maxH/h))` (≥1), so a SQL oracle can state
+    * them; pixels come from the JDK's deterministic bilinear Graphics2D
+    * path. Same narrow mapPartitions shape as decode — no shuffle, one
+    * pipeline stage at 100 TB. */
+  def resizeImages(
+      media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    require(maxW > 0 && maxH > 0, s"bad resize bounds: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mediaId, kind, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ResizedMedia(mediaId, kind, -1, -1, bytes)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val ow = math.max(1, math.floor(w * scale).toInt)
+            val oh = math.max(1, math.floor(h * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(mediaId, kind, ow, oh, bos.toByteArray)
+          }
+        }
+      }
+  }
+
   /** Deterministic synthetic PNG corpus keyed off an id column: each id
     * renders a small gradient image whose pixels, dimensions, and encoded
     * bytes are pure functions of the id. Exists so the REAL ImageIO decode

@@ -158,6 +158,36 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("resize fits within bounds, never upscales, and is deterministic") {
+    import spark.implicits._
+    // 4×8 authored PNG → fit 4×4: scale min(1, 4/4, 4/8) = 0.5 → 2×4
+    val img = new java.awt.image.BufferedImage(
+      4, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    def run() = Multimodal.resizeImages(media, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    val out = run()
+    assert(out(1L).width == 2 && out(1L).height == 4)
+    // resized payload must itself decode to the stated dimensions
+    val decoded = Multimodal.ImageCodec.decode(out(1L).bytes, 4)
+    assert(decoded.exists { case (w, h, _) => w == 2 && h == 4 })
+    // undecodable rows are flagged, not dropped
+    assert(out(2L).width == -1 && out(2L).height == -1
+      && out(2L).bytes.sameElements("not an image".getBytes("UTF-8")))
+    // bilinear resample + PNG encode are deterministic across runs
+    assert(run()(1L).bytes.sameElements(out(1L).bytes))
+    // an image already inside the bounds is not upscaled
+    val small = Multimodal.resizeImages(media, 64, 64).collect()
+      .filter(_.media_id == 1L).head
+    assert(small.width == 4 && small.height == 8)
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val a = Multimodal.extractFeatures(media).collect()
