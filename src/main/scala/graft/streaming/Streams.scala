@@ -204,15 +204,19 @@ object Streams {
     * `Dedup.jaccardOfSets` arithmetic as every batch pair path.
     *
     * State: `dropDuplicates` on the candidate pair collapses multi-band
-    * collisions; without a watermark the pair-key state grows with
-    * distinct emitted candidates (spec/demo mode — same documented trade
-    * as [[dedupStream]]; production adds an event-time watermark on the
-    * incoming side and `dropDuplicatesWithinWatermark`).
+    * collisions. With `watermark = Some((tsCol, delay))` the pair state is
+    * BOUNDED via `dropDuplicatesWithinWatermark` — the event-time tag is
+    * carried through the band explode and the stream-static joins, and a
+    * candidate pair re-surfacing later than the delay may emit again (the
+    * standard state-size/completeness trade, as in [[dedupStream]]). With
+    * None the pair-key state grows with distinct emitted candidates —
+    * spec/demo mode only.
     *
     * @return streaming frame of (base_id, new_id, jaccard ≥ threshold) */
   def nearDupAgainstBase(
       incoming: DataFrame, base: DataFrame, id: String, text: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      watermark: Option[(String, String)] = None): DataFrame = {
     graft.functions.GraftFunctions.register(base.sparkSession)
     val baseIdx = Dedup.bandedBuckets(base, id, text)
       .withColumnRenamed("doc_id", "base_id")
@@ -221,19 +225,30 @@ object Streams {
       .select(col(id).as("base_id"), Dedup.wordTrigrams(col(text)).as("__tgb"))
       .localCheckpoint()
     val prime = graft.functions.GraftFunctions.HashPrime
-    val newBuckets = incoming
-      .select(col(id).as("new_id"), Dedup.wordTrigrams(col(text)).as("__tga"))
+    val src = watermark.fold(incoming) { case (c, d) =>
+      incoming.withWatermark(c, d)
+    }
+    // the event-time column must survive every projection below, or the
+    // within-watermark dedup loses its tag and the query fails analysis
+    val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
+    val newBuckets = src
+      .select(Seq(col(id).as("new_id"),
+        Dedup.wordTrigrams(col(text)).as("__tga")) ++ tsCols: _*)
       .withColumn("__sig", graft.functions.GraftFunctions.minHashRow(
         transform(col("__tga"), t => pmod(xxhash64(t), lit(prime)))))
-      .select(col("new_id"), col("__tga"),
-        explode(Dedup.bandStructs(col("__sig"))).as("bk"))
-      .select(col("new_id"), col("__tga"),
-        col("bk.band").as("band"), col("bk.bh").as("bh"))
-    newBuckets
+      .select(Seq(col("new_id"), col("__tga"),
+        explode(Dedup.bandStructs(col("__sig"))).as("bk")) ++ tsCols: _*)
+      .select(Seq(col("new_id"), col("__tga"),
+        col("bk.band").as("band"), col("bk.bh").as("bh")) ++ tsCols: _*)
+    val cand = newBuckets
       .join(baseIdx, Seq("band", "bh")) // stream-static equi-join
       .filter(col("base_id") =!= col("new_id"))
-      .select(col("base_id"), col("new_id"), col("__tga"))
-      .dropDuplicates("base_id", "new_id")
+      .select(Seq(col("base_id"), col("new_id"), col("__tga")) ++ tsCols: _*)
+    val deduped = watermark match {
+      case Some(_) => cand.dropDuplicatesWithinWatermark("base_id", "new_id")
+      case None => cand.dropDuplicates("base_id", "new_id")
+    }
+    deduped
       .join(baseSets, Seq("base_id")) // stream-static: shingle sets once
       .select(col("base_id"), col("new_id"),
         Dedup.jaccardOfSets(col("__tga"), col("__tgb")).as("jaccard"))

@@ -197,6 +197,38 @@ class StreamingSpec extends AnyFunSuite {
         s"missed ${batch.keySet -- streamed.keySet} / " +
           s"extra ${streamed.keySet -- batch.keySet}")
     } finally q.stop()
+
+    // watermark-bounded (production) mode: the event-time tag must survive
+    // the band explode and stream-static joins into the within-watermark
+    // dedup, and in-window output must still equal batch
+    val schemaTs = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val dirTs = java.nio.file.Files.createTempDirectory("graft_stream_nd_wm")
+    docs.filter(isNew).select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      .write.mode("overwrite").parquet(dirTs.toString)
+    val bounded = Streams.nearDupAgainstBase(
+      spark.readStream.schema(schemaTs).parquet(dirTs.toString),
+      base, "doc_id", "text", threshold = 0.6,
+      watermark = Some(("ts", "10 minutes")))
+    val q2 = bounded.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_wm_out").start()
+    try {
+      q2.processAllAvailable()
+      val streamedWm = spark.table("neardup_wm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Dedup.minHashLshPairsAcross(
+          base, docs.filter(isNew), "doc_id", "text", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(streamedWm == batch,
+        s"watermark mode diverged: missed ${batch.keySet -- streamedWm.keySet}")
+    } finally q2.stop()
   }
 
   test("streaming decontamination equals the batch containment screen") {
