@@ -208,6 +208,70 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame of a video payload. `frame` is a real PNG (tiny,
+    * deterministic), so sampled frames feed straight into the image path
+    * ([[ImageCodec]], [[extractFeatures]], [[resizeImages]]). */
+  final case class SampledFrame(
+      media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Frame sampling for video payloads: one row per sampled timestamp at a
+    * fixed `everyMs` interval, capped at `maxFramesPerMedia`.
+    *
+    * The SEEK+DECODE is the labeled stub — the JDK has no video codec and
+    * this container has no native ones, so frame pixels are synthesized
+    * deterministically from (payload hash, timestamp) and encoded as real
+    * 8×8 PNGs. A production build replaces only that synthesis with an
+    * FFmpeg/JNI call; everything Spark-side is real and unchanged by the
+    * swap: duration-driven fan-out cardinality, per-frame schema, the
+    * narrow flatMap-shaped mapPartitions (no shuffle), and downstream
+    * composition with the real image operators. */
+  def sampleFrames(
+      media: DataFrame, everyMs: Long,
+      maxFramesPerMedia: Int = 32): Dataset[SampledFrame] = {
+    require(everyMs > 0, s"everyMs must be positive: $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mediaId, kind, bytes) =>
+          // stub metadata probe: duration drives the sampling cardinality
+          val (_, _, durMs, _) = StubDecoder.decode(kind, bytes, 1)
+          val n = math.min(maxFramesPerMedia.toLong, durMs / everyMs + 1).toInt
+          val seed = mediaId * 0x9E3779B97F4A7C15L ^ bytes.length
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            SampledFrame(mediaId, i, ts, stubFramePng(seed, ts))
+          }
+        }
+      }
+  }
+
+  /** STUB frame synthesis (see [[sampleFrames]]): an 8×8 gradient seeded
+    * by (payload seed, timestamp), encoded as a genuine PNG. */
+  private def stubFramePng(seed: Long, tsMs: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val r = Math.floorMod(seed + tsMs + x * 31 + y * 7, 256L).toInt
+        val g = Math.floorMod(seed * 31 + tsMs + x * 7 + y * 31, 256L).toInt
+        val b = Math.floorMod(seed * 17 + tsMs * 3 + x + y, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG corpus keyed off an id column: each id
     * renders a small gradient image whose pixels, dimensions, and encoded
     * bytes are pure functions of the id. Exists so the REAL ImageIO decode

@@ -80,6 +80,19 @@ object MultimodalQ {
       .select(col("media_id"), col("width"), col("height"))
   }
 
+  /** Frame sampling over the video slice of the media table. Cardinality
+    * derives from the STUB duration probe (engine-specific hashing → no
+    * SQL oracle, rows-only), but the output is fully deterministic and the
+    * frames are real PNGs — the digest column pins their bytes. */
+  val qM5FrameSample = Q.rowsOnly("q_m5_frame_sample") { (s, d) =>
+    Multimodal.sampleFrames(
+        Multimodal.asMediaTable(documents(s, d), "doc_id", "text"),
+        everyMs = 60000L).toDF()
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        md5(col("frame")).as("frame_digest"))
+  }
+
   val all: Seq[Q] =
-    Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize)
+    Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
+      qM5FrameSample)
 }

@@ -188,6 +188,33 @@ class NorthStarSpec extends AnyFunSuite {
     assert(small.width == 4 && small.height == 8)
   }
 
+  test("frame sampling fans out per stub duration and frames feed the image path") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, everyMs = 60000L)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    // cardinality: min(cap, duration/interval + 1) per video, ts arithmetic
+    val byMedia = rows.groupBy(_.media_id)
+    val durations = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.duration_ms).toMap
+    byMedia.foreach { case (id, fs) =>
+      val expected = math.min(32L, durations(id) / 60000L + 1).toInt
+      assert(fs.length == expected, s"media $id: ${fs.length} != $expected")
+      fs.sortBy(_.frame_idx).zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_idx == i && f.ts_ms == i * 60000L)
+      }
+    }
+    // every frame is a REAL PNG: decodable by the image codec at 8×8
+    rows.take(5).foreach { f =>
+      val d = Multimodal.ImageCodec.decode(f.frame, 4)
+      assert(d.exists { case (w, h, _) => w == 8 && h == 8 }, s"frame $f")
+    }
+    // deterministic across runs (stable digests for the rows-only gate)
+    val again = Multimodal.sampleFrames(media, everyMs = 60000L).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.frame.toSeq).toMap
+    rows.foreach(f => assert(again((f.media_id, f.frame_idx)) == f.frame.toSeq))
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val a = Multimodal.extractFeatures(media).collect()
