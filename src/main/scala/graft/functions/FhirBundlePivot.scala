@@ -97,12 +97,23 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
         while (t == JsonToken.FIELD_NAME) {
           val name = jp.currentName()
           val vt = jp.nextToken()
-          if (name == "timestamp" && vt.isScalarValue) {
+          if (name == "timestamp") {
             // last occurrence wins, including an explicit null — matching
-            // the Jackson-converter overwrite the from_json baselines apply
-            timestamp =
-              if (vt == JsonToken.VALUE_NULL) null
-              else UTF8String.fromString(jp.getText)
+            // the Jackson-converter overwrite the from_json baselines
+            // apply. Non-string values replicate Catalyst's StringType
+            // converter exactly: strings via getText, anything else
+            // (numbers, booleans, objects, arrays) written back out as
+            // JSON text via copyCurrentStructure — so a structured
+            // timestamp yields its JSON serialization, not null.
+            timestamp = vt match {
+              case JsonToken.VALUE_NULL => null
+              case JsonToken.VALUE_STRING => UTF8String.fromString(jp.getText)
+              case _ =>
+                val bos = new java.io.ByteArrayOutputStream()
+                val gen = factory.createGenerator(bos)
+                try gen.copyCurrentStructure(jp) finally gen.close()
+                UTF8String.fromBytes(bos.toByteArray)
+            }
           } else if (name == "entry") {
             // duplicate top-level 'entry' keys: LAST occurrence wins —
             // from_json's converter overwrites the field per occurrence, so

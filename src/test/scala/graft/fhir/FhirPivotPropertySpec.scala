@@ -90,17 +90,28 @@ class FhirPivotPropertySpec extends AnyFunSuite {
     Gen.oneOf(Gen.const("null"), Gen.const("7"), Gen.const("[1,2]"),
       word.map("\"" + _ + "\""))
 
+  /** Timestamp VALUE of any JSON shape: the expression must replicate
+    * from_json's StringType conversion for every one of these (strings via
+    * getText, null as null, everything else re-serialized as JSON text). */
+  private val tsValueGen: Gen[String] = Gen.oneOf(
+    word.map("\"" + _ + "\""),
+    Gen.const("null"),
+    Gen.choose(0, 999999).map(_.toString),
+    Gen.oneOf("true", "false"),
+    word.map(w => s"""{"inner":"$w","n":3}"""),
+    word.map(w => s"""["$w",7]"""))
+
   private def bundleGen(entryGen: Gen[String]): Gen[String] = for {
     n <- Gen.choose(0, 6)
     entries <- Gen.listOfN(n, entryGen)
-    ts <- Gen.option(word)
+    ts <- Gen.option(tsValueGen)
     junkKey <- word.map("zz_" + _)
     junkVal <- junkJson(2)
     entryFirst <- Gen.oneOf(true, false)
   } yield {
     val fields = scala.collection.mutable.ListBuffer[String]()
     val entry = s""""entry":[${entries.mkString(",")}]"""
-    ts.foreach(t => fields += s""""timestamp":"$t"""")
+    ts.foreach(t => fields += s""""timestamp":$t""")
     fields += s""""$junkKey":$junkVal"""
     val all = if (entryFirst) entry +: fields else (fields :+ entry).toSeq
     all.mkString("{", ",", "}")
