@@ -140,18 +140,83 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder setup would go here (JNI handles etc.)
         it.map { case (mediaId, kind, bytes) =>
-          val real =
+          val image =
             if (kind == "image") ImageCodec.decode(bytes, featureDim) else None
-          real match {
-            case Some((w, h, feats)) =>
+          val audio =
+            if (kind == "audio") AudioCodec.decode(bytes, featureDim) else None
+          (image, audio) match {
+            case (Some((w, h, feats)), _) =>
               MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, 0L, feats)
-            case None =>
-              // audio/video (no JDK codec) and unrecognizable image bytes
+            case (_, Some((dur, feats))) =>
+              MediaFeatures(mediaId, kind, bytes.length.toLong, 0, 0, dur, feats)
+            case _ =>
+              // video (no JDK codec) and unrecognizable image/audio bytes
               val (w, h, d, feats) = StubDecoder.decode(kind, bytes, featureDim)
               MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, d, feats)
           }
         }
       }
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` — WAV/AIFF/AU
+    * PCM needs no external codec even offline. Emits the true duration
+    * (frame count over frame rate) and `featureDim` time-band RMS
+    * amplitudes normalized to [0,1] (channels pooled) — a deterministic
+    * pure-arithmetic reduction of the decoded samples. Only 16-bit signed
+    * PCM is handled (the dominant WAV layout); anything else returns None
+    * and falls back to the labeled stub. */
+  object AudioCodec {
+
+    /** None when the payload is not a recognizable 16-bit PCM audio file. */
+    def decode(bytes: Array[Byte], featureDim: Int)
+        : Option[(Long, Array[Float])] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case scala.util.control.NonFatal(_) => null
+        }
+      if (ais == null) None
+      else {
+        try {
+          val fmt = ais.getFormat
+          val ok = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && ais.getFrameLength > 0
+          if (!ok) None
+          else {
+            val frames = ais.getFrameLength
+            val durationMs = frames * 1000L / math.round(fmt.getFrameRate)
+            val raw = ais.readAllBytes()
+            val channels = fmt.getChannels
+            val nSamples = raw.length / 2
+            val sums = new Array[Double](featureDim)
+            val counts = new Array[Long](featureDim)
+            var i = 0
+            while (i < nSamples) {
+              val lo = raw(2 * i) & 0xFF
+              val hi = raw(2 * i + 1) & 0xFF
+              val s =
+                if (fmt.isBigEndian) ((raw(2 * i) << 8) | hi).toShort
+                else ((raw(2 * i + 1) << 8) | lo).toShort
+              // pooled channels: frame index drives the band
+              val band = math.min(featureDim - 1,
+                ((i / channels).toLong * featureDim / frames).toInt)
+              sums(band) += s.toDouble * s.toDouble
+              counts(band) += 1
+              i += 1
+            }
+            val feats = Array.tabulate(featureDim) { b =>
+              if (counts(b) == 0) 0f
+              else (math.sqrt(sums(b) / counts(b)) / 32768.0).toFloat
+            }
+            Some((durationMs, feats))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally ais.close()
+      }
+    }
   }
 
   /** Typed output row of [[resizeImages]]: undecodable payloads pass
@@ -270,6 +335,43 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic synthetic WAV corpus keyed off an id column: 8 kHz
+    * 16-bit mono PCM, frame count `800 + (id % 32)·80` (so the true
+    * duration is the closed form `(800 + id%32·80)/8` ms — an oracle can
+    * state what a correct decoder must recover), samples a deterministic
+    * square-ish wave whose amplitude is a pure function of the id. Same
+    * rationale as [[syntheticImages]]: the REAL decode path gets a
+    * registered, driver-checkable query (q_m6). */
+  def syntheticAudio(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val frames = 800 + (mid % 32).toInt * 80
+          val amp = (1000 + (mid % 7) * 4000).toInt // peak sample value
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            // square wave, 100-frame half-period: RMS equals |amp| exactly
+            val s = (if ((i / 100) % 2 == 0) amp else -amp).toShort
+            pcm(2 * i) = (s & 0xFF).toByte // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (mid, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
   }
 
   /** Deterministic synthetic PNG corpus keyed off an id column: each id

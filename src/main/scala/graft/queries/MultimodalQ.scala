@@ -92,7 +92,25 @@ object MultimodalQ {
         md5(col("frame")).as("frame_digest"))
   }
 
+  /** REAL audio decode, hash-certified: synthetic 8 kHz WAVs carry a frame
+    * count that is a pure function of the id, so the oracle states the
+    * duration a correct decoder must recover — javax.sound PCM decode on
+    * the Spark side, closed-form arithmetic on the DuckDB side. Band RMS
+    * features ride the same decode and are pinned exactly in
+    * NorthStarSpec. */
+  val qM6AudioDecode = Q(
+    "q_m6_audio_decode",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST((800 + (doc_id % 32) * 80) * 1000 / 8000 AS BIGINT)
+      |         AS duration_ms
+      |FROM documents WHERE doc_id % 8 = 1""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticAudio(
+        documents(s, d).filter(col("doc_id") % 8 === 1), "doc_id")).toDF()
+      .select(col("media_id"), col("duration_ms"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
-      qM5FrameSample)
+      qM5FrameSample, qM6AudioDecode)
 }

@@ -158,6 +158,60 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("javax.sound path decodes an authored WAV to exact duration and RMS") {
+    import spark.implicits._
+    // 800 frames at 8 kHz = exactly 100 ms; 4 bands of 200 frames, each a
+    // square wave of known amplitude — band RMS equals the amplitude
+    val amps = Seq(2000, 8000, 16000, 32000)
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val a = amps(i * 4 / frames)
+      val s = (if ((i / 50) % 2 == 0) a else -a).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      (5L, "audio", bos.toByteArray),
+      (6L, "audio", "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.extractFeatures(media, featureDim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(5L).duration_ms == 100L
+      && out(5L).width == 0 && out(5L).height == 0)
+    out(5L).features.zip(amps).foreach { case (got, a) =>
+      assert(math.abs(got - a / 32768.0) < 1e-7,
+        s"${out(5L).features.toSeq} vs $amps")
+    }
+    // unrecognizable audio bytes fall back to the labeled stub
+    val (w, h, d, feats) =
+      Multimodal.StubDecoder.decode("audio", "not a wav".getBytes("UTF-8"), 4)
+    assert(out(6L).width == w && out(6L).height == h
+      && out(6L).duration_ms == d && out(6L).features.sameElements(feats))
+  }
+
+  test("synthetic audio corpus round-trips through the real decoder") {
+    val wavs = Multimodal.syntheticAudio(
+      docs.filter(col("doc_id") % 8 === 1), "doc_id")
+    val feats = Multimodal.extractFeatures(wavs).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val expected = (800 + (f.media_id % 32) * 80) * 1000 / 8000
+      assert(f.duration_ms == expected,
+        s"decoded duration disagrees with authored frames: $f")
+      // square wave of amplitude 1000 + (id%7)*4000 → every band's RMS is
+      // exactly that amplitude
+      val amp = (1000 + (f.media_id % 7) * 4000) / 32768.0
+      f.features.foreach(v => assert(math.abs(v - amp) < 1e-7, s"$f"))
+    }
+  }
+
   test("resize fits within bounds, never upscales, and is deterministic") {
     import spark.implicits._
     // 4×8 authored PNG → fit 4×4: scale min(1, 4/4, 4/8) = 0.5 → 2×4
