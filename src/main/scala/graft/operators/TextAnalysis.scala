@@ -258,6 +258,43 @@ object TextAnalysis {
     prefix < byStratum
   }
 
+  /** Per-document distinctive terms: top-k tokens by tf-idf, with a
+    * RATIONAL idf — `score = tf · (N+1)/(df+1)` — instead of the usual
+    * log form. Rational on purpose: the score stays inside exact IEEE
+    * +/×/÷ arithmetic that DuckDB reproduces bit-for-bit, so the operator
+    * is hash-certifiable (a transcendental `ln` may differ in the last
+    * ulp across libms). Like log-idf it is strictly decreasing in df, so
+    * rarity ordering at equal tf is identical; across mixed tf it weighs
+    * rarity more sharply — fine for distinctive-term extraction, which
+    * wants exactly that emphasis.
+    *
+    * Scale shape: one explode → (doc, tok) hash-agg for tf (map-side
+    * partials), a (tok) hash-agg for df, corpus size joined in as a
+    * 1-row broadcast aggregate (no driver-side count), and the top-k
+    * window partitions per document — bounded by per-doc vocabulary,
+    * never corpus-wide.
+    *
+    * @return doc_id, term, tf, df, score, rank (1..k) */
+  def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = Dedup.fanOut(docs)
+      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * (col("n_docs") + lit(1L))
+          / (col("df") + lit(1L))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

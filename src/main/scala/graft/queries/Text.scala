@@ -307,8 +307,32 @@ object Text {
         sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
   }
 
+  /** Distinctive terms per document: top-3 by rational tf-idf
+    * (tf·(N+1)/(df+1) — exact IEEE arithmetic both engines reproduce;
+    * see TextAnalysis.tfidfTopTerms for why not log-idf). */
+  val qT13TfIdf = Q(
+    "q_t13_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+      |             CAST(t.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)
+      |               AS score
+      |      FROM tf t, df d, n WHERE t.term = d.term),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                  ORDER BY score DESC, term) AS rank
+      |      FROM s)
+      |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin) { (s, d) =>
+    tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
-      qT11Pack, qT12Stratified)
+      qT11Pack, qT12Stratified, qT13TfIdf)
 }
