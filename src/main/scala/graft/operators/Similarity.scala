@@ -247,6 +247,79 @@ object Similarity {
       struct(dot(v, typedlit(c.toSeq)).as("cs"), lit(-i).as("nl"))
     }
 
+  /** Embedding-space clustering as a first-class operator: every vector
+    * assigned to its nearest spherical k-means centroid. Same machinery as
+    * the IVF coarse quantizer — bounded deterministic sample training
+    * ([[kmeansCentroids]]), literal centroids, map-side codegen'd argmax —
+    * so assignment is a pure projection: no shuffle touches a corpus
+    * vector, and the whole operator is one scan at any corpus size.
+    * Deterministic end to end (hash-drawn sample, tie-to-lowest-id
+    * argmax) → reproducible cluster ids, rows-only certification.
+    *
+    * @return vec_id, cluster (0-based), cos_sim (cosine to the centroid) */
+  def kMeansAssign(
+      emb: DataFrame, id: String, vec: String,
+      k: Int = IvfLists, iters: Int = IvfKMeansIters,
+      sampleN: Int = IvfSample): DataFrame = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n, k, iters, sampleN)
+    n.withColumn("__best", greatest(listScores(col("v"), cents): _*))
+      .select(col("vec_id"),
+        (col("__best.nl") * lit(-1)).cast("int").as("cluster"),
+        (col("__best.cs") / col("nrm")).as("cos_sim"))
+  }
+
+  /** Diversity subsampling: keep the `perCluster` vectors with the
+    * smallest (xxhash64(id), id) per k-means cluster — a deterministic
+    * hash draw, the standard embedding-space de-biasing step before
+    * training (cap over-represented modes instead of uniform random
+    * sampling).
+    *
+    * Two-level selection, NOT a per-cluster window (a window
+    * `partitionBy(cluster)` would pull each cluster — potentially most of
+    * the corpus for a dominant mode — through one task):
+    *  1. per partition, a bounded heap keeps at most `perCluster` rows per
+    *     cluster (memory k·perCluster per task, constant);
+    *  2. the exact global selection then runs over at most
+    *     perCluster·numPartitions rows per cluster — never the cluster
+    *     itself.
+    * Hash ties are broken by the id's string form in BOTH phases, so the
+    * kept set is reproducible across runs and repartitioning.
+    *
+    * @return vec_id, cluster (the kept rows) */
+  def diversitySample(
+      emb: DataFrame, id: String, vec: String,
+      perCluster: Int, k: Int = IvfLists): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val spark = emb.sparkSession
+    val assigned = kMeansAssign(emb, id, vec, k)
+      .select(col("vec_id"), col("cluster"),
+        xxhash64(col("vec_id")).as("__h"))
+    implicit val ord: Ordering[(Long, String)] =
+      Ordering.Tuple2(Ordering.Long, Ordering.String)
+    val partial = assigned.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.PriorityQueue[
+          ((Long, String), org.apache.spark.sql.Row)]]
+      it.foreach { r =>
+        val key = (r.getLong(2), String.valueOf(r.get(0)))
+        val q = heaps.getOrElseUpdate(r.getInt(1),
+          scala.collection.mutable.PriorityQueue.empty[
+            ((Long, String), org.apache.spark.sql.Row)](Ordering.by(_._1)))
+        q.enqueue((key, r))
+        if (q.size > perCluster) { q.dequeue(); () } // drop current largest
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }
+    val reduced = spark.createDataFrame(partial, assigned.schema)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__h"), col("vec_id").cast("string"))
+    reduced
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= perCluster)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** IVF-style ANN. The coarse quantizer is k-means trained on a bounded
     * deterministic sample ([[kmeansCentroids]]); centroids then ride into
     * the plan as literals, so the corpus-side list assignment is a pure

@@ -39,5 +39,20 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5)
   }
 
-  val all: Seq[Q] = Seq(qX1TopK, qX2LshTopK, qX3IvfTopK)
+  /** Embedding k-means assignment (deterministic hash-sampled training,
+    * literal-centroid map-side argmax). Engine-specific float iteration →
+    * rows-only; determinism + planted-cluster purity pinned in specs. */
+  val qX4KMeans = Q.rowsOnly("q_x4_kmeans") { (s, d) =>
+    Similarity.kMeansAssign(embeddings(s, d), "vec_id", "embedding")
+  }
+
+  /** Diversity subsample: ≤ 32 vectors per k-means cluster by
+    * deterministic hash draw (two-level bounded selection). */
+  val qX5Diversity = Q.rowsOnly("q_x5_diversity") { (s, d) =>
+    Similarity.diversitySample(embeddings(s, d), "vec_id", "embedding",
+      perCluster = 32)
+  }
+
+  val all: Seq[Q] =
+    Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity)
 }

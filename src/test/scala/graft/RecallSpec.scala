@@ -95,6 +95,57 @@ class RecallSpec extends AnyFunSuite {
       f"IVF must excel on clustered data: $r%.3f (near-uniform floor is 0.8)")
   }
 
+  test("k-means recovers planted clusters; diversity sample caps every mode") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u(seed: Long): Double =
+      (Math.floorMod(mix(seed), 1000001L) / 500000.0) - 1.0
+    val rows = for (c <- 0 until 16; m <- 0 until 64) yield {
+      val id = (c * 64 + m).toLong
+      ((id, Array.tabulate(64)(d =>
+        (u(c.toLong * 7919 + d) + 0.05 * u(id * 104729 + d)).toFloat)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val assigned = Similarity.kMeansAssign(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // purity: fraction of each planted cluster landing in its modal
+    // k-means cluster (merges keep purity at 1; only splits lower it)
+    val purities = (0 until 16).map { c =>
+      val ids = (0 until 64).map(m => (c * 64 + m).toLong)
+      val modal = ids.groupBy(assigned).values.map(_.size).max
+      modal.toDouble / ids.size
+    }
+    val purity = purities.sum / purities.size
+    println(f"kmeans planted purity = $purity%.3f")
+    assert(purity >= 0.75, f"k-means lost the planted structure: $purity%.3f")
+    // determinism: hash-drawn sample + tie-to-lowest argmax, bit-stable
+    val again = Similarity.kMeansAssign(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == assigned)
+    // diversity sample: per-cluster quota enforced, selection deterministic
+    val kept = Similarity.diversitySample(
+      emb, "vec_id", "embedding", perCluster = 10, k = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byCluster = kept.groupBy(_._2)
+    byCluster.foreach { case (c, ks) =>
+      assert(ks.length <= 10, s"cluster $c over quota: ${ks.length}")
+    }
+    val clusterSizes = assigned.groupBy(_._2).view.mapValues(_.size).toMap
+    clusterSizes.foreach { case (c, size) =>
+      assert(byCluster.get(c).map(_.length).getOrElse(0)
+        == math.min(10, size), s"cluster $c under-sampled")
+    }
+    val keptAgain = Similarity.diversitySample(
+      emb, "vec_id", "embedding", perCluster = 10, k = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(keptAgain.toSet == kept.toSet)
+  }
+
   test("IVF top-k recall@5 >= 0.8 on the sf0.1 embeddings") {
     val approx = topSets(Similarity.ivfTopK(
       Tables.embeddings(spark, sf), "vec_id", "embedding", pred, K))
