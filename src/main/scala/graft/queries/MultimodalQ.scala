@@ -110,7 +110,61 @@ object MultimodalQ {
       .select(col("media_id"), col("duration_ms"))
   }
 
+  /** REAL video decode, hash-certified: synthetic Y4M clips carry
+    * dimensions and a frame count that are pure functions of the id, so
+    * the oracle states the metadata a correct decoder must recover — the
+    * Y4M header/frame parse runs on the Spark side, closed-form arithmetic
+    * on the DuckDB side. Temporal luma-band features ride the same decode
+    * and are pinned exactly in NorthStarSpec. */
+  val qM7VideoDecode = Q(
+    "q_m7_video_decode",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+      |       CAST(8 + (doc_id % 6) * 2 AS INT) AS height,
+      |       CAST((4 + doc_id % 16) * 100 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 8 = 2""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticVideos(
+        documents(s, d).filter(col("doc_id") % 8 === 2), "doc_id")).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("duration_ms"))
+  }
+
+  /** REAL frame sampling, hash-certified end-to-end: Y4M probe drives the
+    * fan-out cardinality (duration/250ms, nowhere near the 32 cap), each
+    * sampled frame is the ACTUAL decoded frame PNG-encoded, and the query
+    * RE-DECODES every frame through the image path — so the oracle's
+    * closed-form (count, ts, width, height) certifies probe → seek →
+    * YUV→RGB → PNG → ImageIO in one chain. Frames are keyed media_id·32 +
+    * frame_idx (cap 32 makes the packing injective) purely to ride
+    * extractFeatures' one-key schema, then unpacked. */
+  val qM8VideoFrames = Q(
+    "q_m8_video_frames",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+      |                  CAST(8 + (doc_id % 6) * 2 AS INT) AS height,
+      |                  (4 + doc_id % 16) * 100 AS dur
+      |           FROM documents WHERE doc_id % 8 = 2)
+      |SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+      |       CAST(u.i * 250 AS BIGINT) AS ts_ms, width, height
+      |FROM t, unnest(generate_series(0, CAST(dur // 250 AS BIGINT)))
+      |       AS u(i)""".stripMargin) { (s, d) =>
+    val frames = Multimodal.sampleFrames(
+      Multimodal.syntheticVideos(
+        documents(s, d).filter(col("doc_id") % 8 === 2), "doc_id"),
+      everyMs = 250L).toDF()
+    val staged = frames.select(
+      (col("media_id") * 32 + col("frame_idx")).as("media_id"),
+      lit("image").as("kind"), col("frame").as("bytes"))
+    Multimodal.extractFeatures(staged).toDF()
+      .select(
+        expr("media_id div 32").as("media_id"),
+        (col("media_id") % 32).cast("int").as("frame_idx"),
+        ((col("media_id") % 32) * 250).cast("long").as("ts_ms"),
+        col("width"), col("height"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
-      qM5FrameSample, qM6AudioDecode)
+      qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames)
 }

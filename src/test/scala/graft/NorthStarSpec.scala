@@ -339,6 +339,85 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fr(2L) < 0.05, s"varied text must not: ${fr(2L)}")
   }
 
+  test("Y4M path decodes an authored video to exact metadata and luma bands") {
+    import spark.implicits._
+    // 4 frames of 4×2 C420, constant luma per frame: header + frame walk,
+    // fps 5:1 → duration 4/5 s, band means = Y/255 exactly
+    val lumas = Seq(16, 66, 116, 216)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H2 F5:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    lumas.foreach { l =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      for (_ <- 0 until 8) bos.write(l) // Y plane 4×2
+      for (_ <- 0 until 4) bos.write(128) // U, V planes 2×1 each
+    }
+    val y4m = bos.toByteArray
+    val junk = "definitely not y4m".getBytes("UTF-8")
+    val media = Seq((7L, "video", y4m), (8L, "video", junk))
+      .toDF("media_id", "kind", "bytes")
+    val out = Multimodal.extractFeatures(media, featureDim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(7L).width == 4 && out(7L).height == 2
+      && out(7L).duration_ms == 800L)
+    out(7L).features.zip(lumas).foreach { case (got, l) =>
+      assert(math.abs(got - l / 255.0) < 1e-7,
+        s"${out(7L).features.toSeq} vs $lumas")
+    }
+    // unrecognizable video bytes fall back to the labeled stub
+    val (w, h, d, feats) = Multimodal.StubDecoder.decode("video", junk, 4)
+    assert(out(8L).width == w && out(8L).height == h
+      && out(8L).duration_ms == d && out(8L).features.sameElements(feats))
+    // frame extraction: gray frame (U=V=128) → R=G=B=(298·(Y−16)+128)>>8,
+    // so the PNG's mean Rec.601 luma equals that value exactly
+    val png = Multimodal.VideoCodec.frameAt(y4m, 2).get
+    val decoded = Multimodal.ImageCodec.decode(png, 1).get
+    assert(decoded._1 == 4 && decoded._2 == 2)
+    val expected = ((298 * (116 - 16) + 128) >> 8) / 255.0
+    assert(math.abs(decoded._3.head - expected) < 1e-7,
+      s"${decoded._3.head} vs $expected")
+    assert(Multimodal.VideoCodec.frameAt(y4m, 4).isEmpty, "past-end frame")
+  }
+
+  test("synthetic video corpus round-trips through the real decoder") {
+    val vids = Multimodal.syntheticVideos(
+      docs.filter(col("doc_id") % 8 === 2), "doc_id")
+    val feats = Multimodal.extractFeatures(vids).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width == 8 + (f.media_id % 8).toInt * 2
+        && f.height == 8 + (f.media_id % 6).toInt * 2,
+        s"decoded dims disagree with authored dims: $f")
+      assert(f.duration_ms == (4 + f.media_id % 16) * 100,
+        s"decoded duration disagrees with authored frames: $f")
+      f.features.foreach(v => assert(v >= 0f && v <= 1f))
+    }
+  }
+
+  test("sampled video frames are the real decoded frames at the sampled ts") {
+    val vids = Multimodal.syntheticVideos(
+      docs.filter(col("doc_id") % 8 === 2).limit(6), "doc_id")
+    val payloads = vids.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    val frames = Multimodal.sampleFrames(vids, everyMs = 250L).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val durMs = (4 + id % 16) * 100
+      assert(fs.length == (durMs / 250 + 1).toInt, s"media $id: ${fs.length}")
+      fs.foreach { f =>
+        assert(f.ts_ms == f.frame_idx * 250L)
+        // the emitted PNG is byte-identical to decoding that frame directly
+        val nFrames =
+          Multimodal.VideoCodec.frameCount(payloads(id)).get
+        val idx = math.min(nFrames - 1L, f.ts_ms * 10 / 1000).toInt // 10 fps
+        val direct = Multimodal.VideoCodec.frameAt(payloads(id), idx).get
+        assert(f.frame.sameElements(direct), s"media $id frame ${f.frame_idx}")
+      }
+      // different sampled timestamps hit different frames → distinct bytes
+      assert(fs.map(f => java.util.Arrays.hashCode(f.frame)).distinct.length
+        == fs.length, s"media $id frames should differ")
+    }
+  }
+
   test("aggregation repetition screen equals the per-row HOF form") {
     import graft.operators.TextAnalysis
     val agg = TextAnalysis.repetitionScreen(docs, "doc_id", "text")
