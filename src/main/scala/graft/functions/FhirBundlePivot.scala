@@ -44,7 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `entry: []` → empty arrays;
   *  - unregistered / missing resourceType → resource dropped everywhere;
   *  - duplicate top-level `timestamp`/`entry` keys → last occurrence wins
-  *    (the Jackson converter under from_json overwrites per occurrence).
+  *    (the Jackson converter under from_json overwrites per occurrence),
+  *    EXCEPT a non-array non-null `entry` occurrence: its ArrayType
+  *    conversion fails and from_json's permissive partial row retains the
+  *    previous occurrence's value, so the token loop skips it untouched.
   *
   * Two deliberate IMPROVEMENTS over the declarative formulations (which
   * the fuzz spec pins via a clean-twin property instead):
@@ -115,14 +118,19 @@ case class FhirBundlePivot(child: Expression, registry: StructType)
                 UTF8String.fromBytes(bos.toByteArray)
             }
           } else if (name == "entry") {
-            // duplicate top-level 'entry' keys: LAST occurrence wins —
-            // from_json's converter overwrites the field per occurrence, so
-            // accumulating across occurrences would diverge from the
-            // certified declarative baselines (FhirPivotPropertySpec pins
-            // this with a duplicate-key generator)
-            var bi = 0
-            while (bi < buckets.length) { buckets(bi).clear(); bi += 1 }
-            sawEntry = false
+            // duplicate top-level 'entry' keys: LAST CONVERTIBLE occurrence
+            // wins — from_json's converter overwrites the field per
+            // occurrence for an array or an explicit null, but a NON-ARRAY
+            // value fails its ArrayType conversion and the permissive
+            // partial row RETAINS the previous occurrence's value (probed
+            // against Spark 4.1.2; FhirPivotPropertySpec pins both with
+            // duplicate-key generators), so only array/null occurrences
+            // reset the buckets and a failed one is skipped untouched
+            if (vt == JsonToken.START_ARRAY || vt == JsonToken.VALUE_NULL) {
+              var bi = 0
+              while (bi < buckets.length) { buckets(bi).clear(); bi += 1 }
+              sawEntry = false
+            }
             if (vt == JsonToken.START_ARRAY) {
               sawEntry = true
               var et = jp.nextToken()

@@ -191,9 +191,12 @@ object Multimodal {
       else {
         try {
           val fmt = ais.getFormat
+          // frame rate must be strictly positive: AudioSystem.NOT_SPECIFIED
+          // is -1f, which would otherwise produce a negative duration
           val ok = fmt.getEncoding ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            fmt.getSampleSizeInBits == 16 && ais.getFrameLength > 0
+            fmt.getSampleSizeInBits == 16 && ais.getFrameLength > 0 &&
+            fmt.getFrameRate > 0f
           if (!ok) None
           else {
             val frames = ais.getFrameLength
@@ -352,14 +355,24 @@ object Multimodal {
     def frameCount(bytes: Array[Byte]): Option[Int] =
       parseHeader(bytes).map(m => frameDataOffsets(bytes, m).length)
 
+    /** Header plus materialized frame-data offsets in ONE O(payload) scan:
+      * gives frame count, duration, and direct per-frame addressing without
+      * rescanning from byte 0 per access ([[sampleFrames]]'s hot path). */
+    def frameOffsetTable(bytes: Array[Byte]): Option[(Meta, Array[Int])] =
+      parseHeader(bytes).map(m => (m, frameDataOffsets(bytes, m).toArray))
+
     /** Decode frame `idx` (0-based) to a real PNG via BT.601 limited-range
       * YUV→RGB. None if the payload isn't Y4M or has ≤ idx frames. */
     def frameAt(bytes: Array[Byte], idx: Int): Option[Array[Byte]] =
       parseHeader(bytes).flatMap { m =>
         val it = frameDataOffsets(bytes, m).drop(idx)
         if (!it.hasNext) None
-        else {
-          val off = it.next()
+        else Some(frameAtOffset(bytes, m, it.next()))
+      }
+
+    /** Decode the frame whose pixel data starts at `off` (an entry of
+      * [[frameOffsetTable]]) — the shared YUV→RGB→PNG kernel. */
+    def frameAtOffset(bytes: Array[Byte], m: Meta, off: Int): Array[Byte] = {
           val img = new java.awt.image.BufferedImage(
             m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val cw = if (m.chroma == "420") m.width / 2 else m.width
@@ -390,9 +403,8 @@ object Multimodal {
           }
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
-          Some(bos.toByteArray)
+          bos.toByteArray
         }
-      }
   }
 
   /** Typed output row of [[resizeImages]]: undecodable payloads pass
@@ -480,10 +492,12 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (mediaId, kind, bytes) =>
-          VideoCodec.decode(bytes, 1) match {
-            case Some((_, _, durMs, _)) =>
-              val meta = VideoCodec.parseHeader(bytes).get
-              val nFrames = VideoCodec.frameCount(bytes).get
+          // ONE header parse + ONE offset scan per payload; sampled frames
+          // decode directly from the cached offsets (no per-frame rescans)
+          VideoCodec.frameOffsetTable(bytes) match {
+            case Some((meta, offs)) if offs.nonEmpty =>
+              val nFrames = offs.length
+              val durMs = nFrames.toLong * 1000L * meta.fpsDen / meta.fpsNum
               val n =
                 math.min(maxFramesPerMedia.toLong, durMs / everyMs + 1).toInt
               (0 until n).iterator.map { i =>
@@ -491,9 +505,10 @@ object Multimodal {
                 // nearest-preceding frame at ts (clamped to the last frame)
                 val idx = math.min(nFrames - 1L,
                   ts * meta.fpsNum / (1000L * meta.fpsDen)).toInt
-                SampledFrame(mediaId, i, ts, VideoCodec.frameAt(bytes, idx).get)
+                SampledFrame(mediaId, i, ts,
+                  VideoCodec.frameAtOffset(bytes, meta, offs(idx)))
               }
-            case None =>
+            case _ =>
               // stub fallback: hash-derived duration, synthesized frames
               val (_, _, durMs, _) = StubDecoder.decode(kind, bytes, 1)
               val n =

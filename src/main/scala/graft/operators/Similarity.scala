@@ -283,8 +283,9 @@ object Similarity {
     *  2. the exact global selection then runs over at most
     *     perCluster·numPartitions rows per cluster — never the cluster
     *     itself.
-    * Hash ties are broken by the id's string form in BOTH phases, so the
-    * kept set is reproducible across runs and repartitioning.
+    * Hash ties are broken by the id's UTF-8 byte form under Spark's binary
+    * string collation in BOTH phases, so the kept set is reproducible
+    * across runs and repartitioning.
     *
     * @return vec_id, cluster (the kept rows) */
   def diversitySample(
@@ -295,17 +296,29 @@ object Similarity {
     val assigned = kMeansAssign(emb, id, vec, k)
       .select(col("vec_id"), col("cluster"),
         xxhash64(col("vec_id")).as("__h"))
-    implicit val ord: Ordering[(Long, String)] =
-      Ordering.Tuple2(Ordering.Long, Ordering.String)
+    // Tie-break ids under the SAME collation the window phase uses: Spark
+    // orders strings by UTF-8 bytes (unsigned, byte-wise), which differs
+    // from Scala's UTF-16 code-unit String ordering for supplementary
+    // characters — so the heap keys on UTF-8 bytes, not String.
+    implicit val ord: Ordering[(Long, Array[Byte])] =
+      new Ordering[(Long, Array[Byte])] {
+        def compare(x: (Long, Array[Byte]), y: (Long, Array[Byte])): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c else java.util.Arrays.compareUnsigned(x._2, y._2)
+        }
+      }
     val partial = assigned.rdd.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map
         .empty[Int, scala.collection.mutable.PriorityQueue[
-          ((Long, String), org.apache.spark.sql.Row)]]
+          ((Long, Array[Byte]), org.apache.spark.sql.Row)]]
       it.foreach { r =>
-        val key = (r.getLong(2), String.valueOf(r.get(0)))
+        val key = (r.getLong(2),
+          String.valueOf(r.get(0)).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
         val q = heaps.getOrElseUpdate(r.getInt(1),
           scala.collection.mutable.PriorityQueue.empty[
-            ((Long, String), org.apache.spark.sql.Row)](Ordering.by(_._1)))
+            ((Long, Array[Byte]), org.apache.spark.sql.Row)](
+            Ordering.by(_._1)))
         q.enqueue((key, r))
         if (q.size > perCluster) { q.dequeue(); () } // drop current largest
       }

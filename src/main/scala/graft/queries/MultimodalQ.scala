@@ -55,17 +55,21 @@ object MultimodalQ {
   }
 
   /** REAL resize round-trip, hash-certified: synthetic PNGs → bilinear
-    * fit-within-16×16 → PNG re-encode → RE-DECODE of the resized payload.
+    * fit-within-12×12 → PNG re-encode → RE-DECODE of the resized payload.
     * The reported dimensions come from decoding the resized bytes, so the
-    * oracle's closed-form `floor(dim·min(1, 16/w, 16/h))` certifies the
-    * whole decode→resize→encode→decode chain, not an echoed field. */
+    * oracle's closed-form `floor(dim·min(1, 12/w, 12/h))` certifies the
+    * whole decode→resize→encode→decode chain, not an echoed field. Bounds
+    * of 12 (not 16) make the certified query exercise the REAL resample:
+    * the doc_id%8=0 slice renders w∈{8,16}, h∈{8,12,16}, so 16-pixel dims
+    * downscale by 12/16 = 0.75 — FP-exact, keeping floor(dim·sc)
+    * bit-stable across Spark and DuckDB. */
   val qM4ImageResize = Q(
     "q_m4_image_resize",
     """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
       |                  CAST(8 + doc_id % 16 AS DOUBLE) AS w,
       |                  CAST(8 + doc_id % 12 AS DOUBLE) AS h
       |           FROM documents WHERE doc_id % 8 = 0),
-      |s AS (SELECT media_id, w, h, least(16.0 / w, 16.0 / h, 1.0) AS sc
+      |s AS (SELECT media_id, w, h, least(12.0 / w, 12.0 / h, 1.0) AS sc
       |      FROM t)
       |SELECT media_id,
       |       CAST(greatest(1, floor(w * sc)) AS INT) AS width,
@@ -74,7 +78,7 @@ object MultimodalQ {
     val resized = Multimodal.resizeImages(
       Multimodal.syntheticImages(
         documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id"),
-      maxW = 16, maxH = 16).toDF()
+      maxW = 12, maxH = 12).toDF()
     Multimodal.extractFeatures(
         resized.select(col("media_id"), col("kind"), col("bytes"))).toDF()
       .select(col("media_id"), col("width"), col("height"))

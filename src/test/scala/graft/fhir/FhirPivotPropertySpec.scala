@@ -147,7 +147,15 @@ class FhirPivotPropertySpec extends AnyFunSuite {
     // Jackson's converter under from_json overwrites a field per key
     // occurrence, so the declarative baselines keep only the LAST 'entry'
     // array — the token loop must match (it resets its buckets on a
-    // repeated key instead of accumulating across occurrences)
+    // repeated key instead of accumulating across occurrences). One probed
+    // exception: a NON-ARRAY non-null duplicate fails its ArrayType
+    // conversion and from_json's permissive partial row RETAINS the
+    // previous occurrence's value — the generator interleaves those too
+    // (scalar / object / string / nested junk), anywhere in the key order.
+    val nonArrayEntryGen: Gen[String] =
+      Gen.oneOf(Gen.const("7"), word.map("\"" + _ + "\""),
+        Gen.const("""{"a":1}"""), junkJson(1).suchThat(j =>
+          !j.startsWith("[") && j != "null"))
     val dupBundleGen: Gen[String] = for {
       n1 <- Gen.choose(0, 3)
       n2 <- Gen.choose(0, 3)
@@ -155,12 +163,19 @@ class FhirPivotPropertySpec extends AnyFunSuite {
       e2 <- Gen.listOfN(n2, cleanEntryGen)
       ts1 <- Gen.option(word)
       dupTsNull <- Gen.oneOf(true, false)
+      junkEntry <- Gen.option(nonArrayEntryGen)
+      junkPos <- Gen.choose(0, 2)
+      dupEntryNull <- Gen.oneOf(true, false)
     } yield {
       val fields = scala.collection.mutable.ListBuffer[String]()
       ts1.foreach(t => fields += s""""timestamp":"$t"""")
+      if (junkPos == 0) junkEntry.foreach(j => fields += s""""entry":$j""")
       fields += s""""entry":[${e1.mkString(",")}]"""
       if (dupTsNull && ts1.nonEmpty) fields += s""""timestamp":null"""
+      if (junkPos == 1) junkEntry.foreach(j => fields += s""""entry":$j""")
       fields += s""""entry":[${e2.mkString(",")}]"""
+      if (junkPos == 2) junkEntry.foreach(j => fields += s""""entry":$j""")
+      if (dupEntryNull && junkPos != 2) fields += s""""entry":null"""
       fields.mkString("{", ",", "}")
     }
     (1 to 20).foreach { i =>
