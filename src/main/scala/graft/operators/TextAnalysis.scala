@@ -113,29 +113,110 @@ object TextAnalysis {
     top.cast("double") / size(gs)
   }
 
-  /** Corpus-scale repetition screen: explode bigrams → count per (doc,
-    * bigram) with map-side partial aggregation → max share per doc. Work is
-    * O(total bigrams) with hash aggregation. Two shuffles: Dedup.fanOut's
-    * one bounded pass of raw text (the single-file-parallelism trade its
-    * scaladoc documents), then the aggregation exchange carrying only
-    * (doc, bigram, count) partials. Documents with fewer than 2 tokens
-    * produce no row (no bigrams to judge).
+  /** Corpus-scale repetition screen, shaped as a ZERO-shuffle narrow map:
+    * the statistic is per-document independent, so each document's bigram
+    * counts live in one short-lived per-row table — nothing per-bigram ever
+    * crosses the wire (the earlier explode → two-level hash-agg formulation
+    * shuffled a (doc, bigram, count) partial per distinct bigram and
+    * dominated the whole benchmark). Tokens are interned to dense int ids
+    * and adjacent pairs counted in an open-addressing long→long table, so
+    * counting is EXACT (no hash-collision merging) and allocation-free per
+    * bigram. O(total bigrams) work, one pass; the only exchange is
+    * Dedup.fanOut's bounded spread of the raw text (the single-file-
+    * parallelism trade its scaladoc documents). Documents with fewer than
+    * 2 tokens produce no row (no bigrams to judge).
     *
     * @return doc_id, n_bigrams, top_bigram_frac, verdict ('drop' when the
     *         top bigram holds ≥ dropAt of all bigrams) */
   def repetitionScreen(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       dropAt: Double = 0.05): org.apache.spark.sql.DataFrame = {
-    val frac = col("top").cast("double") / col("n_bigrams")
+    val spark = docs.sparkSession
+    import spark.implicits._
     Dedup.fanOut(docs)
-      .select(col(id).as("doc_id"), explode(bigrams(col(text))).as("gm"))
-      .groupBy("doc_id", "gm")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_bigrams"), max("cnt").as("top"))
-      .select(col("doc_id"), col("n_bigrams"),
-        frac.as("top_bigram_frac"),
-        when(frac >= dropAt, "drop").otherwise("keep").as("verdict"))
+      .select(col(id).cast("long").as("doc_id"), col(text).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, t) =>
+          // exactly Spark's split(text, " "): regex, limit -1 (keep empties)
+          val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
+          if (toks.length < 2) Iterator.empty
+          else {
+            val intern = new java.util.HashMap[String, Integer](
+              math.min(toks.length * 2, 1 << 16))
+            val counts = new LongCounter(toks.length - 1)
+            var prev = -1
+            var top = 0L
+            var i = 0
+            while (i < toks.length) {
+              var tid = intern.get(toks(i))
+              if (tid == null) {
+                tid = Integer.valueOf(intern.size)
+                intern.put(toks(i), tid)
+              }
+              if (i > 0) {
+                val c = counts.increment(
+                  (prev.toLong << 32) | (tid.intValue & 0xffffffffL))
+                if (c > top) top = c
+              }
+              prev = tid.intValue
+              i += 1
+            }
+            val nBigrams = (toks.length - 1).toLong
+            val frac = top.toDouble / nBigrams.toDouble
+            Iterator.single((docId, nBigrams, frac,
+              if (frac >= dropAt) "drop" else "keep"))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "top_bigram_frac", "verdict")
+  }
+
+  /** Open-addressing long→long counter (linear probing, power-of-two
+    * capacity, grows at 60% load). Key 0 is reserved via a +1 shift — pair
+    * keys here are token-id pairs, never Long.MaxValue, so the shift is
+    * safe. Exists to count per-document bigrams without boxing a JVM
+    * object per increment. */
+  private final class LongCounter(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2) - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    /** Add 1 to `key0`'s count; returns the new count. */
+    def increment(key0: Long): Long = {
+      val key = key0 + 1 // shift so 0 means empty slot
+      var idx = (java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L)
+        & (cap - 1))
+      while (true) {
+        val k = keys(idx)
+        if (k == key) { vals(idx) += 1; return vals(idx) }
+        if (k == 0L) {
+          keys(idx) = key; vals(idx) = 1L; n += 1
+          if (n * 5 > cap * 3) grow()
+          return 1L
+        }
+        idx = (idx + 1) & (cap - 1)
+      }
+      0L // unreachable
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) {
+          var idx = (java.lang.Long.hashCode(ok(i) * 0x9E3779B97F4A7C15L)
+            & (cap - 1))
+          while (keys(idx) != 0L) idx = (idx + 1) & (cap - 1)
+          keys(idx) = ok(i); vals(idx) = ov(i)
+        }
+        i += 1
+      }
+    }
   }
 
   /** Greedy sequence packing: assign documents to training shards of
