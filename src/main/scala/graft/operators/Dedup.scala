@@ -79,6 +79,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Span-level duplication profile (the signal behind exact-substring
+    * training-data dedup, Lee et al. ACL'22 "Deduplicating Training Data
+    * Makes Language Models Better"): a span (distinct word trigram here) is
+    * DUPLICATED when it occurs in at least `minDocs` distinct documents;
+    * each document reports how much of it is made of duplicated spans.
+    * Downstream curation drops high-`dup_frac` docs or (as in the paper)
+    * cuts the spans themselves.
+    *
+    * Scale shape — linear, no pairwise anything: explode per-doc distinct
+    * spans (map-side), ONE hash aggregation over spans to count holding
+    * docs (per-doc-distinct makes count(*) = distinct-doc count — no
+    * count-distinct state), a semi-join-shaped left join back on the span
+    * hash, and a final per-doc aggregation. Every exchange carries
+    * (hash, id) pairs, never text. Contrast with [[ngramJaccardPairs]]:
+    * that compares documents (quadratic, guarded); this profiles spans
+    * (linear) — the right tool when the question is "how much boilerplate
+    * does each document carry", not "which documents pair up".
+    *
+    * @return doc_id, n_spans, n_dup_spans, dup_frac */
+  def duplicatedSpans(
+      docs: DataFrame, id: String, text: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spans = fanOut(docs).select(col(id).as("doc_id"),
+      // 64-bit span hashes: exchanges carry 16 B/row instead of raw text
+      explode(transform(wordTrigrams(col(text)), t => xxhash64(t))).as("sp"))
+    // per-doc distinct by construction → count(*) counts holding docs
+    val dup = spans.groupBy("sp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    spans
+      .join(dup, Seq("sp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("nd")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans"))
+          .as("dup_frac"))
+  }
+
   /** MinHash signature length / LSH banding layout. With 128 hashes in
     * 32 bands × 4 rows, a pair at Jaccard 0.9 is missed with probability
     * (1 - 0.9^4)^32 ≈ 1e-15 — effectively exhaustive at the 0.6+ range

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (z-order) interleaving for
+  * write-time clustering.
+  *
+  * Sorting a table by `zValue2(x, y)` before writing makes BOTH x- and
+  * y-range predicates prune files: each output file covers a small square
+  * of (x, y) space instead of a thin slice of one dimension, so parquet
+  * min/max footer stats (or a catalog's file index) skip files for either
+  * predicate. This is the layout step behind "OPTIMIZE ... ZORDER BY"-style
+  * maintenance in lakehouse systems, expressed Spark-first: the z-value is
+  * pure codegen'd column arithmetic (shift/and/or — no UDF), the clustering
+  * is `repartitionByRange` + partition-local sort, and nothing shuffles
+  * except the one range exchange the layout itself requires.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so one zero bit separates each data bit
+    * (Morton "Part1By1", the standard magic-number sequence — public domain
+    * bit-twiddling, e.g. Stanford Bit Twiddling Hacks). Pure column
+    * arithmetic: stays inside whole-stage codegen. */
+  private def part1By1(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton code of the low 16 bits of two non-negative integral
+    * columns: bit i of x lands at position 2i, bit i of y at 2i+1. Callers
+    * bucket wider domains into 16 bits first (e.g. `pmod(k, 65536)` or a
+    * range-rank); 16+16 interleaved bits address 4 billion cells, ample for
+    * file-level clustering. */
+  def zValue2(x: Column, y: Column): Column =
+    part1By1(x).bitwiseOR(shiftleft(part1By1(y), 1))
+
+  /** Cluster `df` for writing: range-partition by the 2-D z-value of
+    * (`xCol`, `yCol`), sort within partitions. Each output task then writes
+    * one file covering a compact z-range = a small (x, y) square.
+    * `numPartitions` is explicit so AQE cannot coalesce the layout away. */
+  def zOrderBy(
+      df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, s"bad partition count: $numPartitions")
+    val z = zValue2(col(xCol), col(yCol)).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

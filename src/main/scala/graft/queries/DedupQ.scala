@@ -197,7 +197,32 @@ object DedupQ {
       .select(col("node").as("vec_id"), col("component").as("cluster_id"))
   }
 
+  /** Span-level duplication profile (Lee et al. ACL'22 shape): per-doc
+    * share of distinct trigram spans held by >= 2 documents. Spark counts
+    * spans by 64-bit hash (exchanges carry 16 B rows); the oracle counts
+    * the raw strings — equal unless two distinct corpus trigrams collide
+    * in xxhash64 (~n²/2⁶⁵; ~1e-8 at a million distinct spans). */
+  val qD9DupSpans = Q(
+    "q_d9_dup_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks) u),
+      |dup AS (SELECT tg FROM (SELECT tg, count(*) AS nd
+      |                        FROM tg GROUP BY 1) c WHERE nd >= 2)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(count(d.tg) AS BIGINT) AS n_dup_spans,
+      |       CAST(count(d.tg) AS DOUBLE) / count(*) AS dup_frac
+      |FROM tg g LEFT JOIN dup d ON g.tg = d.tg
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpans(documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] =
     Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
-      qD6DupClusters, qD7Incremental, qD8EmbedClusters)
+      qD6DupClusters, qD7Incremental, qD8EmbedClusters, qD9DupSpans)
 }

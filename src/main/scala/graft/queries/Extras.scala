@@ -254,11 +254,61 @@ object Extras {
         stableSum(col("s_acctbal")).as("sum_bal"))
   }
 
+  /** Bloom-join: the probe side pre-filters through a Bloom filter of the
+    * build side's keys before the join exchange. Result equals the plain
+    * join exactly (no false negatives; false positives die in the join), so
+    * the oracle states the plain join; the benefit is shuffle volume. */
+  val qK2BloomJoin = Q(
+    "q_k2_bloom_join",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_acctbal > 9000
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val build = customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.BloomJoin
+      .bloomFilteredJoin(
+        orders(s, d).select(col("o_custkey")), build,
+        "o_custkey", "c_custkey", expectedBuildRows = 200000L)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  /** Morton z-value: bit-exact interleave certified against the same
+    * magic-number spreading sequence written in SQL. The layout operator
+    * ([[graft.operators.Layout.zOrderBy]]) range-clusters on this value;
+    * partition-range disjointness is asserted in NorthStarSpec. */
+  val qZ1ZOrder = Q(
+    "q_z1_zorder",
+    """WITH b AS (SELECT event_id, user_id & 65535 AS x,
+      |                  event_id & 65535 AS y
+      |           FROM events),
+      |s1 AS (SELECT event_id,
+      |         (x | (x << 8)) & 16711935 AS x1,
+      |         (y | (y << 8)) & 16711935 AS y1 FROM b),
+      |s2 AS (SELECT event_id,
+      |         (x1 | (x1 << 4)) & 252645135 AS x2,
+      |         (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      |s3 AS (SELECT event_id,
+      |         (x2 | (x2 << 2)) & 858993459 AS x3,
+      |         (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      |s4 AS (SELECT event_id,
+      |         (x3 | (x3 << 1)) & 1431655765 AS x4,
+      |         (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+      |SELECT event_id, CAST(x4 | (y4 << 1) AS BIGINT) AS z
+      |FROM s4""".stripMargin) { (s, d) =>
+    events(s, d).select(col("event_id"),
+      graft.operators.Layout.zValue2(col("user_id"), col("event_id"))
+        .as("z"))
+  }
+
   val all: Seq[Q] = Seq(
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
-    qA5Approx, qK1SaltedAgg,
+    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qZ1ZOrder,
     qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

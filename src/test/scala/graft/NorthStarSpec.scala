@@ -431,4 +431,82 @@ class NorthStarSpec extends AnyFunSuite {
       assert(f == hof(id), s"doc $id: agg $f vs hof ${hof(id)}")
     }
   }
+
+  test("bloom-filtered join equals the plain join row-for-row") {
+    import graft.operators.BloomJoin
+    val build = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val probe = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val bloom = rows(BloomJoin.bloomFilteredJoin(
+      probe, build, "o_custkey", "c_custkey", expectedBuildRows = 10000L))
+    val plain = rows(
+      probe.join(build, col("o_custkey") === col("c_custkey")))
+    assert(plain.nonEmpty, "fixture join should produce rows")
+    assert(bloom == plain)
+  }
+
+  test("z-value interleaves bits exactly; zOrderBy ranges are disjoint") {
+    import graft.operators.Layout
+    def zRef(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val ev = Tables.events(spark, sf)
+    val sample = ev.select(col("user_id"), col("event_id"),
+      Layout.zValue2(col("user_id"), col("event_id")).as("z"))
+      .limit(2000).collect()
+    sample.foreach { r =>
+      val want = zRef(r.getLong(0) & 0xFFFFL, r.getLong(1) & 0xFFFFL)
+      assert(r.getLong(2) == want,
+        s"(${r.getLong(0)}, ${r.getLong(1)}): got ${r.getLong(2)}, " +
+          s"want $want")
+    }
+    // clustering property: each range partition covers a disjoint z-range
+    val ranges = Layout.zOrderBy(ev, "user_id", "event_id", 8)
+      .select(col("user_id"), col("event_id")).rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val zs = it.map(r => zRef(r.getLong(0) & 0xFFFFL,
+          r.getLong(1) & 0xFFFFL)).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator.single((pi, zs.min, zs.max))
+      }.collect().sortBy(_._1)
+    assert(ranges.length > 1, "should spread over multiple partitions")
+    ranges.sliding(2).foreach {
+      case Array((_, _, maxA), (_, minB, _)) =>
+        assert(maxA <= minB,
+          s"overlapping z-ranges: ${ranges.mkString(", ")}")
+      case _ => ()
+    }
+  }
+
+  test("duplicated spans: boilerplate shows up, unique text does not") {
+    import spark.implicits._
+    val boiler = "please subscribe to our newsletter for updates today"
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "entirely original words with no shared phrasing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 11 tokens → 9 distinct trigrams, 6 inside the shared 8-token
+    // boilerplate prefix appear in doc 2 as well
+    assert(out(1L)._1 == 9L && out(1L)._2 == 6L)
+    assert(out(2L)._2 == 6L)
+    assert(out(3L)._3 == 0.0, s"unique doc flagged: ${out(3L)}")
+    assert(out(1L)._3 == 6.0 / 9.0)
+  }
 }
