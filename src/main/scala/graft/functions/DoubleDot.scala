@@ -39,17 +39,25 @@ case class DoubleDot(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: two DoubleDots in one generated
+      // function (e.g. a fused filter evaluating cosine twice) would
+      // otherwise redefine `i`/`n`/`s`, fail janino compilation, and drop
+      // the whole predicate to interpreter mode
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "graft_dot: dimension mismatch " + n + " vs " + $b.numElements());
+         |    "graft_dot: dimension mismatch " + $n + " vs "
+         |      + $b.numElements());
          |}
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -74,37 +82,61 @@ object GraftFunctions {
     (a, b)
   }
 
+  /** Expression-level twin of [[graft.operators.Layout.part1By1]]: spread
+    * the low 16 bits of a (long-cast) expression so one zero bit separates
+    * each data bit. Composed from the same Catalyst nodes the Column form
+    * produces; ExtensionsSpec pins the two bit-equal. */
+  private def part1By1Expr(c: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft}
+    def and(a: Expression, m: Long) = BitwiseAnd(a, Literal(m))
+    def spread(x: Expression, bits: Int, m: Long) =
+      and(BitwiseOr(x, ShiftLeft(x, Literal(bits))), m)
+    val x0 = and(Cast(c, org.apache.spark.sql.types.LongType), 0xFFFFL)
+    val x3 = spread(spread(spread(x0, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+      2, 0x33333333L)
+    and(BitwiseOr(x3, ShiftLeft(x3, Literal(1))), 0x55555555L)
+  }
+
+  /** 2-D Morton code as a raw Catalyst expression (SQL-surface twin of
+    * [[graft.operators.Layout.zValue2]]). */
+  private[graft] def zValue2Expr(x: Expression, y: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseOr, Literal, ShiftLeft}
+    BitwiseOr(part1By1Expr(x), ShiftLeft(part1By1Expr(y), Literal(1)))
+  }
+
+  /** The engine's SQL function surface: one (name, builder) row per
+    * expression. Shared by [[register]] (Scala-side temp functions) and
+    * [[graft.GraftExtensions]] (config-driven `spark.sql.extensions`
+    * injection), so the two surfaces cannot drift. */
+  private[graft] val descriptors:
+      Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
+    "graft_trigrams" -> (exprs => WordTrigrams(exprs.head)),
+    "graft_minhash" -> (exprs =>
+      MinHashSketch(exprs.head, permA, permB, HashPrime)
+        .toAggregateExpression()),
+    "graft_simhash" -> (exprs =>
+      SimHashSketch(exprs.head).toAggregateExpression()),
+    "graft_minhash_row" -> (exprs =>
+      MinHashRow(exprs.head, permA, permB, HashPrime)),
+    "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
+    "graft_fhir_pivot" -> (exprs => {
+      // arg 1 is a foldable string literal carrying the schema registry
+      // as DataType JSON (field order = output column order)
+      val registryJson = exprs(1).eval(null).toString
+      FhirBundlePivot(exprs.head,
+        DataType.fromJson(registryJson).asInstanceOf[StructType])
+    }))
+
   /** Register engine expressions in the session's function registry;
     * idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_trigrams", exprs => WordTrigrams(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSketch(exprs.head, permA, permB, HashPrime)
-        .toAggregateExpression(),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => SimHashSketch(exprs.head).toAggregateExpression(),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_row",
-      exprs => MinHashRow(exprs.head, permA, permB, HashPrime),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_fhir_pivot",
-      exprs => {
-        // arg 1 is a foldable string literal carrying the schema registry
-        // as DataType JSON (field order = output column order)
-        val registryJson = exprs(1).eval(null).toString
-        FhirBundlePivot(exprs.head,
-          DataType.fromJson(registryJson).asInstanceOf[StructType])
-      },
-      "built-in")
+    descriptors.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Column-level dot product. Registers on the active session if there is

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.sql.extensions=graft.GraftExtensions` must hand a pure-SQL
+  * client the whole custom-expression surface. The spec builds a second
+  * session (same SparkContext) through the config path — no Scala-side
+  * `register` call — and pins each function against an independent
+  * reference. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  /** Reference Morton interleave (bit loop, independent of the
+    * shift-and-mask formulation under test). */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("config-driven extensions register the SQL function surface") {
+    val base = GraftSpark.spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `spark.sql.extensions` is a STATIC conf read off the SparkContext at
+    // session build — on a shared test context the string can't be set any
+    // more, so replicate Spark's loader exactly: instantiate the configured
+    // class name reflectively and hand it to the builder. A cluster sets
+    // the same class name in spark-defaults.conf.
+    val injector = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(injector)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try {
+      assert(s2 ne base, "expected a fresh session for the extensions path")
+
+      val d = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))"
+          + " AS d").head.getDouble(0)
+      assert(d == 32.0)
+
+      val tg = s2.sql("SELECT graft_trigrams('a b c d') AS t")
+        .head.getSeq[String](0)
+      assert(tg.toSet == Set("a b c", "b c d"))
+
+      // z-value twin: SQL expression vs the independent bit-loop reference
+      // (and thereby vs Layout.zValue2, which NorthStarSpec pins to the
+      // same values)
+      val zs = s2.sql(
+        """SELECT x, y, graft_zvalue2(x, y) AS z
+          |FROM VALUES (0, 0), (1, 0), (0, 1), (1, 2), (12345, 54321),
+          |            (65535, 65535) AS t(x, y)""".stripMargin).collect()
+      assert(zs.nonEmpty)
+      zs.foreach { r =>
+        val (x, y, z) = (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))
+        assert(z == mortonRef(x, y), s"zvalue2($x, $y)")
+      }
+
+      // the aggregate sketch resolves through SQL GROUP BY and matches the
+      // row-level signature over the same hash set
+      val agg = s2.sql(
+        """SELECT graft_minhash(h) AS sig
+          |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)
+        .head.getSeq[Long](0)
+      val row = s2.sql(
+        "SELECT graft_minhash_row(array(CAST(7 AS BIGINT), 11, 13)) AS sig")
+        .head.getSeq[Long](0)
+      assert(agg == row,
+        "aggregate and row-level MinHash must be bit-identical")
+
+      val sh = s2.sql(
+        """SELECT graft_simhash(h) AS sig
+          |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)
+        .head.getLong(0)
+      // one row → simhash equals that row's own hash contribution pattern;
+      // just pin determinism against a second evaluation
+      val sh2 = s2.sql(
+        """SELECT graft_simhash(h) AS sig
+          |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)
+        .head.getLong(0)
+      assert(sh == sh2)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+      // no s2.stop(): the SparkContext is shared with every other suite
+    }
+  }
+}
