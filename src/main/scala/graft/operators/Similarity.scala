@@ -269,6 +269,89 @@ object Similarity {
         (col("__best.cs") / col("nrm")).as("cos_sim"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with spherical k-means, then
+    * search for near-duplicate pairs ONLY within each cluster — semantic
+    * duplicates are near-identical vectors, so they share a nearest
+    * centroid, and the all-pairs search collapses from O(n²) to
+    * Σ c_i² over cluster sizes (k× cheaper when balanced). This is the
+    * scale path exact [[cosineNearDupPairs]] cannot take: no guard needed,
+    * because no task ever sees more than one cluster-block cell.
+    *
+    * Within a cluster the pair search reuses the 1-Bucket-Theta blocked
+    * layout (keyed by (cluster, block-pair)): a dominant cluster spreads
+    * over groups·(groups+1)/2 independent cells instead of one task, so
+    * cluster skew degrades parallelism gracefully rather than serially.
+    * Deterministic end to end (hash-sampled k-means, tie-to-lowest-id
+    * argmax, fixed block hash); rows-only certification, with the recall
+    * contract pinned by NorthStarSpec on a planted-duplicate corpus.
+    *
+    * @return cluster, va, vb (va < vb), sim — intra-cluster pairs with
+    *         cosine ≥ threshold */
+  def semanticDedupPairs(
+      emb: DataFrame, id: String, vec: String, threshold: Double,
+      k: Int = IvfLists, groups: Int = 4,
+      iters: Int = IvfKMeansIters, sampleN: Int = IvfSample): DataFrame =
+    clusterPairs(clusterAssigned(emb, id, vec, k, iters, sampleN),
+      threshold, groups)
+
+  /** vec_id, v, nrm, cluster — one k-means train + map-side assignment,
+    * checkpointed so downstream pair search reads a materialized corpus. */
+  private def clusterAssigned(
+      emb: DataFrame, id: String, vec: String,
+      k: Int, iters: Int, sampleN: Int): DataFrame = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n, k, iters, sampleN)
+    n.withColumn("__best", greatest(listScores(col("v"), cents): _*))
+      .withColumn("cluster", (col("__best.nl") * lit(-1)).cast("int"))
+      .drop("__best")
+  }
+
+  /** Blocked within-cluster pair search over an assigned corpus. */
+  private def clusterPairs(
+      assigned: DataFrame, threshold: Double, groups: Int): DataFrame = {
+    val expanded = assigned
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
+      .withColumn("h", explode(sequence(lit(0), lit(groups - 1))))
+      .withColumn("p1", least(col("g"), col("h")))
+      .withColumn("p2", greatest(col("g"), col("h")))
+    expanded.as("a")
+      .join(expanded.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.p1") === col("b.p1") && col("a.p2") === col("b.p2")
+          && col("a.vec_id") < col("b.vec_id")
+          && (col("a.g") =!= col("b.g")
+            || (col("a.p1") === col("a.g") && col("a.p2") === col("a.g"))))
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Per-vector semantic-dedup verdict: every corpus vector with its
+    * cluster and 'keep'/'drop' — drop when the vector loses a
+    * [[semanticDedupPairs]] pair (the higher id of each near-dup pair, the
+    * keep-lowest-id convention the text-side curation pipeline uses).
+    * Total output = corpus size regardless of how many duplicates exist;
+    * the k-means trains once and both the pair search and the verdict
+    * join read the same checkpointed assignment.
+    *
+    * @return vec_id, cluster, verdict */
+  def semanticDedup(
+      emb: DataFrame, id: String, vec: String, threshold: Double,
+      k: Int = IvfLists, groups: Int = 4): DataFrame = {
+    val assigned =
+      clusterAssigned(emb, id, vec, k, IvfKMeansIters, IvfSample)
+    val losers = clusterPairs(assigned, threshold, groups)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("__lose", lit(true))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(losers, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("__lose"), lit("drop")).otherwise(lit("keep"))
+          .as("verdict"))
+  }
+
   /** Diversity subsampling: keep the `perCluster` vectors with the
     * smallest (xxhash64(id), id) per k-means cluster — a deterministic
     * hash draw, the standard embedding-space de-biasing step before

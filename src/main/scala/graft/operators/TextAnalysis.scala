@@ -339,6 +339,56 @@ object TextAnalysis {
     prefix < byStratum
   }
 
+  /** Domain-mixture sampling: downsample each source so the sampled
+    * corpus's TOKEN mass approximates a target mixture — the data-mixing
+    * step in front of training (e.g. "30% web, 30% code, 20% books, 20%
+    * papers"). Given target weights `w_s` and observed per-source token
+    * totals `t_s`, the largest budget the corpus supports without
+    * upsampling is `B = min_s(t_s / w_s)` (the scarcest source relative to
+    * its weight binds); each source then keeps rate `w_s·B / t_s` of its
+    * documents (the binding source keeps everything). Sampling is the
+    * deterministic md5-prefix threshold of [[stratifiedKeep]] — no RNG,
+    * reproducible across runs, engines, partitioning.
+    *
+    * Scale shape: one map-side hash-agg for per-source totals (a
+    * sources-sized result), budget as a 1-row aggregate, rates joined back
+    * as a broadcast — corpus rows are scanned twice and never shuffled.
+    * Sources without a weight are dropped (weight 0 in the target mix).
+    * All rate arithmetic is plain IEEE ·/÷ that the SQL oracle reproduces
+    * bit-for-bit.
+    *
+    * @return id, source, n_tokens, rate, keep */
+  def mixtureSample(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      sourceCol: String,
+      weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one weight")
+    require(weights.values.forall(_ > 0),
+      s"mixture weights must be positive: $weights")
+    val t = docs.select(col(id), col(sourceCol),
+      tokenCount(col(text)).as("n_tokens"))
+    val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>
+        when(col(sourceCol) === s0, lit(w)).otherwise(els)
+      }
+    val weighted = totals.withColumn("w", wCol).filter(col("w").isNotNull)
+    val budget = weighted
+      .agg(min(col("src_tokens").cast("double") / col("w")).as("budget"))
+    val rates = weighted.crossJoin(broadcast(budget))
+      .select(col(sourceCol),
+        (col("w") * col("budget") / col("src_tokens")).as("rate"))
+    // md5-prefix keep threshold; 'g000' sorts above every hex prefix so
+    // rate ≥ 1 keeps all rows (see stratifiedKeep for why not 'ffff')
+    val thr = when(col("rate") >= 1.0, lit("g000"))
+      .otherwise(format_string("%04x",
+        floor(col("rate") * lit(65536.0)).cast("long")))
+    t.join(broadcast(rates), Seq(sourceCol))
+      .select(col(id), col(sourceCol), col("n_tokens"), col("rate"),
+        (substring(md5(col(id).cast("string").cast("binary")), 1, 4) < thr)
+          .as("keep"))
+  }
+
   /** Per-document distinctive terms: top-k tokens by tf-idf, with a
     * RATIONAL idf — `score = tf · (N+1)/(df+1)` — instead of the usual
     * log form. Rational on purpose: the score stays inside exact IEEE

@@ -222,7 +222,19 @@ object DedupQ {
     Dedup.duplicatedSpans(documents(s, d), "doc_id", "text")
   }
 
+  /** Semantic dedup (SemDeDup): spherical k-means clusters the corpus,
+    * near-dup search runs only within clusters (Σc² vs n² — the scale
+    * path), verdict = keep/drop per vector. Rows-only: the k-means
+    * assignment is iterative float; the recall and subset contracts are
+    * pinned by NorthStarSpec (intra-cluster pairs ⊆ exact all-pairs; a
+    * planted-duplicate corpus measures the co-clustering recall floor). */
+  val qD10SemDedup = Q.rowsOnly("q_d10_semdedup") { (s, d) =>
+    graft.operators.Similarity.semanticDedup(
+      embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
+  }
+
   val all: Seq[Q] =
     Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
-      qD6DupClusters, qD7Incremental, qD8EmbedClusters, qD9DupSpans)
+      qD6DupClusters, qD7Incremental, qD8EmbedClusters, qD9DupSpans,
+      qD10SemDedup)
 }

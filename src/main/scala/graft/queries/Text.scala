@@ -331,8 +331,55 @@ object Text {
     tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
   }
 
+  /** Target token mixture for q_t14 (sources outside the map are weight 0
+    * and drop out of the sampled corpus). */
+  val MixWeights = Map(
+    "src0" -> 0.30, "src1" -> 0.30, "src2" -> 0.20, "src3" -> 0.20)
+
+  /** Domain-mixture sampling: per-source keep rates derived from the
+    * target token mixture (budget bound by the scarcest source), applied
+    * via the deterministic md5 threshold; reported per source. */
+  val qT14Mixture = Q(
+    "q_t14_mixture",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |        FROM t GROUP BY 1),
+      |ww AS (SELECT source, src_tokens,
+      |         CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.30
+      |                     WHEN 'src2' THEN 0.20 WHEN 'src3' THEN 0.20
+      |         END AS w
+      |       FROM tot
+      |       WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |b AS (SELECT min(CAST(src_tokens AS DOUBLE) / w) AS budget FROM ww),
+      |r AS (SELECT source, w * budget / src_tokens AS rate FROM ww, b),
+      |k AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate,
+      |        substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |          CASE WHEN rate >= 1 THEN 'g000'
+      |               ELSE printf('%04x',
+      |                      CAST(floor(rate * 65536.0) AS BIGINT)) END
+      |          AS keep
+      |      FROM t JOIN r ON t.source = r.source)
+      |SELECT source, rate, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS kept_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+      |         AS kept_tokens
+      |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    mixtureSample(documents(s, d), "doc_id", "text", "source", MixWeights)
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
-      qT11Pack, qT12Stratified, qT13TfIdf)
+      qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture)
 }

@@ -491,6 +491,73 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: intra-cluster pairs are a subset of exact pairs") {
+    val exact = Similarity
+      .cosineNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity
+      .semanticDedupPairs(embs, "vec_id", "embedding", 0.45)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sem -- exact).isEmpty,
+      s"semantic dedup invented pairs not in the exact set: ${sem -- exact}")
+    // verdict output covers the whole corpus exactly once, and drops are
+    // precisely the pair losers
+    val verdict = Similarity
+      .semanticDedup(embs, "vec_id", "embedding", 0.45).collect()
+    assert(verdict.length == embs.count())
+    val dropped = verdict.filter(_.getString(2) == "drop")
+      .map(_.getLong(0)).toSet
+    assert(dropped == sem.map(_._2),
+      "drop set must equal the distinct pair losers")
+    // determinism: hash-sampled k-means + fixed block hash → bit-stable
+    val again = Similarity
+      .semanticDedupPairs(embs, "vec_id", "embedding", 0.45)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sem)
+  }
+
+  test("semantic dedup finds planted duplicates (co-clustering recall)") {
+    // 32 planted modes × 32 members; every even id has a near-identical
+    // twin (odd id, 2% jitter, cos ≈ 0.999): semantic duplicates share a
+    // nearest centroid, so the intra-cluster search must recover nearly
+    // every twin pair at a fraction of the exact all-pairs cost.
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u(seed: Long): Double =
+      (Math.floorMod(mix(seed), 1000001L) / 500000.0) - 1.0
+    val dim = 64
+    val rows = for (c <- 0 until 32; m <- 0 until 32) yield {
+      val id = (c * 32 + m).toLong
+      val pairBase = id / 2 * 2 // twins share the base vector
+      val v = Array.tabulate(dim) { d =>
+        (u(c.toLong * 7919 + d) + 0.3 * u(pairBase * 104729 + d)
+          + 0.02 * u(id * 15485863 + d)).toFloat
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val twins = rows.indices.collect {
+      case i if i % 2 == 0 => (rows(i)._1, rows(i + 1)._1)
+    }.toSet
+    val found = Similarity
+      .semanticDedupPairs(emb, "vec_id", "embedding", threshold = 0.99,
+        k = 32)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (twins & found).size.toDouble / twins.size
+    println(f"semdedup planted-twin recall = $recall%.3f over ${twins.size}")
+    assert(recall >= 0.9,
+      f"semantic dedup lost planted twins: $recall%.3f")
+  }
+
   test("duplicated spans: boilerplate shows up, unique text does not") {
     import spark.implicits._
     val boiler = "please subscribe to our newsletter for updates today"

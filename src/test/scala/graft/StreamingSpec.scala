@@ -333,6 +333,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming repetition screen equals the batch screen") {
+    // repetitionScreen is a stateless narrow map (per-document statistic),
+    // so the SAME operator runs on readStream input unchanged — the
+    // whole-corpus screen and the live-ingest screen are one code path
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rep")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = graft.operators.TextAnalysis.repetitionScreen(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      "doc_id", "text")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("rep_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rep_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+      val batch = graft.operators.TextAnalysis.repetitionScreen(
+          Tables.documents(spark, sf), "doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+      assert(streamed.size == batch.size && streamed == batch,
+        "streamed repetition stats must equal batch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
