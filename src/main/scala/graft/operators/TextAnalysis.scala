@@ -426,6 +426,34 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus-level frequent n-gram mining: the `k` most frequent bigrams
+    * with their document frequency — the builder for boilerplate /
+    * stop-phrase lists (the list a curation pass later strips or
+    * down-weights). Occurrences are counted per document map-side (one
+    * explode → two-level hash-agg with partial combine), the global top-k
+    * is a `TakeOrderedAndProject` — no full sort, no window, the only
+    * full-width shuffle carries (gram, count) partials bounded by distinct
+    * vocabulary, never corpus rows. Ties resolve by gram (lexicographic)
+    * so the cut is deterministic and the SQL oracle reproduces it.
+    *
+    * @return gram, n_occurrences, n_docs, rank (1..k) */
+  def topNgrams(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val perDoc = Dedup.fanOut(docs)
+      .select(col(id).as("__d"), explode(bigrams(col(text))).as("gram"))
+      .groupBy("__d", "gram")
+      .agg(count(lit(1)).as("__n"))
+    perDoc
+      .groupBy("gram")
+      .agg(sum("__n").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("gram"))).cast("long"))
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

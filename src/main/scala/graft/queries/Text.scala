@@ -378,8 +378,32 @@ object Text {
           .as("kept_tokens"))
   }
 
+  /** Corpus-level frequent n-grams: top-20 bigrams by occurrence count
+    * with document frequency — the boilerplate/stop-phrase list builder.
+    * Deterministic tie-break on the gram so both engines cut the top-k
+    * identically. */
+  val qT15TopNgrams = Q(
+    "q_t15_top_ngrams",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |           THEN list_transform(range(1, len(t)),
+      |                  i -> t[i] || ' ' || t[i+1])
+      |           ELSE [] END) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+      |t AS (SELECT gram, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |             CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, gram)
+      |               AS rank
+      |      FROM t)
+      |SELECT gram, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 20""".stripMargin) { (s, d) =>
+    topNgrams(documents(s, d), "doc_id", "text", k = 20)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
-      qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture)
+      qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams)
 }
