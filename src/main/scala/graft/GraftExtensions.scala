@@ -24,11 +24,14 @@ import graft.functions.GraftFunctions
   * table so the two surfaces cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // declarative aggregate(zip_with(·,·,*),0d,+) → codegen'd DoubleDot
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }

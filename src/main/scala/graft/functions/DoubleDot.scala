@@ -18,21 +18,48 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
   * Accumulation is a sequential ascending-index fold — bit-identical to the
   * HOF form and to the oracle's formulation, so certified results are
   * unchanged.
+  *
+  * `failOnMismatch = true` (the engine's own callers): a length mismatch
+  * is a data bug, throw loudly. `failOnMismatch = false` (the
+  * [[graft.plans.DotProductRewrite]] optimizer rule): reproduce the HOF
+  * chain's semantics exactly — mismatched lengths zip a null into the
+  * products and the fold propagates it, so the result is null; a null
+  * ELEMENT likewise nulls the result (checked only when the child type
+  * admits element nulls, so the strict hot path stays branch-free).
   */
-case class DoubleDot(left: Expression, right: Expression)
+case class DoubleDot(left: Expression, right: Expression,
+    failOnMismatch: Boolean = true)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = !failOnMismatch || super.nullable
+
+  private def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, n) => n
+    case _ => true
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    require(n == y.numElements(),
-      s"graft_dot: dimension mismatch $n vs ${y.numElements()}")
+    if (n != y.numElements()) {
+      if (failOnMismatch) {
+        throw new IllegalArgumentException(
+          s"graft_dot: dimension mismatch $n vs ${y.numElements()}")
+      }
+      return null
+    }
+    val checkNulls =
+      !failOnMismatch && (elementsNullable(left) || elementsNullable(right))
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -46,18 +73,33 @@ case class DoubleDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val mismatch =
+        if (failOnMismatch) {
+          s"""throw new IllegalArgumentException(
+             |    "graft_dot: dimension mismatch " + $n + " vs "
+             |      + $b.numElements());""".stripMargin
+        } else {
+          s"${ev.isNull} = true;"
+        }
+      val nullCheck =
+        if (!failOnMismatch
+          && (elementsNullable(left) || elementsNullable(right))) {
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
-         |  throw new IllegalArgumentException(
-         |    "graft_dot: dimension mismatch " + $n + " vs "
-         |      + $b.numElements());
+         |  $mismatch
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
