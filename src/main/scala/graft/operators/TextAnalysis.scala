@@ -426,6 +426,38 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Linear quality-classifier inference (the fastText-style quality
+    * filter shape): a handcrafted feature vector per document, a literal
+    * weight vector, score = w·f + b, label = sign of the score. The
+    * logistic link is monotone, so thresholding the LINEAR score at 0 is
+    * the same decision as thresholding the probability at 0.5 — and the
+    * linear score is pure rational IEEE arithmetic, which keeps the whole
+    * operator hash-certifiable (a transcendental exp may differ in the
+    * last ulp across libms). Map-side codegen'd Columns; at 100 TB this
+    * runs inside the scan stage like every other screen.
+    *
+    * Features: token count (saturating /256), lexical diversity
+    * (unique/total), stopword rate (×5 saturating), mean token length
+    * (/8 saturating), long-token rate (≥8 chars). */
+  def qualityClassifier(
+      text: Column,
+      weights: Seq[Double] = Seq(1.2, 1.5, 1.8, 0.6, -0.4),
+      bias: Double = -2.0): Column = {
+    require(weights.length == 5, s"5 features, got ${weights.length}")
+    val n = tokenCount(text).cast("double")
+    val f = Seq(
+      least(lit(1.0), n / lit(256.0)),
+      uniqueTokenCount(text).cast("double") / n,
+      least(lit(1.0),
+        (stopwordCount(text, EnglishStopwords).cast("double") / n)
+          * lit(5.0)),
+      least(lit(1.0), (length(text).cast("double") / n) / lit(8.0)),
+      size(filter(tokens(text), w => length(w) >= 8)).cast("double") / n)
+    f.zip(weights).foldLeft(lit(bias)) { case (acc, (fi, w)) =>
+      acc + fi * lit(w)
+    }
+  }
+
   /** Corpus-level frequent n-gram mining: the `k` most frequent bigrams
     * with their document frequency — the builder for boilerplate /
     * stop-phrase lists (the list a curation pass later strips or

@@ -280,6 +280,32 @@ object Extras {
     * magic-number spreading sequence written in SQL. The layout operator
     * ([[graft.operators.Layout.zOrderBy]]) range-clusters on this value;
     * partition-range disjointness is asserted in NorthStarSpec. */
+  /** Bucketed co-located join: both sides written bucketBy(custkey) +
+    * sortBy, read back as tables, joined WITHOUT either side shuffling
+    * (bucket layout satisfies the join's distribution requirement — the
+    * 100 TB answer to recurring joins on a stable key; exchange-freeness
+    * is asserted in BucketingSpec, the result certified here). Fresh
+    * LOCATION per run, same catalog caveat as q_s5. */
+  val qS9BucketedJoin = Q(
+    "q_s9_bucketed_join",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    s.sql("DROP TABLE IF EXISTS graft_q_b_orders")
+    s.sql("DROP TABLE IF EXISTS graft_q_b_customer")
+    val loc = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
+    orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$loc/orders").saveAsTable("graft_q_b_orders")
+    customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$loc/customer").saveAsTable("graft_q_b_customer")
+    s.table("graft_q_b_orders")
+      .join(s.table("graft_q_b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("sum_cust"))
+  }
+
   val qZ1ZOrder = Q(
     "q_z1_zorder",
     """WITH b AS (SELECT event_id, user_id & 65535 AS x,
@@ -309,6 +335,6 @@ object Extras {
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
-    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qZ1ZOrder,
+    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin, qZ1ZOrder,
     qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

@@ -402,8 +402,44 @@ object Text {
     topNgrams(documents(s, d), "doc_id", "text", k = 20)
   }
 
+  /** Linear quality-classifier inference: literal weights over five
+    * handcrafted features, label = sign of the linear score (same decision
+    * as thresholding the logistic probability at 0.5, but pure rational
+    * arithmetic → hash-certifiable). */
+  val qT16Classifier = Q(
+    "q_t16_classifier",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           AS u,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+      |           AS st,
+      |         CAST(length(text) AS DOUBLE) AS ch,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                w -> length(w) >= 8)) AS DOUBLE) AS lt
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |        -2.0 + least(1.0, n / 256.0) * 1.2
+      |             + (u / n) * 1.5
+      |             + least(1.0, (st / n) * 5.0) * 1.8
+      |             + least(1.0, (ch / n) / 8.0) * 0.6
+      |             + (lt / n) * -0.4 AS score
+      |      FROM f)
+      |SELECT doc_id, score,
+      |       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM s""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      qualityClassifier(col("text")).as("score"),
+      when(qualityClassifier(col("text")) >= 0, lit("keep"))
+        .otherwise(lit("drop")).as("label"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
-      qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams)
+      qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
+      qT16Classifier)
 }

@@ -185,6 +185,29 @@ object Streams {
     deduped.drop("__h") // internal digest key, not part of the output contract
   }
 
+  /** Streaming EXACT dedup against a STATIC base corpus: incoming
+    * documents whose content digest already exists in the training set are
+    * dropped before they land — the exact-match twin of
+    * [[nearDupAgainstBase]] (don't re-ingest what you already have). The
+    * base digests are one hash-agg, `localCheckpoint`ed once; each
+    * micro-batch is a stateless stream-static LEFT ANTI equi-join on the
+    * 16-byte digest — no state store, nothing retained across batches.
+    * Within-stream duplicates are [[dedupStream]]'s job; compose the two
+    * for full continual-ingest hygiene.
+    *
+    * @return the incoming stream minus rows whose digest exists in base */
+  def exactAgainstBase(
+      incoming: DataFrame, base: DataFrame, text: String): DataFrame = {
+    val baseDigests = base
+      .select(md5(lower(col(text)).cast("binary")).as("__h"))
+      .distinct()
+      .localCheckpoint()
+    incoming
+      .withColumn("__h", md5(lower(col(text)).cast("binary")))
+      .join(baseDigests, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Streaming incremental NEAR-dup: every incoming document checked
     * against a STATIC base corpus — the streaming twin of the batch
     * `Dedup.minHashLshPairsAcross` continual-pretraining shape (new crawl

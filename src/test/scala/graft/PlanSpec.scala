@@ -83,4 +83,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_p4_like")
     assert(p.contains("PushedFilters") && p.contains("StringContains") || p.contains("Or(StringContains"), p)
   }
+
+  test("mixture sampling broadcasts the rates — corpus rows never shuffle") {
+    val p = plan("q_t14_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast onto the corpus scan:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sources-sized table must never force a corpus shuffle join:\n" + p)
+  }
+
+  test("frequent n-gram mining cuts top-k without a global sort") {
+    val p = plan("q_t15_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be TakeOrderedAndProject, not Sort+Limit:\n" + p)
+  }
+
+  test("classifier scoring is one scan-stage projection — no exchange") {
+    val p = plan("q_t16_classifier")
+    assert(!p.contains("Exchange"),
+      "linear scoring must stay map-side in the scan stage:\n" + p)
+  }
 }

@@ -333,6 +333,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup against a base corpus drops known digests") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    // incoming: the remaining genuinely-new docs + 20 verbatim copies of
+    // base docs under fresh ids (the corpus has no natural exact
+    // duplicates — plant them)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_exact")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.exactAgainstBase(
+      spark.readStream.schema(schema).parquet(dir.toString), base, "text")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("exact_base_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("exact_base_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expectedKept = docs.filter(col("doc_id") >= 400)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == expectedKept,
+        "planted copies must drop, new docs must survive: kept " +
+          s"${streamed.size}, expected ${expectedKept.size}")
+    } finally q.stop()
+  }
+
   test("streaming repetition screen equals the batch screen") {
     // repetitionScreen is a stateless narrow map (per-document statistic),
     // so the SAME operator runs on readStream input unchanged — the
