@@ -280,6 +280,52 @@ object Extras {
     * magic-number spreading sequence written in SQL. The layout operator
     * ([[graft.operators.Layout.zOrderBy]]) range-clusters on this value;
     * partition-range disjointness is asserted in NorthStarSpec. */
+  /** JSON-lines round trip: the interchange format for crawl/ingest
+    * pipelines. Schema supplied on read (never inferred — inference scans
+    * the data twice and types drift); values certified through the same
+    * aggregate as the source table. */
+  val qS10JsonRoundTrip = Q(
+    "q_s10_json_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val src = documents(s, d)
+    src.write.mode("overwrite").json(s"$tmp/documents")
+    s.read.schema(src.schema).json(s"$tmp/documents")
+      .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_id"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
+  /** Date-partitioned write + partition-pruned read: the standard lake
+    * layout (one directory per day). The read filters ONE day; the scan
+    * must prune to that partition's files (PartitionFilters asserted in
+    * PlanSpec) — at 100 TB this is the difference between reading 1/365th
+    * and everything. Values certified against the unpartitioned source. */
+  val qS11Partitioned = Q(
+    "q_s11_partitioned",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+      |         AS sum_value
+      |FROM events
+      |WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-02'
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    events(s, d)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_date", to_date(col("ts_utc")).cast("string"))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$tmp/events")
+    s.read.parquet(s"$tmp/events")
+      .filter(col("event_date") === "2024-01-02")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        stableSum(col("value"), 1e6).as("sum_value"))
+  }
+
   /** Bucketed co-located join: both sides written bucketBy(custkey) +
     * sortBy, read back as tables, joined WITHOUT either side shuffling
     * (bucket layout satisfies the join's distribution requirement — the
@@ -335,6 +381,7 @@ object Extras {
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
-    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin, qZ1ZOrder,
+    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
+    qS10JsonRoundTrip, qS11Partitioned, qZ1ZOrder,
     qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

@@ -491,6 +491,36 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling: bounded rates, binding source, determinism") {
+    import graft.operators.TextAnalysis
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3)
+    val out = TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", weights).collect()
+    // only weighted sources survive
+    assert(out.map(_.getString(1)).toSet == weights.keySet)
+    val rates = out.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    // every rate in (0, 1] up to FP slack; the binding source keeps ~all
+    rates.values.foreach(r => assert(r > 0 && r <= 1.0 + 1e-9, s"rate $r"))
+    assert(rates.values.max > 1.0 - 1e-9,
+      s"some source must bind the budget at rate 1: $rates")
+    // kept-token mass per source approximates the target mixture: each
+    // source's realized share of rate*tokens equals the weight exactly by
+    // construction (w·B tokens each in expectation)
+    val expTokens = out.groupBy(_.getString(1)).map { case (s0, rows) =>
+      s0 -> rows.map(r => r.getLong(2) * r.getDouble(3)).sum
+    }
+    val total = expTokens.values.sum
+    weights.foreach { case (s0, w) =>
+      val share = expTokens(s0) / total
+      assert(math.abs(share - w) < 0.02,
+        f"expected token share of $s0 to be ~$w, got $share%.3f")
+    }
+    // deterministic end to end (no RNG anywhere)
+    val again = TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", weights).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("semantic dedup: intra-cluster pairs are a subset of exact pairs") {
     val exact = Similarity
       .cosineNearDupPairs(embs, "vec_id", "embedding", 0.45)

@@ -103,4 +103,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       "linear scoring must stay map-side in the scan stage:\n" + p)
   }
+
+  test("date-partitioned read prunes to the selected partition") {
+    val p = plan("q_s11_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date")
+      || p.contains("PartitionFilters: [(event_date"),
+      "the day filter must prune partitions at the scan:\n" + p)
+  }
 }
