@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is one hash-aggregate shuffle on a digest, never on the
   *    raw text (shuffle bytes ∝ 16B digest, not document size);
   *  - MinHash+LSH is the scale path for near-dup: per-doc signatures are a
-  *    single aggregation, banding turns the quadratic pair search into
-  *    equi-join buckets, and only bucket-collision candidates are verified
-  *    exactly. No driver-side collection anywhere.
+  *    NARROW map (the row-level MinHashRow expression — each document's
+  *    shingle set sits whole on its row, so nothing shuffles until the
+  *    band-bucket candidate join), banding turns the quadratic pair search
+  *    into equi-join buckets, and only bucket-collision candidates are
+  *    verified exactly. No driver-side collection anywhere.
   *  - the all-pairs n-gram join is the verification/oracle path — use it on
   *    samples or candidate sets, not whole corpora.
   */
@@ -144,26 +146,27 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** (doc_id, band, bh) LSH band buckets for a corpus: per-doc MinHash
-    * signature (one TypedImperativeAggregate — the shingle string is hashed
-    * ONCE via xxhash64 folded into [0, p); the 128 permutations live in a
-    * primitive long[128] buffer with map-side partial merge, instead of
-    * 128 separate min() columns whose generated update function blows past
-    * the JIT's method-size limit), then each 4-row band hashed to a bucket
-    * id. Shared by the self-join, cross-corpus, and (as the static index)
-    * streaming incremental pair paths. */
+  /** (doc_id, band, bh) LSH band buckets for a corpus, as a pure NARROW
+    * map: each document's shingle set sits whole on its row, so the
+    * 128-permutation signature comes from the row-level
+    * [[graft.functions.MinHashRow]] expression and each 4-row band hashes
+    * to a bucket id — zero shuffle until the candidate join. The earlier
+    * explode → groupBy → [[graft.functions.MinHashSketch]] formulation
+    * exchanged one signature row per document for nothing: the explode's
+    * partial aggregate was already per-document-complete within a
+    * partition (StreamingSpec pins the two paths bit-identical; the
+    * aggregate remains the right shape when shingles arrive pre-exploded,
+    * e.g. from a normalized shingle table). Shared by the self-join,
+    * cross-corpus, and (as the static index) streaming incremental pair
+    * paths. */
   private[graft] def bandedBuckets(
       docs: DataFrame, id: String, text: String): DataFrame = {
-    val base = fanOut(docs).select(col(id).as("doc_id"),
-      wordTrigrams(col(text)).as("tg_set"))
-    val tg = base
-      .select(col("doc_id"), explode(col("tg_set")).as("tg"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("tg")),
-          lit(graft.functions.GraftFunctions.HashPrime)).as("h"))
-    val sig = tg.groupBy("doc_id")
-      .agg(graft.functions.GraftFunctions.minHashSketch(col("h")).as("sig"))
-    sig
+    val prime = graft.functions.GraftFunctions.HashPrime
+    fanOut(docs)
+      .select(col(id).as("doc_id"),
+        graft.functions.GraftFunctions.minHashRow(
+          transform(wordTrigrams(col(text)),
+            t => pmod(xxhash64(t), lit(prime)))).as("sig"))
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
