@@ -291,9 +291,13 @@ object Similarity {
   def semanticDedupPairs(
       emb: DataFrame, id: String, vec: String, threshold: Double,
       k: Int = IvfLists, groups: Int = 4,
-      iters: Int = IvfKMeansIters, sampleN: Int = IvfSample): DataFrame =
+      iters: Int = IvfKMeansIters, sampleN: Int = IvfSample): DataFrame = {
+    require(k >= 2,
+      "semantic dedup with k=1 is exact all-pairs without the guard — " +
+        "use cosineNearDupPairs for the exact path")
     clusterPairs(clusterAssigned(emb, id, vec, k, iters, sampleN),
       threshold, groups)
+  }
 
   /** vec_id, v, nrm, cluster — one k-means train + map-side assignment,
     * checkpointed so downstream pair search reads a materialized corpus. */

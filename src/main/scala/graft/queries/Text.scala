@@ -437,9 +437,113 @@ object Text {
         .otherwise(lit("drop")).as("label"))
   }
 
+  /** The FULL curation pipeline as one certified plan — every screen the
+    * suite certifies individually, composed the way a production
+    * training-data pass runs them: repetition screen → near-dup removal
+    * (keep the smallest doc id) → quality threshold → language filter →
+    * PII redaction → deterministic split assignment. One corpus, six
+    * stages, one DuckDB oracle recomputing the identical composition.
+    * Narrow screens stay fused in the scan stage; the only exchanges are
+    * the dedup path's band-bucket join and the two semi/anti joins. */
+  val qT17Pipeline = Q(
+    "q_t17_pipeline",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |           THEN list_transform(range(1, len(t)),
+      |                  i -> t[i] || ' ' || t[i+1])
+      |           ELSE [] END) AS gm
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |cg AS (SELECT doc_id, gm, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM g GROUP BY 1, 2),
+      |rep AS (SELECT doc_id FROM (
+      |          SELECT doc_id, CAST(max(cnt) AS DOUBLE)
+      |                           / CAST(sum(cnt) AS BIGINT) AS frac
+      |          FROM cg GROUP BY 1)
+      |        WHERE frac < 0.05),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |losers AS (SELECT DISTINCT doc_b AS doc_id
+      |           FROM sh JOIN sz x ON doc_a = x.doc_id
+      |                   JOIN sz y ON doc_b = y.doc_id
+      |           WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+      |q AS (SELECT doc_id, lang,
+      |        0.4 * least(1.0, nn / 80.0) + 0.3 * (u / nn)
+      |          + 0.3 * least(1.0, (st / nn) * 5.0) AS quality,
+      |        CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr
+      |               THEN 'en'
+      |             WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+      |             WHEN de > 0 AND de >= fr THEN 'de'
+      |             WHEN fr > 0 THEN 'fr'
+      |             ELSE 'und' END AS pred_lang
+      |      FROM (SELECT doc_id, lang,
+      |              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nn,
+      |              CAST(len(list_distinct(string_split(text, ' ')))
+      |                   AS DOUBLE) AS u,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                     w -> w IN ('the','a','of','and','to')))
+      |                   AS DOUBLE) AS st,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('the','a','of','and','to'))) AS en,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('el','la','los','que','y'))) AS es,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('der','die','das','und','ist'))) AS de,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('le','les','des','et','est'))) AS fr
+      |            FROM documents)),
+      |clean AS (SELECT doc_id,
+      |            regexp_replace(regexp_replace(text,
+      |              '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |              '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean_text
+      |          FROM documents),
+      |split AS (SELECT doc_id,
+      |            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                   BETWEEN '0' AND 'b' THEN 'train'
+      |                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                   BETWEEN 'c' AND 'd' THEN 'val'
+      |                 ELSE 'test' END AS split
+      |          FROM documents)
+      |SELECT q.doc_id, q.pred_lang, q.quality, split.split,
+      |       clean.clean_text
+      |FROM q JOIN rep ON q.doc_id = rep.doc_id
+      |       JOIN clean ON q.doc_id = clean.doc_id
+      |       JOIN split ON q.doc_id = split.doc_id
+      |WHERE q.quality >= 0.5 AND q.pred_lang = 'en'
+      |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
+    (s, d) =>
+      val docs = documents(s, d)
+      val keepRep = repetitionScreen(docs, "doc_id", "text")
+        .filter(col("verdict") === "keep").select("doc_id")
+      val losers = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text", 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs
+        .join(keepRep, Seq("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          langId(col("text")).as("pred_lang"),
+          qualityScore(col("text")).as("quality"),
+          deterministicSplit(col("doc_id")).as("split"),
+          redact(col("text")).as("clean_text"))
+        .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
-      qT16Classifier)
+      qT16Classifier, qT17Pipeline)
 }
