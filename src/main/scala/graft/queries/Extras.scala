@@ -326,6 +326,29 @@ object Extras {
         stableSum(col("value"), 1e6).as("sum_value"))
   }
 
+  /** Small-file compaction round trip: fragment the lineitem table into
+    * per-row-group shards (the streaming-ingest pathology), compact to
+    * ~2000-record files, certify the rewritten data against the original
+    * aggregate. File-count reduction is asserted in NorthStarSpec. */
+  val qS12Compact = Q(
+    "q_s12_compact",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val frag = s"$tmp/fragmented"
+    val compacted = s"$tmp/compacted"
+    lineitem(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    graft.operators.Layout.compact(s, frag, compacted,
+      targetRecordsPerFile = 2000L)
+    s.read.parquet(compacted)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).as("sum_key"),
+        stableSum(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Bucketed co-located join: both sides written bucketBy(custkey) +
     * sortBy, read back as tables, joined WITHOUT either side shuffling
     * (bucket layout satisfies the join's distribution requirement — the
@@ -382,6 +405,6 @@ object Extras {
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
-    qS10JsonRoundTrip, qS11Partitioned, qZ1ZOrder,
+    qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder,
     qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

@@ -588,6 +588,29 @@ class NorthStarSpec extends AnyFunSuite {
       f"semantic dedup lost planted twins: $recall%.3f")
   }
 
+  test("compaction collapses a fragmented directory, data intact") {
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val frag = s"$tmp/frag"
+    val out = s"$tmp/out"
+    val src = Tables.orders(spark, sf)
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles >= 16, s"fixture should fragment: $fragFiles files")
+    val rows = src.count()
+    val target = math.max(1L, rows / 4)
+    val outFiles = Layout.compact(spark, frag, out,
+      targetRecordsPerFile = target)
+    val expected = math.max(1L, (rows + target - 1) / target)
+    assert(outFiles == expected,
+      s"expected $expected files for $rows rows, got $outFiles")
+    // byte-identical content: same rows, nothing lost or duplicated
+    val before = src.collect().map(_.toSeq).toSet
+    val after = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("duplicated spans: boilerplate shows up, unique text does not") {
     import spark.implicits._
     val boiler = "please subscribe to our newsletter for updates today"

@@ -399,6 +399,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint is exactly-once across restart") {
+    // the operational contract a training-data ingest pipeline relies on:
+    // kill the query, restart from the same checkpoint, and the file sink
+    // neither loses nor duplicates rows
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    val docs = Tables.documents(spark, sf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def startQuery() = spark.readStream.schema(schema).parquet(in)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text"))
+          .as("quality"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk).start()
+    docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // second half lands while the query is down; restart from checkpoint
+    docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.length == all.length && got.sameElements(all),
+      s"exactly-once violated: ${got.length} rows out vs ${all.length} in")
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
