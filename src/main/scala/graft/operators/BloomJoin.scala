@@ -38,14 +38,21 @@ object BloomJoin {
       expectedBuildRows: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedBuildRows > 0, s"bad cardinality: $expectedBuildRows")
     val spark = probe.sparkSession
+    // materialize the build lineage once: the eager bloomFilter job below
+    // and the final join both read it, and an expensive build pipeline
+    // must not run twice
+    val buildM = build.localCheckpoint()
     // distributed sketch aggregate: executors build partial filters over
     // their partitions, the driver ORs the compact bitsets together
     val bf: BloomFilter =
-      build.stat.bloomFilter(buildKey, expectedBuildRows, fpp)
+      buildM.stat.bloomFilter(buildKey, expectedBuildRows, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    probe
-      .filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+    // alias both sides so probeKey == buildKey (joining on the same column
+    // name, the common case) resolves instead of AMBIGUOUS_REFERENCE
+    val p = probe.as("__bj_p")
+    val b = buildM.as("__bj_b")
+    p.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
+      .join(b, col(s"__bj_p.$probeKey") === col(s"__bj_b.$buildKey"))
   }
 }

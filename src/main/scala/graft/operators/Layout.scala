@@ -75,7 +75,12 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(outDir)
-    new java.io.File(outDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet")).toLong
+    // count via the Hadoop FileSystem API: outDir is a lake path
+    // (hdfs://, s3a://, …) at the scale this operator exists for —
+    // java.io.File would NPE on anything but the local disk
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path)
+      .count(s => s.getPath.getName.endsWith(".parquet")).toLong
   }
 }

@@ -25,6 +25,11 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.doubleDot(a, b)
 
+  private def requireRealClustering(k: Int): Unit =
+    require(k >= 2,
+      "semantic dedup with k=1 is exact all-pairs without the guard — " +
+        "use cosineNearDupPairs for the exact path")
+
   /** vec_id, v (double array), nrm (L2 norm) — shared projection. Fans the
     * corpus across all cores first: a compact source (one parquet file →
     * one input split) would otherwise run every downstream pair loop
@@ -260,14 +265,9 @@ object Similarity {
   def kMeansAssign(
       emb: DataFrame, id: String, vec: String,
       k: Int = IvfLists, iters: Int = IvfKMeansIters,
-      sampleN: Int = IvfSample): DataFrame = {
-    val n = normed(emb, id, vec).localCheckpoint()
-    val cents = kmeansCentroids(n, k, iters, sampleN)
-    n.withColumn("__best", greatest(listScores(col("v"), cents): _*))
-      .select(col("vec_id"),
-        (col("__best.nl") * lit(-1)).cast("int").as("cluster"),
-        (col("__best.cs") / col("nrm")).as("cos_sim"))
-  }
+      sampleN: Int = IvfSample): DataFrame =
+    clusterAssigned(emb, id, vec, k, iters, sampleN)
+      .select(col("vec_id"), col("cluster"), col("cos_sim"))
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with spherical k-means, then
@@ -292,15 +292,16 @@ object Similarity {
       emb: DataFrame, id: String, vec: String, threshold: Double,
       k: Int = IvfLists, groups: Int = 4,
       iters: Int = IvfKMeansIters, sampleN: Int = IvfSample): DataFrame = {
-    require(k >= 2,
-      "semantic dedup with k=1 is exact all-pairs without the guard — " +
-        "use cosineNearDupPairs for the exact path")
+    requireRealClustering(k)
     clusterPairs(clusterAssigned(emb, id, vec, k, iters, sampleN),
       threshold, groups)
   }
 
-  /** vec_id, v, nrm, cluster — one k-means train + map-side assignment,
-    * checkpointed so downstream pair search reads a materialized corpus. */
+  /** vec_id, v, nrm, cluster, cos_sim — one k-means train + map-side
+    * assignment, checkpointed so downstream pair search reads a
+    * materialized corpus. The ONLY copy of the train-and-assign logic:
+    * [[kMeansAssign]] and the semantic-dedup paths both project off this,
+    * so a tie-break or argmax change cannot diverge between them. */
   private def clusterAssigned(
       emb: DataFrame, id: String, vec: String,
       k: Int, iters: Int, sampleN: Int): DataFrame = {
@@ -308,6 +309,7 @@ object Similarity {
     val cents = kmeansCentroids(n, k, iters, sampleN)
     n.withColumn("__best", greatest(listScores(col("v"), cents): _*))
       .withColumn("cluster", (col("__best.nl") * lit(-1)).cast("int"))
+      .withColumn("cos_sim", col("__best.cs") / col("nrm"))
       .drop("__best")
   }
 
@@ -344,6 +346,7 @@ object Similarity {
   def semanticDedup(
       emb: DataFrame, id: String, vec: String, threshold: Double,
       k: Int = IvfLists, groups: Int = 4): DataFrame = {
+    requireRealClustering(k)
     val assigned =
       clusterAssigned(emb, id, vec, k, IvfKMeansIters, IvfSample)
     val losers = clusterPairs(assigned, threshold, groups)

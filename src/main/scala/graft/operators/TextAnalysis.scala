@@ -126,50 +126,60 @@ object TextAnalysis {
     * parallelism trade its scaladoc documents). Documents with fewer than
     * 2 tokens produce no row (no bigrams to judge).
     *
-    * @return doc_id, n_bigrams, top_bigram_frac, verdict ('drop' when the
-    *         top bigram holds ≥ dropAt of all bigrams) */
+    * The id column keeps its source type (long, string, …) — the operator
+    * carries it through untouched rather than casting, so non-numeric ids
+    * survive and numeric-string ids cannot collapse ("7" vs "07").
+    *
+    * @return doc_id (source id type), n_bigrams, top_bigram_frac, verdict
+    *         ('drop' when the top bigram holds ≥ dropAt of all bigrams) */
   def repetitionScreen(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       dropAt: Double = 0.05): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Dedup.fanOut(docs)
-      .select(col(id).cast("long").as("doc_id"), col(text).as("__t"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (docId, t) =>
-          // exactly Spark's split(text, " "): regex, limit -1 (keep empties)
-          val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
-          if (toks.length < 2) Iterator.empty
-          else {
-            val intern = new java.util.HashMap[String, Integer](
-              math.min(toks.length * 2, 1 << 16))
-            val counts = new LongCounter(toks.length - 1)
-            var prev = -1
-            var top = 0L
-            var i = 0
-            while (i < toks.length) {
-              var tid = intern.get(toks(i))
-              if (tid == null) {
-                tid = Integer.valueOf(intern.size)
-                intern.put(toks(i), tid)
-              }
-              if (i > 0) {
-                val c = counts.increment(
-                  (prev.toLong << 32) | (tid.intValue & 0xffffffffL))
-                if (c > top) top = c
-              }
-              prev = tid.intValue
-              i += 1
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val prepped = Dedup.fanOut(docs).select(col(id), col(text))
+    val outSchema = StructType(Seq(
+      prepped.schema.fields(0).copy(name = "doc_id"),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("top_bigram_frac", DoubleType, nullable = false),
+      StructField("verdict", StringType, nullable = false)))
+    // Dataset.mapPartitions with an explicit Row encoder (NOT .rdd, which
+    // a streaming input rejects — this one code path serves batch and
+    // readStream alike)
+    prepped.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        // exactly Spark's split(text, " "): regex, limit -1 (keep empties)
+        val t = if (r.isNullAt(1)) null else r.getString(1)
+        val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
+        if (toks.length < 2) Iterator.empty
+        else {
+          val intern = new java.util.HashMap[String, Integer](
+            math.min(toks.length * 2, 1 << 16))
+          val counts = new LongCounter(toks.length - 1)
+          var prev = -1
+          var top = 0L
+          var i = 0
+          while (i < toks.length) {
+            var tid = intern.get(toks(i))
+            if (tid == null) {
+              tid = Integer.valueOf(intern.size)
+              intern.put(toks(i), tid)
             }
-            val nBigrams = (toks.length - 1).toLong
-            val frac = top.toDouble / nBigrams.toDouble
-            Iterator.single((docId, nBigrams, frac,
-              if (frac >= dropAt) "drop" else "keep"))
+            if (i > 0) {
+              val c = counts.increment(
+                (prev.toLong << 32) | (tid.intValue & 0xffffffffL))
+              if (c > top) top = c
+            }
+            prev = tid.intValue
+            i += 1
           }
+          val nBigrams = (toks.length - 1).toLong
+          val frac = top.toDouble / nBigrams.toDouble
+          Iterator.single(Row(r.get(0), nBigrams, frac,
+            if (frac >= dropAt) "drop" else "keep"))
         }
       }
-      .toDF("doc_id", "n_bigrams", "top_bigram_frac", "verdict")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Open-addressing long→long counter (linear probing, power-of-two
