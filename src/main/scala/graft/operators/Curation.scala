@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis._
+
+/** The end-to-end curation pipeline as a first-class operator — the
+  * composition every training-data pass runs, wired with per-stage
+  * observability.
+  *
+  * Stages (in production order): repetition screen → near-duplicate
+  * removal (MinHash+LSH, keep the smallest id) → quality threshold →
+  * language filter → PII redaction → deterministic split assignment.
+  * `q_t17_pipeline` certifies this exact composition against a DuckDB
+  * oracle; this operator is the reusable API surface for it.
+  *
+  * Observability: per-stage survivor counts ride as
+  * [[org.apache.spark.sql.Observation]] metrics — accumulator-backed,
+  * collected DURING the one pass that computes the result. Nothing about
+  * the plan changes and no extra jobs run; after any action on the
+  * returned frame, `result.stageRows` yields the funnel. At 100 TB the
+  * alternative (a count() per stage) would re-run the upstream pipeline
+  * once per stage.
+  */
+object Curation {
+
+  /** Thresholds for each screen; defaults match `q_t17_pipeline`. */
+  final case class Config(
+      repetitionDropAt: Double = 0.05,
+      nearDupThreshold: Double = 0.8,
+      minQuality: Double = 0.5,
+      lang: String = "en")
+
+  /** Curated corpus + the stage funnel. `df` has columns
+    * (id, pred_lang, quality, split, clean_text); observations resolve
+    * after the first action on `df`. */
+  final case class Result(
+      df: DataFrame,
+      afterRepetition: Observation,
+      afterDedup: Observation,
+      afterFilters: Observation) {
+    /** Rows surviving each stage, in order. Call after an action. */
+    def stageRows: Seq[(String, Long)] = Seq(
+      "repetition_screen" -> metric(afterRepetition),
+      "near_dup_removal" -> metric(afterDedup),
+      "quality_lang_filters" -> metric(afterFilters))
+    private def metric(o: Observation): Long =
+      o.get("rows").asInstanceOf[Long]
+  }
+
+  def pipeline(
+      docs: DataFrame, id: String, text: String,
+      cfg: Config = Config()): Result = {
+    val keepRep = repetitionScreen(docs, id, text, cfg.repetitionDropAt)
+      .filter(col("verdict") === "keep").select(col("doc_id").as(id))
+    val losers = Dedup
+      .minHashLshPairs(docs, id, text, cfg.nearDupThreshold)
+      .select(col("doc_b").as(id)).distinct()
+    val oRep = Observation()
+    val oDedup = Observation()
+    val oFinal = Observation()
+    val out = docs
+      .join(keepRep, Seq(id))
+      .observe(oRep, count(lit(1)).as("rows"))
+      .join(losers, Seq(id), "left_anti")
+      .observe(oDedup, count(lit(1)).as("rows"))
+      .select(col(id),
+        langId(col(text)).as("pred_lang"),
+        qualityScore(col(text)).as("quality"),
+        deterministicSplit(col(id)).as("split"),
+        redact(col(text)).as("clean_text"))
+      .filter(col("quality") >= cfg.minQuality
+        && col("pred_lang") === cfg.lang)
+      .observe(oFinal, count(lit(1)).as("rows"))
+    Result(out, oRep, oDedup, oFinal)
+  }
+}

@@ -524,21 +524,8 @@ object Text {
       |WHERE q.quality >= 0.5 AND q.pred_lang = 'en'
       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
     (s, d) =>
-      val docs = documents(s, d)
-      val keepRep = repetitionScreen(docs, "doc_id", "text")
-        .filter(col("verdict") === "keep").select("doc_id")
-      val losers = graft.operators.Dedup
-        .minHashLshPairs(docs, "doc_id", "text", 0.8)
-        .select(col("doc_b").as("doc_id")).distinct()
-      docs
-        .join(keepRep, Seq("doc_id"))
-        .join(losers, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          langId(col("text")).as("pred_lang"),
-          qualityScore(col("text")).as("quality"),
-          deterministicSplit(col("doc_id")).as("split"),
-          redact(col("text")).as("clean_text"))
-        .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+      graft.operators.Curation
+        .pipeline(documents(s, d), "doc_id", "text").df
   }
 
   val all: Seq[Q] =

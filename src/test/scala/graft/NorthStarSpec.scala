@@ -588,6 +588,24 @@ class NorthStarSpec extends AnyFunSuite {
       f"semantic dedup lost planted twins: $recall%.3f")
   }
 
+  test("curation pipeline reports its stage funnel on one pass") {
+    import graft.operators.{Curation, TextAnalysis}
+    val res = Curation.pipeline(docs, "doc_id", "text")
+    val finalRows = res.df.count() // ONE action resolves every metric
+    val stages = res.stageRows
+    assert(stages.map(_._1) == Seq("repetition_screen",
+      "near_dup_removal", "quality_lang_filters"))
+    val counts = stages.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must be monotone: $stages")
+    assert(counts.last == finalRows,
+      s"last stage metric must equal the output: $stages vs $finalRows")
+    // stage 1 equals an independent recomputation of the screen
+    val repKeep = TextAnalysis.repetitionScreen(docs, "doc_id", "text")
+      .filter(col("verdict") === "keep").count()
+    assert(counts.head == repKeep, s"stage1 ${counts.head} vs $repKeep")
+  }
+
   test("compaction collapses a fragmented directory, data intact") {
     import graft.operators.Layout
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec")

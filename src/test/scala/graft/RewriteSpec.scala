@@ -14,19 +14,7 @@ import graft.functions.DoubleDot
   * before the plan can be inspected. */
 class RewriteSpec extends AnyFunSuite {
 
-  private lazy val s2: SparkSession = {
-    val base = GraftSpark.spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .getOrCreate()
-    SparkSession.setDefaultSession(base)
-    SparkSession.setActiveSession(base)
-    s
-  }
+  private lazy val s2: SparkSession = GraftSpark.extendedSpark
 
   private def hasDot(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.optimizedPlan.expressions
