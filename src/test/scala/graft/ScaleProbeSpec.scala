@@ -65,6 +65,48 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("semantic dedup examines ~1/k of the exact pair space") {
+    // the SemDeDup scale claim as a DETERMINISTIC count, not a timing:
+    // intra-cluster pair search costs sum(c_i choose 2); on the sf0.1
+    // corpus with k=16 that must be well under the exact all-pairs
+    // n(n-1)/2 — balanced clusters give ~1/k, skew erodes it, so assert
+    // a conservative 1/3 bound
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = emb.count()
+    val exactPairs = n * (n - 1) / 2
+    val clusterSizes = graft.operators.Similarity
+      .kMeansAssign(emb, "vec_id", "embedding", k = 16)
+      .groupBy("cluster").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    val intraPairs = clusterSizes.map(c => c * (c - 1) / 2).sum
+    val ratio = intraPairs.toDouble / exactPairs
+    println(f"semdedup pair-space ratio = $ratio%.4f " +
+      f"($intraPairs of $exactPairs) over ${clusterSizes.length} clusters")
+    assert(ratio < 1.0 / 3.0,
+      f"clustering stopped pruning the pair space: $ratio%.3f")
+  }
+
+  test("duplicated spans scale ~linearly 5k -> 50k docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // same construction as the minhash probe: prefixed copies share no
+    // trigrams, so dup-span mass grows linearly with the corpus
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"c$i"), w))).as("text"))).reduce(_ unionByName _)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    Dedup.duplicatedSpans(docs, "doc_id", "text").count() // warm
+    def best(df: => org.apache.spark.sql.DataFrame): Double =
+      math.min(time(df), time(df))
+    val t1 = best(Dedup.duplicatedSpans(docs, "doc_id", "text"))
+    val t10 = best(Dedup.duplicatedSpans(big, "doc_id", "text"))
+    println(f"dupspans 5k: $t1%.2f s, 50k: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
+  }
+
   test("connected components converge on a 200-hop chain (pointer doubling)") {
     import spark.implicits._
     // chain 0-1-2-...-200: diameter 200, one component with min label 0.
