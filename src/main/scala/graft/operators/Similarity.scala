@@ -313,9 +313,30 @@ object Similarity {
       .drop("__best")
   }
 
-  /** Blocked within-cluster pair search over an assigned corpus. */
+  /** Blocked within-cluster pair search over an assigned corpus.
+    *
+    * Skew guard: the pair-space reduction is Σ cᵢ² vs n², so it only
+    * exists while no cluster dominates. A degenerate corpus (everything
+    * near-identical → one cluster) silently reverts to quadratic — refuse
+    * it loudly and point at the exact path, the same philosophy as
+    * [[Guard.atMost]] on the quadratic operators. One tiny aggregation
+    * over the already-checkpointed assignment; the operator's k-means
+    * sampling is eager anyway. Probes only above 100k rows: below that
+    * even full-quadratic is a non-event, and tests/small corpora keep
+    * clustering freedom. */
   private def clusterPairs(
       assigned: DataFrame, threshold: Double, groups: Int): DataFrame = {
+    val sizes = assigned.groupBy("cluster").count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
+      .head()
+    val (mx, n) =
+      if (sizes.isNullAt(0)) (0L, 0L)
+      else (sizes.getLong(0), sizes.getLong(1))
+    require(n <= 100000 || mx.toDouble / n <= 0.5,
+      s"semantic dedup clustering degenerated: one cluster holds $mx of " +
+        s"$n vectors, so the intra-cluster search is effectively exact " +
+        "all-pairs. Raise k, or use cosineNearDupPairs (guarded exact) " +
+        "for a corpus this self-similar.")
     val expanded = assigned
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(groups)).cast("int"))
       .withColumn("h", explode(sequence(lit(0), lit(groups - 1))))

@@ -629,6 +629,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("semantic dedup refuses a degenerate one-cluster corpus") {
+    // 150k near-identical vectors: every row lands in one cluster, so the
+    // "intra-cluster" search would be full quadratic — the skew guard
+    // must refuse and point at the exact path
+    import spark.implicits._
+    val emb = spark.range(150000).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        lit(d + 1.0) + col("id").cast("double") * lit(1e-12)): _*)
+        .as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.99)
+    }
+    assert(e.getMessage.contains("degenerated"), e.getMessage)
+  }
+
   test("duplicated spans: boilerplate shows up, unique text does not") {
     import spark.implicits._
     val boiler = "please subscribe to our newsletter for updates today"
