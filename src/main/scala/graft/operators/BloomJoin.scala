@@ -31,17 +31,23 @@ object BloomJoin {
     * @param expectedBuildRows sizes the filter (bits ≈ 1.44·n·log2(1/fpp));
     *        pass the build side's approximate cardinality — an OVERestimate
     *        only wastes filter bits, an underestimate only raises the
-    *        false-positive rate. Both keep the result exact. */
+    *        false-positive rate. Both keep the result exact.
+    * @param materializeBuild localCheckpoint the build side so the eager
+    *        bloomFilter job and the final join share one computation.
+    *        Default FALSE: a checkpoint replaces the scan's statistics
+    *        with LogicalRDD defaults (which can cost a broadcast plan
+    *        when AQE is off), pins blocks until the frame is GC'd, and
+    *        cannot recompute on executor loss — the right trade only when
+    *        the build side is an expensive derived pipeline, so that
+    *        caller opts in explicitly. */
   def bloomFilteredJoin(
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
-      expectedBuildRows: Long, fpp: Double = 0.01): DataFrame = {
+      expectedBuildRows: Long, fpp: Double = 0.01,
+      materializeBuild: Boolean = false): DataFrame = {
     require(expectedBuildRows > 0, s"bad cardinality: $expectedBuildRows")
     val spark = probe.sparkSession
-    // materialize the build lineage once: the eager bloomFilter job below
-    // and the final join both read it, and an expensive build pipeline
-    // must not run twice
-    val buildM = build.localCheckpoint()
+    val buildM = if (materializeBuild) build.localCheckpoint() else build
     // distributed sketch aggregate: executors build partial filters over
     // their partitions, the driver ORs the compact bitsets together
     val bf: BloomFilter =

@@ -9,11 +9,23 @@ import graft.operators.TextAnalysis._
   * composition every training-data pass runs, wired with per-stage
   * observability.
   *
-  * Stages (in production order): repetition screen → near-duplicate
-  * removal (MinHash+LSH, keep the smallest id) → quality threshold →
-  * language filter → PII redaction → deterministic split assignment.
-  * `q_t17_pipeline` certifies this exact composition against a DuckDB
-  * oracle; this operator is the reusable API surface for it.
+  * Stages: repetition screen → near-duplicate removal (MinHash+LSH,
+  * keep the smallest id) → quality threshold → language filter → PII
+  * redaction → deterministic split assignment. `q_t17_pipeline`
+  * certifies this exact composition against a DuckDB oracle; this
+  * operator is the reusable API surface for it.
+  *
+  * Two deliberate semantics to know before reusing:
+  *  - Near-dup LOSERS are decided on the FULL corpus, not the
+  *    post-screen survivors: dedup verdicts stay stable when quality/
+  *    language thresholds are tuned, at the cost that a pair whose
+  *    keeper (smallest id) fails a later screen loses both copies. If
+  *    keep-at-least-one-copy matters more than verdict stability,
+  *    re-run the pair search on the filtered corpus instead.
+  *  - Documents with fewer than 2 tokens (or null text) have no
+  *    repetition statistic and drop at stage 1 — unscoreable is treated
+  *    as unsafe. Pre-filter them around the pipeline if they should
+  *    survive.
   *
   * Observability: per-stage survivor counts ride as
   * [[org.apache.spark.sql.Observation]] metrics — accumulator-backed,

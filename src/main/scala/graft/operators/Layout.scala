@@ -56,12 +56,15 @@ object Layout {
   /** Small-file compaction — the other half of lakehouse maintenance next
     * to [[zOrderBy]]: streaming ingest and fine-grained partitioning leave
     * directories of kilobyte files whose per-file open/footer cost
-    * dominates scans at scale. Rewrite the directory into
+    * dominates scans at scale. Rewrite the directory into EXACTLY
     * ⌈rows / targetRecordsPerFile⌉ files: one count job sizes the output,
-    * `repartition` redistributes evenly, `maxRecordsPerFile` caps any
-    * task that still ends up oversized. Returns the file count written.
-    * Values survive byte-for-byte (q_s12 certifies the rewrite against
-    * the pre-compaction aggregate). */
+    * round-robin `repartition` distributes near-evenly (per-file records
+    * can exceed the target only by the input-split count — round-robin's
+    * bounded imbalance — which is why there is deliberately NO
+    * `maxRecordsPerFile` cap: the cap re-splits any partition a few rows
+    * over target and breaks the file-count contract). Returns the file
+    * count written. Values survive byte-for-byte (q_s12 certifies the
+    * rewrite against the pre-compaction aggregate). */
   def compact(
       spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetRecordsPerFile: Long): Long = {
@@ -73,7 +76,6 @@ object Layout {
       (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     df.repartition(nFiles)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(outDir)
     // count via the Hadoop FileSystem API: outDir is a lake path
     // (hdfs://, s3a://, …) at the scale this operator exists for —

@@ -293,7 +293,11 @@ object Similarity {
       k: Int = IvfLists, groups: Int = 4,
       iters: Int = IvfKMeansIters, sampleN: Int = IvfSample): DataFrame = {
     requireRealClustering(k)
-    clusterPairs(clusterAssigned(emb, id, vec, k, iters, sampleN),
+    // checkpoint the ASSIGNMENT, not just the normed corpus: the skew
+    // guard's aggregation and both self-join sides read it, and the
+    // k-per-row argmax projection must not re-run three times
+    clusterPairs(
+      clusterAssigned(emb, id, vec, k, iters, sampleN).localCheckpoint(),
       threshold, groups)
   }
 
@@ -319,9 +323,11 @@ object Similarity {
     * exists while no cluster dominates. A degenerate corpus (everything
     * near-identical → one cluster) silently reverts to quadratic — refuse
     * it loudly and point at the exact path, the same philosophy as
-    * [[Guard.atMost]] on the quadratic operators. One tiny aggregation
-    * over the already-checkpointed assignment; the operator's k-means
-    * sampling is eager anyway. Probes only above 100k rows: below that
+    * [[Guard.atMost]] on the quadratic operators. One tiny aggregation —
+    * callers checkpoint the assignment before handing it here, so the
+    * guard, and both self-join sides after it, reuse one materialized
+    * pass instead of re-running the k-per-row argmax projection three
+    * times. Probes only above 100k rows: below that
     * even full-quadratic is a non-event, and tests/small corpora keep
     * clustering freedom. */
   private def clusterPairs(
@@ -370,6 +376,7 @@ object Similarity {
     requireRealClustering(k)
     val assigned =
       clusterAssigned(emb, id, vec, k, IvfKMeansIters, IvfSample)
+        .localCheckpoint()
     val losers = clusterPairs(assigned, threshold, groups)
       .select(col("vb").as("vec_id")).distinct()
       .withColumn("__lose", lit(true))
