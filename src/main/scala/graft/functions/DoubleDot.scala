@@ -164,6 +164,15 @@ object GraftFunctions {
     "graft_minhash_row" -> (exprs =>
       MinHashRow(exprs.head, permA, permB, HashPrime)),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
+    "graft_wordpiece" -> (exprs => {
+      // args 1/2 are foldable literals: the vocab array and maxPiece
+      val vocab = exprs(1).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      val maxPiece = exprs(2).eval(null).asInstanceOf[Int]
+      WordpieceTokens(exprs.head, vocab, maxPiece)
+    }),
     "graft_fhir_pivot" -> (exprs => {
       // arg 1 is a foldable string literal carrying the schema registry
       // as DataType JSON (field order = output column order)
@@ -213,6 +222,17 @@ object GraftFunctions {
   def minHashRow(hashes: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_minhash_row", hashes)
+  }
+
+  /** Greedy longest-match subword pieces over a fixed vocab (see
+    * [[WordpieceTokens]]). */
+  def wordpieceTokens(
+      text: Column, vocab: Seq[String], maxPiece: Int = 16): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_wordpiece", text,
+      org.apache.spark.sql.functions.array(
+        vocab.map(org.apache.spark.sql.functions.lit): _*),
+      org.apache.spark.sql.functions.lit(maxPiece))
   }
 
   /** One-tokenization FHIR bundle pivot (see [[FhirBundlePivot]]); the

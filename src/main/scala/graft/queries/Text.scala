@@ -528,9 +528,35 @@ object Text {
         .pipeline(documents(s, d), "doc_id", "text").df
   }
 
+  /** Subword vocabulary for q_t18: frequent corpus words, some split
+    * subwords, and the ASCII letters/digits as the fallback alphabet (so
+    * clean text segments fully; [UNK] marks genuinely foreign chars). */
+  val WpVocab: Seq[String] =
+    Seq("table", "hash", "join", "scan", "value", "filter", "window",
+      "merge", "group", "order", "batch", "query", "row", "key", "agg",
+      "ta", "ble", "jo", "in", "sc", "an", "val", "ue", "er", "ing") ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Subword tokenization budget: greedy longest-match wordpiece count
+    * vs the whitespace count — the number sequence packing and mixture
+    * sampling SHOULD budget with once a real tokenizer vocab drops in.
+    * Rows-only: per-doc piece segmentation has no tractable SQL oracle
+    * (iterative longest-match per word); NorthStarSpec pins the
+    * expression against an independent reference implementation plus a
+    * character-conservation property. */
+  val qT18Wordpiece = Q.rowsOnly("q_t18_wordpiece") { (s, d) =>
+    val pieces = graft.functions.GraftFunctions
+      .wordpieceTokens(col("text"), WpVocab)
+    documents(s, d).select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(filter(pieces, p => p === "[UNK]")).cast("long").as("n_unk"),
+      tokenCount(col("text")).as("n_whitespace_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
-      qT16Classifier, qT17Pipeline)
+      qT16Classifier, qT17Pipeline, qT18Wordpiece)
 }

@@ -75,6 +75,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(agg == row,
         "aggregate and row-level MinHash must be bit-identical")
 
+      val wp = s2.sql(
+        "SELECT graft_wordpiece('abc xy', array('ab', 'c', 'x'), 4) AS p")
+        .head.getSeq[String](0)
+      assert(wp == Seq("ab", "c", "x", "[UNK]"), wp)
+
       val sh = s2.sql(
         """SELECT graft_simhash(h) AS sig
           |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)

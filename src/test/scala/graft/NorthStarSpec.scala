@@ -629,6 +629,47 @@ class NorthStarSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("wordpiece segmentation matches an independent reference") {
+    import graft.queries.Text.WpVocab
+    // reference implementation, written separately from the expression
+    def ref(text: String): Seq[String] = {
+      val vocab = WpVocab.toSet
+      text.split(" ", -1).toSeq.flatMap { word =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < word.length) {
+          val l = (math.min(16, word.length - i) to 1 by -1)
+            .find(n => vocab.contains(word.substring(i, i + n)))
+          l match {
+            case Some(n) => out += word.substring(i, i + n); i += n
+            case None => out += "[UNK]"; i += 1
+          }
+        }
+        out
+      }
+    }
+    val got = docs.limit(100).select(col("doc_id"), col("text"),
+      graft.functions.GraftFunctions
+        .wordpieceTokens(col("text"), WpVocab).as("pieces"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expected = ref(r.getString(1))
+      val actual = r.getSeq[String](2)
+      assert(actual == expected, s"doc ${r.getLong(0)} diverged")
+      // character conservation: every non-space char is consumed exactly
+      // once — known pieces by their length, [UNK] by one char each
+      val chars = r.getString(1).count(_ != ' ')
+      val consumed = actual.map(p => if (p == "[UNK]") 1 else p.length).sum
+      assert(consumed == chars, s"doc ${r.getLong(0)}: $consumed vs $chars")
+    }
+    // subword counts upper-bound whitespace counts (pieces never merge
+    // across spaces)
+    val counts = graft.queries.Text.qT18Wordpiece.fn(spark, sf)
+      .select("n_pieces", "n_whitespace_tokens").collect()
+    assert(counts.forall(r => r.getLong(0) >= r.getLong(1)))
+  }
+
   test("semantic dedup refuses a degenerate one-cluster corpus") {
     // 150k near-identical vectors: every row lands in one cluster, so the
     // "intra-cluster" search would be full quadratic — the skew guard
