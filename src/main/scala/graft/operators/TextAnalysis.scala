@@ -251,14 +251,20 @@ object TextAnalysis {
     * Both passes share one range shuffle (same RDD ⇒ shuffle reuse); the
     * offsets table is O(partitions), never O(rows) or O(groups).
     *
+    * @param counter per-document token budget as a Column over the text
+    *        column — defaults to the whitespace [[tokenCount]]; pass e.g.
+    *        `size(GraftFunctions.wordpieceTokens(_, vocab))` to budget in
+    *        real subword tokens (q_t18's counter)
     * @return id, groupCol, n_tokens, shard_id (0-based within group) */
   def packShards(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      groupCol: String, budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+      groupCol: String, budgetTokens: Long,
+      counter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     val spark = docs.sparkSession
     val prepped = docs
-      .select(col(id), col(groupCol), tokenCount(col(text)).as("n_tokens"))
+      .select(col(id), col(groupCol),
+        counter(col(text)).cast("long").as("n_tokens"))
     val nPart = math.max(spark.sparkContext.defaultParallelism, 1)
     // explicit numPartitions: AQE must not coalesce a small shuffle down to
     // one partition, or the giant-group parallelism claim dies quietly
@@ -397,6 +403,52 @@ object TextAnalysis {
       .select(col(id), col(sourceCol), col("n_tokens"), col("rate"),
         (substring(md5(col(id).cast("string").cast("binary")), 1, 4) < thr)
           .as("keep"))
+  }
+
+  /** Mixture RESAMPLING with upsampling — the "epochs" data recipe: reach
+    * a target token mixture when scarce, high-value sources may REPEAT
+    * (e.g. "web 50%, books 30%, papers 20%, books seen up to 3×").
+    * Unlike [[mixtureSample]] (pure downsampling, budget bound by the
+    * scarcest source), the budget here is chosen: target total =
+    * `totalMultiple` × the weighted sources' token mass, and
+    * `factor_s = w_s·T / t_s` may exceed 1 — every document of that
+    * source emits ⌊factor⌋ full copies plus one fractional copy kept by
+    * the same md5-prefix threshold as the samplers (deterministic, no
+    * RNG). Same scale shape as mixtureSample: per-source totals map-side,
+    * factors broadcast back, corpus rows never shuffle; the caller
+    * explodes `n_copies` (`explode(sequence(1, n_copies))`) when
+    * materializing.
+    *
+    * @return id, source, n_tokens, factor, n_copies */
+  def mixtureResample(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      sourceCol: String, weights: Map[String, Double],
+      totalMultiple: Double): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "mixtureResample needs at least one weight")
+    require(weights.values.forall(_ > 0),
+      s"mixture weights must be positive: $weights")
+    require(totalMultiple > 0, s"bad total multiple: $totalMultiple")
+    val t = docs.select(col(id), col(sourceCol),
+      tokenCount(col(text)).as("n_tokens"))
+    val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>
+        when(col(sourceCol) === s0, lit(w)).otherwise(els)
+      }
+    val weighted = totals.withColumn("w", wCol).filter(col("w").isNotNull)
+    val target = weighted
+      .agg((sum(col("src_tokens")) * lit(totalMultiple)).as("target"))
+    val factors = weighted.crossJoin(broadcast(target))
+      .select(col(sourceCol),
+        (col("w") * col("target") / col("src_tokens")).as("factor"))
+    val frac = col("factor") - floor(col("factor"))
+    val thr = format_string("%04x",
+      floor(frac * lit(65536.0)).cast("long"))
+    t.join(broadcast(factors), Seq(sourceCol))
+      .select(col(id), col(sourceCol), col("n_tokens"), col("factor"),
+        (floor(col("factor")).cast("long") +
+          when(substring(md5(col(id).cast("string").cast("binary")), 1, 4)
+            < thr, 1L).otherwise(0L)).as("n_copies"))
   }
 
   /** Per-document distinctive terms: top-k tokens by tf-idf, with a

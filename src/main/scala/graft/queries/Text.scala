@@ -554,9 +554,48 @@ object Text {
       tokenCount(col("text")).as("n_whitespace_tokens"))
   }
 
+  /** Epochs-style mixture resampling: target = 1.5× the weighted token
+    * mass at 50/30/20 — the half-weight source upsamples past 2 epochs
+    * while the others downsample, all from one deterministic rule. */
+  val EpochWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  val qT19MixtureEpochs = Q(
+    "q_t19_mixture_epochs",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |        FROM t GROUP BY 1),
+      |ww AS (SELECT source, src_tokens,
+      |         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+      |                     WHEN 'src2' THEN 0.2 END AS w
+      |       FROM tot WHERE source IN ('src0', 'src1', 'src2')),
+      |tgt AS (SELECT CAST(sum(src_tokens) AS BIGINT) * 1.5 AS target
+      |        FROM ww),
+      |f AS (SELECT source, w * target / src_tokens AS factor FROM ww, tgt),
+      |c AS (SELECT t.doc_id, t.source, t.n_tokens, f.factor,
+      |        CAST(floor(f.factor) AS BIGINT) +
+      |        CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |               printf('%04x', CAST(floor(
+      |                 (f.factor - floor(f.factor)) * 65536.0) AS BIGINT))
+      |             THEN 1 ELSE 0 END AS n_copies
+      |      FROM t JOIN f ON t.source = f.source)
+      |SELECT source, factor, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_copies) AS BIGINT) AS emitted_docs,
+      |       CAST(sum(n_copies * n_tokens) AS BIGINT) AS emitted_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    mixtureResample(documents(s, d), "doc_id", "text", "source",
+      EpochWeights, totalMultiple = 1.5)
+      .groupBy("source", "factor")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("emitted_docs"),
+        sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
-      qT16Classifier, qT17Pipeline, qT18Wordpiece)
+      qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs)
 }

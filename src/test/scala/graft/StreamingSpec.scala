@@ -309,14 +309,14 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
     import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, size}
     def curate(df: org.apache.spark.sql.DataFrame) = df.select(
-      org.apache.spark.sql.functions.col("doc_id"),
-      TextAnalysis.qualityScore(
-        org.apache.spark.sql.functions.col("text")).as("quality"),
-      TextAnalysis.langId(
-        org.apache.spark.sql.functions.col("text")).as("lang"),
-      TextAnalysis.piiCount(
-        org.apache.spark.sql.functions.col("text")).as("n_pii"))
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.piiCount(col("text")).as("n_pii"),
+      size(graft.functions.GraftFunctions.wordpieceTokens(
+        col("text"), graft.queries.Text.WpVocab)).as("n_wp"))
     val q = curate(spark.readStream.schema(schema).parquet(dir.toString))
       .writeStream.outputMode("append")
       .format("memory").queryName("curate_out").start()
@@ -324,10 +324,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val streamed = spark.table("curate_out").collect()
         .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
-          r.getLong(3)))).toMap
+          r.getLong(3), r.getInt(4)))).toMap
       val batch = curate(Tables.documents(spark, sf)).collect()
         .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
-          r.getLong(3)))).toMap
+          r.getLong(3), r.getInt(4)))).toMap
       assert(streamed.size == batch.size && streamed == batch,
         "streamed curation values must equal batch bit-for-bit")
     } finally q.stop()
