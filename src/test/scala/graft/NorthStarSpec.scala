@@ -521,6 +521,31 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("mixture resampling degenerates to mixture sampling at the cap") {
+    // when the resample target equals the downsampler's implied budget
+    // (B = min t_s/w_s), every factor is <= 1 and the two operators must
+    // keep EXACTLY the same documents — same thresholds, same md5 rule
+    import graft.operators.TextAnalysis
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3)
+    val sampled = TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", weights).collect()
+    val totals = sampled.groupBy(_.getString(1)).map { case (s0, rows) =>
+      s0 -> rows.map(_.getLong(2)).sum
+    }
+    val budget = weights.keys.map(s0 => totals(s0) / weights(s0)).min
+    val multiple = budget / totals.values.sum
+    val resampled = TextAnalysis.mixtureResample(
+      docs, "doc_id", "text", "source", weights, multiple).collect()
+    assert(resampled.forall(_.getDouble(3) <= 1.0 + 1e-9),
+      "at the cap no source may upsample")
+    val kept = sampled.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val emitted = resampled.filter(_.getLong(4) == 1L)
+      .map(_.getLong(0)).toSet
+    assert(emitted == kept,
+      s"the two mixers disagree at the cap: ${(emitted -- kept).take(3)} " +
+        s"extra, ${(kept -- emitted).take(3)} missing")
+  }
+
   test("semantic dedup: intra-cluster pairs are a subset of exact pairs") {
     val exact = Similarity
       .cosineNearDupPairs(embs, "vec_id", "embedding", 0.45)
