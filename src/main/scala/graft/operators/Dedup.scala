@@ -264,10 +264,17 @@ object Dedup {
     val sig = toks.groupBy("doc_id")
       .agg(graft.functions.GraftFunctions.simHashSketch(col("h"))
         .as("sim_sig"))
+    hamming64Pairs(sig, maxHamming)
+  }
 
-    // 8 bands × 8 bits: by pigeonhole, any pair within Hamming distance 7
-    // shares at least one untouched band — candidate generation is
-    // exhaustive for the near-dup range, not probabilistic.
+  /** All pairs of 64-bit signatures within `maxHamming` — the banded
+    * search shared by SimHash text near-dup and perceptual image-hash
+    * near-dup. 8 bands × 8 bits: by pigeonhole, any pair within Hamming
+    * distance 7 shares at least one untouched band — candidate generation
+    * is EXHAUSTIVE for the near-dup range, not probabilistic. Input
+    * columns: (doc_id, sim_sig). */
+  private[graft] def hamming64Pairs(
+      sig: DataFrame, maxHamming: Int): DataFrame = {
     val bandStructs = (0 until 8).map { k =>
       struct(lit(k).as("band"),
         shiftright(col("sim_sig"), k * 8).bitwiseAND(lit(0xFFL)).as("bv"))

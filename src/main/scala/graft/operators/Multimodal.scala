@@ -115,6 +115,100 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash — the classic
+    * gradient-based perceptual hash, public technique): area-mean
+    * downsample the decoded luma to a 9×8 grid, bit (y·8 + x) set when
+    * cell(x, y) is brighter than cell(x+1, y). Robust to re-encoding and
+    * uniform brightness shifts (gradients survive both); Hamming distance
+    * ≤ ~7 flags near-duplicate images. Deterministic — same arithmetic on
+    * every JVM. None when the payload is not a decodable image. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (gw, gh) = (9, 8)
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = Array.ofDim[Double](gh, gw)
+      var cy = 0
+      while (cy < gh) {
+        val y0 = cy * h / gh
+        val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx * w / gw
+          val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+          var s = 0.0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              s += 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          cells(cy)(cx) =
+            s / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < 8) {
+          if (cells(y)(x) > cells(y)(x + 1)) {
+            hash |= 1L << (y * 8 + x)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** (media_id, dhash) for every decodable image — the same narrow-map
+    * shape as [[extractFeatures]] (undecodable payloads drop; they have no
+    * perceptual content to compare). */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          imageDHash(bytes).map(h => (mid, h))
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate IMAGE pairs: perceptual dHash per image (narrow map),
+    * then the same banded 64-bit Hamming search the SimHash text path
+    * uses ([[Dedup.hamming64Pairs]] — exhaustive for distance ≤ 7 by
+    * pigeonhole). The multimodal twin of text near-dup: re-encoded,
+    * recompressed, or lightly edited copies collide; unrelated images do
+    * not.
+    *
+    * @return media_a, media_b (a < b), hamming */
+  def imageNearDupPairs(
+      media: DataFrame, maxHamming: Int = 7): DataFrame =
+    Dedup.hamming64Pairs(
+      imageDHashes(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sim_sig")),
+      maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Fake a media table out of the documents corpus: payload = utf-8 bytes,
     * kind round-robined over image/audio/video. Real pipelines read payloads
     * straight off object storage as `binaryFile` / parquet binary columns —

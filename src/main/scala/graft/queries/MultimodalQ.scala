@@ -168,7 +168,19 @@ object MultimodalQ {
         col("width"), col("height"))
   }
 
+  /** Perceptual image hashes over the synthetic PNG corpus: the dHash
+    * every image-dedup pass keys on. Rows-only (the hash is a function of
+    * DECODED pixels — no SQL engine can decode PNG); determinism,
+    * re-encode invariance, and the near-dup pair search are pinned in
+    * NorthStarSpec. */
+  val qM9ImageDHash = Q.rowsOnly("q_m9_image_dhash") { (s, d) =>
+    Multimodal.imageDHashes(
+      Multimodal.syntheticImages(
+        documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
-      qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames)
+      qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
+      qM9ImageDHash)
 }

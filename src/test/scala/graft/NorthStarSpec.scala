@@ -613,6 +613,69 @@ class NorthStarSpec extends AnyFunSuite {
       f"semantic dedup lost planted twins: $recall%.3f")
   }
 
+  test("image dHash: re-encode invariant, edit tolerant, finds planted dups") {
+    import spark.implicits._
+    val imgs = Multimodal.syntheticImages(
+      docs.filter(col("doc_id") % 8 === 0).limit(20), "doc_id")
+    val base = imgs.select("media_id", "bytes")
+      .as[(Long, Array[Byte])].collect()
+    assert(base.length >= 10)
+    def reencode(bytes: Array[Byte], tweak: Boolean): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (tweak) img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x00FFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos) // different container
+      bos.toByteArray
+    }
+    base.take(5).foreach { case (mid, bytes) =>
+      val h0 = Multimodal.imageDHash(bytes).get
+      // PNG → BMP re-encode: identical pixels, identical hash
+      assert(Multimodal.imageDHash(reencode(bytes, tweak = false))
+        .contains(h0), s"re-encode changed the hash for $mid")
+      // one flipped pixel: nearly all gradient comparisons survive
+      val hTweak = Multimodal.imageDHash(reencode(bytes, tweak = true)).get
+      assert(java.lang.Long.bitCount(h0 ^ hTweak) <= 7,
+        s"one-pixel edit moved $mid too far")
+    }
+    // pair search needs genuinely DISTINCT images — the synthetic
+    // gradient corpus is one near-identical family by construction (its
+    // members share gradient structure, which is precisely what dHash
+    // keys on). Per-id noise images are pairwise far apart; a one-pixel
+    // edited copy under id+1000 is the only near neighbor.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def noiseImage(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        27, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 27) {
+        img.setRGB(x, y, (mix(seed * 6007 + y * 27 + x) & 0xFFFFFF).toInt)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val noisy = (0L until 10L).map(i => (i, noiseImage(i)))
+    val planted = noisy.take(5).map { case (mid, bytes) =>
+      (mid + 1000L, reencode(bytes, tweak = true))
+    }
+    val corpus = (noisy ++ planted).toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(corpus)
+      .select("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = noisy.take(5).map { case (mid, _) =>
+      (mid, mid + 1000L)
+    }.toSet
+    assert(expected.subsetOf(pairs),
+      s"planted image dups missed: ${expected -- pairs}")
+    val falsePairs = pairs.filterNot { case (a, b) => b - a == 1000L }
+    assert(falsePairs.isEmpty, s"unrelated images paired: $falsePairs")
+  }
+
   test("curation pipeline reports its stage funnel on one pass") {
     import graft.operators.{Curation, TextAnalysis}
     val res = Curation.pipeline(docs, "doc_id", "text")
