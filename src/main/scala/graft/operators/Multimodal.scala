@@ -174,6 +174,56 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint: the dHash idea in the time domain — 65
+    * time-band RMS energies from the real PCM decode, one bit per
+    * adjacent-band energy comparison. Re-encoding PCM into another
+    * container (WAV↔AIFF) preserves samples, hence the fingerprint;
+    * lightly clipped or re-gained copies move few bits. None when the
+    * payload is not decodable 16-bit PCM. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    AudioCodec.decode(bytes, featureDim = 65).map { case (_, feats) =>
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (feats(i) > feats(i + 1)) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+
+  /** 64-bit video fingerprint: the perceptual [[imageDHash]] of the FIRST
+    * decoded frame (Y4M path) — re-muxed or re-described copies of the
+    * same footage share it; trailing-frame edits do not move it (a
+    * content-level fingerprint over every sampled frame is the multi-frame
+    * extension, same machinery per frame). */
+  def videoDHash(bytes: Array[Byte]): Option[Long] =
+    VideoCodec.frameAt(bytes, 0).flatMap(imageDHash)
+
+  /** One fingerprint table across modalities: (media_id, kind, fp) where
+    * fp is [[imageDHash]] / [[audioFingerprint]] / [[videoDHash]] by kind
+    * — every row joins the SAME banded Hamming near-dup search
+    * ([[Dedup.hamming64Pairs]]). Narrow map; undecodable payloads drop. */
+  def mediaFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, kind, bytes) =>
+          val fp = kind match {
+            case "image" => imageDHash(bytes)
+            case "audio" => audioFingerprint(bytes)
+            case "video" => videoDHash(bytes)
+            case _       => None
+          }
+          fp.map(h => (mid, kind, h))
+        }
+      }
+      .toDF("media_id", "kind", "fp")
+  }
+
   /** (media_id, dhash) for every decodable image — the same narrow-map
     * shape as [[extractFeatures]] (undecodable payloads drop; they have no
     * perceptual content to compare). */

@@ -179,8 +179,24 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id"))
   }
 
+  /** One perceptual fingerprint per media row across ALL modalities:
+    * image dHash, audio band-energy fingerprint, first-frame video dHash —
+    * every row joins the same banded Hamming near-dup search. Rows-only
+    * (fingerprints are functions of decoded pixels/samples). */
+  val qM10MediaFingerprints = Q.rowsOnly("q_m10_media_fingerprints") {
+    (s, d) =>
+      val base = documents(s, d)
+      Multimodal.mediaFingerprints(
+        Multimodal.syntheticImages(
+          base.filter(col("doc_id") % 8 === 0), "doc_id")
+          .unionByName(Multimodal.syntheticAudio(
+            base.filter(col("doc_id") % 8 === 1), "doc_id"))
+          .unionByName(Multimodal.syntheticVideos(
+            base.filter(col("doc_id") % 8 === 2), "doc_id")))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
-      qM9ImageDHash)
+      qM9ImageDHash, qM10MediaFingerprints)
 }

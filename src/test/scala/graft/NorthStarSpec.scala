@@ -676,6 +676,97 @@ class NorthStarSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"unrelated images paired: $falsePairs")
   }
 
+  test("audio/video fingerprints: container invariant, content distinct") {
+    import spark.implicits._
+    // the registered synthetic corpus is constant-amplitude square waves —
+    // energy-FLAT by design (its RMS oracle needs that), so an
+    // energy-profile fingerprint correctly reports every clip alike.
+    // Build amplitude-MODULATED clips for the distinctness claims.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def modulatedWav(seed: Long): Array[Byte] = {
+      val frames = 6500
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val band = i * 65 / frames
+        val amp = 500 + Math.floorMod(mix(seed * 131 + band), 20000L).toInt
+        val s = (if ((i / 50) % 2 == 0) amp else -amp).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val audio = (0L until 8L).map(i => (i, modulatedWav(i)))
+    def toAiff(wav: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    audio.take(4).foreach { case (mid, wav) =>
+      val fp = Multimodal.audioFingerprint(wav)
+      assert(fp.isDefined, s"audio $mid must decode")
+      // WAV → AIFF: same PCM samples, same fingerprint
+      assert(Multimodal.audioFingerprint(toAiff(wav)) == fp,
+        s"container re-encode moved audio fingerprint for $mid")
+    }
+    // distinct synthetic clips must not share a fingerprint
+    val fps = audio.map { case (_, wav) =>
+      Multimodal.audioFingerprint(wav).get
+    }
+    assert(fps.distinct.length == fps.length,
+      "distinct audio clips collided")
+
+    // video: the synthetic gradient clips are one visual family (tiny
+    // first frames share gradient signs), so build noise-luma Y4M clips —
+    // a spec-side writer, independent of the main parser — where content
+    // is genuinely distinct and trailing-frame edits must not move the
+    // first-frame fingerprint
+    def noiseY4m(seed: Long, nFrames: Int): Array[Byte] = {
+      val (w, h) = (16, 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F10:1 C420jpeg\n".getBytes("US-ASCII"))
+      for (f <- 0 until nFrames) {
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        // frame 0 depends only on the seed; later frames vary freely
+        val fseed = if (f == 0) seed else seed * 977 + f
+        for (y <- 0 until h; x <- 0 until w) {
+          bos.write((Math.floorMod(mix(fseed * 4099 + y * w + x), 256L))
+            .toInt)
+        }
+        for (_ <- 0 until 2 * (w / 2) * (h / 2)) bos.write(128)
+      }
+      bos.toByteArray
+    }
+    val vfps = (0L until 6L).map { seed =>
+      val v = noiseY4m(seed, nFrames = 3)
+      val fp = Multimodal.videoDHash(v)
+      assert(fp.isDefined, s"video $seed must decode")
+      // the fingerprint IS the first frame's image dHash, and editing
+      // trailing frames must not move it
+      assert(Multimodal.VideoCodec.frameAt(v, 0)
+        .flatMap(Multimodal.imageDHash) == fp)
+      assert(Multimodal.videoDHash(noiseY4m(seed, nFrames = 5)) == fp,
+        s"trailing frames moved the fingerprint for $seed")
+      fp.get
+    }
+    assert(vfps.distinct.length == vfps.length,
+      "distinct videos collided on first-frame dHash")
+  }
+
   test("curation pipeline reports its stage funnel on one pass") {
     import graft.operators.{Curation, TextAnalysis}
     val res = Curation.pipeline(docs, "doc_id", "text")
