@@ -165,12 +165,23 @@ object GraftFunctions {
       MinHashRow(exprs.head, permA, permB, HashPrime)),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
     "graft_wordpiece" -> (exprs => {
-      // args 1/2 are foldable literals: the vocab array and maxPiece
+      // args 1/2 must be foldable literals (the vocab array and maxPiece)
+      // — fail with a usable message, not a ClassCastException mid-eval
+      require(exprs(1).foldable && exprs(2).foldable,
+        "graft_wordpiece(text, vocab, maxPiece): vocab and maxPiece must " +
+          "be literals (e.g. array('ab','c'), 16), not columns")
       val vocab = exprs(1).eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toObjectArray(org.apache.spark.sql.types.StringType)
         .map(_.toString)
-      val maxPiece = exprs(2).eval(null).asInstanceOf[Int]
+      val maxPiece = exprs(2).eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.toInt
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_wordpiece: maxPiece must be an integral literal, got " +
+            s"$other")
+      }
       WordpieceTokens(exprs.head, vocab, maxPiece)
     }),
     "graft_fhir_pivot" -> (exprs => {

@@ -126,7 +126,16 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    if (img == null) None else dHashOfImage(img)
+  }
+
+  /** The dHash kernel over an already-decoded image — shared by the
+    * bytes-level [[imageDHash]] and [[videoDHash]] (which reads the first
+    * frame's BufferedImage straight off the Y4M decode, skipping a PNG
+    * encode+decode round trip). */
+  private def dHashOfImage(
+      img: java.awt.image.BufferedImage): Option[Long] = {
+    if (img.getWidth < 1 || img.getHeight < 1) None
     else {
       val (gw, gh) = (9, 8)
       val w = img.getWidth
@@ -191,13 +200,18 @@ object Multimodal {
       fp
     }
 
-  /** 64-bit video fingerprint: the perceptual [[imageDHash]] of the FIRST
-    * decoded frame (Y4M path) — re-muxed or re-described copies of the
+  /** 64-bit video fingerprint: the perceptual dHash of the FIRST decoded
+    * frame (Y4M path), read straight off the YUV→RGB decode — no PNG
+    * encode+decode in the loop. Re-muxed or re-described copies of the
     * same footage share it; trailing-frame edits do not move it (a
     * content-level fingerprint over every sampled frame is the multi-frame
     * extension, same machinery per frame). */
   def videoDHash(bytes: Array[Byte]): Option[Long] =
-    VideoCodec.frameAt(bytes, 0).flatMap(imageDHash)
+    VideoCodec.parseHeader(bytes).flatMap { m =>
+      val it = VideoCodec.frameDataOffsets(bytes, m)
+      if (!it.hasNext) None
+      else dHashOfImage(VideoCodec.frameImageAtOffset(bytes, m, it.next()))
+    }
 
   /** One fingerprint table across modalities: (media_id, kind, fp) where
     * fp is [[imageDHash]] / [[audioFingerprint]] / [[videoDHash]] by kind
@@ -441,7 +455,8 @@ object Multimodal {
     /** Start offsets of each frame's pixel data (after its FRAME line).
       * Per-frame parameter tags make the frame header variable-length, so
       * offsets are found by scanning, not arithmetic. */
-    private def frameDataOffsets(bytes: Array[Byte], m: Meta): Iterator[Int] =
+    private[operators] def frameDataOffsets(
+        bytes: Array[Byte], m: Meta): Iterator[Int] =
       new Iterator[Int] {
         private val fsize = m.frameSize
         private var pos = m.dataStart
@@ -517,6 +532,18 @@ object Multimodal {
     /** Decode the frame whose pixel data starts at `off` (an entry of
       * [[frameOffsetTable]]) — the shared YUV→RGB→PNG kernel. */
     def frameAtOffset(bytes: Array[Byte], m: Meta, off: Int): Array[Byte] = {
+      val img = frameImageAtOffset(bytes, m, off)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** The decoded frame as a BufferedImage, pre-PNG-encode — for
+      * consumers that only read pixels (e.g. [[Multimodal.videoDHash]]),
+      * skipping a pointless encode+decode round trip. */
+    private[operators] def frameImageAtOffset(
+        bytes: Array[Byte], m: Meta, off: Int)
+        : java.awt.image.BufferedImage = {
           val img = new java.awt.image.BufferedImage(
             m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val cw = if (m.chroma == "420") m.width / 2 else m.width
@@ -545,9 +572,7 @@ object Multimodal {
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          bos.toByteArray
+          img
         }
   }
 

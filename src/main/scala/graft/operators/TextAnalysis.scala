@@ -343,10 +343,13 @@ object TextAnalysis {
     // rate >= 1.0 maps to 'g000' — lexicographically above every hex
     // prefix, so keep-everything is expressible ('ffff' < 'g000'); the
     // strict '<' against a clamped 'ffff' would silently drop the
-    // ~1/65536 ids whose md5 starts with ffff
+    // ~1/65536 ids whose md5 starts with ffff. The 65535 clamp guards the
+    // last half-ulp below 1.0: rate·65536 can ROUND to exactly 65536.0,
+    // whose "%04x" is the 5-char "10000" — lexicographically tiny, so an
+    // almost-keep-everything rate would keep almost nothing
     def hexThreshold(rate: Double): String =
       if (rate >= 1.0) "g000"
-      else f"${math.max(0L, (rate * 65536).toLong)}%04x"
+      else f"${math.min(65535L, math.max(0L, (rate * 65536).toLong))}%04x"
     val prefix = substring(md5(id.cast("string").cast("binary")), 1, 4)
     val byStratum = rates.toSeq.sortBy(_._1).foldRight(
       lit(hexThreshold(defaultRate))) { case ((s, r), els) =>
@@ -395,10 +398,11 @@ object TextAnalysis {
       .select(col(sourceCol),
         (col("w") * col("budget") / col("src_tokens")).as("rate"))
     // md5-prefix keep threshold; 'g000' sorts above every hex prefix so
-    // rate ≥ 1 keeps all rows (see stratifiedKeep for why not 'ffff')
+    // rate ≥ 1 keeps all rows, and the 65535 clamp guards the half-ulp-
+    // below-1 rounding to "10000" (see stratifiedKeep)
     val thr = when(col("rate") >= 1.0, lit("g000"))
       .otherwise(format_string("%04x",
-        floor(col("rate") * lit(65536.0)).cast("long")))
+        least(floor(col("rate") * lit(65536.0)).cast("long"), lit(65535L))))
     t.join(broadcast(rates), Seq(sourceCol))
       .select(col(id), col(sourceCol), col("n_tokens"), col("rate"),
         (substring(md5(col(id).cast("string").cast("binary")), 1, 4) < thr)
@@ -428,6 +432,13 @@ object TextAnalysis {
     require(weights.values.forall(_ > 0),
       s"mixture weights must be positive: $weights")
     require(totalMultiple > 0, s"bad total multiple: $totalMultiple")
+    // unlike mixtureSample (rate = w·B/t with B = min t/w cancels any
+    // weight scale), the factors here multiply straight into the target:
+    // unnormalized weights would silently scale the emitted corpus by
+    // sum(w) — demand the mixture be stated as shares
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"mixture weights must sum to 1 (shares of the target): " +
+        s"${weights.values.sum}")
     val t = docs.select(col(id), col(sourceCol),
       tokenCount(col(text)).as("n_tokens"))
     val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
@@ -442,8 +453,11 @@ object TextAnalysis {
       .select(col(sourceCol),
         (col("w") * col("target") / col("src_tokens")).as("factor"))
     val frac = col("factor") - floor(col("factor"))
+    // clamp: frac·65536 can round to exactly 65536.0 in the last half-ulp
+    // below 1, and "%04x" of 65536 is the 5-char "10000" — an almost-
+    // always-extra-copy fraction would otherwise emit almost none
     val thr = format_string("%04x",
-      floor(frac * lit(65536.0)).cast("long"))
+      least(floor(frac * lit(65536.0)).cast("long"), lit(65535L)))
     t.join(broadcast(factors), Seq(sourceCol))
       .select(col(id), col(sourceCol), col("n_tokens"), col("factor"),
         (floor(col("factor")).cast("long") +

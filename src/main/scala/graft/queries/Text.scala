@@ -358,8 +358,9 @@ object Text {
       |k AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate,
       |        substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
       |          CASE WHEN rate >= 1 THEN 'g000'
-      |               ELSE printf('%04x',
-      |                      CAST(floor(rate * 65536.0) AS BIGINT)) END
+      |               ELSE printf('%04x', least(
+      |                      CAST(floor(rate * 65536.0) AS BIGINT),
+      |                      65535)) END
       |          AS keep
       |      FROM t JOIN r ON t.source = r.source)
       |SELECT source, rate, CAST(count(*) AS BIGINT) AS n_docs,
@@ -577,8 +578,9 @@ object Text {
       |c AS (SELECT t.doc_id, t.source, t.n_tokens, f.factor,
       |        CAST(floor(f.factor) AS BIGINT) +
       |        CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
-      |               printf('%04x', CAST(floor(
-      |                 (f.factor - floor(f.factor)) * 65536.0) AS BIGINT))
+      |               printf('%04x', least(CAST(floor(
+      |                 (f.factor - floor(f.factor)) * 65536.0) AS BIGINT),
+      |                 65535))
       |             THEN 1 ELSE 0 END AS n_copies
       |      FROM t JOIN f ON t.source = f.source)
       |SELECT source, factor, CAST(count(*) AS BIGINT) AS n_docs,

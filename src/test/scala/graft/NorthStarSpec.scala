@@ -842,8 +842,14 @@ class NorthStarSpec extends AnyFunSuite {
       val consumed = actual.map(p => if (p == "[UNK]") 1 else p.length).sum
       assert(consumed == chars, s"doc ${r.getLong(0)}: $consumed vs $chars")
     }
-    // subword counts upper-bound whitespace counts (pieces never merge
-    // across spaces)
+    // subword counts upper-bound whitespace counts on single-space-
+    // separated text (pieces never merge across spaces; an EMPTY
+    // whitespace token — "a  b", trailing space — counts for tokenCount
+    // but yields no piece, so the bound holds only without empty tokens,
+    // which this corpus guarantees and this assert verifies)
+    assert(docs.filter(col("text").contains("  ")
+      || col("text").startsWith(" ") || col("text").endsWith(" "))
+      .count() == 0, "corpus must be single-space separated for the bound")
     val counts = graft.queries.Text.qT18Wordpiece.fn(spark, sf)
       .select("n_pieces", "n_whitespace_tokens").collect()
     assert(counts.forall(r => r.getLong(0) >= r.getLong(1)))
