@@ -273,15 +273,20 @@ object Dedup {
     * distance 7 shares at least one untouched band — candidate generation
     * is EXHAUSTIVE for the near-dup range, not probabilistic. Input
     * columns: (doc_id, sim_sig). */
+  /** The 8-band split of a 64-bit signature column — array of
+    * (band, 8-bit value) structs, shared by the batch self-join and the
+    * streaming stream-static variant. */
+  private[graft] def hammingBands(sig: Column): Column =
+    array((0 until 8).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(sig, k * 8).bitwiseAND(lit(0xFFL)).as("bv"))
+    }: _*)
+
   private[graft] def hamming64Pairs(
       sig: DataFrame, maxHamming: Int): DataFrame = {
-    val bandStructs = (0 until 8).map { k =>
-      struct(lit(k).as("band"),
-        shiftright(col("sim_sig"), k * 8).bitwiseAND(lit(0xFFL)).as("bv"))
-    }
     val buckets = sig
       .select(col("doc_id"), col("sim_sig"),
-        explode(array(bandStructs: _*)).as("bk"))
+        explode(hammingBands(col("sim_sig"))).as("bk"))
       .select(col("doc_id"), col("sim_sig"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     buckets.as("x")

@@ -278,6 +278,48 @@ object Streams {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming MEDIA near-dup against a static fingerprint index: every
+    * incoming media payload (image/audio/video) fingerprinted as it
+    * arrives — the perceptual hashes are pure narrow maps, so
+    * [[graft.operators.Multimodal.mediaFingerprints]] runs on readStream
+    * input unchanged — then banded against a base corpus's fingerprints
+    * via the same 8×8-bit pigeonhole split the batch Hamming search uses
+    * (exhaustive for distance ≤ 7). The multimodal twin of
+    * [[nearDupAgainstBase]]: a crawl's images/audio/video checked against
+    * the training set's perceptual index before ingest, kind-partitioned
+    * so an image never pairs with an audio clip.
+    *
+    * `dropDuplicates` collapses multi-band collisions (stateful;
+    * spec/demo-scale without a watermark — the same trade
+    * [[nearDupAgainstBase]] documents).
+    *
+    * @param base (media_id, kind, fp) — a batch
+    *             `Multimodal.mediaFingerprints` result
+    * @return streaming frame of (base_id, new_id, kind, hamming ≤ max) */
+  def mediaNearDupAgainstBase(
+      incoming: DataFrame, base: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    val baseIdx = base
+      .select(col("media_id").as("base_id"), col("kind"),
+        col("fp").as("base_fp"),
+        explode(Dedup.hammingBands(col("fp"))).as("bk"))
+      .select(col("base_id"), col("kind"), col("base_fp"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .localCheckpoint()
+    graft.operators.Multimodal.mediaFingerprints(incoming)
+      .select(col("media_id").as("new_id"), col("kind"), col("fp"),
+        explode(Dedup.hammingBands(col("fp"))).as("bk"))
+      .select(col("new_id"), col("kind"), col("fp"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .join(baseIdx, Seq("kind", "band", "bv")) // stream-static equi-join
+      .filter(col("base_id") =!= col("new_id"))
+      .select(col("base_id"), col("new_id"), col("kind"),
+        bit_count(col("fp").bitwiseXOR(col("base_fp")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("base_id", "new_id")
+  }
+
   /** Streaming benchmark decontamination: every incoming document screened
     * against a STATIC probe (benchmark/eval) suite as it arrives — the
     * live-ingest twin of `Decontaminate.contamination`, so eval leakage is

@@ -434,6 +434,60 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly-once violated: ${got.length} rows out vs ${all.length} in")
   }
 
+  test("streaming media near-dup finds edited copies against a base index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def noisePng(seed: Long, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        27, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 27) {
+        img.setRGB(x, y, (mix(seed * 6007 + y * 27 + x) & 0xFFFFFF).toInt)
+      }
+      if (tweak) img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x00FFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val baseMedia = (0L until 10L)
+      .map(i => (i, "image", noisePng(i, tweak = false)))
+      .toDF("media_id", "kind", "bytes")
+    val baseIdx = graft.operators.Multimodal.mediaFingerprints(baseMedia)
+    // incoming: 5 one-pixel-edited copies of base images + 5 new ones
+    val incoming = ((0L until 5L)
+      .map(i => (i + 1000L, "image", noisePng(i, tweak = true))) ++
+      (100L until 105L)
+        .map(i => (i, "image", noisePng(i * 77 + 13, tweak = false))))
+      .toDF("media_id", "kind", "bytes")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_media")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = Streams.mediaNearDupAgainstBase(
+      spark.readStream.schema(schema).parquet(dir.toString), baseIdx)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("media_dup_out").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("media_dup_out")
+        .select("base_id", "new_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (0L until 5L).map(i => (i, i + 1000L)).toSet
+      assert(pairs == expected,
+        s"expected exactly the planted copies: got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
