@@ -69,7 +69,11 @@ object Bench {
       Thread.sleep(200)
     }
 
+    // Local-iteration filter (same contract as Verify): unset → all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
     val results = names.map { name =>
       isolate()
       val a = force(name)

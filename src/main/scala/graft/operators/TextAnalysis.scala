@@ -90,11 +90,19 @@ object TextAnalysis {
 
   /** Adjacent word bigrams ("a b c" → ["a b", "b c"]); empty array below 2
     * tokens (guarded — Spark's `sequence(1, 0)` would count DOWN). */
-  def bigrams(text: Column): Column = {
+  def bigrams(text: Column): Column = ngrams(text, 2)
+
+  /** Adjacent word n-grams, n ∈ [2, 5] ("a b c", n=3 → ["a b c"]); empty
+    * array below n tokens (guarded — Spark's `sequence(1, 0)` would count
+    * DOWN). The upper bound is a boilerplate-mining practicality, not a
+    * technical limit: each +1 widens every row of [[topNgrams]]'s first
+    * explode by one token, and 5-grams already pin template boilerplate. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 2 && n <= 5, s"n-gram size must be in [2, 5], got $n")
     val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -534,27 +542,59 @@ object TextAnalysis {
     }
   }
 
-  /** Corpus-level frequent n-gram mining: the `k` most frequent bigrams
-    * with their document frequency — the builder for boilerplate /
-    * stop-phrase lists (the list a curation pass later strips or
-    * down-weights). Occurrences are counted per document map-side (one
-    * explode → two-level hash-agg with partial combine), the global top-k
-    * is a `TakeOrderedAndProject` — no full sort, no window, the only
-    * full-width shuffle carries (gram, count) partials bounded by distinct
-    * vocabulary, never corpus rows. Ties resolve by gram (lexicographic)
-    * so the cut is deterministic and the SQL oracle reproduces it.
+  /** Corpus-level frequent n-gram mining: the `k` most frequent n-grams
+    * (n ∈ [2, 5], default bigrams) with their document frequency — the
+    * builder for boilerplate / stop-phrase lists (the list a curation pass
+    * later strips or down-weights).
+    *
+    * Scale shape: counting happens on `xxhash64(gram)` through BOTH
+    * aggregation levels, so every exchange carries 16-byte (hash, count)
+    * rows — never gram strings. (The earlier formulation shuffled the gram
+    * string itself; natural-text n-grams are mostly per-doc-unique, so that
+    * first shuffle carried nearly the whole corpus as strings — a ~100 TB
+    * exchange at target scale, and the GC-churn outlier of the local
+    * bench.) The hash-count frame is materialized once via
+    * `localCheckpoint` (ContextCleaner-tracked, same lifecycle reasoning as
+    * [[Similarity.ivfTopK]]), the k-th count is read back as a single
+    * threshold long, and the winning gram STRINGS are recovered in one
+    * bounded second pass: re-scan the corpus, broadcast-hash-semi-join each
+    * gram's hash against the ≥threshold candidate set (k + boundary ties
+    * rows), and only surviving grams reach the final tiny aggregation. Two
+    * column-pruned scans + hash-width shuffles beat one scan + a
+    * corpus-width string shuffle everywhere past toy scale.
+    *
+    * Ties resolve by gram (lexicographic) so the cut is deterministic and
+    * the SQL oracle reproduces it; every hash tied at the boundary count is
+    * kept as a candidate so the tie-break happens on recovered strings,
+    * exactly as the single-pass form did. Distinct grams colliding on
+    * xxhash64 would merge counts — at 2^64 that needs ~10^9 distinct grams
+    * for even a ~3% corpus-wide chance of ONE collision, and a collision
+    * must additionally land in the top-k to be visible.
     *
     * @return gram, n_occurrences, n_docs, rank (1..k) */
   def topNgrams(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val perDoc = Dedup.fanOut(docs)
-      .select(col(id).as("__d"), explode(bigrams(col(text))).as("gram"))
-      .groupBy("__d", "gram")
+      k: Int, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val grams = Dedup.fanOut(docs)
+      .select(col(id).as("__d"), explode(ngrams(col(text), n)).as("gram"))
+    val agg = grams
+      .select(col("__d"), xxhash64(col("gram")).as("__h"))
+      .groupBy("__d", "__h")
       .agg(count(lit(1)).as("__n"))
-    perDoc
-      .groupBy("gram")
+      .groupBy("__h")
       .agg(sum("__n").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    // One bounded action: the k-th-largest occurrence count (a single
+    // long), via TakeOrderedAndProject over the checkpointed hash counts.
+    val kthRow = agg.orderBy(col("n_occurrences").desc).limit(k)
+      .agg(min(col("n_occurrences"))).first()
+    val thresh = if (kthRow.isNullAt(0)) Long.MaxValue else kthRow.getLong(0)
+    val cands = agg.filter(col("n_occurrences") >= thresh)
+    grams
+      .select(col("gram"), xxhash64(col("gram")).as("__h"))
+      .join(broadcast(cands), Seq("__h"))
+      .select(col("gram"), col("n_occurrences"), col("n_docs"))
+      .distinct()
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
       .withColumn("rank",

@@ -403,6 +403,29 @@ object Text {
     topNgrams(documents(s, d), "doc_id", "text", k = 20)
   }
 
+  /** Same miner at n=3: certifies the generalized n-gram path (the n=2
+    * default is pinned by q_t15 above) against an independent trigram
+    * construction in the oracle. */
+  val qT21TopTrigrams = Q(
+    "q_t21_top_trigrams",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(1, len(t) - 1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           ELSE [] END) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+      |t AS (SELECT gram, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |             CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, gram)
+      |               AS rank
+      |      FROM t)
+      |SELECT gram, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 20""".stripMargin) { (s, d) =>
+    topNgrams(documents(s, d), "doc_id", "text", k = 20, n = 3)
+  }
+
   /** Linear quality-classifier inference: literal weights over five
     * handcrafted features, label = sign of the linear score (same decision
     * as thresholding the logistic probability at 0.5, but pure rational
@@ -599,5 +622,6 @@ object Text {
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
-      qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs)
+      qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
+      qT21TopTrigrams)
 }

@@ -107,6 +107,27 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("topNgrams scales ~linearly 5k -> 50k docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // prefixed copies share no n-grams, so the distinct-gram space (and the
+    // hash-count exchange that carries it) grows linearly with the corpus
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"c$i"), w))).as("text"))).reduce(_ unionByName _)
+    def time(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    import graft.operators.TextAnalysis
+    TextAnalysis.topNgrams(docs, "doc_id", "text", k = 20).count() // warm
+    def best(df: => org.apache.spark.sql.DataFrame): Double =
+      math.min(time(df), time(df))
+    val t1 = best(TextAnalysis.topNgrams(docs, "doc_id", "text", k = 20))
+    val t10 = best(TextAnalysis.topNgrams(big, "doc_id", "text", k = 20))
+    println(f"topNgrams 5k: $t1%.2f s, 50k: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
+  }
+
   test("connected components converge on a 200-hop chain (pointer doubling)") {
     import spark.implicits._
     // chain 0-1-2-...-200: diameter 200, one component with min label 0.
