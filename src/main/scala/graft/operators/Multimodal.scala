@@ -216,26 +216,39 @@ object Multimodal {
   /** One fingerprint table across modalities: (media_id, kind, fp) where
     * fp is [[imageDHash]] / [[audioFingerprint]] / [[videoDHash]] by kind
     * — every row joins the SAME banded Hamming near-dup search
-    * ([[Dedup.hamming64Pairs]]). Narrow map; undecodable payloads drop. */
-  def mediaFingerprints(media: DataFrame): DataFrame = {
+    * ([[Dedup.hamming64Pairs]]). Narrow map; undecodable payloads drop.
+    *
+    * `carry` columns pass through the decode untouched (appended after
+    * fp, source types kept) — the streaming screen uses this to keep its
+    * event-time column alive across the codec map, where a plain Column
+    * projection can't reach (codecs aren't Catalyst expressions). */
+  def mediaFingerprints(
+      media: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = media.sparkSession
-    import spark.implicits._
-    media
+    val prepped = media
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("media_id"), col("kind"), col("bytes"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (mid, kind, bytes) =>
-          val fp = kind match {
-            case "image" => imageDHash(bytes)
-            case "audio" => audioFingerprint(bytes)
-            case "video" => videoDHash(bytes)
-            case _       => None
-          }
-          fp.map(h => (mid, kind, h))
+      .select((Seq(col("media_id"), col("kind"), col("bytes"))
+        ++ carry.map(col)): _*)
+    val outSchema = StructType(
+      Seq(prepped.schema("media_id"), prepped.schema("kind"),
+        StructField("fp", LongType, nullable = false))
+        ++ carry.map(prepped.schema(_)))
+    prepped.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val fp = kind match {
+          case "image" => imageDHash(bytes)
+          case "audio" => audioFingerprint(bytes)
+          case "video" => videoDHash(bytes)
+          case _       => None
         }
+        fp.map(h => Row.fromSeq(
+          Seq(r.get(0), kind, h) ++ (3 until r.length).map(r.get)))
       }
-      .toDF("media_id", "kind", "fp")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** (media_id, dhash) for every decodable image — the same narrow-map

@@ -289,16 +289,27 @@ object Streams {
     * the training set's perceptual index before ingest, kind-partitioned
     * so an image never pairs with an audio clip.
     *
-    * `dropDuplicates` collapses multi-band collisions (stateful;
-    * spec/demo-scale without a watermark — the same trade
-    * [[nearDupAgainstBase]] documents).
+    * State: `dropDuplicates` on the pair collapses multi-band collisions.
+    * With `watermark = Some((tsCol, delay))` the pair state is BOUNDED via
+    * `dropDuplicatesWithinWatermark` — mirroring [[nearDupAgainstBase]]: a
+    * continual media-ingest screen is precisely a long-running query, and
+    * unbounded pair state would grow with every distinct emitted pair. The
+    * event-time column rides through the codec map as a
+    * [[graft.operators.Multimodal.mediaFingerprints]] `carry` column (the
+    * codec is a Row map, so watermark metadata can't propagate through it —
+    * the watermark is declared on the fingerprint frame instead, before
+    * the first stateful operator, which is all Structured Streaming
+    * requires). A pair re-surfacing later than the delay may emit again —
+    * the standard state-size/completeness trade. With None the pair-key
+    * state grows with distinct emitted candidates — spec/demo mode only.
     *
     * @param base (media_id, kind, fp) — a batch
     *             `Multimodal.mediaFingerprints` result
     * @return streaming frame of (base_id, new_id, kind, hamming ≤ max) */
   def mediaNearDupAgainstBase(
       incoming: DataFrame, base: DataFrame,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7,
+      watermark: Option[(String, String)] = None): DataFrame = {
     val baseIdx = base
       .select(col("media_id").as("base_id"), col("kind"),
         col("fp").as("base_fp"),
@@ -306,18 +317,26 @@ object Streams {
       .select(col("base_id"), col("kind"), col("base_fp"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
       .localCheckpoint()
-    graft.operators.Multimodal.mediaFingerprints(incoming)
-      .select(col("media_id").as("new_id"), col("kind"), col("fp"),
-        explode(Dedup.hammingBands(col("fp"))).as("bk"))
-      .select(col("new_id"), col("kind"), col("fp"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val fps0 = graft.operators.Multimodal.mediaFingerprints(
+      incoming, carry = watermark.map(_._1).toSeq)
+    val fps = watermark.fold(fps0) { case (c, d) => fps0.withWatermark(c, d) }
+    val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
+    val pairs = fps
+      .select(Seq(col("media_id").as("new_id"), col("kind"), col("fp"),
+        explode(Dedup.hammingBands(col("fp"))).as("bk")) ++ tsCols: _*)
+      .select(Seq(col("new_id"), col("kind"), col("fp"),
+        col("bk.band").as("band"), col("bk.bv").as("bv")) ++ tsCols: _*)
       .join(baseIdx, Seq("kind", "band", "bv")) // stream-static equi-join
       .filter(col("base_id") =!= col("new_id"))
-      .select(col("base_id"), col("new_id"), col("kind"),
+      .select(Seq(col("base_id"), col("new_id"), col("kind"),
         bit_count(col("fp").bitwiseXOR(col("base_fp")))
-          .cast("long").as("hamming"))
+          .cast("long").as("hamming")) ++ tsCols: _*)
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("base_id", "new_id")
+    watermark match {
+      case Some((c, _)) =>
+        pairs.dropDuplicatesWithinWatermark("base_id", "new_id").drop(c)
+      case None => pairs.dropDuplicates("base_id", "new_id")
+    }
   }
 
   /** Streaming benchmark decontamination: every incoming document screened

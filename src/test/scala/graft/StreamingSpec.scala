@@ -486,6 +486,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairs == expected,
         s"expected exactly the planted copies: got $pairs")
     } finally q.stop()
+
+    // watermark-bounded (production) mode: the event-time column must ride
+    // through the codec map as a carry column into the within-watermark
+    // pair dedup, and the screen must still recover the planted copies
+    val schemaTs = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType))
+    val dirTs = java.nio.file.Files.createTempDirectory("graft_stream_media_wm")
+    incoming
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("media_id")))
+      .write.mode("overwrite").parquet(dirTs.toString)
+    val bounded = Streams.mediaNearDupAgainstBase(
+      spark.readStream.schema(schemaTs).parquet(dirTs.toString), baseIdx,
+      watermark = Some(("ts", "10 minutes")))
+    val q2 = bounded.writeStream.outputMode("append")
+      .format("memory").queryName("media_dup_wm_out").start()
+    try {
+      q2.processAllAvailable()
+      val pairsWm = spark.table("media_dup_wm_out")
+        .select("base_id", "new_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (0L until 5L).map(i => (i, i + 1000L)).toSet
+      assert(pairsWm == expected,
+        s"watermark mode diverged from the planted copies: got $pairsWm")
+    } finally q2.stop()
   }
 
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
