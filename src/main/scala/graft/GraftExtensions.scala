@@ -12,12 +12,12 @@ import graft.functions.GraftFunctions
   *
   * registers every engine SQL function at session-build time, so pure-SQL
   * clients (JDBC/Thrift, SQL notebooks, `spark-sql`) get the full custom
-  * expression surface — `graft_dot`, `graft_trigrams`, `graft_minhash`,
-  * `graft_simhash`, `graft_minhash_row`, `graft_zvalue2`,
-  * `graft_fhir_pivot` — with no Scala call anywhere. This is the standard
-  * deployment shape for a Spark-native library on a shared cluster: the
-  * conf line lives in the cluster config once; sessions pick the surface
-  * up automatically.
+  * expression surface — exactly the names in
+  * [[graft.functions.GraftFunctions.descriptors]] (the single source of
+  * truth; enumerating them here is how doc drift happens) — with no Scala
+  * call anywhere. This is the standard deployment shape for a
+  * Spark-native library on a shared cluster: the conf line lives in the
+  * cluster config once; sessions pick the surface up automatically.
   *
   * The Scala path ([[graft.functions.GraftFunctions.register]]) registers
   * the same builders as session temp functions; both read one descriptor

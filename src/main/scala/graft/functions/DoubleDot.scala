@@ -173,7 +173,7 @@ object GraftFunctions {
       val vocab = exprs(1).eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toObjectArray(org.apache.spark.sql.types.StringType)
-        .map(_.toString)
+        .map(_.toString).toSeq
       val maxPiece = exprs(2).eval(null) match {
         case i: java.lang.Integer => i.intValue
         case l: java.lang.Long    => l.toInt

@@ -20,13 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exists because training-data budgeting (sequence packing, mixture
   * sampling) wants SUBWORD counts, not whitespace counts — a real BPE/WP
-  * vocab drops in by swapping the `vocab` array. Row-level expression,
+  * vocab drops in by swapping the `vocab` list. Row-level expression,
   * CodegenFallback like [[MinHashRow]]: per-row compute-bound, nothing
   * shuffles, and the vocab set rides the expression (one instance per
   * task after serialization, not per row).
+  *
+  * `vocab` is a Seq, not an Array, ON PURPOSE: case-class equality over an
+  * Array field is reference equality, so two structurally identical
+  * expressions would never compare equal — defeating Catalyst
+  * canonicalization and common-subexpression elimination.
   */
 case class WordpieceTokens(
-    child: Expression, vocab: Array[String], maxPiece: Int)
+    child: Expression, vocab: Seq[String], maxPiece: Int)
     extends UnaryExpression with CodegenFallback {
 
   require(maxPiece > 0, s"bad maxPiece: $maxPiece")

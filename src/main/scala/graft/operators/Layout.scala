@@ -70,10 +70,26 @@ object Layout {
       outDir: String, targetRecordsPerFile: Long): Long = {
     require(targetRecordsPerFile > 0,
       s"bad target records/file: $targetRecordsPerFile")
+    // mode("overwrite") DELETES outDir before the lazily-planned read of
+    // inDir runs — same or nested paths would destroy the input mid-job
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).makeQualified(p).toUri.toString.stripSuffix("/")
+    }
+    val inQ = qualified(inDir)
+    val outQ = qualified(outDir)
+    require(inQ != outQ && !outQ.startsWith(inQ + "/")
+        && !inQ.startsWith(outQ + "/"),
+      s"compact would overwrite its own input: in=$inQ out=$outQ")
     val df = spark.read.parquet(inDir)
     val rows = df.count()
-    val nFiles = math.max(1L,
-      (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val nFilesL = math.max(1L,
+      (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    require(nFilesL <= Int.MaxValue,
+      s"computed file count $nFilesL exceeds Int range — raise " +
+        s"targetRecordsPerFile")
+    val nFiles = nFilesL.toInt
     df.repartition(nFiles)
       .write.mode("overwrite")
       .parquet(outDir)

@@ -808,6 +808,24 @@ class NorthStarSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("compaction refuses to overwrite its own input") {
+    import graft.operators.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_guard")
+    val dir = s"$tmp/data"
+    Tables.region(spark, sf).write.mode("overwrite").parquet(dir)
+    // same dir, nested out, nested in — all three would delete the input
+    // under mode("overwrite") before the lazy read ran
+    for (out <- Seq(dir, s"$dir/out", tmp.toString)) {
+      val e = intercept[IllegalArgumentException] {
+        Layout.compact(spark, dir, out, targetRecordsPerFile = 10)
+      }
+      assert(e.getMessage.contains("overwrite its own input"), e.getMessage)
+    }
+    // sibling dir stays legal
+    assert(Layout.compact(spark, dir, s"$tmp/ok",
+      targetRecordsPerFile = 10) >= 1)
+  }
+
   test("wordpiece segmentation matches an independent reference") {
     import graft.queries.Text.WpVocab
     // reference implementation, written separately from the expression
