@@ -809,14 +809,23 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
-  /** Deterministic synthetic PNG corpus keyed off an id column: each id
+  /** Deterministic synthetic image corpus keyed off an id column: each id
     * renders a small gradient image whose pixels, dimensions, and encoded
     * bytes are pure functions of the id. Exists so the REAL ImageIO decode
     * path has a registered, driver-checkable query (q_m3) — production
     * pipelines read genuine payloads off object storage instead; the
     * decode side is identical. Rendering runs executor-side in the same
-    * narrow map shape as decode. */
-  def syntheticImages(ids: DataFrame, id: String): DataFrame = {
+    * narrow map shape as decode.
+    *
+    * `format` picks the container: "png" (lossless, the default) or
+    * "jpeg" — a crawl meets JPEG long before PNG, and the decode path is
+    * the same ImageIO call either way (q_m11 certifies it). Dimensions
+    * survive JPEG exactly; pixels are lossy, which is precisely what the
+    * perceptual-dHash robustness spec exercises. */
+  def syntheticImages(
+      ids: DataFrame, id: String, format: String = "png"): DataFrame = {
+    require(format == "png" || format == "jpeg",
+      s"unsupported image format: $format")
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(id).cast("long").as("media_id")).as[Long]
@@ -840,7 +849,25 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          if (format == "jpeg") {
+            // explicit quality 0.9: ImageIO's 0.75 default rings hard on
+            // the mod-256 gradient wraps at these tiny (8–23 px) sizes,
+            // pushing a few dHashes past the near-dup banding threshold.
+            // 0.9 is representative of crawl JPEGs while staying genuinely
+            // lossy (pixels still differ from the PNG twin).
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val param = writer.getDefaultWriteParam
+            param.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(0.9f)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              writer.write(null,
+                new javax.imageio.IIOImage(img, null, null), param)
+            } finally { ios.close(); writer.dispose() }
+          } else javax.imageio.ImageIO.write(img, format, bos)
           (mid, "image", bos.toByteArray)
         }
       }

@@ -195,8 +195,45 @@ object MultimodalQ {
             base.filter(col("doc_id") % 8 === 2), "doc_id")))
   }
 
+  /** REAL JPEG decode + resize chain, hash-certified: the same gradient
+    * corpus as q_m3/q_m4 but JPEG-encoded (a crawl meets JPEG long before
+    * PNG or Y4M). Dimensions survive lossy encoding exactly, so the oracle
+    * states both the decoded dims and the closed-form
+    * `floor(dim·min(1, 12/w, 12/h))` dims after a real bilinear downscale
+    * of the DECODED JPEG pixels — certifying ImageIO's JPEG path through
+    * decode → resample → PNG re-encode → re-decode. (The id%8=2 slice
+    * yields w∈{10,18}: 18 forces a genuinely inexact 12/18 scale, which
+    * still hash-matches because both engines evaluate the identical IEEE
+    * double tree.) dHash robustness across the PNG/JPEG containers is
+    * pinned separately in NorthStarSpec. */
+  val qM11JpegDecode = Q(
+    "q_m11_jpeg_decode",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(8 + doc_id % 16 AS DOUBLE) AS w,
+      |                  CAST(8 + doc_id % 12 AS DOUBLE) AS h
+      |           FROM documents WHERE doc_id % 8 = 2),
+      |s AS (SELECT media_id, w, h, least(12.0 / w, 12.0 / h, 1.0) AS sc
+      |      FROM t)
+      |SELECT media_id,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST(greatest(1, floor(w * sc)) AS INT) AS resized_width,
+      |       CAST(greatest(1, floor(h * sc)) AS INT) AS resized_height
+      |FROM s""".stripMargin) { (s, d) =>
+    val jpegs = Multimodal.syntheticImages(
+      documents(s, d).filter(col("doc_id") % 8 === 2), "doc_id",
+      format = "jpeg")
+    val dims = Multimodal.extractFeatures(jpegs).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val resized = Multimodal.extractFeatures(
+        Multimodal.resizeImages(jpegs, maxW = 12, maxH = 12).toDF()
+          .select(col("media_id"), col("kind"), col("bytes"))).toDF()
+      .select(col("media_id"), col("width").as("resized_width"),
+        col("height").as("resized_height"))
+    dims.join(resized, Seq("media_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
-      qM9ImageDHash, qM10MediaFingerprints)
+      qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode)
 }

@@ -613,6 +613,30 @@ class NorthStarSpec extends AnyFunSuite {
       f"semantic dedup lost planted twins: $recall%.3f")
   }
 
+  test("image dHash survives the lossy JPEG container") {
+    import spark.implicits._
+    // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG
+    // is lossy) but the perceptual hash must stay within the near-dup
+    // banding threshold, or a crawl's JPEG copy of a PNG would be invisible
+    // to the media dedup screen
+    val ids = docs.filter(col("doc_id") % 8 === 0).limit(32)
+    val png = Multimodal.imageDHashes(
+      Multimodal.syntheticImages(ids, "doc_id"))
+      .select(col("media_id"), col("dhash").as("h_png"))
+    val jpeg = Multimodal.imageDHashes(
+      Multimodal.syntheticImages(ids, "doc_id", format = "jpeg"))
+      .select(col("media_id"), col("dhash").as("h_jpg"))
+    val dists = png.join(jpeg, Seq("media_id"))
+      .select(col("media_id"),
+        bit_count(col("h_png").bitwiseXOR(col("h_jpg"))).as("d"))
+      .as[(Long, Int)].collect()
+    assert(dists.length == 32, s"JPEG path dropped rows: ${dists.length}")
+    val far = dists.filter(_._2 > 7)
+    assert(far.isEmpty,
+      s"JPEG moved the perceptual hash past the banding threshold: " +
+        s"${far.take(5).toSeq}")
+  }
+
   test("image dHash: re-encode invariant, edit tolerant, finds planted dups") {
     import spark.implicits._
     val imgs = Multimodal.syntheticImages(
@@ -783,6 +807,32 @@ class NorthStarSpec extends AnyFunSuite {
     val repKeep = TextAnalysis.repetitionScreen(docs, "doc_id", "text")
       .filter(col("verdict") === "keep").count()
     assert(counts.head == repKeep, s"stage1 ${counts.head} vs $repKeep")
+  }
+
+  test("curation span-cut hook rewrites survivors' text, never the funnel") {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val base = Curation.pipeline(docs, "doc_id", "text")
+    val cut = Curation.pipeline(docs, "doc_id", "text",
+      Curation.Config(spanCutMinDocs = Some(2)))
+    val baseRows = base.df.select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutRows = cut.df.select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // verdict stability: exactly the same survivors either way
+    assert(cutRows.keySet == baseRows.keySet,
+      "span cut must not change who survives")
+    assert(base.stageRows == cut.stageRows,
+      s"funnel moved: ${base.stageRows} vs ${cut.stageRows}")
+    // emitted text equals redact(cutDuplicatedSpans) recomputed standalone
+    val expected = Dedup.cutDuplicatedSpans(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.redact(col("clean_text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bad = cutRows.filter { case (k, v) => expected(k) != v }
+    assert(bad.isEmpty, s"cut text diverged for ${bad.keys.take(3)}")
+    // and the cut genuinely bites on this corpus (it has duplicated spans)
+    assert(cutRows.exists { case (k, v) => v != baseRows(k) },
+      "span cut was a no-op on a corpus with known duplicated spans")
   }
 
   test("compaction collapses a fragmented directory, data intact") {
