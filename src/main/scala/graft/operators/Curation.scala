@@ -37,12 +37,22 @@ import graft.operators.TextAnalysis._
   */
 object Curation {
 
-  /** Thresholds for each screen; defaults match `q_t17_pipeline`. */
+  /** Thresholds for each screen; defaults match `q_t17_pipeline`.
+    *
+    * `spanCutMinDocs = Some(k)` additionally rewrites the emitted
+    * `clean_text` through [[Dedup.cutDuplicatedSpans]] (tokens covered by
+    * a trigram span held by ≥ k documents are removed — Lee et al.'s cut,
+    * certified standalone as q_d11) BEFORE redaction. The screens
+    * (repetition / quality / language) still judge the ORIGINAL text, for
+    * the same verdict-stability reason near-dup losers are decided on the
+    * full corpus: tuning the cut never flips who survives, only what the
+    * survivors' text looks like. */
   final case class Config(
       repetitionDropAt: Double = 0.05,
       nearDupThreshold: Double = 0.8,
       minQuality: Double = 0.5,
-      lang: String = "en")
+      lang: String = "en",
+      spanCutMinDocs: Option[Int] = None)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -72,7 +82,16 @@ object Curation {
     val oRep = Observation()
     val oDedup = Observation()
     val oFinal = Observation()
-    val out = docs
+    // span cut (optional): computed on the FULL corpus — duplicated-span
+    // verdicts, like dedup losers, must not depend on screen thresholds
+    val withEmitText = cfg.spanCutMinDocs match {
+      case Some(k) =>
+        val cut = Dedup.cutDuplicatedSpans(docs, id, text, k)
+          .select(col("doc_id").as(id), col("clean_text").as("__emit"))
+        docs.join(cut, Seq(id))
+      case None => docs.withColumn("__emit", col(text))
+    }
+    val out = withEmitText
       .join(keepRep, Seq(id))
       .observe(oRep, count(lit(1)).as("rows"))
       .join(losers, Seq(id), "left_anti")
@@ -81,7 +100,7 @@ object Curation {
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),
         deterministicSplit(col(id)).as("split"),
-        redact(col(text)).as("clean_text"))
+        redact(col("__emit")).as("clean_text"))
       .filter(col("quality") >= cfg.minQuality
         && col("pred_lang") === cfg.lang)
       .observe(oFinal, count(lit(1)).as("rows"))

@@ -121,6 +121,72 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Span CUT — the second half of the Lee et al. ACL'22 recipe:
+    * [[duplicatedSpans]] PROFILES how duplicated each document is; this
+    * operator REWRITES the text, removing every token covered by a span
+    * (word trigram) that occurs in at least `minDocs` distinct documents.
+    * Boilerplate headers/footers vanish from every holding document while
+    * the unique prose stays — document-level drop (the only verdict the
+    * curation pipeline had) throws away the prose with the boilerplate.
+    *
+    * Semantics: token position j is cut iff ANY trigram starting at
+    * j-2, j-1, or j is corpus-duplicated. Documents under 3 tokens have no
+    * trigram spans and pass through untouched. Tokens are whitespace
+    * pieces (split/concat_ws round-trips the text exactly, empty pieces
+    * included), so `clean_text` equals the input wherever nothing was cut.
+    *
+    * Scale shape — linear, same skeleton as [[duplicatedSpans]]: one
+    * hash-aggregation counts holding docs per span hash (8–16 B rows), the
+    * positional explode joins that duplicated set on the span hash (24 B
+    * rows — hashes and ints, never text), covered positions collect per
+    * doc (bounded by doc length), and ONE corpus-text exchange meets the
+    * cut lists for the rewrite — inherent, since the output is the
+    * rewritten corpus itself. The rewrite is a pure Column program:
+    * `array_except(sequence, cuts)` keeps surviving positions in order in
+    * O(n + |cuts|) per document (hash-set membership, not a per-token
+    * scan).
+    *
+    * @return doc_id, clean_text, n_cut_tokens */
+  def cutDuplicatedSpans(
+      docs: DataFrame, id: String, text: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val prepped = fanOut(docs)
+      .select(col(id).as("doc_id"), col(text).as("__text"))
+    val t = split(col("__text"), " ")
+    // positional trigram hashes; index p in the array ↔ 1-based start p+1
+    val tri = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => xxhash64(concat_ws(" ", element_at(t, i),
+          element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+    val withTri = prepped.withColumn("__tri", tri)
+    // per-doc distinct → count(*) = holding-doc count (no distinct state)
+    val dup = withTri
+      .select(explode(array_distinct(col("__tri"))).as("sp"))
+      .groupBy("sp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("sp")
+    val cutPos = withTri
+      .select(col("doc_id"), posexplode(col("__tri")).as(Seq("__p", "sp")))
+      .join(dup, Seq("sp"))
+      .select(col("doc_id"), explode(array(
+        col("__p") + 1, col("__p") + 2, col("__p") + 3)).as("j"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("j")).as("__cut"))
+    val tt = split(col("__text"), " ")
+    val cuts = coalesce(col("__cut"), array().cast("array<int>"))
+    prepped
+      .join(cutPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // null guard matters: sequence(1, size(null)) would COUNT DOWN
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", transform(
+            array_except(sequence(lit(1), size(tt)), cuts),
+            j => element_at(tt, j)))).as("clean_text"),
+        size(cuts).cast("long").as("n_cut_tokens"))
+  }
+
   /** MinHash signature length / LSH banding layout. With 128 hashes in
     * 32 bands × 4 rows, a pair at Jaccard 0.9 is missed with probability
     * (1 - 0.9^4)^32 ≈ 1e-15 — effectively exhaustive at the 0.6+ range

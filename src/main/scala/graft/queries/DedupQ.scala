@@ -233,8 +233,40 @@ object DedupQ {
       embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
   }
 
+  /** Span cut (Lee et al. second half): q_d9 profiles duplicated spans;
+    * this rewrites the text with every token covered by a ≥2-doc trigram
+    * removed. The oracle recomputes the whole cut independently: positional
+    * trigrams → duplicated set by distinct-doc count → covered positions →
+    * ordered surviving-token join. Hash-certified, so the Spark Column
+    * program (xxhash64 span hashes, array_except position filter) must
+    * reproduce DuckDB's string-level recomputation byte-for-byte. */
+  val qD11SpanCut = Q(
+    "q_d11_span_cut",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tri AS (SELECT doc_id, u.i, t[u.i] || ' ' || t[u.i+1] || ' ' ||
+      |               t[u.i+2] AS g
+      |        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+      |dup AS (SELECT g FROM tri GROUP BY g
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |cut AS (SELECT DISTINCT tri.doc_id, u2.j
+      |        FROM tri JOIN dup USING (g),
+      |             unnest([tri.i, tri.i + 1, tri.i + 2]) AS u2(j)),
+      |cuts AS (SELECT doc_id, list(j) AS cj FROM cut GROUP BY doc_id),
+      |j AS (SELECT toks.doc_id, toks.t, coalesce(cuts.cj, []) AS cj
+      |      FROM toks LEFT JOIN cuts USING (doc_id))
+      |SELECT doc_id,
+      |       coalesce(array_to_string(list_transform(
+      |         list_filter(range(1, len(t) + 1),
+      |                     p -> NOT list_contains(cj, p)),
+      |         p -> t[p]), ' '), '') AS clean_text,
+      |       CAST(len(cj) AS BIGINT) AS n_cut_tokens
+      |FROM j""".stripMargin) { (s, d) =>
+    Dedup.cutDuplicatedSpans(documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] =
     Seq(qD1Exact, qD2NgramJaccard, qD3MinHashLsh, qD4SimHash, qD5EmbedNearDup,
       qD6DupClusters, qD7Incremental, qD8EmbedClusters, qD9DupSpans,
-      qD10SemDedup)
+      qD10SemDedup, qD11SpanCut)
 }
