@@ -384,16 +384,20 @@ object TextAnalysis {
     * All rate arithmetic is plain IEEE ·/÷ that the SQL oracle reproduces
     * bit-for-bit.
     *
+    * @param counter per-document token budget as a Column over the text
+    *        column — defaults to whitespace [[tokenCount]]; pass e.g.
+    *        `t => size(GraftFunctions.wordpieceTokens(t, vocab))` to state
+    *        the mixture in real subword tokens (q_t20's counter)
     * @return id, source, n_tokens, rate, keep */
   def mixtureSample(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      sourceCol: String,
-      weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+      sourceCol: String, weights: Map[String, Double],
+      counter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
     require(weights.nonEmpty, "mixtureSample needs at least one weight")
     require(weights.values.forall(_ > 0),
       s"mixture weights must be positive: $weights")
     val t = docs.select(col(id), col(sourceCol),
-      tokenCount(col(text)).as("n_tokens"))
+      counter(col(text)).cast("long").as("n_tokens"))
     val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
     val wCol = weights.toSeq.sortBy(_._1)
       .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>

@@ -578,6 +578,22 @@ object Text {
       tokenCount(col("text")).as("n_whitespace_tokens"))
   }
 
+  /** Sequence packing budgeted in SUBWORD tokens: the same greedy
+    * per-source pack as q_t11, but every document's budget is its
+    * wordpiece piece count (q_t18's counter) instead of the whitespace
+    * count — the form a real training pipeline runs, since context
+    * windows are measured in tokenizer pieces. Rows-only (the greedy
+    * segmentation has no tractable SQL oracle); NorthStarSpec pins the
+    * shard assignment against an independent window-sum recount over
+    * independently recomputed piece counts, and q_t18's conservation
+    * property covers the counter itself. */
+  val qT20SubwordPack = Q.rowsOnly("q_t20_subword_pack") { (s, d) =>
+    packShards(documents(s, d), "doc_id", "text", "source",
+      budgetTokens = 2048L,
+      counter = t => size(
+        graft.functions.GraftFunctions.wordpieceTokens(t, WpVocab)))
+  }
+
   /** Epochs-style mixture resampling: target = 1.5× the weighted token
     * mass at 50/30/20 — the half-weight source upsamples past 2 epochs
     * while the others downsample, all from one deterministic rule. */
@@ -623,5 +639,5 @@ object Text {
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
-      qT21TopTrigrams)
+      qT20SubwordPack, qT21TopTrigrams)
 }
