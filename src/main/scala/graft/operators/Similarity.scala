@@ -531,21 +531,54 @@ object Similarity {
       emb: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int, dim: Int): DataFrame = {
     val n = normed(emb, id, vec).localCheckpoint()
-    val cb = n
-      .select(col("vec_id"), explode(lshBuckets(col("v"), dim)).as("tb"))
-      .select(col("vec_id"),
-        col("tb").getField("t").as("ct"), col("tb").getField("b").as("cbk"))
+    lshTopK(LshIndex(n, lshBucketRows(n, dim), dim), queryPred, k)
+  }
+
+  /** A prebuilt, reusable LSH index: the normed corpus projection and its
+    * (vec_id, table, bucket) rows. [[lshIndexBuild]] materializes both
+    * once; every subsequent [[lshTopK]] call against the index is pure
+    * query work — no re-scan, no re-hash of the corpus. This is the shape
+    * a production ANN deployment runs (build daily / query per batch);
+    * the one-shot `lshTopK(emb, …)` overload remains for ad-hoc calls and
+    * builds the bucket rows lazily (they are consumed exactly once there,
+    * so materializing them would only add a pass). For cross-session
+    * reuse, write `buckets`/`corpus` to a table and reconstruct the index
+    * from the two frames. */
+  final case class LshIndex(corpus: DataFrame, buckets: DataFrame, dim: Int)
+
+  /** (vec_id, ct, cbk) bucket rows of a normed corpus — 24 B/row ×
+    * [[LshTables]]; the replicated index never carries the embedding. */
+  private def lshBucketRows(n: DataFrame, dim: Int): DataFrame = n
+    .select(col("vec_id"), explode(lshBuckets(col("v"), dim)).as("tb"))
+    .select(col("vec_id"),
+      col("tb").getField("t").as("ct"), col("tb").getField("b").as("cbk"))
+
+  /** Build a reusable [[LshIndex]]: normed corpus and bucket rows each
+    * `localCheckpoint`ed (ContextCleaner-tracked, same lifecycle reasoning
+    * as [[ivfTopK]]). */
+  def lshIndexBuild(
+      emb: DataFrame, id: String, vec: String, dim: Int): LshIndex = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    LshIndex(n, lshBucketRows(n, dim).localCheckpoint(), dim)
+  }
+
+  /** Approximate top-k against a prebuilt [[LshIndex]] — the query-side
+    * half of the one-shot overload: query buckets + multi-probe flips
+    * explode map-side, candidates fall out of the (table, bucket)
+    * equi-join, scoring joins vectors back once. */
+  def lshTopK(index: LshIndex, queryPred: Column, k: Int): DataFrame = {
+    val n = index.corpus
     // query side: exact buckets materialized first (one dot-product pass),
     // THEN the multi-probe single-bit flips explode over the bucket column
     val qb = n.filter(queryPred)
       .select(col("vec_id").as("q_id"),
-        explode(lshBuckets(col("v"), dim)).as("tb"))
+        explode(lshBuckets(col("v"), index.dim)).as("tb"))
       .select(col("q_id"),
         col("tb").getField("t").as("qt"), col("tb").getField("b").as("qb0"))
       .select(col("q_id"), col("qt"),
         explode(probeFlips(col("qb0"))).as("qbk"))
     val cand = broadcast(qb)
-      .join(cb,
+      .join(index.buckets,
         col("qt") === col("ct") && col("qbk") === col("cbk")
           && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"))

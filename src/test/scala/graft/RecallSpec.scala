@@ -60,6 +60,28 @@ class RecallSpec extends AnyFunSuite {
       "measured 0.06)")
   }
 
+  test("prebuilt LSH index answers identically to the one-shot path") {
+    val emb = Tables.embeddings(spark, sf)
+    val oneShot = Similarity.lshTopK(
+        emb, "vec_id", "embedding", pred, K, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
+    val indexed = Similarity.lshTopK(idx, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == oneShot, "index path diverged from one-shot path")
+    // the point of the index: a SECOND query batch reuses the same
+    // materialized buckets (no corpus re-hash) and still answers right
+    val pred2 = col("vec_id") >= 32 && col("vec_id") < 40
+    val secondBatch = topSets(Similarity.lshTopK(idx, pred2, K))
+    val n = Similarity.normed(emb, "vec_id", "embedding")
+    val exact2 = topSets(Similarity.bruteForceTopK(n.filter(pred2), n, K))
+    val r = recall(exact2, secondBatch)
+    println(f"indexed second-batch recall@5 = $r%.3f")
+    // 8-query sample → coarser floor than the 32-query 0.9 main bound
+    // (measured 0.90 exactly; one missed neighbor in one query = −0.025)
+    assert(r >= 0.85, f"index reuse broke recall: $r%.3f")
+  }
+
   test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
     // The sf fixture is near-uniform — ANN's worst case and the reason the
     // floor above sits at 0.8. Real corpora cluster; this planted-cluster
