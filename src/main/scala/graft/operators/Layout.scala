@@ -38,6 +38,26 @@ object Layout {
   def zValue2(x: Column, y: Column): Column =
     part1By1(x).bitwiseOR(shiftleft(part1By1(y), 1))
 
+  /** N-dimensional Morton code, n ∈ [2, 6]: bit j of dimension i lands at
+    * position j·n + i. The 63-bit positive-long budget splits evenly —
+    * `min(16, 63/n)` bits per dimension (n=3 → 16 bits each over 48;
+    * n=4 → 15 each; n=6 → 10 each); callers bucket wider domains down
+    * first, exactly as [[zValue2]] documents. Built as a plain bit loop
+    * (shift/and/or per bit — n·bits leaf ops), which stays inside
+    * whole-stage codegen like the magic-number 2-D form; the loop shape is
+    * what generalizes, the 2-D fast path keeps its 10-op spread. */
+  def zValueN(dims: Seq[Column]): Column = {
+    val n = dims.length
+    require(n >= 2 && n <= 6, s"zValueN takes 2..6 dimensions, got $n")
+    val bits = math.min(16, 63 / n)
+    dims.zipWithIndex.map { case (c, i) =>
+      val m = c.bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { j =>
+        shiftleft(shiftright(m, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` for writing: range-partition by the 2-D z-value of
     * (`xCol`, `yCol`), sort within partitions. Each output task then writes
     * one file covering a compact z-range = a small (x, y) square.

@@ -399,12 +399,37 @@ object Extras {
         .as("z"))
   }
 
+  /** 3-D Morton code (user, event, time-second) via the generalized
+    * bit-loop interleave — the multi-dimension z-order a (user_id,
+    * event_id, ts)-predicated events lake clusters by. The oracle
+    * recomputes the interleave with an explicit per-bit loop, independent
+    * of the Spark expression tree. ts arrives as TIMESTAMP(NANOS) — longs
+    * on the Spark side (nanosAsLong), epoch_ns on DuckDB's — and both
+    * floor-divide to seconds before masking. */
+  val qZ2ZOrder3 = Q(
+    "q_z2_zorder3",
+    """WITH b AS (SELECT event_id, user_id & 65535 AS x,
+      |                  event_id & 65535 AS y,
+      |                  (epoch_ns(ts) // 1000000000) & 65535 AS t
+      |           FROM events)
+      |SELECT event_id,
+      |       CAST(list_sum(list_transform(range(0, 16),
+      |         j -> (((x >> j) & 1) << (j * 3))
+      |            + (((y >> j) & 1) << (j * 3 + 1))
+      |            + (((t >> j) & 1) << (j * 3 + 2)))) AS BIGINT) AS z
+      |FROM b""".stripMargin) { (s, d) =>
+    events(s, d).select(col("event_id"),
+      graft.operators.Layout.zValueN(Seq(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000000"))).as("z"))
+  }
+
   val all: Seq[Q] = Seq(
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
-    qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder,
+    qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
     qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

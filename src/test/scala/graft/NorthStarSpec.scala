@@ -491,6 +491,42 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN generalizes the interleave: 2-D equals zValue2, 4-D exact") {
+    import graft.operators.Layout
+    // n-dim reference interleave, written independently of the Column tree
+    def zRefN(vs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      val n = vs.length
+      for (i <- vs.indices; j <- 0 until bits)
+        z |= ((vs(i) >> j) & 1L) << (j * n + i)
+      z
+    }
+    val ev = Tables.events(spark, sf)
+    // 2-D zValueN must equal the magic-number zValue2 bit-for-bit
+    val two = ev.select(
+      Layout.zValue2(col("user_id"), col("event_id")).as("a"),
+      Layout.zValueN(Seq(col("user_id"), col("event_id"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(two == 0, s"zValueN(2) diverged from zValue2 on $two rows")
+    // 4-D: 15 bits per dim, against the reference loop
+    val sample = ev.select(col("user_id"), col("event_id"),
+      Layout.zValueN(Seq(col("user_id"), col("event_id"),
+        col("user_id") + 7, col("event_id") * 3)).as("z"))
+      .limit(1000).collect()
+    sample.foreach { r =>
+      val mask = (1L << 15) - 1
+      val want = zRefN(Seq(r.getLong(0) & mask, r.getLong(1) & mask,
+        (r.getLong(0) + 7) & mask, (r.getLong(1) * 3) & mask), 15)
+      assert(r.getLong(2) == want,
+        s"4-D interleave wrong for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // every code fits the positive-long budget (no sign-bit use)
+    assert(sample.forall(_.getLong(2) >= 0L))
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("user_id")))
+    }
+  }
+
   test("mixture sampling: bounded rates, binding source, determinism") {
     import graft.operators.TextAnalysis
     val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3)
@@ -807,6 +843,69 @@ class NorthStarSpec extends AnyFunSuite {
     val repKeep = TextAnalysis.repetitionScreen(docs, "doc_id", "text")
       .filter(col("verdict") === "keep").count()
     assert(counts.head == repKeep, s"stage1 ${counts.head} vs $repKeep")
+  }
+
+  test("subword-budgeted packing equals a window recount on piece counts") {
+    import graft.operators.TextAnalysis
+    import graft.queries.Text.WpVocab
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val budget = 2048L
+    val pieces = graft.functions.GraftFunctions
+      .wordpieceTokens(col("text"), WpVocab)
+    // independent recount: window-sum the piece counts per source and
+    // derive shard ids the closed-form way (the distributed pack must
+    // reproduce this exactly — the same oracle shape q_t11 certifies for
+    // whitespace budgets)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        size(pieces).cast("long").as("n_tokens"))
+      .withColumn("start",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start") / lit(budget)).cast("long").as("shard_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val actual = TextAnalysis.packShards(
+        docs, "doc_id", "text", "source", budgetTokens = budget,
+        counter = t => size(
+          graft.functions.GraftFunctions.wordpieceTokens(t, WpVocab)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(actual == expected)
+    // subword budgets genuinely differ from whitespace budgets here
+    // (pieces per doc > whitespace tokens), or this test proves nothing
+    val diff = TextAnalysis.packShards(
+        docs, "doc_id", "text", "source", budgetTokens = budget)
+      .collect().map(_.toString).sorted.toSeq
+    assert(diff != expected, "piece counts degenerate to whitespace counts")
+  }
+
+  test("subword-budgeted mixture rates derive from piece totals") {
+    import graft.operators.TextAnalysis
+    import graft.queries.Text.WpVocab
+    import spark.implicits._
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val pieceCounter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column =
+      t => size(graft.functions.GraftFunctions.wordpieceTokens(t, WpVocab))
+    val out = TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", weights, counter = pieceCounter)
+    // independent recount of the budget arithmetic from raw piece totals
+    val totals = docs
+      .select(col("source"), pieceCounter(col("text")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t")).as[(String, Long)]
+      .collect().toMap
+    val budget = weights.map { case (s, w) => totals(s) / w }.min
+    val expectedRates = weights.map { case (s, w) =>
+      s -> w * budget / totals(s)
+    }
+    val gotRates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(gotRates == expectedRates,
+      s"rates diverged: $gotRates vs $expectedRates")
+    // the binding source keeps everything
+    val binding = weights.keys.minBy(s => totals(s) / weights(s))
+    assert(gotRates(binding) == 1.0, s"binding source $binding must keep all")
   }
 
   test("curation span-cut hook rewrites survivors' text, never the funnel") {
