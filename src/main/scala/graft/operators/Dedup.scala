@@ -153,31 +153,50 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val prepped = fanOut(docs)
       .select(col(id).as("doc_id"), col(text).as("__text"))
-    val t = split(col("__text"), " ")
-    // positional trigram hashes; index p in the array ↔ 1-based start p+1
-    val tri = when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2),
-        i => xxhash64(concat_ws(" ", element_at(t, i),
-          element_at(t, i + 1), element_at(t, i + 2)))))
+    // positional trigram hashes; index p in the array ↔ 1-based start p+1.
+    // Each token hashes once, each position hashes 3 longs — no trigram
+    // string is ever built (collision-equivalent to hashing the text;
+    // the operator only ever compares spans by hash).
+    //
+    // Two plan rules this shape encodes (each measured ~10-20× here):
+    //  1. The token-hash array is materialized as a REAL column —
+    //     element_at inside a higher-order-function lambda re-evaluates an
+    //     un-aliased subtree PER ELEMENT (no CSE across lambda
+    //     boundaries), so indexing must hit a computed array.
+    //  2. The trigram expression feeds each Generate DIRECTLY rather than
+    //     through an intermediate column: exploding a materialized
+    //     attribute lets InferFiltersFromGenerate add a `size(c) > 0`
+    //     filter that pushdown then inlines BELOW the defining Project —
+    //     re-evaluating the whole trigram transform per row, interpreted,
+    //     twice. A non-trivial generator input skips the inference.
+    val th = col("__th")
+    val tri = when(size(th) >= 3,
+      transform(sequence(lit(1), size(th) - 2),
+        i => xxhash64(element_at(th, i),
+          element_at(th, i + 1), element_at(th, i + 2))))
       .otherwise(array().cast("array<bigint>"))
-    val withTri = prepped.withColumn("__tri", tri)
+    val withTh = prepped.withColumn("__th",
+      transform(split(col("__text"), " "), w => xxhash64(w)))
     // per-doc distinct → count(*) = holding-doc count (no distinct state)
-    val dup = withTri
-      .select(explode(array_distinct(col("__tri"))).as("sp"))
+    val dup = withTh
+      .select(explode(array_distinct(tri)).as("sp"))
       .groupBy("sp").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("sp")
-    val cutPos = withTri
-      .select(col("doc_id"), posexplode(col("__tri")).as(Seq("__p", "sp")))
+    val cutPos = withTh
+      .select(col("doc_id"), posexplode(tri).as(Seq("__p", "sp")))
       .join(dup, Seq("sp"))
       .select(col("doc_id"), explode(array(
         col("__p") + 1, col("__p") + 2, col("__p") + 3)).as("j"))
       .groupBy("doc_id")
       .agg(collect_set(col("j")).as("__cut"))
-    val tt = split(col("__text"), " ")
+    // same materialization rule for the rewrite: the kept-position lambda
+    // indexes the token array per surviving token
+    val tt = col("__tt")
     val cuts = coalesce(col("__cut"), array().cast("array<int>"))
     prepped
       .join(cutPos, Seq("doc_id"), "left")
+      .withColumn("__tt", split(col("__text"), " "))
       .select(col("doc_id"),
         // null guard matters: sequence(1, size(null)) would COUNT DOWN
         when(col("__text").isNull, lit(null).cast("string"))

@@ -96,10 +96,21 @@ object TextAnalysis {
     * array below n tokens (guarded — Spark's `sequence(1, 0)` would count
     * DOWN). The upper bound is a boilerplate-mining practicality, not a
     * technical limit: each +1 widens every row of [[topNgrams]]'s first
-    * explode by one token, and 5-grams already pin template boilerplate. */
-  def ngrams(text: Column, n: Int): Column = {
+    * explode by one token, and 5-grams already pin template boilerplate.
+    *
+    * PER-ROW-SCALE CAVEAT: `element_at` inside the positional lambda
+    * re-evaluates the un-aliased `tokens(text)` subtree PER ELEMENT
+    * (Catalyst does not CSE across higher-order-function lambda
+    * boundaries), making this form O(len²) per document — measured 19×
+    * on multi-KB docs. Fine for snippets/chunks; corpus operators must
+    * materialize the token array as a real column first and use
+    * [[ngramsFrom]] ([[topNgrams]] does exactly that). */
+  def ngrams(text: Column, n: Int): Column = ngramsFrom(tokens(text), n)
+
+  /** [[ngrams]] over an already-MATERIALIZED token-array column — the
+    * corpus-scale form: each `element_at` is then an O(1) array index. */
+  private[operators] def ngramsFrom(t: Column, n: Int): Column = {
     require(n >= 2 && n <= 5, s"n-gram size must be in [2, 5], got $n")
-    val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
@@ -576,13 +587,30 @@ object TextAnalysis {
     * must additionally land in the top-k to be visible.
     *
     * @return gram, n_occurrences, n_docs, rank (1..k) */
+  /** Positional n-gram hashes from a MATERIALIZED token-hash array column,
+    * WITHOUT building the gram strings: each token hashed once upstream,
+    * each position hashes n longs — collision-equivalent to hashing the
+    * gram text but allocation-free (the count pass of [[topNgrams]] never
+    * needs the strings). Taking the materialized column (not the text)
+    * matters for the same lambda-CSE reason [[ngramsFrom]] documents.
+    * Both topNgrams passes use THIS hash so the candidate join keys
+    * agree. */
+  private def ngramHashesFrom(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   def topNgrams(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       k: Int, n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val grams = Dedup.fanOut(docs)
-      .select(col(id).as("__d"), explode(ngrams(col(text), n)).as("gram"))
-    val agg = grams
-      .select(col("__d"), xxhash64(col("gram")).as("__h"))
+    val prepped = Dedup.fanOut(docs)
+      .select(col(id).as("__d"), col(text).as("__text"))
+    val agg = prepped
+      // token-hash array as a REAL column: element_at inside the gram
+      // lambda must index it, not re-derive split+hash per element
+      .withColumn("__th", transform(tokens(col("__text")), w => xxhash64(w)))
+      .select(col("__d"), explode(ngramHashesFrom(col("__th"), n)).as("__h"))
       .groupBy("__d", "__h")
       .agg(count(lit(1)).as("__n"))
       .groupBy("__h")
@@ -594,8 +622,14 @@ object TextAnalysis {
       .agg(min(col("n_occurrences"))).first()
     val thresh = if (kthRow.isNullAt(0)) Long.MaxValue else kthRow.getLong(0)
     val cands = agg.filter(col("n_occurrences") >= thresh)
-    grams
-      .select(col("gram"), xxhash64(col("gram")).as("__h"))
+    // recovery pass: gram strings built ONLY here, zipped to their hashes
+    prepped
+      .withColumn("__t", tokens(col("__text")))
+      .withColumn("__th", transform(col("__t"), w => xxhash64(w)))
+      .select(explode(zip_with(
+        ngramsFrom(col("__t"), n), ngramHashesFrom(col("__th"), n),
+        (g, h) => struct(g.as("gram"), h.as("__h")))).as("z"))
+      .select(col("z.gram").as("gram"), col("z.__h").as("__h"))
       .join(broadcast(cands), Seq("__h"))
       .select(col("gram"), col("n_occurrences"), col("n_docs"))
       .distinct()
