@@ -298,6 +298,78 @@ object Multimodal {
         .otherwise("video").as("kind"),
       col(text).cast("binary").as("bytes"))
 
+  /** REAL ISO-BMFF (MP4/MOV family) metadata probe — a pure box-tree walk,
+    * no native codec: `moov/mvhd` yields timescale+duration (both fullbox
+    * versions), `moov/trak/tkhd` yields the first track's 16.16
+    * fixed-point display dimensions. The dominant crawl container thus
+    * gets REAL width/height/duration even though its H.264/VP9 SAMPLES
+    * remain undecodable offline (frame decode stays behind the labeled
+    * stub; an FFmpeg/JNI sample decoder would slot in without touching
+    * this probe or any plan shape). Bounds-checked against truncated /
+    * hostile payloads — a crawl probe must never throw on garbage. */
+  object Mp4Probe {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, "US-ASCII")
+
+    /** Iterate child boxes of [start, end); callback gets (type, payload
+      * start, payload end). Malformed sizes terminate the walk. */
+    private def walk(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val size0 = u32(b, o)
+        val (size, hdr) =
+          if (size0 == 1 && o + 16 <= end) (u64(b, o + 8), 16)
+          else if (size0 == 0) ((end - o).toLong, 8)
+          else (size0, 8)
+        if (size < hdr || o + size > end) return
+        f(boxType(b, o), o + hdr, o + size.toInt)
+        o += size.toInt
+      }
+    }
+
+    /** (width, height, duration_ms); None unless the payload opens with a
+      * valid `ftyp` and carries a parseable `moov`. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (bytes.length < 12 || boxType(bytes, 0) != "ftyp") return None
+      var w = 0; var h = 0; var durMs = -1L
+      walk(bytes, 0, bytes.length) {
+        case ("moov", ms, me) =>
+          walk(bytes, ms, me) {
+            case ("mvhd", ps, pe) if durMs < 0 =>
+              val v = bytes(ps) & 0xff
+              if (v == 0 && ps + 20 <= pe) {
+                val ts = u32(bytes, ps + 12)
+                if (ts > 0) durMs = u32(bytes, ps + 16) * 1000L / ts
+              } else if (v == 1 && ps + 32 <= pe) {
+                val ts = u32(bytes, ps + 20)
+                if (ts > 0) durMs = u64(bytes, ps + 24) * 1000L / ts
+              }
+            case ("trak", ts0, te) if w == 0 =>
+              walk(bytes, ts0, te) {
+                case ("tkhd", ps, pe) if w == 0 =>
+                  val v = bytes(ps) & 0xff
+                  val wOff = if (v == 1) ps + 88 else ps + 76
+                  if (wOff + 8 <= pe) {
+                    val tw = (u32(bytes, wOff) >> 16).toInt
+                    val th = (u32(bytes, wOff + 4) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (durMs >= 0 && w > 0) Some((w, h, durMs)) else None
+    }
+  }
+
   /** Partition-parallel decode + feature extraction. Narrow map — no
     * shuffle; at 100 TB this pipelines inside the scan stage with one
     * decoder instantiation per partition (the `it => ...` closure), not per
@@ -323,15 +395,22 @@ object Multimodal {
               AudioCodec.decode(bytes, featureDim).map { case (d, f) =>
                 (0, 0, d, f)
               }
-            case "video" => VideoCodec.decode(bytes, featureDim)
-            case _       => None
+            case "video" =>
+              VideoCodec.decode(bytes, featureDim).orElse(
+                // MP4: REAL metadata from the box tree; the feature vector
+                // stays the labeled stub (samples undecodable offline)
+                Mp4Probe.probe(bytes).map { case (w, h, d) =>
+                  (w, h, d, StubDecoder.decode("video", bytes, featureDim)._4)
+                })
+            case _ => None
           }
           decoded match {
             case Some((w, h, d, feats)) =>
               MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, d, feats)
             case None =>
               // bytes no codec recognizes (every recognized format — PNG/
-              // JPEG/GIF/BMP, PCM WAV/AIFF/AU, Y4M — takes a real path)
+              // JPEG/GIF/BMP, PCM WAV/AIFF/AU, Y4M, MP4 metadata — takes a
+              // real path)
               val (w, h, d, feats) = StubDecoder.decode(kind, bytes, featureDim)
               MediaFeatures(mediaId, kind, bytes.length.toLong, w, h, d, feats)
           }
@@ -804,6 +883,70 @@ object Multimodal {
             f += 1
           }
           (mid, "video", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Deterministic synthetic MP4 corpus keyed off an id column: a minimal
+    * valid ISO-BMFF tree (`ftyp` + `moov(mvhd + trak(tkhd))`, version-0
+    * fullboxes, no media samples) whose display dimensions and duration
+    * are pure functions of the id — so the REAL [[Mp4Probe]] box walk has
+    * a registered, driver-checkable query (q_m12) with a closed-form
+    * oracle, exactly the [[syntheticImages]]/[[syntheticVideos]] pattern.
+    * Width `160 + (id%16)·8`, height `120 + (id%12)·8`, duration
+    * `(2 + id%20)` seconds at timescale 600. */
+  def syntheticMp4s(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val w = 160 + (mid % 16).toInt * 8
+          val h = 120 + (mid % 12).toInt * 8
+          val durSec = 2 + (mid % 20).toInt
+          def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+            b.putInt(8 + payload.length)
+            b.put(tp.getBytes("US-ASCII")); b.put(payload); b.array()
+          }
+          val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+            .put("isom".getBytes("US-ASCII")).putInt(0)
+            .put("isom".getBytes("US-ASCII"))
+            .put("mp41".getBytes("US-ASCII")).array())
+          val mvhd = {
+            val b = java.nio.ByteBuffer.allocate(100)
+            b.putInt(0)            // version 0 + flags
+            b.putInt(0).putInt(0)  // creation, modification
+            b.putInt(600)          // timescale
+            b.putInt(durSec * 600) // duration
+            b.putInt(0x00010000)   // rate 1.0
+            b.putShort(0x0100.toShort) // volume
+            b.position(b.position() + 10) // reserved
+            b.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+            b.putInt(0).putInt(0x00010000).putInt(0)
+            b.putInt(0).putInt(0).putInt(0x40000000)
+            b.position(b.position() + 24) // pre_defined
+            b.putInt(2)            // next_track_ID
+            box("mvhd", b.array())
+          }
+          val tkhd = {
+            val b = java.nio.ByteBuffer.allocate(84)
+            b.putInt(7)            // version 0, flags enabled|in-movie
+            b.putInt(0).putInt(0)  // creation, modification
+            b.putInt(1)            // track_ID
+            b.putInt(0)            // reserved
+            b.putInt(durSec * 600) // duration (movie timescale)
+            b.position(b.position() + 8) // reserved
+            b.putShort(0).putShort(0).putShort(0).putShort(0)
+            b.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+            b.putInt(0).putInt(0x00010000).putInt(0)
+            b.putInt(0).putInt(0).putInt(0x40000000)
+            b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+            box("tkhd", b.array())
+          }
+          (mid, "video",
+            ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
         }
       }
       .toDF("media_id", "kind", "bytes")

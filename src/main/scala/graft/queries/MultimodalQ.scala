@@ -232,8 +232,29 @@ object MultimodalQ {
     dims.join(resized, Seq("media_id"))
   }
 
+  /** REAL MP4 metadata probe, hash-certified: synthetic ISO-BMFF payloads
+    * carry display dimensions and duration as pure functions of the id,
+    * so the oracle states what a correct box-tree walk must recover —
+    * `ftyp`/`moov`/`mvhd`/`trak`/`tkhd` parsing on the Spark side,
+    * closed-form arithmetic on the DuckDB side. This closes the metadata
+    * half of the compressed-video gap (the dominant crawl container);
+    * SAMPLE decode remains behind the labeled stub by design. */
+  val qM12Mp4Probe = Q(
+    "q_m12_mp4_probe",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(160 + (doc_id % 16) * 8 AS INT) AS width,
+      |       CAST(120 + (doc_id % 12) * 8 AS INT) AS height,
+      |       CAST((2 + doc_id % 20) * 1000 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 8 = 3""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticMp4s(
+        documents(s, d).filter(col("doc_id") % 8 === 3), "doc_id")).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("duration_ms"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
-      qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode)
+      qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe)
 }

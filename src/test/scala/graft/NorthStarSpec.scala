@@ -649,6 +649,63 @@ class NorthStarSpec extends AnyFunSuite {
       f"semantic dedup lost planted twins: $recall%.3f")
   }
 
+  test("MP4 probe: exact metadata, v1 boxes, never throws on garbage") {
+    import spark.implicits._
+    val ids = docs.filter(col("doc_id") % 8 === 3).limit(16)
+    val payloads = Multimodal.syntheticMp4s(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (mid, bytes) =>
+      val got = Multimodal.Mp4Probe.probe(bytes)
+      val want = Some((160 + (mid % 16).toInt * 8, 120 + (mid % 12).toInt * 8,
+        (2 + mid % 20) * 1000L))
+      assert(got == want, s"mp4 probe wrong for $mid: $got vs $want")
+      // every truncation of a valid payload must return cleanly — a crawl
+      // probe sees torn downloads constantly
+      Seq(0, 3, 8, 11, 20, bytes.length / 2, bytes.length - 1).foreach { n =>
+        Multimodal.Mp4Probe.probe(bytes.take(n)) // must not throw
+      }
+      // bit-flipped sizes must not throw either (hostile/corrupt input)
+      val corrupt = bytes.clone(); corrupt(0) = 0x7f.toByte
+      Multimodal.Mp4Probe.probe(corrupt)
+    }
+    // version-1 mvhd/tkhd: 64-bit times, wider layout
+    def box(tp: String, p: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + p.length)
+      b.putInt(8 + p.length).put(tp.getBytes("US-ASCII")).put(p).array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("isom".getBytes("US-ASCII"))
+      .put("mp41".getBytes("US-ASCII")).array())
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000)             // version 1
+      b.putLong(0L).putLong(0L)        // creation, modification (64-bit)
+      b.putInt(1000)                   // timescale
+      b.putLong(7500L)                 // duration -> 7500 ms
+      b.position(b.position() + 80)    // rest zeroed
+      box("mvhd", b.array())
+    }
+    val tkhd1 = {
+      val b = java.nio.ByteBuffer.allocate(96)
+      b.putInt(0x01000007)             // version 1, flags
+      b.putLong(0L).putLong(0L)        // creation, modification
+      b.putInt(1).putInt(0)            // track_ID, reserved
+      b.putLong(7500L)                 // duration
+      b.position(b.position() + 8 + 8 + 36) // reserved, shorts, matrix
+      b.putInt(640 << 16).putInt(480 << 16)
+      box("tkhd", b.array())
+    }
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(Multimodal.Mp4Probe.probe(v1) == Some((640, 480, 7500L)),
+      s"v1 boxes misparsed: ${Multimodal.Mp4Probe.probe(v1)}")
+    // non-MP4 payloads (Y4M, PNG) must not be claimed
+    val y4m = Multimodal.syntheticVideos(ids.limit(1), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(Multimodal.Mp4Probe.probe(y4m).isEmpty)
+  }
+
   test("image dHash survives the lossy JPEG container") {
     import spark.implicits._
     // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG
