@@ -370,6 +370,54 @@ object Multimodal {
     }
   }
 
+  /** REAL FLAC metadata probe — parses the `fLaC` marker and the mandatory
+    * STREAMINFO metadata block (first block by spec): sample rate (20
+    * bits), channel count (3), and the 36-bit total-sample count, from
+    * which the exact duration follows. The compressed-audio twin of
+    * [[Mp4Probe]]: true metadata for a container whose SAMPLES need a
+    * native codec (frame decode stays behind the labeled stub).
+    * Bounds-checked; never throws on torn or hostile payloads. */
+  object FlacProbe {
+    /** (sampleRate, channels, durationMs); None unless the payload opens
+      * with `fLaC` + a well-formed STREAMINFO. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      // "fLaC" + 4-byte block header + 34-byte STREAMINFO
+      if (bytes.length < 42) return None
+      if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a'
+          || bytes(3) != 'C') return None
+      if ((bytes(4) & 0x7f) != 0) return None // first block must be type 0
+      val len = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+        (bytes(7) & 0xff)
+      if (len < 34 || bytes.length < 8 + 34) return None
+      val o = 8
+      val sr = ((bytes(o + 10) & 0xff) << 12) |
+        ((bytes(o + 11) & 0xff) << 4) | ((bytes(o + 12) & 0xff) >> 4)
+      val channels = ((bytes(o + 12) >> 1) & 0x7) + 1
+      val total = ((bytes(o + 13) & 0x0fL) << 32) |
+        ((bytes(o + 14) & 0xffL) << 24) | ((bytes(o + 15) & 0xffL) << 16) |
+        ((bytes(o + 16) & 0xffL) << 8) | (bytes(o + 17) & 0xffL)
+      if (sr <= 0) None
+      else Some((sr, channels, total * 1000L / sr))
+    }
+  }
+
+  /** (media_id, sample_rate, channels, duration_ms) for every payload the
+    * [[FlacProbe]] recognizes — same narrow-map shape as every decode. */
+  def flacMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          FlacProbe.probe(bytes).map { case (sr, ch, d) => (mid, sr, ch, d) }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "duration_ms")
+  }
+
   /** Partition-parallel decode + feature extraction. Narrow map — no
     * shuffle; at 100 TB this pipelines inside the scan stage with one
     * decoder instantiation per partition (the `it => ...` closure), not per
@@ -394,7 +442,12 @@ object Multimodal {
             case "audio" =>
               AudioCodec.decode(bytes, featureDim).map { case (d, f) =>
                 (0, 0, d, f)
-              }
+              }.orElse(
+                // FLAC: REAL duration from STREAMINFO; features stay the
+                // labeled stub (samples need a native codec)
+                FlacProbe.probe(bytes).map { case (_, _, d) =>
+                  (0, 0, d, StubDecoder.decode("audio", bytes, featureDim)._4)
+                })
             case "video" =>
               VideoCodec.decode(bytes, featureDim).orElse(
                 // MP4: REAL metadata from the box tree; the feature vector
@@ -883,6 +936,48 @@ object Multimodal {
             f += 1
           }
           (mid, "video", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Deterministic synthetic FLAC corpus keyed off an id column: `fLaC`
+    * marker + the mandatory STREAMINFO block with id-derived sample rate
+    * (five standard rates), channel count, and total-sample count (no
+    * audio frames — the [[FlacProbe]] metadata path is what q_m13
+    * certifies, like [[syntheticMp4s]] for video). Sample rate
+    * `[8000, 16000, 22050, 44100, 48000][id%5]`, channels `1 + id%2`,
+    * total samples `8000 + (id%32)·1600`. */
+  def syntheticFlacs(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val sr = rates((mid % 5).toInt)
+          val channels = 1 + (mid % 2).toInt
+          val total = 8000L + (mid % 32) * 1600L
+          val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+          b.put("fLaC".getBytes("US-ASCII"))
+          b.put(0x80.toByte)              // last-block flag + type 0
+          b.put(0.toByte).put(0.toByte).put(34.toByte) // block length
+          b.putShort(4096.toShort)        // min block size
+          b.putShort(4096.toShort)        // max block size
+          b.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size
+          b.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+          // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total
+          b.put(((sr >> 12) & 0xff).toByte)
+          b.put(((sr >> 4) & 0xff).toByte)
+          b.put((((sr & 0xf) << 4) | ((channels - 1) << 1)
+            | (15 >> 4)).toByte)          // bps-1 = 15 (16-bit): top bit
+          b.put((((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+          b.put(((total >> 24) & 0xff).toByte)
+          b.put(((total >> 16) & 0xff).toByte)
+          b.put(((total >> 8) & 0xff).toByte)
+          b.put((total & 0xff).toByte)
+          // 16-byte MD5 of the (absent) samples: zeroed
+          (mid, "audio", b.array())
         }
       }
       .toDF("media_id", "kind", "bytes")

@@ -253,8 +253,30 @@ object MultimodalQ {
         col("duration_ms"))
   }
 
+  /** REAL FLAC STREAMINFO probe, hash-certified: synthetic FLAC headers
+    * carry sample rate / channels / total samples as pure functions of the
+    * id — bit-field parsing on the Spark side, closed-form arithmetic on
+    * the DuckDB side. The compressed-audio twin of q_m12. */
+  val qM13FlacProbe = Q(
+    "q_m13_flac_probe",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |                       WHEN 2 THEN 22050 WHEN 3 THEN 44100
+      |                       ELSE 48000 END AS sr,
+      |                  8000 + (doc_id % 32) * 1600 AS total
+      |           FROM documents WHERE doc_id % 8 = 4)
+      |SELECT media_id, CAST(sr AS INT) AS sample_rate,
+      |       CAST(1 + media_id % 2 AS INT) AS channels,
+      |       CAST(total * 1000 // sr AS BIGINT) AS duration_ms
+      |FROM t""".stripMargin) { (s, d) =>
+    Multimodal.flacMeta(
+      Multimodal.syntheticFlacs(
+        documents(s, d).filter(col("doc_id") % 8 === 4), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
-      qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe)
+      qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
+      qM13FlacProbe)
 }

@@ -706,6 +706,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(Multimodal.Mp4Probe.probe(y4m).isEmpty)
   }
 
+  test("FLAC probe: exact STREAMINFO fields, never throws on garbage") {
+    import spark.implicits._
+    val ids = docs.filter(col("doc_id") % 8 === 4).limit(16)
+    val payloads = Multimodal.syntheticFlacs(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(payloads.nonEmpty)
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    payloads.foreach { case (mid, bytes) =>
+      val sr = rates((mid % 5).toInt)
+      val total = 8000L + (mid % 32) * 1600L
+      val want = Some((sr, 1 + (mid % 2).toInt, total * 1000L / sr))
+      assert(Multimodal.FlacProbe.probe(bytes) == want,
+        s"flac probe wrong for $mid")
+      Seq(0, 3, 7, 20, bytes.length - 1).foreach { n =>
+        Multimodal.FlacProbe.probe(bytes.take(n)) // must not throw
+      }
+    }
+    // a real WAV must not be claimed by the FLAC probe
+    val wav = Multimodal.syntheticAudio(ids.limit(1), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(Multimodal.FlacProbe.probe(wav).isEmpty)
+  }
+
   test("image dHash survives the lossy JPEG container") {
     import spark.implicits._
     // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG

@@ -104,6 +104,24 @@ class PlanSpec extends AnyFunSuite {
       "linear scoring must stay map-side in the scan stage:\n" + p)
   }
 
+  test("gram/span plans never re-evaluate an array expression in a filter") {
+    // regression guard for the InferFiltersFromGenerate trap: exploding a
+    // materialized array ATTRIBUTE lets the optimizer add a size(c) > 0
+    // filter that pushdown inlines below the defining Project on
+    // deterministic chains — re-running the whole array build per row,
+    // interpreted (measured 5-10× on q_d11/q_t21 before the fix). The
+    // tell is a Filter node whose predicate contains the gram/span
+    // construction (a transform over split output).
+    for (q <- Seq("q_d11_span_cut", "q_t15_top_ngrams",
+        "q_t21_top_trigrams", "q_d9_dup_spans")) {
+      val bad = plan(q).linesIterator.filter(l =>
+        l.contains("Filter") && l.contains("transform(split("))
+      assert(bad.isEmpty,
+        s"$q re-evaluates the gram build inside a Filter:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
   test("date-partitioned read prunes to the selected partition") {
     val p = plan("q_s11_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(event_date")
