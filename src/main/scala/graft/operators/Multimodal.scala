@@ -401,6 +401,81 @@ object Multimodal {
     }
   }
 
+  /** REAL MPEG-1 Layer III (MP3) frame walk: validates the 11-bit sync +
+    * version/layer bits of each frame header, sizes every frame from the
+    * public bitrate/sample-rate tables (144·bitrate/rate + padding), and
+    * counts frames to the exact CBR duration (1152 samples per MPEG-1
+    * Layer III frame). A frame WALK, not a sample decode — Huffman
+    * synthesis needs a native codec and stays behind the labeled stub,
+    * exactly the [[Mp4Probe]]/[[FlacProbe]] split. Tolerates leading junk
+    * up to the first sync (ID3v2 tags etc. skipped by scan); bails to
+    * None when fewer than 2 valid consecutive frames parse (random bytes
+    * frequently contain one spurious sync). */
+  object Mp3Probe {
+    // MPEG-1 Layer III bitrate table (kbps), index 1..14
+    private val Bitrates = Array(
+      0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val SampleRates = Array(44100, 48000, 32000, 0)
+
+    /** Frame byte length at `o`, or -1 when no valid MPEG-1 L3 header. */
+    private def frameLen(b: Array[Byte], o: Int): Int = {
+      if (o + 4 > b.length) return -1
+      if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return -1
+      val version = (b(o + 1) >> 3) & 0x3   // 3 = MPEG-1
+      val layer = (b(o + 1) >> 1) & 0x3     // 1 = Layer III
+      if (version != 3 || layer != 1) return -1
+      val brIdx = (b(o + 2) >> 4) & 0xf
+      val srIdx = (b(o + 2) >> 2) & 0x3
+      val padding = (b(o + 2) >> 1) & 0x1
+      val br = Bitrates(brIdx)
+      val sr = SampleRates(srIdx)
+      if (br == 0 || sr == 0) return -1
+      144 * br * 1000 / sr + padding
+    }
+
+    /** (sampleRate, frameCount, durationMs); None unless ≥2 consecutive
+      * valid frames parse from the first sync. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      var start = 0
+      while (start + 4 <= bytes.length && frameLen(bytes, start) < 0)
+        start += 1
+      if (start + 4 > bytes.length) return None
+      val sr = SampleRates((bytes(start + 2) >> 2) & 0x3)
+      var o = start
+      var frames = 0
+      while (o + 4 <= bytes.length) {
+        val len = frameLen(bytes, o)
+        if (len < 0) {
+          if (frames >= 2)
+            return Some((sr, frames, frames * 1152L * 1000L / sr))
+          return None
+        }
+        frames += 1
+        o += len
+      }
+      if (frames >= 2) Some((sr, frames, frames * 1152L * 1000L / sr))
+      else None
+    }
+  }
+
+  /** (media_id, sample_rate, n_frames, duration_ms) for every payload the
+    * [[Mp3Probe]] frame walk recognizes — same narrow-map shape as every
+    * decode. */
+  def mp3Meta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          Mp3Probe.probe(bytes).map { case (sr, n, d) => (mid, sr, n, d) }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_frames", "duration_ms")
+  }
+
   /** (media_id, sample_rate, channels, duration_ms) for every payload the
     * [[FlacProbe]] recognizes — same narrow-map shape as every decode. */
   def flacMeta(media: DataFrame): DataFrame = {
@@ -443,11 +518,14 @@ object Multimodal {
               AudioCodec.decode(bytes, featureDim).map { case (d, f) =>
                 (0, 0, d, f)
               }.orElse(
-                // FLAC: REAL duration from STREAMINFO; features stay the
-                // labeled stub (samples need a native codec)
-                FlacProbe.probe(bytes).map { case (_, _, d) =>
-                  (0, 0, d, StubDecoder.decode("audio", bytes, featureDim)._4)
-                })
+                // FLAC/MP3: REAL duration from STREAMINFO / frame walk;
+                // features stay the labeled stub (samples need a codec)
+                FlacProbe.probe(bytes).map(_._3)
+                  .orElse(Mp3Probe.probe(bytes).map(_._3))
+                  .map { d =>
+                    (0, 0, d,
+                      StubDecoder.decode("audio", bytes, featureDim)._4)
+                  })
             case "video" =>
               VideoCodec.decode(bytes, featureDim).orElse(
                 // MP4: REAL metadata from the box tree; the feature vector
@@ -978,6 +1056,36 @@ object Multimodal {
           b.put((total & 0xff).toByte)
           // 16-byte MD5 of the (absent) samples: zeroed
           (mid, "audio", b.array())
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Deterministic synthetic MP3 corpus keyed off an id column: valid
+    * CBR MPEG-1 Layer III frame sequences (128 kbps, sample rate
+    * `[44100, 48000, 32000][id%3]`, `20 + id%40` frames, zeroed payloads —
+    * the [[Mp3Probe]] frame walk is what q_m14 certifies; Huffman sample
+    * data would need a real encoder and proves nothing about the walk). */
+  def syntheticMp3s(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val srIdx = (mid % 3).toInt
+          val sr = Array(44100, 48000, 32000)(srIdx)
+          val frames = 20 + (mid % 40).toInt
+          val flen = 144 * 128000 / sr // padding bit 0
+          val buf = new Array[Byte](flen * frames)
+          var f = 0
+          while (f < frames) {
+            val o = f * flen
+            buf(o) = 0xFF.toByte
+            buf(o + 1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+            buf(o + 2) = ((9 << 4) | (srIdx << 2)).toByte // 128 kbps
+            f += 1
+          }
+          (mid, "audio", buf)
         }
       }
       .toDF("media_id", "kind", "bytes")

@@ -446,11 +446,15 @@ object TextAnalysis {
     * explodes `n_copies` (`explode(sequence(1, n_copies))`) when
     * materializing.
     *
+    * @param counter per-document token budget (defaults to whitespace
+    *        [[tokenCount]]; same pluggable counter as [[mixtureSample]] /
+    *        [[packShards]], e.g. wordpiece subword counts)
     * @return id, source, n_tokens, factor, n_copies */
   def mixtureResample(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       sourceCol: String, weights: Map[String, Double],
-      totalMultiple: Double): org.apache.spark.sql.DataFrame = {
+      totalMultiple: Double,
+      counter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
     require(weights.nonEmpty, "mixtureResample needs at least one weight")
     require(weights.values.forall(_ > 0),
       s"mixture weights must be positive: $weights")
@@ -463,7 +467,7 @@ object TextAnalysis {
       s"mixture weights must sum to 1 (shares of the target): " +
         s"${weights.values.sum}")
     val t = docs.select(col(id), col(sourceCol),
-      tokenCount(col(text)).as("n_tokens"))
+      counter(col(text)).cast("long").as("n_tokens"))
     val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
     val wCol = weights.toSeq.sortBy(_._1)
       .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>

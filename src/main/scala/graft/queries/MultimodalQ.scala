@@ -274,9 +274,29 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 4), "doc_id"))
   }
 
+  /** REAL MP3 frame walk, hash-certified: synthetic CBR MPEG-1 Layer III
+    * streams carry sample rate and frame count as pure functions of the
+    * id — header sync/bitrate/sample-rate parsing and frame sizing on the
+    * Spark side, closed-form arithmetic on the DuckDB side. */
+  val qM14Mp3Probe = Q(
+    "q_m14_mp3_probe",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                       ELSE 32000 END AS sr,
+      |                  20 + doc_id % 40 AS frames
+      |           FROM documents WHERE doc_id % 8 = 5)
+      |SELECT media_id, CAST(sr AS INT) AS sample_rate,
+      |       CAST(frames AS INT) AS n_frames,
+      |       CAST(frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+      |FROM t""".stripMargin) { (s, d) =>
+    Multimodal.mp3Meta(
+      Multimodal.syntheticMp3s(
+        documents(s, d).filter(col("doc_id") % 8 === 5), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
-      qM13FlacProbe)
+      qM13FlacProbe, qM14Mp3Probe)
 }

@@ -729,6 +729,37 @@ class NorthStarSpec extends AnyFunSuite {
     assert(Multimodal.FlacProbe.probe(wav).isEmpty)
   }
 
+  test("MP3 frame walk: exact frame count, junk tolerance, no false sync") {
+    import spark.implicits._
+    val ids = docs.filter(col("doc_id") % 8 === 5).limit(16)
+    val payloads = Multimodal.syntheticMp3s(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (mid, bytes) =>
+      val sr = Array(44100, 48000, 32000)((mid % 3).toInt)
+      val frames = 20 + (mid % 40).toInt
+      val want = Some((sr, frames, frames * 1152L * 1000L / sr))
+      assert(Multimodal.Mp3Probe.probe(bytes) == want,
+        s"mp3 walk wrong for $mid: ${Multimodal.Mp3Probe.probe(bytes)}")
+      // leading junk (ID3-tag stand-in) must be skipped to the first sync
+      val tagged = Array.fill[Byte](37)(0x49) ++ bytes
+      assert(Multimodal.Mp3Probe.probe(tagged) == want, "junk prefix broke")
+      // truncations must never throw
+      Seq(0, 3, 5, bytes.length / 2).foreach { n =>
+        Multimodal.Mp3Probe.probe(bytes.take(n))
+      }
+    }
+    // a single spurious sync in noise must not be claimed (needs >= 2
+    // consecutive frames)
+    val noise = Array[Byte](0x12, 0xFF.toByte, 0xFB.toByte, 0x92.toByte,
+      0x00, 0x01, 0x02, 0x03)
+    assert(Multimodal.Mp3Probe.probe(noise).isEmpty)
+    // WAV must not be claimed
+    val wav = Multimodal.syntheticAudio(ids.limit(1), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(Multimodal.Mp3Probe.probe(wav).isEmpty)
+  }
+
   test("image dHash survives the lossy JPEG container") {
     import spark.implicits._
     // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG
