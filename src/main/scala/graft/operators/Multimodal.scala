@@ -458,6 +458,111 @@ object Multimodal {
     }
   }
 
+  /** REAL WebM/Matroska (EBML) metadata probe — varint-framed element
+    * walk, no native codec: `Segment/Info` yields TimestampScale +
+    * Duration, `Segment/Tracks/TrackEntry/Video` yields
+    * PixelWidth/PixelHeight. Completes the compressed-video container
+    * pair next to [[Mp4Probe]] (VP8/VP9/AV1 SAMPLES stay behind the
+    * labeled stub). Bounds-checked; unknown-size elements (all-ones
+    * varint) extend to the parent's end per spec; never throws on torn
+    * or hostile payloads. */
+  object WebmProbe {
+    /** (value, byteLen) of the EBML varint at `o`; ids keep the marker
+      * bit (`keepMarker = true`), sizes strip it. (-1, 0) on malformed. */
+    private def varint(
+        b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+      if (o >= b.length) return (-1L, 0)
+      val fb = b(o) & 0xff
+      var len = 1
+      var mask = 0x80
+      while (mask != 0 && (fb & mask) == 0) { len += 1; mask >>= 1 }
+      if (mask == 0 || o + len > b.length) return (-1L, 0)
+      var v: Long = if (keepMarker) fb else fb & (mask - 1)
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (v, len)
+    }
+
+    /** All-ones size payload = unknown size (extends to parent end). */
+    private def isUnknown(size: Long, len: Int): Boolean =
+      size == (1L << (7 * len)) - 1
+
+    /** Walk child elements of [start, end); f(id, payloadStart,
+      * payloadEnd). Malformed framing terminates the walk quietly. */
+    private def walk(b: Array[Byte], start: Int, end: Int)(
+        f: (Long, Int, Int) => Unit): Unit = {
+      var o = start
+      while (o < end) {
+        val (id, il) = varint(b, o, keepMarker = true)
+        if (il == 0) return
+        val (sz, sl) = varint(b, o + il, keepMarker = false)
+        if (sl == 0) return
+        val ps = o + il + sl
+        val pe =
+          if (isUnknown(sz, sl)) end
+          else if (ps + sz > end || sz < 0) return
+          else ps + sz.toInt
+        f(id, ps, pe)
+        o = pe
+      }
+    }
+
+    private def uint(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def float64(b: Array[Byte], s: Int, e: Int): Double =
+      if (e - s == 4)
+        java.lang.Float.intBitsToFloat(uint(b, s, e).toInt).toDouble
+      else if (e - s == 8) java.lang.Double.longBitsToDouble(uint(b, s, e))
+      else Double.NaN
+
+    /** (width, height, duration_ms); None unless the payload opens with
+      * an EBML header and carries parseable Segment Info + video track. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      val (firstId, _) = varint(bytes, 0, keepMarker = true)
+      if (firstId != 0x1A45DFA3L) return None
+      var w = 0; var h = 0
+      var scaleNs = 1000000L // EBML default: 1 ms per tick
+      var durTicks = Double.NaN
+      walk(bytes, 0, bytes.length) {
+        case (0x18538067L, ss, se) => // Segment
+          walk(bytes, ss, se) {
+            case (0x1549A966L, is, ie) => // Info
+              walk(bytes, is, ie) {
+                case (0x2AD7B1L, ps, pe) => scaleNs = uint(bytes, ps, pe)
+                case (0x4489L, ps, pe) => durTicks = float64(bytes, ps, pe)
+                case _ => ()
+              }
+            case (0x1654AE6BL, ts, te) => // Tracks
+              walk(bytes, ts, te) {
+                case (0xAEL, es, ee) if w == 0 => // TrackEntry
+                  walk(bytes, es, ee) {
+                    case (0xE0L, vs, ve) => // Video
+                      walk(bytes, vs, ve) {
+                        case (0xB0L, ps, pe) =>
+                          w = uint(bytes, ps, pe).toInt
+                        case (0xBAL, ps, pe) =>
+                          h = uint(bytes, ps, pe).toInt
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (w > 0 && h > 0 && !durTicks.isNaN && scaleNs > 0)
+        Some((w, h, (durTicks * scaleNs / 1e6).toLong))
+      else None
+    }
+  }
+
   /** (media_id, sample_rate, n_frames, duration_ms) for every payload the
     * [[Mp3Probe]] frame walk recognizes — same narrow-map shape as every
     * decode. */
@@ -528,11 +633,15 @@ object Multimodal {
                   })
             case "video" =>
               VideoCodec.decode(bytes, featureDim).orElse(
-                // MP4: REAL metadata from the box tree; the feature vector
-                // stays the labeled stub (samples undecodable offline)
-                Mp4Probe.probe(bytes).map { case (w, h, d) =>
-                  (w, h, d, StubDecoder.decode("video", bytes, featureDim)._4)
-                })
+                // MP4/WebM: REAL metadata from the container walk; the
+                // feature vector stays the labeled stub (samples
+                // undecodable offline)
+                Mp4Probe.probe(bytes)
+                  .orElse(WebmProbe.probe(bytes))
+                  .map { case (w, h, d) =>
+                    (w, h, d,
+                      StubDecoder.decode("video", bytes, featureDim)._4)
+                  })
             case _ => None
           }
           decoded match {
@@ -1086,6 +1195,47 @@ object Multimodal {
             f += 1
           }
           (mid, "audio", buf)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Deterministic synthetic WebM corpus keyed off an id column: a minimal
+    * valid EBML tree (header + Segment(Info(TimestampScale, Duration) +
+    * Tracks(TrackEntry(Video(PixelWidth, PixelHeight))))) with id-derived
+    * metadata — the [[WebmProbe]] walk is what q_m15 certifies. Width
+    * `320 + (id%16)·16`, height `180 + (id%12)·16`, duration
+    * `(3 + id%25)` seconds at the default 1 ms timestamp scale. */
+  def syntheticWebms(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val w = 320 + (mid % 16).toInt * 16
+          val h = 180 + (mid % 12).toInt * 16
+          val durMs = (3 + (mid % 25)) * 1000L
+          def el(idBytes: Array[Int], payload: Array[Byte]): Array[Byte] = {
+            require(payload.length < 127)
+            idBytes.map(_.toByte) ++
+              Array((0x80 | payload.length).toByte) ++ payload
+          }
+          def uintBytes(v: Long): Array[Byte] = {
+            var n = v; var out = List.empty[Byte]
+            do { out = (n & 0xff).toByte :: out; n >>= 8 } while (n > 0)
+            out.toArray
+          }
+          val ebml = el(Array(0x1A, 0x45, 0xDF, 0xA3), Array.empty)
+          val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+            el(Array(0x2A, 0xD7, 0xB1), uintBytes(1000000L)) ++
+              el(Array(0x44, 0x89), java.nio.ByteBuffer.allocate(8)
+                .putDouble(durMs.toDouble).array()))
+          val video = el(Array(0xE0),
+            el(Array(0xB0), uintBytes(w)) ++ el(Array(0xBA), uintBytes(h)))
+          val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B),
+            el(Array(0xAE), video))
+          val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+          (mid, "video", ebml ++ segment)
         }
       }
       .toDF("media_id", "kind", "bytes")

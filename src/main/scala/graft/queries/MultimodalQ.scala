@@ -294,9 +294,29 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 5), "doc_id"))
   }
 
+  /** REAL WebM/EBML metadata probe, hash-certified: synthetic EBML trees
+    * carry display dimensions and duration as pure functions of the id —
+    * varint element walking on the Spark side (Segment/Info for
+    * TimestampScale+Duration, Tracks/TrackEntry/Video for pixel dims),
+    * closed-form arithmetic on the DuckDB side. With q_m12 this covers
+    * both dominant crawl video containers at the metadata level. */
+  val qM15WebmProbe = Q(
+    "q_m15_webm_probe",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(320 + (doc_id % 16) * 16 AS INT) AS width,
+      |       CAST(180 + (doc_id % 12) * 16 AS INT) AS height,
+      |       CAST((3 + doc_id % 25) * 1000 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 8 = 6""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticWebms(
+        documents(s, d).filter(col("doc_id") % 8 === 6), "doc_id")).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("duration_ms"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
-      qM13FlacProbe, qM14Mp3Probe)
+      qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe)
 }

@@ -760,6 +760,45 @@ class NorthStarSpec extends AnyFunSuite {
     assert(Multimodal.Mp3Probe.probe(wav).isEmpty)
   }
 
+  test("WebM probe: exact EBML metadata, unknown-size segments, garbage") {
+    import spark.implicits._
+    val ids = docs.filter(col("doc_id") % 8 === 6).limit(16)
+    val payloads = Multimodal.syntheticWebms(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (mid, bytes) =>
+      val want = Some((320 + (mid % 16).toInt * 16,
+        180 + (mid % 12).toInt * 16, (3 + mid % 25) * 1000L))
+      assert(Multimodal.WebmProbe.probe(bytes) == want,
+        s"webm probe wrong for $mid: ${Multimodal.WebmProbe.probe(bytes)}")
+      // truncations and bit flips must never throw
+      Seq(0, 2, 5, 11, bytes.length / 2, bytes.length - 1).foreach { n =>
+        Multimodal.WebmProbe.probe(bytes.take(n))
+      }
+      val corrupt = bytes.clone(); corrupt(6) = 0xFF.toByte
+      Multimodal.WebmProbe.probe(corrupt)
+    }
+    // a live-streamed WebM declares its Segment with UNKNOWN size
+    // (all-ones varint) — the walk must extend it to payload end
+    val (_, sample) = payloads.head
+    val segIdx = {
+      // locate the 4-byte Segment id in the generated payload
+      var i = 0
+      while (!(sample(i) == 0x18.toByte && sample(i + 1) == 0x53.toByte
+        && sample(i + 2) == 0x80.toByte && sample(i + 3) == 0x67.toByte))
+        i += 1
+      i
+    }
+    val unknown = sample.clone(); unknown(segIdx + 4) = 0xFF.toByte
+    assert(Multimodal.WebmProbe.probe(unknown)
+      == Multimodal.WebmProbe.probe(sample),
+      "unknown-size Segment must parse like the sized one")
+    // MP4 and Y4M must not be claimed
+    val mp4 = Multimodal.syntheticMp4s(ids.limit(1), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(Multimodal.WebmProbe.probe(mp4).isEmpty)
+  }
+
   test("image dHash survives the lossy JPEG container") {
     import spark.implicits._
     // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG
