@@ -644,6 +644,53 @@ object TextAnalysis {
           .orderBy(col("n_occurrences").desc, col("gram"))).cast("long"))
   }
 
+  /** Corpus-level frequent WORDS with document frequency — the n=1 end of
+    * the miner family and the input to subword-vocabulary derivation.
+    * Unlike [[topNgrams]] there is no hash indirection: words repeat
+    * heavily within a document, so the first-level (doc, word) hash-agg
+    * collapses to per-doc DISTINCT words map-side and the exchange is
+    * vocabulary-shaped, not corpus-shaped (the property natural-text
+    * n-grams lack — per-doc-unique grams were why topNgrams needed the
+    * hash-count + recovery design). Ties resolve by word so the cut is
+    * deterministic and the SQL oracle reproduces it.
+    *
+    * @return word, n_occurrences, n_docs, rank (1..k) */
+  def topWords(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    Dedup.fanOut(docs)
+      .select(col(id).as("__d"), explode(tokens(col(text))).as("word"))
+      .groupBy("__d", "word")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("word")
+      .agg(sum("__n").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("word"))).cast("long"))
+
+  /** Derive a deterministic wordpiece vocabulary FROM the corpus: the
+    * `maxWords` most frequent whole words (frequent words tokenize as one
+    * piece — the property a real trained vocab has) plus the ASCII
+    * letters/digits as the fallback alphabet so clean text always
+    * segments ([UNK] marks genuinely foreign characters only). Driver
+    * sees exactly `maxWords` strings (a model artifact, like the k-means
+    * quantizer sample — bounded, not corpus-sized). Replaces the toy
+    * hand-listed vocab with the corpus-driven shape a production
+    * tokenizer pipeline has; a trained BPE/WP vocab drops into the same
+    * parameter. */
+  def deriveVocab(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      maxWords: Int = 4096): Seq[String] = {
+    require(maxWords > 0 && maxWords <= 262144,
+      s"vocab size out of range: $maxWords")
+    val words = topWords(docs, id, text, maxWords)
+      .select("word").collect().map(_.getString(0)).toSeq
+    (words ++ ('a' to 'z').map(_.toString) ++
+      ('0' to '9').map(_.toString)).distinct
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

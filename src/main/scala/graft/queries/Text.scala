@@ -594,6 +594,26 @@ object Text {
         graft.functions.GraftFunctions.wordpieceTokens(t, WpVocab)))
   }
 
+  /** Frequent-word mining (n=1 of the miner family; the vocabulary-
+    * derivation input): top-50 words by occurrence with doc frequency,
+    * word tie-break. Certified — word exchange is vocabulary-shaped, so
+    * no hash indirection is needed (see topWords scaladoc). */
+  val qT22TopWords = Q(
+    "q_t22_top_words",
+    """WITH c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |g AS (SELECT doc_id, word, count(*) AS n FROM c GROUP BY 1, 2),
+      |t AS (SELECT word, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |             CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM g GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, word)
+      |               AS rank
+      |      FROM t)
+      |SELECT word, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 50""".stripMargin) { (s, d) =>
+    topWords(documents(s, d), "doc_id", "text", k = 50)
+  }
+
   /** Epochs-style mixture resampling: target = 1.5× the weighted token
     * mass at 50/30/20 — the half-weight source upsamples past 2 epochs
     * while the others downsample, all from one deterministic rule. */
@@ -639,5 +659,5 @@ object Text {
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
-      qT20SubwordPack, qT21TopTrigrams)
+      qT20SubwordPack, qT21TopTrigrams, qT22TopWords)
 }

@@ -995,6 +995,40 @@ class NorthStarSpec extends AnyFunSuite {
     assert(counts.head == repKeep, s"stage1 ${counts.head} vs $repKeep")
   }
 
+  test("corpus-derived vocab: deterministic, and beats the toy vocab") {
+    import graft.operators.TextAnalysis
+    import graft.queries.Text.WpVocab
+    graft.functions.GraftFunctions.register(spark)
+    val v1 = TextAnalysis.deriveVocab(docs, "doc_id", "text", maxWords = 512)
+    val v2 = TextAnalysis.deriveVocab(docs, "doc_id", "text", maxWords = 512)
+    assert(v1 == v2, "vocab derivation must be deterministic")
+    assert(v1.distinct.length == v1.length)
+    // fallback alphabet always present → clean ASCII text segments fully
+    assert(('a' to 'z').forall(c => v1.contains(c.toString)))
+    def pieceStats(vocab: Seq[String]): (Double, Double) = {
+      val pieces = graft.functions.GraftFunctions
+        .wordpieceTokens(col("text"), vocab)
+      val r = docs.select(
+        sum(size(filter(pieces, p => p === "[UNK]"))).cast("double")
+          .as("unk"),
+        sum(size(pieces)).cast("double").as("all")).head()
+      (r.getDouble(0) / r.getDouble(1), r.getDouble(1))
+    }
+    val (derivedUnk, derivedPieces) = pieceStats(v1)
+    val (toyUnk, toyPieces) = pieceStats(WpVocab)
+    println(f"unk: derived=$derivedUnk%.4f toy=$toyUnk%.4f; " +
+      f"pieces: derived=$derivedPieces%.0f toy=$toyPieces%.0f")
+    // the corpus-driven vocab must tokenize the corpus at least as well
+    // as the hand-listed toy vocab on BOTH axes: no more [UNK]s, and
+    // STRICTLY fewer total pieces (frequent words tokenize whole — the
+    // compression property a trained vocab has and a toy list lacks)
+    assert(derivedUnk <= toyUnk,
+      f"derived vocab worse than toy: $derivedUnk%.4f vs $toyUnk%.4f")
+    assert(derivedPieces < toyPieces,
+      f"derived vocab does not compress: $derivedPieces%.0f vs " +
+        f"$toyPieces%.0f pieces")
+  }
+
   test("subword-budgeted packing equals a window recount on piece counts") {
     import graft.operators.TextAnalysis
     import graft.queries.Text.WpVocab

@@ -514,6 +514,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("container metadata probes run unchanged on a media stream") {
+    import org.apache.spark.sql.functions._
+    // a crawl ingest meets MP4/WebM/FLAC/MP3 in-flight: the probes are
+    // narrow maps inside extractFeatures, so the same call must run on
+    // readStream input and emit the same metadata the batch path does
+    val docs = graft.Tables.documents(spark, GraftSpark.sf)
+    val mixed = graft.operators.Multimodal
+      .syntheticMp4s(docs.filter(col("doc_id") % 8 === 3).limit(8), "doc_id")
+      .unionByName(graft.operators.Multimodal.syntheticFlacs(
+        docs.filter(col("doc_id") % 8 === 4).limit(8), "doc_id"))
+      .unionByName(graft.operators.Multimodal.syntheticMp3s(
+        docs.filter(col("doc_id") % 8 === 5).limit(8), "doc_id"))
+      .unionByName(graft.operators.Multimodal.syntheticWebms(
+        docs.filter(col("doc_id") % 8 === 6).limit(8), "doc_id"))
+    def meta(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.extractFeatures(df).toDF()
+        .select("media_id", "kind", "width", "height", "duration_ms")
+    val batch = meta(mixed).collect().map(_.toString).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_probe")
+    mixed.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = meta(spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("probe_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("probe_out").collect()
+        .map(_.toString).toSet
+      assert(streamed == batch,
+        s"stream probes diverged: missing ${batch -- streamed}, " +
+          s"extra ${streamed -- batch}")
+      assert(batch.size == 32, s"expected all 32 payloads probed: $batch")
+    } finally q.stop()
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
