@@ -10,10 +10,11 @@ import graft.operators.TextAnalysis._
   * observability.
   *
   * Stages: repetition screen → near-duplicate removal (MinHash+LSH,
-  * keep the smallest id) → quality threshold → language filter → PII
-  * redaction → deterministic split assignment. `q_t17_pipeline`
-  * certifies this exact composition against a DuckDB oracle; this
-  * operator is the reusable API surface for it.
+  * keep the smallest id) → optional benchmark decontamination (when a
+  * probe suite is passed) → quality threshold → language filter →
+  * optional span cut → PII redaction → deterministic split assignment.
+  * `q_t17_pipeline` certifies the core composition against a DuckDB
+  * oracle; this operator is the reusable API surface for it.
   *
   * Two deliberate semantics to know before reusing:
   *  - Near-dup LOSERS are decided on the FULL corpus, not the
@@ -52,35 +53,62 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       minQuality: Double = 0.5,
       lang: String = "en",
-      spanCutMinDocs: Option[Int] = None)
+      spanCutMinDocs: Option[Int] = None,
+      decontamMinContainment: Double = 0.8,
+      decontamNgram: Int = 3)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
-    * after the first action on `df`. */
+    * after the first action on `df`. The decontamination stage count
+    * equals the dedup count when the pipeline ran without probes. */
   final case class Result(
       df: DataFrame,
       afterRepetition: Observation,
       afterDedup: Observation,
+      afterDecontam: Observation,
       afterFilters: Observation) {
     /** Rows surviving each stage, in order. Call after an action. */
     def stageRows: Seq[(String, Long)] = Seq(
       "repetition_screen" -> metric(afterRepetition),
       "near_dup_removal" -> metric(afterDedup),
+      "decontamination" -> metric(afterDecontam),
       "quality_lang_filters" -> metric(afterFilters))
     private def metric(o: Observation): Long =
       o.get("rows").asInstanceOf[Long]
   }
 
+  /** @param probes benchmark/eval suite to decontaminate against: any
+    *        document whose shingles contain a probe document at ≥
+    *        `cfg.decontamMinContainment` (shingle width
+    *        `cfg.decontamNgram`) is dropped after dedup — the
+    *        [[Decontaminate.contamination]] screen as a pipeline stage.
+    *        The probe frame must have the same (id, text) columns and
+    *        stays benchmark-sized (its shingles broadcast). None skips
+    *        the stage (its funnel count then equals dedup's). */
   def pipeline(
       docs: DataFrame, id: String, text: String,
-      cfg: Config = Config()): Result = {
+      cfg: Config = Config(),
+      probes: Option[DataFrame] = None): Result = {
     val keepRep = repetitionScreen(docs, id, text, cfg.repetitionDropAt)
       .filter(col("verdict") === "keep").select(col("doc_id").as(id))
     val losers = Dedup
       .minHashLshPairs(docs, id, text, cfg.nearDupThreshold)
       .select(col("doc_b").as(id)).distinct()
+    // contaminated ids, decided on the FULL corpus like every verdict set
+    val contaminated = probes.map { p =>
+      // one frame, probes tagged by a column: reuses the single-operator
+      // screen (probe side broadcast, corpus side streamed)
+      val tagged = docs.select(col(id), col(text), lit(false).as("__probe"))
+        .unionByName(
+          p.select(col(id), col(text), lit(true).as("__probe")))
+      Decontaminate.contamination(tagged, id, text,
+          probePred = col("__probe"), cfg.decontamMinContainment,
+          n = cfg.decontamNgram)
+        .select(col("doc_id").as(id)).distinct()
+    }
     val oRep = Observation()
     val oDedup = Observation()
+    val oDecontam = Observation()
     val oFinal = Observation()
     // span cut (optional): computed on the FULL corpus — duplicated-span
     // verdicts, like dedup losers, must not depend on screen thresholds
@@ -91,11 +119,15 @@ object Curation {
         docs.join(cut, Seq(id))
       case None => docs.withColumn("__emit", col(text))
     }
-    val out = withEmitText
+    val afterDedupDf = withEmitText
       .join(keepRep, Seq(id))
       .observe(oRep, count(lit(1)).as("rows"))
       .join(losers, Seq(id), "left_anti")
       .observe(oDedup, count(lit(1)).as("rows"))
+    val afterDecontamDf = contaminated
+      .fold(afterDedupDf)(c => afterDedupDf.join(c, Seq(id), "left_anti"))
+      .observe(oDecontam, count(lit(1)).as("rows"))
+    val out = afterDecontamDf
       .select(col(id),
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),
@@ -104,6 +136,6 @@ object Curation {
       .filter(col("quality") >= cfg.minQuality
         && col("pred_lang") === cfg.lang)
       .observe(oFinal, count(lit(1)).as("rows"))
-    Result(out, oRep, oDedup, oFinal)
+    Result(out, oRep, oDedup, oDecontam, oFinal)
   }
 }

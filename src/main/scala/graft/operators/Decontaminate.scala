@@ -26,12 +26,21 @@ object Decontaminate {
     *        — the corpus may be arbitrarily large, the probe must stay
     *        benchmark-sized. A predicate that accidentally selects a corpus
     *        slice would otherwise build a giant broadcast and OOM the driver.
+    * @param n shingle width in words. 3 (default) keeps the native
+    *        [[Dedup.wordTrigrams]] expression; other widths (the published
+    *        decontamination recipes collide on 8–13-grams) build distinct
+    *        positional n-grams over a materialized token array, with the
+    *        same whole-text fallback below n tokens that wordTrigrams has.
+    *        Wider shingles = fewer spurious matches, but a probe answer
+    *        shorter than n words can only match via the whole-text
+    *        fallback — pick n at or below the shortest probe you care
+    *        about.
     * @return doc_id, probe_id, overlap (shared distinct shingles),
     *         containment */
   def contamination(
       docs: DataFrame, id: String, text: String,
       probePred: Column, minContainment: Double,
-      maxProbeRows: Long = 100000L): DataFrame = {
+      maxProbeRows: Long = 100000L, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val probeDocs = docs.filter(probePred)
     require(Guard.atMost(probeDocs, maxProbeRows),
@@ -41,8 +50,21 @@ object Decontaminate {
         "streamed side — swap the sides or raise maxProbeRows explicitly " +
         "if the probe set is genuinely this big.")
     def grams(df: DataFrame, as: String): DataFrame =
-      df.select(col(id).as(as),
-        explode(Dedup.wordTrigrams(col(text))).as("tg"))
+      if (n == 3)
+        df.select(col(id).as(as),
+          explode(Dedup.wordTrigrams(col(text))).as("tg"))
+      else {
+        // tokens materialized as a real column; the shingle expression
+        // feeds the Generate directly (the two Catalyst rules
+        // Dedup.cutDuplicatedSpans documents)
+        val t = col("__t")
+        val sh = when(size(t) >= n,
+          array_distinct(TextAnalysis.ngramsFrom(t, n)))
+          .otherwise(array(concat_ws(" ", t)))
+        df.select(col(id).as(as), col(text).as("__text"))
+          .withColumn("__t", split(col("__text"), " "))
+          .select(col(as), explode(sh).as("tg"))
+      }
     val probeGrams = grams(probeDocs, "probe_id")
     val probeSizes = probeGrams.groupBy("probe_id")
       .agg(count(lit(1)).as("probe_n"))

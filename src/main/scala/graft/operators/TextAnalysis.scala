@@ -108,9 +108,11 @@ object TextAnalysis {
   def ngrams(text: Column, n: Int): Column = ngramsFrom(tokens(text), n)
 
   /** [[ngrams]] over an already-MATERIALIZED token-array column — the
-    * corpus-scale form: each `element_at` is then an O(1) array index. */
+    * corpus-scale form: each `element_at` is then an O(1) array index.
+    * Bound 16 (vs the mining API's advertised 5): decontamination screens
+    * standardly collide on 8–13-gram shingles. */
   private[operators] def ngramsFrom(t: Column, n: Int): Column = {
-    require(n >= 2 && n <= 5, s"n-gram size must be in [2, 5], got $n")
+    require(n >= 2 && n <= 16, s"n-gram size must be in [2, 16], got $n")
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))

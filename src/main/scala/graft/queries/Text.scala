@@ -203,6 +203,40 @@ object Text {
         probePred = col("doc_id") < 10, minContainment = 0.5)
   }
 
+  /** Wide-shingle decontamination: the published-recipe shape (8-gram
+    * collision, vs q_t8's trigram containment) through the generalized
+    * `n` parameter — wider shingles kill spurious matches, so the
+    * threshold drops to 0.2 to keep true long-span leaks visible. Same
+    * probe/corpus split as q_t8; oracle rebuilds the 8-gram sets with the
+    * same whole-text fallback below 8 tokens. */
+  val qT23Decontam8 = Q(
+    "q_t23_decontam8",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |    THEN list_transform(range(1, len(t) - 6),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |                t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+      |                t[i+6] || ' ' || t[i+7])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |probe AS (SELECT doc_id AS probe_id, tg FROM tg WHERE doc_id < 10),
+      |psz AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
+      |        FROM probe GROUP BY 1),
+      |corp AS (SELECT doc_id, tg FROM tg WHERE doc_id >= 10),
+      |ov AS (SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS overlap
+      |       FROM corp c JOIN probe p USING (tg) GROUP BY 1, 2)
+      |SELECT doc_id, probe_id, overlap,
+      |       CAST(overlap AS DOUBLE) / probe_n AS containment
+      |FROM ov JOIN psz USING (probe_id)
+      |WHERE CAST(overlap AS DOUBLE) / probe_n >= 0.2""".stripMargin) {
+    (s, d) =>
+      graft.operators.Decontaminate.contamination(
+        documents(s, d), "doc_id", "text",
+        probePred = col("doc_id") < 10, minContainment = 0.2, n = 8)
+  }
+
   /** PII redaction: deterministic synthetic PII (email + SSN derived from
     * doc_id) is injected on BOTH sides, then redacted — certifying that the
     * redaction regexes behave identically across engines. */
@@ -659,5 +693,5 @@ object Text {
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
-      qT20SubwordPack, qT21TopTrigrams, qT22TopWords)
+      qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8)
 }

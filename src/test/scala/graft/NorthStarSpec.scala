@@ -983,7 +983,10 @@ class NorthStarSpec extends AnyFunSuite {
     val finalRows = res.df.count() // ONE action resolves every metric
     val stages = res.stageRows
     assert(stages.map(_._1) == Seq("repetition_screen",
-      "near_dup_removal", "quality_lang_filters"))
+      "near_dup_removal", "decontamination", "quality_lang_filters"))
+    // no probe suite passed → the decontamination stage is a no-op and
+    // its count must equal dedup's
+    assert(stages(2)._2 == stages(1)._2, s"no-probe decontam moved: $stages")
     val counts = stages.map(_._2)
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
       s"funnel must be monotone: $stages")
@@ -1090,6 +1093,35 @@ class NorthStarSpec extends AnyFunSuite {
     // the binding source keeps everything
     val binding = weights.keys.minBy(s => totals(s) / weights(s))
     assert(gotRates(binding) == 1.0, s"binding source $binding must keep all")
+  }
+
+  test("curation decontamination stage drops exactly the screened docs") {
+    import graft.operators.{Curation, Decontaminate}
+    import spark.implicits._
+    // probe suite = copies of two corpus documents under fresh ids: their
+    // sources are 100%-contained and must fall at the decontam stage
+    val probes = docs.filter(col("doc_id").isin(20L, 21L))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val res = Curation.pipeline(docs, "doc_id", "text",
+      probes = Some(probes))
+    val base = Curation.pipeline(docs, "doc_id", "text")
+    val survivors = res.df.select("doc_id").as[Long].collect().toSet
+    val baseSurvivors = base.df.select("doc_id").as[Long].collect().toSet
+    // independent recount of what the standalone screen flags
+    val tagged = docs.select(col("doc_id"), col("text"),
+        lit(false).as("__probe"))
+      .unionByName(probes.select(col("doc_id"), col("text"),
+        lit(true).as("__probe")))
+    val flagged = Decontaminate.contamination(tagged, "doc_id", "text",
+        probePred = col("__probe"), minContainment = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "planted probe copies must be flagged")
+    assert(survivors == baseSurvivors -- flagged,
+      s"decontam stage diverged: flagged=$flagged")
+    // the funnel's decontamination drop is visible and monotone
+    val stages = res.stageRows
+    assert(stages(2)._2 < stages(1)._2,
+      s"decontam stage should have dropped rows: $stages")
   }
 
   test("curation span-cut hook rewrites survivors' text, never the funnel") {
