@@ -799,6 +799,46 @@ class NorthStarSpec extends AnyFunSuite {
     assert(Multimodal.WebmProbe.probe(mp4).isEmpty)
   }
 
+  test("every codec and probe survives arbitrary bytes without throwing") {
+    // a crawl decode stage sees garbage constantly: truncated downloads,
+    // mislabeled content types, adversarial payloads. Every entry point
+    // must return None/empty — never throw — on arbitrary input.
+    // Deterministic splitmix-seeded corpus: failures reproduce exactly.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val interesting = Seq[Array[Byte]](
+      Array.empty,
+      "fLaC".getBytes("US-ASCII"),
+      "YUV4MPEG2".getBytes("US-ASCII"),
+      Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte), // EBML magic alone
+      Array(0, 0, 0, 8, 'f', 't', 'y', 'p').map(_.toByte), // bare ftyp
+      Array(0xFF, 0xFB).map(_.toByte), // lone mp3 sync
+      Array.fill[Byte](64)(0xFF.toByte),
+      Array.fill[Byte](64)(0x00.toByte))
+    val random = (0 until 500).map { i =>
+      val n = (mix(i * 7L + 1).abs % 200).toInt
+      Array.tabulate[Byte](n)(j => mix(i * 1000003L + j).toByte)
+    }
+    (interesting ++ random).zipWithIndex.foreach { case (b, i) =>
+      withClue(s"fuzz case $i (${b.length} bytes): ") {
+        Multimodal.Mp4Probe.probe(b)
+        Multimodal.WebmProbe.probe(b)
+        Multimodal.FlacProbe.probe(b)
+        Multimodal.Mp3Probe.probe(b)
+        Multimodal.imageDHash(b)
+        Multimodal.audioFingerprint(b)
+        Multimodal.videoDHash(b)
+        Multimodal.ImageCodec.decode(b, 8)
+        Multimodal.AudioCodec.decode(b, 8)
+        Multimodal.VideoCodec.decode(b, 8)
+      }
+    }
+  }
+
   test("image dHash survives the lossy JPEG container") {
     import spark.implicits._
     // same gradient per id, PNG vs JPEG container: the pixels differ (JPEG
