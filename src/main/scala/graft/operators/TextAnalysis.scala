@@ -693,6 +693,62 @@ object TextAnalysis {
       ('0' to '9').map(_.toString)).distinct
   }
 
+  /** One-pass corpus report — the "data card" numbers every training-data
+    * drop ships with: document/token mass, exact-duplicate rate (distinct
+    * content fingerprints vs rows), quality and language mix. ONE
+    * hash-aggregation over map-side projections (the fingerprint count is
+    * approx_count_distinct-free: md5 collisions are negligible and the
+    * count is exact via a distinct aggregate — Spark plans it as a
+    * two-level agg, no extra pass). All arithmetic SQL-portable →
+    * hash-certified.
+    *
+    * @return one row: n_docs, n_tokens, n_distinct_content,
+    *         mean_quality (stable-sum), pct_lang (share of `lang`) */
+  def corpusReport(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      lang: String = "en"): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(id),
+        tokenCount(col(text)).as("__n"),
+        fingerprintContent(col(text)).as("__fp"),
+        qualityScore(col(text)).as("__q"),
+        langId(col(text)).as("__l"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        countDistinct(col("__fp")).as("n_distinct_content"),
+        (sum(round(col("__q") * lit(100.0)).cast("long"))
+          / lit(100.0) / count(lit(1))).as("mean_quality"),
+        (sum(when(col("__l") === lang, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("pct_lang"))
+
+  /** Deterministic corpus shuffle — the data-order step in front of
+    * training: global order = ascending md5(seed‖id), reproducible across
+    * runs, engines, and partitionings, no RNG (the same md5-keying family
+    * as [[deterministicSplit]]/[[stratifiedKeep]]). Shards are hex-prefix
+    * buckets of the key (16^`shardHexChars` shards, uniform by md5), so a
+    * writer lays out one file per shard and a training loader streams
+    * shards in name order, rows in `pos` order — the full epoch order is
+    * a pure function of (seed, ids). Changing the seed reshuffles; the
+    * intra-shard window is per-shard parallel (no global sort, no
+    * single-partition window).
+    *
+    * @return id, shuffle_key, shard, pos (1-based within shard) */
+  def deterministicShuffle(
+      docs: org.apache.spark.sql.DataFrame, id: String, seed: String,
+      shardHexChars: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars in [1, 4]: $shardHexChars")
+    val key = md5(concat(lit(seed), col(id).cast("string")).cast("binary"))
+    docs
+      .select(col(id), key.as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard")
+          .orderBy(col("shuffle_key"), col(id))).cast("long"))
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

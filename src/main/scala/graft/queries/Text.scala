@@ -237,6 +237,68 @@ object Text {
         probePred = col("doc_id") < 10, minContainment = 0.2, n = 8)
   }
 
+  /** One-pass corpus report ("data card" numbers): doc/token mass, exact
+    * duplicate rate via distinct content fingerprints, stable-sum mean
+    * quality, language share — one aggregation, every formula shared
+    * term-for-term with q_t2/t3/t4's oracles. */
+  val qT24CorpusReport = Q(
+    "q_t24_corpus_report",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS u,
+      |    CAST(len(list_filter(string_split(text,' '),
+      |      w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS st,
+      |    len(list_filter(string_split(text,' '),
+      |      w -> w IN ('el','la','los','que','y'))) AS es,
+      |    len(list_filter(string_split(text,' '),
+      |      w -> w IN ('der','die','das','und','ist'))) AS de,
+      |    len(list_filter(string_split(text,' '),
+      |      w -> w IN ('le','les','des','et','est'))) AS fr
+      |  FROM documents),
+      |q AS (SELECT doc_id, n,
+      |        0.4 * least(1.0, n / 80.0) + 0.3 * (u / n)
+      |          + 0.3 * least(1.0, (st / n) * 5.0) AS quality,
+      |        CASE WHEN st > 0 AND st >= es AND st >= de AND st >= fr
+      |               THEN 'en'
+      |             WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+      |             WHEN de > 0 AND de >= fr THEN 'de'
+      |             WHEN fr > 0 THEN 'fr'
+      |             ELSE 'und' END AS pred_lang,
+      |        md5(array_to_string(list_sort(list_distinct(
+      |          string_split(text, ' '))), ' ')) AS fp
+      |      FROM t)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_content,
+      |       sum(CAST(round(quality * 100) AS BIGINT)) / 100.0 / count(*)
+      |         AS mean_quality,
+      |       CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+      |              AS DOUBLE) / count(*) AS pct_lang
+      |FROM q""".stripMargin) {
+    (s, d) =>
+      graft.operators.TextAnalysis.corpusReport(documents(s, d),
+        "doc_id", "text")
+  }
+
+  /** Deterministic corpus shuffle: epoch order = ascending md5(seed‖id),
+    * hex-prefix shards (certified — key, shard, and per-shard position all
+    * recomputed independently by the oracle). */
+  val qT25Shuffle = Q(
+    "q_t25_shuffle",
+    """WITH k AS (SELECT doc_id,
+      |             md5('ep0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |           FROM documents)
+      |SELECT doc_id, shuffle_key,
+      |       substr(shuffle_key, 1, 2) AS shard,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY substr(shuffle_key, 1, 2)
+      |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+      |FROM k""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.deterministicShuffle(documents(s, d),
+      "doc_id", seed = "ep0")
+  }
+
   /** PII redaction: deterministic synthetic PII (email + SSN derived from
     * doc_id) is injected on BOTH sides, then redacted — certifying that the
     * redaction regexes behave identically across engines. */
@@ -693,5 +755,6 @@ object Text {
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
-      qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8)
+      qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
+      qT24CorpusReport, qT25Shuffle)
 }
