@@ -46,6 +46,31 @@ object Similarity {
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dot(va, vb) / (na * nb)
 
+  /** Random projection to `outDim` dimensions (Johnson–Lindenstrauss):
+    * out[j] = v · plane_j / √outDim over [[hyperplanes]]' deterministic
+    * LCG planes — reproducible across runs/executors, no RNG state, and
+    * every dot is the codegen'd [[graft.functions.DoubleDot]]. The
+    * standard pre-filter in front of dense similarity work: a 4× narrower
+    * vector per row means 4× less exchange/cache in every downstream
+    * pair loop, at a distortion RecallSpec measures and pins. Pure
+    * projection (narrow map, no shuffle).
+    *
+    * @return id column (source name) + `proj` array<double> */
+  def randomProjection(
+      emb: DataFrame, id: String, vec: String, outDim: Int): DataFrame = {
+    require(outDim >= 1, s"bad projection dim: $outDim")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dim = emb.select(size(col(vec))).first().getInt(0)
+    require(outDim <= dim, s"projection must narrow: $outDim > $dim")
+    val planes = hyperplanes(dim, outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = transform(col(vec), x => x.cast("double"))
+    emb.select(col(id),
+      array((0 until outDim).map { j =>
+        dot(v, typedlit(planes(j).toSeq)) * lit(scale)
+      }: _*).as("proj"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold — EXACT, as a
     * balanced blocked self-join (the 1-Bucket-Theta layout of Okcan &
     * Riedewald, SIGMOD'11 "Processing Theta-Joins using MapReduce").

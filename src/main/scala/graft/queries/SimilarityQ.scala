@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5, to_json}
 import graft.Tables._
 import graft.operators.Similarity
 
@@ -53,6 +53,20 @@ object SimilarityQ {
       perCluster = 32)
   }
 
+  /** Johnson–Lindenstrauss random projection 64→16 dims (deterministic
+    * LCG planes; the pre-filter in front of dense similarity work).
+    * Rows-only — a 16-term double dot per output element has no tractable
+    * hash-stable SQL twin; RecallSpec pins the measured cosine distortion
+    * and top-k overlap floors. The digest column makes the rows-only sort
+    * stable (the harness cannot order raw arrays). */
+  val qX6RandomProjection = Q.rowsOnly("q_x6_random_projection") { (s, d) =>
+    Similarity.randomProjection(embeddings(s, d), "vec_id", "embedding",
+        outDim = 16)
+      .select(col("vec_id"),
+        md5(to_json(col("proj")).cast("binary")).as("proj_digest"))
+  }
+
   val all: Seq[Q] =
-    Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity)
+    Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
+      qX6RandomProjection)
 }

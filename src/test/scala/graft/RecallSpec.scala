@@ -82,6 +82,44 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.85, f"index reuse broke recall: $r%.3f")
   }
 
+  test("random projection preserves cosine structure (JL distortion)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+      .withColumnRenamed("proj", "embedding")
+    // JL guarantees DISTANCE preservation, not ranking: on this
+    // near-uniform fixture all cosines concentrate near 0 with gaps far
+    // below the k=16 estimator noise (σ ≈ √(1/k) = 0.25), so top-k
+    // overlap is meaningless here — measure the pairwise cosine
+    // distortion the lemma actually bounds
+    def cosines(df: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+      val n = Similarity.normed(df, "vec_id", "embedding")
+      n.as("a").join(n.as("b"),
+          col("a.vec_id") + 1000 === col("b.vec_id"))
+        .select(col("a.vec_id"),
+          Similarity.cosine(col("a.v"), col("b.v"),
+            col("a.nrm"), col("b.nrm")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val c64 = cosines(emb)
+    val c16 = cosines(proj)
+    assert(c64.size >= 500, s"pair fixture too small: ${c64.size}")
+    val errs = c64.keys.map(k => math.abs(c64(k) - c16(k))).toSeq.sorted
+    val mae = errs.sum / errs.size
+    val p95 = errs(errs.size * 95 / 100)
+    println(f"projection(64->16) cosine MAE=$mae%.3f p95=$p95%.3f")
+    // k=16 estimator noise predicts σ ≈ 0.25; measured MAE ≈ 0.19.
+    // Floors catch structural breaks (a wrong projection measures ~0.8)
+    assert(mae < 0.3, f"projection distortion beyond JL noise: $mae%.3f")
+    assert(p95 < 0.75, f"distortion tail blown out: $p95%.3f")
+    // and the projection is deterministic
+    val again = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+      .select("proj").as[Seq[Double]].collect()
+    val first = Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+      .select("proj").as[Seq[Double]].collect()
+    assert(again.toSeq == first.toSeq, "projection must be deterministic")
+  }
+
   test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
     // The sf fixture is near-uniform — ANN's worst case and the reason the
     // floor above sits at 0.8. Real corpora cluster; this planted-cluster
