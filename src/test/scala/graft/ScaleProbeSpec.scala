@@ -128,6 +128,55 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("span cut equals a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // deterministic generator: small vocab forces heavy trigram sharing,
+    // so the cut genuinely fires across documents
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    for (round <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        val len = (mix(round * 1000L + i).abs % 12).toInt // 0..11 tokens
+        val toks = (0 until len).map(j =>
+          vocab((mix(round * 77L + i * 131L + j).abs % vocab.length).toInt))
+        (i.toLong, toks.mkString(" "))
+      }
+      // reference: direct restatement of the semantics, no Spark
+      val triOf = docs.map { case (id, text) =>
+        val t = text.split(" ", -1)
+        id -> (if (t.length < 3) Seq.empty[Seq[String]]
+               else t.sliding(3).map(_.toSeq).toSeq)
+      }.toMap
+      val dup = triOf.values
+        .flatMap(_.distinct).groupBy(identity)
+        .collect { case (g, occ) if occ.size >= 2 => g }.toSet
+      val expected = docs.map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val cut = triOf(id).zipWithIndex.collect {
+          case (g, i) if dup(g) => Seq(i, i + 1, i + 2)
+        }.flatten.toSet
+        val clean = t.indices.filterNot(cut).map(t).mkString(" ")
+        id -> ((id, clean, cut.size.toLong))
+      }.toMap
+      val got = Dedup.cutDuplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(0), r.getString(1), r.getLong(2))))
+        .toMap
+      val bad = expected.keys.filter(k => got(k) != ((expected(k))))
+      assert(bad.isEmpty,
+        s"round $round diverged for ids ${bad.take(3)}: " +
+          bad.take(1).map(k => s"got ${got(k)} want ${expected(k)}")
+            .mkString)
+    }
+  }
+
   test("connected components converge on a 200-hop chain (pointer doubling)") {
     import spark.implicits._
     // chain 0-1-2-...-200: diameter 200, one component with min label 0.
