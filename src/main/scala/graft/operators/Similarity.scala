@@ -504,28 +504,57 @@ object Similarity {
       queryPred: Column, k: Int): DataFrame = {
     val n = normed(emb, id, vec).localCheckpoint()
     val cents = kmeansCentroids(n)
-    val scores = listScores(col("v"), cents)
+    // one-shot path: inverted lists consumed exactly once → built lazily
+    ivfTopK(IvfIndex(n, ivfListRows(n, cents), cents), queryPred, k)
+  }
 
-    // sort_array desc on (cs, nl) structs: cs desc, then nl desc = list asc
-    def topLists(count: Int) = transform(
-      slice(sort_array(array(scores: _*), asc = false), 1, count),
+  /** A prebuilt, reusable IVF index: the normed corpus, its soft-assigned
+    * inverted-list rows, and the trained quantizer centroids — the IVF
+    * twin of [[LshIndex]] with the same build-daily / query-per-batch
+    * deployment shape and the same lifecycle reasoning
+    * ([[ivfIndexBuild]] `localCheckpoint`s both frames; centroids are a
+    * driver-side model artifact a caller can persist as literals). */
+  final case class IvfIndex(
+      corpus: DataFrame, lists: DataFrame, centroids: Array[Array[Double]])
+
+  // sort_array desc on (cs, nl) structs: cs desc, then nl desc = list asc
+  private def topLists(cents: Array[Array[Double]], count: Int): Column =
+    transform(
+      slice(sort_array(array(listScores(col("v"), cents): _*), asc = false),
+        1, count),
       s => (s.getField("nl") * lit(-1)).cast("int"))
-    // soft assignment: each corpus vector lives in its IvfAssign nearest
-    // lists (2× index rows; recall lever — see the constants' scaladoc)
-    val corpusLists = n
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(topLists(IvfAssign)).as("list_id"))
-    val queryLists = n.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), explode(topLists(IvfProbes)).as("list_id"))
 
+  /** (vec_id, v, nrm, list_id) soft-assigned inverted-list rows: each
+    * corpus vector lives in its [[IvfAssign]] nearest lists (2× index
+    * rows; recall lever — see the constants' scaladoc). */
+  private def ivfListRows(
+      n: DataFrame, cents: Array[Array[Double]]): DataFrame = n
+    .select(col("vec_id"), col("v"), col("nrm"),
+      explode(topLists(cents, IvfAssign)).as("list_id"))
+
+  /** Build a reusable [[IvfIndex]]: quantizer trained once, corpus and
+    * inverted lists materialized once. */
+  def ivfIndexBuild(emb: DataFrame, id: String, vec: String): IvfIndex = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n)
+    IvfIndex(n, ivfListRows(n, cents).localCheckpoint(), cents)
+  }
+
+  /** Approximate top-k against a prebuilt [[IvfIndex]] — pure query work:
+    * probe-list explode map-side, candidates from the list equi-join,
+    * per-pair dedup before ranking. */
+  def ivfTopK(index: IvfIndex, queryPred: Column, k: Int): DataFrame = {
+    val queryLists = index.corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(topLists(index.centroids, IvfProbes)).as("list_id"))
     val cand = broadcast(queryLists)
-      .join(corpusLists,
-        queryLists("list_id") === corpusLists("list_id")
+      .join(index.lists,
+        queryLists("list_id") === index.lists("list_id")
           && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-      // a (query, candidate) pair can now meet in up to IvfAssign shared
+      // a (query, candidate) pair can meet in up to IvfAssign shared
       // lists — collapse duplicates before ranking (sim is identical on
       // every copy, so max() is just the dedup device)
       .groupBy("query_id", "cand_id")

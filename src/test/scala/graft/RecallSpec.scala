@@ -120,6 +120,16 @@ class RecallSpec extends AnyFunSuite {
     assert(again.toSeq == first.toSeq, "projection must be deterministic")
   }
 
+  test("prebuilt IVF index answers identically to the one-shot path") {
+    val emb = Tables.embeddings(spark, sf)
+    val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.ivfIndexBuild(emb, "vec_id", "embedding")
+    val indexed = Similarity.ivfTopK(idx, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == oneShot, "IVF index path diverged from one-shot")
+  }
+
   test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
     // The sf fixture is near-uniform — ANN's worst case and the reason the
     // floor above sits at 0.8. Real corpora cluster; this planted-cluster
