@@ -66,7 +66,16 @@ object SimilarityQ {
         md5(to_json(col("proj")).cast("binary")).as("proj_digest"))
   }
 
+  /** Product-quantization ANN: 8-byte codes (32× compression of the
+    * 64-float embeddings), ADC scan with bounded per-partition heaps,
+    * exact-cosine re-rank of the 4·k shortlist. Probabilistic recall →
+    * rows-only; RecallSpec pins the floor and the index-path equality. */
+  val qX7PqTopK = Q.rowsOnly("q_x7_ann_pq") { (s, d) =>
+    Similarity.pqTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
-      qX6RandomProjection)
+      qX6RandomProjection, qX7PqTopK)
 }

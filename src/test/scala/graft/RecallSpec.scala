@@ -130,6 +130,37 @@ class RecallSpec extends AnyFunSuite {
     assert(indexed == oneShot, "IVF index path diverged from one-shot")
   }
 
+  test("PQ top-k recall@5 on the sf0.1 embeddings") {
+    val approx = topSets(Similarity.pqTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pred, K))
+    val r = recallAt5(approx)
+    println(f"pq recall@5 = $r%.3f over ${exact.size} queries")
+    // measured 0.913 at the default operating point (8 B codes,
+    // rerank=16) on this worst-case near-uniform fixture; rerank=4
+    // measured 0.69 — the floor catches a shortlist/codebook regression
+    assert(r >= 0.85, f"PQ recall collapsed: $r%.3f")
+  }
+
+  test("prebuilt PQ index answers identically to the one-shot path") {
+    val emb = Tables.embeddings(spark, sf)
+    val oneShot = Similarity.pqTopK(emb, "vec_id", "embedding", pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.pqIndexBuild(emb, "vec_id", "embedding")
+    val indexed = Similarity.pqTopK(idx, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == oneShot, "PQ index path diverged from one-shot")
+  }
+
+  test("PQ codes are 8 bytes - 32x compression of a 64-float embedding") {
+    val idx = Similarity.pqIndexBuild(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val lens = idx.codes
+      .select(org.apache.spark.sql.functions.length(col("code")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(Similarity.PqSubspaces),
+      s"code widths: $lens (expected ${Similarity.PqSubspaces} bytes)")
+  }
+
   test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
     // The sf fixture is near-uniform — ANN's worst case and the reason the
     // floor above sits at 0.8. Real corpora cluster; this planted-cluster
