@@ -693,6 +693,75 @@ object TextAnalysis {
       ('0' to '9').map(_.toString)).distinct
   }
 
+  /** CCNet-style statistical LM quality scoring (Wenzek et al., LREC'20
+    * shape): train an add-one-smoothed bigram language model ON the
+    * corpus, then score every document by its per-transition
+    * cross-entropy under that model. Low cross-entropy = fluent,
+    * corpus-typical text; high = gibberish, boilerplate, wrong-language —
+    * CCNet buckets documents head/middle/tail on exactly this score, and
+    * it is the one classic quality filter a stats-only suite can train
+    * with no external model artifact.
+    *
+    * P(w2|w1) = (c12 + 1) / (c1 + V) with c12 the corpus bigram count
+    * (0 when pruned below `minCount` — CCNet prunes its KenLM the same
+    * way; pruned transitions take the add-one floor), c1 the count of w1
+    * as a transition context, V the distinct corpus vocabulary.
+    * xent = Σ −ln P / n_trans, the sum as a fixed-point stable sum
+    * (order-free, so the driver gate can hash it against a DuckDB
+    * recomputation).
+    *
+    * Scale shape: the LM trains and scores entirely on `xxhash64(token)`
+    * keys — every exchange carries hash-width rows, never token strings
+    * (the [[topNgrams]] lesson). The token-hash frame and the transition
+    * frame are materialized once (`localCheckpoint`) and shared by the
+    * vocabulary count, both LM aggregations and the scoring join; the LM
+    * join carries NO broadcast hint — a corpus-trained bigram table is
+    * vocabulary-shaped (sublinear, Heaps' law), so AQE broadcasts it when
+    * it fits and falls back to a hash-width shuffle join when it does
+    * not. Documents with fewer than two tokens have no transitions and
+    * are absent from the output.
+    *
+    * @return id column, n_trans, xent */
+  def lmScore(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"bad minCount: $minCount")
+    val th = Dedup.fanOut(docs)
+      // token-hash array as a REAL column: the positional lambda below
+      // must index it, not re-derive split+hash per element (lambda-CSE
+      // trap — see ngramsFrom); checkpointing also leaves explode with a
+      // plain attribute, sidestepping InferFiltersFromGenerate re-eval
+      .select(col(id).as("__d"),
+        transform(tokens(col(text)), w => xxhash64(w)).as("__th"))
+      .localCheckpoint()
+    val trans = th
+      .select(col("__d"),
+        explode(when(size(col("__th")) >= 2,
+          transform(sequence(lit(1), size(col("__th")) - 1),
+            i => struct(element_at(col("__th"), i).as("h1"),
+              element_at(col("__th"), i + 1).as("h2"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
+          .as("__b"))
+      .select(col("__d"), col("__b.h1").as("h1"), col("__b.h2").as("h2"))
+      .localCheckpoint()
+    val v = th.select(explode(col("__th")).as("__h"))
+      .agg(count_distinct(col("__h"))).first().getLong(0)
+    val big = trans.groupBy("h1", "h2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint()
+    val ctx = big.groupBy("h1").agg(sum("__c12").as("__c1"))
+    val lm = big.filter(col("__c12") >= minCount)
+    val p = (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__c1") + lit(v)).cast("double")
+    trans
+      .join(lm, Seq("h1", "h2"), "left_outer")
+      .join(ctx, Seq("h1"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_trans"),
+        ((sum(round(-log(p) * lit(1000000.0)).cast("long")) /
+          lit(1000000.0)) / count(lit(1))).as("xent"))
+      .select(col("__d").as(id), col("n_trans"), col("xent"))
+  }
+
   /** One-pass corpus report — the "data card" numbers every training-data
     * drop ships with: document/token mass, exact-duplicate rate (distinct
     * content fingerprints vs rows), quality and language mix. ONE

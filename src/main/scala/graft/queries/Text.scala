@@ -750,11 +750,45 @@ object Text {
         sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
   }
 
+  /** CCNet-style bigram-LM cross-entropy scoring, trained on the corpus
+    * itself with the LM pruned at minCount=2 (exercising the prune path).
+    * The oracle retrains and rescores the whole model independently at
+    * the string level; Spark runs it hash-keyed — equal up to xxhash64
+    * collisions (~1e-8 here). The Σ −ln P is a fixed-point stable sum so
+    * partial-aggregation order can never flip a bit. */
+  val qT26LmScore = Q(
+    "q_t26_lm_score",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tr AS (SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      |       FROM toks, unnest(range(1, len(t))) AS u(i)),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM tr GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |        FROM big GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w) AS v
+      |       FROM (SELECT unnest(t) AS w FROM toks) uw),
+      |lm AS (SELECT * FROM big WHERE c12 >= 2),
+      |sc AS (SELECT tr.doc_id,
+      |         CAST(coalesce(lm.c12, 0) + 1 AS DOUBLE) /
+      |           CAST(ctx.c1 + vv.v AS DOUBLE) AS p
+      |       FROM tr
+      |       JOIN ctx USING (w1)
+      |       LEFT JOIN lm ON tr.w1 = lm.w1 AND tr.w2 = lm.w2
+      |       CROSS JOIN vv)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+      |       sum(CAST(round(-ln(p) * 1000000) AS BIGINT)) / 1000000.0
+      |         / count(*) AS xent
+      |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.lmScore(documents(s, d), "doc_id", "text",
+      minCount = 2L)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
-      qT24CorpusReport, qT25Shuffle)
+      qT24CorpusReport, qT25Shuffle, qT26LmScore)
 }

@@ -339,6 +339,35 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fr(2L) < 0.05, s"varied text must not: ${fr(2L)}")
   }
 
+  test("LM scoring ranks gibberish above corpus-typical text") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 40 fluent docs drawn from a tiny repetitive grammar (high bigram
+    // reuse = what the corpus LM learns) + 4 gibberish docs whose tokens
+    // are document-unique (every transition takes the add-one floor)
+    val fluent = (0 until 40).map { i =>
+      val subj = Seq("the cat", "the dog", "a bird")(i % 3)
+      val verb = Seq("sat on", "ran to", "looked at")(i % 3)
+      val obj = Seq("the mat", "the door", "the tree")((i / 3) % 3)
+      (i.toLong, s"$subj $verb $obj and then $subj $verb $obj again")
+    }
+    val gibberish = (100 until 104).map { i =>
+      (i.toLong, (0 until 12).map(j => s"zq${i}x$j").mkString(" "))
+    }
+    val df = (fluent ++ gibberish).toDF("doc_id", "text")
+    val xent = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fluentMax = fluent.map(d => xent(d._1)).max
+    val gibMin = gibberish.map(d => xent(d._1)).min
+    assert(gibMin > fluentMax,
+      f"LM must separate gibberish (min $gibMin%.2f) from fluent " +
+        f"(max $fluentMax%.2f)")
+    // and scoring is deterministic across retrains
+    val again = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == xent, "LM retrain must be bit-reproducible")
+  }
+
   test("Y4M path decodes an authored video to exact metadata and luma bands") {
     import spark.implicits._
     // 4 frames of 4×2 C420, constant luma per frame: header + frame walk,
