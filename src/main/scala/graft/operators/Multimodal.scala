@@ -1320,7 +1320,7 @@ object Multimodal {
     * perceptual-dHash robustness spec exercises. */
   def syntheticImages(
       ids: DataFrame, id: String, format: String = "png"): DataFrame = {
-    require(format == "png" || format == "jpeg",
+    require(Set("png", "jpeg", "gif", "bmp")(format),
       s"unsupported image format: $format")
     val spark = ids.sparkSession
     import spark.implicits._

@@ -314,9 +314,31 @@ object MultimodalQ {
         col("duration_ms"))
   }
 
+  /** REAL GIF + BMP decode, hash-certified: the q_m3 gradient corpus
+    * encoded into the two remaining ubiquitous legacy rasters (GIF
+    * palettizes — dims survive exactly; BMP is lossless). One ImageIO
+    * decode path serves all four certified rasters; NorthStarSpec
+    * additionally pins BMP pixels bit-equal to the PNG twin via dHash. */
+  val qM16GifBmp = Q(
+    "q_m16_gif_bmp_decode",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CASE WHEN doc_id % 8 = 5 THEN 'gif' ELSE 'bmp' END AS fmt,
+      |       CAST(8 + doc_id % 16 AS INT) AS width,
+      |       CAST(8 + doc_id % 12 AS INT) AS height
+      |FROM documents WHERE doc_id % 8 IN (5, 6)""".stripMargin) { (s, d) =>
+    def dims(slice: Long, format: String) =
+      Multimodal.extractFeatures(
+        Multimodal.syntheticImages(
+          documents(s, d).filter(col("doc_id") % 8 === slice), "doc_id",
+          format = format)).toDF()
+        .select(col("media_id"), lit(format).as("fmt"),
+          col("width"), col("height"))
+    dims(5L, "gif").unionByName(dims(6L, "bmp"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
-      qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe)
+      qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp)
 }

@@ -892,6 +892,34 @@ class NorthStarSpec extends AnyFunSuite {
         s"${far.take(5).toSeq}")
   }
 
+  test("BMP decodes to pixels bit-equal with the PNG twin; GIF stays near") {
+    import spark.implicits._
+    val ids = docs.filter(col("doc_id") % 8 === 0).limit(32)
+    val png = Multimodal.imageDHashes(
+      Multimodal.syntheticImages(ids, "doc_id"))
+      .select(col("media_id"), col("dhash").as("h_png"))
+    // BMP is lossless: the decoded pixels — hence the dHash — must be
+    // IDENTICAL to the PNG twin, bit for bit
+    val bmp = Multimodal.imageDHashes(
+      Multimodal.syntheticImages(ids, "doc_id", format = "bmp"))
+      .select(col("media_id"), col("dhash").as("h_bmp"))
+    val bmpDiff = png.join(bmp, Seq("media_id"))
+      .filter(col("h_png") =!= col("h_bmp")).count()
+    assert(bmpDiff == 0, s"BMP decode diverged from PNG on $bmpDiff images")
+    // GIF palettizes to 256 colors: lossy, but the perceptual hash must
+    // stay within the near-dup banding threshold like JPEG does
+    val gif = Multimodal.imageDHashes(
+      Multimodal.syntheticImages(ids, "doc_id", format = "gif"))
+      .select(col("media_id"), col("dhash").as("h_gif"))
+    val far = png.join(gif, Seq("media_id"))
+      .select(col("media_id"),
+        bit_count(col("h_png").bitwiseXOR(col("h_gif"))).as("d"))
+      .as[(Long, Int)].collect().filter(_._2 > 7)
+    assert(far.isEmpty,
+      s"GIF moved the perceptual hash past the banding threshold: " +
+        s"${far.take(5).toSeq}")
+  }
+
   test("image dHash: re-encode invariant, edit tolerant, finds planted dups") {
     import spark.implicits._
     val imgs = Multimodal.syntheticImages(
