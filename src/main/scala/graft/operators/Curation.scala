@@ -48,6 +48,13 @@ object Curation {
     * the same verdict-stability reason near-dup losers are decided on the
     * full corpus: tuning the cut never flips who survives, only what the
     * survivors' text looks like. */
+  /** `lmXentMax = Some(cap)` adds the CCNet-style statistical LM screen:
+    * a bigram LM trains on the FULL corpus ([[TextAnalysis.lmScore]],
+    * minCount = 2) and documents whose cross-entropy exceeds `cap` drop
+    * with the quality/language filters. Like every verdict set the score
+    * is computed on the full corpus, so tuning other screens never moves
+    * anyone's xent; documents with < 2 tokens are unscoreable and drop
+    * (they already fail the repetition screen for the same reason). */
   final case class Config(
       repetitionDropAt: Double = 0.05,
       nearDupThreshold: Double = 0.8,
@@ -55,7 +62,8 @@ object Curation {
       lang: String = "en",
       spanCutMinDocs: Option[Int] = None,
       decontamMinContainment: Double = 0.8,
-      decontamNgram: Int = 3)
+      decontamNgram: Int = 3,
+      lmXentMax: Option[Double] = None)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -127,7 +135,13 @@ object Curation {
     val afterDecontamDf = contaminated
       .fold(afterDedupDf)(c => afterDedupDf.join(c, Seq(id), "left_anti"))
       .observe(oDecontam, count(lit(1)).as("rows"))
-    val out = afterDecontamDf
+    // LM screen (optional): scored on the FULL corpus like every verdict
+    // set; fluent ids survive the inner join, unscoreable ones drop
+    val lmKeep = cfg.lmXentMax.map { cap =>
+      lmScore(docs, id, text, minCount = 2)
+        .filter(col("xent") <= cap).select(col(id))
+    }
+    val out = lmKeep.fold(afterDecontamDf)(k => afterDecontamDf.join(k, Seq(id)))
       .select(col(id),
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),

@@ -726,6 +726,70 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1, s"bad minCount: $minCount")
+    val (trans, v) = lmCounts(docs, id, text)
+    val big = trans.groupBy("h1", "h2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint()
+    val ctx = big.groupBy("h1").agg(sum("__c12").as("__c1"))
+    val lm = big.filter(col("__c12") >= minCount)
+    val p = (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__c1") + lit(v)).cast("double")
+    trans
+      .join(lm, Seq("h1", "h2"), "left_outer")
+      .join(ctx, Seq("h1"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_trans"),
+        ((sum(round(-log(p) * lit(1000000.0)).cast("long")) /
+          lit(1000000.0)) / count(lit(1))).as("xent"))
+      .select(col("__d").as(id), col("n_trans"), col("xent"))
+  }
+
+  /** A trained, pruned, broadcastable bigram LM — the deployment artifact
+    * of [[lmScore]]'s training half. Sorted parallel long arrays with
+    * binary-search lookup (16 B/entry; a Scala Map would cost ~10×):
+    * bigram keys are the two token hashes mixed to one long
+    * ([[LmModel.mix]] — collision-equivalent to hashing the pair, same
+    * argument as [[topNgrams]]), context keys are the raw token hash.
+    * [[lmTrain]] guards the collected size loudly, so a model that would
+    * not broadcast refuses at train time instead of OOMing the driver. */
+  final class LmModel private[TextAnalysis] (
+      private val bigramKeys: Array[Long],
+      private val bigramCounts: Array[Long],
+      private val ctxKeys: Array[Long],
+      private val ctxCounts: Array[Long],
+      val vocabSize: Long) extends Serializable {
+    private def lookup(ks: Array[Long], vs: Array[Long], k: Long): Long = {
+      val i = java.util.Arrays.binarySearch(ks, k)
+      if (i >= 0) vs(i) else 0L
+    }
+    def bigramCount(h1: Long, h2: Long): Long =
+      lookup(bigramKeys, bigramCounts, LmModel.mix(h1, h2))
+    def ctxCount(h1: Long): Long = lookup(ctxKeys, ctxCounts, h1)
+    def nBigrams: Int = bigramKeys.length
+  }
+
+  object LmModel {
+    /** splitmix64-style combine of two 64-bit hashes. */
+    def mix(h1: Long, h2: Long): Long = {
+      var z = h1 * 0x9E3779B97F4A7C15L + h2
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Spark's `xxhash64(stringCol)` reproduced row-side, so a closure can
+    * hash tokens identically to the columnar training pipeline. */
+  private[graft] def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** Shared [[lmScore]]/[[lmTrain]] plumbing: the checkpointed token-hash
+    * frame, the checkpointed transition frame, the vocabulary size, and
+    * the unpruned bigram counts. */
+  private def lmCounts(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
     val th = Dedup.fanOut(docs)
       // token-hash array as a REAL column: the positional lambda below
       // must index it, not re-derive split+hash per element (lambda-CSE
@@ -746,20 +810,85 @@ object TextAnalysis {
       .localCheckpoint()
     val v = th.select(explode(col("__th")).as("__h"))
       .agg(count_distinct(col("__h"))).first().getLong(0)
+    (trans, v)
+  }
+
+  /** Train a broadcastable [[LmModel]] (the CCNet deployment shape: train
+    * once on a reference corpus, score every incoming batch/stream
+    * against it map-side). `minCount` prunes rare bigrams — the lever
+    * that keeps the collected model bounded; `maxEntries` refuses a
+    * model too big to broadcast, loudly, at train time. The context
+    * table is never pruned (it is vocabulary-sized by construction and
+    * the smoothing denominator needs it). */
+  def lmTrain(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      minCount: Long = 2L, maxEntries: Long = 1L << 22): LmModel = {
+    require(minCount >= 1, s"bad minCount: $minCount")
+    val (trans, v) = lmCounts(docs, id, text)
     val big = trans.groupBy("h1", "h2").agg(count(lit(1)).as("__c12"))
       .localCheckpoint()
+    val pruned = big.filter(col("__c12") >= minCount)
     val ctx = big.groupBy("h1").agg(sum("__c12").as("__c1"))
-    val lm = big.filter(col("__c12") >= minCount)
-    val p = (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") /
-      (col("__c1") + lit(v)).cast("double")
-    trans
-      .join(lm, Seq("h1", "h2"), "left_outer")
-      .join(ctx, Seq("h1"))
-      .groupBy(col("__d"))
-      .agg(count(lit(1)).as("n_trans"),
-        ((sum(round(-log(p) * lit(1000000.0)).cast("long")) /
-          lit(1000000.0)) / count(lit(1))).as("xent"))
-      .select(col("__d").as(id), col("n_trans"), col("xent"))
+    val sizes = pruned.count() + v
+    require(sizes <= maxEntries,
+      s"LM would collect $sizes entries (> $maxEntries): raise minCount " +
+        "to prune harder, or raise maxEntries consciously — a model this " +
+        "size may not broadcast")
+    val bigArr = pruned
+      .select(col("h1"), col("h2"), col("__c12"))
+      .collect()
+      .map(r => (LmModel.mix(r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val ctxArr = ctx.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    new LmModel(bigArr.map(_._1), bigArr.map(_._2),
+      ctxArr.map(_._1), ctxArr.map(_._2), v)
+  }
+
+  /** Score documents against a pretrained [[LmModel]] — a stateless
+    * narrow map (typed mapPartitions; the model rides the closure), so it
+    * runs UNCHANGED on a streaming frame: this is the scorer
+    * [[graft.streaming.Streams.lmScoreStream]] wraps. Tokenization and
+    * hashing reproduce the columnar training side exactly
+    * ([[xxhash64String]]), and the fixed-point arithmetic is the same
+    * tree as [[lmScore]] — on the training corpus itself the two paths
+    * agree bit-for-bit (pinned in NorthStarSpec). Unseen contexts take
+    * the pure add-one floor P = 1/(0+V), which the inner-join batch path
+    * never produces only because scoring corpus = training corpus there.
+    *
+    * @return id column (long), n_trans, xent */
+  def lmScoreWith(
+      model: LmModel, docs: org.apache.spark.sql.DataFrame,
+      id: String, text: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (d, t) =>
+          val toks = t.split(" ", -1)
+          if (toks.length < 2) Iterator.empty
+          else {
+            val hs = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              hs(i) = xxhash64String(toks(i)); i += 1
+            }
+            var sum = 0L
+            i = 0
+            while (i < hs.length - 1) {
+              val c12 = model.bigramCount(hs(i), hs(i + 1))
+              val c1 = model.ctxCount(hs(i))
+              val p = (c12 + 1).toDouble / (c1 + model.vocabSize).toDouble
+              sum += Math.round(-Math.log(p) * 1000000.0)
+              i += 1
+            }
+            val n = (hs.length - 1).toLong
+            Iterator((d, n, (sum / 1000000.0) / n))
+          }
+        }
+      }
+      .toDF(id, "n_trans", "xent")
   }
 
   /** One-pass corpus report — the "data card" numbers every training-data

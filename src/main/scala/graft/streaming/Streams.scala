@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.fhir.{BundleReader, FhirSchemaModel}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Structured Streaming surfaces. The reference's "real-time" ADT feed is
   * batch directory re-reads (01_dbignite_sample.py:401-427 — no streaming
@@ -374,6 +374,21 @@ object Streams {
           / size(col("__tgp"))).as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** CCNet-style LM quality scoring on a stream: score incoming documents
+    * against a PRETRAINED [[TextAnalysis.LmModel]]
+    * ([[TextAnalysis.lmTrain]] on a reference corpus — the train-once /
+    * score-every-batch deployment CCNet itself runs). The scorer is a
+    * stateless narrow map (the model rides the closure, bounded by
+    * lmTrain's loud size guard), so there is no state store, no
+    * watermark, no shuffle — batch-twin equality is structural.
+    *
+    * @return streaming frame of (id, n_trans, xent) — [[TextAnalysis
+    *         .lmScoreWith]]'s schema */
+  def lmScoreStream(
+      incoming: DataFrame, model: TextAnalysis.LmModel,
+      id: String, text: String): DataFrame =
+    TextAnalysis.lmScoreWith(model, incoming, id, text)
 
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream

@@ -368,6 +368,66 @@ class NorthStarSpec extends AnyFunSuite {
     assert(again == xent, "LM retrain must be bit-reproducible")
   }
 
+  test("broadcast-model LM scorer agrees bit-for-bit with the join scorer") {
+    import graft.operators.TextAnalysis
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val joinSide = key(TextAnalysis.lmScore(docs, "doc_id", "text",
+      minCount = 2))
+    val model = TextAnalysis.lmTrain(docs, "doc_id", "text", minCount = 2)
+    assert(model.nBigrams > 0, "pruned LM must retain repeated bigrams")
+    val mapSide = key(TextAnalysis.lmScoreWith(model, docs,
+      "doc_id", "text"))
+    assert(mapSide == joinSide,
+      "closure scorer must reproduce the declarative join scorer exactly")
+  }
+
+  test("curation LM screen drops exactly the high-xent documents") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    // fluent docs share a tiny grammar; gibberish docs interleave 'the'
+    // (so langid keeps them 'en') with document-unique tokens (so every
+    // transition takes the add-one floor and xent runs high)
+    val fluent = (0 until 40).map { i =>
+      val subj = Seq("the cat", "the dog", "a bird")(i % 3)
+      val verb = Seq("sat on", "ran to", "looked at")(i % 3)
+      val obj = Seq("the mat", "the door", "the tree")((i / 3) % 3)
+      (i.toLong, s"$subj $verb $obj and then $subj $verb $obj again")
+    }
+    val gibberish = (100 until 104).map { i =>
+      (i.toLong,
+        (0 until 12).map(j => s"the zq${i}x$j").mkString(" "))
+    }
+    val df = (fluent ++ gibberish).toDF("doc_id", "text")
+    val xent = TextAnalysis.lmScore(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cap = (fluent.map(d => xent(d._1)).max
+      + gibberish.map(d => xent(d._1)).min) / 2
+    // disable the screens orthogonal to this test; dedup still runs (the
+    // grammar collapses to 9 distinct docs) but runs identically in both
+    val base = Curation.Config(repetitionDropAt = 1.0, minQuality = 0.0)
+    def ids(cfg: Curation.Config): Set[Long] = {
+      val r = Curation.pipeline(df, "doc_id", "text", cfg)
+      r.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val without = ids(base)
+    val withLm = ids(base.copy(lmXentMax = Some(cap)))
+    assert(gibberish.map(_._1).toSet.subsetOf(without),
+      "fixture: gibberish must survive every other screen")
+    assert(withLm == without -- gibberish.map(_._1),
+      s"LM screen must drop exactly the gibberish: $withLm vs $without")
+  }
+
+  test("lmTrain refuses a model too big to broadcast") {
+    import graft.operators.TextAnalysis
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmTrain(docs, "doc_id", "text",
+        minCount = 1, maxEntries = 10)
+    }
+    assert(e.getMessage.contains("minCount"),
+      s"refusal must point at the prune lever: ${e.getMessage}")
+  }
+
   test("Y4M path decodes an authored video to exact metadata and luma bands") {
     import spark.implicits._
     // 4 frames of 4×2 C420, constant luma per frame: header + frame walk,

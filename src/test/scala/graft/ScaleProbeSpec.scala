@@ -128,6 +128,29 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("LM scoring scales ~linearly 5k -> 50k docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // prefixed copies share no tokens, so vocabulary, bigram table and
+    // transition mass all grow linearly with the corpus — if the
+    // hash-keyed exchanges ever carried strings or the LM join went
+    // quadratic, the ratio would blow past linear
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"c$i"), w))).as("text"))).reduce(_ unionByName _)
+    def time(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+    }
+    import graft.operators.TextAnalysis
+    TextAnalysis.lmScore(docs, "doc_id", "text", minCount = 2).count() // warm
+    def best(df: => org.apache.spark.sql.DataFrame): Double =
+      math.min(time(df), time(df))
+    val t1 = best(TextAnalysis.lmScore(docs, "doc_id", "text", minCount = 2))
+    val t10 = best(TextAnalysis.lmScore(big, "doc_id", "text", minCount = 2))
+    println(f"lmScore 5k: $t1%.2f s, 50k: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
+  }
+
   test("span cut equals a plain-Scala reference on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup

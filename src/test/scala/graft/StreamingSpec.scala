@@ -272,6 +272,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring equals the batch model scorer") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val corpus = Tables.documents(spark, sf)
+    val model = TextAnalysis.lmTrain(corpus, "doc_id", "text", minCount = 2)
+    val incoming = corpus.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val batch = TextAnalysis.lmScoreWith(model, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(batch.nonEmpty, "fixture must score some documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lm")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.lmScoreStream(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      model, "doc_id", "text")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("lm_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lm_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch,
+        "streamed LM scores must equal the batch scorer bit-for-bit")
+    } finally q.stop()
+  }
+
   test("row-level MinHash signature equals the batch sketch aggregate") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
