@@ -743,6 +743,59 @@ object TextAnalysis {
       .select(col("__d").as(id), col("n_trans"), col("xent"))
   }
 
+  /** The 8-word presence list the Gopher rules probe ("contains at least
+    * 2 of ..."): a crude but battle-tested natural-English detector. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style heuristic quality rules (Rae et al., arXiv:2112.11446,
+    * Table A1's core document filters): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio ('#' and '...' — the markup/
+    * truncation tell), alphabetic-word ratio, and the 8-stopword presence
+    * probe. The standard first-pass filter of every large-scale curation
+    * stack, complementary to [[qualityScore]] (continuous score) and
+    * [[lmScore]] (model-based): rules are cheap, interpretable and
+    * threshold-editable per corpus. Pure Column projections — one scan,
+    * no shuffle, streaming-capable by construction; every number is
+    * SQL-portable so the whole rule set is oracle-certifiable.
+    *
+    * @return id column, n_words, mean_word_len, symbol_ratio,
+    *         alpha_word_ratio, n_stop_hits, verdict ('keep'/'drop') */
+  def gopherRules(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(text))
+    val n = size(t).cast("long")
+    val meanLen = aggregate(t, lit(0L),
+      (acc, w) => acc + length(w).cast("long")).cast("double") / n
+    val hashMarks =
+      (length(col(text)) - length(replace(col(text), lit("#"), lit(""))))
+        .cast("long")
+    val ellipses =
+      ((length(col(text)) - length(replace(col(text), lit("..."), lit(""))))
+        / lit(3)).cast("long")
+    val symRatio = (hashMarks + ellipses).cast("double") / n
+    val alphaRatio =
+      size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / n
+    val stopHits = GopherStopwords
+      .map(s => when(array_contains(t, lit(s)), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(col(id), n.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+        stopHits.cast("int").as("n_stop_hits"))
+      .withColumn("verdict",
+        when(col("n_words") >= minWords && col("n_words") <= maxWords
+          && col("mean_word_len") >= minMeanWordLen
+          && col("mean_word_len") <= maxMeanWordLen
+          && col("symbol_ratio") <= maxSymbolRatio
+          && col("alpha_word_ratio") >= minAlphaWordRatio
+          && col("n_stop_hits") >= minStopwordHits, lit("keep"))
+          .otherwise(lit("drop")))
+  }
+
   /** A trained, pruned, broadcastable bigram LM — the deployment artifact
     * of [[lmScore]]'s training half. Sorted parallel long arrays with
     * binary-search lookup (16 B/entry; a Scala Map would cost ~10×):

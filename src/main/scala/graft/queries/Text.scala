@@ -784,11 +784,56 @@ object Text {
       minCount = 2L)
   }
 
+  /** Gopher heuristic rule filter (Rae et al. Table A1 core): every rule
+    * number and the keep/drop verdict recomputed independently by the
+    * oracle — word bounds, mean word length, '#'/'...' symbol ratio,
+    * alphabetic-word ratio, 8-stopword presence probe. */
+  val qT27GopherRules = Q(
+    "q_t27_gopher_rules",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |           FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(t) AS BIGINT) AS n_words,
+      |        CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+      |          / len(t) AS mean_word_len,
+      |        CAST(CAST(length(text) - length(replace(text, '#', ''))
+      |               AS BIGINT)
+      |             + CAST((length(text)
+      |                     - length(replace(text, '...', ''))) / 3
+      |               AS BIGINT) AS DOUBLE) / len(t) AS symbol_ratio,
+      |        CAST(len(list_filter(t,
+      |               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |          / len(t) AS alpha_word_ratio,
+      |        CAST((CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END)
+      |           + (CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END)
+      |          AS INT) AS n_stop_hits
+      |      FROM t)
+      |SELECT *,
+      |       CASE WHEN n_words BETWEEN 50 AND 100000
+      |                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |                 AND symbol_ratio <= 0.1
+      |                 AND alpha_word_ratio >= 0.8
+      |                 AND n_stop_hits >= 1
+      |            THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM m""".stripMargin) { (s, d) =>
+    // paper defaults except minStopwordHits: the synthetic corpus carries
+    // only 'the' from the 8-word probe list, so the paper's >= 2 would
+    // certify a constant all-drop verdict — >= 1 exercises both branches
+    graft.operators.TextAnalysis.gopherRules(documents(s, d),
+      "doc_id", "text", minStopwordHits = 1)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
-      qT24CorpusReport, qT25Shuffle, qT26LmScore)
+      qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules)
 }

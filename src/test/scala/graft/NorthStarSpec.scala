@@ -418,6 +418,22 @@ class NorthStarSpec extends AnyFunSuite {
       s"LM screen must drop exactly the gibberish: $withLm vs $without")
   }
 
+  test("gopher rules at paper defaults separate clean text from junk") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val clean = (1 to 60).map(i => s"word$i with the stuff").mkString(" ")
+    val df = Seq(
+      (1L, clean), // 240 words, stopwords 'the'+'with', all alphabetic
+      (2L, "too short to pass the word count rule with anything"),
+      (3L, (1 to 60).map(i => s"### $i ...").mkString(" ")), // symbol spam
+      (4L, (1 to 60).map(i => s"w$i xx the").mkString(" "))) // no 2nd stopword
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(v == Map(1L -> "keep", 2L -> "drop", 3L -> "drop", 4L -> "drop"),
+      s"unexpected verdicts: $v")
+  }
+
   test("lmTrain refuses a model too big to broadcast") {
     import graft.operators.TextAnalysis
     val e = intercept[IllegalArgumentException] {
