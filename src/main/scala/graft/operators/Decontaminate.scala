@@ -49,32 +49,92 @@ object Decontaminate {
         "probe is the (small) benchmark suite and the corpus the (large) " +
         "streamed side — swap the sides or raise maxProbeRows explicitly " +
         "if the probe set is genuinely this big.")
-    def grams(df: DataFrame, as: String): DataFrame =
-      if (n == 3)
-        df.select(col(id).as(as),
-          explode(Dedup.wordTrigrams(col(text))).as("tg"))
-      else {
-        // tokens materialized as a real column; the shingle expression
-        // feeds the Generate directly (the two Catalyst rules
-        // Dedup.cutDuplicatedSpans documents)
-        val t = col("__t")
-        val sh = when(size(t) >= n,
-          array_distinct(TextAnalysis.ngramsFrom(t, n)))
-          .otherwise(array(concat_ws(" ", t)))
-        df.select(col(id).as(as), col(text).as("__text"))
-          .withColumn("__t", split(col("__text"), " "))
-          .select(col(as), explode(sh).as("tg"))
-      }
-    val probeGrams = grams(probeDocs, "probe_id")
+    val probeGrams = grams(probeDocs, id, text, "probe_id", n)
     val probeSizes = probeGrams.groupBy("probe_id")
       .agg(count(lit(1)).as("probe_n"))
     // fanOut: the corpus-side shingle explode must not run on the scan's
     // (often single-file) partitioning — see Dedup.fanOut
-    grams(Dedup.fanOut(docs.filter(!probePred)), "doc_id")
+    grams(Dedup.fanOut(docs.filter(!probePred)), id, text, "doc_id", n)
       .join(broadcast(probeGrams), Seq("tg"))
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("overlap"))
       .join(broadcast(probeSizes), Seq("probe_id"))
+      .select(col("doc_id"), col("probe_id"), col("overlap"),
+        (col("overlap").cast("double") / col("probe_n")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** One row per distinct shingle per document: (idAs, tg). */
+  private def grams(
+      df: DataFrame, id: String, text: String, as: String,
+      n: Int): DataFrame =
+    if (n == 3)
+      df.select(col(id).as(as),
+        explode(Dedup.wordTrigrams(col(text))).as("tg"))
+    else {
+      // tokens materialized as a real column; the shingle expression
+      // feeds the Generate directly (the two Catalyst rules
+      // Dedup.cutDuplicatedSpans documents)
+      val t = col("__t")
+      val sh = when(size(t) >= n,
+        array_distinct(TextAnalysis.ngramsFrom(t, n)))
+        .otherwise(array(concat_ws(" ", t)))
+      df.select(col(id).as(as), col(text).as("__text"))
+        .withColumn("__t", split(col("__text"), " "))
+        .select(col(as), explode(sh).as("tg"))
+    }
+
+  /** [[contamination]] for probe suites too big to broadcast their exact
+    * shingle sets (a full eval-harness sweep can hold 10⁸+ distinct
+    * n-grams; at that size the exact broadcast OOMs and [[contamination]]
+    * rightly refuses). Two stages, EXACT by construction (the
+    * [[BloomJoin]] argument: Bloom filters have no false negatives, and
+    * false positives die in the verify join):
+    *
+    *  1. Bloom pre-screen: ONE distributed sketch aggregation compresses
+    *     the probe side's shingle hashes into a compact filter
+    *     (~14 bits/shingle at fpp 1e-3 — two orders denser than the
+    *     strings) that ships to every corpus task; a corpus shingle the
+    *     filter rejects drops map-side, BEFORE any exchange. Real
+    *     contamination is rare, so this is almost the whole corpus.
+    *  2. Exact verify: the surviving shingles equi-join the probe
+    *     shingles on their 64-bit hash as a plain shuffle join — the
+    *     probe set that could not broadcast stays distributed, and the
+    *     corpus side of the exchange is now survivor-sized. Distinct
+    *     grams colliding on xxhash64 would merge (the [[TextAnalysis
+    *     .topNgrams]] collision argument: negligible and deterministic).
+    *
+    * @param expectedProbeShingles sizes the filter; overestimate wastes
+    *        bits, underestimate raises fpp — both stay exact
+    * @return doc_id, probe_id, overlap, containment — [[contamination]]'s
+    *         schema and values */
+  def contaminationBloomed(
+      docs: DataFrame, id: String, text: String,
+      probePred: Column, minContainment: Double,
+      expectedProbeShingles: Long, fpp: Double = 0.001,
+      n: Int = 3): DataFrame = {
+    require(expectedProbeShingles > 0,
+      s"bad probe-shingle estimate: $expectedProbeShingles")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val probeGrams = grams(docs.filter(probePred), id, text, "probe_id", n)
+      .withColumn("tgh", xxhash64(col("tg")))
+    val bf = probeGrams.stat
+      .bloomFilter("tgh", expectedProbeShingles, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val probeSizes = probeGrams.groupBy("probe_id")
+      .agg(count(lit(1)).as("probe_n"))
+    grams(Dedup.fanOut(docs.filter(!probePred)), id, text, "doc_id", n)
+      .withColumn("tgh", xxhash64(col("tg")))
+      .filter(mightContain(col("tgh"))) // map-side; kills ~the whole corpus
+      .select(col("doc_id"), col("tgh"))
+      // exact verify: plain equi-join, NO broadcast hint — the premise is
+      // a probe side too big to broadcast; AQE still may, if it shrank
+      .join(probeGrams.select(col("probe_id"), col("tgh")), Seq("tgh"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .join(probeSizes, Seq("probe_id"))
       .select(col("doc_id"), col("probe_id"), col("overlap"),
         (col("overlap").cast("double") / col("probe_n")).as("containment"))
       .filter(col("containment") >= minContainment)

@@ -203,6 +203,37 @@ object Text {
         probePred = col("doc_id") < 10, minContainment = 0.5)
   }
 
+  /** Bloom-pre-screened decontamination: exact-by-construction (no false
+    * negatives; false positives die in the hash-keyed verify join), so
+    * the oracle is q_t8's EXACT recomputation verbatim — certifying the
+    * equivalence claim cross-engine, not just cross-path. */
+  val qT28DecontamBloom = Q(
+    "q_t28_decontam_bloom",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |probe AS (SELECT doc_id AS probe_id, tg FROM tg WHERE doc_id < 10),
+      |psz AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
+      |        FROM probe GROUP BY 1),
+      |corp AS (SELECT doc_id, tg FROM tg WHERE doc_id >= 10),
+      |ov AS (SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS overlap
+      |       FROM corp c JOIN probe p USING (tg) GROUP BY 1, 2)
+      |SELECT doc_id, probe_id, overlap,
+      |       CAST(overlap AS DOUBLE) / probe_n AS containment
+      |FROM ov JOIN psz USING (probe_id)
+      |WHERE CAST(overlap AS DOUBLE) / probe_n >= 0.5""".stripMargin) {
+    (s, d) =>
+      graft.operators.Decontaminate.contaminationBloomed(
+        documents(s, d), "doc_id", "text",
+        probePred = col("doc_id") < 10, minContainment = 0.5,
+        expectedProbeShingles = 2000L)
+  }
+
   /** Wide-shingle decontamination: the published-recipe shape (8-gram
     * collision, vs q_t8's trigram containment) through the generalized
     * `n` parameter — wider shingles kill spurious matches, so the
@@ -835,5 +866,6 @@ object Text {
       qT11Pack, qT12Stratified, qT13TfIdf, qT14Mixture, qT15TopNgrams,
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
-      qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules)
+      qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
+      qT28DecontamBloom)
 }

@@ -418,6 +418,29 @@ class NorthStarSpec extends AnyFunSuite {
       s"LM screen must drop exactly the gibberish: $withLm vs $without")
   }
 
+  test("bloomed decontamination equals exact even with a saturated filter") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Decontaminate
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toSet
+    val exactR = key(Decontaminate.contamination(
+      docs, "doc_id", "text", col("doc_id") < 10, 0.5))
+    // grossly undersized filter → fpp ≈ 1: every shingle passes the
+    // pre-screen, so this exercises the verify join at its worst — the
+    // result must STILL be exact (false positives die in the equi-join)
+    val saturated = key(Decontaminate.contaminationBloomed(
+      docs, "doc_id", "text", col("doc_id") < 10, 0.5,
+      expectedProbeShingles = 1L))
+    assert(saturated == exactR,
+      "a saturated Bloom pre-screen must not change the result")
+    // and a properly-sized filter agrees too
+    val sized = key(Decontaminate.contaminationBloomed(
+      docs, "doc_id", "text", col("doc_id") < 10, 0.5,
+      expectedProbeShingles = 2000L))
+    assert(sized == exactR, "bloomed path diverged from exact")
+  }
+
   test("gopher rules at paper defaults separate clean text from junk") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -104,6 +104,22 @@ class PlanSpec extends AnyFunSuite {
       "linear scoring must stay map-side in the scan stage:\n" + p)
   }
 
+  test("gopher rules are one scan-stage projection — no exchange") {
+    val p = plan("q_t27_gopher_rules")
+    assert(!p.contains("Exchange"),
+      "heuristic rules must stay map-side in the scan stage:\n" + p)
+  }
+
+  test("LM model scoring is a narrow map — no exchange") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(GraftSpark.spark, GraftSpark.sf)
+    val model = TextAnalysis.lmTrain(docs, "doc_id", "text", minCount = 2)
+    val p = TextAnalysis.lmScoreWith(model, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "broadcast-model scoring must not shuffle:\n" + p)
+  }
+
   test("gram/span plans never re-evaluate an array expression in a filter") {
     // regression guard for the InferFiltersFromGenerate trap: exploding a
     // materialized array ATTRIBUTE lets the optimizer add a size(c) > 0
