@@ -174,33 +174,42 @@ object TextAnalysis {
         val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
         if (toks.length < 2) Iterator.empty
         else {
-          val intern = new java.util.HashMap[String, Integer](
-            math.min(toks.length * 2, 1 << 16))
-          val counts = new LongCounter(toks.length - 1)
-          var prev = -1
-          var top = 0L
-          var i = 0
-          while (i < toks.length) {
-            var tid = intern.get(toks(i))
-            if (tid == null) {
-              tid = Integer.valueOf(intern.size)
-              intern.put(toks(i), tid)
-            }
-            if (i > 0) {
-              val c = counts.increment(
-                (prev.toLong << 32) | (tid.intValue & 0xffffffffL))
-              if (c > top) top = c
-            }
-            prev = tid.intValue
-            i += 1
-          }
-          val nBigrams = (toks.length - 1).toLong
-          val frac = top.toDouble / nBigrams.toDouble
-          Iterator.single(Row(r.get(0), nBigrams, frac,
+          val frac = topBigramFracOf(toks)
+          Iterator.single(Row(r.get(0), (toks.length - 1).toLong, frac,
             if (frac >= dropAt) "drop" else "keep"))
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The linear per-document top-bigram-fraction core of
+    * [[repetitionScreen]]: tokens interned to dense ids, adjacent pairs
+    * counted in an open-addressing table — exact, allocation-free per
+    * bigram. Shared with the composed streaming screen so every caller
+    * gets the O(tokens) path, never the quadratic HOF formulation.
+    * Requires ≥ 2 tokens. */
+  private[graft] def topBigramFracOf(toks: Array[String]): Double = {
+    val intern = new java.util.HashMap[String, Integer](
+      math.min(toks.length * 2, 1 << 16))
+    val counts = new LongCounter(toks.length - 1)
+    var prev = -1
+    var top = 0L
+    var i = 0
+    while (i < toks.length) {
+      var tid = intern.get(toks(i))
+      if (tid == null) {
+        tid = Integer.valueOf(intern.size)
+        intern.put(toks(i), tid)
+      }
+      if (i > 0) {
+        val c = counts.increment(
+          (prev.toLong << 32) | (tid.intValue & 0xffffffffL))
+        if (c > top) top = c
+      }
+      prev = tid.intValue
+      i += 1
+    }
+    top.toDouble / (toks.length - 1).toDouble
   }
 
   /** Open-addressing long→long counter (linear probing, power-of-two
@@ -761,6 +770,47 @@ object TextAnalysis {
     *
     * @return id column, n_words, mean_word_len, symbol_ratio,
     *         alpha_word_ratio, n_stop_hits, verdict ('keep'/'drop') */
+  private def gopherMeanWordLen(t: Column): Column =
+    aggregate(t, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      .cast("double") / size(t).cast("long")
+
+  private def gopherSymbolRatio(text: Column, t: Column): Column = {
+    val hashMarks =
+      (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val ellipses =
+      ((length(text) - length(replace(text, lit("..."), lit(""))))
+        / lit(3)).cast("long")
+    (hashMarks + ellipses).cast("double") / size(t).cast("long")
+  }
+
+  private def gopherAlphaRatio(t: Column): Column =
+    size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") /
+      size(t).cast("long")
+
+  private def gopherStopHits(t: Column): Column = GopherStopwords
+    .map(s => when(array_contains(t, lit(s)), 1).otherwise(0))
+    .reduce(_ + _)
+
+  /** The [[gopherRules]] conjunction as ONE Column over a text column —
+    * the composable form streaming/screening pipelines attach alongside
+    * other per-row verdicts. Same sub-expressions as [[gopherRules]]. */
+  def gopherVerdict(
+      text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    when(n >= minWords && n <= maxWords
+      && gopherMeanWordLen(t) >= minMeanWordLen
+      && gopherMeanWordLen(t) <= maxMeanWordLen
+      && gopherSymbolRatio(text, t) <= maxSymbolRatio
+      && gopherAlphaRatio(t) >= minAlphaWordRatio
+      && gopherStopHits(t) >= minStopwordHits, lit("keep"))
+      .otherwise(lit("drop"))
+  }
+
   def gopherRules(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
@@ -769,23 +819,11 @@ object TextAnalysis {
       minStopwordHits: Int = 2): org.apache.spark.sql.DataFrame = {
     val t = tokens(col(text))
     val n = size(t).cast("long")
-    val meanLen = aggregate(t, lit(0L),
-      (acc, w) => acc + length(w).cast("long")).cast("double") / n
-    val hashMarks =
-      (length(col(text)) - length(replace(col(text), lit("#"), lit(""))))
-        .cast("long")
-    val ellipses =
-      ((length(col(text)) - length(replace(col(text), lit("..."), lit(""))))
-        / lit(3)).cast("long")
-    val symRatio = (hashMarks + ellipses).cast("double") / n
-    val alphaRatio =
-      size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / n
-    val stopHits = GopherStopwords
-      .map(s => when(array_contains(t, lit(s)), 1).otherwise(0))
-      .reduce(_ + _)
-    docs.select(col(id), n.as("n_words"), meanLen.as("mean_word_len"),
-        symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
-        stopHits.cast("int").as("n_stop_hits"))
+    docs.select(col(id), n.as("n_words"),
+        gopherMeanWordLen(t).as("mean_word_len"),
+        gopherSymbolRatio(col(text), t).as("symbol_ratio"),
+        gopherAlphaRatio(t).as("alpha_word_ratio"),
+        gopherStopHits(t).cast("int").as("n_stop_hits"))
       .withColumn("verdict",
         when(col("n_words") >= minWords && col("n_words") <= maxWords
           && col("mean_word_len") >= minMeanWordLen
@@ -919,7 +957,8 @@ object TextAnalysis {
     docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (d, t) =>
-          val toks = t.split(" ", -1)
+          val toks =
+            if (t == null) Array.empty[String] else t.split(" ", -1)
           if (toks.length < 2) Iterator.empty
           else {
             val hs = new Array[Long](toks.length)

@@ -390,6 +390,86 @@ object Streams {
       id: String, text: String): DataFrame =
     TextAnalysis.lmScoreWith(model, incoming, id, text)
 
+  /** The composed STATELESS curation screen as one stream: every
+    * per-document verdict the batch [[graft.operators.Curation.pipeline]]
+    * computes row-locally — repetition fraction, quality score, language
+    * id, Gopher rule verdict, optional pretrained-LM cross-entropy — plus
+    * the redacted emit text and one combined keep/drop verdict under the
+    * same [[graft.operators.Curation.Config]] thresholds. No state store,
+    * no watermark, no shuffle: the continual-ingest half of the curation
+    * story. The corpus-relative stages keep their dedicated streaming
+    * operators and compose downstream of this one ([[dedupStream]] /
+    * [[nearDupAgainstBase]] for dedup, [[contaminationStream]] for
+    * benchmark decontamination); span cut is inherently corpus-batch.
+    *
+    * Emits ALL verdict columns, not just survivors, so a caller can
+    * route drops to a quarantine sink — filter `verdict = 'keep'` for
+    * the curated stream.
+    *
+    * @param model pretrained [[TextAnalysis.LmModel]]; when present AND
+    *        `cfg.lmXentMax` is set, high-xent documents drop. Documents
+    *        with < 2 tokens have null xent and drop whenever the LM
+    *        screen is on (unscoreable = unsafe, the batch rule).
+    * @return (id, rep_fraction, quality, pred_lang, gopher_verdict,
+    *         xent, verdict, clean_text) */
+  def curationScreenStream(
+      incoming: DataFrame, id: String, text: String,
+      model: Option[TextAnalysis.LmModel] = None,
+      cfg: graft.operators.Curation.Config =
+        graft.operators.Curation.Config()): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    // ONE typed narrow map computes both per-row loop statistics — the
+    // linear repetition fraction (the quadratic HOF form would bite on
+    // long documents) and, when a model rides along, the LM xent; the
+    // text column rides through for the Column-level screens
+    val scored = incoming.select(col(id).cast("long"), col(text))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (d, t) =>
+          val toks =
+            if (t == null) Array.empty[String] else t.split(" ", -1)
+          if (toks.length < 2) (d, t, Option.empty[Double],
+            Option.empty[Double])
+          else {
+            val rep = TextAnalysis.topBigramFracOf(toks)
+            val xent = model.map { m =>
+              val hs = toks.map(TextAnalysis.xxhash64String)
+              var sum = 0L
+              var i = 0
+              while (i < hs.length - 1) {
+                val c12 = m.bigramCount(hs(i), hs(i + 1))
+                val c1 = m.ctxCount(hs(i))
+                val p = (c12 + 1).toDouble / (c1 + m.vocabSize).toDouble
+                sum += Math.round(-Math.log(p) * 1000000.0)
+                i += 1
+              }
+              (sum / 1000000.0) / (hs.length - 1)
+            }
+            (d, t, Some(rep), xent)
+          }
+        }
+      }
+      .toDF(id, text, "rep_fraction", "xent")
+    val lmOn = model.isDefined && cfg.lmXentMax.isDefined
+    scored.select(
+        col(id), col("rep_fraction"),
+        TextAnalysis.qualityScore(col(text)).as("quality"),
+        TextAnalysis.langId(col(text)).as("pred_lang"),
+        TextAnalysis.gopherVerdict(col(text)).as("gopher_verdict"),
+        col("xent"),
+        TextAnalysis.redact(col(text)).as("clean_text"))
+      .withColumn("verdict",
+        when(col("rep_fraction") < cfg.repetitionDropAt
+          && col("quality") >= cfg.minQuality
+          && col("pred_lang") === cfg.lang
+          && (if (lmOn) col("xent") <= cfg.lmXentMax.get else lit(true)),
+          lit("keep")).otherwise(lit("drop")))
+      .select(col(id), col("rep_fraction"), col("quality"),
+        col("pred_lang"), col("gopher_verdict"), col("xent"),
+        col("verdict"), col("clean_text"))
+  }
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

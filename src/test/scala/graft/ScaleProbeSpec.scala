@@ -151,6 +151,36 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("LM join scorer equals the closure scorer on random corpora") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // small vocab forces heavy bigram sharing (a real pruned LM); edge
+    // lengths 0/1 exercise the no-transition path on both sides
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "the")
+    for (round <- 0 until 3) {
+      val docs = (0 until 60).map { i =>
+        val len = (mix(round * 900L + i).abs % 14).toInt // 0..13 tokens
+        val toks = (0 until len).map(j =>
+          vocab((mix(round * 55L + i * 97L + j).abs % vocab.length).toInt))
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val joinSide = key(TextAnalysis.lmScore(docs, "doc_id", "text",
+        minCount = 2))
+      val model = TextAnalysis.lmTrain(docs, "doc_id", "text", minCount = 2)
+      val mapSide = key(TextAnalysis.lmScoreWith(model, docs,
+        "doc_id", "text"))
+      assert(mapSide == joinSide, s"round $round: scorers diverged")
+    }
+  }
+
   test("span cut equals a plain-Scala reference on random corpora") {
     import spark.implicits._
     import graft.operators.Dedup

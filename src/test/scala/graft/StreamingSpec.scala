@@ -304,6 +304,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed curation screen stream: planted verdicts, batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, TextAnalysis}
+    // grammar corpus: 'the' every 5th token, shared 50-word vocabulary
+    def grammarDoc(i: Int): String = (0 until 80)
+      .map(j => if (j % 5 == 0) "the" else s"w${(i * 7 + j * 3) % 50}")
+      .mkString(" ")
+    val trainDocs = (0 until 30).map(i => (i.toLong, grammarDoc(i)))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.lmTrain(trainDocs, "doc_id", "text",
+      minCount = 1)
+    val keeper = (100L, grammarDoc(0)) // every transition seen in training
+    val repeated = (101L, Seq.fill(40)("spam ham").mkString(" "))
+    val spanish = (102L,
+      (0 until 80).map(j => if (j % 5 == 0) "el" else s"w$j").mkString(" "))
+    val gibberish = (103L, (0 until 80)
+      .map(j => if (j % 5 == 0) "the" else s"zq${j}x").mkString(" "))
+    val short = (104L, "solo")
+    val incoming = Seq(keeper, repeated, spanish, gibberish, short)
+      .toDF("doc_id", "text")
+    // cap between the keeper's xent and the gibberish doc's
+    val xents = TextAnalysis.lmScoreWith(model, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cfg = Curation.Config(
+      lmXentMax = Some((xents(100L) + xents(103L)) / 2))
+    val batch = Streams.curationScreenStream(
+      incoming, "doc_id", "text", Some(model), cfg)
+    val verdicts = batch.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(verdicts == Map(100L -> "keep", 101L -> "drop", 102L -> "drop",
+      103L -> "drop", 104L -> "drop"), s"planted verdicts: $verdicts")
+    // and each drop fired for its intended reason
+    val rows = batch.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(101L).getAs[Double]("rep_fraction") >= 0.05)
+    assert(rows(102L).getAs[String]("pred_lang") == "es")
+    assert(rows(103L).getAs[Double]("xent") > cfg.lmXentMax.get
+      && rows(103L).getAs[String]("pred_lang") == "en"
+      && rows(103L).getAs[Double]("quality") >= 0.5)
+    assert(rows(104L).isNullAt(rows(104L).fieldIndex("rep_fraction")))
+    // structural twin: the same call on a file stream, bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_screen")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = Streams.curationScreenStream(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      "doc_id", "text", Some(model), cfg)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("screen_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("screen_out").collect()
+        .map(_.toString).sorted.toSeq
+      val batchRows = batch.collect().map(_.toString).sorted.toSeq
+      assert(streamed == batchRows,
+        "streamed screen must equal the batch twin bit-for-bit")
+    } finally q.stop()
+  }
+
   test("row-level MinHash signature equals the batch sketch aggregate") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
