@@ -503,6 +503,47 @@ object TextAnalysis {
             < thr, 1L).otherwise(0L)).as("n_copies"))
   }
 
+  /** Temperature-scaled mixture resampling — the multilingual α-sampling
+    * rule (mC4 / XLM-R shape): source i's share of the emitted corpus is
+    * proportional to its token share raised to `alpha`. α = 1 keeps
+    * natural proportions; α → 0 flattens toward uniform, upsampling
+    * scarce sources — THE standard knob for low-resource balance.
+    *
+    * The weights derive from the corpus itself: per-source token totals
+    * (one tiny aggregation; #sources rows to the driver, a bounded model
+    * artifact like the quantizer sample) are raised to α and FIXED-POINT
+    * rounded at 1e-6 before normalizing — the rounded longs sum
+    * order-free, so the derived shares are bit-reproducible across runs
+    * and recomputable by a SQL oracle (a raw double Σ pow would depend on
+    * driver collect order). Emission is [[mixtureResample]] unchanged:
+    * same factor tree, same md5-threshold fractional-copy determinism.
+    *
+    * @return [[mixtureResample]]'s per-document schema */
+  def temperatureResample(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      sourceCol: String, alpha: Double, totalMultiple: Double = 1.0,
+      counter: Column => Column = tokenCount)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha in (0,1]: $alpha")
+    val totals = docs
+      .select(col(sourceCol), counter(col(text)).cast("long").as("__n"))
+      .groupBy(sourceCol).agg(sum("__n").as("__c"))
+      .collect()
+    require(totals.nonEmpty, "temperatureResample needs a non-empty corpus")
+    require(totals.length <= 100000,
+      s"${totals.length} sources — the per-source weight table must stay " +
+        "a bounded driver artifact")
+    val wq = totals
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0),
+        Math.round(Math.pow(r.getLong(1).toDouble, alpha) * 1000000.0)))
+    val zq = wq.map(_._2).sum
+    val weights = wq.map { case (s, q) => s -> q.toDouble / zq.toDouble }
+      .toMap
+    mixtureResample(docs, id, text, sourceCol, weights, totalMultiple,
+      counter)
+  }
+
   /** Per-document distinctive terms: top-k tokens by tf-idf, with a
     * RATIONAL idf — `score = tf · (N+1)/(df+1)` — instead of the usual
     * log form. Rational on purpose: the score stays inside exact IEEE

@@ -860,6 +860,51 @@ object Text {
       "doc_id", "text", minStopwordHits = 1)
   }
 
+  /** Temperature-scaled mixture at α = 0.5: the oracle re-derives the
+    * per-source weights from scratch — token totals, fixed-point-rounded
+    * pow (the order-free quantization that makes the share derivation
+    * certifiable), normalization, then q_t19's factor/copy arithmetic
+    * verbatim. */
+  val qT29Temperature = Q(
+    "q_t29_temperature",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |        FROM t GROUP BY 1),
+      |wq AS (SELECT source, src_tokens,
+      |         CAST(round(pow(CAST(src_tokens AS DOUBLE), 0.5) * 1000000)
+      |              AS BIGINT) AS q
+      |       FROM tot),
+      |z AS (SELECT CAST(sum(q) AS BIGINT) AS zq FROM wq),
+      |ww AS (SELECT source, src_tokens,
+      |         CAST(q AS DOUBLE) / CAST(zq AS DOUBLE) AS w
+      |       FROM wq CROSS JOIN z),
+      |tgt AS (SELECT CAST(sum(src_tokens) AS BIGINT) * 1.0 AS target
+      |        FROM ww),
+      |f AS (SELECT source, w * target / src_tokens AS factor
+      |      FROM ww CROSS JOIN tgt),
+      |c AS (SELECT t.doc_id, t.source, t.n_tokens, f.factor,
+      |        CAST(floor(f.factor) AS BIGINT) +
+      |        CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |               printf('%04x', least(CAST(floor(
+      |                 (f.factor - floor(f.factor)) * 65536.0) AS BIGINT),
+      |                 65535))
+      |             THEN 1 ELSE 0 END AS n_copies
+      |      FROM t JOIN f ON t.source = f.source)
+      |SELECT source, factor, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_copies) AS BIGINT) AS emitted_docs,
+      |       CAST(sum(n_copies * n_tokens) AS BIGINT) AS emitted_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    temperatureResample(documents(s, d), "doc_id", "text", "source",
+      alpha = 0.5)
+      .groupBy("source", "factor")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("emitted_docs"),
+        sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -867,5 +912,5 @@ object Text {
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
-      qT28DecontamBloom)
+      qT28DecontamBloom, qT29Temperature)
 }

@@ -441,6 +441,33 @@ class NorthStarSpec extends AnyFunSuite {
     assert(sized == exactR, "bloomed path diverged from exact")
   }
 
+  test("temperature sampling flattens the source mixture (alpha < 1)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val d = docs
+    val natural = d.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = natural.values.sum.toDouble
+    val emitted = TextAnalysis
+      .temperatureResample(d, "doc_id", "text", "source", alpha = 0.5)
+      .groupBy("source")
+      .agg(sum(col("n_copies") * col("n_tokens")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eTotal = emitted.values.sum.toDouble
+    val scarcest = natural.minBy(_._2)._1
+    val richest = natural.maxBy(_._2)._1
+    assert(natural(scarcest) < natural(richest), "fixture must be skewed")
+    // α = 0.5 must move shares toward uniform: the scarcest source gains
+    // share, the richest loses share, and the total stays ~1 epoch
+    assert(emitted(scarcest) / eTotal > natural(scarcest) / total,
+      s"scarce source must upsample: $emitted vs $natural")
+    assert(emitted(richest) / eTotal < natural(richest) / total,
+      s"rich source must downsample: $emitted vs $natural")
+    assert(math.abs(eTotal / total - 1.0) < 0.1,
+      s"1-epoch target drifted: $eTotal vs $total")
+  }
+
   test("gopher rules at paper defaults separate clean text from junk") {
     import spark.implicits._
     import graft.operators.TextAnalysis
