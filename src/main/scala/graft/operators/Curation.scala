@@ -55,6 +55,11 @@ object Curation {
     * is computed on the full corpus, so tuning other screens never moves
     * anyone's xent; documents with < 2 tokens are unscoreable and drop
     * (they already fail the repetition screen for the same reason). */
+  /** `gopherScreen = true` additionally requires
+    * [[TextAnalysis.gopherVerdict]] (paper-default thresholds) to pass —
+    * a pure Column conjunction folded into the final filter stage, so it
+    * adds no pass and no shuffle. Custom thresholds: screen with
+    * [[TextAnalysis.gopherRules]] around the pipeline instead. */
   final case class Config(
       repetitionDropAt: Double = 0.05,
       nearDupThreshold: Double = 0.8,
@@ -63,7 +68,8 @@ object Curation {
       spanCutMinDocs: Option[Int] = None,
       decontamMinContainment: Double = 0.8,
       decontamNgram: Int = 3,
-      lmXentMax: Option[Double] = None)
+      lmXentMax: Option[Double] = None,
+      gopherScreen: Boolean = false)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -142,6 +148,10 @@ object Curation {
         .filter(col("xent") <= cap).select(col(id))
     }
     val out = lmKeep.fold(afterDecontamDf)(k => afterDecontamDf.join(k, Seq(id)))
+      // Gopher rules (optional): judged on the ORIGINAL text like every
+      // screen — a pure Column conjunction, no extra pass or shuffle
+      .filter(if (cfg.gopherScreen)
+        gopherVerdict(col(text)) === lit("keep") else lit(true))
       .select(col(id),
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),

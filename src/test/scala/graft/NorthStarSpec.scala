@@ -441,6 +441,25 @@ class NorthStarSpec extends AnyFunSuite {
     assert(sized == exactR, "bloomed path diverged from exact")
   }
 
+  test("curation gopher screen drops rule-breaking docs; default is off") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // both docs pass quality/lang; only doc 2 breaks the Gopher rules
+    // (symbol spam tanks the symbol and alphabetic-word ratios)
+    val clean = (1 to 60).map(i => s"word$i with the stuff").mkString(" ")
+    val spam = (1 to 60).map(i => s"### the w$i ...").mkString(" ")
+    val df = Seq((1L, clean), (2L, spam)).toDF("doc_id", "text")
+    val base = Curation.Config(repetitionDropAt = 1.0, minQuality = 0.0,
+      lang = "en")
+    def ids(cfg: Curation.Config): Set[Long] =
+      Curation.pipeline(df, "doc_id", "text", cfg)
+        .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(base) == Set(1L, 2L),
+      "fixture: both docs must survive with the screen off")
+    assert(ids(base.copy(gopherScreen = true)) == Set(1L),
+      "gopher screen must drop exactly the rule-breaking doc")
+  }
+
   test("temperature sampling flattens the source mixture (alpha < 1)") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis

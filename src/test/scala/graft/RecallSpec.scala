@@ -196,6 +196,39 @@ class RecallSpec extends AnyFunSuite {
       f"IVF must excel on clustered data: $r%.3f (near-uniform floor is 0.8)")
   }
 
+  test("PQ recall@5 on a clustered corpus (planted Gaussian clusters)") {
+    // the PQ twin of the IVF planted-cluster claim: codebooks trained on
+    // clustered data quantize tightly, so the ADC shortlist rarely
+    // evicts a true neighbor
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u(seed: Long): Double =
+      (Math.floorMod(mix(seed), 1000001L) / 500000.0) - 1.0
+    val dim = 64
+    val rows = for (c <- 0 until 32; m <- 0 until 64) yield {
+      val id = (c * 64 + m).toLong
+      val v = Array.tabulate(dim) { d =>
+        (u(c.toLong * 7919 + d) + 0.1 * u(id * 104729 + d)).toFloat
+      }
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qPred = col("vec_id") % 64 === 0
+    val n = Similarity.normed(emb, "vec_id", "embedding")
+    val truth = topSets(Similarity.bruteForceTopK(n.filter(qPred), n, K))
+    val approx = topSets(
+      Similarity.pqTopK(emb, "vec_id", "embedding", qPred, K))
+    val r = recall(truth, approx)
+    println(f"pq clustered recall@5 = $r%.3f over ${truth.size} queries")
+    assert(r >= 0.95,
+      f"PQ must excel on clustered data: $r%.3f (near-uniform floor 0.85)")
+  }
+
   test("k-means recovers planted clusters; diversity sample caps every mode") {
     import spark.implicits._
     def mix(z0: Long): Long = {
