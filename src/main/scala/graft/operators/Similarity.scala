@@ -518,9 +518,11 @@ object Similarity {
       corpus: DataFrame, lists: DataFrame, centroids: Array[Array[Double]])
 
   // sort_array desc on (cs, nl) structs: cs desc, then nl desc = list asc
-  private def topLists(cents: Array[Array[Double]], count: Int): Column =
+  private def topLists(
+      cents: Array[Array[Double]], count: Int,
+      v: Column = col("v")): Column =
     transform(
-      slice(sort_array(array(listScores(col("v"), cents): _*), asc = false),
+      slice(sort_array(array(listScores(v, cents): _*), asc = false),
         1, count),
       s => (s.getField("nl") * lit(-1)).cast("int"))
 
@@ -543,15 +545,32 @@ object Similarity {
   /** Approximate top-k against a prebuilt [[IvfIndex]] — pure query work:
     * probe-list explode map-side, candidates from the list equi-join,
     * per-pair dedup before ranking. */
-  def ivfTopK(index: IvfIndex, queryPred: Column, k: Int): DataFrame = {
-    val queryLists = index.corpus.filter(queryPred)
+  def ivfTopK(index: IvfIndex, queryPred: Column, k: Int): DataFrame =
+    ivfTopKFrom(index, index.corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        explode(topLists(index.centroids, IvfProbes)).as("list_id"))
+        col("nrm").as("qnrm")), excludeSelf = true, k)
+
+  /** EXTERNAL-query overload of [[ivfTopK]] — same contract as the LSH
+    * twin: new vectors probe the prebuilt inverted lists, no
+    * self-exclusion. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, id: String, vec: String,
+      k: Int): DataFrame =
+    ivfTopKFrom(index, normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = false, k)
+
+  private def ivfTopKFrom(
+      index: IvfIndex, q: DataFrame, excludeSelf: Boolean,
+      k: Int): DataFrame = {
+    val queryLists = q
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(topLists(index.centroids, IvfProbes, col("qv")))
+          .as("list_id"))
     val cand = broadcast(queryLists)
       .join(index.lists,
         queryLists("list_id") === index.lists("list_id")
-          && col("q_id") =!= col("vec_id"))
+          && (if (excludeSelf) col("q_id") =!= col("vec_id")
+              else lit(true)))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
       // a (query, candidate) pair can meet in up to IvfAssign shared
@@ -620,13 +639,33 @@ object Similarity {
     * half of the one-shot overload: query buckets + multi-probe flips
     * explode map-side, candidates fall out of the (table, bucket)
     * equi-join, scoring joins vectors back once. */
-  def lshTopK(index: LshIndex, queryPred: Column, k: Int): DataFrame = {
+  def lshTopK(index: LshIndex, queryPred: Column, k: Int): DataFrame =
+    lshTopKFrom(index, index.corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = true, k)
+
+  /** EXTERNAL-query overload: top-k for query vectors that are NOT corpus
+    * rows (the batch-inference shape — embed new documents, probe the
+    * daily index). The query frame carries its own id/vector columns; no
+    * self-exclusion applies (an external query equal to a corpus vector
+    * should surface it at rank 1 — that is the lookup working). */
+  def lshTopK(index: LshIndex, queries: DataFrame, id: String, vec: String,
+      k: Int): DataFrame =
+    lshTopKFrom(index, normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = false, k)
+
+  /** Shared query-side half of both [[lshTopK]] overloads: `q` is the
+    * normalized (q_id, qv, qnrm) query frame. Exact buckets materialize
+    * first (one dot-product pass), THEN the multi-probe single-bit flips
+    * explode over the bucket column. */
+  private def lshTopKFrom(
+      index: LshIndex, q: DataFrame, excludeSelf: Boolean,
+      k: Int): DataFrame = {
     val n = index.corpus
-    // query side: exact buckets materialized first (one dot-product pass),
-    // THEN the multi-probe single-bit flips explode over the bucket column
-    val qb = n.filter(queryPred)
-      .select(col("vec_id").as("q_id"),
-        explode(lshBuckets(col("v"), index.dim)).as("tb"))
+    val qb = q
+      .select(col("q_id"),
+        explode(lshBuckets(col("qv"), index.dim)).as("tb"))
       .select(col("q_id"),
         col("tb").getField("t").as("qt"), col("tb").getField("b").as("qb0"))
       .select(col("q_id"), col("qt"),
@@ -634,13 +673,12 @@ object Similarity {
     val cand = broadcast(qb)
       .join(index.buckets,
         col("qt") === col("ct") && col("qbk") === col("cbk")
-          && col("q_id") =!= col("vec_id"))
+          && (if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true)))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"))
       .distinct()
     val scored = cand
-      .join(broadcast(n.filter(queryPred).select(
-        col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qnrm"))), Seq("query_id"))
+      .join(broadcast(q.select(col("q_id").as("query_id"),
+        col("qv"), col("qnrm"))), Seq("query_id"))
       .join(n.select(col("vec_id").as("cand_id"),
         col("v").as("cv"), col("nrm").as("cnrm")), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -819,7 +857,26 @@ object Similarity {
     */
   def pqTopK(
       index: PqIndex, queryPred: Column, k: Int,
-      rerank: Int = PqRerank): DataFrame = {
+      rerank: Int = PqRerank): DataFrame =
+    pqTopKFrom(index, index.corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = true, k, rerank)
+
+  /** EXTERNAL-query overload of [[pqTopK]] — same contract as the LSH and
+    * IVF twins: new vectors score against the prebuilt codes, no
+    * self-exclusion. (No default `rerank` here — Scala allows defaults on
+    * only one overload; pass [[PqRerank]] for the standard operating
+    * point.) */
+  def pqTopK(
+      index: PqIndex, queries: DataFrame, id: String, vec: String,
+      k: Int, rerank: Int): DataFrame =
+    pqTopKFrom(index, normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = false, k, rerank)
+
+  private def pqTopKFrom(
+      index: PqIndex, qFrame: DataFrame, excludeSelf: Boolean,
+      k: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     require(k >= 1, s"bad k: $k")
@@ -827,8 +884,8 @@ object Similarity {
     val books = index.codebooks
     val m = books.length
     val sub = books(0)(0).length
-    val queries: Array[(Any, Array[Double])] = index.corpus
-      .filter(queryPred).select(col("vec_id"), col("v"), col("nrm"))
+    val queries: Array[(Any, Array[Double])] = qFrame
+      .select(col("q_id"), col("qv"), col("qnrm"))
       .collect()
       .map(r => (r.get(0), PqMath.unit(r.getSeq[Double](1).toArray,
         r.getDouble(2))))
@@ -836,9 +893,9 @@ object Similarity {
       s"pqTopK holds one ADC lookup table per query per task: " +
         s"${queries.length} queries exceeds 1024. Batch the query set.")
     val shortlist = k * rerank
-    val idField = index.codes.schema("vec_id")
     val schema = StructType(Seq(
-      idField.copy(name = "q_id"), idField.copy(name = "cand_id"),
+      qFrame.schema("q_id").copy(name = "q_id"),
+      index.codes.schema("vec_id").copy(name = "cand_id"),
       StructField("adist", DoubleType, nullable = false)))
     val rows = index.codes.rdd.mapPartitions { it =>
       // LUTs once per task: |Q|·m·k doubles (8 queries → 16 K doubles)
@@ -872,7 +929,7 @@ object Similarity {
         val idBytes = PqMath.utf8(id)
         var q = 0
         while (q < queries.length) {
-          if (queries(q)._1 != id) {
+          if (!excludeSelf || queries(q)._1 != id) {
             var d = 0.0
             var mi = 0
             while (mi < m) { d += luts(q)(mi)(code(mi) & 0xff); mi += 1 }
@@ -897,9 +954,8 @@ object Similarity {
       .select(col("q_id").as("query_id"), col("cand_id"))
     val n = index.corpus
     val scored = short
-      .join(broadcast(n.filter(queryPred).select(
-        col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qnrm"))), Seq("query_id"))
+      .join(broadcast(qFrame.select(col("q_id").as("query_id"),
+        col("qv"), col("qnrm"))), Seq("query_id"))
       .join(n.select(col("vec_id").as("cand_id"),
         col("v").as("cv"), col("nrm").as("cnrm")), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),

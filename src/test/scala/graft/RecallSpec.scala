@@ -161,6 +161,52 @@ class RecallSpec extends AnyFunSuite {
       s"code widths: $lens (expected ${Similarity.PqSubspaces} bytes)")
   }
 
+  test("external-query overloads: self at rank 1, neighbors match pred path") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // external queries = copies of corpus vectors 0..7 under new ids —
+    // the batch-inference shape (embed new docs, probe the daily index)
+    val ext = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 10000L).as("qid"), col("embedding"))
+    val extPred = col("vec_id") < 8
+    def byQuery(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Long)]] = df
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(t => (t._2, t._3)).toSeq).toMap
+    def check(name: String,
+        extTop: Map[Long, Seq[(Long, Long)]],
+        predTop: Map[Long, Seq[(Long, Long)]], exact: Boolean): Unit = {
+      for (q <- 0L until 8L) {
+        val e = extTop(q + 10000L)
+        assert(e.head._1 == q && e.head._2 == 1L,
+          s"$name: external copy of $q must hit itself at rank 1: $e")
+        val rest = e.tail.map(_._1)
+        val pred = predTop(q).map(_._1).take(rest.length)
+        if (exact)
+          assert(rest == pred,
+            s"$name q=$q: external ranks 2..k must equal pred path: " +
+              s"$rest vs $pred")
+        else assert(rest.toSet.intersect(pred.toSet).size >= rest.length - 1,
+          s"$name q=$q: shortlist boundary moved too much: $rest vs $pred")
+      }
+    }
+    val lshIdx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", 64)
+    check("lsh",
+      byQuery(Similarity.lshTopK(lshIdx, ext, "qid", "embedding", K)),
+      byQuery(Similarity.lshTopK(lshIdx, extPred, K)), exact = true)
+    val ivfIdx = Similarity.ivfIndexBuild(emb, "vec_id", "embedding")
+    check("ivf",
+      byQuery(Similarity.ivfTopK(ivfIdx, ext, "qid", "embedding", K)),
+      byQuery(Similarity.ivfTopK(ivfIdx, extPred, K)), exact = true)
+    val pqIdx = Similarity.pqIndexBuild(emb, "vec_id", "embedding")
+    check("pq",
+      byQuery(Similarity.pqTopK(pqIdx, ext, "qid", "embedding", K,
+        Similarity.PqRerank)),
+      byQuery(Similarity.pqTopK(pqIdx, extPred, K)), exact = false)
+  }
+
   test("IVF recall@5 on a clustered corpus (planted Gaussian clusters)") {
     // The sf fixture is near-uniform — ANN's worst case and the reason the
     // floor above sits at 0.8. Real corpora cluster; this planted-cluster
