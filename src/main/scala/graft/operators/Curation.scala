@@ -149,9 +149,12 @@ object Curation {
     }
     val out = lmKeep.fold(afterDecontamDf)(k => afterDecontamDf.join(k, Seq(id)))
       // Gopher rules (optional): judged on the ORIGINAL text like every
-      // screen — a pure Column conjunction, no extra pass or shuffle
+      // screen — a pure Column conjunction, no extra pass or shuffle;
+      // the token array materializes once (lambda-CSE trap)
+      .withColumn("__gt", tokens(col(text)))
       .filter(if (cfg.gopherScreen)
-        gopherVerdict(col(text)) === lit("keep") else lit(true))
+        gopherVerdictFrom(col(text), col("__gt")) === lit("keep")
+      else lit(true))
       .select(col(id),
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),

@@ -117,8 +117,13 @@ object Decontaminate {
       s"bad probe-shingle estimate: $expectedProbeShingles")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val spark = docs.sparkSession
+    // materialize the (large, by premise) probe shingles ONCE: the bloom
+    // sketch action, the per-probe size aggregate and the verify join all
+    // read this frame — un-checkpointed they would each re-run the
+    // probe-side tokenize+explode (the lshIndexBuild lifecycle reasoning)
     val probeGrams = grams(docs.filter(probePred), id, text, "probe_id", n)
       .withColumn("tgh", xxhash64(col("tg")))
+      .localCheckpoint()
     val bf = probeGrams.stat
       .bloomFilter("tgh", expectedProbeShingles, fpp)
     val bfB = spark.sparkContext.broadcast(bf)

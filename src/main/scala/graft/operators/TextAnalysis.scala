@@ -537,8 +537,17 @@ object TextAnalysis {
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getString(0),
         Math.round(Math.pow(r.getLong(1).toDouble, alpha) * 1000000.0)))
-    val zq = wq.map(_._2).sum
-    val weights = wq.map { case (s, q) => s -> q.toDouble / zq.toDouble }
+    // per-source quantized weights must not saturate Long (α = 1 on a
+    // ~1e13-token source would): refuse loudly rather than mis-weight
+    wq.foreach { case (s, q) =>
+      require(q < Long.MaxValue,
+        s"temperature weight for source '$s' overflows the 1e-6 " +
+          "fixed-point quantization — lower alpha or pre-scale counts")
+    }
+    // BigInt sum: exact and order-free at any source count/magnitude
+    // (DuckDB's BIGINT sum is a 128-bit HUGEINT — same semantics)
+    val zq = wq.map(x => BigInt(x._2)).sum
+    val weights = wq.map { case (s, q) => s -> (q.toDouble / zq.toDouble) }
       .toMap
     mixtureResample(docs, id, text, sourceCol, weights, totalMultiple,
       counter)
@@ -832,16 +841,18 @@ object TextAnalysis {
     .map(s => when(array_contains(t, lit(s)), 1).otherwise(0))
     .reduce(_ + _)
 
-  /** The [[gopherRules]] conjunction as ONE Column over a text column —
-    * the composable form streaming/screening pipelines attach alongside
-    * other per-row verdicts. Same sub-expressions as [[gopherRules]]. */
-  def gopherVerdict(
-      text: Column,
+  /** The [[gopherRules]] conjunction as ONE Column over a text column
+    * and a MATERIALIZED token-array column — callers in per-row hot
+    * paths bind `t` to a real `withColumn` attribute first (the
+    * lambda-CSE Catalyst trap [[ngramsFrom]] documents: an embedded
+    * `tokens(text)` expression would re-split the document once per
+    * sub-rule, ~13× per row). */
+  def gopherVerdictFrom(
+      text: Column, t: Column,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
       minStopwordHits: Int = 2): Column = {
-    val t = tokens(text)
     val n = size(t).cast("long")
     when(n >= minWords && n <= maxWords
       && gopherMeanWordLen(t) >= minMeanWordLen
@@ -852,17 +863,33 @@ object TextAnalysis {
       .otherwise(lit("drop"))
   }
 
+  /** Convenience form of [[gopherVerdictFrom]] that embeds the
+    * tokenization — fine for one-off filters; hot paths should
+    * materialize the token array and call the `From` variant. */
+  def gopherVerdict(
+      text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): Column =
+    gopherVerdictFrom(text, tokens(text), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minAlphaWordRatio,
+      minStopwordHits)
+
   def gopherRules(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
       minStopwordHits: Int = 2): org.apache.spark.sql.DataFrame = {
-    val t = tokens(col(text))
-    val n = size(t).cast("long")
-    docs.select(col(id), n.as("n_words"),
+    // token array as a REAL column (see gopherVerdictFrom) so the five
+    // rule columns index one split, not five
+    val t = col("__gt")
+    docs.select(col(id), col(text).as("__gtext"))
+      .withColumn("__gt", tokens(col("__gtext")))
+      .select(col(id), size(t).cast("long").as("n_words"),
         gopherMeanWordLen(t).as("mean_word_len"),
-        gopherSymbolRatio(col(text), t).as("symbol_ratio"),
+        gopherSymbolRatio(col("__gtext"), t).as("symbol_ratio"),
         gopherAlphaRatio(t).as("alpha_word_ratio"),
         gopherStopHits(t).cast("int").as("n_stop_hits"))
       .withColumn("verdict",
@@ -897,6 +924,29 @@ object TextAnalysis {
       lookup(bigramKeys, bigramCounts, LmModel.mix(h1, h2))
     def ctxCount(h1: Long): Long = lookup(ctxKeys, ctxCounts, h1)
     def nBigrams: Int = bigramKeys.length
+
+    /** THE per-document scoring loop — the single copy both
+      * [[TextAnalysis.lmScoreWith]] and the composed streaming screen
+      * call, so the fixed-point arithmetic that the batch/stream
+      * bit-equality specs pin cannot fork. None below 2 tokens. */
+    def score(toks: Array[String]): Option[(Long, Double)] =
+      if (toks.length < 2) None
+      else {
+        val hs = new Array[Long](toks.length)
+        var i = 0
+        while (i < toks.length) { hs(i) = xxhash64String(toks(i)); i += 1 }
+        var sum = 0L
+        i = 0
+        while (i < hs.length - 1) {
+          val c12 = bigramCount(hs(i), hs(i + 1))
+          val c1 = ctxCount(hs(i))
+          val p = (c12 + 1).toDouble / (c1 + vocabSize).toDouble
+          sum += Math.round(-Math.log(p) * 1000000.0)
+          i += 1
+        }
+        val n = (hs.length - 1).toLong
+        Some((n, (sum / 1000000.0) / n))
+      }
   }
 
   object LmModel {
@@ -916,9 +966,11 @@ object TextAnalysis {
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType, 42L)
 
-  /** Shared [[lmScore]]/[[lmTrain]] plumbing: the checkpointed token-hash
-    * frame, the checkpointed transition frame, the vocabulary size, and
-    * the unpruned bigram counts. */
+  /** Shared [[lmScore]]/[[lmTrain]] plumbing: the checkpointed
+    * (doc, h1, h2) transition frame and the distinct-vocabulary size.
+    * (Both callers rebuild their bigram aggregation from the returned
+    * transitions — the counts themselves are one groupBy away and the
+    * two callers prune them differently.) */
   private def lmCounts(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String)
       : (org.apache.spark.sql.DataFrame, Long) = {
@@ -1000,25 +1052,7 @@ object TextAnalysis {
         it.flatMap { case (d, t) =>
           val toks =
             if (t == null) Array.empty[String] else t.split(" ", -1)
-          if (toks.length < 2) Iterator.empty
-          else {
-            val hs = new Array[Long](toks.length)
-            var i = 0
-            while (i < toks.length) {
-              hs(i) = xxhash64String(toks(i)); i += 1
-            }
-            var sum = 0L
-            i = 0
-            while (i < hs.length - 1) {
-              val c12 = model.bigramCount(hs(i), hs(i + 1))
-              val c1 = model.ctxCount(hs(i))
-              val p = (c12 + 1).toDouble / (c1 + model.vocabSize).toDouble
-              sum += Math.round(-Math.log(p) * 1000000.0)
-              i += 1
-            }
-            val n = (hs.length - 1).toLong
-            Iterator((d, n, (sum / 1000000.0) / n))
-          }
+          model.score(toks).map { case (n, x) => (d, n, x) }.iterator
         }
       }
       .toDF(id, "n_trans", "xent")

@@ -404,8 +404,14 @@ object Streams {
     *
     * Emits ALL verdict columns, not just survivors, so a caller can
     * route drops to a quarantine sink — filter `verdict = 'keep'` for
-    * the curated stream.
+    * the curated stream. When `cfg.gopherScreen` is set the combined
+    * verdict additionally requires the Gopher rules to pass, mirroring
+    * the batch pipeline under the same Config.
     *
+    * @param id a LONG-castable id column (the typed narrow map needs a
+    *        concrete encoder — same restriction as
+    *        [[TextAnalysis.lmScoreWith]]); non-numeric ids would cast to
+    *        null
     * @param model pretrained [[TextAnalysis.LmModel]]; when present AND
     *        `cfg.lmXentMax` is set, high-xent documents drop. Documents
     *        with < 2 tokens have null xent and drop whenever the LM
@@ -433,36 +439,33 @@ object Streams {
             Option.empty[Double])
           else {
             val rep = TextAnalysis.topBigramFracOf(toks)
-            val xent = model.map { m =>
-              val hs = toks.map(TextAnalysis.xxhash64String)
-              var sum = 0L
-              var i = 0
-              while (i < hs.length - 1) {
-                val c12 = m.bigramCount(hs(i), hs(i + 1))
-                val c1 = m.ctxCount(hs(i))
-                val p = (c12 + 1).toDouble / (c1 + m.vocabSize).toDouble
-                sum += Math.round(-Math.log(p) * 1000000.0)
-                i += 1
-              }
-              (sum / 1000000.0) / (hs.length - 1)
-            }
+            // ONE shared scoring loop (LmModel.score) — the bit-equality
+            // contract with the batch scorer cannot fork
+            val xent = model.flatMap(_.score(toks)).map(_._2)
             (d, t, Some(rep), xent)
           }
         }
       }
       .toDF(id, text, "rep_fraction", "xent")
     val lmOn = model.isDefined && cfg.lmXentMax.isDefined
-    scored.select(
+    scored
+      // token array as a REAL column: the Gopher sub-rules index one
+      // split, not one per rule (the lambda-CSE Catalyst trap)
+      .withColumn("__gt", TextAnalysis.tokens(col(text)))
+      .select(
         col(id), col("rep_fraction"),
         TextAnalysis.qualityScore(col(text)).as("quality"),
         TextAnalysis.langId(col(text)).as("pred_lang"),
-        TextAnalysis.gopherVerdict(col(text)).as("gopher_verdict"),
+        TextAnalysis.gopherVerdictFrom(col(text), col("__gt"))
+          .as("gopher_verdict"),
         col("xent"),
         TextAnalysis.redact(col(text)).as("clean_text"))
       .withColumn("verdict",
         when(col("rep_fraction") < cfg.repetitionDropAt
           && col("quality") >= cfg.minQuality
           && col("pred_lang") === cfg.lang
+          && (if (cfg.gopherScreen) col("gopher_verdict") === lit("keep")
+              else lit(true))
           && (if (lmOn) col("xent") <= cfg.lmXentMax.get else lit(true)),
           lit("keep")).otherwise(lit("drop")))
       .select(col(id), col("rep_fraction"), col("quality"),

@@ -344,6 +344,22 @@ class StreamingSpec extends AnyFunSuite {
       && rows(103L).getAs[String]("pred_lang") == "en"
       && rows(103L).getAs[Double]("quality") >= 0.5)
     assert(rows(104L).isNullAt(rows(104L).fieldIndex("rep_fraction")))
+    // gopherScreen folds the Gopher rules into the combined verdict,
+    // mirroring the batch pipeline under the same Config
+    val withG = Streams.curationScreenStream(
+        incoming, "doc_id", "text", Some(model),
+        cfg.copy(gopherScreen = true))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("gopher_verdict"))))
+      .toMap
+    withG.foreach { case (d, (v, g)) =>
+      val expected = if (verdicts(d) == "keep" && g == "keep") "keep"
+        else "drop"
+      assert(v == expected,
+        s"doc $d: gopherScreen verdict $v != expected $expected (g=$g)")
+    }
+    assert(withG.exists(_._2._2 == "drop"),
+      "fixture must exercise at least one gopher drop")
     // structural twin: the same call on a file stream, bit-identical
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_screen")
     incoming.write.mode("overwrite").parquet(dir.toString)
