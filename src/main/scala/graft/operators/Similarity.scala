@@ -967,4 +967,63 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
+
+  /** Per-label centroid distance with an outlier verdict: each vector's
+    * squared L2 distance to its label's centroid, flagged when it exceeds
+    * `multiple ×` the label's mean — the standard embedding-quality screen
+    * for mislabeled / off-manifold rows before a corpus is used for
+    * retrieval or dedup.
+    *
+    * Everything is quantized so the result is hash-certifiable across
+    * engines: centroid components come from an exact integer sum of
+    * `round(x·1e6)` (order-free — partial-aggregation order can never
+    * flip a bit, the same trick as [[graft.queries.stableSum]]), and the
+    * squared distance is an exact integer sum of per-component
+    * `round((x−c)²·1e9)` — per-component IEEE math is identical on both
+    * engines and the cross-row/-component summation is integral. `d2q` is
+    * the distance on that 1e-9 grid.
+    *
+    * Scale shape: one posexplode→hash-agg whose exchange carries only
+    * (label, dim) partials (map-side combine collapses each partition to
+    * labels×dim rows), centroids broadcast back (labels-sized), distance
+    * as a narrow zip_with fold, and a labels-sized mean aggregate
+    * broadcast for the verdict. The corpus itself is never shuffled. The
+    * posexplode feeds on the cast *expression*, not a materialized
+    * column, so InferFiltersFromGenerate cannot inline a per-row
+    * re-evaluated copy of the array under the Generate (the measured
+    * plan trap from the span/gram operators).
+    *
+    * @return vec_id, label, d2q, label_mean_d2q, is_outlier */
+  def centroidOutliers(
+      emb: DataFrame, id: String, vec: String, label: String,
+      multiple: Double = 2.0): DataFrame = {
+    require(multiple > 0, s"multiple must be > 0: $multiple")
+    val asDouble = transform(col(vec), x => x.cast("double"))
+    val comp = emb.select(col(label).as("label"),
+      posexplode(asDouble).as(Seq("i", "xv")))
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(sum(round(col("xv") * lit(1e6)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
+    val carr = cent.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val e = emb.select(col(id).as("vec_id"), col(label).as("label"),
+      asDouble.as("v"))
+    val d = e.join(broadcast(carr), "label")
+      .select(col("vec_id"), col("label"),
+        aggregate(
+          zip_with(col("v"), col("cv"),
+            (a, b) => round((a - b) * (a - b) * lit(1e9)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d2q"))
+    val m = d.groupBy("label")
+      .agg(sum(col("d2q")).as("sum_d2q"), count(lit(1)).as("n"))
+    d.join(broadcast(m), "label")
+      .select(col("vec_id"), col("label"), col("d2q"),
+        (col("sum_d2q").cast("double") / col("n")).as("label_mean_d2q"),
+        (col("d2q").cast("double") >
+          lit(multiple) * (col("sum_d2q").cast("double") / col("n")))
+          .as("is_outlier"))
+  }
 }

@@ -1114,6 +1114,81 @@ object TextAnalysis {
           .orderBy(col("shuffle_key"), col(id))).cast("long"))
   }
 
+  /** Per-key document cap: keep at most `cap` documents per key (the
+    * per-domain cap every crawl-curation recipe applies so no single
+    * domain dominates the training mix), chosen DETERMINISTICALLY — the
+    * `cap` smallest values of `md5(seed‖id)` per key, ties broken by id.
+    * No RNG: reruns, engines, and partitionings all pick the same
+    * survivors, and the choice is uniform over each key's documents.
+    *
+    * Scale shape: a single window `row_number() OVER (PARTITION BY key)`
+    * would sort one partition per key — a billion-document domain becomes
+    * one billion-row sort task. Instead the rank runs in two exact
+    * levels, the same shape as [[Skew.saltedAgg]]: level 1 ranks within
+    * (key, salt-of-id) partitions — each holds ~n_key/`salts` rows — and
+    * keeps `cap` per salt; level 2 ranks the ≤ cap·`salts` survivors per
+    * key. The global top-`cap` of every key is a subset of its per-salt
+    * top-`cap`s, so the result is EXACTLY the naive single-window answer
+    * (the certified oracle computes that naive form), with no partition
+    * ever holding more than max(n_key/salts, cap·salts) rows.
+    *
+    * @return id, key, cap_rank (1..cap in hash order) */
+  def capPerKey(
+      docs: org.apache.spark.sql.DataFrame, id: String, key: String,
+      cap: Int, seed: String = "cap",
+      salts: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    import org.apache.spark.sql.expressions.Window
+    val hkey = md5(concat(lit(seed), col(id).cast("string")).cast("binary"))
+    val base = docs.select(
+      col(id), col(key), hkey.as("cap_key"),
+      pmod(xxhash64(col(id)), lit(salts)).as("cap_salt"))
+    val pruned = base
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col(key), col("cap_salt"))
+          .orderBy(col("cap_key"), col(id))))
+      .where(col("r1") <= cap)
+    pruned
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("cap_key"), col(id))))
+      .where(col("cap_rank") <= cap)
+      .select(col(id), col(key), col("cap_rank").cast("long"))
+  }
+
+  /** Token-length histogram with padding waste: bucket documents by
+    * `floor(n_tokens / width)` and report, per bucket, the document count,
+    * token mass, longest document, and the fraction of a
+    * pad-to-bucket-max batch that would be padding
+    * (`1 − sum/(count·max)`). This is the feasibility report behind
+    * length-bucketed batching — pad-to-longest within a bucket instead of
+    * pad-to-longest in the corpus — and everything except the final
+    * division is exact integer arithmetic, so the result is
+    * hash-certifiable.
+    *
+    * Scale shape: one map-side projection and one hash aggregation whose
+    * output is buckets-sized. Nothing else.
+    *
+    * @return bucket, n_docs, sum_tokens, max_tokens, padding_frac */
+  def lengthBuckets(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      width: Int = 128): org.apache.spark.sql.DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    docs
+      .select(floor(tokenCount(col(text)) / lit(width.toDouble))
+        .cast("long").as("bucket"),
+        tokenCount(col(text)).as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("max_tokens"),
+        (lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"))
+          .as("padding_frac"))
+  }
+
   /** PII redaction patterns — deliberately simple character-class regexes
     * that behave identically under Java regex (Spark) and RE2 (DuckDB's
     * regexp_replace with the 'g' flag), so redacted output is

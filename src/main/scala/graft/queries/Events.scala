@@ -236,7 +236,49 @@ object Events {
         stableSum(col("value"), 1e6).as("sum_value"))
   }
 
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * at each day offset, retention as the exact-integer ratio against
+    * cohort size — the classic product-analytics matrix.
+    *
+    * Scale shape: first-seen is a (user)-keyed hash agg (map-side
+    * partials, users-sized output); activity is a distinct over
+    * (user, day) — the same agg shuffle key — joined to cohorts on
+    * user_id; the final matrix is cohorts×offsets-sized. No window
+    * functions, no driver-side data; at 100 TB every exchange carries
+    * user-day pairs (16 B), never events. */
+  val qE9Retention = Q(
+    "q_e9_retention",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |j AS (SELECT a.user_id, f.cohort,
+      |             date_diff('day', f.cohort, a.day) AS day_offset
+      |      FROM a JOIN f ON a.user_id = f.user_id),
+      |c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      |      FROM f GROUP BY 1),
+      |r AS (SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+      |             CAST(count(*) AS BIGINT) AS active_users
+      |      FROM j GROUP BY 1, 2)
+      |SELECT r.cohort, r.day_offset, r.active_users, c.cohort_users,
+      |       CAST(r.active_users AS DOUBLE) / c.cohort_users AS retention
+      |FROM r JOIN c ON r.cohort = c.cohort""".stripMargin) { (s, d) =>
+    val ev = eventsTs(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val active = ev.distinct()
+    val matrix = active.join(first, "user_id")
+      .select(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    matrix.join(sizes, "cohort")
+      .select(col("cohort"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users"))
+          .as("retention"))
+  }
+
   val all: Seq[Q] =
     Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize, qE5Pivot,
-      qE6Percentiles, qE7AsOf, qE8RangeJoin)
+      qE6Percentiles, qE7AsOf, qE8RangeJoin, qE9Retention)
 }

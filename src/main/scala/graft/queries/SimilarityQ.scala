@@ -75,7 +75,43 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5)
   }
 
+  /** Embedding-quality screen: squared distance to the per-label centroid
+    * with a >2×-label-mean outlier flag. CERTIFIED (unlike the ANN family)
+    * because both the centroid and the distance live on fixed-point
+    * integer grids — order-free exact sums both engines reproduce, with
+    * only deterministic per-component IEEE math in between. */
+  val qX8CentroidOutliers = Q(
+    "q_x8_centroid_outliers",
+    """WITH e AS (SELECT vec_id, label,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |x AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+      |cent AS (SELECT label, i,
+      |           sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS s,
+      |           CAST(count(*) AS BIGINT) AS n
+      |         FROM x GROUP BY 1, 2),
+      |carr AS (SELECT label,
+      |           list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
+      |         FROM cent GROUP BY 1),
+      |d AS (SELECT e.vec_id, e.label,
+      |        CAST(list_sum(list_transform(range(1, len(v) + 1),
+      |          i -> CAST(round((v[i] - cv[i]) * (v[i] - cv[i])
+      |                          * 1000000000) AS BIGINT)))
+      |             AS BIGINT) AS d2q
+      |      FROM e JOIN carr ON e.label = carr.label),
+      |m AS (SELECT label, CAST(sum(d2q) AS BIGINT) AS sum_d2q,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1)
+      |SELECT d.vec_id, d.label, d.d2q,
+      |       CAST(m.sum_d2q AS DOUBLE) / m.n AS label_mean_d2q,
+      |       CAST(d.d2q AS DOUBLE) >
+      |         2.0 * (CAST(m.sum_d2q AS DOUBLE) / m.n) AS is_outlier
+      |FROM d JOIN m ON d.label = m.label""".stripMargin) { (s, d) =>
+    Similarity.centroidOutliers(embeddings(s, d),
+      "vec_id", "embedding", "label", multiple = 2.0)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
-      qX6RandomProjection, qX7PqTopK)
+      qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers)
 }

@@ -905,6 +905,47 @@ object Text {
         sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
   }
 
+  /** Per-source document cap (the per-domain cap of crawl curation):
+    * keep the 15 hash-smallest documents per source. The operator ranks
+    * in two exact salted levels so no window partition is ever
+    * domain-sized; the oracle certifies it against the naive
+    * single-window form the decomposition provably equals. */
+  val qT30SourceCap = Q(
+    "q_t30_source_cap",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank
+      |FROM r WHERE rn <= 15""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.capPerKey(documents(s, d),
+      "doc_id", "source", cap = 15)
+  }
+
+  /** Token-length histogram with per-bucket padding waste — the
+    * feasibility report behind length-bucketed batching. All integer
+    * arithmetic except the final exact-int division. */
+  val qT31LengthBuckets = Q(
+    "q_t31_length_buckets",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (SELECT CAST(floor(n / 16.0) AS BIGINT) AS bucket, n FROM t),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |             CAST(max(n) AS BIGINT) AS max_tokens
+      |      FROM b GROUP BY 1)
+      |SELECT bucket, n_docs, sum_tokens, max_tokens,
+      |       1.0 - CAST(sum_tokens AS DOUBLE) /
+      |             CAST(n_docs * max_tokens AS DOUBLE) AS padding_frac
+      |FROM g""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.lengthBuckets(documents(s, d),
+      "doc_id", "text", width = 16)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -912,5 +953,6 @@ object Text {
       qT16Classifier, qT17Pipeline, qT18Wordpiece, qT19MixtureEpochs,
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
-      qT28DecontamBloom, qT29Temperature)
+      qT28DecontamBloom, qT29Temperature, qT30SourceCap,
+      qT31LengthBuckets)
 }
