@@ -60,6 +60,14 @@ object Curation {
     * a pure Column conjunction folded into the final filter stage, so it
     * adds no pass and no shuffle. Custom thresholds: screen with
     * [[TextAnalysis.gopherRules]] around the pipeline instead. */
+  /** `maxPerSource = Some((srcCol, cap))` prepends the per-domain cap
+    * ([[TextAnalysis.capPerKey]], certified standalone as q_t30): at most
+    * `cap` documents per `srcCol` value ENTER the pipeline, chosen by the
+    * deterministic id hash. A corpus-definition stage, so it runs first —
+    * every downstream verdict set (dedup pairs, LM scores, span
+    * verdicts) is computed on the capped corpus, and the cap rank needs
+    * only an (id, src) projection, never a re-run of the heavy stages.
+    * The funnel's first count already reflects it. */
   final case class Config(
       repetitionDropAt: Double = 0.05,
       nearDupThreshold: Double = 0.8,
@@ -69,7 +77,8 @@ object Curation {
       decontamMinContainment: Double = 0.8,
       decontamNgram: Int = 3,
       lmXentMax: Option[Double] = None,
-      gopherScreen: Boolean = false)
+      gopherScreen: Boolean = false,
+      maxPerSource: Option[(String, Int)] = None)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -103,16 +112,25 @@ object Curation {
       docs: DataFrame, id: String, text: String,
       cfg: Config = Config(),
       probes: Option[DataFrame] = None): Result = {
-    val keepRep = repetitionScreen(docs, id, text, cfg.repetitionDropAt)
+    // per-domain cap first: redefines the corpus every verdict set sees
+    val docs0 = cfg.maxPerSource match {
+      case Some((srcCol, cap)) =>
+        docs.join(
+          TextAnalysis.capPerKey(docs.select(col(id), col(srcCol)),
+            id, srcCol, cap).select(col(id)),
+          Seq(id))
+      case None => docs
+    }
+    val keepRep = repetitionScreen(docs0, id, text, cfg.repetitionDropAt)
       .filter(col("verdict") === "keep").select(col("doc_id").as(id))
     val losers = Dedup
-      .minHashLshPairs(docs, id, text, cfg.nearDupThreshold)
+      .minHashLshPairs(docs0, id, text, cfg.nearDupThreshold)
       .select(col("doc_b").as(id)).distinct()
     // contaminated ids, decided on the FULL corpus like every verdict set
     val contaminated = probes.map { p =>
       // one frame, probes tagged by a column: reuses the single-operator
       // screen (probe side broadcast, corpus side streamed)
-      val tagged = docs.select(col(id), col(text), lit(false).as("__probe"))
+      val tagged = docs0.select(col(id), col(text), lit(false).as("__probe"))
         .unionByName(
           p.select(col(id), col(text), lit(true).as("__probe")))
       Decontaminate.contamination(tagged, id, text,
@@ -128,10 +146,10 @@ object Curation {
     // verdicts, like dedup losers, must not depend on screen thresholds
     val withEmitText = cfg.spanCutMinDocs match {
       case Some(k) =>
-        val cut = Dedup.cutDuplicatedSpans(docs, id, text, k)
+        val cut = Dedup.cutDuplicatedSpans(docs0, id, text, k)
           .select(col("doc_id").as(id), col("clean_text").as("__emit"))
-        docs.join(cut, Seq(id))
-      case None => docs.withColumn("__emit", col(text))
+        docs0.join(cut, Seq(id))
+      case None => docs0.withColumn("__emit", col(text))
     }
     val afterDedupDf = withEmitText
       .join(keepRep, Seq(id))
@@ -144,7 +162,7 @@ object Curation {
     // LM screen (optional): scored on the FULL corpus like every verdict
     // set; fluent ids survive the inner join, unscoreable ones drop
     val lmKeep = cfg.lmXentMax.map { cap =>
-      lmScore(docs, id, text, minCount = 2)
+      lmScore(docs0, id, text, minCount = 2)
         .filter(col("xent") <= cap).select(col(id))
     }
     val out = lmKeep.fold(afterDecontamDf)(k => afterDecontamDf.join(k, Seq(id)))

@@ -200,6 +200,92 @@ object Multimodal {
       fp
     }
 
+  /** Per-file audio curation stats off the decoded 16-bit PCM samples:
+    * RMS and peak amplitude (raw sample units), the fraction of samples
+    * under `silenceFraction` of full scale, and the count of
+    * sign-change zero crossings — the screens an audio-corpus pipeline
+    * drops silent, clipped, or tonal files with. Channels are pooled
+    * (interleaved samples treated as one stream). None when the payload
+    * is not decodable 16-bit PCM.
+    *
+    * All four stats are exact integer/rational reductions of the decoded
+    * samples: sum-of-squares and counts are integral, so for a corpus
+    * whose expected values have a closed form (q_m17's square waves:
+    * RMS = peak = the amplitude, exactly) the result is
+    * hash-certifiable. */
+  def audioStats(bytes: Array[Byte], silenceFraction: Double = 0.01)
+      : Option[(Double, Int, Double, Long)] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case scala.util.control.NonFatal(_) => null
+      }
+    if (ais == null) None
+    else {
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && ais.getFrameLength > 0
+        if (!ok) None
+        else {
+          val raw = ais.readAllBytes()
+          val nSamples = raw.length / 2
+          if (nSamples == 0) None
+          else {
+            val silenceFloor = (silenceFraction * 32768.0).toInt
+            var sumSq = 0.0
+            var peak = 0
+            var nSilent = 0L
+            var nCross = 0L
+            var prev = 0
+            var i = 0
+            while (i < nSamples) {
+              val lo = raw(2 * i) & 0xFF
+              val hi = raw(2 * i + 1) & 0xFF
+              val s =
+                if (fmt.isBigEndian) ((raw(2 * i) << 8) | hi).toShort.toInt
+                else ((raw(2 * i + 1) << 8) | lo).toShort.toInt
+              sumSq += s.toDouble * s.toDouble
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              if (a < silenceFloor) nSilent += 1
+              if (i > 0 && prev.toLong * s < 0) nCross += 1
+              prev = s
+              i += 1
+            }
+            Some((math.sqrt(sumSq / nSamples), peak,
+              nSilent.toDouble / nSamples, nCross))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** [[audioStats]] over a media table — the same narrow-map shape as
+    * [[extractFeatures]] (undecodable payloads drop).
+    *
+    * @return media_id, rms, peak, silence_ratio, zero_crossings */
+  def audioStatsOf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          audioStats(bytes).map { case (rms, peak, sil, zc) =>
+            (mid, rms, peak, sil, zc)
+          }
+        }
+      }
+      .toDF("media_id", "rms", "peak", "silence_ratio", "zero_crossings")
+  }
+
   /** 64-bit video fingerprint: the perceptual dHash of the FIRST decoded
     * frame (Y4M path), read straight off the YUV→RGB decode — no PNG
     * encode+decode in the loop. Re-muxed or re-described copies of the
@@ -212,6 +298,60 @@ object Multimodal {
       if (!it.hasNext) None
       else dHashOfImage(VideoCodec.frameImageAtOffset(bytes, m, it.next()))
     }
+
+  /** Scene-change detection over decoded Y4M video: for every
+    * consecutive frame pair, the mean absolute luma difference over the
+    * Y plane, with a cut verdict above `threshold` (0–255 scale; hard
+    * cuts in real footage sit far above 32, gradual motion far below).
+    * The shot-boundary primitive a video-curation pipeline segments
+    * clips with before per-shot sampling or dedup.
+    *
+    * Narrow map straight over the frame offset table (no RGB conversion,
+    * no PNG round-trip — the diff reads raw Y bytes). The per-pair stat
+    * is an exact integer sum divided by the plane size, so expected
+    * values on constructed clips are closed-form (SceneSpec plants a
+    * two-scene clip and recovers exactly its one cut).
+    *
+    * @return media_id, frame_idx (the LATER frame), mean_abs_diff, is_cut */
+  def videoSceneChanges(
+      media: DataFrame, threshold: Double = 32.0): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          VideoCodec.parseHeader(bytes).iterator.flatMap { m =>
+            val offs = VideoCodec.frameDataOffsets(bytes, m)
+            var prevOff = -1
+            var idx = 0
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Double, Boolean)]
+            while (offs.hasNext) {
+              val off = offs.next()
+              if (prevOff >= 0) {
+                var s = 0L
+                var i = 0
+                while (i < m.ySize) {
+                  s += math.abs((bytes(off + i) & 0xFF) -
+                    (bytes(prevOff + i) & 0xFF))
+                  i += 1
+                }
+                val mean = s.toDouble / m.ySize
+                out += ((mid, idx, mean, mean >= threshold))
+              }
+              prevOff = off
+              idx += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "mean_abs_diff", "is_cut")
+  }
 
   /** One fingerprint table across modalities: (media_id, kind, fp) where
     * fp is [[imageDHash]] / [[audioFingerprint]] / [[videoDHash]] by kind

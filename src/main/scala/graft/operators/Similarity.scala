@@ -968,6 +968,197 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
 
+  /** A prebuilt, reusable IVF-PQ index — the canonical billion-scale ANN
+    * layout (coarse quantizer prunes which codes are even read; PQ codes
+    * make what is read 8 B/row): the normed corpus, its PQ-coded
+    * inverted-list rows, the coarse centroids, and the PQ codebooks.
+    * Same build-daily / query-per-batch lifecycle as the LSH / IVF / PQ
+    * indexes. */
+  final case class IvfPqIndex(
+      corpus: DataFrame, codedLists: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Build a reusable [[IvfPqIndex]]: coarse quantizer and codebooks
+    * trained once (both from the bounded deterministic sample), coded
+    * list rows born narrow — each corpus vector is PQ-encoded inline in
+    * its [[IvfAssign]] inverted-list rows (re-encoding the ≤2 copies
+    * beats a corpus-wide join on vec_id). */
+  def ivfPqIndexBuild(
+      emb: DataFrame, id: String, vec: String,
+      m: Int = PqSubspaces, k: Int = PqCodebook): IvfPqIndex = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n)
+    val books = pqCodebooks(n, m, k)
+    val sub = books(0)(0).length
+    val in = ivfListRows(n, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+    val schema = StructType(Seq(
+      in.schema("vec_id"),
+      StructField("code", BinaryType, nullable = false),
+      in.schema("list_id")))
+    val rows = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
+        val code = new Array[Byte](books.length)
+        var mi = 0
+        while (mi < books.length) {
+          code(mi) = PqMath.nearest(u, mi * sub, books(mi)).toByte
+          mi += 1
+        }
+        Row(r.get(0), code, r.get(3))
+      }
+    }
+    IvfPqIndex(n,
+      n.sparkSession.createDataFrame(rows, schema).localCheckpoint(),
+      cents, books)
+  }
+
+  /** One-shot IVF-PQ top-k (index consumed exactly once). */
+  def ivfPqTopK(
+      emb: DataFrame, id: String, vec: String,
+      queryPred: Column, k: Int): DataFrame =
+    ivfPqTopK(ivfPqIndexBuild(emb, id, vec), queryPred, k)
+
+  /** Approximate top-k against a prebuilt [[IvfPqIndex]]: the
+    * [[pqTopK]] ADC-shortlist-rerank kernel, except each scan task skips
+    * every code row whose inverted list none of its queries probed — at
+    * [[IvfProbes]]/[[IvfLists]] default geometry the scan reads ~3/8 of
+    * the coded rows, and the read rows are 8 B codes, not vectors. Both
+    * approximation sources compose: coarse pruning can drop a true
+    * neighbor from the probed lists AND quantization can evict one from
+    * the shortlist → rows-only certification; RecallSpec pins the
+    * composed floor. */
+  def ivfPqTopK(
+      index: IvfPqIndex, queryPred: Column, k: Int,
+      rerank: Int = PqRerank, probes: Int = IvfProbes): DataFrame =
+    ivfPqTopKFrom(index, index.corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = true, k, rerank, probes)
+
+  /** EXTERNAL-query overload of [[ivfPqTopK]] — same contract as the
+    * LSH/IVF/PQ twins: new vectors probe the prebuilt coded lists, no
+    * self-exclusion. */
+  def ivfPqTopK(
+      index: IvfPqIndex, queries: DataFrame, id: String, vec: String,
+      k: Int, rerank: Int, probes: Int): DataFrame =
+    ivfPqTopKFrom(index, normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), excludeSelf = false, k, rerank, probes)
+
+  private def ivfPqTopKFrom(
+      index: IvfPqIndex, qFrame: DataFrame, excludeSelf: Boolean,
+      k: Int, rerank: Int, probes: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    require(k >= 1, s"bad k: $k")
+    require(rerank >= 1, s"bad rerank: $rerank")
+    val cents = index.centroids
+    require(probes >= 1 && probes <= cents.length,
+      s"probes must be in [1, ${cents.length}]: $probes")
+    val books = index.codebooks
+    val m = books.length
+    val sub = books(0)(0).length
+    val queries: Array[(Any, Array[Double], Array[Boolean])] = qFrame
+      .collect()
+      .map { r =>
+        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
+        // driver-side probe selection mirrors topLists: score desc, then
+        // lowest list id (norm scales every score equally — argmax-safe)
+        val scored = cents.indices.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < u.length) { s += u(i) * cents(c)(i); i += 1 }
+          (-s, c)
+        }.sorted.take(probes).map(_._2)
+        val mask = new Array[Boolean](cents.length)
+        scored.foreach(mask(_) = true)
+        (r.get(0), u, mask)
+      }
+    require(queries.length <= 1024,
+      s"ivfPqTopK holds one ADC lookup table per query per task: " +
+        s"${queries.length} queries exceeds 1024. Batch the query set.")
+    val shortlist = k * rerank
+    val schema = StructType(Seq(
+      qFrame.schema("q_id").copy(name = "q_id"),
+      index.codedLists.schema("vec_id").copy(name = "cand_id"),
+      StructField("adist", DoubleType, nullable = false)))
+    val rows = index.codedLists.rdd.mapPartitions { it =>
+      val luts: Array[Array[Array[Double]]] = queries.map { case (_, u, _) =>
+        Array.tabulate(m) { mi =>
+          val cs = books(mi)
+          Array.tabulate(cs.length) { c =>
+            var d = 0.0
+            var i = 0
+            while (i < sub) {
+              val t = u(mi * sub + i) - cs(c)(i); d += t * t; i += 1
+            }
+            d
+          }
+        }
+      }
+      implicit val ord: Ordering[(Double, Array[Byte])] =
+        new Ordering[(Double, Array[Byte])] {
+          def compare(x: (Double, Array[Byte]),
+              y: (Double, Array[Byte])): Int = {
+            val c = java.lang.Double.compare(x._1, y._1)
+            if (c != 0) c else java.util.Arrays.compareUnsigned(x._2, y._2)
+          }
+        }
+      val heaps = Array.fill(queries.length)(
+        scala.collection.mutable.PriorityQueue
+          .empty[((Double, Array[Byte]), Any)](Ordering.by(_._1)))
+      it.foreach { r =>
+        val id = r.get(0)
+        val code = r.getAs[Array[Byte]](1)
+        val listId = r.getInt(2)
+        val idBytes = PqMath.utf8(id)
+        var q = 0
+        while (q < queries.length) {
+          if (queries(q)._3(listId) &&
+              (!excludeSelf || queries(q)._1 != id)) {
+            var d = 0.0
+            var mi = 0
+            while (mi < m) { d += luts(q)(mi)(code(mi) & 0xff); mi += 1 }
+            val h = heaps(q)
+            h.enqueue(((d, idBytes), id))
+            if (h.size > shortlist) { h.dequeue(); () } // drop worst
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case ((d, _), id) => Row(queries(q)._1, id, d) }
+      }
+    }
+    val spark = index.corpus.sparkSession
+    // a vector soft-assigned to two probed lists scores twice with the
+    // SAME adist — dedup before ranking so it cannot hold two shortlist
+    // slots (the IVF path's candidates-distinct, one stage later)
+    val part = spark.createDataFrame(rows, schema).distinct()
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("cand_id").cast("string"))
+    val short = part
+      .withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= shortlist)
+      .select(col("q_id").as("query_id"), col("cand_id"))
+    val scored = short
+      .join(broadcast(qFrame.select(col("q_id").as("query_id"),
+        col("qv"), col("qnrm"))), Seq("query_id"))
+      .join(index.corpus.select(col("vec_id").as("cand_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+  }
+
   /** Per-label centroid distance with an outlier verdict: each vector's
     * squared L2 distance to its label's centroid, flagged when it exceeds
     * `multiple ×` the label's mean — the standard embedding-quality screen

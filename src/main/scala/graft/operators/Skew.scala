@@ -28,4 +28,43 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("pc")).cast("long").as("cnt"), sum(col("ps")).as("sum_v"))
   }
+
+  /** Exact top-k rows per group without a group-sized sort partition:
+    * the salted two-level rank ([[TextAnalysis.capPerKey]]'s shape,
+    * generalized to any ordering). Level 1 ranks within
+    * (group, salt-of-row) partitions — each ~n_group/`salts` rows — and
+    * keeps k per salt; level 2 ranks the ≤ k·`salts` survivors. The
+    * global top-k of a group is a subset of its per-salt top-ks, so the
+    * result EXACTLY equals the naive `row_number() OVER (PARTITION BY
+    * group ORDER BY …) <= k` — which is what the certified oracle
+    * (q_o2) computes — while the biggest partition anyone sorts is
+    * max(n_group/salts, k·salts) rows instead of n_group.
+    *
+    * `order` must be a TOTAL order per group (append a unique id as the
+    * last sort key); a tie crossing a salt boundary could otherwise pick
+    * either row. `saltSource` must be deterministic per row.
+    *
+    * @return the input columns plus `rank` (1..k per group) */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int,
+      saltSource: Column, salts: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    require(groupCols.nonEmpty && order.nonEmpty, "need group and order")
+    import org.apache.spark.sql.expressions.Window
+    val inCols = df.columns.toSeq
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(salts.toLong)))
+    val pruned = salted
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+          .orderBy(order: _*)))
+      .where(col("__r1") <= k)
+    pruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select((inCols.map(col) :+ col("rank")): _*)
+  }
 }

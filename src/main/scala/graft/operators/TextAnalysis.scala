@@ -1114,6 +1114,103 @@ object TextAnalysis {
           .orderBy(col("shuffle_key"), col(id))).cast("long"))
   }
 
+  /** Character symbols of a word for BPE: one symbol per character plus
+    * the end-of-word marker (Sennrich et al., ACL'16). */
+  private[graft] def bpeSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { out(i) = w.charAt(i).toString; i += 1 }
+    out(w.length) = "</w>"
+    out
+  }
+
+  /** Apply a merge list in rank order: each (l, r) rewrites every
+    * adjacent l,r symbol pair to the single symbol l+r, left-to-right
+    * (so overlapping candidates resolve leftmost-first, the reference
+    * BPE behavior). */
+  private[graft] def bpeApplyMerges(
+      syms: Array[String], merges: Seq[(String, String)]): Array[String] = {
+    var cur = syms
+    merges.foreach { case (l, r) =>
+      if (cur.length >= 2) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == l && cur(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.result()
+      }
+    }
+    cur
+  }
+
+  /** Train a byte-pair-encoding merge list ON the corpus: the standard
+    * subword-vocabulary derivation (Sennrich et al., ACL'16) — start from
+    * characters, repeatedly merge the most frequent adjacent symbol pair.
+    * Fully deterministic: ties break lexicographically on (left, right),
+    * so reruns and partitionings produce the identical merge list.
+    *
+    * Scale shape: training runs on the distinct-WORD frequency table
+    * (Heaps'-law sublinear in the corpus — the one corpus-sized pass is
+    * the initial word count), materialized once with `localCheckpoint`.
+    * Each of the `nMerges` iterations is one distributed pass over that
+    * word table — segment with the merges so far (a narrow map), explode
+    * adjacent pairs, hash-aggregate weighted counts, and bring exactly
+    * ONE row (the argmax) to the driver. The driver accumulates only the
+    * merge list itself — a bounded model artifact like the k-means
+    * quantizer sample, never corpus data. Segmentation is imperative
+    * per-word logic (a data-dependent rewrite loop no Catalyst expression
+    * expresses), so it runs as a deterministic Scala UDF over the
+    * words-sized table — not the corpus.
+    *
+    * @param minPairCount stop early once the best pair drops below this
+    * @return merges in rank order: (left, right, weighted pair count) */
+  def deriveBpeMerges(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      nMerges: Int, minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 65536, s"bad nMerges: $nMerges")
+    require(minPairCount >= 1, s"bad minPairCount: $minPairCount")
+    val words = docs
+      .select(explode(tokens(col(text))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val sofar = merges.map(m => (m._1, m._2)).toSeq
+      val pairsOf = udf { (w: String) =>
+        val s = bpeApplyMerges(bpeSymbols(w), sofar)
+        (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+      }
+      val best = words
+        .select(explode(pairsOf(col("w"))).as("p"), col("f"))
+        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else merges += ((best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2)))
+    }
+    merges.toSeq
+  }
+
+  /** BPE segmentation of a text column under a trained merge list: each
+    * whitespace token split to its merged subword symbols (end-of-word
+    * marker included). Deterministic UDF — the merge list rides the
+    * closure as a broadcast-sized model artifact. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val seg = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else t.split(" ").filter(_.nonEmpty)
+        .flatMap(w => bpeApplyMerges(bpeSymbols(w), merges))
+    }
+    seg(text)
+  }
+
   /** Per-key document cap: keep at most `cap` documents per key (the
     * per-domain cap every crawl-curation recipe applies so no single
     * domain dominates the training mix), chosen DETERMINISTICALLY — the

@@ -469,6 +469,28 @@ object Core {
         count(lit(1)).as("cnt"))
   }
 
+  /** Exact top-k per group via the salted two-level rank
+    * ([[graft.operators.Skew.topKPerGroup]]) — no group-sized sort
+    * partition ever exists, yet the oracle certifies equality with the
+    * naive single-window form. */
+  val qO2TopKPerGroup = Q(
+    "q_o2_topk_per_group",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |       CAST(rn AS BIGINT) AS rank
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    graft.operators.Skew.topKPerGroup(
+      orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")),
+      groupCols = Seq("o_orderpriority"),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+      k = 5, saltSource = col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     qA7ShippingPriority, qA8LocalSupplier,
     qS1Scan, qS3RoundTrip, qS5Ctas, qS6ToJson,
@@ -477,5 +499,5 @@ object Core {
     qA1Pricing, qA2AggSuite,
     qF2Substring, qF4DateParts,
     qW1RowNumber, qW2Running,
-    qO1TopK)
+    qO1TopK, qO2TopKPerGroup)
 }

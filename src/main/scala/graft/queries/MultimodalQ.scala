@@ -336,9 +336,72 @@ object MultimodalQ {
     dims(5L, "gif").unionByName(dims(6L, "bmp"))
   }
 
+  /** REAL audio stats, hash-certified: the synthetic corpus is square
+    * waves (every sample ±amp), so a correct decoder must recover
+    * RMS = peak = amp EXACTLY (the sum of squares is amp²·n, integral),
+    * zero silence, and one sign change per 100-sample half-period —
+    * all closed forms in the id that the oracle states directly. The
+    * curation screens for silent/clipped/tonal audio ride this decode. */
+  val qM17AudioStats = Q(
+    "q_m17_audio_stats",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(1000 + (doc_id % 7) * 4000 AS DOUBLE) AS rms,
+      |       CAST(1000 + (doc_id % 7) * 4000 AS INT) AS peak,
+      |       CAST(0.0 AS DOUBLE) AS silence_ratio,
+      |       CAST((800 + (doc_id % 32) * 80 - 1) // 100 AS BIGINT)
+      |         AS zero_crossings
+      |FROM documents WHERE doc_id % 8 = 1""".stripMargin) { (s, d) =>
+    Multimodal.audioStatsOf(
+      Multimodal.syntheticAudio(
+        documents(s, d).filter(col("doc_id") % 8 === 1), "doc_id"))
+  }
+
+  /** REAL scene-change detection, hash-certified: the synthetic Y4M luma
+    * is `16 + ((id·31 + f·8 + x·4 + y·2) mod 220)`, so the per-pixel
+    * frame-to-frame difference is exactly 8 — except at the mod-220
+    * wraparound, where it is 212. The oracle re-enumerates every
+    * (frame, x, y) and restates the mean absolute difference in closed
+    * form; threshold 15 sits inside the observed spread so both verdict
+    * branches are exercised. SceneSpec separately plants a two-scene
+    * clip and recovers exactly its one hard cut. */
+  val qM18SceneChanges = Q(
+    "q_m18_scene_changes",
+    """WITH t AS (SELECT doc_id AS mid,
+      |                  8 + (doc_id % 8) * 2 AS w,
+      |                  8 + (doc_id % 6) * 2 AS h,
+      |                  4 + doc_id % 16 AS frames
+      |           FROM documents WHERE doc_id % 8 = 2),
+      |f AS (SELECT mid, w, h,
+      |             unnest(generate_series(1, frames - 1)) AS fi
+      |      FROM t),
+      |x AS (SELECT mid, w, h, fi,
+      |             unnest(generate_series(0, w - 1)) AS xi
+      |      FROM f),
+      |y AS (SELECT mid, w, h, fi, xi,
+      |             unnest(generate_series(0, h - 1)) AS yi
+      |      FROM x),
+      |d AS (SELECT mid, fi, w, h,
+      |             CASE WHEN (mid * 31 + (fi - 1) * 8 + xi * 4 + yi * 2)
+      |                       % 220 >= 212
+      |                  THEN 212 ELSE 8 END AS ad
+      |      FROM y),
+      |g AS (SELECT mid, fi, CAST(sum(ad) AS BIGINT) AS s,
+      |             max(w * h) AS ysize
+      |      FROM d GROUP BY 1, 2)
+      |SELECT CAST(mid AS BIGINT) AS media_id, CAST(fi AS INT) AS frame_idx,
+      |       CAST(s AS DOUBLE) / ysize AS mean_abs_diff,
+      |       CAST(s AS DOUBLE) / ysize >= 15.0 AS is_cut
+      |FROM g""".stripMargin) { (s, d) =>
+    Multimodal.videoSceneChanges(
+      Multimodal.syntheticVideos(
+        documents(s, d).filter(col("doc_id") % 8 === 2), "doc_id"),
+      threshold = 15.0)
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
-      qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp)
+      qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
+      qM17AudioStats, qM18SceneChanges)
 }

@@ -111,7 +111,17 @@ object SimilarityQ {
       "vec_id", "embedding", "label", multiple = 2.0)
   }
 
+  /** IVF-PQ: coarse-quantizer pruning over PQ codes with exact re-rank —
+    * the canonical billion-scale ANN composition (only probed lists are
+    * read, and what is read is 8 B codes). Rows-only: both approximation
+    * sources compose; RecallSpec pins the floor and one-shot/index
+    * equality. */
+  val qX9IvfPqTopK = Q.rowsOnly("q_x9_ann_ivfpq") { (s, d) =>
+    Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
-      qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers)
+      qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK)
 }

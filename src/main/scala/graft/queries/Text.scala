@@ -946,6 +946,20 @@ object Text {
       "doc_id", "text", width = 16)
   }
 
+  /** BPE merge training on the corpus (Sennrich et al.): 40 merges in
+    * rank order. Rows-only — each merge is the argmax of an iterative
+    * distributed count, not SQL-expressible; BpeSpec differential-tests
+    * the full list against an independent plain-Scala trainer and pins
+    * segmentation character conservation. */
+  val qT32BpeMerges = Q.rowsOnly("q_t32_bpe_merges") { (s, d) =>
+    import s.implicits._
+    graft.operators.TextAnalysis
+      .deriveBpeMerges(documents(s, d), "doc_id", "text", nMerges = 40)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -954,5 +968,5 @@ object Text {
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
-      qT31LengthBuckets)
+      qT31LengthBuckets, qT32BpeMerges)
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSpark.spark
+import graft.operators.TextAnalysis
+
+/** BPE merge training: differential-tested against an independent
+  * in-memory trainer (Map-based pair counting, no Spark), plus the
+  * character-conservation property of segmentation.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  /** Independent reference BPE trainer: same semantics (character
+    * symbols + end-of-word marker, weighted adjacent-pair counts over
+    * the distinct-word frequency table, (count desc, left asc, right
+    * asc) argmax, leftmost-first merge application), implemented with
+    * plain collections — shares no code with the operator under test
+    * except the tie-break contract. */
+  private def referenceBpe(
+      corpus: Seq[String], nMerges: Int,
+      minPairCount: Long): Seq[(String, String, Long)] = {
+    val wordFreq = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    def segment(w: String, merges: Seq[(String, String)]): Vector[String] = {
+      var cur = (w.map(_.toString) :+ "</w>").toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == l && cur(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.result()
+      }
+      cur
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      wordFreq.foreach { case (w, f) =>
+        val s = segment(w, merges.map(m => (m._1, m._2)).toSeq)
+        (0 until s.length - 1).foreach { i =>
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (bp, bc) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        if (bc < minPairCount) done = true
+        else merges += ((bp._1, bp._2, bc))
+      }
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox was quick and the dog was lazy",
+    "a quick test of the quick merge loop over the test corpus",
+    "low lower lowest newer newest wider widest the the the")
+
+  private def corpusDf = {
+    import spark.implicits._
+    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("distributed BPE training matches the independent reference trainer") {
+    val got = TextAnalysis.deriveBpeMerges(corpusDf, "doc_id", "text",
+      nMerges = 30, minPairCount = 2L)
+    val want = referenceBpe(corpus, nMerges = 30, minPairCount = 2L)
+    assert(got == want)
+    assert(got.nonEmpty && got.size <= 30)
+    // counts are non-increasing only per unchanged pair space in general,
+    // but every recorded merge must have met the floor
+    assert(got.forall(_._3 >= 2L))
+  }
+
+  test("BPE training is deterministic across reruns and repartitioning") {
+    val a = TextAnalysis.deriveBpeMerges(corpusDf, "doc_id", "text", 12)
+    val b = TextAnalysis.deriveBpeMerges(corpusDf.repartition(7),
+      "doc_id", "text", 12)
+    assert(a == b)
+  }
+
+  test("segmentation conserves characters and terminates every word") {
+    val merges = TextAnalysis.deriveBpeMerges(corpusDf, "doc_id", "text", 20)
+      .map(m => (m._1, m._2))
+    val seg = corpusDf.select(col("doc_id"),
+      TextAnalysis.bpeTokens(col("text"), merges).as("pieces"),
+      col("text"))
+    seg.collect().foreach { r =>
+      val pieces = r.getSeq[String](1)
+      val text = r.getString(2)
+      val words = text.split(" ").filter(_.nonEmpty)
+      // stripping markers and concatenating recovers the original chars
+      assert(pieces.mkString("").replace("</w>", "") == words.mkString(""))
+      // exactly one end-of-word marker per word
+      assert(pieces.count(_.endsWith("</w>")) == words.length)
+    }
+  }
+
+  test("the registry query emits ranked merges") {
+    val df = graft.queries.Text.qT32BpeMerges.fn(spark, GraftSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+  }
+}

@@ -1392,6 +1392,28 @@ class NorthStarSpec extends AnyFunSuite {
       "span cut was a no-op on a corpus with known duplicated spans")
   }
 
+  test("curation per-source cap redefines the corpus the pipeline sees") {
+    import graft.operators.{Curation, TextAnalysis}
+    import spark.implicits._
+    val capped = Curation.pipeline(docs, "doc_id", "text",
+      Curation.Config(maxPerSource = Some(("source", 3))))
+    // independent recount: pipeline-on-capped-survivors must be identical
+    val kept = TextAnalysis.capPerKey(
+      docs.select(col("doc_id"), col("source")), "doc_id", "source", 3)
+      .select("doc_id")
+    val expected = Curation.pipeline(docs.join(kept, "doc_id"),
+      "doc_id", "text")
+    val got = capped.df.select("doc_id").as[Long].collect().toSet
+    val want = expected.df.select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"cap stage diverged: ${(got -- want).take(3)}")
+    // the cap genuinely bites and survivors respect it per source
+    val bySource = docs.join(capped.df.select("doc_id"), "doc_id")
+      .groupBy("source").count().collect()
+    assert(bySource.forall(_.getLong(1) <= 3))
+    assert(capped.stageRows.head._2 <= 3L * 20,
+      s"funnel head exceeds cap x sources: ${capped.stageRows}")
+  }
+
   test("compaction collapses a fragmented directory, data intact") {
     import graft.operators.Layout
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec")

@@ -141,6 +141,27 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.85, f"PQ recall collapsed: $r%.3f")
   }
 
+  test("IVF-PQ top-k recall@5 on the sf0.1 embeddings") {
+    val approx = topSets(Similarity.ivfPqTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pred, K))
+    val r = recallAt5(approx)
+    println(f"ivfpq recall@5 = $r%.3f over ${exact.size} queries")
+    // coarse pruning (6/16 lists probed, 2x soft assign) composes with
+    // PQ quantization loss: the floor sits under the measured
+    // operating point but above any structural-regression regime
+    assert(r >= 0.60, f"IVF-PQ recall collapsed: $r%.3f")
+  }
+
+  test("prebuilt IVF-PQ index answers identically to the one-shot path") {
+    val emb = Tables.embeddings(spark, sf)
+    val oneShot = Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding")
+    val indexed = Similarity.ivfPqTopK(idx, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == oneShot, "IVF-PQ index path diverged from one-shot")
+  }
+
   test("prebuilt PQ index answers identically to the one-shot path") {
     val emb = Tables.embeddings(spark, sf)
     val oneShot = Similarity.pqTopK(emb, "vec_id", "embedding", pred, K)
