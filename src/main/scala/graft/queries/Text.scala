@@ -946,15 +946,17 @@ object Text {
       "doc_id", "text", width = 16)
   }
 
-  /** BPE merge training on the corpus (Sennrich et al.): 40 merges in
-    * rank order. Rows-only — each merge is the argmax of an iterative
-    * distributed count, not SQL-expressible; BpeSpec differential-tests
-    * the full list against an independent plain-Scala trainer and pins
-    * segmentation character conservation. */
+  /** BPE merge training on the corpus (Sennrich et al.): 16 merges in
+    * rank order (each merge costs one distributed pass + one argmax row
+    * to the driver, so the registered demo keeps the count small; the
+    * operator takes any n). Rows-only — iterative argmax is not
+    * SQL-expressible; BpeSpec differential-tests the full list against
+    * an independent plain-Scala trainer and pins segmentation character
+    * conservation. */
   val qT32BpeMerges = Q.rowsOnly("q_t32_bpe_merges") { (s, d) =>
     import s.implicits._
     graft.operators.TextAnalysis
-      .deriveBpeMerges(documents(s, d), "doc_id", "text", nMerges = 40)
+      .deriveBpeMerges(documents(s, d), "doc_id", "text", nMerges = 16)
       .zipWithIndex
       .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
       .toDF("rank", "left", "right", "pair_count")

@@ -29,6 +29,50 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear blowup: $t1 vs $t10")
   }
 
+  test("capPerKey equals the naive window on a 100k-row hot domain") {
+    import org.apache.spark.sql.expressions.Window
+    // one domain holds every row — the regime where the naive
+    // PARTITION BY source window becomes a single 100k-row sort task;
+    // the salted two-level rank must return the identical survivor set
+    val docs = spark.range(100000L)
+      .select(col("id").as("doc_id"), lit("hot").as("source"))
+    val got = graft.operators.TextAnalysis
+      .capPerKey(docs, "doc_id", "source", cap = 50)
+      .select("doc_id", "cap_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hkey = md5(concat(lit("cap"), col("doc_id").cast("string"))
+      .cast("binary"))
+    val naive = docs.withColumn("__k", hkey)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("__k"), col("doc_id"))))
+      .where(col("rn") <= 50)
+      .select(col("doc_id"), col("rn").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"salted decomposition diverged: ${
+      (got -- naive).take(3)} / ${(naive -- got).take(3)}")
+    assert(got.size == 50)
+  }
+
+  test("topKPerGroup equals the naive window under group skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of rows in one group, ties everywhere (value = id % 7) — the
+    // id tiebreak must keep the order total across salt boundaries
+    val docs = spark.range(20000L).select(col("id"),
+      when(col("id") % 10 < 9, "big").otherwise("small").as("grp"),
+      (col("id") % 7).as("v"))
+    val got = graft.operators.Skew.topKPerGroup(docs, Seq("grp"),
+      Seq(col("v").desc, col("id")), k = 8, saltSource = col("id"))
+      .select("grp", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v").desc, col("id"))))
+      .where(col("rn") <= 8)
+      .select(col("grp"), col("id"), col("rn").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"diverged: ${(got -- naive).take(3)}")
+    assert(got.size == 16)
+  }
+
   test("packShards packs a single giant group without a single-task sort") {
     import spark.implicits._
     // every row in ONE group: the old per-group window pulled the whole

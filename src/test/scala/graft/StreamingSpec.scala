@@ -666,6 +666,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("audio stats and scene detection compose unchanged onto a stream") {
+    import org.apache.spark.sql.functions._
+    // both are narrow typed maps over decoded payloads, so the identical
+    // calls must run on readStream input with bit-equal output
+    val docs = graft.Tables.documents(spark, GraftSpark.sf)
+    val audio = graft.operators.Multimodal
+      .syntheticAudio(docs.filter(col("doc_id") % 8 === 1).limit(8), "doc_id")
+    val video = graft.operators.Multimodal
+      .syntheticVideos(docs.filter(col("doc_id") % 8 === 2).limit(8), "doc_id")
+    val batchAudio = graft.operators.Multimodal.audioStatsOf(audio)
+      .collect().map(_.toString).toSet
+    val batchScenes = graft.operators.Multimodal.videoSceneChanges(video)
+      .collect().map(_.toString).toSet
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    val aDir = java.nio.file.Files.createTempDirectory("graft_stream_astat")
+    val vDir = java.nio.file.Files.createTempDirectory("graft_stream_scene")
+    audio.write.mode("overwrite").parquet(aDir.toString)
+    video.write.mode("overwrite").parquet(vDir.toString)
+    val qa = graft.operators.Multimodal.audioStatsOf(
+        spark.readStream.schema(schema).parquet(aDir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("astat_out").start()
+    val qv = graft.operators.Multimodal.videoSceneChanges(
+        spark.readStream.schema(schema).parquet(vDir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scene_out").start()
+    try {
+      qa.processAllAvailable()
+      qv.processAllAvailable()
+      val sa = spark.table("astat_out").collect().map(_.toString).toSet
+      val sv = spark.table("scene_out").collect().map(_.toString).toSet
+      assert(sa == batchAudio, s"stream audio stats diverged: $sa")
+      assert(sv == batchScenes,
+        s"stream scenes diverged: missing ${batchScenes -- sv}")
+      assert(sa.size == 8 && sv.nonEmpty)
+    } finally { qa.stop(); qv.stop() }
+  }
+
   test("streaming FHIR bundle pivot + flatten runs on the ADT feed") {
     val adtDir = getClass.getResource("/adt").getPath
     val bundles = Streams.readBundleStream(spark, adtDir)
