@@ -163,6 +163,18 @@ object GraftFunctions {
       SimHashSketch(exprs.head).toAggregateExpression()),
     "graft_minhash_row" -> (exprs =>
       MinHashRow(exprs.head, permA, permB, HashPrime)),
+    "graft_freq" -> (exprs => {
+      require(exprs(1).foldable,
+        "graft_freq(item, capacity): capacity must be an integer literal")
+      val cap = exprs(1).eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.toInt
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_freq: capacity must be an integral literal, got $other")
+      }
+      FrequentItemsSketch(exprs.head, cap).toAggregateExpression()
+    }),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
     "graft_wordpiece" -> (exprs => {
       // args 1/2 must be foldable literals (the vocab array and maxPiece)
@@ -233,6 +245,15 @@ object GraftFunctions {
   def minHashRow(hashes: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_minhash_row", hashes)
+  }
+
+  /** Misra–Gries frequent-items summary aggregate (see
+    * [[FrequentItemsSketch]]): array<struct<item,cnt>> of at most
+    * `capacity` undercount estimates, heaviest first. */
+  def frequentItemsSketch(item: Column, capacity: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_freq", item,
+      org.apache.spark.sql.functions.lit(capacity))
   }
 
   /** Greedy longest-match subword pieces over a fixed vocab (see

@@ -142,3 +142,121 @@ case class SimHashSketch(
       newChildren: IndexedSeq[Expression]): SimHashSketch =
     copy(child = newChildren.head)
 }
+
+/** Mergeable Misra–Gries frequent-items summary over a string column:
+  * at most `capacity` counters, one-pass, with the classic deterministic
+  * guarantee that every item occurring more than N/(capacity+1) times IS
+  * in the summary and every estimate undercounts by at most
+  * N/(capacity+1). The bounded-memory answer to "top tokens" when the
+  * item cardinality is too large for an exact (token)-keyed aggregation
+  * — the summary is a few KB per partition regardless of input size, and
+  * partial merges (Agarwal et al., mergeable-summaries reduction:
+  * sum counts, subtract the (capacity+1)-th largest, drop non-positive)
+  * preserve the bound, so map-side combine does almost all the work.
+  *
+  * Estimates depend on encounter order (inherent to MG), so queries over
+  * it are rows-only; the guarantee itself is deterministic and
+  * spec-tested against exact counts.
+  */
+case class FrequentItemsSketch(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      scala.collection.mutable.HashMap[String, Long]] {
+
+  require(capacity >= 1 && capacity <= 65536,
+    s"capacity in [1, 65536]: $capacity")
+
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.get(s) match {
+        case Some(c) => buf(s) = c + 1
+        case None if buf.size < capacity => buf(s) = 1L
+        case None => // MG step: charge one to every counter
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          buf.foreach { case (k, c) =>
+            if (c == 1L) dead += k else buf(k) = c - 1
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everyone —
+      // the mergeable-summaries reduction that keeps the MG bound
+      val kth = a.values.toArray.sorted(Ordering.Long.reverse)(capacity)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      a.foreach { case (k, c) =>
+        if (c - kth <= 0L) dead += k else a(k) = c - kth
+      }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.toArray.sortBy { case (k, c) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, c) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(k), c))
+    })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toArray
+    val bytes = entries.map(_._1.getBytes("UTF-8"))
+    val bb = ByteBuffer.allocate(
+      4 + bytes.map(_.length + 12).sum)
+    bb.putInt(entries.length)
+    entries.zip(bytes).foreach { case ((_, c), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      buf(new String(kb, "UTF-8")) = bb.getLong()
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(offset: Int): FrequentItemsSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): FrequentItemsSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrequentItemsSketch =
+    copy(child = newChildren.head)
+}

@@ -58,6 +58,53 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** 2-D Hilbert index of the low `bits` bits of two non-negative
+    * integral columns — the locality-preserving alternative to
+    * [[zValue2]]: consecutive Hilbert values are always adjacent cells
+    * (Morton order jumps at power-of-two boundaries), so range-clustered
+    * files cover tighter (x, y) rectangles for the same file count.
+    *
+    * The classic per-bit fold (Wikipedia xy2d): at each scale s the
+    * quadrant bits (rx, ry) contribute `s²·((3rx) XOR ry)` and the
+    * remaining coordinates rotate — flip = XOR with the all-ones mask,
+    * then swap. The rotation makes each stage reference BOTH previous
+    * coordinates, so unlike the Morton chain this cannot be one Column
+    * tree (the swap doubles subtree references per stage — a 2¹⁶-node
+    * expression). It is therefore a DataFrame transform: each stage
+    * materializes (x, y, d) via `withColumns`, and every stage's outputs
+    * are attribute references — linear plan size, still
+    * whole-stage-codegen'd projections.
+    *
+    * @return `df` with `outCol` = the Hilbert distance (0 ≤ d < 4^bits) */
+  def withHilbert2(
+      df: DataFrame, xCol: String, yCol: String, outCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits in [1, 31]: $bits")
+    val mask = (1L << bits) - 1
+    var cur = df.withColumns(Map(
+      "__hx" -> col(xCol).cast("long").bitwiseAND(lit(mask)),
+      "__hy" -> col(yCol).cast("long").bitwiseAND(lit(mask)),
+      outCol -> lit(0L)))
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      val nd = col(outCol) +
+        lit(s) * lit(s) * (rx * lit(3L)).bitwiseXOR(ry)
+      val fx = col("__hx").bitwiseXOR(lit(mask))
+      val fy = col("__hy").bitwiseXOR(lit(mask))
+      val nx = when(ry === 0, when(rx === 1, fy).otherwise(col("__hy")))
+        .otherwise(col("__hx"))
+      val ny = when(ry === 0, when(rx === 1, fx).otherwise(col("__hx")))
+        .otherwise(col("__hy"))
+      cur = cur.withColumns(Map("__hx" -> nx, "__hy" -> ny, outCol -> nd))
+      s >>= 1
+    }
+    cur.drop("__hx", "__hy")
+  }
+
   /** Cluster `df` for writing: range-partition by the 2-D z-value of
     * (`xCol`, `yCol`), sort within partitions. Each output task then writes
     * one file covering a compact z-range = a small (x, y) square.

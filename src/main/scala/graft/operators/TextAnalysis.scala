@@ -289,18 +289,23 @@ object TextAnalysis {
   def packShards(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       groupCol: String, budgetTokens: Long,
-      counter: Column => Column = tokenCount): org.apache.spark.sql.DataFrame = {
+      counter: Column => Column = tokenCount,
+      orderCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     val spark = docs.sparkSession
     val prepped = docs
-      .select(col(id), col(groupCol),
+      .select((Seq(col(id), col(groupCol),
         counter(col(text)).cast("long").as("n_tokens"))
+        ++ orderCol.map(col)): _*)
+    // within-group pack order: (orderCol?, id) — id alone by default;
+    // tokenBudgetSample passes a hash key for an order-uniform draw
+    val sortKeys = Seq(col(groupCol)) ++ orderCol.map(col) :+ col(id)
     val nPart = math.max(spark.sparkContext.defaultParallelism, 1)
     // explicit numPartitions: AQE must not coalesce a small shuffle down to
     // one partition, or the giant-group parallelism claim dies quietly
     val rows = prepped
-      .repartitionByRange(nPart, col(groupCol), col(id))
-      .sortWithinPartitions(col(groupCol), col(id))
+      .repartitionByRange(nPart, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .rdd
     def tokensOf(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(2)) 0L else r.getLong(2)
@@ -350,15 +355,67 @@ object TextAnalysis {
         }
         val start = run
         run += tokensOf(r)
-        org.apache.spark.sql.Row(
-          r.get(0), g, if (r.isNullAt(2)) null else r.getLong(2),
-          start / budgetTokens)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (start / budgetTokens))
       }
     }
     spark.createDataFrame(outRows,
       org.apache.spark.sql.types.StructType(prepped.schema.fields :+
         org.apache.spark.sql.types.StructField("shard_id",
           org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Bounded-memory frequent tokens via the Misra–Gries summary
+    * aggregate ([[graft.functions.FrequentItemsSketch]]): one pass, at
+    * most `capacity` counters per partial, map-side combined — the
+    * heavy-hitters answer when token cardinality dwarfs memory (exact
+    * [[topWords]] keys an aggregation by every distinct token; this
+    * never holds more than a few KB per task at ANY corpus size). Every
+    * token occurring more than N/(capacity+1) times is guaranteed
+    * present, and estimates undercount by at most N/(capacity+1)
+    * (spec-pinned against exact counts). Estimates depend on encounter
+    * order (inherent to MG) → rows-only certification.
+    *
+    * @return token, est_count (heaviest first, est ties by token) */
+  def frequentTokens(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      capacity: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(explode(tokens(col(text))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(graft.functions.GraftFunctions
+        .frequentItemsSketch(col("tok"), capacity).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("token"), col("e.cnt").as("est_count"))
+  }
+
+  /** Exact token-budget subcorpus: the documents whose cumulative token
+    * count, taken in deterministic `md5(seed‖id)` order, starts under
+    * `budgetTokens` — "give me exactly ~10B tokens of this corpus" as an
+    * operator. Hash order makes the draw uniform and reproducible (no
+    * RNG, no engine dependence), and exactly one document straddles the
+    * budget boundary (the standard take-until-full semantics: a document
+    * is in iff the budget was not yet exhausted when its turn came).
+    *
+    * Scale shape: rides [[packShards]]' two-pass distributed prefix sum —
+    * a range partition on the hash key, per-partition boundary totals
+    * (≤ 2 rows each to the driver), offsets broadcast back — so no
+    * corpus-wide window and no single-task sort, at any corpus size.
+    *
+    * @return id, n_tokens (survivors only) */
+  def tokenBudgetSample(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      budgetTokens: Long, seed: String = "budget",
+      counter: Column => Column = tokenCount)
+      : org.apache.spark.sql.DataFrame = {
+    val hk = md5(concat(lit(seed), col(id).cast("string")).cast("binary"))
+    packShards(
+      docs.select(col(id), col(text), hk.as("budget_key"),
+        lit("all").as("__g")),
+      id, text, "__g", budgetTokens, counter, orderCol = Some("budget_key"))
+      .where(col("shard_id") === 0)
+      .select(col(id), col("n_tokens"))
   }
 
   /** Deterministic stratified sampling: per-stratum keep rates applied via

@@ -424,6 +424,36 @@ object Extras {
         expr("ts div 1000000000"))).as("z"))
   }
 
+  /** 2-D Hilbert index — the locality-preserving layout key next to the
+    * Morton pair. The oracle replays the classic per-bit fold (quadrant
+    * contribution + XOR-flip/swap rotation) as a 16-step recursive CTE
+    * carrying (x, y, d), fully independent of the Spark stage chain. */
+  val qZ3Hilbert = Q(
+    "q_z3_hilbert",
+    """WITH RECURSIVE h AS (
+      |  SELECT event_id, user_id & 65535 AS x, event_id & 65535 AS y,
+      |         CAST(0 AS BIGINT) AS d, 32768 AS s
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id,
+      |    CASE WHEN (y & s) = 0
+      |         THEN CASE WHEN (x & s) > 0 THEN xor(y, 65535) ELSE y END
+      |         ELSE x END,
+      |    CASE WHEN (y & s) = 0
+      |         THEN CASE WHEN (x & s) > 0 THEN xor(x, 65535) ELSE x END
+      |         ELSE y END,
+      |    d + CAST(s AS BIGINT) * s *
+      |        xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+      |            CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+      |    s // 2
+      |  FROM h WHERE s > 0)
+      |SELECT event_id, d AS h FROM h WHERE s = 0""".stripMargin) { (s, d) =>
+    graft.operators.Layout.withHilbert2(
+      events(s, d).select(col("event_id"), col("user_id")),
+      "user_id", "event_id", "h")
+      .select(col("event_id"), col("h"))
+  }
+
   val all: Seq[Q] = Seq(
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
@@ -431,5 +461,5 @@ object Extras {
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
-    qJ5FullOuter, qJ6Cross, qJ7Upsert)
+    qZ3Hilbert, qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

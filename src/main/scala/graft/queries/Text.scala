@@ -962,6 +962,37 @@ object Text {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Exact token-budget subcorpus: take documents in hash order until
+    * 10k tokens are committed. The oracle recomputes the running total
+    * with a plain cumulative window; the operator's two-pass distributed
+    * prefix sum must agree row-for-row. */
+  val qT33TokenBudget = Q(
+    "q_t33_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         md5('budget' || CAST(doc_id AS VARCHAR)) AS k,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n,
+      |             COALESCE(sum(n) OVER (ORDER BY k, doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               0) AS strt
+      |      FROM t)
+      |SELECT doc_id, n AS n_tokens FROM c
+      |WHERE strt < 10000""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.tokenBudgetSample(documents(s, d),
+      "doc_id", "text", budgetTokens = 10000L)
+  }
+
+  /** Bounded-memory heavy hitters: the Misra–Gries summary aggregate at
+    * capacity 64. Rows-only — estimates depend on encounter order; the
+    * deterministic guarantee (all >N/65 tokens present, undercount
+    * ≤ N/65) is pinned against exact counts in a spec. */
+  val qT34FreqTokens = Q.rowsOnly("q_t34_freq_tokens") { (s, d) =>
+    graft.operators.TextAnalysis.frequentTokens(documents(s, d),
+      "doc_id", "text", capacity = 64)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -970,5 +1001,5 @@ object Text {
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
-      qT31LengthBuckets, qT32BpeMerges)
+      qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens)
 }

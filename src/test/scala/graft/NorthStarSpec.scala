@@ -665,6 +665,27 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("Hilbert index is a bijective unit-step walk over the full grid") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // the defining space-filling-curve property on the complete 16x16
+    // grid: every cell gets a distinct d in [0, 256), and consecutive d
+    // are Manhattan-adjacent cells (Morton violates this at power-of-two
+    // seams - the very reason Hilbert exists)
+    val cells = (0 until 16).flatMap(x => (0 until 16).map(y => (x, y)))
+      .toDF("x", "y")
+    val got = Layout.withHilbert2(cells, "x", "y", "d", bits = 4)
+      .select("x", "y", "d").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._3).toSet == (0L until 256L).toSet,
+      "Hilbert d must be a bijection onto [0, 4^bits)")
+    val walk = got.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x0, y0, _), (x1, y1, d1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"non-adjacent step at d=$d1: ($x0,$y0) -> ($x1,$y1)")
+    }
+  }
+
   test("zValueN generalizes the interleave: 2-D equals zValue2, 4-D exact") {
     import graft.operators.Layout
     // n-dim reference interleave, written independently of the Column tree
