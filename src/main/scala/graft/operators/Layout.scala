@@ -120,6 +120,21 @@ object Layout {
       .drop("__z")
   }
 
+  /** Cluster `df` for writing by Hilbert distance — [[zOrderBy]] with the
+    * locality-preserving curve: each output task's value range is a
+    * contiguous Hilbert segment, whose cells form one connected region
+    * (Morton segments split across power-of-two seams). Same explicit
+    * `numPartitions` so AQE cannot coalesce the layout away. */
+  def hilbertOrderBy(
+      df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    require(numPartitions > 0, s"bad partition count: $numPartitions")
+    withHilbert2(df, xCol, yCol, "__h", bits)
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
   /** Small-file compaction — the other half of lakehouse maintenance next
     * to [[zOrderBy]]: streaming ingest and fine-grained partitioning leave
     * directories of kilobyte files whose per-file open/footer cost

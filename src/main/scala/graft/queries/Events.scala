@@ -278,7 +278,50 @@ object Events {
           .as("retention"))
   }
 
+  /** First-touch funnel: users who viewed, then clicked after their
+    * first view, then purchased after that first qualifying click — the
+    * ordered-sequence conversion count of product analytics.
+    * Deterministic (min timestamps at every stage; raw nanos compare
+    * identically to DuckDB's timestamp order).
+    *
+    * Scale shape: three user-keyed hash aggs and two joins whose both
+    * sides are user-sized or filtered event slices; stage counts are
+    * 1-row aggregates unioned — no windows, no driver data. */
+  val qE10Funnel = Q(
+    "q_e10_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t1
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin) {
+    (s, d) =>
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("stage"), col("n").cast("long").as("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+  }
+
   val all: Seq[Q] =
     Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize, qE5Pivot,
-      qE6Percentiles, qE7AsOf, qE8RangeJoin, qE9Retention)
+      qE6Percentiles, qE7AsOf, qE8RangeJoin, qE9Retention, qE10Funnel)
 }

@@ -326,6 +326,38 @@ object Extras {
         stableSum(col("value"), 1e6).as("sum_value"))
   }
 
+  /** Parquet schema evolution: two writers with different column sets
+    * land in one directory (the day-N pipeline upgrade every lake
+    * lives through); `mergeSchema` unions them and late columns read as
+    * null. The oracle reconstructs the merged read as an explicit
+    * two-branch union. */
+  val qS13SchemaMerge = Q(
+    "q_s13_schema_merge",
+    """WITH m AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |         CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+      |  FROM orders)
+      |SELECT COALESCE(o_orderpriority, '<none>') AS prio,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(o_totalprice) AS BIGINT) AS n_price,
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
+      |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/data")
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("append").parquet(s"$tmp/data")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/data")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<none>")).as("prio"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("o_totalprice")).as("n_price"),
+        stableSum(col("o_totalprice")).as("sum_price"))
+  }
+
   /** Small-file compaction round trip: fragment the lineitem table into
     * per-row-group shards (the streaming-ingest pathology), compact to
     * ~2000-record files, certify the rewritten data against the original
@@ -461,5 +493,5 @@ object Extras {
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
-    qZ3Hilbert, qJ5FullOuter, qJ6Cross, qJ7Upsert)
+    qZ3Hilbert, qS13SchemaMerge, qJ5FullOuter, qJ6Cross, qJ7Upsert)
 }

@@ -49,6 +49,39 @@ object Streams {
         col("window.start").cast("string").as("hour_bucket"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Watermarked STREAM-STREAM interval join — last-touch attribution:
+    * each purchase pairs with the same user's views in the
+    * `windowSec`-second lookback. Both inputs carry event-time
+    * watermarks and the join condition bounds `v_ts` to a closed
+    * interval ending at `p_ts`, which is exactly what Spark's
+    * stream-stream join needs to expire state: a view older than
+    * (watermark − windowSec) can never match again and its state row is
+    * dropped. Inner join → output appears as soon as both sides arrive.
+    *
+    * Returns every (purchase, qualifying view) pair; downstream pick
+    * first/last touch with a per-purchase aggregate. Batch equality is
+    * pinned in StreamingSpec (same frames, same join, readStream vs
+    * read). */
+  def attributionJoin(
+      views: DataFrame, purchases: DataFrame,
+      windowSec: Long, delay: String = "1 hour"): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val v = views
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"interval $windowSec seconds"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
   final case class SessionEvent(
       user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(

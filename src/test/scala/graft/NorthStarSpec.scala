@@ -686,6 +686,34 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertOrderBy clusters tighter than Morton on unaligned splits") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // 100x100 uniform grid, 12 range partitions: power-of-two seams
+    // fragment Morton segments while every Hilbert segment stays one
+    // connected region, so the summed bounding-box area must not lose
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y => (x, y)))
+      .toDF("x", "y")
+    def bboxAreaSum(parts: org.apache.spark.sql.DataFrame): Long =
+      parts.rdd.mapPartitions { it =>
+        var (x0, x1, y0, y1, n) =
+          (Int.MaxValue, Int.MinValue, Int.MaxValue, Int.MinValue, 0L)
+        it.foreach { r =>
+          val x = r.getInt(0); val y = r.getInt(1)
+          x0 = math.min(x0, x); x1 = math.max(x1, x)
+          y0 = math.min(y0, y); y1 = math.max(y1, y); n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((x1 - x0 + 1).toLong * (y1 - y0 + 1))
+      }.collect().sum
+    val h = bboxAreaSum(Layout.hilbertOrderBy(grid, "x", "y", 12, bits = 7))
+    val z = bboxAreaSum(Layout.zOrderBy(grid, "x", "y", 12))
+    assert(h <= z, s"Hilbert bbox area $h worse than Morton $z")
+    // and genuinely tight: each of 12 partitions covers ~833 cells, so
+    // a connected region's bbox stays within a small constant of that
+    assert(h <= 12 * 3 * 900, s"Hilbert clustering degenerate: $h")
+  }
+
   test("zValueN generalizes the interleave: 2-D equals zValue2, 4-D exact") {
     import graft.operators.Layout
     // n-dim reference interleave, written independently of the Column tree

@@ -666,6 +666,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    def split(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+    // batch truth: identical frames and join, batch read
+    val evB = graft.Tables.events(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (vB, pB) = split(evB)
+    val batch = Streams.attributionJoin(vB, pB, windowSec = 3600)
+      .collect().map(_.toString).toSet
+    val evS = Streams.readEventStream(spark, dir.toString)
+    val (vS, pS) = split(evS)
+    val q = Streams.attributionJoin(vS, pS, windowSec = 3600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(_.toString).toSet
+      assert(streamed.nonEmpty, "no attribution pairs streamed")
+      assert(streamed == batch,
+        s"stream-stream join diverged: missing ${(batch -- streamed).take(3)}" +
+          s", extra ${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("audio stats and scene detection compose unchanged onto a stream") {
     import org.apache.spark.sql.functions._
     // both are narrow typed maps over decoded payloads, so the identical
