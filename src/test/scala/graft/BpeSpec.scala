@@ -104,6 +104,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile corpora: empty, single-char, and null-safe segmentation") {
+    import spark.implicits._
+    // empty corpus -> no merges, no throw
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.deriveBpeMerges(empty, "doc_id", "text", 5).isEmpty)
+    // single-char words: only (c, </w>) pairs are ever available
+    val chars = Seq((1L, "a a a b b")).toDF("doc_id", "text")
+    val m = TextAnalysis.deriveBpeMerges(chars, "doc_id", "text", 5)
+    assert(m.nonEmpty && m.head == (("a", "</w>", 3L)))
+    // null text segments to an empty piece list, not a throw
+    val withNull = Seq((1L, "ab ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.deriveBpeMerges(withNull, "doc_id", "text", 3)
+    val seg = withNull.select(
+      TextAnalysis.bpeTokens(col("text"),
+        merges.map(x => (x._1, x._2))).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(seg.exists(_.isEmpty) && seg.exists(_.nonEmpty))
+  }
+
   test("the registry query emits ranked merges") {
     val df = graft.queries.Text.qT32BpeMerges.fn(spark, GraftSpark.sf)
     val rows = df.collect()
