@@ -984,14 +984,14 @@ object Similarity {
     * list rows born narrow — each corpus vector is PQ-encoded inline in
     * its [[IvfAssign]] inverted-list rows (re-encoding the ≤2 copies
     * beats a corpus-wide join on vec_id). */
-  def ivfPqIndexBuild(
-      emb: DataFrame, id: String, vec: String,
-      m: Int = PqSubspaces, k: Int = PqCodebook): IvfPqIndex = {
+  /** (vec_id, code, list_id) coded inverted-list rows for a normed frame
+    * under FIXED quantizers — the narrow encode both the initial build
+    * and incremental appends share. */
+  private def codedListRows(
+      n: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
-    val n = normed(emb, id, vec).localCheckpoint()
-    val cents = kmeansCentroids(n)
-    val books = pqCodebooks(n, m, k)
     val sub = books(0)(0).length
     val in = ivfListRows(n, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
@@ -1011,9 +1011,34 @@ object Similarity {
         Row(r.get(0), code, r.get(3))
       }
     }
-    IvfPqIndex(n,
-      n.sparkSession.createDataFrame(rows, schema).localCheckpoint(),
+    n.sparkSession.createDataFrame(rows, schema)
+  }
+
+  def ivfPqIndexBuild(
+      emb: DataFrame, id: String, vec: String,
+      m: Int = PqSubspaces, k: Int = PqCodebook): IvfPqIndex = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n)
+    val books = pqCodebooks(n, m, k)
+    IvfPqIndex(n, codedListRows(n, cents, books).localCheckpoint(),
       cents, books)
+  }
+
+  /** Append new vectors to a prebuilt [[IvfPqIndex]] WITHOUT retraining:
+    * the frozen coarse centroids and codebooks encode the new rows
+    * (narrow map, no shuffle), and both frames grow by union — the
+    * build-daily / append-hourly lifecycle of a production ANN index.
+    * Quantizers drift as the corpus distribution shifts; rebuild when
+    * recall probes (RecallSpec's floors are the template) degrade. */
+  def ivfPqIndexAppend(
+      index: IvfPqIndex, emb: DataFrame, id: String,
+      vec: String): IvfPqIndex = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    IvfPqIndex(
+      index.corpus.unionByName(n2),
+      index.codedLists.unionByName(
+        codedListRows(n2, index.centroids, index.codebooks)),
+      index.centroids, index.codebooks)
   }
 
   /** One-shot IVF-PQ top-k (index consumed exactly once). */

