@@ -365,6 +365,36 @@ object TextAnalysis {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** CCNet head/middle/tail selection (Wenzek et al.): bucket every
+    * document by its [[lmScore]] cross-entropy against the corpus
+    * tertiles — head = most fluent third, tail = least. This is the
+    * selection step CCNet actually trains on (keep head+middle, or
+    * sample tail at a reduced rate). Exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_e6 precedent)
+    * over the fixed-point-stable xent make the bucket label
+    * hash-certifiable.
+    *
+    * Scale shape: [[lmScore]]'s hash-keyed passes plus one 1-row
+    * threshold aggregate broadcast back — the corpus is never shuffled
+    * for the bucketing itself. (The exact percentile sorts xent values
+    * within the single aggregate; at extreme scale swap in
+    * `approx_percentile` and accept rows-only certification.)
+    *
+    * @return id column, n_trans, xent, bucket (head|middle|tail) */
+  def lmBuckets(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val x = lmScore(docs, id, text, minCount)
+    val thresholds = x.agg(
+      expr("percentile(xent, CAST(1 AS DOUBLE)/3)").as("t1"),
+      expr("percentile(xent, CAST(2 AS DOUBLE)/3)").as("t2"))
+    x.crossJoin(broadcast(thresholds))
+      .select(col(id), col("n_trans"), col("xent"),
+        when(col("xent") <= col("t1"), "head")
+          .when(col("xent") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Bounded-memory frequent tokens via the Misra–Gries summary
     * aggregate ([[graft.functions.FrequentItemsSketch]]): one pass, at
     * most `capacity` counters per partial, map-side combined — the

@@ -984,6 +984,46 @@ object Text {
       "doc_id", "text", budgetTokens = 10000L)
   }
 
+  /** CCNet head/middle/tail buckets over the corpus-trained LM score:
+    * q_t26's oracle extended with `quantile_cont` tertiles — the actual
+    * CCNet selection step, certified end to end (identical xent
+    * multiset → identical interpolated thresholds → identical labels). */
+  val qT35LmBuckets = Q(
+    "q_t35_lm_buckets",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |tr AS (SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      |       FROM toks, unnest(range(1, len(t))) AS u(i)),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM tr GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |        FROM big GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w) AS v
+      |       FROM (SELECT unnest(t) AS w FROM toks) uw),
+      |lm AS (SELECT * FROM big WHERE c12 >= 2),
+      |sc AS (SELECT tr.doc_id,
+      |         CAST(coalesce(lm.c12, 0) + 1 AS DOUBLE) /
+      |           CAST(ctx.c1 + vv.v AS DOUBLE) AS p
+      |       FROM tr
+      |       JOIN ctx USING (w1)
+      |       LEFT JOIN lm ON tr.w1 = lm.w1 AND tr.w2 = lm.w2
+      |       CROSS JOIN vv),
+      |x AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+      |        sum(CAST(round(-ln(p) * 1000000) AS BIGINT)) / 1000000.0
+      |          / count(*) AS xent
+      |      FROM sc GROUP BY 1),
+      |q AS (SELECT quantile_cont(xent, CAST(1 AS DOUBLE)/3) AS t1,
+      |             quantile_cont(xent, CAST(2 AS DOUBLE)/3) AS t2
+      |      FROM x)
+      |SELECT doc_id, n_trans, xent,
+      |       CASE WHEN xent <= t1 THEN 'head'
+      |            WHEN xent <= t2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM x CROSS JOIN q""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.lmBuckets(documents(s, d),
+      "doc_id", "text", minCount = 2L)
+  }
+
   /** Bounded-memory heavy hitters: the Misra–Gries summary aggregate at
     * capacity 64. Rows-only — estimates depend on encounter order; the
     * deterministic guarantee (all >N/65 tokens present, undercount
@@ -1001,5 +1041,6 @@ object Text {
       qT20SubwordPack, qT21TopTrigrams, qT22TopWords, qT23Decontam8,
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
-      qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens)
+      qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
+      qT35LmBuckets)
 }
