@@ -384,7 +384,10 @@ object TextAnalysis {
   def lmBuckets(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
-    val x = lmScore(docs, id, text, minCount)
+    // the score table feeds both the threshold aggregate and the final
+    // label join — materialize it once (3 narrow columns per doc; the
+    // alternative re-runs the whole LM scoring pipeline, measured 2x)
+    val x = lmScore(docs, id, text, minCount).localCheckpoint()
     val thresholds = x.agg(
       expr("percentile(xent, CAST(1 AS DOUBLE)/3)").as("t1"),
       expr("percentile(xent, CAST(2 AS DOUBLE)/3)").as("t2"))
