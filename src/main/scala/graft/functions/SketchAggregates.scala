@@ -182,8 +182,10 @@ case class FrequentItemsSketch(
         case Some(c) => buf(s) = c + 1
         case None if buf.size < capacity => buf(s) = 1L
         case None => // MG step: charge one to every counter
+          // snapshot first — mutating a HashMap (even value-only writes)
+          // while foreach-iterating it is contractually undefined
           val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (k, c) =>
+          buf.toArray.foreach { case (k, c) =>
             if (c == 1L) dead += k else buf(k) = c - 1
           }
           dead.foreach(buf.remove)
@@ -199,7 +201,7 @@ case class FrequentItemsSketch(
       // the mergeable-summaries reduction that keeps the MG bound
       val kth = a.values.toArray.sorted(Ordering.Long.reverse)(capacity)
       val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-      a.foreach { case (k, c) =>
+      a.toArray.foreach { case (k, c) =>
         if (c - kth <= 0L) dead += k else a(k) = c - kth
       }
       dead.foreach(a.remove)

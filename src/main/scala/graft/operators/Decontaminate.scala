@@ -82,6 +82,10 @@ object Decontaminate {
       df.select(col(id).as(as), col(text).as("__text"))
         .withColumn("__t", split(col("__text"), " "))
         .select(col(as), explode(sh).as("tg"))
+        // null/empty text falls into the whole-text fallback and would emit
+        // an empty shingle; drop it so degenerate documents behave exactly
+        // like the n=3 wordTrigrams path (which drops null-text rows)
+        .filter(length(col("tg")) > 0)
     }
 
   /** [[contamination]] for probe suites too big to broadcast their exact

@@ -60,7 +60,16 @@ object Similarity {
       emb: DataFrame, id: String, vec: String, outDim: Int): DataFrame = {
     require(outDim >= 1, s"bad projection dim: $outDim")
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dim = emb.select(size(col(vec))).first().getInt(0)
+    // one bounded agg instead of .first(): an empty corpus must fail with
+    // a clear message, and a ragged corpus (rows of differing vector
+    // length) must fail loudly rather than silently projecting with
+    // wrong-size hyperplanes built from whichever row came first
+    val dims = emb.select(
+      min(size(col(vec))).as("lo"), max(size(col(vec))).as("hi")).first()
+    require(!dims.isNullAt(0), "randomProjection: empty input corpus")
+    val dim = dims.getInt(0)
+    require(dim == dims.getInt(1),
+      s"randomProjection: ragged vector lengths ${dim}..${dims.getInt(1)}")
     require(outDim <= dim, s"projection must narrow: $outDim > $dim")
     val planes = hyperplanes(dim, outDim)
     val scale = 1.0 / math.sqrt(outDim.toDouble)

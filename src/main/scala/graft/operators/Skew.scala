@@ -51,6 +51,12 @@ object Skew {
     require(k >= 1, s"k must be >= 1: $k")
     require(salts >= 1, s"salts must be >= 1: $salts")
     require(groupCols.nonEmpty && order.nonEmpty, "need group and order")
+    // helper/output names are injected below; an input frame already
+    // carrying one would be silently clobbered or make the select ambiguous
+    Seq("__salt", "__r1", "rank").foreach { reserved =>
+      require(!df.columns.contains(reserved),
+        s"topKPerGroup reserves column name '$reserved'; rename it first")
+    }
     import org.apache.spark.sql.expressions.Window
     val inCols = df.columns.toSeq
     val salted = df.withColumn("__salt",

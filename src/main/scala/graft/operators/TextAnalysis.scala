@@ -1288,6 +1288,121 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** [[deriveBpeMerges]] at REAL vocabulary scale: one distributed
+    * word-frequency pass, then the merge loop runs driver-side over the
+    * minCount-pruned word table — the shape every production BPE trainer
+    * uses (Sennrich's reference implementation, SentencePiece, HF
+    * tokenizers all train on collected word counts), because 32k merges
+    * as 32k sequential cluster jobs is days of scheduler latency no
+    * cluster size can buy back, while the word table itself is Heaps'-law
+    * sublinear in the corpus and minCount-prunable to a bounded model
+    * artifact (the [[lmTrain]] pattern: collect is guarded and loud).
+    *
+    * EXACTLY the same merge list as [[deriveBpeMerges]] (BpeSpec
+    * differential-pins this): per-position adjacent-pair counts weighted
+    * by word frequency, argmax by (count desc, left, right) — maintained
+    * incrementally. Each merge touches only the words that contain its
+    * pair (an inverted index), and the argmax is O(log P) via an ordered
+    * set, so 512 merges take milliseconds where the per-merge-job loop
+    * took minutes.
+    *
+    * @param minWordCount prune the collected word table (raise on big
+    *        corpora — rare words almost never decide a merge, and the
+    *        guard message says exactly this)
+    * @param maxWords loud bound on the driver-side table (~100 B/word)
+    * @return merges in rank order: (left, right, weighted pair count) */
+  def trainBpeMerges(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      nMerges: Int, minPairCount: Long = 2L, minWordCount: Long = 1L,
+      maxWords: Long = 1L << 21): Seq[(String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 65536, s"bad nMerges: $nMerges")
+    require(minPairCount >= 1, s"bad minPairCount: $minPairCount")
+    require(minWordCount >= 1, s"bad minWordCount: $minWordCount")
+    val wordsDf = docs
+      .select(explode(tokens(col(text))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .where(col("f") >= minWordCount)
+    val nWords = wordsDf.count()
+    require(nWords <= maxWords,
+      s"trainBpeMerges: $nWords distinct words exceeds maxWords=$maxWords; " +
+        "raise minWordCount (rare words almost never decide a merge) or " +
+        "maxWords consciously — this table is collected to the driver.")
+    val collected = wordsDf.collect()
+    // word state: current symbol arrays + frequencies
+    val syms = new Array[Array[String]](collected.length)
+    val freq = new Array[Long](collected.length)
+    var wi = 0
+    while (wi < collected.length) {
+      syms(wi) = bpeSymbols(collected(wi).getString(0))
+      freq(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val index =
+      scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.Set[Int]]
+    // ordered view for O(log P) argmax; entries are (count, l, r) kept in
+    // sync with `counts` by remove-old/insert-new on every delta
+    val ordering = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1) // count desc
+        if (c != 0) c
+        else {
+          val l = a._2.compareTo(b._2)
+          if (l != 0) l else a._3.compareTo(b._3)
+        }
+      }
+    }
+    val sorted = scala.collection.mutable.TreeSet.empty(ordering)
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = syms(w); val f = freq(w) * sign
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val old = counts.getOrElse(p, 0L)
+        if (old != 0L) sorted.remove((old, p._1, p._2))
+        val nw = old + f
+        if (nw != 0L) { counts(p) = nw; sorted.add((nw, p._1, p._2)) }
+        else counts.remove(p)
+        if (sign > 0) index.getOrElseUpdate(
+          p, scala.collection.mutable.Set.empty[Int]) += w
+        i += 1
+      }
+      // sign < 0 leaves stale index membership; the caller prunes the
+      // word's old pairs right after (bounded: that word's pairs only)
+    }
+    wi = 0
+    while (wi < syms.length) { addWord(wi, 1L); wi += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      if (sorted.isEmpty) done = true
+      else {
+        val (c, l, r) = sorted.head
+        if (c < minPairCount) done = true
+        else {
+          merges += ((l, r, c))
+          val affected = index.getOrElse((l, r), Nil).toArray
+          affected.foreach { w =>
+            val before = syms(w)
+            addWord(w, -1L)
+            // drop stale index entries for this word's old pairs (cheap:
+            // only this word's pairs, re-added below if still present)
+            var i = 0
+            while (i + 1 < before.length) {
+              index.get((before(i), before(i + 1))).foreach(_ -= w)
+              i += 1
+            }
+            syms(w) = bpeApplyMerges(before, Seq((l, r)))
+            addWord(w, 1L)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** BPE segmentation of a text column under a trained merge list: each
     * whitespace token split to its merged subword symbols (end-of-word
     * marker included). Deterministic UDF — the merge list rides the
@@ -1326,6 +1441,12 @@ object TextAnalysis {
       salts: Int = 64): org.apache.spark.sql.DataFrame = {
     require(cap >= 1, s"cap must be >= 1: $cap")
     require(salts >= 1, s"salts must be >= 1: $salts")
+    // internal/output names injected below; an id/key column with one of
+    // these names would be clobbered or make the final select ambiguous
+    Seq("cap_key", "cap_salt", "r1", "cap_rank").foreach { reserved =>
+      require(id != reserved && key != reserved,
+        s"capPerKey reserves column name '$reserved'; rename it first")
+    }
     import org.apache.spark.sql.expressions.Window
     val hkey = md5(concat(lit(seed), col(id).cast("string")).cast("binary"))
     val base = docs.select(

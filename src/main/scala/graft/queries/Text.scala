@@ -251,7 +251,7 @@ object Text {
       |                t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
       |                t[i+6] || ' ' || t[i+7])
       |    ELSE [array_to_string(t, ' ')] END) AS tg
-      |  FROM toks)),
+      |  FROM toks) WHERE len(tg) > 0),
       |probe AS (SELECT doc_id AS probe_id, tg FROM tg WHERE doc_id < 10),
       |psz AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_n
       |        FROM probe GROUP BY 1),
@@ -1033,6 +1033,23 @@ object Text {
       "doc_id", "text", capacity = 64)
   }
 
+  /** BPE training at REAL vocabulary scale: 512 merges in one run via
+    * [[TextAnalysis.trainBpeMerges]] — one distributed word-count pass,
+    * then a driver-side incremental merge loop over the pruned word
+    * table (the production trainer shape; q_t32's per-merge-job loop is
+    * the differential reference BpeSpec pins it against). Rows-only —
+    * iterative argmax is not SQL-expressible. minPairCount=1 lets the
+    * sf0.01 corpus actually reach deep merge ranks. */
+  val qT37Bpe512 = Q.rowsOnly("q_t37_bpe512") { (s, d) =>
+    import s.implicits._
+    graft.operators.TextAnalysis
+      .trainBpeMerges(documents(s, d), "doc_id", "text",
+        nMerges = 512, minPairCount = 1L)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1042,5 +1059,5 @@ object Text {
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
-      qT35LmBuckets)
+      qT35LmBuckets, qT37Bpe512)
 }

@@ -124,10 +124,66 @@ class BpeSpec extends AnyFunSuite {
     assert(seg.exists(_.isEmpty) && seg.exists(_.nonEmpty))
   }
 
+  test("driver-side trainer matches the per-merge-job trainer exactly") {
+    // the scale path (trainBpeMerges) must produce the IDENTICAL merge
+    // list — same pairs, same order, same weighted counts — as the
+    // distributed sequential reference (deriveBpeMerges), which is itself
+    // differential-tested against the independent plain-Scala trainer
+    val slow = TextAnalysis.deriveBpeMerges(corpusDf, "doc_id", "text",
+      nMerges = 30, minPairCount = 2L)
+    val fast = TextAnalysis.trainBpeMerges(corpusDf, "doc_id", "text",
+      nMerges = 30, minPairCount = 2L)
+    assert(fast == slow)
+    // and against the independent reference directly
+    assert(fast == referenceBpe(corpus, nMerges = 30, minPairCount = 2L))
+  }
+
+  test("driver-side trainer: deep merge list is deterministic and ranked") {
+    val a = TextAnalysis.trainBpeMerges(corpusDf, "doc_id", "text",
+      nMerges = 512, minPairCount = 1L)
+    val b = TextAnalysis.trainBpeMerges(corpusDf.repartition(5),
+      "doc_id", "text", nMerges = 512, minPairCount = 1L)
+    assert(a == b)
+    // merge counts meet the floor, and the corpus is small enough that
+    // training exhausts the pair space before 512 merges
+    assert(a.forall(_._3 >= 1L) && a.nonEmpty)
+    // independent reference agrees at full depth too
+    assert(a == referenceBpe(corpus, nMerges = 512, minPairCount = 1L))
+  }
+
+  test("driver-side trainer: minWordCount prunes and maxWords guards loudly") {
+    // pruning rare words changes the count table the same way on both paths
+    val prunedFast = TextAnalysis.trainBpeMerges(corpusDf, "doc_id", "text",
+      nMerges = 10, minPairCount = 2L, minWordCount = 2L)
+    val freq = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).collect { case (w, ws) if ws.size >= 2 => w }
+    assert(prunedFast.nonEmpty)
+    // every merged symbol pair must be derivable from the surviving words
+    val joined = freq.mkString(" ")
+    prunedFast.foreach { case (l, r, _) =>
+      assert(joined.contains((l + r).replace("</w>", "")))
+    }
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMerges(corpusDf, "doc_id", "text",
+        nMerges = 5, maxWords = 3L)
+    }
+    assert(ex.getMessage.contains("minWordCount"))
+  }
+
   test("the registry query emits ranked merges") {
     val df = graft.queries.Text.qT32BpeMerges.fn(spark, GraftSpark.sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+  }
+
+  test("the deep-vocab registry query trains hundreds of merges") {
+    val rows = graft.queries.Text.qT37Bpe512.fn(spark, GraftSpark.sf)
+      .collect()
+    assert(rows.length > 100, s"expected deep merge list, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // pair counts never increase faster than the pair space shrinks in a
+    // way that breaks the floor; rank order is the training order
+    assert(rows.forall(_.getLong(3) >= 1L))
   }
 }
