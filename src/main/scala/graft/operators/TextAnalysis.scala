@@ -365,32 +365,60 @@ object TextAnalysis {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Largest corpus the exact-percentile path of [[lmBuckets]] will
+    * accept: Spark's `percentile` is a TypedImperativeAggregate that
+    * buffers every value, so the final merge holds one xent per
+    * document on a single task. 16 M docs ≈ a few hundred MB of
+    * OpenHashMap — comfortably inside one executor; beyond that the
+    * approximate path is the only sane shape. */
+  val LmBucketsExactMaxDocs: Long = 1L << 24
+
   /** CCNet head/middle/tail selection (Wenzek et al.): bucket every
     * document by its [[lmScore]] cross-entropy against the corpus
     * tertiles — head = most fluent third, tail = least. This is the
     * selection step CCNet actually trains on (keep head+middle, or
-    * sample tail at a reduced rate). Exact interpolated percentiles
-    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_e6 precedent)
-    * over the fixed-point-stable xent make the bucket label
-    * hash-certifiable.
+    * sample tail at a reduced rate).
+    *
+    * Two threshold modes:
+    *  - `exact = true` (default): exact interpolated percentiles
+    *    (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_e6
+    *    precedent) over the fixed-point-stable xent — hash-certifiable,
+    *    but the single aggregate buffers one xent per document, so the
+    *    path refuses corpora above [[LmBucketsExactMaxDocs]] with a
+    *    loud error instead of OOM-ing an executor.
+    *  - `exact = false`: `approx_percentile` (GK sketch, bounded
+    *    memory at any corpus size) with `accuracyInverseEps` controlling
+    *    rank error ≤ n/accuracy. Bucket labels can differ from the
+    *    exact path only for documents within that rank band of a
+    *    tertile boundary (agreement spec-pinned).
     *
     * Scale shape: [[lmScore]]'s hash-keyed passes plus one 1-row
     * threshold aggregate broadcast back — the corpus is never shuffled
-    * for the bucketing itself. (The exact percentile sorts xent values
-    * within the single aggregate; at extreme scale swap in
-    * `approx_percentile` and accept rows-only certification.)
+    * for the bucketing itself.
     *
     * @return id column, n_trans, xent, bucket (head|middle|tail) */
   def lmBuckets(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+      minCount: Long = 2L, exact: Boolean = true,
+      accuracyInverseEps: Int = 10000): org.apache.spark.sql.DataFrame = {
     // the score table feeds both the threshold aggregate and the final
     // label join — materialize it once (3 narrow columns per doc; the
     // alternative re-runs the whole LM scoring pipeline, measured 2x)
     val x = lmScore(docs, id, text, minCount).localCheckpoint()
-    val thresholds = x.agg(
-      expr("percentile(xent, CAST(1 AS DOUBLE)/3)").as("t1"),
-      expr("percentile(xent, CAST(2 AS DOUBLE)/3)").as("t2"))
+    if (exact) {
+      val n = x.count()
+      require(n <= LmBucketsExactMaxDocs,
+        s"lmBuckets(exact=true) buffers one xent per document in a single " +
+          s"percentile aggregate; corpus has $n docs > $LmBucketsExactMaxDocs. " +
+          "Pass exact=false for the bounded-memory approx_percentile path.")
+    }
+    val thresholds =
+      if (exact) x.agg(
+        expr("percentile(xent, CAST(1 AS DOUBLE)/3)").as("t1"),
+        expr("percentile(xent, CAST(2 AS DOUBLE)/3)").as("t2"))
+      else x.agg(
+        expr(s"approx_percentile(xent, CAST(1 AS DOUBLE)/3, $accuracyInverseEps)").as("t1"),
+        expr(s"approx_percentile(xent, CAST(2 AS DOUBLE)/3, $accuracyInverseEps)").as("t2"))
     x.crossJoin(broadcast(thresholds))
       .select(col(id), col("n_trans"), col("xent"),
         when(col("xent") <= col("t1"), "head")

@@ -151,7 +151,14 @@ object Events {
       .agg(sum(round(col("value") * lit(1e6)).cast("long")) / lit(1e6))
   }
 
-  /** Exact interpolated percentiles (both engines: linear interpolation). */
+  /** Exact interpolated percentiles (both engines: linear interpolation).
+    *
+    * Scale note: `percentile` buffers every value of its group in one
+    * aggregate buffer — here that is bounded per event_type, and the
+    * parity goal (bit-match DuckDB's quantile_cont) requires the exact
+    * form. For corpus-wide percentiles over unbounded groups use the
+    * guarded exact/approx split in
+    * [[graft.operators.TextAnalysis.lmBuckets]]. */
   val qE6Percentiles = Q(
     "q_e6_percentiles",
     """SELECT event_type,
