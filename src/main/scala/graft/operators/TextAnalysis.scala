@@ -389,8 +389,10 @@ object TextAnalysis {
     *  - `exact = false`: `approx_percentile` (GK sketch, bounded
     *    memory at any corpus size) with `accuracyInverseEps` controlling
     *    rank error ≤ n/accuracy. Bucket labels can differ from the
-    *    exact path only for documents within that rank band of a
-    *    tertile boundary (agreement spec-pinned).
+    *    exact path only for documents within that rank band — plus one
+    *    rank position, because the exact path interpolates between
+    *    values while the sketch returns an actual element — of a
+    *    tertile boundary (agreement spec-pinned in LmBucketsSpec).
     *
     * Scale shape: [[lmScore]]'s hash-keyed passes plus one 1-row
     * threshold aggregate broadcast back — the corpus is never shuffled
@@ -401,17 +403,26 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
       minCount: Long = 2L, exact: Boolean = true,
       accuracyInverseEps: Int = 10000): org.apache.spark.sql.DataFrame = {
+    // validated HERE, not where the SQL string interpolates: a zero or
+    // negative accuracy would surface as a confusing analysis error deep
+    // inside approx_percentile instead of an argument error
+    require(accuracyInverseEps >= 1,
+      s"accuracyInverseEps must be >= 1 (rank error <= n/accuracy): " +
+        s"$accuracyInverseEps")
+    if (exact) {
+      // fail-fast BEFORE the scoring pipeline runs: scored rows <= input
+      // docs, so an over-limit corpus is refused at the cost of one
+      // column-pruned count instead of after the full hash-keyed LM passes
+      val nIn = docs.select(col(id)).count()
+      require(nIn <= LmBucketsExactMaxDocs,
+        s"lmBuckets(exact=true) buffers one xent per document in a single " +
+          s"percentile aggregate; corpus has $nIn docs > $LmBucketsExactMaxDocs. " +
+          "Pass exact=false for the bounded-memory approx_percentile path.")
+    }
     // the score table feeds both the threshold aggregate and the final
     // label join — materialize it once (3 narrow columns per doc; the
     // alternative re-runs the whole LM scoring pipeline, measured 2x)
     val x = lmScore(docs, id, text, minCount).localCheckpoint()
-    if (exact) {
-      val n = x.count()
-      require(n <= LmBucketsExactMaxDocs,
-        s"lmBuckets(exact=true) buffers one xent per document in a single " +
-          s"percentile aggregate; corpus has $n docs > $LmBucketsExactMaxDocs. " +
-          "Pass exact=false for the bounded-memory approx_percentile path.")
-    }
     val thresholds =
       if (exact) x.agg(
         expr("percentile(xent, CAST(1 AS DOUBLE)/3)").as("t1"),
