@@ -38,6 +38,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is type-adaptive (graft.Tables.normalizeTs); nanosAsLong
+      // stays on for legacy TIMESTAMP(NANOS) data compatibility.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet stores TIMESTAMP(NANOS); read as nanos-since-epoch
-      // longs (graft.queries.Events converts via integral div).
+      // events.ts is type-adaptive (graft.Tables.normalizeTs): current data
+      // is timestamp[us]; nanosAsLong stays on so legacy TIMESTAMP(NANOS)
+      // data would still read (as longs) instead of erroring.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

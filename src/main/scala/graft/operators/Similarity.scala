@@ -1251,4 +1251,115 @@ object Similarity {
           lit(multiple) * (col("sum_d2q").cast("double") / col("n")))
           .as("is_outlier"))
   }
+
+  // ───────────────────────── index persistence ─────────────────────────
+  // Build-daily / query-per-batch only works if the daily build SURVIVES
+  // the session: save(dir)/load(dir) for each prebuilt index. Frames land
+  // as plain parquet on whatever FileSystem `dir` names (local/HDFS/s3a);
+  // model arrays (centroids/codebooks) as tiny parquet tables via
+  // [[IndexIO]], so doubles round-trip bit-exactly. A loaded index answers
+  // every query bit-identically to the freshly built one (ties in all
+  // top-k paths break on ids, so parquet row order is irrelevant) —
+  // pinned in AnnPersistenceSpec.
+
+  /** Persist a prebuilt [[LshIndex]] under `dir`. */
+  def lshIndexSave(index: LshIndex, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.buckets, s"$dir/buckets")
+    IndexIO.writeMeta(spark, dir, "lsh", Map("dim" -> index.dim.toLong))
+  }
+
+  /** Reload an [[LshIndex]] saved by [[lshIndexSave]]. The frames stay
+    * lazy parquet scans — a long-lived query service should
+    * `localCheckpoint` them if it probes many times per session. */
+  def lshIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LshIndex = {
+    val meta = IndexIO.readMeta(spark, dir, "lsh")
+    LshIndex(
+      IndexIO.loadFrame(spark, s"$dir/corpus"),
+      IndexIO.loadFrame(spark, s"$dir/buckets"),
+      meta("dim").toInt)
+  }
+
+  /** Persist a prebuilt [[IvfIndex]] under `dir`. */
+  def ivfIndexSave(index: IvfIndex, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.lists, s"$dir/lists")
+    IndexIO.saveMatrix(spark, s"$dir/centroids", index.centroids)
+    IndexIO.writeMeta(spark, dir, "ivf",
+      Map("n_lists" -> index.centroids.length.toLong))
+  }
+
+  /** Reload an [[IvfIndex]] saved by [[ivfIndexSave]]. */
+  def ivfIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    val meta = IndexIO.readMeta(spark, dir, "ivf")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    require(cents.length == meta("n_lists"),
+      s"centroid table at $dir/centroids has ${cents.length} rows; " +
+        s"sidecar says ${meta("n_lists")}")
+    IvfIndex(
+      IndexIO.loadFrame(spark, s"$dir/corpus"),
+      IndexIO.loadFrame(spark, s"$dir/lists"),
+      cents)
+  }
+
+  /** Persist a prebuilt [[PqIndex]] under `dir`. */
+  def pqIndexSave(index: PqIndex, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.codes, s"$dir/codes")
+    IndexIO.saveTensor(spark, s"$dir/codebooks", index.codebooks)
+    IndexIO.writeMeta(spark, dir, "pq",
+      Map("m" -> index.codebooks.length.toLong,
+        "k" -> index.codebooks(0).length.toLong))
+  }
+
+  /** Reload a [[PqIndex]] saved by [[pqIndexSave]]. */
+  def pqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    val meta = IndexIO.readMeta(spark, dir, "pq")
+    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+    require(books.length == meta("m") && books(0).length == meta("k"),
+      s"codebook tensor at $dir/codebooks is ${books.length}×" +
+        s"${books(0).length}; sidecar says ${meta("m")}×${meta("k")}")
+    PqIndex(
+      IndexIO.loadFrame(spark, s"$dir/corpus"),
+      IndexIO.loadFrame(spark, s"$dir/codes"),
+      books)
+  }
+
+  /** Persist a prebuilt [[IvfPqIndex]] under `dir`. */
+  def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.codedLists, s"$dir/coded_lists")
+    IndexIO.saveMatrix(spark, s"$dir/centroids", index.centroids)
+    IndexIO.saveTensor(spark, s"$dir/codebooks", index.codebooks)
+    IndexIO.writeMeta(spark, dir, "ivf_pq",
+      Map("n_lists" -> index.centroids.length.toLong,
+        "m" -> index.codebooks.length.toLong,
+        "k" -> index.codebooks(0).length.toLong))
+  }
+
+  /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
+    * append-hourly lifecycle composes: `ivfPqIndexAppend` on a loaded
+    * index encodes new rows under the frozen persisted quantizers. */
+  def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+    require(cents.length == meta("n_lists"),
+      s"centroids at $dir: ${cents.length} vs sidecar ${meta("n_lists")}")
+    require(books.length == meta("m") && books(0).length == meta("k"),
+      s"codebooks at $dir: ${books.length}×${books(0).length} vs sidecar " +
+        s"${meta("m")}×${meta("k")}")
+    IvfPqIndex(
+      IndexIO.loadFrame(spark, s"$dir/corpus"),
+      IndexIO.loadFrame(spark, s"$dir/coded_lists"),
+      cents, books)
+  }
 }

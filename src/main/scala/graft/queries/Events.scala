@@ -10,14 +10,11 @@ import graft.Tables._
   */
 object Events {
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so `ts` arrives as
-    * nanos-since-epoch LongType. Integral `div` (not `/`, which goes through
-    * double and loses precision above 2^53) converts to a micros timestamp.
-    */
+  /** `events` with `ts` normalized to a micros TimestampType regardless of
+    * the parquet encoding (legacy nanos-long vs timestamp[us]) — the
+    * type dispatch lives in one place, [[graft.Tables.normalizeTs]]. */
   private def eventsTs(s: org.apache.spark.sql.SparkSession, d: String) =
-    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsTs(s, d)
 
   /** JSON extraction from a string column + grouped rollup
     * (JSON boundary handling, SURVEY.md §2.8 note). */

@@ -314,8 +314,8 @@ object Extras {
       |WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-02'
       |GROUP BY 1""".stripMargin) { (s, d) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    events(s, d)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.eventsTs(s, d)
+      .withColumn("ts_utc", col("ts"))
       .withColumn("event_date", to_date(col("ts_utc")).cast("string"))
       .write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$tmp/events")
@@ -435,9 +435,11 @@ object Extras {
     * bit-loop interleave — the multi-dimension z-order a (user_id,
     * event_id, ts)-predicated events lake clusters by. The oracle
     * recomputes the interleave with an explicit per-bit loop, independent
-    * of the Spark expression tree. ts arrives as TIMESTAMP(NANOS) — longs
-    * on the Spark side (nanosAsLong), epoch_ns on DuckDB's — and both
-    * floor-divide to seconds before masking. */
+    * of the Spark expression tree. `ts` is normalized via Tables.eventsTs
+    * (nanos-long or timestamp[us] → micros TimestampType), then
+    * `unix_seconds` floors to epoch seconds; DuckDB's
+    * `epoch_ns(ts) // 1e9` floors identically for these positive
+    * timestamps. */
   val qZ2ZOrder3 = Q(
     "q_z2_zorder3",
     """WITH b AS (SELECT event_id, user_id & 65535 AS x,
@@ -450,10 +452,10 @@ object Extras {
       |            + (((y >> j) & 1) << (j * 3 + 1))
       |            + (((t >> j) & 1) << (j * 3 + 2)))) AS BIGINT) AS z
       |FROM b""".stripMargin) { (s, d) =>
-    events(s, d).select(col("event_id"),
+    graft.Tables.eventsTs(s, d).select(col("event_id"),
       graft.operators.Layout.zValueN(Seq(
         col("user_id"), col("event_id"),
-        expr("ts div 1000000000"))).as("z"))
+        unix_seconds(col("ts")))).as("z"))
   }
 
   /** 2-D Hilbert index — the locality-preserving layout key next to the

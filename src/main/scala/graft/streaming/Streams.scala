@@ -15,21 +15,32 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object Streams {
 
-  /** events.parquet schema, with the TIMESTAMP(NANOS) column as long
-    * (matching the nanosAsLong batch read) converted to a micros timestamp
-    * for event-time semantics. */
+  /** events.parquet schema for the CURRENT driver generation
+    * (`ts: timestamp[us]`, surfaced as TIMESTAMP_NTZ). Used only as the
+    * fallback when the stream directory is empty at start; otherwise
+    * [[readEventStream]] adopts the batch-read schema of the directory, so
+    * legacy TIMESTAMP(NANOS) data (nanos-as-long) streams too. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream over a directory of events parquet. The declared
+    * schema follows whatever the directory's files actually store (batch
+    * schema inference on the same session confs — so ns data under
+    * nanosAsLong arrives as LongType, µs data as TIMESTAMP_NTZ), and `ts`
+    * is normalized to a micros TimestampType by the same one-place type
+    * dispatch the batch queries use (graft.Tables.normalizeTs). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = scala.util.Try(spark.read.parquet(dir).schema)
+      .getOrElse(eventsSchema)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    raw.withColumn("ts",
+      graft.Tables.normalizeTsCol(schema("ts").dataType, "ts"))
+  }
 
   /** Watermarked hourly windowed aggregate — the streaming twin of the
     * batch q_e2_hourly_window (same grouping semantics, late data bounded
@@ -272,14 +283,63 @@ object Streams {
   def nearDupAgainstBase(
       incoming: DataFrame, base: DataFrame, id: String, text: String,
       threshold: Double,
-      watermark: Option[(String, String)] = None): DataFrame = {
+      watermark: Option[(String, String)] = None): DataFrame =
+    nearDupAgainstBase(incoming, nearDupIndexBuild(base, id, text),
+      id, text, threshold, watermark)
+
+  /** The prebuilt base-corpus artifact [[nearDupAgainstBase]] probes: the
+    * training set's (band, bh) LSH rows and its shingle sets. Building it
+    * is the only pass over the base corpus; a screen that restarts daily
+    * should [[nearDupIndexSave]] it once and [[nearDupIndexLoad]] at each
+    * start instead of re-aggregating 100 TB of base text per restart. */
+  final case class NearDupBaseIndex(buckets: DataFrame, sets: DataFrame)
+
+  /** One-pass build of the [[NearDupBaseIndex]] (both frames
+    * `localCheckpoint`ed — micro-batches join materialized blocks). */
+  def nearDupIndexBuild(
+      base: DataFrame, id: String, text: String): NearDupBaseIndex = {
     graft.functions.GraftFunctions.register(base.sparkSession)
-    val baseIdx = Dedup.bandedBuckets(base, id, text)
-      .withColumnRenamed("doc_id", "base_id")
-      .localCheckpoint()
-    val baseSets = base
-      .select(col(id).as("base_id"), Dedup.wordTrigrams(col(text)).as("__tgb"))
-      .localCheckpoint()
+    NearDupBaseIndex(
+      Dedup.bandedBuckets(base, id, text)
+        .withColumnRenamed("doc_id", "base_id")
+        .localCheckpoint(),
+      base.select(col(id).as("base_id"),
+          Dedup.wordTrigrams(col(text)).as("__tgb"))
+        .localCheckpoint())
+  }
+
+  /** Persist a [[NearDupBaseIndex]] under `dir` (parquet frames + sidecar,
+    * same layout family as the ANN indexes — see
+    * [[graft.operators.IndexIO]]). */
+  def nearDupIndexSave(index: NearDupBaseIndex, dir: String): Unit = {
+    graft.operators.IndexIO.saveFrame(index.buckets, s"$dir/buckets")
+    graft.operators.IndexIO.saveFrame(index.sets, s"$dir/sets")
+    graft.operators.IndexIO.writeMeta(
+      index.buckets.sparkSession, dir, "near_dup_base", Map.empty)
+  }
+
+  /** Reload a [[NearDupBaseIndex]] saved by [[nearDupIndexSave]]. The
+    * frames come back as lazy parquet scans; they are NOT re-checkpointed
+    * here (the caller owns that trade — a screen probing many micro-batches
+    * should `localCheckpoint` them once at startup). */
+  def nearDupIndexLoad(
+      spark: SparkSession, dir: String): NearDupBaseIndex = {
+    graft.operators.IndexIO.readMeta(spark, dir, "near_dup_base")
+    NearDupBaseIndex(
+      graft.operators.IndexIO.loadFrame(spark, s"$dir/buckets"),
+      graft.operators.IndexIO.loadFrame(spark, s"$dir/sets"))
+  }
+
+  /** [[nearDupAgainstBase]] against a PREBUILT (possibly
+    * [[nearDupIndexLoad]]ed) base index — pure query-side work: no pass
+    * over the base corpus at all. */
+  def nearDupAgainstBase(
+      incoming: DataFrame, index: NearDupBaseIndex, id: String,
+      text: String, threshold: Double,
+      watermark: Option[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val baseIdx = index.buckets
+    val baseSets = index.sets
     val prime = graft.functions.GraftFunctions.HashPrime
     val src = watermark.fold(incoming) { case (c, d) =>
       incoming.withWatermark(c, d)

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.Streams
+
+/** save(dir)/load(dir) round-trips for every prebuilt index: a loaded
+  * index must answer queries BIT-IDENTICALLY to the in-session build —
+  * frames round-trip through parquet, model arrays (centroids/codebooks)
+  * through [[graft.operators.IndexIO]]'s binary-exact tables, and all
+  * top-k tie-breaks are deterministic, so nothing may drift. */
+class AnnPersistenceSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+  private val K = 5
+  private def pred = col("vec_id") % 37 === 0
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_idx_$tag").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("LSH index: build → save → load → query is bit-identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
+    val built = rows(Similarity.lshTopK(idx, pred, K))
+    val dir = tmp("lsh")
+    Similarity.lshIndexSave(idx, dir)
+    val loaded = Similarity.lshIndexLoad(spark, dir)
+    assert(loaded.dim == 64)
+    assert(rows(Similarity.lshTopK(loaded, pred, K)) == built)
+    // external-query overload works against the loaded index too
+    val q = emb.filter(col("vec_id") % 41 === 0)
+    assert(rows(Similarity.lshTopK(loaded, q, "vec_id", "embedding", K)) ==
+      rows(Similarity.lshTopK(idx, q, "vec_id", "embedding", K)))
+  }
+
+  test("IVF index: build → save → load → query is bit-identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfIndexBuild(emb, "vec_id", "embedding")
+    val built = rows(Similarity.ivfTopK(idx, pred, K))
+    val dir = tmp("ivf")
+    Similarity.ivfIndexSave(idx, dir)
+    val loaded = Similarity.ivfIndexLoad(spark, dir)
+    // the model artifact itself must round-trip bit-exactly
+    assert(loaded.centroids.length == idx.centroids.length)
+    assert(loaded.centroids.zip(idx.centroids).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    }, "centroid doubles drifted through save/load")
+    assert(rows(Similarity.ivfTopK(loaded, pred, K)) == built)
+  }
+
+  test("PQ index: build → save → load → query is bit-identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.pqIndexBuild(emb, "vec_id", "embedding")
+    val built = rows(Similarity.pqTopK(idx, pred, K))
+    val dir = tmp("pq")
+    Similarity.pqIndexSave(idx, dir)
+    val loaded = Similarity.pqIndexLoad(spark, dir)
+    assert(loaded.codebooks.length == idx.codebooks.length)
+    assert(loaded.codebooks.zip(idx.codebooks).forall { case (ma, mb) =>
+      ma.zip(mb).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }, "codebook doubles drifted through save/load")
+    assert(rows(Similarity.pqTopK(loaded, pred, K)) == built)
+  }
+
+  test("IVF-PQ index: save → load → query identical; append composes") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.ivfPqIndexBuild(half, "vec_id", "embedding")
+    val dir = tmp("ivfpq")
+    Similarity.ivfPqIndexSave(idx, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(rows(Similarity.ivfPqTopK(loaded, pred, K)) ==
+      rows(Similarity.ivfPqTopK(idx, pred, K)))
+    // append-hourly on a LOADED index: frozen quantizers encode new rows
+    val grown = Similarity.ivfPqIndexAppend(loaded, rest, "vec_id", "embedding")
+    val grownB = Similarity.ivfPqIndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.ivfPqTopK(grown, pred, K)) ==
+      rows(Similarity.ivfPqTopK(grownB, pred, K)))
+  }
+
+  test("kind/version validation refuses mismatched index dirs") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
+    val dir = tmp("wrongkind")
+    Similarity.lshIndexSave(idx, dir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexLoad(spark, dir)
+    }
+    assert(e.getMessage.contains("kind"))
+    intercept[IllegalArgumentException] {
+      Similarity.lshIndexLoad(spark, tmp("empty"))
+    }
+  }
+
+  test("streaming near-dup screens against a LOADED base index") {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf)
+    val isNew = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "8"
+    val base = docs.filter(!isNew).select("doc_id", "text")
+    val idxDir = tmp("neardup")
+    Streams.nearDupIndexSave(
+      Streams.nearDupIndexBuild(base, "doc_id", "text"), idxDir)
+    val loaded = Streams.nearDupIndexLoad(spark, idxDir)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_loaded")
+    docs.filter(isNew).select("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = Streams.nearDupAgainstBase(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      loaded, "doc_id", "text", threshold = 0.6, watermark = None)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("nd_loaded_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nd_loaded_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Dedup.minHashLshPairsAcross(
+          base, docs.filter(isNew), "doc_id", "text", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(batch.nonEmpty, "fixture should contain cross-split pairs")
+      assert(streamed == batch,
+        s"loaded-index screen diverged: missed ${batch.keySet -- streamed.keySet}" +
+          s", extra ${streamed.keySet -- batch.keySet}")
+    } finally q.stop()
+  }
+}

@@ -676,8 +676,7 @@ class StreamingSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "view"),
       ev.filter(col("event_type") === "purchase"))
     // batch truth: identical frames and join, batch read
-    val evB = graft.Tables.events(spark, sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evB = graft.Tables.eventsTs(spark, sf)
     val (vB, pB) = split(evB)
     val batch = Streams.attributionJoin(vB, pB, windowSec = 3600)
       .collect().map(_.toString).toSet
