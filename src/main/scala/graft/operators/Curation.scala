@@ -78,7 +78,13 @@ object Curation {
       decontamNgram: Int = 3,
       lmXentMax: Option[Double] = None,
       gopherScreen: Boolean = false,
-      maxPerSource: Option[(String, Int)] = None)
+      maxPerSource: Option[(String, Int)] = None,
+      /** Trained [[TextAnalysis.NbQualityModel]] screen: keep documents
+        * whose NB score ≥ the threshold (0.0 = the classifier's own
+        * decision boundary). Train with [[TextAnalysis.trainQualityNb]]
+        * on a curated-vs-crawl labeled frame, then screen the crawl —
+        * a pure Column fold, fused into the final filter stage. */
+      nbScreen: Option[(TextAnalysis.NbQualityModel, Double)] = None)
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -173,6 +179,11 @@ object Curation {
       .filter(if (cfg.gopherScreen)
         gopherVerdictFrom(col(text), col("__gt")) === lit("keep")
       else lit(true))
+      // trained-NB screen on the ORIGINAL text, same stage as the other
+      // pure-Column screens (no extra pass; the fold fuses into the scan)
+      .filter(cfg.nbScreen.fold(lit(true)) { case (m, thr) =>
+        m.score(col(text)) >= thr
+      })
       .select(col(id),
         langId(col(text)).as("pred_lang"),
         qualityScore(col(text)).as("quality"),

@@ -751,6 +751,95 @@ object TextAnalysis {
     }
   }
 
+  /** A trained hashed-token Naive Bayes quality model — what
+    * [[trainQualityNb]] emits and the screen consumes. `weights(b)` is the
+    * Laplace-smoothed log-odds of bucket `b` (log p(tok|pos) − log
+    * p(tok|neg)); `bias` the smoothed class log-prior. Once trained, the
+    * weights are LITERALS: [[score]] is a codegen'd sequential fold over
+    * the token array against a literal array — pure rational IEEE given
+    * fixed weights, no shuffle, runs inside the scan stage like
+    * [[qualityClassifier]]. */
+  final case class NbQualityModel(
+      numBuckets: Int, weights: Array[Double], bias: Double) {
+    require(weights.length == numBuckets,
+      s"weights length ${weights.length} != numBuckets $numBuckets")
+
+    /** Linear NB score: bias + Σ weights(bucket(token)); ≥ 0 decides
+      * "curated-like" (same monotone-link reasoning as
+      * [[qualityClassifier]]). */
+    def score(text: Column): Column = {
+      val w = typedLit(weights.toSeq)
+      aggregate(tokens(text), lit(bias), (acc, t) =>
+        acc + element_at(w, (nbBucket(t, numBuckets) + 1).cast("int")))
+    }
+  }
+
+  /** Feature-hash bucket of a token: the first 4 hex digits of its md5,
+    * mod `b` — md5 (not xxhash64) so a SQL oracle reproduces it
+    * (`('0x' || substring(md5(tok),1,4))::BIGINT % b` in DuckDB). 4 hex
+    * digits = 65536 raw cells, so `b` ≤ 65536. */
+  def nbBucket(tok: Column, b: Int): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10)
+      .cast("long") % b
+
+  /** The single training pass of [[trainQualityNb]]: per-bucket token
+    * occurrences by class. One explode → one `b`-bounded hash-agg —
+    * map-side partials carry (bucket, 2 longs), never tokens; at 100 TB
+    * the exchange is `b` rows per task regardless of corpus size.
+    *
+    * @param isPos Boolean label Column evaluated on the doc row (e.g.
+    *        `col("source") === "curated"` — the curated-vs-crawl loop)
+    * @return bucket, n_pos, n_neg (occurrence counts) */
+  def nbTrainCounts(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      isPos: Column, b: Int): org.apache.spark.sql.DataFrame = {
+    require(b >= 2 && b <= 65536, s"nb buckets must be in [2, 65536]: $b")
+    docs
+      .select(isPos.as("__pos"), explode(tokens(col(text))).as("tok"))
+      .select(col("__pos"), nbBucket(col("tok"), b).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"))
+  }
+
+  /** Train the hashed-token Naive Bayes quality classifier in-engine —
+    * the curated-vs-crawl labeling loop ([[qualityClassifier]] consumes
+    * handcrafted literals; THIS produces learned ones). Multinomial NB
+    * with Laplace smoothing over [[nbBucket]] feature hashes:
+    *
+    *   weights(b) = ln((n_pos(b)+1)/(posTok+B)) − ln((n_neg(b)+1)/(negTok+B))
+    *   bias       = ln((posDocs+1)/(negDocs+1))
+    *
+    * Cost: ONE corpus pass for the bucket counts (`b`-bounded agg) + one
+    * 1-row agg for the doc prior; the collected model is ≤ `b` rows of
+    * 2 longs behind the [[nbBucket]] guard — a driver-side model artifact
+    * like the IVF centroids. Logs via `StrictMath.log` (bit-identical
+    * across platforms, computed once per bucket on the driver — inference
+    * never evaluates a transcendental). */
+  def trainQualityNb(
+      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      isPos: Column, b: Int = 4096): NbQualityModel = {
+    val counts = nbTrainCounts(docs, id, text, isPos, b).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val posTok = counts.map(_._2).sum
+    val negTok = counts.map(_._3).sum
+    val prior = docs
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("p"),
+        sum(when(!isPos, 1L).otherwise(0L)).as("n"))
+      .collect().head
+    val (posDocs, negDocs) = (prior.getLong(0), prior.getLong(1))
+    require(posDocs > 0 && negDocs > 0,
+      s"NB training needs both classes: pos=$posDocs neg=$negDocs")
+    val byBucket = counts.map(c => c._1 -> (c._2, c._3)).toMap
+    val w = Array.tabulate(b) { i =>
+      val (np, nn) = byBucket.getOrElse(i, (0L, 0L))
+      StrictMath.log((np + 1).toDouble / (posTok + b)) -
+        StrictMath.log((nn + 1).toDouble / (negTok + b))
+    }
+    NbQualityModel(b, w,
+      StrictMath.log((posDocs + 1).toDouble / (negDocs + 1)))
+  }
+
   /** Corpus-level frequent n-gram mining: the `k` most frequent n-grams
     * (n ∈ [2, 5], default bigrams) with their document frequency — the
     * builder for boilerplate / stop-phrase lists (the list a curation pass

@@ -1050,6 +1050,47 @@ object Text {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** The Naive-Bayes trainer's single counting pass + the smoothed
+    * rational likelihood ratio each bucket weight is the log of —
+    * certified end to end (the log itself stays driver-side in
+    * [[graft.operators.TextAnalysis.trainQualityNb]]; the ratio is pure
+    * long-exact counts and one IEEE mul/div chain, which DuckDB
+    * reproduces bit-for-bit). Labels are a deterministic doc_id rule so
+    * the oracle agrees on the class split; the md5-prefix feature hash
+    * is the SQL-portable [[graft.operators.TextAnalysis.nbBucket]]. */
+  val qT36NbTrain = Q(
+    "q_t36_nb_train",
+    """WITH t AS (
+      |  SELECT doc_id % 2 = 1 AS pos,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT) % 256
+      |           AS bucket,
+      |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_pos,
+      |         CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_neg
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT sum(n_pos) AS pos_tok, sum(n_neg) AS neg_tok FROM b)
+      |SELECT bucket, n_pos, n_neg,
+      |       (CAST(n_pos + 1 AS DOUBLE) * CAST(neg_tok + 256 AS DOUBLE)) /
+      |       (CAST(n_neg + 1 AS DOUBLE) * CAST(pos_tok + 256 AS DOUBLE))
+      |         AS ratio
+      |FROM b, tot""".stripMargin) { (s, d) =>
+    val b = 256
+    val counts = graft.operators.TextAnalysis.nbTrainCounts(
+      documents(s, d), "doc_id", "text", col("doc_id") % 2 === 1, b)
+    val tot = counts.agg(sum(col("n_pos")).as("pos_tok"),
+      sum(col("n_neg")).as("neg_tok"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        (((col("n_pos") + 1).cast("double")
+            * (col("neg_tok") + b).cast("double"))
+          / ((col("n_neg") + 1).cast("double")
+            * (col("pos_tok") + b).cast("double"))).as("ratio"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1059,5 +1100,5 @@ object Text {
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
-      qT35LmBuckets, qT37Bpe512)
+      qT35LmBuckets, qT36NbTrain, qT37Bpe512)
 }
