@@ -1186,6 +1186,233 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Animated-GIF codec: the REAL multi-frame ImageIO read. Each frame is
+    * composited onto the logical-screen canvas at its (left, top) offset —
+    * animated GIFs routinely ship partial-rect frames — honoring the
+    * frame's disposal method (`none`/`doNotDispose` accumulate,
+    * `restoreToBackgroundColor` clears the frame's rect,
+    * `restoreToPrevious` rolls the canvas back), and carries the
+    * GraphicControlExtension delay so event-time sampling downstream has
+    * real timestamps. Deterministic: ImageIO's GIF reader is pure LZW +
+    * palette lookup, same output on every JVM. */
+  object GifCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** GIF87a/GIF89a magic. */
+    def isGif(bytes: Array[Byte]): Boolean =
+      bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+    /** One composited frame: cumulative timestamp (ms), this frame's
+      * delay (ms), and the full logical-screen canvas. */
+    final case class Frame(
+        idx: Int, tsMs: Long, delayMs: Long,
+        image: java.awt.image.BufferedImage)
+
+    private def intAttr(
+        node: org.w3c.dom.Node, name: String, dflt: Int): Int = {
+      val attrs = node.getAttributes
+      val a = if (attrs == null) null else attrs.getNamedItem(name)
+      if (a == null) dflt
+      else try a.getNodeValue.toInt
+      catch { case _: NumberFormatException => dflt }
+    }
+
+    private def strAttr(
+        node: org.w3c.dom.Node, name: String, dflt: String): String = {
+      val attrs = node.getAttributes
+      val a = if (attrs == null) null else attrs.getNamedItem(name)
+      if (a == null) dflt else a.getNodeValue
+    }
+
+    private def child(
+        root: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+      var n = root.getFirstChild
+      while (n != null && n.getNodeName != name) n = n.getNextSibling
+      Option(n)
+    }
+
+    /** All frames composited, or None when the payload is not a GIF /
+      * not decodable. `maxFrames` bounds runaway payloads (a crawl GIF
+      * can carry thousands of frames). */
+    def frames(
+        bytes: Array[Byte], maxFrames: Int = 256): Option[Vector[Frame]] = {
+      if (!isGif(bytes)) return None
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, false)
+        val n = math.min(reader.getNumImages(true), maxFrames)
+        if (n <= 0) return None
+        // logical screen from the stream metadata; absent → grow to fit
+        val (lsW, lsH) = {
+          val sm = reader.getStreamMetadata
+          val tree =
+            if (sm == null) null
+            else sm.getAsTree("javax_imageio_gif_stream_1.0")
+          val lsd = if (tree == null) None
+            else child(tree, "LogicalScreenDescriptor")
+          (lsd.map(intAttr(_, "logicalScreenWidth", 0)).getOrElse(0),
+            lsd.map(intAttr(_, "logicalScreenHeight", 0)).getOrElse(0))
+        }
+        var canvas: java.awt.image.BufferedImage = null
+        var prev: java.awt.image.BufferedImage = null
+        var ts = 0L
+        val out = Vector.newBuilder[Frame]
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val md = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+          val desc = child(md, "ImageDescriptor")
+          val left = desc.map(intAttr(_, "imageLeftPosition", 0)).getOrElse(0)
+          val top = desc.map(intAttr(_, "imageTopPosition", 0)).getOrElse(0)
+          val gce = child(md, "GraphicControlExtension")
+          val delayMs =
+            gce.map(intAttr(_, "delayTime", 0)).getOrElse(0).toLong * 10L
+          val disposal =
+            gce.map(strAttr(_, "disposalMethod", "none")).getOrElse("none")
+          if (canvas == null) {
+            val w = math.max(lsW, left + img.getWidth)
+            val h = math.max(lsH, top + img.getHeight)
+            canvas = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          }
+          if (disposal == "restoreToPrevious") {
+            prev = new java.awt.image.BufferedImage(
+              canvas.getWidth, canvas.getHeight, canvas.getType)
+            val g = prev.createGraphics()
+            g.drawImage(canvas, 0, 0, null); g.dispose()
+          }
+          val g = canvas.createGraphics()
+          g.drawImage(img, left, top, null)
+          g.dispose()
+          // emit a deep copy — the canvas keeps evolving
+          val snap = new java.awt.image.BufferedImage(
+            canvas.getWidth, canvas.getHeight, canvas.getType)
+          val gs = snap.createGraphics()
+          gs.drawImage(canvas, 0, 0, null); gs.dispose()
+          out += Frame(i, ts, delayMs, snap)
+          ts += delayMs
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              val gc = canvas.createGraphics()
+              gc.setColor(java.awt.Color.BLACK)
+              gc.fillRect(left, top, img.getWidth, img.getHeight)
+              gc.dispose()
+            case "restoreToPrevious" if prev != null =>
+              val gc = canvas.createGraphics()
+              gc.drawImage(prev, 0, 0, null); gc.dispose()
+            case _ => ()
+          }
+          i += 1
+        }
+        Some(out.result())
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally { try iis.close() catch { case _: Throwable => () }
+        reader.dispose() }
+    }
+  }
+
+  /** One extracted frame of an animated GIF. `frame` is a real PNG of the
+    * composited logical screen, so GIF frames feed straight into the
+    * image path ([[ImageCodec]], [[imageDHash]], [[resizeImages]]) —
+    * exactly like [[SampledFrame]] for Y4M video. */
+  final case class GifFrame(
+      media_id: Long, frame_idx: Int, ts_ms: Long, delay_ms: Long,
+      width: Int, height: Int, frame: Array[Byte])
+
+  /** Animated-GIF frame extraction: one row per composited frame with its
+    * cumulative event-time timestamp. Narrow flatMap-shaped mapPartitions
+    * over the payload column — no shuffle; at 100 TB it pipelines inside
+    * the scan like every other codec. Non-GIF payloads emit nothing
+    * (compose with a `kind` filter upstream as needed). */
+  def gifFrames(
+      media: DataFrame, maxFramesPerMedia: Int = 256): Dataset[GifFrame] = {
+    require(maxFramesPerMedia >= 1, s"bad maxFramesPerMedia: $maxFramesPerMedia")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mediaId, bytes) =>
+          GifCodec.frames(bytes, maxFramesPerMedia)
+            .getOrElse(Vector.empty)
+            .iterator.map { f =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(f.image, "png", bos)
+              GifFrame(mediaId, f.idx, f.tsMs, f.delayMs,
+                f.image.getWidth, f.image.getHeight, bos.toByteArray)
+            }
+        }
+      }
+  }
+
+  /** Deterministic synthetic ANIMATED-GIF corpus keyed off an id column:
+    * frame count `2 + id % 6`, logical screen `(16 + id%5) × (12 + id%4)`,
+    * per-frame delay `(4 + id%3)` centiseconds, every frame a SOLID color
+    * whose channels are pure functions of (id, frame) — solid frames
+    * survive GIF palette quantization exactly, so an oracle can state the
+    * exact pixels, sizes, and timestamps a correct multi-frame decode
+    * must recover (q_m19). Same rationale as [[syntheticImages]]. */
+  def syntheticGifs(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val nFrames = (2 + mid % 6).toInt
+          val w = (16 + mid % 5).toInt
+          val h = (12 + mid % 4).toInt
+          val delayCs = (4 + mid % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var i = 0
+            while (i < nFrames) {
+              val r = ((mid * 37 + i * 11) % 256).toInt
+              val g = ((mid * 53 + i * 17) % 256).toInt
+              val b = ((mid * 71 + i * 23) % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val gg = img.createGraphics()
+              gg.setColor(new java.awt.Color(r, g, b))
+              gg.fillRect(0, 0, w, h)
+              gg.dispose()
+              val meta = writer.getDefaultImageMetadata(
+                new javax.imageio.ImageTypeSpecifier(img), null)
+              val fmt = "javax_imageio_gif_image_1.0"
+              val tree = meta.getAsTree(fmt)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              val gce = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              gce.setAttribute("disposalMethod", "none")
+              gce.setAttribute("userInputFlag", "FALSE")
+              gce.setAttribute("transparentColorFlag", "FALSE")
+              gce.setAttribute("delayTime", delayCs.toString)
+              gce.setAttribute("transparentColorIndex", "0")
+              tree.appendChild(gce)
+              meta.setFromTree(fmt, tree)
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, meta), null)
+              i += 1
+            }
+            writer.endWriteSequence()
+          } finally { ios.close(); writer.dispose() }
+          (mid, "image", bos.toByteArray)
+        }
+      }.toDF("media_id", "kind", "bytes")
+  }
+
   /** Deterministic synthetic WAV corpus keyed off an id column: 8 kHz
     * 16-bit mono PCM, frame count `800 + (id % 32)·80` (so the true
     * duration is the closed form `(800 + id%32·80)/8` ms — an oracle can

@@ -398,10 +398,54 @@ object MultimodalQ {
       threshold = 15.0)
   }
 
+  /** REAL animated-GIF frame extraction, hash-certified: synthetic
+    * multi-frame GIFs carry frame count, logical-screen size, per-frame
+    * delay, and SOLID per-frame colors as pure functions of the id (solid
+    * frames survive GIF palette quantization exactly), so the oracle
+    * states the exact frame rows — count, composited size, cumulative
+    * event-time timestamps, and the (0,0) pixel of every composited
+    * frame — that a correct ImageIO multi-frame read + canvas composite
+    * must recover. Closes the animated half of the GIF path (q_m16
+    * certifies single-frame decode). */
+  val qM19GifFrames = Q(
+    "q_m19_gif_frames",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  doc_id % 6 + 2 AS nf,
+      |                  doc_id % 5 + 16 AS w, doc_id % 4 + 12 AS h,
+      |                  (4 + doc_id % 3) * 10 AS delay_ms
+      |           FROM documents WHERE doc_id % 8 = 4),
+      |f AS (SELECT media_id, w, h, delay_ms,
+      |             unnest(range(0, nf)) AS frame_idx
+      |      FROM t)
+      |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(frame_idx * delay_ms AS BIGINT) AS ts_ms,
+      |       CAST(delay_ms AS BIGINT) AS delay_ms,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |       CAST((media_id * 37 + frame_idx * 11) % 256 AS INT) AS red,
+      |       CAST((media_id * 53 + frame_idx * 17) % 256 AS INT) AS green,
+      |       CAST((media_id * 71 + frame_idx * 23) % 256 AS INT) AS blue
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Multimodal.gifFrames(
+        Multimodal.syntheticGifs(
+          documents(s, d).filter(col("doc_id") % 8 === 4), "doc_id"))
+      .mapPartitions { it =>
+        it.map { f =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(f.frame))
+          val rgb = img.getRGB(0, 0)
+          (f.media_id, f.frame_idx, f.ts_ms, f.delay_ms, f.width, f.height,
+            (rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        }
+      }
+      .toDF("media_id", "frame_idx", "ts_ms", "delay_ms",
+        "width", "height", "red", "green", "blue")
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
-      qM17AudioStats, qM18SceneChanges)
+      qM17AudioStats, qM18SceneChanges, qM19GifFrames)
 }

@@ -468,6 +468,37 @@ object Streams {
       .filter(col("containment") >= minContainment)
   }
 
+  /** SURVIVOR form of [[contaminationStream]] — the composable stage: one
+    * row per incoming document, dropped iff ANY probe is contained at ≥
+    * `minContainment`. [[contaminationStream]] emits (doc, probe) pairs,
+    * which is the right audit output but cannot anti-join back onto the
+    * stream (stream-stream anti joins don't exist); THIS keeps the stream
+    * shape so screen → dedup → decontam chains as one query.
+    *
+    * The probe suite is SMALL by contract (the batch operator's
+    * maxProbeRows guard makes the same asymmetry explicit): its distinct
+    * trigram sets are collected once behind a loud bound and ride the plan
+    * as literals — a pure stateless Column conjunction, no state store, no
+    * shuffle, no extra rows. Containment arithmetic is the same
+    * |∩|/|probe| as batch. */
+  def decontamScreenStream(
+      incoming: DataFrame, probes: DataFrame, id: String, text: String,
+      minContainment: Double, maxProbeRows: Int = 4096): DataFrame = {
+    val sets = probes.select(Dedup.wordTrigrams(col(text)))
+      .collect().map(_.getSeq[String](0))
+    require(sets.length <= maxProbeRows,
+      s"decontamScreenStream collected ${sets.length} probes > " +
+        s"$maxProbeRows — the probe suite must stay benchmark-sized " +
+        "(raise maxProbeRows consciously; each probe's shingles ride " +
+        "the plan)")
+    val tgd = Dedup.wordTrigrams(col(text))
+    val contaminated = sets.filter(_.nonEmpty).map { p =>
+      (size(array_intersect(tgd, typedLit(p))).cast("double")
+        / lit(p.size)) >= minContainment
+    }.foldLeft(lit(false))(_ || _)
+    incoming.filter(!contaminated)
+  }
+
   /** CCNet-style LM quality scoring on a stream: score incoming documents
     * against a PRETRAINED [[TextAnalysis.LmModel]]
     * ([[TextAnalysis.lmTrain]] on a reference corpus — the train-once /

@@ -545,6 +545,75 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly-once violated: ${got.length} rows out vs ${all.length} in")
   }
 
+  test("composed curation chain is exactly-once across a kill-restart") {
+    // the full continual-ingest hygiene chain as ONE checkpointed query:
+    // curationScreenStream (keep verdicts) → exactAgainstBase (don't
+    // re-ingest the training set) → decontamScreenStream (benchmark
+    // screen) → parquet sink. Kill it mid-corpus, land more data, restart
+    // from the checkpoint: the sink must hold exactly the batch
+    // composition's survivors — no loss, no duplicates.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_composed")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val cfg = graft.operators.Curation.Config(
+      minQuality = 0.3, repetitionDropAt = 0.5)
+    // base corpus: every 7th document is "already ingested" — its
+    // REDACTED text digest must block the incoming twin
+    val base = Streams.curationScreenStream(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", None, cfg)
+      .select(col("clean_text").as("text"))
+    // probes: two real documents → their trigrams contaminate themselves
+    val probes = docs.filter(col("doc_id").isin(3L, 17L))
+    def compose(src: org.apache.spark.sql.DataFrame) = {
+      val screened = Streams.curationScreenStream(
+          src, "doc_id", "text", None, cfg)
+        .filter(col("verdict") === "keep")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      Streams.decontamScreenStream(
+        Streams.exactAgainstBase(screened, base, "text"),
+        probes, "doc_id", "text", minContainment = 0.8)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def startQuery() = compose(
+        spark.readStream.schema(schema).parquet(in))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk).start()
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.length == got.distinct.length,
+      s"restart duplicated ${got.length - got.distinct.length} rows")
+    // batch truth: the identical composition over a plain read
+    val expected = compose(docs).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.sameElements(expected),
+      s"composed funnel diverged: ${got.length} streamed vs " +
+        s"${expected.length} batch; missing " +
+        s"${(expected.toSet -- got.toSet).take(5)}, extra " +
+        s"${(got.toSet -- expected.toSet).take(5)}")
+    // the fixture must exercise every stage: some docs dropped by the
+    // screen, some by the base digest, some by the decontam probes
+    val n = docs.count()
+    val afterScreen = Streams.curationScreenStream(
+        docs, "doc_id", "text", None, cfg)
+      .filter(col("verdict") === "keep").count()
+    assert(afterScreen < n, "screen stage dropped nothing")
+    assert(expected.length < afterScreen,
+      "dedup+decontam stages dropped nothing")
+    assert(!expected.contains(3L) && !expected.contains(17L),
+      "probe documents must decontaminate themselves away")
+  }
+
   test("streaming media near-dup finds edited copies against a base index") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
