@@ -105,6 +105,109 @@ object Layout {
     cur.drop("__hx", "__hy")
   }
 
+  /** 3-D Hilbert index of the low `bits` bits of three non-negative
+    * integral columns — [[withHilbert2]] generalized via the Skilling
+    * transform (John Skilling, "Programming the Hilbert curve", AIP 2004
+    * — the standard public n-D algorithm): an MSB→LSB exchange/invert
+    * loop brings the coordinates into "transpose" form, a Gray-style
+    * correction (`X[i] ^= X[i-1]`, then the parity mask `t`) undoes the
+    * Gray encoding, and the index is the plain bit-interleave of the
+    * result. Consecutive indexes are always face-adjacent cells, so
+    * range-clustered files cover one connected (x, y, z) region — the
+    * locality [[zValueN]]'s 3-D Morton code gives up at power-of-two
+    * seams.
+    *
+    * Same plan discipline as [[withHilbert2]]: the exchange loop's swap
+    * makes each stage reference both prior coordinates, so each of the
+    * `bits−1` steps materializes its outputs via `withColumns`
+    * (attribute references, linear plan size, whole-stage-codegen'd
+    * projections); the Gray correction and interleave are single
+    * expression trees (the parity mask uses `bit_count` — no loop
+    * state). Certified against a DuckDB recursive-CTE replay of the
+    * same per-bit loop (q_z4) and a driver-side reference in
+    * LayoutSpec.
+    *
+    * @return `df` with `outCol` = the Hilbert distance (0 ≤ d < 8^bits) */
+  def withHilbert3(
+      df: DataFrame, xCol: String, yCol: String, zCol: String,
+      outCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits in [1, 20] (3·bits ≤ 63): $bits")
+    val mask = (1L << bits) - 1
+    var cur = df.withColumns(Map(
+      "__h0" -> col(xCol).cast("long").bitwiseAND(lit(mask)),
+      "__h1" -> col(yCol).cast("long").bitwiseAND(lit(mask)),
+      "__h2" -> col(zCol).cast("long").bitwiseAND(lit(mask))))
+    var s = bits - 1
+    while (s >= 1) {
+      val q = 1L << s
+      val p = q - 1
+      // dimension 0: the else-branch exchange is X0^X0 = 0 — a no-op
+      cur = cur.withColumn("__a0",
+        when(col("__h0").bitwiseAND(lit(q)) > 0,
+          col("__h0").bitwiseXOR(lit(p))).otherwise(col("__h0")))
+      // dimension 1: invert X0's low bits, or exchange them with X1's
+      val t1 = col("__a0").bitwiseXOR(col("__h1")).bitwiseAND(lit(p))
+      cur = cur.withColumns(Map(
+        "__b0" -> when(col("__h1").bitwiseAND(lit(q)) > 0,
+          col("__a0").bitwiseXOR(lit(p)))
+          .otherwise(col("__a0").bitwiseXOR(t1)),
+        "__b1" -> when(col("__h1").bitwiseAND(lit(q)) > 0, col("__h1"))
+          .otherwise(col("__h1").bitwiseXOR(t1))))
+      // dimension 2: same, against the dimension-1 output
+      val t2 = col("__b0").bitwiseXOR(col("__h2")).bitwiseAND(lit(p))
+      cur = cur.withColumns(Map(
+        "__h0" -> when(col("__h2").bitwiseAND(lit(q)) > 0,
+          col("__b0").bitwiseXOR(lit(p)))
+          .otherwise(col("__b0").bitwiseXOR(t2)),
+        "__h1" -> col("__b1"),
+        "__h2" -> when(col("__h2").bitwiseAND(lit(q)) > 0, col("__h2"))
+          .otherwise(col("__h2").bitwiseXOR(t2))))
+      s -= 1
+    }
+    // Gray correction: X[i] ^= X[i-1] in order, then the parity mask —
+    // bit k of t is the parity of g2's bits above k (the closed form of
+    // Skilling's "t ^= Q−1 for each set bit" fold; bits never overlap,
+    // so OR assembles it)
+    cur = cur
+      .withColumn("__g1", col("__h1").bitwiseXOR(col("__h0")))
+    cur = cur.withColumn("__g2", col("__h2").bitwiseXOR(col("__g1")))
+    val t =
+      if (bits == 1) lit(0L)
+      else (0 until bits - 1).map { k =>
+        shiftleft(
+          bit_count(shiftright(col("__g2"), k + 1)).cast("long")
+            .bitwiseAND(lit(1L)), k)
+      }.reduce(_ bitwiseOR _)
+    cur = cur.withColumns(Map(
+      "__f0" -> col("__h0").bitwiseXOR(t),
+      "__f1" -> col("__g1").bitwiseXOR(t),
+      "__f2" -> col("__g2").bitwiseXOR(t)))
+    // transpose → index: bit j of dimension i lands at j·3 + (2−i)
+    val d = (0 until bits).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(col("__f0"), j).bitwiseAND(lit(1L)), j * 3 + 2),
+        shiftleft(shiftright(col("__f1"), j).bitwiseAND(lit(1L)), j * 3 + 1),
+        shiftleft(shiftright(col("__f2"), j).bitwiseAND(lit(1L)), j * 3))
+    }.reduce(_ bitwiseOR _)
+    cur.withColumn(outCol, d)
+      .drop("__h0", "__h1", "__h2", "__a0", "__b0", "__b1",
+        "__g1", "__g2", "__f0", "__f1", "__f2")
+  }
+
+  /** [[hilbertOrderBy]] in three dimensions: cluster by the 3-D Hilbert
+    * distance of (`xCol`, `yCol`, `zCol`) — the layout key for a lake
+    * predicated on three correlated dimensions at once (e.g. user,
+    * entity, time-bucket). */
+  def hilbertOrderBy3(
+      df: DataFrame, xCol: String, yCol: String, zCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    require(numPartitions > 0, s"bad partition count: $numPartitions")
+    withHilbert3(df, xCol, yCol, zCol, "__h", bits)
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
   /** Cluster `df` for writing: range-partition by the 2-D z-value of
     * (`xCol`, `yCol`), sort within partitions. Each output task then writes
     * one file covering a compact z-range = a small (x, y) square.

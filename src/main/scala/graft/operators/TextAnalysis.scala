@@ -370,7 +370,15 @@ object TextAnalysis {
     * buffers every value, so the final merge holds one xent per
     * document on a single task. 16 M docs ≈ a few hundred MB of
     * OpenHashMap — comfortably inside one executor; beyond that the
-    * approximate path is the only sane shape. */
+    * approximate path is the only sane shape.
+    *
+    * The limit applies to INPUT rows (the fail-fast guard counts the id
+    * column before scoring), not scored documents: lmScore drops <2-token
+    * docs and collapses duplicate ids, so a corpus slightly over the
+    * limit that would shrink under it after scoring is still refused —
+    * deliberately conservative (refuse, never OOM). For non-deterministic
+    * inputs (e.g. a `.sample()` frame) the counted rows can differ from
+    * the rows later scored; the guard is advisory for such sources. */
   val LmBucketsExactMaxDocs: Long = 1L << 24
 
   /** CCNet head/middle/tail selection (Wenzek et al.): bucket every

@@ -488,6 +488,70 @@ object Extras {
       .select(col("event_id"), col("h"))
   }
 
+  /** 3-D Hilbert index over (user, event, time-second) — the Skilling
+    * transform on the Spark side (Layout.withHilbert3), and a fully
+    * independent DuckDB replay on the oracle side: the MSB→LSB
+    * exchange/invert loop as a recursive CTE (one step per bit, the
+    * three per-dimension updates unrolled through nested derived
+    * tables), then the Gray correction with the parity mask as a
+    * `bit_count` closed form, then the plain interleave. `ts` is
+    * normalized via Tables.eventsTs exactly as q_z2. */
+  val qZ4Hilbert3 = Q(
+    "q_z4_hilbert3",
+    """WITH RECURSIVE pts AS (
+      |  SELECT event_id,
+      |         CAST(user_id & 65535 AS BIGINT) AS x0,
+      |         CAST(event_id & 65535 AS BIGINT) AS x1,
+      |         CAST((epoch_ns(ts) // 1000000000) & 65535 AS BIGINT) AS x2
+      |  FROM events),
+      |h AS (
+      |  SELECT event_id, x0, x1, x2, 15 AS s FROM pts
+      |  UNION ALL
+      |  SELECT event_id, c0, b1, c2, s - 1 FROM (
+      |    SELECT event_id, s,
+      |           CASE WHEN (x2 & q) != 0 THEN xor(b0, p)
+      |                ELSE xor(b0, xor(b0, x2) & p) END AS c0,
+      |           b1,
+      |           CASE WHEN (x2 & q) != 0 THEN x2
+      |                ELSE xor(x2, xor(b0, x2) & p) END AS c2
+      |    FROM (
+      |      SELECT event_id, s, q, p, x2,
+      |             CASE WHEN (x1 & q) != 0 THEN xor(a0, p)
+      |                  ELSE xor(a0, xor(a0, x1) & p) END AS b0,
+      |             CASE WHEN (x1 & q) != 0 THEN x1
+      |                  ELSE xor(x1, xor(a0, x1) & p) END AS b1
+      |      FROM (
+      |        SELECT event_id, s, q, p, x1, x2,
+      |               CASE WHEN (x0 & q) != 0 THEN xor(x0, p)
+      |                    ELSE x0 END AS a0
+      |        FROM (
+      |          SELECT event_id, x0, x1, x2, s,
+      |                 (CAST(1 AS BIGINT) << s) AS q,
+      |                 (CAST(1 AS BIGINT) << s) - 1 AS p
+      |          FROM h WHERE s >= 1)))) ),
+      |fin AS (
+      |  SELECT event_id, x0, xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2
+      |  FROM h WHERE s = 0),
+      |tt AS (
+      |  SELECT event_id, x0, g1, g2,
+      |         CAST(list_sum(list_transform(range(0, 15),
+      |           k -> ((bit_count(g2 >> (k + 1)) & 1)::BIGINT << k)))
+      |           AS BIGINT) AS t
+      |  FROM fin)
+      |SELECT event_id,
+      |       CAST(list_sum(list_transform(range(0, 16),
+      |         j -> (((xor(x0, t) >> j) & 1) << (j * 3 + 2))
+      |            + (((xor(g1, t) >> j) & 1) << (j * 3 + 1))
+      |            + (((xor(g2, t) >> j) & 1) << (j * 3)))) AS BIGINT) AS h
+      |FROM tt""".stripMargin) { (s, d) =>
+    graft.operators.Layout.withHilbert3(
+      graft.Tables.eventsTs(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("ts")).as("__sec")),
+      "user_id", "event_id", "__sec", "h")
+      .select(col("event_id"), col("h"))
+  }
+
   val all: Seq[Q] = Seq(
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
@@ -495,5 +559,6 @@ object Extras {
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
-    qZ3Hilbert, qS13SchemaMerge, qJ5FullOuter, qJ6Cross, qJ7Upsert)
+    qZ3Hilbert, qZ4Hilbert3, qS13SchemaMerge, qJ5FullOuter, qJ6Cross,
+    qJ7Upsert)
 }

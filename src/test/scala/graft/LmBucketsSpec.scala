@@ -38,11 +38,24 @@ class LmBucketsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val n = xents.length
     val band = n.toDouble / acc
-    val rank = xents.sortBy(_._2).zipWithIndex
-      .map { case ((id, _), i) => id -> (i + 1).toDouble }.toMap
+    // tie-safe ranks: docs sharing an xent value share the whole tie
+    // group's rank INTERVAL (sortBy's arbitrary tie order would
+    // otherwise smear a boundary-straddling group and flag members far
+    // from the boundary as spurious offenders)
+    val sorted = xents.sortBy { case (id, x) => (x, id) }.zipWithIndex
+    val rankRange: Map[Long, (Double, Double)] = sorted
+      .groupBy(_._1._2)
+      .flatMap { case (_, es) =>
+        val lo = es.map(_._2).min + 1.0
+        val hi = es.map(_._2).max + 1.0
+        es.map { case ((id, _), _) => id -> ((lo, hi)) }
+      }
     val boundaries = Seq(n / 3.0, 2.0 * n / 3.0)
     ex.keys.filter(k => ex(k) != ap(k)).filter { k =>
-      boundaries.forall(b => math.abs(rank(k) - b) > band + 1.0)
+      val (lo, hi) = rankRange(k)
+      // offender only when the ENTIRE tie interval sits outside the
+      // band+1 window of every tertile boundary
+      boundaries.forall(b => b < lo - band - 1.0 || b > hi + band + 1.0)
     }
   }
 

@@ -686,6 +686,106 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("3-D Hilbert is a bijective unit-step walk over the full cube") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // the defining property in 3-D on the complete 8x8x8 cube: a
+    // bijection onto [0, 8^bits) whose consecutive values are
+    // face-adjacent cells (Manhattan distance exactly 1)
+    val cells = (0 until 8).flatMap(x => (0 until 8).flatMap(y =>
+      (0 until 8).map(z => (x, y, z)))).toDF("x", "y", "z")
+    val got = Layout.withHilbert3(cells, "x", "y", "z", "d", bits = 3)
+      .select("x", "y", "z", "d").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._4).toSet == (0L until 512L).toSet,
+      "Hilbert d must be a bijection onto [0, 8^bits)")
+    val walk = got.sortBy(_._4)
+    walk.sliding(2).foreach {
+      case Array((x0, y0, z0, _), (x1, y1, z1, d1)) =>
+        assert(math.abs(x1 - x0) + math.abs(y1 - y0) +
+          math.abs(z1 - z0) == 1,
+          s"non-adjacent step at d=$d1: ($x0,$y0,$z0) -> ($x1,$y1,$z1)")
+      case _ => ()
+    }
+  }
+
+  test("3-D Hilbert at full 16-bit width matches the bit-loop reference") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // driver-side Skilling reference, independent of the Column fold
+    def ref(x: Long, y: Long, z: Long, bits: Int): Long = {
+      val mask = (1L << bits) - 1
+      val X = Array(x & mask, y & mask, z & mask)
+      var q = 1L << (bits - 1)
+      while (q > 1) {
+        val p = q - 1
+        var i = 0
+        while (i < 3) {
+          if ((X(i) & q) != 0) X(0) ^= p
+          else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+          i += 1
+        }
+        q >>= 1
+      }
+      X(1) ^= X(0); X(2) ^= X(1)
+      var t = 0L
+      q = 1L << (bits - 1)
+      while (q > 1) { if ((X(2) & q) != 0) t ^= q - 1; q >>= 1 }
+      X(0) ^= t; X(1) ^= t; X(2) ^= t
+      var d = 0L
+      var j = 0
+      while (j < bits) {
+        d |= ((X(0) >> j) & 1L) << (j * 3 + 2)
+        d |= ((X(1) >> j) & 1L) << (j * 3 + 1)
+        d |= ((X(2) >> j) & 1L) << (j * 3)
+        j += 1
+      }
+      d
+    }
+    val pts = (0 until 500).map { i =>
+      ((i * 7919L) % 65536, (i * 104729L) % 65536, (i * 1299709L) % 65536)
+    }
+    val got = Layout.withHilbert3(
+        pts.toDF("x", "y", "z"), "x", "y", "z", "d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    pts.foreach { p =>
+      assert(got(p) == ref(p._1, p._2, p._3, 16),
+        s"$p: ${got(p)} != ${ref(p._1, p._2, p._3, 16)}")
+    }
+  }
+
+  test("hilbertOrderBy3 partitions are contiguous Hilbert segments") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val cube = (0 until 16).flatMap(x => (0 until 16).flatMap(y =>
+      (0 until 16).map(z => (x, y, z)))).toDF("x", "y", "z")
+    val parts = Layout.hilbertOrderBy3(cube, "x", "y", "z",
+      numPartitions = 8, bits = 4)
+    // every partition's rows, re-indexed, must form one contiguous run
+    val ranges = parts.rdd.mapPartitions { it =>
+      val ds = it.map { r =>
+        // recompute d driver-free via the certified operator? the rows
+        // lost the index by design — recompute from coords with the
+        // same fold (already pinned against the reference above)
+        (r.getInt(0), r.getInt(1), r.getInt(2))
+      }.toArray
+      Iterator.single(ds)
+    }.collect().filter(_.nonEmpty)
+    val dOf = Layout.withHilbert3(cube, "x", "y", "z", "d", bits = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(ranges.map(_.length).sum == 4096)
+    ranges.foreach { cells =>
+      val ds = cells.map(dOf).sorted
+      assert(ds.last - ds.head + 1 == ds.length,
+        s"partition holds a non-contiguous Hilbert range " +
+          s"(${ds.head}..${ds.last}, ${ds.length} cells)")
+    }
+  }
+
   test("hilbertOrderBy clusters tighter than Morton on unaligned splits") {
     import graft.operators.Layout
     import spark.implicits._
