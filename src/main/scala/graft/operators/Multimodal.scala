@@ -222,7 +222,8 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => null
         case scala.util.control.NonFatal(_) => null
       }
-    if (ais == null) None
+    if (ais == null) statsOfPcm(
+      FlacCodec.decodeSamples(bytes).map(_._3), silenceFraction)
     else {
       try {
         val fmt = ais.getFormat
@@ -264,6 +265,71 @@ object Multimodal {
       finally ais.close()
     }
   }
+
+  /** Exact integral reductions of the REAL FLAC sample decode — the
+    * driver-checkable face of [[FlacCodec]] (q_m20): everything emitted
+    * is an integer computed from the decoded PCM, so a corpus whose
+    * samples have a closed form ([[syntheticFlacs]]' CONSTANT frames)
+    * certifies the whole frame walk, CRC checks, and subframe decode
+    * against a SQL restatement. Narrow map; undecodable payloads drop.
+    *
+    * @return media_id, sample_rate, channels, n_samples (interleaved),
+    *         peak (max |s|), sum_sq (Σ s², exact long) */
+  def flacSampleStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          FlacCodec.decodeSamples(bytes).map { case (sr, channels, ss) =>
+            var peak = 0
+            var sumSq = 0L
+            var i = 0
+            while (i < ss.length) {
+              val s = ss(i).toInt
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += s.toLong * s
+              i += 1
+            }
+            (mid, sr, channels, ss.length.toLong, peak, sumSq)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_samples", "peak",
+        "sum_sq")
+  }
+
+  /** [[audioStats]]'s reduction over already-decoded interleaved PCM —
+    * shared by the javax.sound path (via its byte loop, same arithmetic)
+    * and the [[FlacCodec]] fallback. */
+  private def statsOfPcm(
+      samples: Option[Array[Short]],
+      silenceFraction: Double): Option[(Double, Int, Double, Long)] =
+    samples.filter(_.nonEmpty).map { ss =>
+      val silenceFloor = (silenceFraction * 32768.0).toInt
+      var sumSq = 0.0
+      var peak = 0
+      var nSilent = 0L
+      var nCross = 0L
+      var prev = 0
+      var i = 0
+      while (i < ss.length) {
+        val s = ss(i).toInt
+        sumSq += s.toDouble * s.toDouble
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (a < silenceFloor) nSilent += 1
+        if (i > 0 && prev.toLong * s < 0) nCross += 1
+        prev = s
+        i += 1
+      }
+      (math.sqrt(sumSq / ss.length), peak,
+        nSilent.toDouble / ss.length, nCross)
+    }
 
   /** [[audioStats]] over a media table — the same narrow-map shape as
     * [[extractFeatures]] (undecodable payloads drop).
@@ -541,6 +607,166 @@ object Multimodal {
     }
   }
 
+  /** REAL FLAC sample decode for the subset a pure-JVM decoder can own
+    * without a native codec: CONSTANT and VERBATIM subframes at 16-bit
+    * depth (the uncompressed encodings every conformant FLAC stream may
+    * use; [[syntheticFlacs]] emits CONSTANT frames). Frame headers are
+    * fully validated — sync, codes, UTF-8 frame number, CRC-8 — and the
+    * trailing CRC-16 is checked per frame, so a corrupted payload
+    * returns None rather than garbage samples. LPC/FIXED-predicted
+    * subframes (Rice-coded residuals) return None and fall back to the
+    * labeled stub — the same declared native-codec boundary as
+    * MP4/WebM/MP3 sample synthesis.
+    *
+    * Closes the sample half of the compressed-audio gap for this subset:
+    * [[audioStats]] / [[AudioCodec.decode]] (fingerprints, features)
+    * consume the decoded PCM transparently. */
+  object FlacCodec {
+
+    private[graft] def crc8(
+        b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= b(i) & 0xff
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+            else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private[graft] def crc16(
+        b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+            else (crc << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** Decoded stream: (sampleRate, channels, interleaved 16-bit PCM).
+      * None when the payload is not FLAC, any frame uses an encoding
+      * outside the CONSTANT/VERBATIM/16-bit subset, or any CRC fails. */
+    def decodeSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      try decodeOrNull(bytes)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeOrNull(
+        bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      val meta = FlacProbe.probe(bytes)
+      if (meta.isEmpty) return None
+      val (sr, channels, _) = meta.get
+      // bits-per-sample straight from STREAMINFO (probe exposes ms only)
+      val bps = (((bytes(8 + 12) & 0x01) << 4) |
+        ((bytes(8 + 13) & 0xf0) >> 4)) + 1
+      if (bps != 16) return None
+      val total = ((bytes(8 + 13) & 0x0fL) << 32) |
+        ((bytes(8 + 14) & 0xffL) << 24) | ((bytes(8 + 15) & 0xffL) << 16) |
+        ((bytes(8 + 16) & 0xffL) << 8) | (bytes(8 + 17) & 0xffL)
+      if (total <= 0 || total > (1L << 31) / math.max(1, channels))
+        return None
+      // skip metadata blocks to the first frame
+      var o = 4
+      var last = false
+      while (!last) {
+        if (o + 4 > bytes.length) return None
+        last = (bytes(o) & 0x80) != 0
+        val len = ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        o += 4 + len
+      }
+      val out = new Array[Short]((total * channels).toInt)
+      var written = 0L
+      while (written < total) {
+        val frameStart = o
+        if (o + 4 > bytes.length) return None
+        // 14-bit sync + mandatory-zero + blocking-strategy(0 = fixed)
+        if ((bytes(o) & 0xff) != 0xff || (bytes(o + 1) & 0xfc) != 0xf8)
+          return None
+        val bsCode = (bytes(o + 2) & 0xf0) >> 4
+        val srCode = bytes(o + 2) & 0x0f
+        val chCode = (bytes(o + 3) & 0xf0) >> 4
+        val ssCode = (bytes(o + 3) & 0x0e) >> 1
+        if (chCode != channels - 1) return None // independent channels only
+        if (ssCode != 0x4) return None          // 16-bit only
+        o += 4
+        // UTF-8-coded frame number (≤ 36 bits over ≤ 7 bytes)
+        val first = bytes(o) & 0xff
+        val extra =
+          if (first < 0x80) 0
+          else Integer.numberOfLeadingZeros(~(first << 24)) - 1
+        o += 1 + extra
+        val blockSize = bsCode match {
+          case 0x1 => 192
+          case c if c >= 0x2 && c <= 0x5 => 576 << (c - 2)
+          case 0x6 => { val v = (bytes(o) & 0xff) + 1; o += 1; v }
+          case 0x7 =>
+            val v = (((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)) + 1
+            o += 2; v
+          case c if c >= 0x8 => 256 << (c - 8)
+          case _ => return None // 0000 is reserved
+        }
+        srCode match {
+          case 0xc => o += 1
+          case 0xd | 0xe => o += 2
+          case 0xf => return None
+          case _ => () // table / STREAMINFO codes carry no bytes
+        }
+        if (crc8(bytes, frameStart, o) != (bytes(o) & 0xff)) return None
+        o += 1
+        // subframes (byte-aligned at 16 bps with these types)
+        val n = math.min(blockSize.toLong, total - written).toInt
+        if (n != blockSize) return None // header must state the true size
+        var ch = 0
+        while (ch < channels) {
+          val sfh = bytes(o) & 0xff
+          o += 1
+          if ((sfh & 0x81) != 0) return None // reserved bit / wasted bits
+          val typ = (sfh >> 1) & 0x3f
+          typ match {
+            case 0 => // CONSTANT: one value for the whole block
+              val v = (((bytes(o) << 8) | (bytes(o + 1) & 0xff))).toShort
+              o += 2
+              var i = 0
+              while (i < n) {
+                out(((written + i) * channels + ch).toInt) = v
+                i += 1
+              }
+            case 1 => // VERBATIM: n raw big-endian 16-bit samples
+              var i = 0
+              while (i < n) {
+                out(((written + i) * channels + ch).toInt) =
+                  ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                o += 2
+                i += 1
+              }
+            case _ => return None // FIXED/LPC need Rice decode — stub
+          }
+          ch += 1
+        }
+        if (o + 2 > bytes.length) return None
+        val crc = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+        if (crc16(bytes, frameStart, o) != crc) return None
+        o += 2
+        written += n
+      }
+      Some((sr, channels, out))
+    }
+  }
+
   /** REAL MPEG-1 Layer III (MP3) frame walk: validates the 11-bit sync +
     * version/layer bits of each frame header, sizes every frame from the
     * public bitrate/sample-rate tables (144·bitrate/rate + padding), and
@@ -763,8 +989,11 @@ object Multimodal {
               AudioCodec.decode(bytes, featureDim).map { case (d, f) =>
                 (0, 0, d, f)
               }.orElse(
-                // FLAC/MP3: REAL duration from STREAMINFO / frame walk;
-                // features stay the labeled stub (samples need a codec)
+                // AudioCodec already tried the FLAC sample decode
+                // (CONSTANT/VERBATIM subframes). What lands here: Rice-
+                // coded FLAC and MP3 — REAL duration from STREAMINFO /
+                // the frame walk, features the labeled stub (residual
+                // synthesis needs a native codec)
                 FlacProbe.probe(bytes).map(_._3)
                   .orElse(Mp3Probe.probe(bytes).map(_._3))
                   .map { d =>
@@ -817,7 +1046,31 @@ object Multimodal {
           case _: javax.sound.sampled.UnsupportedAudioFileException => null
           case scala.util.control.NonFatal(_) => null
         }
-      if (ais == null) None
+      if (ais == null) FlacCodec.decodeSamples(bytes).flatMap {
+        case (sr, channels, ss) =>
+          // same band/RMS arithmetic as the javax.sound branch below
+          val frames = ss.length.toLong / channels
+          if (frames == 0) None
+          else {
+            val durationMs = frames * 1000L / sr
+            val sums = new Array[Double](featureDim)
+            val counts = new Array[Long](featureDim)
+            var i = 0
+            while (i < ss.length) {
+              val s = ss(i)
+              val band = math.min(featureDim - 1,
+                ((i / channels).toLong * featureDim / frames).toInt)
+              sums(band) += s.toDouble * s.toDouble
+              counts(band) += 1
+              i += 1
+            }
+            val feats = Array.tabulate(featureDim) { b =>
+              if (counts(b) == 0) 0f
+              else (math.sqrt(sums(b) / counts(b)) / 32768.0).toFloat
+            }
+            Some((durationMs, feats))
+          }
+      }
       else {
         try {
           val fmt = ais.getFormat
@@ -1495,11 +1748,21 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
+  /** Per-frame CONSTANT amplitudes of the synthetic FLAC corpus — the
+    * closed form the q_m20 oracle restates (channel 0 / channel 1). */
+  private[graft] def flacAmp(mid: Long, f: Int, ch: Int): Short =
+    if (ch == 0) ((mid * 131 + f * 977) % 20000 - 10000).toShort
+    else ((mid * 197 + f * 563) % 20000 - 10000).toShort
+
   /** Deterministic synthetic FLAC corpus keyed off an id column: `fLaC`
-    * marker + the mandatory STREAMINFO block with id-derived sample rate
-    * (five standard rates), channel count, and total-sample count (no
-    * audio frames — the [[FlacProbe]] metadata path is what q_m13
-    * certifies, like [[syntheticMp4s]] for video). Sample rate
+    * marker + the mandatory STREAMINFO block, followed by REAL audio
+    * frames — fully valid fixed-blocksize frames (4096-sample blocks, a
+    * 16-bit partial tail stated in its own header, CRC-8'd headers,
+    * CRC-16'd frames) whose subframes are CONSTANT with the
+    * [[flacAmp]] closed-form amplitude per (id, frame, channel). So both
+    * halves have a driver-checkable contract: the [[FlacProbe]] metadata
+    * walk (q_m13) AND the [[FlacCodec]] sample decode (q_m20 — exact
+    * per-frame amplitudes, peaks, integral sums of squares). Sample rate
     * `[8000, 16000, 22050, 44100, 48000][id%5]`, channels `1 + id%2`,
     * total samples `8000 + (id%32)·1600`. */
   def syntheticFlacs(ids: DataFrame, id: String): DataFrame = {
@@ -1512,6 +1775,7 @@ object Multimodal {
           val sr = rates((mid % 5).toInt)
           val channels = 1 + (mid % 2).toInt
           val total = 8000L + (mid % 32) * 1600L
+          val bos = new java.io.ByteArrayOutputStream()
           val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
           b.put("fLaC".getBytes("US-ASCII"))
           b.put(0x80.toByte)              // last-block flag + type 0
@@ -1531,7 +1795,38 @@ object Multimodal {
           b.put(((total >> 8) & 0xff).toByte)
           b.put((total & 0xff).toByte)
           // 16-byte MD5 of the (absent) samples: zeroed
-          (mid, "audio", b.array())
+          bos.write(b.array())
+          var written = 0L
+          var f = 0
+          while (written < total) {
+            val n = math.min(4096L, total - written).toInt
+            val frame = new java.io.ByteArrayOutputStream()
+            frame.write(0xff); frame.write(0xf8)
+            // blocksize code C (4096) or 7 (16-bit at end); sr code 0
+            frame.write(if (n == 4096) 0xc0 else 0x70)
+            // channel assignment | sample-size 16 (100) | reserved 0
+            frame.write(((channels - 1) << 4) | (0x4 << 1))
+            frame.write(f & 0x7f) // UTF-8 frame number (< 128 frames)
+            if (n != 4096) {
+              frame.write(((n - 1) >> 8) & 0xff); frame.write((n - 1) & 0xff)
+            }
+            val hdr = frame.toByteArray
+            frame.write(FlacCodec.crc8(hdr, 0, hdr.length))
+            var ch = 0
+            while (ch < channels) {
+              frame.write(0x00) // CONSTANT subframe, no wasted bits
+              val v = flacAmp(mid, f, ch)
+              frame.write((v >> 8) & 0xff); frame.write(v & 0xff)
+              ch += 1
+            }
+            val body = frame.toByteArray
+            val crc = FlacCodec.crc16(body, 0, body.length)
+            frame.write((crc >> 8) & 0xff); frame.write(crc & 0xff)
+            bos.write(frame.toByteArray)
+            written += n
+            f += 1
+          }
+          (mid, "audio", bos.toByteArray)
         }
       }
       .toDF("media_id", "kind", "bytes")

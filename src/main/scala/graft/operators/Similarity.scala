@@ -1193,6 +1193,111 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
 
+  /** LARGE-batch external-query IVF-PQ top-k — the fully distributed twin
+    * of the external [[ivfPqTopK]] overload, for query frames past its
+    * 1024-row driver-collect guard (batch inference: embed a whole crawl,
+    * probe the daily index). The query frame is NEVER collected:
+    *
+    *  1. probe lists per query via the same [[topLists]] expression the
+    *     IVF path uses (norm scales every centroid score equally, so
+    *     probing with the un-normalized vector picks the same lists the
+    *     collect path picks with the unit vector);
+    *  2. candidates fall out of the (list_id) EQUI-JOIN against the coded
+    *     lists — the banded shape, no cross join;
+    *  3. ADC distance is a narrow typed map over the joined rows (the
+    *     ~128 KB codebooks ride the closure; same subspace/component
+    *     summation order as the LUT path, so distances are bit-equal);
+    *  4. the shortlist is an EXACT salted two-level rank (the
+    *     [[TextAnalysis.capPerKey]] argument: each query's global
+    *     top-`k·rerank` is a subset of its per-salt top-`k·rerank`s), so
+    *     no partition ever holds one query's full candidate set — the
+    *     single-window form would put ~(probes/lists)·|corpus| rows in
+    *     one task;
+    *  5. exact re-rank joins the query and corpus vectors back by key
+    *     (shuffle joins — the query side is big by assumption).
+    *
+    * Every exchange carries hash-width rows (ids, list ids, one double);
+    * results equal the collect-path overload row-for-row (spec-pinned).
+    * Rows-only certifiable like every ANN path. */
+  def ivfPqTopKJoin(
+      index: IvfPqIndex, queries: DataFrame, id: String, vec: String,
+      k: Int, rerank: Int = PqRerank, probes: Int = IvfProbes,
+      salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    require(k >= 1, s"bad k: $k")
+    require(rerank >= 1, s"bad rerank: $rerank")
+    require(salts >= 1, s"bad salts: $salts")
+    val cents = index.centroids
+    require(probes >= 1 && probes <= cents.length,
+      s"probes must be in [1, ${cents.length}]: $probes")
+    val books = index.codebooks
+    val m = books.length
+    val sub = books(0)(0).length
+    val shortlist = k * rerank
+    val q = normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val queryLists = q
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(topLists(cents, probes, col("qv"))).as("list_id"))
+    val joined = queryLists
+      .join(index.codedLists, Seq("list_id"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("vec_id"), col("code"))
+    val schema = StructType(Seq(
+      q.schema("q_id"),
+      index.codedLists.schema("vec_id").copy(name = "cand_id"),
+      StructField("adist", DoubleType, nullable = false)))
+    val scored = joined.rdd.mapPartitions { it =>
+      it.map { r =>
+        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
+        val code = r.getAs[Array[Byte]](4)
+        var d = 0.0
+        var mi = 0
+        while (mi < m) {
+          val cw = books(mi)(code(mi) & 0xff)
+          var i = 0
+          while (i < sub) {
+            val t = u(mi * sub + i) - cw(i); d += t * t; i += 1
+          }
+          mi += 1
+        }
+        Row(r.get(0), r.get(3), d)
+      }
+    }
+    val spark = index.corpus.sparkSession
+    // soft assignment can pair (query, vector) in ≤ IvfAssign lists with
+    // the SAME adist — dedup before ranking (the collect path's distinct)
+    val cand = spark.createDataFrame(scored, schema).distinct()
+    val w1 = Window
+      .partitionBy(col("q_id"), col("__salt"))
+      .orderBy(col("adist"), col("cand_id").cast("string"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("cand_id").cast("string"))
+    val short = cand
+      .withColumn("__salt",
+        pmod(xxhash64(col("cand_id").cast("string")), lit(salts.toLong)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= shortlist)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= shortlist)
+      .select(col("q_id").as("query_id"), col("cand_id"))
+    val rescored = short
+      .join(q.select(col("q_id").as("query_id"), col("qv"), col("qnrm")),
+        Seq("query_id"))
+      .join(index.corpus.select(col("vec_id").as("cand_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    rescored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+  }
+
   /** Per-label centroid distance with an outlier verdict: each vector's
     * squared L2 distance to its label's centroid, flagged when it exceeds
     * `multiple ×` the label's mean — the standard embedding-quality screen

@@ -442,10 +442,51 @@ object MultimodalQ {
         "width", "height", "red", "green", "blue")
   }
 
+  /** REAL FLAC sample decode, hash-certified — the compressed-audio
+    * sample gap closed for the CONSTANT/VERBATIM subset: synthetic FLACs
+    * now carry fully valid CRC'd audio frames whose constant amplitudes
+    * are pure functions of (id, frame, channel), so the oracle restates
+    * the exact interleaved sample count, peak, and integral sum of
+    * squares a correct frame walk + subframe decode + CRC validation
+    * must recover. (q_m13 certifies the metadata half; Rice-coded
+    * residuals remain the declared native-codec boundary.) */
+  val qM20FlacDecode = Q(
+    "q_m20_flac_decode",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |                       WHEN 2 THEN 22050 WHEN 3 THEN 44100
+      |                       ELSE 48000 END AS sr,
+      |                  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |                  8000 + (doc_id % 32) * 1600 AS total
+      |           FROM documents WHERE doc_id % 8 = 6),
+      |f AS (SELECT media_id, sr, channels, total,
+      |             unnest(range(0, (total + 4095) // 4096)) AS fi
+      |      FROM t),
+      |a AS (SELECT media_id, sr, channels, total, fi,
+      |             least(4096, total - fi * 4096) AS sz,
+      |             (media_id * 131 + fi * 977) % 20000 - 10000 AS a0,
+      |             (media_id * 197 + fi * 563) % 20000 - 10000 AS a1
+      |      FROM f)
+      |SELECT media_id,
+      |       CAST(max(sr) AS INT) AS sample_rate,
+      |       CAST(max(channels) AS INT) AS channels,
+      |       CAST(max(total) * max(channels) AS BIGINT) AS n_samples,
+      |       CAST(max(CASE WHEN channels = 2
+      |                     THEN greatest(abs(a0), abs(a1))
+      |                     ELSE abs(a0) END) AS INT) AS peak,
+      |       CAST(sum(sz * (a0 * a0
+      |              + CASE WHEN channels = 2 THEN a1 * a1 ELSE 0 END))
+      |         AS BIGINT) AS sum_sq
+      |FROM a GROUP BY media_id""".stripMargin) { (s, d) =>
+    Multimodal.flacSampleStats(
+      Multimodal.syntheticFlacs(
+        documents(s, d).filter(col("doc_id") % 8 === 6), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
-      qM17AudioStats, qM18SceneChanges, qM19GifFrames)
+      qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode)
 }

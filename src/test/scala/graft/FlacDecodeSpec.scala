@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.FlacCodec
+
+/** The pure-JVM FLAC sample decoder: exact round-trips on the synthetic
+  * CONSTANT-frame corpus, a hand-built VERBATIM frame, CRC rejection of
+  * corrupted payloads, and transparent consumption by the audio stats /
+  * feature paths. */
+class FlacDecodeSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+
+  private def flacOf(mid: Long): Array[Byte] = {
+    import spark.implicits._
+    Multimodal.syntheticFlacs(Seq(mid).toDF("id"), "id")
+      .collect().head.getAs[Array[Byte]]("bytes")
+  }
+
+  test("constant-frame round trip recovers exact samples") {
+    for (mid <- Seq(0L, 1L, 7L, 31L, 36L)) {
+      val bytes = flacOf(mid)
+      val (sr, channels, ss) = FlacCodec.decodeSamples(bytes)
+        .getOrElse(fail(s"media $mid did not decode"))
+      val total = 8000L + (mid % 32) * 1600L
+      assert(channels == 1 + (mid % 2).toInt)
+      assert(ss.length == total * channels)
+      assert(sr == Array(8000, 16000, 22050, 44100, 48000)((mid % 5).toInt))
+      var i = 0L
+      while (i < total) {
+        val f = (i / 4096L).toInt
+        var ch = 0
+        while (ch < channels) {
+          val got = ss((i * channels + ch).toInt)
+          val want = Multimodal.flacAmp(mid, f, ch)
+          assert(got == want, s"media $mid sample $i ch $ch: $got != $want")
+          ch += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("corruption anywhere is rejected by a CRC, never decoded as audio") {
+    val bytes = flacOf(3L)
+    // flip one bit in the first frame's subframe payload (after the
+    // 42-byte metadata prologue + 6-byte frame header)
+    val corrupt = bytes.clone()
+    corrupt(60) = (corrupt(60) ^ 0x10).toByte
+    assert(FlacCodec.decodeSamples(corrupt).isEmpty,
+      "bit-flipped frame must fail its CRC-16")
+    val badHeader = bytes.clone()
+    badHeader(46) = (badHeader(46) ^ 0x01).toByte // frame number byte
+    assert(FlacCodec.decodeSamples(badHeader).isEmpty,
+      "bit-flipped header must fail its CRC-8")
+    assert(FlacCodec.decodeSamples("fLaC123".getBytes).isEmpty)
+    assert(FlacCodec.decodeSamples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("hand-built VERBATIM frame decodes sample-for-sample") {
+    // mono, 8000 Hz, 192 samples (blocksize code 0001 — no extra bytes),
+    // one VERBATIM subframe carrying a ramp
+    val total = 192
+    val bos = new java.io.ByteArrayOutputStream()
+    val b = java.nio.ByteBuffer.allocate(42)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x80.toByte); b.put(0.toByte); b.put(0.toByte); b.put(34.toByte)
+    b.putShort(192.toShort); b.putShort(192.toShort)
+    (0 until 6).foreach(_ => b.put(0.toByte))
+    val sr = 8000
+    b.put(((sr >> 12) & 0xff).toByte)
+    b.put(((sr >> 4) & 0xff).toByte)
+    b.put((((sr & 0xf) << 4) | (0 << 1) | 0).toByte) // mono, bps-1 top bit 0
+    b.put(((15 << 4) | 0).toByte)                    // bps-1 low = 15
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.put(total.toByte)
+    bos.write(b.array())
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(0xff); frame.write(0xf8)
+    frame.write(0x10) // blocksize code 0001 (192), sr from STREAMINFO
+    frame.write((0 << 4) | (0x4 << 1))
+    frame.write(0)
+    val hdr = frame.toByteArray
+    frame.write(FlacCodec.crc8(hdr, 0, hdr.length))
+    frame.write(0x02) // VERBATIM subframe header
+    val samples = Array.tabulate(total)(i => (i * 137 - 12000).toShort)
+    samples.foreach { s => frame.write((s >> 8) & 0xff); frame.write(s & 0xff) }
+    val body = frame.toByteArray
+    val crc = FlacCodec.crc16(body, 0, body.length)
+    frame.write((crc >> 8) & 0xff); frame.write(crc & 0xff)
+    bos.write(frame.toByteArray)
+    val (gotSr, ch, ss) = FlacCodec.decodeSamples(bos.toByteArray)
+      .getOrElse(fail("verbatim frame did not decode"))
+    assert(gotSr == 8000 && ch == 1)
+    assert(ss.sameElements(samples))
+  }
+
+  test("audio stats and features consume FLAC transparently") {
+    import spark.implicits._
+    val media = Multimodal.syntheticFlacs(
+      Seq(2L, 5L, 9L).toDF("id"), "id")
+    val stats = Multimodal.audioStatsOf(media).collect()
+    assert(stats.length == 3, "every FLAC payload must yield stats")
+    stats.foreach { r => assert(r.getAs[Int]("peak") > 0) }
+    // extractFeatures: real duration AND real (non-stub) RMS features
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    feats.foreach { f =>
+      val mid = f.media_id
+      val total = 8000L + (mid % 32) * 1600L
+      val sr = Array(8000, 16000, 22050, 44100, 48000)((mid % 5).toInt)
+      assert(f.duration_ms == total * 1000L / sr,
+        s"media $mid duration ${f.duration_ms}")
+      assert(f.features.exists(_ > 0f), "features must reflect real samples")
+    }
+  }
+}
