@@ -180,4 +180,37 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"non-user exchange in the funnel:\n${bad.mkString("\n")}")
   }
+
+  test("3-D Hilbert is a zero-exchange projection chain") {
+    val p = plan("q_z4_hilbert3")
+    assert(!p.contains("Exchange"),
+      "the Skilling fold must stay narrow — no shuffle:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("NB training is one bucket-bounded agg + a broadcast of totals") {
+    val p = plan("q_t36_nb_train")
+    // bucket hash-agg shuffles on the b-bounded bucket key; the 1-row
+    // totals ride a broadcast — the corpus is never exchanged raw
+    val hashEx = p.linesIterator.filter(
+      _.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("bucket")),
+      s"non-bucket hash exchange in NB training:\n${hashEx.mkString("\n")}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "totals must broadcast, not shuffle:\n" + p)
+  }
+
+  test("GIF frame extraction and FLAC decode carry no shuffle") {
+    // both are flatMap/map-shaped codec passes: the only allowed
+    // exchange is the explicit round-robin spreading of the compact
+    // synthetic source across cores
+    for (q <- Seq("q_m19_gif_frames", "q_m20_flac_decode")) {
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+      assert(bad.isEmpty,
+        s"$q: codec pass must not shuffle:\n${bad.mkString("\n")}")
+    }
+  }
 }
