@@ -121,7 +121,21 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5)
   }
 
+  /** The DISTRIBUTED large-batch external-query IVF-PQ path: the whole
+    * embeddings table probes its own prebuilt index as an external query
+    * frame — no driver collect of queries, candidates from the list
+    * equi-join, exact salted two-level shortlist (IvfPqJoinSpec pins
+    * row-equality with the collect path; rows-only here like every ANN
+    * approximation). */
+  val qX10IvfPqJoin = Q.rowsOnly("q_x10_ann_ivfpq_join") { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity.ivfPqTopKJoin(
+      Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding"),
+      emb, "vec_id", "embedding", k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
-      qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK)
+      qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK,
+      qX10IvfPqJoin)
 }
