@@ -529,8 +529,11 @@ object Streams {
     * Emits ALL verdict columns, not just survivors, so a caller can
     * route drops to a quarantine sink — filter `verdict = 'keep'` for
     * the curated stream. When `cfg.gopherScreen` is set the combined
-    * verdict additionally requires the Gopher rules to pass, mirroring
-    * the batch pipeline under the same Config.
+    * verdict additionally requires the Gopher rules to pass, and when
+    * `cfg.nbScreen` carries a trained
+    * [[TextAnalysis.NbQualityModel]] the verdict also requires its
+    * score ≥ the threshold (`nb_score` column; null when unset) —
+    * mirroring the batch pipeline under the same Config.
     *
     * @param id a LONG-castable id column (the typed narrow map needs a
     *        concrete encoder — same restriction as
@@ -541,7 +544,7 @@ object Streams {
     *        with < 2 tokens have null xent and drop whenever the LM
     *        screen is on (unscoreable = unsafe, the batch rule).
     * @return (id, rep_fraction, quality, pred_lang, gopher_verdict,
-    *         xent, verdict, clean_text) */
+    *         xent, nb_score, verdict, clean_text) */
   def curationScreenStream(
       incoming: DataFrame, id: String, text: String,
       model: Option[TextAnalysis.LmModel] = None,
@@ -583,6 +586,10 @@ object Streams {
         TextAnalysis.gopherVerdictFrom(col(text), col("__gt"))
           .as("gopher_verdict"),
         col("xent"),
+        // trained-NB score (null when no model is configured) — the same
+        // literal-weights fold the batch pipeline's nbScreen stage runs
+        cfg.nbScreen.map { case (m, _) => m.score(col(text)) }
+          .getOrElse(lit(null).cast("double")).as("nb_score"),
         TextAnalysis.redact(col(text)).as("clean_text"))
       .withColumn("verdict",
         when(col("rep_fraction") < cfg.repetitionDropAt
@@ -590,11 +597,14 @@ object Streams {
           && col("pred_lang") === cfg.lang
           && (if (cfg.gopherScreen) col("gopher_verdict") === lit("keep")
               else lit(true))
-          && (if (lmOn) col("xent") <= cfg.lmXentMax.get else lit(true)),
+          && (if (lmOn) col("xent") <= cfg.lmXentMax.get else lit(true))
+          && cfg.nbScreen.fold(lit(true)) { case (_, thr) =>
+            col("nb_score") >= thr
+          },
           lit("keep")).otherwise(lit("drop")))
       .select(col(id), col("rep_fraction"), col("quality"),
         col("pred_lang"), col("gopher_verdict"), col("xent"),
-        col("verdict"), col("clean_text"))
+        col("nb_score"), col("verdict"), col("clean_text"))
   }
 
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource

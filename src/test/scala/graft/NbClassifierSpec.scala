@@ -93,4 +93,37 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(withNb.nonEmpty && (without -- withNb).nonEmpty,
       "fixture should exercise both keep and drop paths")
   }
+
+  test("streaming screen applies the same trained model under one Config") {
+    import graft.streaming.Streams
+    val m = TextAnalysis.trainQualityNb(
+      labeled, "doc_id", "text", col("curated"), b = 512)
+    val corpus = labeled.select("doc_id", "text")
+    val cfg = Curation.Config(
+      minQuality = 0.0, repetitionDropAt = 0.5, nbScreen = Some((m, 0.0)))
+    // batch invocation of the STREAMING operator (the stream twin is
+    // structural — same Column fold); nb_score must equal the model's
+    // score and gate the verdict exactly like the batch pipeline stage
+    val out = Streams.curationScreenStream(corpus, "doc_id", "text",
+        None, cfg)
+      .select(col("doc_id"), col("nb_score"), col("verdict"),
+        col("rep_fraction"), col("quality"), col("pred_lang"))
+      .collect()
+    val scores = corpus
+      .select(col("doc_id"), m.score(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) == scores(id),
+        s"nb_score diverged for $id")
+      val othersPass = r.getDouble(3) < cfg.repetitionDropAt &&
+        r.getDouble(4) >= cfg.minQuality && r.getString(5) == cfg.lang
+      assert((r.getString(2) == "keep") ==
+        (othersPass && scores(id) >= 0.0),
+        s"verdict for $id did not respect the NB gate")
+    }
+    assert(out.exists(r => r.getString(2) == "keep") &&
+      out.exists(r => r.getString(2) == "drop" && scores(r.getLong(0)) < 0),
+      "fixture should exercise NB keep and drop in the stream screen")
+  }
 }
