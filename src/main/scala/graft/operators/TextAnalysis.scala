@@ -1552,6 +1552,17 @@ object TextAnalysis {
     seg(text)
   }
 
+  /** Inverse of [[bpeTokens]]: concatenate the subword symbols and turn
+    * each end-of-word marker into a word boundary. Exact inverse for any
+    * text segmented by [[bpeTokens]] under ANY merge list (merges only
+    * concatenate adjacent symbols — the character stream and the marker
+    * positions survive every merge), up to whitespace normalization:
+    * `bpeDetokenize(bpeTokens(t, m)) = t.split(" ").filter(_.nonEmpty)
+    * .mkString(" ")`. Round-trip identity pinned in BpeEndToEndSpec.
+    * Pure Column arithmetic — codegen'd, no UDF on the decode side. */
+  def bpeDetokenize(tokens: Column): Column =
+    trim(regexp_replace(concat_ws("", tokens), "</w>", " "))
+
   /** Per-key document cap: keep at most `cap` documents per key (the
     * per-domain cap every crawl-curation recipe applies so no single
     * domain dominates the training mix), chosen DETERMINISTICALLY — the

@@ -97,6 +97,30 @@ class BpeEndToEndSpec extends AnyFunSuite {
       "sample stopped before exhausting the budget")
   }
 
+  test("bpeDetokenize inverts bpeTokens up to whitespace normalization") {
+    val back = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.bpeDetokenize(bpeTokens(col("text"), merges512))
+          .as("rt"))
+      .collect()
+    assert(back.nonEmpty)
+    back.foreach { r =>
+      val norm = r.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(r.getString(2) == norm,
+        s"round trip diverged for doc ${r.getLong(0)}")
+    }
+    // and under the empty (character-level) vocab too
+    val charBack = docs.limit(20)
+      .select(col("text"),
+        TextAnalysis.bpeDetokenize(bpeTokens(col("text"), Seq.empty))
+          .as("rt"))
+      .collect()
+    charBack.foreach { r =>
+      val norm = r.getString(0).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(r.getString(1) == norm)
+    }
+  }
+
   test("mixtureSample states the mix in trained subword token mass") {
     val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
     val out = TextAnalysis.mixtureSample(
