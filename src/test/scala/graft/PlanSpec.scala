@@ -201,6 +201,17 @@ class PlanSpec extends AnyFunSuite {
       "totals must broadcast, not shuffle:\n" + p)
   }
 
+  test("distributed IVF-PQ join path: equi-joins only, ranks limited") {
+    val p = plan("q_x10_ann_ivfpq_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the list equi-join:\n" + p)
+    // both shortlist ranks must carry a group limit — without it the
+    // per-(query,salt) and per-query sorts buffer every candidate
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "two-level shortlist lost its WindowGroupLimit pushdown:\n" + p)
+  }
+
   test("GIF frame extraction and FLAC decode carry no shuffle") {
     // both are flatMap/map-shaped codec passes: the only allowed
     // exchange is the explicit round-robin spreading of the compact
