@@ -125,6 +125,32 @@ object IndexIO {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
 
+  private val longPairSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  /** Persist parallel (key, value) long arrays — 64-bit hash keys MUST
+    * NOT transit doubles (2^53 mantissa), hence a dedicated long table. */
+  private[graft] def saveLongPairs(
+      spark: SparkSession, dir: String,
+      ks: Array[Long], vs: Array[Long]): Unit = {
+    require(ks.length == vs.length, s"${ks.length} keys, ${vs.length} values")
+    val rows = ks.indices.map(i => Row(ks(i), vs(i)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), longPairSchema)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload [[saveLongPairs]] output, re-sorted by key (the consumers
+    * binary-search). */
+  private[graft] def loadLongPairs(
+      spark: SparkSession, dir: String): (Array[Long], Array[Long]) = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
   private[graft] def saveFrame(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 

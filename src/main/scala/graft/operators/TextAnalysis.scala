@@ -1150,6 +1150,11 @@ object TextAnalysis {
       lookup(bigramKeys, bigramCounts, LmModel.mix(h1, h2))
     def ctxCount(h1: Long): Long = lookup(ctxKeys, ctxCounts, h1)
     def nBigrams: Int = bigramKeys.length
+    // persistence taps ([[TextAnalysis.lmSave]]) — the arrays stay private
+    private[TextAnalysis] def bigramKeysArr: Array[Long] = bigramKeys
+    private[TextAnalysis] def bigramCountsArr: Array[Long] = bigramCounts
+    private[TextAnalysis] def ctxKeysArr: Array[Long] = ctxKeys
+    private[TextAnalysis] def ctxCountsArr: Array[Long] = ctxCounts
 
     /** THE per-document scoring loop — the single copy both
       * [[TextAnalysis.lmScoreWith]] and the composed streaming screen
@@ -1254,6 +1259,87 @@ object TextAnalysis {
       .sortBy(_._1)
     new LmModel(bigArr.map(_._1), bigArr.map(_._2),
       ctxArr.map(_._1), ctxArr.map(_._2), v)
+  }
+
+  // ─────────────────── trained-model persistence ───────────────────
+  // The train-once / score-every-batch lifecycle only works if "once"
+  // survives the session: save/load for every driver-side model artifact
+  // the engine trains (LM bigram tables, NB weights, BPE merge lists),
+  // on the same IndexIO layout as the ANN indexes. Longs travel through
+  // dedicated long tables (64-bit hash keys must not transit doubles);
+  // doubles through binary-exact parquet. A loaded model scores
+  // BIT-IDENTICALLY to the freshly trained one (ModelPersistenceSpec).
+
+  /** Persist a trained [[LmModel]] under `dir`. */
+  def lmSave(model: LmModel, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexIO.saveLongPairs(spark, s"$dir/bigrams",
+      model.bigramKeysArr, model.bigramCountsArr)
+    IndexIO.saveLongPairs(spark, s"$dir/ctx",
+      model.ctxKeysArr, model.ctxCountsArr)
+    IndexIO.writeMeta(spark, dir, "lm_bigram",
+      Map("vocab_size" -> model.vocabSize,
+        "n_bigrams" -> model.bigramKeysArr.length.toLong,
+        "n_ctx" -> model.ctxKeysArr.length.toLong))
+  }
+
+  /** Reload an [[lmSave]]d model — same binary-searchable sorted arrays,
+    * bit-identical scores. */
+  def lmLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LmModel = {
+    val meta = IndexIO.readMeta(spark, dir, "lm_bigram")
+    val (bk, bv) = IndexIO.loadLongPairs(spark, s"$dir/bigrams")
+    val (ck, cv) = IndexIO.loadLongPairs(spark, s"$dir/ctx")
+    require(bk.length == meta("n_bigrams") && ck.length == meta("n_ctx"),
+      s"model tables at $dir disagree with the sidecar: " +
+        s"${bk.length}/${ck.length} vs ${meta("n_bigrams")}/${meta("n_ctx")}")
+    new LmModel(bk, bv, ck, cv, meta("vocab_size"))
+  }
+
+  /** Persist a trained [[NbQualityModel]] under `dir` (weights + bias as
+    * one binary-exact double matrix; bucket count in the sidecar). */
+  def nbSave(model: NbQualityModel,
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    IndexIO.saveMatrix(spark, s"$dir/weights",
+      Array(model.weights, Array(model.bias)))
+    IndexIO.writeMeta(spark, dir, "nb_quality",
+      Map("buckets" -> model.numBuckets.toLong))
+  }
+
+  /** Reload an [[nbSave]]d model. */
+  def nbLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NbQualityModel = {
+    val meta = IndexIO.readMeta(spark, dir, "nb_quality")
+    val m = IndexIO.loadMatrix(spark, s"$dir/weights")
+    require(m.length == 2 && m(1).length == 1,
+      s"weights table at $dir/weights is not (weights, [bias])")
+    NbQualityModel(meta("buckets").toInt, m(0), m(1)(0))
+  }
+
+  /** Persist a trained BPE merge list under `dir` (rank-ordered rows). */
+  def bpeSave(merges: Seq[(String, String, Long)],
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    IndexIO.writeMeta(spark, dir, "bpe_merges",
+      Map("n_merges" -> merges.length.toLong))
+  }
+
+  /** Reload a [[bpeSave]]d merge list in training rank order —
+    * [[bpeTokens]] under the loaded list segments identically. */
+  def bpeLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String, Long)] = {
+    val meta = IndexIO.readMeta(spark, dir, "bpe_merges")
+    val rows = spark.read.parquet(s"$dir/merges").collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getString(2), r.getLong(3))))
+      .sortBy(_._1).map(_._2).toSeq
+    require(rows.length == meta("n_merges"),
+      s"merge table at $dir has ${rows.length} rows; " +
+        s"sidecar says ${meta("n_merges")}")
+    rows
   }
 
   /** Score documents against a pretrained [[LmModel]] — a stateless
