@@ -1316,6 +1316,32 @@ object TextAnalysis {
     NbQualityModel(meta("buckets").toInt, m(0), m(1)(0))
   }
 
+  /** Persist a derived/trained token vocabulary (wordpiece or any other
+    * string list whose ORDER is the model — wordpiece longest-match ties
+    * break by list position) under `dir`. */
+  def vocabSave(vocab: Seq[String],
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("rank", "piece")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    IndexIO.writeMeta(spark, dir, "token_vocab",
+      Map("n_pieces" -> vocab.length.toLong))
+  }
+
+  /** Reload a [[vocabSave]]d vocabulary in its original order. */
+  def vocabLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val meta = IndexIO.readMeta(spark, dir, "token_vocab")
+    val rows = spark.read.parquet(s"$dir/vocab").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    require(rows.length == meta("n_pieces"),
+      s"vocab at $dir has ${rows.length} pieces; " +
+        s"sidecar says ${meta("n_pieces")}")
+    rows
+  }
+
   /** Persist a trained BPE merge list under `dir` (rank-ordered rows). */
   def bpeSave(merges: Seq[(String, String, Long)],
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

@@ -71,6 +71,24 @@ class ModelPersistenceSpec extends AnyFunSuite {
     assert(orig.sameElements(back))
   }
 
+  test("derived vocab: save → load keeps order and tokenization") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val vocab = TextAnalysis.deriveVocab(docs, "doc_id", "text",
+      maxWords = 512)
+    val dir = tmp("vocab")
+    TextAnalysis.vocabSave(vocab, spark, dir)
+    val loaded = TextAnalysis.vocabLoad(spark, dir)
+    assert(loaded == vocab, "vocab order changed through save/load")
+    val f = graft.functions.GraftFunctions
+    val a = docs.limit(50)
+      .select(f.wordpieceTokens(col("text"), vocab))
+      .collect().map(_.toString)
+    val b = docs.limit(50)
+      .select(f.wordpieceTokens(col("text"), loaded))
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("model kind validation refuses cross-loads") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val m = TextAnalysis.lmTrain(docs, "doc_id", "text", minCount = 1)
