@@ -1512,7 +1512,26 @@ object Multimodal {
           (lsd.map(intAttr(_, "logicalScreenWidth", 0)).getOrElse(0),
             lsd.map(intAttr(_, "logicalScreenHeight", 0)).getOrElse(0))
         }
-        var canvas: java.awt.image.BufferedImage = null
+        // size the canvas from the logical screen grown to cover EVERY
+        // frame's extent (not just the first — a later frame drawn past
+        // the declared screen would otherwise clip silently); a metadata
+        // pre-pass is cheap, the pixel decode below happens once
+        var maxW = lsW
+        var maxH = lsH
+        var pi = 0
+        while (pi < n) {
+          val md0 = reader.getImageMetadata(pi)
+            .getAsTree("javax_imageio_gif_image_1.0")
+          val d0 = child(md0, "ImageDescriptor")
+          val l0 = d0.map(intAttr(_, "imageLeftPosition", 0)).getOrElse(0)
+          val t0 = d0.map(intAttr(_, "imageTopPosition", 0)).getOrElse(0)
+          maxW = math.max(maxW, l0 + reader.getWidth(pi))
+          maxH = math.max(maxH, t0 + reader.getHeight(pi))
+          pi += 1
+        }
+        if (maxW <= 0 || maxH <= 0) return None
+        val canvas = new java.awt.image.BufferedImage(
+          maxW, maxH, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var prev: java.awt.image.BufferedImage = null
         var ts = 0L
         val out = Vector.newBuilder[Frame]
@@ -1529,12 +1548,6 @@ object Multimodal {
             gce.map(intAttr(_, "delayTime", 0)).getOrElse(0).toLong * 10L
           val disposal =
             gce.map(strAttr(_, "disposalMethod", "none")).getOrElse("none")
-          if (canvas == null) {
-            val w = math.max(lsW, left + img.getWidth)
-            val h = math.max(lsH, top + img.getHeight)
-            canvas = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          }
           if (disposal == "restoreToPrevious") {
             prev = new java.awt.image.BufferedImage(
               canvas.getWidth, canvas.getHeight, canvas.getType)

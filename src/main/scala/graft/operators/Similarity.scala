@@ -1141,8 +1141,14 @@ object Similarity {
             if (c != 0) c else java.util.Arrays.compareUnsigned(x._2, y._2)
           }
         }
+      // bounded ORDERED SETS, not heaps: a vector soft-assigned to two
+      // probed lists can appear twice in one partition with the IDENTICAL
+      // (d, idBytes) key; a heap would let the duplicate occupy a second
+      // shortlist slot and could evict a genuine top-`shortlist` candidate
+      // (breaking row-equality with the join path, which dedups before
+      // ranking). The set's key equality collapses the copies instead.
       val heaps = Array.fill(queries.length)(
-        scala.collection.mutable.PriorityQueue
+        scala.collection.mutable.TreeSet
           .empty[((Double, Array[Byte]), Any)](Ordering.by(_._1)))
       it.foreach { r =>
         val id = r.get(0)
@@ -1157,8 +1163,8 @@ object Similarity {
             var mi = 0
             while (mi < m) { d += luts(q)(mi)(code(mi) & 0xff); mi += 1 }
             val h = heaps(q)
-            h.enqueue(((d, idBytes), id))
-            if (h.size > shortlist) { h.dequeue(); () } // drop worst
+            h.add(((d, idBytes), id))
+            if (h.size > shortlist) { h.remove(h.last); () } // drop worst
           }
           q += 1
         }

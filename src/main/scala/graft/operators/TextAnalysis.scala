@@ -799,7 +799,7 @@ object TextAnalysis {
     *        `col("source") === "curated"` — the curated-vs-crawl loop)
     * @return bucket, n_pos, n_neg (occurrence counts) */
   def nbTrainCounts(
-      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      docs: org.apache.spark.sql.DataFrame, text: String,
       isPos: Column, b: Int): org.apache.spark.sql.DataFrame = {
     require(b >= 2 && b <= 65536, s"nb buckets must be in [2, 65536]: $b")
     docs
@@ -825,9 +825,9 @@ object TextAnalysis {
     * across platforms, computed once per bucket on the driver — inference
     * never evaluates a transcendental). */
   def trainQualityNb(
-      docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      docs: org.apache.spark.sql.DataFrame, text: String,
       isPos: Column, b: Int = 4096): NbQualityModel = {
-    val counts = nbTrainCounts(docs, id, text, isPos, b).collect()
+    val counts = nbTrainCounts(docs, text, isPos, b).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
     val posTok = counts.map(_._2).sum
     val negTok = counts.map(_._3).sum
@@ -835,7 +835,10 @@ object TextAnalysis {
       .agg(sum(when(isPos, 1L).otherwise(0L)).as("p"),
         sum(when(!isPos, 1L).otherwise(0L)).as("n"))
       .collect().head
-    val (posDocs, negDocs) = (prior.getLong(0), prior.getLong(1))
+    // sum() over an empty frame is null — read defensively so the empty
+    // corpus hits the loud both-classes refusal, not an opaque NPE
+    val posDocs = if (prior.isNullAt(0)) 0L else prior.getLong(0)
+    val negDocs = if (prior.isNullAt(1)) 0L else prior.getLong(1)
     require(posDocs > 0 && negDocs > 0,
       s"NB training needs both classes: pos=$posDocs neg=$negDocs")
     val byBucket = counts.map(c => c._1 -> (c._2, c._3)).toMap
@@ -1665,13 +1668,18 @@ object TextAnalysis {
   }
 
   /** Inverse of [[bpeTokens]]: concatenate the subword symbols and turn
-    * each end-of-word marker into a word boundary. Exact inverse for any
-    * text segmented by [[bpeTokens]] under ANY merge list (merges only
-    * concatenate adjacent symbols — the character stream and the marker
-    * positions survive every merge), up to whitespace normalization:
+    * each end-of-word marker into a word boundary. Exact inverse under
+    * ANY merge list (merges only concatenate adjacent symbols — the
+    * character stream and the marker positions survive every merge), up
+    * to whitespace normalization:
     * `bpeDetokenize(bpeTokens(t, m)) = t.split(" ").filter(_.nonEmpty)
-    * .mkString(" ")`. Round-trip identity pinned in BpeEndToEndSpec.
-    * Pure Column arithmetic — codegen'd, no UDF on the decode side. */
+    * .mkString(" ")` — PROVIDED the text does not itself contain the
+    * literal `</w>` sequence (its characters would reassemble into a
+    * string indistinguishable from the marker; this ambiguity is
+    * inherent to every marker-based subword scheme — pre-escape such
+    * corpora before tokenizing). Round-trip identity pinned in
+    * BpeEndToEndSpec. Pure Column arithmetic — codegen'd, no UDF on the
+    * decode side. */
   def bpeDetokenize(tokens: Column): Column =
     trim(regexp_replace(concat_ws("", tokens), "</w>", " "))
 

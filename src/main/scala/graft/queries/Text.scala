@@ -1080,7 +1080,7 @@ object Text {
       |FROM b, tot""".stripMargin) { (s, d) =>
     val b = 256
     val counts = graft.operators.TextAnalysis.nbTrainCounts(
-      documents(s, d), "doc_id", "text", col("doc_id") % 2 === 1, b)
+      documents(s, d), "text", col("doc_id") % 2 === 1, b)
     val tot = counts.agg(sum(col("n_pos")).as("pos_tok"),
       sum(col("n_neg")).as("neg_tok"))
     counts.crossJoin(broadcast(tot))

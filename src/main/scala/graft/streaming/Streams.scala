@@ -35,8 +35,20 @@ object Streams {
     * is normalized to a micros TimestampType by the same one-place type
     * dispatch the batch queries use (graft.Tables.normalizeTs). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = scala.util.Try(spark.read.parquet(dir).schema)
-      .getOrElse(eventsSchema)
+    // Schema-inference failure on an EMPTY/absent directory (the normal
+    // cold start of a new ingest) falls back to the current-generation
+    // µs schema — a file-source stream cannot adapt its declared schema
+    // after start anyway, so a cold-started stream expects current-format
+    // files. Any OTHER failure (corrupt footer, permissions) rethrows:
+    // swallowing it into the fallback would mask a real error until the
+    // first micro-batch.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getErrorClass == "PATH_NOT_FOUND" => eventsSchema
+      }
     val raw = spark.readStream.schema(schema).parquet(dir)
     raw.withColumn("ts",
       graft.Tables.normalizeTsCol(schema("ts").dataType, "ts"))
@@ -455,8 +467,14 @@ object Streams {
       incoming: DataFrame, probes: DataFrame, id: String, text: String,
       minContainment: Double): DataFrame = {
     graft.functions.GraftFunctions.register(probes.sparkSession)
+    // a sub-n-gram probe has an EMPTY shingle set: its containment would
+    // be 0/0 = NaN, and NaN >= threshold is TRUE under Spark's ordering —
+    // silently flagging every document. Such probes cannot witness
+    // containment; drop them (decontamScreenStream skips them the same
+    // way, so audit and survivor forms agree).
     val probeSets = probes.select(col(id).as("probe_id"),
       Dedup.wordTrigrams(col(text)).as("__tgp"))
+      .where(size(col("__tgp")) > 0)
     incoming
       .select(col(id).as("doc_id"), Dedup.wordTrigrams(col(text)).as("__tgd"))
       .crossJoin(broadcast(probeSets))
@@ -476,21 +494,31 @@ object Streams {
     * shape so screen → dedup → decontam chains as one query.
     *
     * The probe suite is SMALL by contract (the batch operator's
-    * maxProbeRows guard makes the same asymmetry explicit): its distinct
-    * trigram sets are collected once behind a loud bound and ride the plan
-    * as literals — a pure stateless Column conjunction, no state store, no
-    * shuffle, no extra rows. Containment arithmetic is the same
-    * |∩|/|probe| as batch. */
+    * maxProbeRows guard makes the same asymmetry explicit): the row count
+    * is bounded BEFORE anything is collected, then the distinct trigram
+    * sets ride the plan as literals — a pure stateless Column
+    * conjunction, no state store, no shuffle, no extra rows. Containment
+    * arithmetic is the same |∩|/|probe| as batch; null-text and
+    * sub-n-gram probes are skipped on both forms (no shingles — they
+    * cannot witness containment). */
   def decontamScreenStream(
-      incoming: DataFrame, probes: DataFrame, id: String, text: String,
+      incoming: DataFrame, probes: DataFrame, text: String,
       minContainment: Double, maxProbeRows: Int = 4096): DataFrame = {
-    val sets = probes.select(Dedup.wordTrigrams(col(text)))
+    // bound BEFORE collecting — the guard must fire before the driver
+    // holds every shingle set, not after (limit+count reads at most
+    // maxProbeRows+1 rows)
+    val bound = probes.limit(maxProbeRows + 1).count()
+    require(bound <= maxProbeRows,
+      s"decontamScreenStream: probe suite exceeds $maxProbeRows rows — " +
+        "it must stay benchmark-sized (raise maxProbeRows consciously; " +
+        "each probe's shingles ride the plan)")
+    // null texts carry no shingles; sub-n-gram probes have EMPTY shingle
+    // sets and are skipped — they cannot witness containment (the batch
+    // pair-audit twin filters the same way, see contaminationStream)
+    val sets = probes
+      .where(col(text).isNotNull)
+      .select(Dedup.wordTrigrams(col(text)))
       .collect().map(_.getSeq[String](0))
-    require(sets.length <= maxProbeRows,
-      s"decontamScreenStream collected ${sets.length} probes > " +
-        s"$maxProbeRows — the probe suite must stay benchmark-sized " +
-        "(raise maxProbeRows consciously; each probe's shingles ride " +
-        "the plan)")
     val tgd = Dedup.wordTrigrams(col(text))
     val contaminated = sets.filter(_.nonEmpty).map { p =>
       (size(array_intersect(tgd, typedLit(p))).cast("double")

@@ -123,6 +123,25 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("a later frame larger than the declared screen grows the canvas") {
+    // frame 0 pins the logical screen at 4×4; frame 1 extends to (2+8,
+    // 2+6) — the composite canvas must grow to 10×8, not clip frame 1
+    val specs: Seq[FrameSpec] = Seq(
+      (0, 0, 4, 4, 0x112233, 2, "none"),
+      (2, 2, 8, 6, 0x445566, 3, "none"))
+    val got = GifCodec.frames(writeGif(specs))
+      .getOrElse(fail("decode returned None"))
+    assert(got.length == 2)
+    got.foreach { f =>
+      assert(f.image.getWidth == 10 && f.image.getHeight == 8,
+        s"frame ${f.idx}: ${f.image.getWidth}×${f.image.getHeight}")
+    }
+    // frame 1's far corner must carry its color, not clipped black
+    assert((got(1).image.getRGB(9, 7) & 0xFFFFFF) == 0x445566)
+    // and frame 0's painted region survives underneath
+    assert((got(1).image.getRGB(0, 0) & 0xFFFFFF) == 0x112233)
+  }
+
   test("maxFrames bounds runaway payloads; non-GIF bytes decode to None") {
     val specs: Seq[FrameSpec] = (0 until 10).map { i =>
       (0, 0, 8, 8, i * 0x010203, 2, "none")

@@ -38,7 +38,7 @@ class ModelPersistenceSpec extends AnyFunSuite {
       (0 until 30).map(i => (100L + i, s"spam click z$i the and", false)))
       .toDF("doc_id", "text", "pos")
     val m = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("pos"), b = 256)
+      labeled, "text", col("pos"), b = 256)
     val dir = tmp("nb")
     TextAnalysis.nbSave(m, spark, dir)
     val loaded = TextAnalysis.nbLoad(spark, dir)
@@ -98,7 +98,7 @@ class ModelPersistenceSpec extends AnyFunSuite {
     // ── day 0: train everything, save everything ──
     val labeled = docs.withColumn("pos", col("doc_id") % 2 === 1)
     val nb = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("pos"), b = 512)
+      labeled, "text", col("pos"), b = 512)
     val lm = TextAnalysis.lmTrain(docs, "doc_id", "text", minCount = 1)
     val merges = TextAnalysis.trainBpeMerges(
       docs, "doc_id", "text", nMerges = 64, minPairCount = 1L)

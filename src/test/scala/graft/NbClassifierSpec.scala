@@ -35,7 +35,7 @@ class NbClassifierSpec extends AnyFunSuite {
 
   test("trained NB model separates the planted classes") {
     val m = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("curated"), b = 512)
+      labeled, "text", col("curated"), b = 512)
     assert(m.weights.length == 512)
     val scored = labeled
       .select(col("doc_id"), col("curated"), m.score(col("text")).as("s"))
@@ -49,7 +49,7 @@ class NbClassifierSpec extends AnyFunSuite {
 
   test("trained model generalizes to held-out docs from the same classes") {
     val m = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("curated"), b = 512)
+      labeled, "text", col("curated"), b = 512)
     val held = ((40 until 60).map(i => (i.toLong, doc(posVocab, i), true)) ++
       (40 until 60).map(i => (200L + i, doc(negVocab, i), false)))
       .toDF("doc_id", "text", "curated")
@@ -62,15 +62,22 @@ class NbClassifierSpec extends AnyFunSuite {
   test("training refuses a single-class corpus") {
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.trainQualityNb(
-        labeled.filter(col("curated")), "doc_id", "text",
+        labeled.filter(col("curated")), "text",
         col("curated"), b = 64)
     }
     assert(e.getMessage.contains("both classes"))
+    // the EMPTY corpus must hit the same loud refusal, not an NPE
+    // (sum() over no rows is null)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityNb(
+        labeled.filter(lit(false)), "text", col("curated"), b = 64)
+    }
+    assert(e2.getMessage.contains("both classes"))
   }
 
   test("nbScreen composes into the curation pipeline as the trained filter") {
     val m = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("curated"), b = 512)
+      labeled, "text", col("curated"), b = 512)
     val corpus = labeled.select("doc_id", "text")
     def ids(cfg: Curation.Config): Set[Long] = {
       val r = Curation.pipeline(corpus, "doc_id", "text", cfg)
@@ -97,7 +104,7 @@ class NbClassifierSpec extends AnyFunSuite {
   test("streaming screen applies the same trained model under one Config") {
     import graft.streaming.Streams
     val m = TextAnalysis.trainQualityNb(
-      labeled, "doc_id", "text", col("curated"), b = 512)
+      labeled, "text", col("curated"), b = 512)
     val corpus = labeled.select("doc_id", "text")
     val cfg = Curation.Config(
       minQuality = 0.0, repetitionDropAt = 0.5, nbScreen = Some((m, 0.0)))

@@ -572,7 +572,7 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("doc_id"), col("clean_text").as("text"))
       Streams.decontamScreenStream(
         Streams.exactAgainstBase(screened, base, "text"),
-        probes, "doc_id", "text", minContainment = 0.8)
+        probes, "text", minContainment = 0.8)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -612,6 +612,49 @@ class StreamingSpec extends AnyFunSuite {
       "dedup+decontam stages dropped nothing")
     assert(!expected.contains(3L) && !expected.contains(17L),
       "probe documents must decontaminate themselves away")
+  }
+
+  test("decontam screens tolerate degenerate probes (null text, <3 words)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    // a null-text probe and a 2-word probe (EMPTY trigram set): neither
+    // can witness containment — the survivor screen must keep everything
+    // (not NPE), and the pair-audit stream must flag NOTHING (its 0/0
+    // containment would be NaN, and NaN >= t is true under Spark's
+    // ordering — the bug this test pins closed)
+    val probes = Seq((10L, null: String), (11L, "two words"))
+      .toDF("doc_id", "text")
+    val kept = Streams.decontamScreenStream(
+      corpus, probes, "text", minContainment = 0.8).collect()
+    assert(kept.length == 2, "degenerate probes must not drop documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_probe")
+    corpus.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.contaminationStream(
+        spark.readStream.schema(schema).parquet(dir.toString),
+        probes, "doc_id", "text", minContainment = 0.8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("degen_probe_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("degen_probe_out").count() == 0,
+        "an empty-shingle probe must not flag documents")
+    } finally q.stop()
+    // and the probe-count guard fires BEFORE collecting anything
+    val big = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit("a b c d e").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.decontamScreenStream(corpus, big, "text",
+        minContainment = 0.8, maxProbeRows = 10)
+    }
+    assert(e.getMessage.contains("exceeds 10"))
   }
 
   test("streaming media near-dup finds edited copies against a base index") {
