@@ -49,6 +49,18 @@ class TimestampPortabilitySpec extends AnyFunSuite {
     assert(out == big / 1000L, s"expected ${big / 1000L}, got $out")
   }
 
+  test("event stream cold-starts on an empty directory with the µs schema") {
+    // the normal birth of a new ingest: the directory exists but holds
+    // no files yet — schema inference fails with UNABLE_TO_INFER_SCHEMA
+    // and the stream must fall back to the current-generation schema
+    // (normalized ts) instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("graft_cold").toString
+    val df = graft.streaming.Streams.readEventStream(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType == TimestampType,
+      "cold-started stream must carry the normalized event-time type")
+  }
+
   test("unsupported event-time types are refused loudly") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
