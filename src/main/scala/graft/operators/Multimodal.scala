@@ -1530,6 +1530,14 @@ object Multimodal {
           pi += 1
         }
         if (maxW <= 0 || maxH <= 0) return None
+        // a hostile descriptor (offsets in the tens of thousands) would
+        // otherwise force a multi-GB canvas BEFORE any pixel decode —
+        // and the resulting OutOfMemoryError is not NonFatal, so it
+        // would kill the task rather than fall back. GIF dimensions are
+        // 16-bit, but their SUM across offset+size can still reach
+        // 2^17; refuse anything past a generous real-image bound
+        // (64 M pixels ≈ 256 MB canvas) as undecodable.
+        if (maxW.toLong * maxH > (1L << 26)) return None
         val canvas = new java.awt.image.BufferedImage(
           maxW, maxH, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var prev: java.awt.image.BufferedImage = null

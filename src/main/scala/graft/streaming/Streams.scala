@@ -46,8 +46,8 @@ object Streams {
       try spark.read.parquet(dir).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
-              e.getErrorClass == "PATH_NOT_FOUND" => eventsSchema
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" => eventsSchema
       }
     val raw = spark.readStream.schema(schema).parquet(dir)
     raw.withColumn("ts",
@@ -467,11 +467,13 @@ object Streams {
       incoming: DataFrame, probes: DataFrame, id: String, text: String,
       minContainment: Double): DataFrame = {
     graft.functions.GraftFunctions.register(probes.sparkSession)
-    // a sub-n-gram probe has an EMPTY shingle set: its containment would
-    // be 0/0 = NaN, and NaN >= threshold is TRUE under Spark's ordering —
-    // silently flagging every document. Such probes cannot witness
-    // containment; drop them (decontamScreenStream skips them the same
-    // way, so audit and survivor forms agree).
+    // a NULL-text probe has a null shingle set: its containment would be
+    // null (and a hypothetical empty set would give 0/0 = NaN, which is
+    // >= everything under Spark's ordering). Drop such probes — they
+    // carry nothing to match. Sub-3-token probes are NOT dropped: the
+    // shingle expression emits the whole text as a single shingle for
+    // them, a real probe (decontamScreenStream treats both cases the
+    // same way, so audit and survivor forms agree).
     val probeSets = probes.select(col(id).as("probe_id"),
       Dedup.wordTrigrams(col(text)).as("__tgp"))
       .where(size(col("__tgp")) > 0)
@@ -504,27 +506,33 @@ object Streams {
   def decontamScreenStream(
       incoming: DataFrame, probes: DataFrame, text: String,
       minContainment: Double, maxProbeRows: Int = 4096): DataFrame = {
-    // bound BEFORE collecting — the guard must fire before the driver
-    // holds every shingle set, not after (limit+count reads at most
-    // maxProbeRows+1 rows)
-    val bound = probes.limit(maxProbeRows + 1).count()
-    require(bound <= maxProbeRows,
+    // ONE bounded job: limit caps what can ever reach the driver (at
+    // most maxProbeRows+1 shingle sets), and the length check after
+    // collect enforces the contract — no separate count job whose answer
+    // a growing probe source could invalidate before the collect.
+    // Null-text probes carry a null shingle set and are dropped up
+    // front; sub-3-token probes produce a SINGLETON whole-text shingle
+    // (WordTrigrams' short-text rule) — a real, matchable probe that is
+    // correctly kept.
+    val sets = probes
+      .where(col(text).isNotNull)
+      .limit(maxProbeRows + 1)
+      .select(Dedup.wordTrigrams(col(text)))
+      .collect().map(_.getSeq[String](0))
+    require(sets.length <= maxProbeRows,
       s"decontamScreenStream: probe suite exceeds $maxProbeRows rows — " +
         "it must stay benchmark-sized (raise maxProbeRows consciously; " +
         "each probe's shingles ride the plan)")
-    // null texts carry no shingles; sub-n-gram probes have EMPTY shingle
-    // sets and are skipped — they cannot witness containment (the batch
-    // pair-audit twin filters the same way, see contaminationStream)
-    val sets = probes
-      .where(col(text).isNotNull)
-      .select(Dedup.wordTrigrams(col(text)))
-      .collect().map(_.getSeq[String](0))
     val tgd = Dedup.wordTrigrams(col(text))
     val contaminated = sets.filter(_.nonEmpty).map { p =>
       (size(array_intersect(tgd, typedLit(p))).cast("double")
         / lit(p.size)) >= minContainment
     }.foldLeft(lit(false))(_ || _)
-    incoming.filter(!contaminated)
+    // null-text INCOMING docs have null shingles → null containment; a
+    // bare filter(!null) would silently drop them (three-valued logic).
+    // They carry no content to contaminate — keep them, like the audit
+    // form (which simply never pairs them).
+    incoming.filter(!coalesce(contaminated, lit(false)))
   }
 
   /** CCNet-style LM quality scoring on a stream: score incoming documents

@@ -619,17 +619,27 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "one two three four five six")).toDF("doc_id", "text")
-    // a null-text probe and a 2-word probe (EMPTY trigram set): neither
-    // can witness containment — the survivor screen must keep everything
-    // (not NPE), and the pair-audit stream must flag NOTHING (its 0/0
-    // containment would be NaN, and NaN >= t is true under Spark's
-    // ordering — the bug this test pins closed)
+      (2L, "one two three four five six"),
+      (3L, null: String)).toDF("doc_id", "text")
+    // a null-text probe carries a NULL shingle set and cannot witness
+    // containment: the survivor screen must keep everything (no NPE, no
+    // three-valued-logic drop of the null-text DOC either), and the
+    // pair-audit stream must flag nothing. A 2-word probe is NOT
+    // degenerate — the shingle expression emits the whole text as one
+    // shingle — but it matches neither corpus doc here.
     val probes = Seq((10L, null: String), (11L, "two words"))
       .toDF("doc_id", "text")
     val kept = Streams.decontamScreenStream(
       corpus, probes, "text", minContainment = 0.8).collect()
-    assert(kept.length == 2, "degenerate probes must not drop documents")
+    assert(kept.length == 3,
+      "degenerate probes / null-text docs must not drop rows")
+    // the singleton whole-text shingle of a short probe IS matchable:
+    // an identical short document must be screened out
+    val shortMatch = Streams.decontamScreenStream(
+      corpus.unionByName(Seq((4L, "two words")).toDF("doc_id", "text")),
+      probes, "text", minContainment = 0.8).collect()
+    assert(shortMatch.map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "a short probe's whole-text shingle must still catch its twin")
     val dir = java.nio.file.Files.createTempDirectory("graft_degen_probe")
     corpus.write.mode("overwrite").parquet(dir.toString)
     val schema = org.apache.spark.sql.types.StructType(Seq(
