@@ -1224,7 +1224,15 @@ object Similarity {
     *
     * Every exchange carries hash-width rows (ids, list ids, one double);
     * results equal the collect-path overload row-for-row (spec-pinned).
-    * Rows-only certifiable like every ANN path. */
+    * Rows-only certifiable like every ANN path.
+    *
+    * Skew note: the candidate join's key space is only [[IvfLists]]
+    * values, so the shuffle hashes into ≤ that many key groups — far
+    * fewer than a large cluster's task slots. This is why the sessions
+    * keep AQE on: OptimizeSkewedJoin splits oversized join partitions by
+    * MAPPER RANGES (not by key), so a single hot list still fans out
+    * across tasks. Without AQE, pre-split manually by salting the coded
+    * lists and replicating the query-list rows per salt. */
   def ivfPqTopKJoin(
       index: IvfPqIndex, queries: DataFrame, id: String, vec: String,
       k: Int, rerank: Int = PqRerank, probes: Int = IvfProbes,

@@ -59,6 +59,31 @@ class FlacDecodeSpec extends AnyFunSuite {
     assert(FlacCodec.decodeSamples(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("fuzz: random single-bit corruption never yields wrong samples") {
+    // flip one random bit anywhere in the payload: the decode must
+    // either fail a CRC/structure check (None) or — when the flip lands
+    // in ignored bytes (e.g. STREAMINFO's md5/frame-size fields) —
+    // still produce the EXACT original samples. Wrong samples are the
+    // one outcome the CRCs exist to forbid.
+    val rnd = new scala.util.Random(20260813L)
+    val bytes = flacOf(5L)
+    val truth = FlacCodec.decodeSamples(bytes).get._3
+    var rejected = 0
+    for (_ <- 0 until 200) {
+      val corrupt = bytes.clone()
+      val pos = rnd.nextInt(bytes.length)
+      corrupt(pos) = (corrupt(pos) ^ (1 << rnd.nextInt(8))).toByte
+      FlacCodec.decodeSamples(corrupt) match {
+        case None => rejected += 1
+        case Some((_, _, ss)) =>
+          assert(ss.sameElements(truth),
+            s"bit flip at byte $pos decoded to DIFFERENT samples")
+      }
+    }
+    assert(rejected > 100,
+      s"only $rejected/200 flips rejected — CRC coverage suspiciously low")
+  }
+
   test("hand-built VERBATIM frame decodes sample-for-sample") {
     // mono, 8000 Hz, 192 samples (blocksize code 0001 — no extra bytes),
     // one VERBATIM subframe carrying a ramp
