@@ -607,21 +607,180 @@ object Multimodal {
     }
   }
 
-  /** REAL FLAC sample decode for the subset a pure-JVM decoder can own
-    * without a native codec: CONSTANT and VERBATIM subframes at 16-bit
-    * depth (the uncompressed encodings every conformant FLAC stream may
-    * use; [[syntheticFlacs]] emits CONSTANT frames). Frame headers are
-    * fully validated — sync, codes, UTF-8 frame number, CRC-8 — and the
-    * trailing CRC-16 is checked per frame, so a corrupted payload
-    * returns None rather than garbage samples. LPC/FIXED-predicted
-    * subframes (Rice-coded residuals) return None and fall back to the
-    * labeled stub — the same declared native-codec boundary as
-    * MP4/WebM/MP3 sample synthesis.
+  /** REAL FLAC sample decode, pure JVM, for 16-bit fixed-blocksize
+    * streams: ALL five subframe encodings — CONSTANT, VERBATIM,
+    * FIXED (orders 0–4) and LPC (orders 1–32) with Rice/Rice2-coded
+    * residual partitions (escape-to-raw included) — plus wasted-bits
+    * shifts and the three stereo decorrelation modes (left/side,
+    * right/side, mid/side; the side channel carries bps+1 bits per the
+    * format spec). Frame headers are fully validated — sync, codes,
+    * UTF-8 frame number, CRC-8 — and the trailing CRC-16 is checked per
+    * frame after re-aligning to the byte boundary, so a corrupted
+    * payload returns None rather than garbage samples; decoded values
+    * outside the declared bit depth are likewise rejected.
     *
-    * Closes the sample half of the compressed-audio gap for this subset:
-    * [[audioStats]] / [[AudioCodec.decode]] (fingerprints, features)
-    * consume the decoded PCM transparently. */
+    * This closes the FLAC half of the compressed-audio sample gap
+    * outright (no labeled-stub fallback remains for conformant 16-bit
+    * streams): [[audioStats]] / [[AudioCodec.decode]] (fingerprints,
+    * features) consume the decoded PCM transparently. The remaining
+    * native-codec boundary is MP4/WebM/MP3 sample synthesis. */
   object FlacCodec {
+
+    /** MSB-first bit cursor over `b` starting at byte `bytePos`. Reads
+      * past the array throw (caught by [[decodeSamples]] → None). */
+    private[operators] final class BitReader(
+        b: Array[Byte], var bytePos: Int) {
+      private var bitPos = 0
+      def readBit(): Int = {
+        val v = (b(bytePos) >> (7 - bitPos)) & 1
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        v
+      }
+      /** n ∈ [0, 32] unsigned bits, MSB first. */
+      def readBits(n: Int): Int = {
+        var v = 0L
+        var i = 0
+        while (i < n) { v = (v << 1) | readBit(); i += 1 }
+        v.toInt
+      }
+      /** Zero bits until (and consuming) the terminating 1 bit. */
+      def readUnary(): Int = {
+        var q = 0
+        while (readBit() == 0) q += 1
+        q
+      }
+      /** Drop to the next byte boundary (frame CRC-16 alignment). */
+      def alignByte(): Unit =
+        if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    }
+
+    private def signExtend(v: Int, bits: Int): Int =
+      (v << (32 - bits)) >> (32 - bits)
+
+    /** Rice/Rice2 residual partitions into `x(order until n)`; false on a
+      * malformed partition layout or reserved coding method. */
+    private def readResiduals(
+        br: BitReader, n: Int, order: Int, x: Array[Int]): Boolean = {
+      val method = br.readBits(2)
+      if (method > 1) return false
+      val pbits = if (method == 0) 4 else 5
+      val escape = (1 << pbits) - 1
+      val po = br.readBits(4)
+      val parts = 1 << po
+      if (n % parts != 0) return false
+      val per = n / parts
+      if (per <= order && parts == 1) return false
+      if (per < order && parts > 1) return false
+      var idx = order
+      var p = 0
+      while (p < parts) {
+        val cnt = if (p == 0) per - order else per
+        val param = br.readBits(pbits)
+        if (param == escape) {
+          val raw = br.readBits(5)
+          var i = 0
+          while (i < cnt) {
+            x(idx) = if (raw == 0) 0 else signExtend(br.readBits(raw), raw)
+            idx += 1; i += 1
+          }
+        } else {
+          var i = 0
+          while (i < cnt) {
+            val q = br.readUnary().toLong
+            val r = if (param == 0) 0 else br.readBits(param)
+            val u = (q << param) | (r & 0xffffffffL)
+            x(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+            idx += 1; i += 1
+          }
+        }
+        p += 1
+      }
+      true
+    }
+
+    /** One subframe (header + payload) into a fresh n-array of samples at
+      * `bps` effective depth; None on reserved/invalid encodings. */
+    private def readSubframe(
+        br: BitReader, n: Int, bps: Int): Option[Array[Int]] = {
+      if (br.readBit() != 0) return None // mandatory zero pad bit
+      val typ = br.readBits(6)
+      val wasted =
+        if (br.readBit() == 1) br.readUnary() + 1 else 0
+      val eff = bps - wasted
+      if (eff <= 0 || eff > 17) return None
+      val x = new Array[Int](n)
+      typ match {
+        case 0 => // CONSTANT
+          val v = signExtend(br.readBits(eff), eff)
+          java.util.Arrays.fill(x, v)
+        case 1 => // VERBATIM
+          var i = 0
+          while (i < n) { x(i) = signExtend(br.readBits(eff), eff); i += 1 }
+        case t if t >= 8 && t <= 12 => // FIXED, order = t - 8
+          val order = t - 8
+          if (order > n) return None
+          var i = 0
+          while (i < order) {
+            x(i) = signExtend(br.readBits(eff), eff); i += 1
+          }
+          if (!readResiduals(br, n, order, x)) return None
+          // polynomial predictors from the format spec §FIXED
+          order match {
+            case 0 => ()
+            case 1 =>
+              var i = 1
+              while (i < n) { x(i) += x(i - 1); i += 1 }
+            case 2 =>
+              var i = 2
+              while (i < n) { x(i) += 2 * x(i - 1) - x(i - 2); i += 1 }
+            case 3 =>
+              var i = 3
+              while (i < n) {
+                x(i) += 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3); i += 1
+              }
+            case _ =>
+              var i = 4
+              while (i < n) {
+                x(i) += 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) -
+                  x(i - 4)
+                i += 1
+              }
+          }
+        case t if t >= 32 => // LPC, order = (t & 31) + 1
+          val order = (t & 0x1f) + 1
+          if (order > n) return None
+          var i = 0
+          while (i < order) {
+            x(i) = signExtend(br.readBits(eff), eff); i += 1
+          }
+          val precM1 = br.readBits(4)
+          if (precM1 == 15) return None // reserved
+          val prec = precM1 + 1
+          val shift = signExtend(br.readBits(5), 5)
+          if (shift < 0) return None // negative shifts are spec-invalid
+          val coefs = new Array[Int](order)
+          var j = 0
+          while (j < order) {
+            coefs(j) = signExtend(br.readBits(prec), prec); j += 1
+          }
+          if (!readResiduals(br, n, order, x)) return None
+          i = order
+          while (i < n) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += coefs(j).toLong * x(i - 1 - j); j += 1 }
+            x(i) += (acc >> shift).toInt
+            i += 1
+          }
+        case _ => return None // 2–7, 13–31 are reserved
+      }
+      if (wasted > 0) {
+        var i = 0
+        while (i < n) { x(i) <<= wasted; i += 1 }
+      }
+      Some(x)
+    }
 
     private[graft] def crc8(
         b: Array[Byte], from: Int, until: Int): Int = {
@@ -700,7 +859,10 @@ object Multimodal {
         val srCode = bytes(o + 2) & 0x0f
         val chCode = (bytes(o + 3) & 0xf0) >> 4
         val ssCode = (bytes(o + 3) & 0x0e) >> 1
-        if (chCode != channels - 1) return None // independent channels only
+        // 0–7: independent; 8/9/10: left-side / right-side / mid-side
+        if (chCode <= 7) { if (chCode != channels - 1) return None }
+        else if (chCode <= 10) { if (channels != 2) return None }
+        else return None
         if (ssCode != 0x4) return None          // 16-bit only
         o += 4
         // UTF-8-coded frame number (≤ 36 bits over ≤ 7 bytes)
@@ -727,36 +889,55 @@ object Multimodal {
         }
         if (crc8(bytes, frameStart, o) != (bytes(o) & 0xff)) return None
         o += 1
-        // subframes (byte-aligned at 16 bps with these types)
         val n = math.min(blockSize.toLong, total - written).toInt
         if (n != blockSize) return None // header must state the true size
+        val br = new BitReader(bytes, o)
+        // per-channel decode: the side channel of a decorrelated pair
+        // carries one extra bit (format spec §frame header)
+        val chans = new Array[Array[Int]](channels)
         var ch = 0
         while (ch < channels) {
-          val sfh = bytes(o) & 0xff
-          o += 1
-          if ((sfh & 0x81) != 0) return None // reserved bit / wasted bits
-          val typ = (sfh >> 1) & 0x3f
-          typ match {
-            case 0 => // CONSTANT: one value for the whole block
-              val v = (((bytes(o) << 8) | (bytes(o + 1) & 0xff))).toShort
-              o += 2
-              var i = 0
-              while (i < n) {
-                out(((written + i) * channels + ch).toInt) = v
-                i += 1
-              }
-            case 1 => // VERBATIM: n raw big-endian 16-bit samples
-              var i = 0
-              while (i < n) {
-                out(((written + i) * channels + ch).toInt) =
-                  ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
-                o += 2
-                i += 1
-              }
-            case _ => return None // FIXED/LPC need Rice decode — stub
-          }
+          val side = (chCode == 8 && ch == 1) ||
+            (chCode == 9 && ch == 0) || (chCode == 10 && ch == 1)
+          chans(ch) = readSubframe(br, n, if (side) 17 else 16)
+            .getOrElse(return None)
           ch += 1
         }
+        // undo stereo decorrelation in place (chans(0)=L, chans(1)=R)
+        if (chCode >= 8) {
+          val a = chans(0); val b = chans(1)
+          var i = 0
+          chCode match {
+            case 8 => // left + side → right = left − side
+              while (i < n) { b(i) = a(i) - b(i); i += 1 }
+            case 9 => // side + right → left = right + side
+              while (i < n) {
+                val s = a(i); a(i) = b(i) + s; i += 1
+              }
+            case _ => // mid + side
+              while (i < n) {
+                val m = (a(i) << 1) | (b(i) & 1)
+                val s = b(i)
+                a(i) = (m + s) >> 1
+                b(i) = (m - s) >> 1
+                i += 1
+              }
+          }
+        }
+        var c2 = 0
+        while (c2 < channels) {
+          val xs = chans(c2)
+          var i = 0
+          while (i < n) {
+            val v = xs(i)
+            if (v < Short.MinValue || v > Short.MaxValue) return None
+            out(((written + i) * channels + c2).toInt) = v.toShort
+            i += 1
+          }
+          c2 += 1
+        }
+        br.alignByte()
+        o = br.bytePos
         if (o + 2 > bytes.length) return None
         val crc = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
         if (crc16(bytes, frameStart, o) != crc) return None
@@ -1846,6 +2027,265 @@ object Multimodal {
             bos.write(frame.toByteArray)
             written += n
             f += 1
+          }
+          (mid, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Closed-form sample for the COMPRESSED synthetic FLAC corpus: the
+    * quadratic-ramp-with-wraps waveform keeps every FIXED/LPC residual
+    * stream non-trivial (mod wraps defeat exact polynomial prediction)
+    * while staying integer-exact in SQL for the q_m21 oracle. */
+  private[graft] def flacWave(mid: Long, ch: Int, fi: Int, i: Int): Int =
+    (((mid * 131 + ch * 197 + fi * 977 + i.toLong * i * 13 + i * 7919L)
+      % 16384) - 8192).toInt
+
+  /** MSB-first bit emitter for the FLAC encoder fixture. */
+  private[operators] final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nb = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nb += 1
+      if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def alignByte(): Unit = while (nb != 0) writeBit(0)
+    def toByteArray: Array[Byte] = { alignByte(); buf.toByteArray }
+  }
+
+  private def zigzag(e: Int): Long =
+    ((e.toLong << 1) ^ (e.toLong >> 63)) & 0xffffffffL
+
+  /** Smallest 4-bit Rice parameter minimizing the partition's coded
+    * size (Σ quotient+1+param bits) — any choice decodes identically;
+    * this one keeps the fixture honest about realistic streams. */
+  private def bestRiceParam(e: Array[Int], from: Int, until: Int): Int = {
+    var best = 0
+    var bestCost = Long.MaxValue
+    var p = 0
+    while (p <= 14) {
+      var cost = 0L
+      var i = from
+      while (i < until) { cost += (zigzag(e(i)) >>> p) + 1 + p; i += 1 }
+      if (cost < bestCost) { bestCost = cost; best = p }
+      p += 1
+    }
+    best
+  }
+
+  /** Rice residual partitions (method 0, 4-bit params). `escape` forces
+    * the raw-bits escape code on partition 0 to keep that decode path
+    * exercised. */
+  private def writeResiduals(
+      bw: BitWriter, e: Array[Int], n: Int, order: Int, po: Int,
+      escape: Boolean): Unit = {
+    bw.writeBits(0, 2)
+    bw.writeBits(po, 4)
+    val parts = 1 << po
+    val per = n / parts
+    var p = 0
+    while (p < parts) {
+      val from = if (p == 0) order else p * per
+      val until = (p + 1) * per
+      if (escape && p == 0) {
+        bw.writeBits(15, 4)
+        var raw = 0
+        var i = from
+        while (i < until) {
+          while (raw < 31 && (e(i) < -(1 << math.max(raw - 1, 0)) ||
+              e(i) >= (1 << math.max(raw - 1, 0)) || raw == 0 && e(i) != 0))
+            raw += 1
+          i += 1
+        }
+        bw.writeBits(raw, 5)
+        if (raw > 0) {
+          var j = from
+          while (j < until) {
+            bw.writeBits(e(j).toLong & ((1L << raw) - 1), raw); j += 1
+          }
+        }
+      } else {
+        val param = bestRiceParam(e, from, until)
+        bw.writeBits(param, 4)
+        var i = from
+        while (i < until) {
+          val u = zigzag(e(i))
+          bw.writeUnary((u >>> param).toInt)
+          if (param > 0) bw.writeBits(u & ((1L << param) - 1), param)
+          i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One encoded subframe. `styp` 0 → FIXED (order `(fi+ch)%5`),
+    * 1 → LPC (order `1+(fi*3+ch)%8`, precision 12, shift 9,
+    * deterministic coefficients), 2 → VERBATIM. */
+  private def writeSubframe(
+      bw: BitWriter, xs: Array[Int], eff: Int, styp: Int, mid: Long,
+      fi: Int, ch: Int): Unit = {
+    val n = xs.length
+    val mask = (1L << eff) - 1
+    bw.writeBit(0)
+    styp % 3 match {
+      case 2 =>
+        bw.writeBits(1, 6)
+        bw.writeBit(0)
+        var i = 0
+        while (i < n) { bw.writeBits(xs(i).toLong & mask, eff); i += 1 }
+      case 0 =>
+        val order = ((fi + ch) % 5 + 5) % 5
+        bw.writeBits(8 + order, 6)
+        bw.writeBit(0)
+        var i = 0
+        while (i < order) { bw.writeBits(xs(i).toLong & mask, eff); i += 1 }
+        val e = new Array[Int](n)
+        i = order
+        while (i < n) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => xs(i - 1).toLong
+            case 2 => 2L * xs(i - 1) - xs(i - 2)
+            case 3 => 3L * xs(i - 1) - 3L * xs(i - 2) + xs(i - 3)
+            case _ =>
+              4L * xs(i - 1) - 6L * xs(i - 2) + 4L * xs(i - 3) - xs(i - 4)
+          }
+          e(i) = (xs(i) - pred).toInt
+          i += 1
+        }
+        writeResiduals(bw, e, n, order, po = fi % 3,
+          escape = (fi + ch) % 7 == 3)
+      case _ =>
+        val order = 1 + ((fi * 3 + ch) % 8 + 8) % 8
+        bw.writeBits(32 + (order - 1), 6)
+        bw.writeBit(0)
+        var i = 0
+        while (i < order) { bw.writeBits(xs(i).toLong & mask, eff); i += 1 }
+        bw.writeBits(11, 4) // precision 12
+        bw.writeBits(9, 5)  // shift 9
+        val coefs = Array.tabulate(order) { j =>
+          (((mid + fi * 7 + ch * 13 + j * 37) % 512 + 512) % 512).toInt - 256
+        }
+        var j = 0
+        while (j < order) {
+          bw.writeBits(coefs(j).toLong & 0xfff, 12); j += 1
+        }
+        val e = new Array[Int](n)
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var k = 0
+          while (k < order) { acc += coefs(k).toLong * xs(i - 1 - k); k += 1 }
+          e(i) = xs(i) - (acc >> 9).toInt
+          i += 1
+        }
+        writeResiduals(bw, e, n, order, po = fi % 3, escape = false)
+    }
+  }
+
+  /** Deterministic COMPRESSED synthetic FLAC corpus: same container
+    * conventions as [[syntheticFlacs]] (sample rate `rates[id%5]`,
+    * channels `1 + id%2`, 4096-sample fixed blocks, CRC-8'd headers,
+    * CRC-16'd frames) but with genuinely predicted subframes — cycling
+    * FIXED orders 0–4, LPC orders 1–8 and VERBATIM per (frame, channel),
+    * Rice partition orders 0–2, a forced raw-bits escape partition every
+    * seventh (frame+channel), and for stereo media a rotating channel
+    * assignment (independent → left/side → right/side → mid/side). The
+    * [[flacWave]] sample values have a closed form, so q_m21 certifies
+    * the FULL compressed decode against a DuckDB oracle, not just
+    * row counts. Total samples `4096·(1 + id%4) + 2048·(id%3)`. */
+  def syntheticFlacsCompressed(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val sr = rates((mid % 5).toInt)
+          val channels = 1 + (mid % 2).toInt
+          val total = 4096L * (1 + mid % 4) + 2048L * (mid % 3)
+          val bos = new java.io.ByteArrayOutputStream()
+          val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+          b.put("fLaC".getBytes("US-ASCII"))
+          b.put(0x80.toByte)
+          b.put(0.toByte).put(0.toByte).put(34.toByte)
+          b.putShort(4096.toShort)
+          b.putShort(4096.toShort)
+          b.put(0.toByte).put(0.toByte).put(0.toByte)
+          b.put(0.toByte).put(0.toByte).put(0.toByte)
+          b.put(((sr >> 12) & 0xff).toByte)
+          b.put(((sr >> 4) & 0xff).toByte)
+          b.put((((sr & 0xf) << 4) | ((channels - 1) << 1)
+            | (15 >> 4)).toByte)
+          b.put((((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+          b.put(((total >> 24) & 0xff).toByte)
+          b.put(((total >> 16) & 0xff).toByte)
+          b.put(((total >> 8) & 0xff).toByte)
+          b.put((total & 0xff).toByte)
+          bos.write(b.array())
+          var written = 0L
+          var fi = 0
+          while (written < total) {
+            val n = math.min(4096L, total - written).toInt
+            // stereo: rotate channel assignment; mono: independent
+            val mode = if (channels == 1) 0 else 1 + (fi % 4)
+            val chCode = mode match {
+              case 0 => 0; case 1 => 1; case 2 => 8; case 3 => 9
+              case _ => 10
+            }
+            val frame = new java.io.ByteArrayOutputStream()
+            frame.write(0xff); frame.write(0xf8)
+            frame.write(if (n == 4096) 0xc0 else 0x70)
+            frame.write((chCode << 4) | (0x4 << 1))
+            frame.write(fi & 0x7f)
+            if (n != 4096) {
+              frame.write(((n - 1) >> 8) & 0xff); frame.write((n - 1) & 0xff)
+            }
+            val hdr = frame.toByteArray
+            frame.write(FlacCodec.crc8(hdr, 0, hdr.length))
+            val l = Array.tabulate(n)(i => flacWave(mid, 0, fi, i))
+            val r =
+              if (channels == 2) Array.tabulate(n)(i => flacWave(mid, 1, fi, i))
+              else null
+            val (sigs, bpss) = mode match {
+              case 0 => (Array(l), Array(16))
+              case 1 => (Array(l, r), Array(16, 16))
+              case 2 => // left/side
+                (Array(l, Array.tabulate(n)(i => l(i) - r(i))),
+                  Array(16, 17))
+              case 3 => // side/right
+                (Array(Array.tabulate(n)(i => l(i) - r(i)), r),
+                  Array(17, 16))
+              case _ => // mid/side (only the side channel gets the +1 bit)
+                (Array(Array.tabulate(n)(i => (l(i) + r(i)) >> 1),
+                  Array.tabulate(n)(i => l(i) - r(i))), Array(16, 17))
+            }
+            val bw = new BitWriter
+            var ch = 0
+            while (ch < sigs.length) {
+              writeSubframe(bw, sigs(ch), bpss(ch),
+                styp = (fi + ch) % 3, mid, fi, ch)
+              ch += 1
+            }
+            frame.write(bw.toByteArray)
+            val body = frame.toByteArray
+            val crc = FlacCodec.crc16(body, 0, body.length)
+            frame.write((crc >> 8) & 0xff); frame.write(crc & 0xff)
+            bos.write(frame.toByteArray)
+            written += n
+            fi += 1
           }
           (mid, "audio", bos.toByteArray)
         }

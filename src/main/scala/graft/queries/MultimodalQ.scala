@@ -448,8 +448,8 @@ object MultimodalQ {
     * are pure functions of (id, frame, channel), so the oracle restates
     * the exact interleaved sample count, peak, and integral sum of
     * squares a correct frame walk + subframe decode + CRC validation
-    * must recover. (q_m13 certifies the metadata half; Rice-coded
-    * residuals remain the declared native-codec boundary.) */
+    * must recover. (q_m13 certifies the metadata half; q_m21 certifies
+    * the predicted/Rice-coded encodings on the compressed corpus.) */
   val qM20FlacDecode = Q(
     "q_m20_flac_decode",
     """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -483,10 +483,61 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 6), "doc_id"))
   }
 
+  /** COMPRESSED FLAC sample decode, hash-certified — FIXED orders 0–4,
+    * LPC orders 1–8 (precision 12, shift 9), Rice partition orders 0–2
+    * with a forced raw-bits escape partition, and all three stereo
+    * decorrelation modes (left/side, right/side, mid/side with the
+    * 17-bit side channel), decoded sample-exact. The corpus waveform
+    * ([[Multimodal.flacWave]]) has a closed form, so the oracle
+    * recomputes EVERY sample in SQL and restates the interleaved count,
+    * peak, and integral sum of squares a bit-exact predictor + Rice
+    * reconstruction must produce — one wrong residual anywhere shifts
+    * `sum_sq` and fails the hash. */
+  val qM21FlacLpc = Q(
+    "q_m21_flac_lpc",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |                       WHEN 2 THEN 22050 WHEN 3 THEN 44100
+      |                       ELSE 48000 END AS sr,
+      |                  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |                  4096 * (1 + doc_id % 4) + 2048 * (doc_id % 3)
+      |                    AS total
+      |           FROM documents WHERE doc_id % 8 = 5),
+      |f AS (SELECT media_id, sr, channels, total,
+      |             unnest(range(0, (total + 4095) // 4096)) AS fi
+      |      FROM t),
+      |a AS (SELECT media_id, sr, channels, total, fi,
+      |             least(4096, total - fi * 4096) AS sz
+      |      FROM f),
+      |s AS (SELECT media_id, sr, channels, total, fi,
+      |             unnest(range(0, sz)) AS i
+      |      FROM a),
+      |x AS (SELECT media_id, sr, channels, total,
+      |             (media_id * 131 + fi * 977 + i * i * 13 + i * 7919)
+      |               % 16384 - 8192 AS x0,
+      |             CASE WHEN channels = 2 THEN
+      |               (media_id * 131 + 197 + fi * 977 + i * i * 13
+      |                  + i * 7919) % 16384 - 8192 END AS x1
+      |      FROM s)
+      |SELECT media_id,
+      |       CAST(max(sr) AS INT) AS sample_rate,
+      |       CAST(max(channels) AS INT) AS channels,
+      |       CAST(max(total) * max(channels) AS BIGINT) AS n_samples,
+      |       CAST(max(greatest(abs(x0), coalesce(abs(x1), 0))) AS INT)
+      |         AS peak,
+      |       CAST(sum(x0 * x0 + coalesce(x1 * x1, 0)) AS BIGINT)
+      |         AS sum_sq
+      |FROM x GROUP BY media_id""".stripMargin) { (s, d) =>
+    Multimodal.flacSampleStats(
+      Multimodal.syntheticFlacsCompressed(
+        documents(s, d).filter(col("doc_id") % 8 === 5), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
-      qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode)
+      qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
+      qM21FlacLpc)
 }

@@ -122,6 +122,66 @@ class FlacDecodeSpec extends AnyFunSuite {
     assert(ss.sameElements(samples))
   }
 
+  private def compressedFlacOf(mid: Long): Array[Byte] = {
+    import spark.implicits._
+    Multimodal.syntheticFlacsCompressed(Seq(mid).toDF("id"), "id")
+      .collect().head.getAs[Array[Byte]]("bytes")
+  }
+
+  test("compressed corpus round-trips sample-exact (FIXED/LPC/Rice)") {
+    // mids chosen to cover: mono + stereo (parity), every FIXED order
+    // 0-4 and LPC order 1-8 (frames cycle), Rice partition orders 0-2,
+    // the raw-bits escape partition ((fi+ch)%7==3), all three stereo
+    // decorrelation modes (stereo frames rotate ind→LS→RS→MS), and
+    // tail blocks (mid%3∈{1,2} adds a 2048/4096 partial frame)
+    for (mid <- 0L to 11L) {
+      val bytes = compressedFlacOf(mid)
+      val channels = 1 + (mid % 2).toInt
+      val total = 4096L * (1 + mid % 4) + 2048L * (mid % 3)
+      val (sr, ch, ss) = Multimodal.FlacCodec.decodeSamples(bytes)
+        .getOrElse(fail(s"media $mid did not decode"))
+      assert(ch == channels)
+      assert(sr == Array(8000, 16000, 22050, 44100, 48000)((mid % 5).toInt))
+      assert(ss.length == total * channels)
+      var i = 0L
+      while (i < total) {
+        val fi = (i / 4096L).toInt
+        val off = (i % 4096L).toInt
+        var c = 0
+        while (c < channels) {
+          val got = ss((i * channels + c).toInt)
+          val want = Multimodal.flacWave(mid, c, fi, off)
+          assert(got == want,
+            s"media $mid frame $fi sample $off ch $c: $got != $want")
+          c += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("fuzz: bit corruption of compressed payloads never yields wrong samples") {
+    val rnd = new scala.util.Random(20260814L)
+    for (mid <- Seq(3L, 4L)) {
+      val bytes = compressedFlacOf(mid)
+      val truth = Multimodal.FlacCodec.decodeSamples(bytes).get._3
+      var rejected = 0
+      for (_ <- 0 until 150) {
+        val corrupt = bytes.clone()
+        val pos = rnd.nextInt(bytes.length)
+        corrupt(pos) = (corrupt(pos) ^ (1 << rnd.nextInt(8))).toByte
+        Multimodal.FlacCodec.decodeSamples(corrupt) match {
+          case None => rejected += 1
+          case Some((_, _, ss)) =>
+            assert(ss.sameElements(truth),
+              s"media $mid: bit flip at byte $pos decoded DIFFERENT samples")
+        }
+      }
+      assert(rejected > 75,
+        s"media $mid: only $rejected/150 flips rejected")
+    }
+  }
+
   test("audio stats and features consume FLAC transparently") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacs(
