@@ -1252,38 +1252,59 @@ object Similarity {
     val q = normed(queries, id, vec)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
+    // The unit query vector is computed ONCE per query and shipped as a
+    // packed little-endian float64 BINARY: binary survives the Row API
+    // as a primitive byte[] (an array<double> column would re-box all
+    // `dim` elements on EVERY joined pair — measured 3× slower on the
+    // 3M-pair sf0.1 shape).
+    val packUnit = udf { (v: Seq[Double], nrm: Double) =>
+      val u = PqMath.unit(v.toArray, nrm)
+      val bb = java.nio.ByteBuffer.allocate(u.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < u.length) { bb.putDouble(u(i)); i += 1 }
+      bb.array()
+    }
     val queryLists = q
-      .select(col("q_id"), col("qv"), col("qnrm"),
+      .select(col("q_id"), packUnit(col("qv"), col("qnrm")).as("qu"),
         explode(topLists(cents, probes, col("qv"))).as("list_id"))
     val joined = queryLists
       .join(index.codedLists, Seq("list_id"))
-      .select(col("q_id"), col("qv"), col("qnrm"),
-        col("vec_id"), col("code"))
+      .select(col("q_id"), col("qu"), col("vec_id"), col("code"))
     val schema = StructType(Seq(
-      q.schema("q_id"),
+      q.schema("q_id").copy(name = "q_id"),
       index.codedLists.schema("vec_id").copy(name = "cand_id"),
       StructField("adist", DoubleType, nullable = false)))
     val scored = joined.rdd.mapPartitions { it =>
       it.map { r =>
-        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
-        val code = r.getAs[Array[Byte]](4)
+        val qu = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(qu)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val code = r.getAs[Array[Byte]](3)
+        // same subspace/component summation order as the LUT path →
+        // bit-equal distances (IvfPqJoinSpec pins row equality)
         var d = 0.0
         var mi = 0
         while (mi < m) {
           val cw = books(mi)(code(mi) & 0xff)
           var i = 0
           while (i < sub) {
-            val t = u(mi * sub + i) - cw(i); d += t * t; i += 1
+            val t = bb.getDouble((mi * sub + i) * 8) - cw(i)
+            d += t * t; i += 1
           }
           mi += 1
         }
-        Row(r.get(0), r.get(3), d)
+        Row(r.get(0), r.get(2), d)
       }
     }
     val spark = index.corpus.sparkSession
     // soft assignment can pair (query, vector) in ≤ IvfAssign lists with
-    // the SAME adist — dedup before ranking (the collect path's distinct)
-    val cand = spark.createDataFrame(scored, schema).distinct()
+    // the SAME adist — dedup before ranking. groupBy+min instead of
+    // distinct: identical result (duplicates carry equal distances) but
+    // map-side partial aggregation collapses them before the exchange.
+    val cand = spark.createDataFrame(scored, schema)
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(min(col("adist")).as("adist"))
     val w1 = Window
       .partitionBy(col("q_id"), col("__salt"))
       .orderBy(col("adist"), col("cand_id").cast("string"))
