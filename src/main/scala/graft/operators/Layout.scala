@@ -132,11 +132,42 @@ object Layout {
       df: DataFrame, xCol: String, yCol: String, zCol: String,
       outCol: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits in [1, 20] (3·bits ≤ 63): $bits")
+    withHilbertN(df, Seq(xCol, yCol, zCol), outCol, bits)
+  }
+
+  /** N-dimensional Hilbert index, n ∈ [2, 6] — [[withHilbert3]]'s Skilling
+    * transform with the per-bit exchange/invert loop generalized to run
+    * dimension 0..n−1 per step (the 3-D body is exactly this loop unrolled;
+    * `withHilbert3` delegates here). Matches [[zValueN]]'s dimension range,
+    * so every Morton layout key has a locality-preserving Hilbert twin.
+    *
+    * Plan discipline is unchanged from the 3-D case: each of the
+    * `(bits−1)·n` exchange stages materializes via `withColumns`
+    * (attribute references — linear plan size, whole-stage-codegen'd
+    * projections), the Gray correction + parity mask are single expression
+    * trees, and the final interleave is plain shift/and/or. n·bits ≤ 63
+    * keeps the index a positive long.
+    *
+    * NOTE the n=2 instance is Skilling's orientation of the curve, which
+    * differs from [[withHilbert2]]'s classic quadrant-fold orientation —
+    * both are true Hilbert curves (bijective, unit-step), they just label
+    * cells in a different rotation order. Keep whichever one a layout was
+    * written with.
+    *
+    * @return `df` with `outCol` = the Hilbert distance (0 ≤ d < 2^(n·bits)) */
+  def withHilbertN(
+      df: DataFrame, cols: Seq[String], outCol: String,
+      bits: Int = 16): DataFrame = {
+    val n = cols.length
+    require(n >= 2 && n <= 6, s"withHilbertN takes 2..6 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits in [1, ${63 / n}] (n·bits ≤ 63): $bits")
     val mask = (1L << bits) - 1
-    var cur = df.withColumns(Map(
-      "__h0" -> col(xCol).cast("long").bitwiseAND(lit(mask)),
-      "__h1" -> col(yCol).cast("long").bitwiseAND(lit(mask)),
-      "__h2" -> col(zCol).cast("long").bitwiseAND(lit(mask))))
+    var cur = df.withColumns(cols.zipWithIndex.map { case (c, i) =>
+      s"__h$i" -> col(c).cast("long").bitwiseAND(lit(mask))
+    }.toMap)
+    val temps = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 until n).foreach(i => temps += s"__h$i")
     var s = bits - 1
     while (s >= 1) {
       val q = 1L << s
@@ -145,53 +176,63 @@ object Layout {
       cur = cur.withColumn("__a0",
         when(col("__h0").bitwiseAND(lit(q)) > 0,
           col("__h0").bitwiseXOR(lit(p))).otherwise(col("__h0")))
-      // dimension 1: invert X0's low bits, or exchange them with X1's
-      val t1 = col("__a0").bitwiseXOR(col("__h1")).bitwiseAND(lit(p))
-      cur = cur.withColumns(Map(
-        "__b0" -> when(col("__h1").bitwiseAND(lit(q)) > 0,
-          col("__a0").bitwiseXOR(lit(p)))
-          .otherwise(col("__a0").bitwiseXOR(t1)),
-        "__b1" -> when(col("__h1").bitwiseAND(lit(q)) > 0, col("__h1"))
-          .otherwise(col("__h1").bitwiseXOR(t1))))
-      // dimension 2: same, against the dimension-1 output
-      val t2 = col("__b0").bitwiseXOR(col("__h2")).bitwiseAND(lit(p))
-      cur = cur.withColumns(Map(
-        "__h0" -> when(col("__h2").bitwiseAND(lit(q)) > 0,
-          col("__b0").bitwiseXOR(lit(p)))
-          .otherwise(col("__b0").bitwiseXOR(t2)),
-        "__h1" -> col("__b1"),
-        "__h2" -> when(col("__h2").bitwiseAND(lit(q)) > 0, col("__h2"))
-          .otherwise(col("__h2").bitwiseXOR(t2))))
+      temps += "__a0"
+      // dimensions 1..n−1: invert X0's low bits, or exchange them with
+      // X[i]'s; X0 threads through as the running accumulator
+      var acc = "__a0"
+      var i = 1
+      while (i < n) {
+        val t = col(acc).bitwiseXOR(col(s"__h$i")).bitwiseAND(lit(p))
+        cur = cur.withColumns(Map(
+          s"__e${i}0" -> when(col(s"__h$i").bitwiseAND(lit(q)) > 0,
+            col(acc).bitwiseXOR(lit(p)))
+            .otherwise(col(acc).bitwiseXOR(t)),
+          s"__e${i}i" -> when(col(s"__h$i").bitwiseAND(lit(q)) > 0,
+            col(s"__h$i"))
+            .otherwise(col(s"__h$i").bitwiseXOR(t))))
+        temps += s"__e${i}0"; temps += s"__e${i}i"
+        acc = s"__e${i}0"
+        i += 1
+      }
+      // commit this bit level's outputs back into __h*
+      cur = cur.withColumns(
+        (Map("__h0" -> col(acc)) ++
+          (1 until n).map(i => s"__h$i" -> col(s"__e${i}i"))).toMap)
       s -= 1
     }
     // Gray correction: X[i] ^= X[i-1] in order, then the parity mask —
-    // bit k of t is the parity of g2's bits above k (the closed form of
-    // Skilling's "t ^= Q−1 for each set bit" fold; bits never overlap,
+    // bit k of t is the parity of g_{n−1}'s bits above k (the closed form
+    // of Skilling's "t ^= Q−1 for each set bit" fold; bits never overlap,
     // so OR assembles it)
-    cur = cur
-      .withColumn("__g1", col("__h1").bitwiseXOR(col("__h0")))
-    cur = cur.withColumn("__g2", col("__h2").bitwiseXOR(col("__g1")))
+    var prev = "__h0"
+    var gi = 1
+    while (gi < n) {
+      cur = cur.withColumn(s"__g$gi", col(s"__h$gi").bitwiseXOR(col(prev)))
+      temps += s"__g$gi"
+      prev = s"__g$gi"
+      gi += 1
+    }
+    val gLast = prev
     val t =
       if (bits == 1) lit(0L)
       else (0 until bits - 1).map { k =>
         shiftleft(
-          bit_count(shiftright(col("__g2"), k + 1)).cast("long")
+          bit_count(shiftright(col(gLast), k + 1)).cast("long")
             .bitwiseAND(lit(1L)), k)
       }.reduce(_ bitwiseOR _)
-    cur = cur.withColumns(Map(
-      "__f0" -> col("__h0").bitwiseXOR(t),
-      "__f1" -> col("__g1").bitwiseXOR(t),
-      "__f2" -> col("__g2").bitwiseXOR(t)))
-    // transpose → index: bit j of dimension i lands at j·3 + (2−i)
+    cur = cur.withColumns((0 until n).map { i =>
+      val g = if (i == 0) col("__h0") else col(s"__g$i")
+      s"__f$i" -> g.bitwiseXOR(t)
+    }.toMap)
+    (0 until n).foreach(i => temps += s"__f$i")
+    // transpose → index: bit j of dimension i lands at j·n + (n−1−i)
     val d = (0 until bits).flatMap { j =>
-      Seq(
-        shiftleft(shiftright(col("__f0"), j).bitwiseAND(lit(1L)), j * 3 + 2),
-        shiftleft(shiftright(col("__f1"), j).bitwiseAND(lit(1L)), j * 3 + 1),
-        shiftleft(shiftright(col("__f2"), j).bitwiseAND(lit(1L)), j * 3))
+      (0 until n).map { i =>
+        shiftleft(shiftright(col(s"__f$i"), j).bitwiseAND(lit(1L)),
+          j * n + (n - 1 - i))
+      }
     }.reduce(_ bitwiseOR _)
-    cur.withColumn(outCol, d)
-      .drop("__h0", "__h1", "__h2", "__a0", "__b0", "__b1",
-        "__g1", "__g2", "__f0", "__f1", "__f2")
+    cur.withColumn(outCol, d).drop(temps.toSeq: _*)
   }
 
   /** [[hilbertOrderBy]] in three dimensions: cluster by the 3-D Hilbert

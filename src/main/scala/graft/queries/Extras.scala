@@ -552,6 +552,79 @@ object Extras {
       .select(col("event_id"), col("h"))
   }
 
+  /** 4-D Hilbert index over (user, event, time-second, user+event) at 12
+    * bits per dimension — [[Layout.withHilbertN]]'s generalized Skilling
+    * loop, certified by the same fully independent DuckDB replay as q_z4
+    * with a fourth exchange level nested in (dims run 0→3 per bit step,
+    * then the Gray chain g1..g3, the parity mask off g3, and the 4-way
+    * interleave with dimension 0 at the high bit of each group). */
+  val qZ5Hilbert4 = Q(
+    "q_z5_hilbert4",
+    """WITH RECURSIVE pts AS (
+      |  SELECT event_id,
+      |         CAST(user_id & 4095 AS BIGINT) AS x0,
+      |         CAST(event_id & 4095 AS BIGINT) AS x1,
+      |         CAST((epoch_ns(ts) // 1000000000) & 4095 AS BIGINT) AS x2,
+      |         CAST((user_id + event_id) & 4095 AS BIGINT) AS x3
+      |  FROM events),
+      |h AS (
+      |  SELECT event_id, x0, x1, x2, x3, 11 AS s FROM pts
+      |  UNION ALL
+      |  SELECT event_id, d0, b1, c2, d3, s - 1 FROM (
+      |    SELECT event_id, s, b1, c2,
+      |           CASE WHEN (x3 & q) != 0 THEN xor(c0, p)
+      |                ELSE xor(c0, xor(c0, x3) & p) END AS d0,
+      |           CASE WHEN (x3 & q) != 0 THEN x3
+      |                ELSE xor(x3, xor(c0, x3) & p) END AS d3
+      |    FROM (
+      |      SELECT event_id, s, q, p, x3, b1,
+      |             CASE WHEN (x2 & q) != 0 THEN xor(b0, p)
+      |                  ELSE xor(b0, xor(b0, x2) & p) END AS c0,
+      |             CASE WHEN (x2 & q) != 0 THEN x2
+      |                  ELSE xor(x2, xor(b0, x2) & p) END AS c2
+      |      FROM (
+      |        SELECT event_id, s, q, p, x2, x3,
+      |               CASE WHEN (x1 & q) != 0 THEN xor(a0, p)
+      |                    ELSE xor(a0, xor(a0, x1) & p) END AS b0,
+      |               CASE WHEN (x1 & q) != 0 THEN x1
+      |                    ELSE xor(x1, xor(a0, x1) & p) END AS b1
+      |        FROM (
+      |          SELECT event_id, s, q, p, x1, x2, x3,
+      |                 CASE WHEN (x0 & q) != 0 THEN xor(x0, p)
+      |                      ELSE x0 END AS a0
+      |          FROM (
+      |            SELECT event_id, x0, x1, x2, x3, s,
+      |                   (CAST(1 AS BIGINT) << s) AS q,
+      |                   (CAST(1 AS BIGINT) << s) - 1 AS p
+      |            FROM h WHERE s >= 1))))) ),
+      |fin AS (
+      |  SELECT event_id, x0,
+      |         xor(x1, x0) AS g1,
+      |         xor(x2, xor(x1, x0)) AS g2,
+      |         xor(x3, xor(x2, xor(x1, x0))) AS g3
+      |  FROM h WHERE s = 0),
+      |tt AS (
+      |  SELECT event_id, x0, g1, g2, g3,
+      |         CAST(list_sum(list_transform(range(0, 11),
+      |           k -> ((bit_count(g3 >> (k + 1)) & 1)::BIGINT << k)))
+      |           AS BIGINT) AS t
+      |  FROM fin)
+      |SELECT event_id,
+      |       CAST(list_sum(list_transform(range(0, 12),
+      |         j -> (((xor(x0, t) >> j) & 1) << (j * 4 + 3))
+      |            + (((xor(g1, t) >> j) & 1) << (j * 4 + 2))
+      |            + (((xor(g2, t) >> j) & 1) << (j * 4 + 1))
+      |            + (((xor(g3, t) >> j) & 1) << (j * 4)))) AS BIGINT) AS h
+      |FROM tt""".stripMargin) { (s, d) =>
+    graft.operators.Layout.withHilbertN(
+      graft.Tables.eventsTs(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("ts")).as("__sec"),
+          (col("user_id") + col("event_id")).as("__uw")),
+      Seq("user_id", "event_id", "__sec", "__uw"), "h", bits = 12)
+      .select(col("event_id"), col("h"))
+  }
+
   val all: Seq[Q] = Seq(
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
@@ -559,6 +632,6 @@ object Extras {
     qF5Strings, qF6Case, qF7DateArith,
     qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
-    qZ3Hilbert, qZ4Hilbert3, qS13SchemaMerge, qJ5FullOuter, qJ6Cross,
-    qJ7Upsert)
+    qZ3Hilbert, qZ4Hilbert3, qZ5Hilbert4, qS13SchemaMerge, qJ5FullOuter,
+    qJ6Cross, qJ7Upsert)
 }

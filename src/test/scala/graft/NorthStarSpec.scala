@@ -756,6 +756,104 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("N-D Hilbert is a bijective unit-step walk over full hypercubes") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // the defining property for every supported dimension count, on a
+    // complete cube small enough to enumerate: a bijection onto
+    // [0, 2^(n·bits)) whose consecutive values are face-adjacent cells
+    for ((n, bits) <- Seq((2, 3), (4, 2), (5, 2), (6, 2))) {
+      val side = 1 << bits
+      val total = 1L << (n * bits)
+      val cells = (0L until total).map { c =>
+        (0 until n).map(i => ((c >> (i * bits)) & (side - 1)).toInt)
+      }
+      val names = (0 until n).map(i => s"c$i")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cells.map(org.apache.spark.sql.Row.fromSeq(_)), 4),
+        org.apache.spark.sql.types.StructType(names.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val got = Layout.withHilbertN(df, names, "d", bits)
+        .select((names :+ "d").map(col): _*).collect()
+        .map(r => (0 until n).map(r.getInt).toVector -> r.getLong(n))
+      assert(got.map(_._2).toSet == (0L until total).toSet,
+        s"n=$n bits=$bits: d must be a bijection onto [0, 2^(n*bits))")
+      val walk = got.sortBy(_._2)
+      walk.sliding(2).foreach {
+        case Array((p0, _), (p1, d1)) =>
+          val manhattan = p0.lazyZip(p1).map((a, b) => math.abs(a - b)).sum
+          assert(manhattan == 1,
+            s"n=$n: non-adjacent step at d=$d1: $p0 -> $p1")
+        case _ => ()
+      }
+    }
+  }
+
+  test("N-D Hilbert at full bit width matches the bit-loop reference") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // driver-side Skilling reference, generalized; independent of the
+    // Column fold (mirrors the 3-D reference above)
+    def ref(xs: Seq[Long], bits: Int): Long = {
+      val n = xs.length
+      val mask = (1L << bits) - 1
+      val X = xs.map(_ & mask).toArray
+      var q = 1L << (bits - 1)
+      while (q > 1) {
+        val p = q - 1
+        var i = 0
+        while (i < n) {
+          if ((X(i) & q) != 0) X(0) ^= p
+          else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+          i += 1
+        }
+        q >>= 1
+      }
+      var i = 1
+      while (i < n) { X(i) ^= X(i - 1); i += 1 }
+      var t = 0L
+      q = 1L << (bits - 1)
+      while (q > 1) { if ((X(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+      i = 0
+      while (i < n) { X(i) ^= t; i += 1 }
+      var d = 0L
+      var j = 0
+      while (j < bits) {
+        i = 0
+        while (i < n) {
+          d |= ((X(i) >> j) & 1L) << (j * n + (n - 1 - i))
+          i += 1
+        }
+        j += 1
+      }
+      d
+    }
+    for ((n, bits) <- Seq((2, 16), (4, 15), (5, 12), (6, 10))) {
+      val pts = (0 until 300).map { k =>
+        (0 until n).map(i =>
+          (k.toLong * Seq(7919L, 104729L, 1299709L, 15485863L, 32452843L,
+            49979687L)(i)) & ((1L << bits) - 1))
+      }
+      val names = (0 until n).map(i => s"c$i")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          pts.map(org.apache.spark.sql.Row.fromSeq(_)), 4),
+        org.apache.spark.sql.types.StructType(names.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val got = Layout.withHilbertN(df, names, "d", bits)
+        .select((names :+ "d").map(col): _*).collect()
+        .map(r => (0 until n).map(r.getLong).toVector -> r.getLong(n))
+        .toMap
+      pts.foreach { p =>
+        assert(got(p.toVector) == ref(p, bits),
+          s"n=$n bits=$bits $p: ${got(p.toVector)} != ${ref(p, bits)}")
+      }
+    }
+  }
+
   test("hilbertOrderBy3 partitions are contiguous Hilbert segments") {
     import graft.operators.Layout
     import spark.implicits._
