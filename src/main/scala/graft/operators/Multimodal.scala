@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * [[VideoCodec]] parses the Y4M/YUV4MPEG2 container (raw planar YUV —
   * self-describing, no native codec needed). Each emits true metadata
   * (dimensions / duration) plus a deterministic feature vector reduced
-  * from the decoded samples. [[StubDecoder]] remains only for payloads no
-  * codec recognizes (asMediaTable stages text bytes as fake payloads);
-  * compressed video (mp4/webm) would slot in behind the same entry points
-  * via FFmpeg/JNI. Either way decode stays a narrow map over partitions:
-  * swapping a production codec in changes no plan shape.
+  * from the decoded samples. [[AviCodec]] adds a fully offline COMPRESSED
+  * video path (RIFF walk + per-frame MJPEG decode); [[FlacCodec]] the
+  * same for compressed audio. [[StubDecoder]] remains only for payloads
+  * no codec recognizes (asMediaTable stages text bytes as fake payloads);
+  * inter-frame-predicted video (mp4/webm) would slot in behind the same
+  * entry points via FFmpeg/JNI. Either way decode stays a narrow map over
+  * partitions: swapping a production codec in changes no plan shape.
   */
 object Multimodal {
 
@@ -1182,16 +1184,20 @@ object Multimodal {
                       StubDecoder.decode("audio", bytes, featureDim)._4)
                   })
             case "video" =>
-              VideoCodec.decode(bytes, featureDim).orElse(
-                // MP4/WebM: REAL metadata from the container walk; the
-                // feature vector stays the labeled stub (samples
-                // undecodable offline)
-                Mp4Probe.probe(bytes)
-                  .orElse(WebmProbe.probe(bytes))
-                  .map { case (w, h, d) =>
-                    (w, h, d,
-                      StubDecoder.decode("video", bytes, featureDim)._4)
-                  })
+              VideoCodec.decode(bytes, featureDim)
+                // MJPEG-AVI: fully real — container walk + per-frame
+                // JPEG decode, same temporal-band luma reduction
+                .orElse(AviCodec.decode(bytes, featureDim))
+                .orElse(
+                  // MP4/WebM: REAL metadata from the container walk; the
+                  // feature vector stays the labeled stub (samples
+                  // undecodable offline)
+                  Mp4Probe.probe(bytes)
+                    .orElse(WebmProbe.probe(bytes))
+                    .map { case (w, h, d) =>
+                      (w, h, d,
+                        StubDecoder.decode("video", bytes, featureDim)._4)
+                    })
             case _ => None
           }
           decoded match {
@@ -1584,14 +1590,37 @@ object Multimodal {
                   VideoCodec.frameAtOffset(bytes, meta, offs(idx)))
               }
             case _ =>
-              // stub fallback: hash-derived duration, synthesized frames
-              val (_, _, durMs, _) = StubDecoder.decode(kind, bytes, 1)
-              val n =
-                math.min(maxFramesPerMedia.toLong, durMs / everyMs + 1).toInt
-              val seed = mediaId * 0x9E3779B97F4A7C15L ^ bytes.length
-              (0 until n).iterator.map { i =>
-                val ts = i * everyMs
-                SampledFrame(mediaId, i, ts, stubFramePng(seed, ts))
+              // MJPEG-AVI: real frames at the container cadence
+              val avi = AviCodec.parseMeta(bytes).map { m =>
+                (m, AviCodec.frameChunks(bytes, m))
+              }.filter(_._2.nonEmpty)
+              avi match {
+                case Some((m, cks)) =>
+                  val durMs = cks.length.toLong * m.usPerFrame / 1000L
+                  val n = math.min(maxFramesPerMedia.toLong,
+                    durMs / everyMs + 1).toInt
+                  (0 until n).iterator.flatMap { i =>
+                    val ts = i * everyMs
+                    val idx = math.min(cks.length - 1L,
+                      ts * 1000L / m.usPerFrame).toInt
+                    AviCodec.frameImage(bytes, cks(idx)).map { img =>
+                      val bos = new java.io.ByteArrayOutputStream()
+                      javax.imageio.ImageIO.write(img, "png", bos)
+                      SampledFrame(mediaId, i, ts, bos.toByteArray)
+                    }
+                  }
+                case None =>
+                  // stub fallback: hash-derived duration, synth frames
+                  val (_, _, durMs, _) =
+                    StubDecoder.decode(kind, bytes, 1)
+                  val n = math.min(maxFramesPerMedia.toLong,
+                    durMs / everyMs + 1).toInt
+                  val seed =
+                    mediaId * 0x9E3779B97F4A7C15L ^ bytes.length
+                  (0 until n).iterator.map { i =>
+                    val ts = i * everyMs
+                    SampledFrame(mediaId, i, ts, stubFramePng(seed, ts))
+                  }
               }
           }
         }
@@ -1864,6 +1893,328 @@ object Multimodal {
             writer.endWriteSequence()
           } finally { ios.close(); writer.dispose() }
           (mid, "image", bos.toByteArray)
+        }
+      }.toDF("media_id", "kind", "bytes")
+  }
+
+  /** REAL AVI (RIFF) container walk + MJPEG frame decode — the first
+    * COMPRESSED video path with a fully offline sample decode: the
+    * container is plain RIFF (public Microsoft format: 'RIFF'/'LIST'
+    * chunk tree, 'avih'/'strh'/'strf' headers, '##dc' frame chunks in
+    * the 'movi' list), and each MJPG frame chunk is a complete baseline
+    * JPEG that `javax.imageio` decodes — no native codec needed, unlike
+    * the inter-frame-predicted MP4/WebM payloads that stay probe-only.
+    * Hostile input discipline matches [[GifCodec]]: chunk sizes are
+    * clamped to the buffer, odd sizes pad per spec, anything
+    * malformed → None (never a throw, never an unbounded allocation). */
+  object AviCodec {
+    /** Container facts from the header list: frame cadence in µs (the
+      * authoritative event-time clock), declared frame count, and the
+      * zero-based index of the MJPG video stream ('##dc' chunk prefix). */
+    final case class Meta(
+        width: Int, height: Int, usPerFrame: Long, totalFrames: Int,
+        streamIdx: Int)
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** (id, dataStart, dataLen) of each RIFF chunk in [lo, hi) — sizes
+      * clamped to the window so truncated files degrade to fewer chunks,
+      * never to reads past the buffer. */
+    private def chunks(b: Array[Byte], lo: Int, hi: Int)
+        : Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var pos = lo
+        def hasNext: Boolean = pos >= 0 && pos + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val id = fourcc(b, pos)
+          val sz = u32(b, pos + 4)
+          val start = pos + 8
+          val len = math.max(0L, math.min(sz, (hi - start).toLong)).toInt
+          pos = start + len + (len & 1)
+          (id, start, len)
+        }
+      }
+
+    /** None unless the payload is RIFF/AVI with an MJPG 'vids' stream and
+      * a positive frame cadence. */
+    def parseMeta(bytes: Array[Byte]): Option[Meta] = try {
+      if (bytes.length < 24 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+      var usPerFrame = 0L
+      var totalFrames = 0
+      var w = 0; var h = 0
+      var mjpgIdx = -1
+      var streamNo = 0
+      chunks(bytes, 12, end).foreach {
+        case ("LIST", st, ln) if ln >= 4 && fourcc(bytes, st) == "hdrl" =>
+          chunks(bytes, st + 4, st + ln).foreach {
+            case ("avih", ast, aln) if aln >= 40 =>
+              usPerFrame = u32(bytes, ast)
+              totalFrames = u32(bytes, ast + 16).toInt
+            case ("LIST", sst, sln) if sln >= 4 &&
+                fourcc(bytes, sst) == "strl" =>
+              var isVids = false
+              var isMjpg = false
+              var sw = 0; var sh = 0
+              chunks(bytes, sst + 4, sst + sln).foreach {
+                case ("strh", hst, hln) if hln >= 36 =>
+                  if (fourcc(bytes, hst) == "vids") {
+                    isVids = true
+                    val handler = fourcc(bytes, hst + 4)
+                    if (handler.equalsIgnoreCase("MJPG") ||
+                      handler == "dmb1") isMjpg = true
+                    val scale = u32(bytes, hst + 20)
+                    val rate = u32(bytes, hst + 24)
+                    // strh cadence wins when avih carries none
+                    if (usPerFrame <= 0 && rate > 0)
+                      usPerFrame = scale * 1000000L / rate
+                    if (totalFrames <= 0)
+                      totalFrames = u32(bytes, hst + 32).toInt
+                  }
+                case ("strf", fst, fln) if fln >= 20 && isVids =>
+                  sw = u32(bytes, fst + 4).toInt
+                  sh = math.abs(u32(bytes, fst + 8).toInt)
+                  val comp = fourcc(bytes, fst + 16)
+                  if (comp.equalsIgnoreCase("MJPG")) isMjpg = true
+                case _ => ()
+              }
+              if (isVids) {
+                if (isMjpg && mjpgIdx < 0) {
+                  mjpgIdx = streamNo; w = sw; h = sh
+                }
+              }
+              streamNo += 1
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (mjpgIdx < 0 || w <= 0 || h <= 0 || usPerFrame <= 0 ||
+        w.toLong * h > (1L << 26)) None
+      else Some(Meta(w, h, usPerFrame, totalFrames, mjpgIdx))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** The MJPG stream's frame chunk positions: (start, length) of each
+      * '##dc'/'##db' payload in the 'movi' list (one 'rec ' grouping
+      * level deep), in file order. One O(payload) walk. */
+    def frameChunks(bytes: Array[Byte], m: Meta): Array[(Int, Int)] = try {
+      val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+      val tag = f"${m.streamIdx}%02d"
+      val dc = tag + "dc"
+      val db = tag + "db"
+      val out = Array.newBuilder[(Int, Int)]
+      def scan(from: Int, to: Int, depth: Int): Unit =
+        chunks(bytes, from, to).foreach {
+          case (id, st, ln) if (id == dc || id == db) && ln > 0 =>
+            out += ((st, ln))
+          case ("LIST", st, ln) if depth < 1 && ln >= 4 &&
+              fourcc(bytes, st) == "rec " =>
+            scan(st + 4, st + ln, depth + 1)
+          case _ => ()
+        }
+      chunks(bytes, 12, end).foreach {
+        case ("LIST", st, ln) if ln >= 4 && fourcc(bytes, st) == "movi" =>
+          scan(st + 4, st + ln, 0)
+        case _ => ()
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Array.empty }
+
+    /** Decode frame chunk `i` to a BufferedImage via the shared ImageIO
+      * JPEG reader. None when the chunk isn't a decodable JPEG. */
+    def frameImage(bytes: Array[Byte], chunk: (Int, Int))
+        : Option[java.awt.image.BufferedImage] = {
+      val (st, ln) = chunk
+      if (ln < 2 || (bytes(st) & 0xFF) != 0xFF ||
+        (bytes(st + 1) & 0xFF) != 0xD8) return None
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, st, ln))
+        catch { case scala.util.control.NonFatal(_) => null }
+      Option(img)
+    }
+
+    /** Full-stream decode to [[extractFeatures]]'s video contract:
+      * (width, height, durationMs, temporal-band mean luma) — the same
+      * reduction [[VideoCodec.decode]] applies to raw Y4M, computed here
+      * from the DECODED MJPEG frames. None unless ≥ 1 frame decodes. */
+    def decode(bytes: Array[Byte], featureDim: Int)
+        : Option[(Int, Int, Long, Array[Float])] =
+      parseMeta(bytes).flatMap { m =>
+        val cks = frameChunks(bytes, m)
+        val perFrame = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var w = m.width; var h = m.height
+        cks.foreach { c =>
+          frameImage(bytes, c).foreach { img =>
+            w = img.getWidth; h = img.getHeight
+            var s = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                s += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            perFrame += s / (img.getWidth.toLong * img.getHeight)
+          }
+        }
+        val n = perFrame.length
+        if (n == 0) None
+        else {
+          val durationMs = n.toLong * m.usPerFrame / 1000L
+          val sums = new Array[Double](featureDim)
+          val counts = new Array[Int](featureDim)
+          var f = 0
+          while (f < n) {
+            val band = math.min(featureDim - 1, f * featureDim / n)
+            sums(band) += perFrame(f); counts(band) += 1
+            f += 1
+          }
+          val feats = Array.tabulate(featureDim) { b =>
+            if (counts(b) == 0) 0f
+            else (sums(b) / (counts(b) * 255.0)).toFloat
+          }
+          Some((w, h, durationMs, feats))
+        }
+      }
+  }
+
+  /** One extracted MJPEG frame of an AVI. `frame` is a real PNG of the
+    * decoded JPEG, so AVI frames feed straight into the image path
+    * ([[ImageCodec]], [[imageDHash]], [[resizeImages]]) — exactly like
+    * [[GifFrame]] and [[SampledFrame]]. `ts_ms` is the container clock:
+    * frame index × µs-per-frame. */
+  final case class AviFrame(
+      media_id: Long, frame_idx: Int, ts_ms: Long,
+      width: Int, height: Int, frame: Array[Byte])
+
+  /** MJPEG-AVI frame extraction: one row per decoded frame with its
+    * container-clock timestamp. Narrow flatMap-shaped mapPartitions over
+    * the payload column — no shuffle; at 100 TB it pipelines inside the
+    * scan like every other codec. Non-AVI payloads and undecodable frame
+    * chunks emit nothing. */
+  def aviFrames(
+      media: DataFrame, maxFramesPerMedia: Int = 256): Dataset[AviFrame] = {
+    require(maxFramesPerMedia >= 1, s"bad maxFramesPerMedia: $maxFramesPerMedia")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mediaId, bytes) =>
+          AviCodec.parseMeta(bytes).iterator.flatMap { m =>
+            AviCodec.frameChunks(bytes, m).iterator.take(maxFramesPerMedia)
+              .zipWithIndex.flatMap { case (ck, idx) =>
+                AviCodec.frameImage(bytes, ck).map { img =>
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  AviFrame(mediaId, idx, idx * m.usPerFrame / 1000L,
+                    img.getWidth, img.getHeight, bos.toByteArray)
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic MJPEG-AVI corpus keyed off an id column:
+    * frame count `2 + id % 6`, size `(48 + 16·(id%3)) × (32 + 16·(id%2))`,
+    * cadence `(20 + id % 5)` ms/frame, every frame a SOLID gray JPEG
+    * (quality 1.0) — so an oracle can state the exact frame rows (count,
+    * decoded dimensions, container timestamps) a correct RIFF walk +
+    * JPEG decode must recover (q_m22), and a spec can pin the decoded
+    * gray level to the source within JPEG round-off. Files carry the
+    * full standard layout (hdrl with avih/strh/strf, movi, idx1) so the
+    * parser is exercised on realistic structure. */
+  def syntheticAvis(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val nFrames = (2 + mid % 6).toInt
+          val w = (48 + 16 * (mid % 3)).toInt
+          val h = (32 + 16 * (mid % 2)).toInt
+          val usPerFrame = (20 + mid % 5) * 1000L
+          def le32(v: Long): Array[Byte] = Array(
+            (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+            ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+          def le16(v: Int): Array[Byte] =
+            Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+          def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+          def chunk(idc: String, payload: Array[Byte]): Array[Byte] = {
+            val pad = if ((payload.length & 1) == 1)
+              Array(0.toByte) else Array.empty[Byte]
+            cc(idc) ++ le32(payload.length.toLong) ++ payload ++ pad
+          }
+          def list(typ: String, payload: Array[Byte]): Array[Byte] =
+            chunk("LIST", cc(typ) ++ payload)
+          // one solid-gray JPEG per frame, quality 1.0 (all-ones quant
+          // tables -> solid blocks survive the DCT round trip)
+          val jpegs = (0 until nFrames).map { fi =>
+            val v = ((mid * 37 + fi * 29) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(v, v, v))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              val p = writer.getDefaultWriteParam
+              p.setCompressionMode(
+                javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              p.setCompressionQuality(1.0f)
+              writer.write(null,
+                new javax.imageio.IIOImage(img, null, null), p)
+            } finally { ios.close(); writer.dispose() }
+            bos.toByteArray
+          }
+          val maxJpeg = jpegs.map(_.length).max
+          val avih = le32(usPerFrame) ++ le32(0L) ++ le32(0L) ++
+            le32(0x10L) ++ le32(nFrames.toLong) ++ le32(0L) ++ le32(1L) ++
+            le32(maxJpeg.toLong) ++ le32(w.toLong) ++ le32(h.toLong) ++
+            le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+          val strh = cc("vids") ++ cc("MJPG") ++ le32(0L) ++ le16(0) ++
+            le16(0) ++ le32(0L) ++ le32(usPerFrame) ++ le32(1000000L) ++
+            le32(0L) ++ le32(nFrames.toLong) ++ le32(maxJpeg.toLong) ++
+            le32(0L) ++ le32(0L) ++
+            le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+          val strf = le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
+            le16(1) ++ le16(24) ++ cc("MJPG") ++
+            le32(w.toLong * h * 3) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+            le32(0L)
+          val hdrl = list("hdrl",
+            chunk("avih", avih) ++
+              list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+          val frameChunks = jpegs.map(j => chunk("00dc", j))
+          val movi = list("movi", frameChunks.reduce(_ ++ _))
+          // idx1: one entry per frame — ckid, KEYFRAME flag, offset of
+          // the ck header relative to the 'movi' fourcc, payload size
+          var off = 4L
+          val idxEntries = jpegs.map { j =>
+            val e = cc("00dc") ++ le32(0x10L) ++ le32(off) ++
+              le32(j.length.toLong)
+            off += 8L + j.length + (j.length & 1)
+            e
+          }
+          val idx1 = chunk("idx1", idxEntries.reduce(_ ++ _))
+          val body = cc("AVI ") ++ hdrl ++ movi ++ idx1
+          val riff = cc("RIFF") ++ le32(body.length.toLong) ++ body
+          (mid, "video", riff)
         }
       }.toDF("media_id", "kind", "bytes")
   }

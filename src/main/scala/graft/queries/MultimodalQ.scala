@@ -533,11 +533,43 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 5), "doc_id"))
   }
 
+  /** REAL MJPEG-AVI frame extraction, hash-certified — compressed video
+    * decoded end-to-end offline: synthetic AVIs carry the full standard
+    * layout (avih/strh/strf headers, '00dc' JPEG frame chunks, idx1),
+    * with frame count, size, and ms-per-frame cadence as pure functions
+    * of the id, so the oracle states the exact frame rows — count,
+    * DECODED dimensions (from the JPEG, not the header), and container
+    * timestamps — that a correct RIFF walk + per-frame JPEG decode must
+    * recover. Pixel fidelity (JPEG round-off on solid frames) is pinned
+    * in AviSpec; the hash here certifies structure and clocks exactly. */
+  val qM22AviFrames = Q(
+    "q_m22_avi_frames",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  doc_id % 6 + 2 AS nf,
+      |                  48 + 16 * (doc_id % 3) AS w,
+      |                  32 + 16 * (doc_id % 2) AS h,
+      |                  20 + doc_id % 5 AS ms_per_frame
+      |           FROM documents WHERE doc_id % 8 = 7),
+      |f AS (SELECT media_id, w, h, ms_per_frame,
+      |             unnest(range(0, nf)) AS frame_idx
+      |      FROM t)
+      |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       CAST(frame_idx * ms_per_frame AS BIGINT) AS ts_ms,
+      |       CAST(w AS INT) AS width, CAST(h AS INT) AS height
+      |FROM f""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Multimodal.aviFrames(
+        Multimodal.syntheticAvis(
+          documents(s, d).filter(col("doc_id") % 8 === 7), "doc_id"))
+      .map(f => (f.media_id, f.frame_idx, f.ts_ms, f.width, f.height))
+      .toDF("media_id", "frame_idx", "ts_ms", "width", "height")
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
-      qM21FlacLpc)
+      qM21FlacLpc, qM22AviFrames)
 }
