@@ -176,6 +176,20 @@ object GraftFunctions {
       FrequentItemsSketch(exprs.head, cap).toAggregateExpression()
     }),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
+    "graft_hilbert" -> (exprs => {
+      require(exprs.head.foldable,
+        "graft_hilbert(bits, x0, ..): bits must be an integer literal")
+      val bits = exprs.head.eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.toInt
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_hilbert: bits must be an integral literal, got $other")
+      }
+      HilbertIndex(bits, exprs.tail.map(e =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.LongType)))
+    }),
     "graft_wordpiece" -> (exprs => {
       // args 1/2 must be foldable literals (the vocab array and maxPiece)
       // — fail with a usable message, not a ClassCastException mid-eval
@@ -265,6 +279,14 @@ object GraftFunctions {
       org.apache.spark.sql.functions.array(
         vocab.map(org.apache.spark.sql.functions.lit): _*),
       org.apache.spark.sql.functions.lit(maxPiece))
+  }
+
+  /** N-D Hilbert distance (see [[HilbertIndex]]): one codegen'd static
+    * call per row instead of the (bits−1)·n-stage Column fold. */
+  def hilbertIndex(bits: Int, dims: Seq[Column]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_hilbert",
+      org.apache.spark.sql.functions.lit(bits) +: dims: _*)
   }
 
   /** One-tokenization FHIR bundle pivot (see [[FhirBundlePivot]]); the

@@ -136,17 +136,17 @@ object Layout {
   }
 
   /** N-dimensional Hilbert index, n ∈ [2, 6] — [[withHilbert3]]'s Skilling
-    * transform with the per-bit exchange/invert loop generalized to run
-    * dimension 0..n−1 per step (the 3-D body is exactly this loop unrolled;
-    * `withHilbert3` delegates here). Matches [[zValueN]]'s dimension range,
-    * so every Morton layout key has a locality-preserving Hilbert twin.
+    * transform generalized to any dimension count (the 3-D case
+    * delegates here). Matches [[zValueN]]'s dimension range, so every
+    * Morton layout key has a locality-preserving Hilbert twin.
     *
-    * Plan discipline is unchanged from the 3-D case: each of the
-    * `(bits−1)·n` exchange stages materializes via `withColumns`
-    * (attribute references — linear plan size, whole-stage-codegen'd
-    * projections), the Gray correction + parity mask are single expression
-    * trees, and the final interleave is plain shift/and/or. n·bits ≤ 63
-    * keeps the index a positive long.
+    * Plan shape: ONE native codegen'd expression
+    * ([[graft.functions.HilbertIndex]] — a single static-call Skilling
+    * loop per row inside whole-stage codegen), not a projection chain.
+    * The Column-fold formulation of the same algorithm is retained as
+    * [[withHilbertNFold]] purely as an independent differential twin;
+    * NorthStarSpec pins the two bit-equal. n·bits ≤ 63 keeps the index a
+    * positive long.
     *
     * NOTE the n=2 instance is Skilling's orientation of the curve, which
     * differs from [[withHilbert2]]'s classic quadrant-fold orientation —
@@ -156,6 +156,23 @@ object Layout {
     *
     * @return `df` with `outCol` = the Hilbert distance (0 ≤ d < 2^(n·bits)) */
   def withHilbertN(
+      df: DataFrame, cols: Seq[String], outCol: String,
+      bits: Int = 16): DataFrame = {
+    val n = cols.length
+    require(n >= 2 && n <= 6, s"withHilbertN takes 2..6 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits in [1, ${63 / n}] (n·bits ≤ 63): $bits")
+    df.withColumn(outCol, graft.functions.GraftFunctions.hilbertIndex(
+      bits, cols.map(c => col(c).cast("long"))))
+  }
+
+  /** The `withColumns`-fold formulation of [[withHilbertN]] — the per-bit
+    * exchange/invert loop materialized as `(bits−1)·n` projection stages.
+    * Kept (test-only) as an independent path for differential
+    * certification of the native expression; both are certified against
+    * DuckDB recursive-CTE replays (q_z4/q_z5) and the driver-side
+    * bit-loop reference. */
+  private[graft] def withHilbertNFold(
       df: DataFrame, cols: Seq[String], outCol: String,
       bits: Int = 16): DataFrame = {
     val n = cols.length

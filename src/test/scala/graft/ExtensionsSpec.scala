@@ -80,6 +80,22 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getSeq[String](0)
       assert(wp == Seq("ab", "c", "x", "[UNK]"), wp)
 
+      // Hilbert twin: the SQL surface resolves, casts INT coordinates,
+      // propagates null, and matches the direct static loop
+      val hs = s2.sql(
+        """SELECT x, y, z, graft_hilbert(12, x, y, z) AS h
+          |FROM VALUES (0, 0, 0), (1, 2, 3), (4095, 17, 1234)
+          |  AS t(x, y, z)""".stripMargin).collect()
+      hs.foreach { r =>
+        val ref = graft.functions.HilbertCurve.index(
+          Array(r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong),
+          12)
+        assert(r.getLong(3) == ref, s"graft_hilbert row $r")
+      }
+      assert(s2.sql(
+        "SELECT graft_hilbert(8, CAST(NULL AS BIGINT), CAST(3 AS BIGINT))")
+        .head.isNullAt(0), "null coordinate must yield null index")
+
       val sh = s2.sql(
         """SELECT graft_simhash(h) AS sig
           |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)

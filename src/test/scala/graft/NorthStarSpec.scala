@@ -854,6 +854,56 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("Hilbert native expression matches the Column fold bit-for-bit") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // two fully independent formulations of the Skilling transform — the
+    // codegen'd static-loop expression (production path) and the
+    // (bits−1)·n-stage Column fold (differential twin). Moderate widths:
+    // the fold's big CaseWhen chains make full-width ANALYSIS quadratic
+    // (minutes per plan at 16 bits); the per-bit loop is width-uniform,
+    // and full width is already pinned on the production path against
+    // the driver-side bit loop (test above) and DuckDB (q_z4/q_z5).
+    for ((n, bits) <- Seq((2, 8), (3, 8), (4, 6), (5, 6), (6, 6))) {
+      val pts = (0 until 400).map { k =>
+        (0 until n).map(i =>
+          (k.toLong * 2654435761L + i * 40503L) & ((1L << bits) - 1))
+      }
+      val names = (0 until n).map(i => s"c$i")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          pts.map(org.apache.spark.sql.Row.fromSeq(_)), 4),
+        org.apache.spark.sql.types.StructType(names.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val native = Layout.withHilbertN(df, names, "d", bits)
+        .select((names :+ "d").map(col): _*).collect()
+        .map(r => (0 until n).map(r.getLong).toVector -> r.getLong(n))
+        .toMap
+      val fold = Layout.withHilbertNFold(df, names, "d", bits)
+        .select((names :+ "d").map(col): _*).collect()
+        .map(r => (0 until n).map(r.getLong).toVector -> r.getLong(n))
+        .toMap
+      assert(native == fold, s"n=$n bits=$bits: native != fold")
+    }
+    // null coordinate -> null index on both paths. A REAL (non-foldable)
+    // source, not literals: an all-literal one-row plan makes every fold
+    // stage "cheap", so CollapseProject inlines the whole chain into one
+    // exponentially-duplicated expression and optimization takes minutes.
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null, java.lang.Long.valueOf(7L))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c0",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("c1",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    assert(Layout.withHilbertN(withNull, Seq("c0", "c1"), "d", 8)
+      .select("d").collect().head.isNullAt(0))
+    assert(Layout.withHilbertNFold(withNull, Seq("c0", "c1"), "d", 8)
+      .select("d").collect().head.isNullAt(0))
+  }
+
   test("hilbertOrderBy3 partitions are contiguous Hilbert segments") {
     import graft.operators.Layout
     import spark.implicits._
