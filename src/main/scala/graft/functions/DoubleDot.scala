@@ -175,6 +175,18 @@ object GraftFunctions {
       }
       FrequentItemsSketch(exprs.head, cap).toAggregateExpression()
     }),
+    "graft_bottomk" -> (exprs => {
+      require(exprs(2).foldable,
+        "graft_bottomk(pri, item, k): k must be an integer literal")
+      val k = exprs(2).eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.toInt
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_bottomk: k must be an integral literal, got $other")
+      }
+      BottomKSketch(exprs.head, exprs(1), k).toAggregateExpression()
+    }),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
     "graft_hilbert" -> (exprs => {
       require(exprs.head.foldable,

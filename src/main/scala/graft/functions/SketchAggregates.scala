@@ -143,6 +143,139 @@ case class SimHashSketch(
     copy(child = newChildren.head)
 }
 
+/** Bounded bottom-k summary over (priority, item) long pairs: keeps the
+  * k pairs with the smallest (priority, item) lexicographic order in a
+  * size-k binary max-heap — one pass, order-independent, mergeable
+  * (merging two heaps = pushing one into the other), so map-side combine
+  * caps what crosses the shuffle at k pairs per group per partition.
+  *
+  * This is the aggregation-shaped alternative to
+  * [[graft.operators.Skew.topKPerGroup]]'s salted two-level rank: the
+  * window path shuffles EVERY row once (level-1 rank partitions), the
+  * sketch path shuffles only the per-partition survivors — the right
+  * trade when k is small and the per-row payload is an id to re-join.
+  * Deterministic for a total (priority, item) order; ties in priority
+  * break by item. Null priority or item → pair skipped. */
+case class BottomKSketch(
+    priority: Expression,
+    item: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomKSketch.Heap] {
+
+  require(k >= 1 && k <= 65536, s"k in [1, 65536]: $k")
+
+  import BottomKSketch.Heap
+
+  override def createAggregationBuffer(): Heap = new Heap(k)
+
+  override def update(buf: Heap, input: InternalRow): Heap = {
+    val p = priority.eval(input)
+    val v = item.eval(input)
+    if (p != null && v != null)
+      buf.offer(p.asInstanceOf[Long], v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Heap, b: Heap): Heap = {
+    var i = 0
+    while (i < b.size) { a.offer(b.pris(i), b.items(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Heap): Any = {
+    val idx = Array.range(0, buf.size).sortBy(i => (buf.pris(i), buf.items(i)))
+    new GenericArrayData(idx.map { i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.pris(i), buf.items(i)))
+    })
+  }
+
+  override def serialize(buf: Heap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putLong(buf.pris(i)); bb.putLong(buf.items(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Heap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new Heap(k)
+    var i = 0
+    while (i < n) { h.offer(bb.getLong(), bb.getLong()); i += 1 }
+    h
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pri", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("item", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(priority, item)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKSketch =
+    copy(priority = newChildren.head, item = newChildren(1))
+}
+
+object BottomKSketch {
+  /** Size-k max-heap on (pri, item) — root is the LARGEST kept pair, so
+    * a new pair below it evicts the root in O(log k). Arrays, not boxed
+    * nodes: the update loop is the per-row hot path. */
+  final class Heap(k: Int) {
+    val pris = new Array[Long](k)
+    val items = new Array[Long](k)
+    var size = 0
+
+    private def gt(p1: Long, i1: Long, p2: Long, i2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && i1 > i2)
+
+    def offer(p: Long, v: Long): Unit = {
+      if (size < k) {
+        var i = size
+        pris(i) = p; items(i) = v; size += 1
+        // sift up
+        while (i > 0 && gt(pris(i), items(i), pris((i - 1) / 2),
+            items((i - 1) / 2))) {
+          val par = (i - 1) / 2
+          swap(i, par); i = par
+        }
+      } else if (gt(pris(0), items(0), p, v)) {
+        pris(0) = p; items(0) = v
+        // sift down
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = 2 * i + 2
+          var m = i
+          if (l < size && gt(pris(l), items(l), pris(m), items(m))) m = l
+          if (r < size && gt(pris(r), items(r), pris(m), items(m))) m = r
+          if (m == i) done = true
+          else { swap(i, m); i = m }
+        }
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val tp = pris(a); pris(a) = pris(b); pris(b) = tp
+      val ti = items(a); items(a) = items(b); items(b) = ti
+    }
+  }
+}
+
 /** Mergeable Misra–Gries frequent-items summary over a string column:
   * at most `capacity` counters, one-pass, with the classic deterministic
   * guarantee that every item occurring more than N/(capacity+1) times IS

@@ -1091,6 +1091,32 @@ object Text {
             * (col("pos_tok") + b).cast("double"))).as("ratio"))
   }
 
+  /** Exactly-k uniform deterministic sampling per source via the
+    * bottom-k priority sketch ([[graft.operators.Sampling]]): the
+    * md5-prefix priority is bit-identical across engines, so the oracle
+    * replays the exact draw with a window formulation — certifying that
+    * the bounded-heap aggregate (whose only exchange carries ≤ k pairs
+    * per group per map partition) selects the same rows a full
+    * shuffle-and-rank would. */
+  val qT38UniformSample = Q(
+    "q_t38_uniform_sample",
+    """WITH p AS (
+      |  SELECT source, doc_id,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS pri
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY pri, doc_id) AS rn
+      |  FROM p)
+      |SELECT source, doc_id, CAST(rn AS BIGINT) AS rank
+      |FROM r WHERE rn <= 7""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.uniformPerGroup(
+      documents(s, d).select(col("source"), col("doc_id")),
+      groupCols = Seq("source"), idCol = "doc_id", k = 7)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1100,5 +1126,5 @@ object Text {
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
-      qT35LmBuckets, qT36NbTrain, qT37Bpe512)
+      qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample)
 }
