@@ -651,4 +651,53 @@ object Streams {
       model: FhirSchemaModel = FhirSchemaModel()): DataFrame =
     BundleReader.pivotStream(
       spark.readStream.option("wholetext", value = true).text(dir), model)
+
+  /** One input row for [[uniformSampleStream]] (priority computed
+    * up front by the same md5 column arithmetic as the batch draw). */
+  final case class SampleIn(group: String, id: Long, pri: Long)
+
+  /** A group's CURRENT sample: ids in priority order (rank 1 first). */
+  final case class GroupSample(group: String, ids: Array[Long])
+
+  /** Streaming exactly-k uniform sample per group — the incremental twin
+    * of [[graft.operators.Sampling.uniformPerGroup]]. The bottom-k of a
+    * deterministic priority is PREFIX-CONSISTENT: after any prefix of the
+    * stream, a group's sample equals the batch draw over every row seen
+    * so far (a new row can only displace the largest kept pair, never
+    * reorder the draw), so the sample converges to the batch result and
+    * is exactly reproducible at every step. Update mode: each micro-batch
+    * re-emits the current sample of every touched group.
+    *
+    * Unlike the dedup/sessionize twins this needs NO watermark to bound
+    * state: the group state is the sample itself — ≤ k (priority, id)
+    * pairs per group, forever, by construction. */
+  def uniformSampleStream(
+      rows: DataFrame, groupCol: String, idCol: String,
+      k: Int): org.apache.spark.sql.Dataset[GroupSample] = {
+    require(k >= 1 && k <= 65536, s"k in [1, 65536]: $k")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        graft.operators.Sampling.md5Priority(col(idCol)).as("pri"))
+      .as[SampleIn]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (group: String, it: Iterator[SampleIn],
+         state: org.apache.spark.sql.streaming.GroupState[
+           Array[(Long, Long)]]) => {
+          val heap = new graft.functions.BottomKSketch.Heap(k)
+          state.getOption.foreach(_.foreach { case (p, v) =>
+            heap.offer(p, v)
+          })
+          it.foreach(r => heap.offer(r.pri, r.id))
+          val kept = (0 until heap.size)
+            .map(i => (heap.pris(i), heap.items(i)))
+            .sortBy(identity).toArray
+          state.update(kept)
+          GroupSample(group, kept.map(_._2))
+        })
+  }
 }

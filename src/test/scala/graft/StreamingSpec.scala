@@ -137,6 +137,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming uniform sample equals the batch draw at every prefix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chunks = docs.grouped(math.max(1, docs.length / 3)).toSeq
+    val k = 5
+    val ms = StreamTestSupport.memoryStream[(String, Long)]
+    val current =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val q = Streams
+      .uniformSampleStream(ms.toDF().toDF("source", "doc_id"),
+        "source", "doc_id", k)
+      .toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          current(r.getString(0)) = r.getSeq[Long](1))
+      }
+      .start()
+    try {
+      var fed = Seq.empty[(String, Long)]
+      chunks.foreach { chunk =>
+        fed = fed ++ chunk
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+        // batch draw over exactly the prefix fed so far — the stream's
+        // per-group state must match it, order included (prefix
+        // consistency of the deterministic bottom-k)
+        val batch = graft.operators.Sampling
+          .uniformPerGroup(fed.toDF("source", "doc_id"),
+            Seq("source"), "doc_id", k)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+          .groupBy(_._1)
+          .map { case (g, rows) =>
+            g -> rows.sortBy(_._2).map(_._3).toSeq
+          }
+        assert(current.toMap == batch,
+          s"after ${fed.length} rows: stream sample != batch draw")
+      }
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per content digest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     java.nio.file.Files.copy(
