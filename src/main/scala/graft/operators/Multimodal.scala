@@ -2715,14 +2715,18 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
-  /** Deterministic synthetic MP4 corpus keyed off an id column: a minimal
-    * valid ISO-BMFF tree (`ftyp` + `moov(mvhd + trak(tkhd))`, version-0
-    * fullboxes, no media samples) whose display dimensions and duration
-    * are pure functions of the id — so the REAL [[Mp4Probe]] box walk has
-    * a registered, driver-checkable query (q_m12) with a closed-form
-    * oracle, exactly the [[syntheticImages]]/[[syntheticVideos]] pattern.
+  /** Deterministic synthetic MP4 corpus keyed off an id column: a valid
+    * ISO-BMFF tree — `ftyp` + `moov(mvhd + trak(tkhd + mdia(mdhd +
+    * minf(stbl(stts/stsc/stsz/stco/stss)))))` + a real `mdat` whose
+    * per-sample bytes, sizes, timestamps, and keyframe flags are pure
+    * functions of the id — so both the REAL [[Mp4Probe]] box walk
+    * (q_m12) and the REAL [[Mp4Samples]] sample-table walk (q_m23) have
+    * registered, driver-checkable queries with closed-form oracles.
     * Width `160 + (id%16)·8`, height `120 + (id%12)·8`, duration
-    * `(2 + id%20)` seconds at timescale 600. */
+    * `(2 + id%20)` seconds at movie timescale 600; `4 + id%5` samples at
+    * 40 ms cadence (media timescale 1000), sizes `100 + 10·((id+i)%7)`,
+    * sync samples every third, split across TWO chunks (so stsc has a
+    * real run table), sample bytes `(id·31 + i·7 + j) mod 256`. */
   def syntheticMp4s(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -2732,6 +2736,9 @@ object Multimodal {
           val w = 160 + (mid % 16).toInt * 8
           val h = 120 + (mid % 12).toInt * 8
           val durSec = 2 + (mid % 20).toInt
+          val nSamples = 4 + (mid % 5).toInt
+          val sizes = Array.tabulate(nSamples)(i =>
+            100 + 10 * ((mid + i) % 7).toInt)
           def box(tp: String, payload: Array[Byte]): Array[Byte] = {
             val b = java.nio.ByteBuffer.allocate(8 + payload.length)
             b.putInt(8 + payload.length)
@@ -2772,11 +2779,248 @@ object Multimodal {
             b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
             box("tkhd", b.array())
           }
-          (mid, "video",
-            ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
+          val mdhd = {
+            val b = java.nio.ByteBuffer.allocate(24)
+            b.putInt(0)                 // version 0 + flags
+            b.putInt(0).putInt(0)       // creation, modification
+            b.putInt(1000)              // media timescale
+            b.putInt(nSamples * 40)     // media duration
+            b.putShort(0x55C4.toShort)  // language "und"
+            b.putShort(0)               // pre_defined
+            box("mdhd", b.array())
+          }
+          def fullbox(tp: String, payload: Array[Byte]): Array[Byte] =
+            box(tp, new Array[Byte](4) ++ payload) // version 0, flags 0
+          val stts = fullbox("stts", java.nio.ByteBuffer.allocate(12)
+            .putInt(1).putInt(nSamples).putInt(40).array())
+          val c1 = (nSamples + 1) / 2 // chunk 1 gets the larger half
+          val stsc = fullbox("stsc", java.nio.ByteBuffer.allocate(28)
+            .putInt(2)
+            .putInt(1).putInt(c1).putInt(1)
+            .putInt(2).putInt(nSamples - c1).putInt(1).array())
+          val stsz = {
+            val b = java.nio.ByteBuffer.allocate(8 + 4 * nSamples)
+            b.putInt(0).putInt(nSamples) // sample_size 0 -> per-sample
+            sizes.foreach(b.putInt)
+            fullbox("stsz", b.array())
+          }
+          val syncs = (0 until nSamples).filter(_ % 3 == 0)
+          val stss = {
+            val b = java.nio.ByteBuffer.allocate(4 + 4 * syncs.length)
+            b.putInt(syncs.length)
+            syncs.foreach(i => b.putInt(i + 1)) // 1-based sample numbers
+            fullbox("stss", b.array())
+          }
+          // two-pass: build with zeroed chunk offsets to learn the mdat
+          // payload position (box lengths don't depend on the values),
+          // then rebuild with the real absolute offsets
+          def assemble(off1: Int, off2: Int): Array[Byte] = {
+            val stco = fullbox("stco", java.nio.ByteBuffer.allocate(12)
+              .putInt(2).putInt(off1).putInt(off2).array())
+            val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco ++ stss)
+            val mdia = box("mdia", mdhd ++ box("minf", stbl))
+            ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+          }
+          val mdatStart = assemble(0, 0).length + 8
+          val header = assemble(mdatStart, mdatStart + sizes.take(c1).sum)
+          val payload = new Array[Byte](sizes.sum)
+          var p = 0
+          var i = 0
+          while (i < nSamples) {
+            var j = 0
+            while (j < sizes(i)) {
+              payload(p) = ((mid * 31 + i * 7 + j) % 256).toByte
+              p += 1; j += 1
+            }
+            i += 1
+          }
+          (mid, "video", header ++ box("mdat", payload))
         }
       }
       .toDF("media_id", "kind", "bytes")
+  }
+
+  /** REAL ISO-BMFF sample-table walk — the per-sample companion of
+    * [[Mp4Probe]]: `stbl`'s five tables resolved into one row per sample
+    * with its ABSOLUTE byte range, decode timestamp, and sync flag.
+    * This is the operator a 100 TB video pipeline runs before any
+    * decoding: keyframe byte ranges feed an external decoder (or a
+    * range-request fetcher) without touching the samples themselves —
+    * container math only, no codec. Bounds-checked like the probe; a
+    * malformed table yields None, never a throw. */
+  object Mp4Samples {
+    /** One media sample: 0-based index, absolute byte offset + size,
+      * decode timestamp in ms (stts deltas over the mdhd timescale),
+      * sync/keyframe flag (stss; absent table = all sync per spec). */
+    final case class Sample(
+        idx: Int, offset: Long, size: Long, dtsMs: Long, keyframe: Boolean)
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, "US-ASCII")
+
+    private def walk(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val size0 = u32(b, o)
+        val (size, hdr) =
+          if (size0 == 1 && o + 16 <= end) (u64(b, o + 8), 16)
+          else if (size0 == 0) ((end - o).toLong, 8)
+          else (size0, 8)
+        if (size < hdr || o + size > end) return
+        f(boxType(b, o), o + hdr, o + size.toInt)
+        o += size.toInt
+      }
+    }
+
+    /** The first track's samples; None unless the payload carries a
+      * complete, self-consistent stbl. `maxSamples` bounds hostile
+      * counts before any allocation. */
+    def sampleTable(
+        bytes: Array[Byte], maxSamples: Int = 1 << 20): Option[Seq[Sample]] =
+      try {
+        if (bytes.length < 12 || boxType(bytes, 0) != "ftyp") return None
+        var timescale = 0L
+        var stts: Array[(Long, Long)] = null
+        var stsc: Array[(Long, Long)] = null // (first_chunk, per_chunk)
+        var sizes: Array[Long] = null
+        var chunkOffs: Array[Long] = null
+        var syncs: Set[Long] = null
+        var found = false
+        walk(bytes, 0, bytes.length) {
+          case ("moov", ms, me) => walk(bytes, ms, me) {
+            case ("trak", ts0, te) if !found => walk(bytes, ts0, te) {
+              case ("mdia", ds, de) => walk(bytes, ds, de) {
+                case ("mdhd", ps, pe) =>
+                  val v = bytes(ps) & 0xff
+                  if (v == 0 && ps + 16 <= pe) timescale = u32(bytes, ps + 12)
+                  else if (v == 1 && ps + 24 <= pe)
+                    timescale = u32(bytes, ps + 20)
+                case ("minf", fs, fe) => walk(bytes, fs, fe) {
+                  case ("stbl", ss, se) =>
+                    found = true
+                    walk(bytes, ss, se) {
+                      case ("stts", ps, pe) if ps + 8 <= pe =>
+                        val n = math.min(u32(bytes, ps + 4),
+                          ((pe - ps - 8) / 8).toLong).toInt
+                        stts = Array.tabulate(n)(i =>
+                          (u32(bytes, ps + 8 + i * 8),
+                            u32(bytes, ps + 12 + i * 8)))
+                      case ("stsc", ps, pe) if ps + 8 <= pe =>
+                        val n = math.min(u32(bytes, ps + 4),
+                          ((pe - ps - 8) / 12).toLong).toInt
+                        stsc = Array.tabulate(n)(i =>
+                          (u32(bytes, ps + 8 + i * 12),
+                            u32(bytes, ps + 12 + i * 12)))
+                      case ("stsz", ps, pe) if ps + 12 <= pe =>
+                        val fixed = u32(bytes, ps + 4)
+                        val n = u32(bytes, ps + 8)
+                        if (n <= maxSamples) {
+                          if (fixed != 0)
+                            sizes = Array.fill(n.toInt)(fixed)
+                          else if (ps + 12 + n * 4 <= pe)
+                            sizes = Array.tabulate(n.toInt)(i =>
+                              u32(bytes, ps + 12 + i * 4))
+                        }
+                      case ("stco", ps, pe) if ps + 8 <= pe =>
+                        val n = math.min(u32(bytes, ps + 4),
+                          ((pe - ps - 8) / 4).toLong).toInt
+                        chunkOffs = Array.tabulate(n)(i =>
+                          u32(bytes, ps + 8 + i * 4))
+                      case ("co64", ps, pe) if ps + 8 <= pe =>
+                        val n = math.min(u32(bytes, ps + 4),
+                          ((pe - ps - 8) / 8).toLong).toInt
+                        chunkOffs = Array.tabulate(n)(i =>
+                          u64(bytes, ps + 8 + i * 8))
+                      case ("stss", ps, pe) if ps + 8 <= pe =>
+                        val n = math.min(u32(bytes, ps + 4),
+                          ((pe - ps - 8) / 4).toLong).toInt
+                        syncs = (0 until n)
+                          .map(i => u32(bytes, ps + 8 + i * 4)).toSet
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+        if (!found || timescale <= 0 || stts == null || stsc == null ||
+          sizes == null || chunkOffs == null) return None
+        val n = sizes.length
+        // stts deltas -> per-sample decode times
+        val dts = new Array[Long](n)
+        var si = 0
+        var t = 0L
+        stts.foreach { case (cnt, delta) =>
+          var c = 0L
+          while (c < cnt && si < n) {
+            dts(si) = t * 1000L / timescale
+            t += delta; c += 1; si += 1
+          }
+        }
+        if (si < n) return None // stts covers fewer samples than stsz
+        // stsc runs + chunk offsets -> per-sample absolute offsets
+        val out = Vector.newBuilder[Sample]
+        var sample = 0
+        var ci = 0
+        while (ci < chunkOffs.length && sample < n) {
+          val chunkNo = ci + 1L
+          // samples-per-chunk for this chunk: last stsc run whose
+          // first_chunk <= chunkNo
+          var spc = 0L
+          stsc.foreach { case (first, per) =>
+            if (first <= chunkNo) spc = per
+          }
+          var off = chunkOffs(ci)
+          var s = 0L
+          while (s < spc && sample < n) {
+            if (off < 0 || off + sizes(sample) > bytes.length) return None
+            out += Sample(sample, off, sizes(sample), dts(sample),
+              syncs == null || syncs.contains(sample + 1L))
+            off += sizes(sample)
+            sample += 1; s += 1
+          }
+          ci += 1
+        }
+        if (sample < n) return None // chunks cover fewer samples
+        Some(out.result())
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[Mp4Samples.sampleTable]] as a narrow operator: one row per sample
+    * with absolute byte range, decode timestamp, and keyframe flag —
+    * plus `rel_offset` (offset − first sample's offset), the
+    * layout-independent form a closed-form oracle can state (q_m23).
+    * Non-MP4 / sample-less payloads emit nothing. */
+  def mp4SampleTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          Mp4Samples.sampleTable(bytes).toSeq.flatMap { samples =>
+            // rel base = sample 0's offset, known right here — no
+            // window/shuffle needed for the layout-independent column
+            val base = samples.headOption.map(_.offset).getOrElse(0L)
+            samples.map(s => (mid, s.idx, s.offset, s.size, s.dtsMs,
+              s.keyframe, s.offset - base))
+          }
+        }
+      }
+      .toDF("media_id", "sample_idx", "offset", "size", "dts_ms",
+        "keyframe", "rel_offset")
   }
 
   /** Deterministic synthetic image corpus keyed off an id column: each id

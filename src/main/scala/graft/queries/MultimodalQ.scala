@@ -565,11 +565,45 @@ object MultimodalQ {
       .toDF("media_id", "frame_idx", "ts_ms", "width", "height")
   }
 
+  /** REAL ISO-BMFF sample-table extraction, hash-certified: synthetic
+    * MP4s now carry a full stbl (stts/stsc two-chunk runs/per-sample
+    * stsz/stco/stss) and a real mdat, all pure functions of the id, so
+    * the oracle states every sample row — relative byte offset (prefix
+    * sum of the closed-form sizes), size, 40 ms decode clock, and the
+    * every-third sync flag — that a correct five-table resolution must
+    * produce. This is the keyframe-byte-range step a video pipeline runs
+    * before any (external) decode; q_m12 certifies the header half.
+    * Absolute offsets are pinned against the actual mdat bytes in
+    * Mp4SamplesSpec. */
+  val qM23Mp4Samples = Q(
+    "q_m23_mp4_samples",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  doc_id % 5 + 4 AS nf
+      |           FROM documents WHERE doc_id % 8 = 3),
+      |f AS (SELECT media_id, unnest(range(0, nf)) AS i FROM t),
+      |s AS (SELECT media_id, i,
+      |             100 + 10 * ((media_id + i) % 7) AS sz
+      |      FROM f)
+      |SELECT media_id, CAST(i AS INT) AS sample_idx,
+      |       CAST(COALESCE(SUM(sz) OVER (PARTITION BY media_id ORDER BY i
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS BIGINT) AS rel_offset,
+      |       CAST(sz AS BIGINT) AS size,
+      |       CAST(i * 40 AS BIGINT) AS dts_ms,
+      |       i % 3 = 0 AS keyframe
+      |FROM s""".stripMargin) { (s, d) =>
+    Multimodal.mp4SampleTable(
+      Multimodal.syntheticMp4s(
+        documents(s, d).filter(col("doc_id") % 8 === 3), "doc_id"))
+      .select(col("media_id"), col("sample_idx"), col("rel_offset"),
+        col("size"), col("dts_ms"), col("keyframe"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
-      qM21FlacLpc, qM22AviFrames)
+      qM21FlacLpc, qM22AviFrames, qM23Mp4Samples)
 }
