@@ -41,17 +41,46 @@ object Sampling {
     * @return groupCols + idCol + `rank` (1..k in priority order) */
   def uniformPerGroup(
       df: DataFrame, groupCols: Seq[String], idCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    drawPerGroup(df, groupCols, idCol, k, md5Priority(col(idCol)))
+
+  /** Weight-biased exact-k sampling per group — priority sampling
+    * (Duffield, Lund, Thorup: priority q = w/u for uniform u, keep the
+    * k largest q), the standard one-pass weighted sample with unbiased
+    * subset-sum estimators. Expressed in pure integer arithmetic so the
+    * draw is replayable in any SQL engine: u = the md5 priority in
+    * [0, 2^32), selection key = `(u+1)·2^20 / w` ASCENDING (equivalent
+    * to q = w/(u+1) descending; +1 guards u = 0; the 2^20 scale keeps
+    * integer division from collapsing distinct ratios; products stay
+    * under 2^53). Heavier rows draw smaller keys and are
+    * proportionally more likely to be kept — sample documents by token
+    * count and the expected token mass is balanced, the usual pipeline
+    * ask. `weightCol` must be a positive integral column.
+    *
+    * @return groupCols + idCol + `rank` (1..k in key order) */
+  def weightedPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, k: Int): DataFrame =
+    drawPerGroup(df, groupCols, idCol, k,
+      // `div` = IntegralDivide: EXACT integer division (DuckDB's `//`),
+      // not the fractional `/` whose double rounding could flip a key
+      call_function("div",
+        (md5Priority(col(idCol)) + 1) * lit(1L << 20),
+        col(weightCol).cast("long")))
+
+  private def drawPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, k: Int,
+      priority: Column): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(groupCols.nonEmpty, "need at least one group column")
     Seq("rank", "__bk").foreach { reserved =>
       require(!df.columns.contains(reserved),
-        s"uniformPerGroup reserves column name '$reserved'; rename it first")
+        s"sampling reserves column name '$reserved'; rename it first")
     }
     GraftFunctions.register(df.sparkSession)
     df.groupBy(groupCols.map(col): _*)
       .agg(call_function("graft_bottomk",
-        md5Priority(col(idCol)), col(idCol).cast("long"), lit(k))
+        priority, col(idCol).cast("long"), lit(k))
         .as("__bk"))
       .select((groupCols.map(col) :+ posexplode(col("__bk"))): _*)
       .select((groupCols.map(col) :+

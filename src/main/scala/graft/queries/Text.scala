@@ -1117,6 +1117,31 @@ object Text {
       groupCols = Seq("source"), idCol = "doc_id", k = 7)
   }
 
+  /** Weight-biased exact-k sampling per source (priority sampling,
+    * Duffield–Lund–Thorup) with `n_chars` as the weight — the "sample
+    * documents proportional to their token mass" pipeline draw. The
+    * integer selection key `((u+1)·2^20) div w` is exact in both
+    * engines, so the oracle replays the identical draw. */
+  val qT39WeightedSample = Q(
+    "q_t39_weighted_sample",
+    """WITH p AS (
+      |  SELECT source, doc_id, n_chars,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY ((u + 1) * 1048576) // n_chars, doc_id) AS rn
+      |  FROM p)
+      |SELECT source, doc_id, CAST(rn AS BIGINT) AS rank
+      |FROM r WHERE rn <= 6""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.weightedPerGroup(
+      documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+      groupCols = Seq("source"), idCol = "doc_id",
+      weightCol = "n_chars", k = 6)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1126,5 +1151,6 @@ object Text {
       qT24CorpusReport, qT25Shuffle, qT26LmScore, qT27GopherRules,
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
-      qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample)
+      qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
+      qT39WeightedSample)
 }

@@ -75,6 +75,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).keySet == sizes.keySet)
   }
 
+  test("weighted draw agrees with its window formulation") {
+    val withW =
+      Tables.documents(spark, GraftSpark.sf)
+        .select("source", "doc_id", "n_chars")
+    for (k <- Seq(1, 6)) {
+      val got = Sampling
+        .weightedPerGroup(withW, Seq("source"), "doc_id", "n_chars", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = withW
+        .withColumn("key", call_function("div",
+          (Sampling.md5Priority(col("doc_id")) + 1) * lit(1L << 20),
+          col("n_chars").cast("long")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy("key", "doc_id"))
+          .cast("long"))
+        .where(col("rank") <= k)
+        .select("source", "doc_id", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("weighted draw is actually weight-biased") {
+    import spark.implicits._
+    // 400 groups, each one HEAVY item (w=1000) among nine light (w=10):
+    // priority sampling at k=1 must pick the heavy item in the vast
+    // majority of groups (a uniform draw would pick it in ~10%)
+    val pop = (0 until 400).flatMap { g =>
+      (0 until 10).map { i =>
+        (s"g$g", g * 100L + i, if (i == 0) 1000L else 10L)
+      }
+    }.toDF("g", "id", "w")
+    val picked = Sampling.weightedPerGroup(pop, Seq("g"), "id", "w", 1)
+      .collect().map(r => r.getLong(1))
+    val heavy = picked.count(_ % 100 == 0)
+    assert(heavy > 320, s"heavy item picked in only $heavy/400 groups")
+  }
+
   test("null ids are skipped; argument validation") {
     import spark.implicits._
     val withNulls = Seq(
