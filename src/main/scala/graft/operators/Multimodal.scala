@@ -1018,7 +1018,7 @@ object Multimodal {
   object WebmProbe {
     /** (value, byteLen) of the EBML varint at `o`; ids keep the marker
       * bit (`keepMarker = true`), sizes strip it. (-1, 0) on malformed. */
-    private def varint(
+    private[operators] def varint(
         b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
       if (o >= b.length) return (-1L, 0)
       val fb = b(o) & 0xff
@@ -1038,7 +1038,7 @@ object Multimodal {
 
     /** Walk child elements of [start, end); f(id, payloadStart,
       * payloadEnd). Malformed framing terminates the walk quietly. */
-    private def walk(b: Array[Byte], start: Int, end: Int)(
+    private[operators] def walk(b: Array[Byte], start: Int, end: Int)(
         f: (Long, Int, Int) => Unit): Unit = {
       var o = start
       while (o < end) {
@@ -1056,7 +1056,7 @@ object Multimodal {
       }
     }
 
-    private def uint(b: Array[Byte], s: Int, e: Int): Long = {
+    private[operators] def uint(b: Array[Byte], s: Int, e: Int): Long = {
       var v = 0L
       var i = s
       while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
@@ -1110,6 +1110,91 @@ object Multimodal {
         Some((w, h, (durTicks * scaleNs / 1e6).toLong))
       else None
     }
+  }
+
+  /** REAL Matroska/WebM block walk — the per-frame companion of
+    * [[WebmProbe]] and the EBML twin of [[Mp4Samples]]: Clusters resolved
+    * into one row per SimpleBlock with its absolute frame-byte range,
+    * absolute timestamp (cluster timestamp + the block's signed relative
+    * offset, over the Info TimestampScale), and the header keyframe flag.
+    * Keyframe byte ranges feed an external decoder or a range fetcher
+    * without touching the (undecodable-offline) VP8/VP9 samples.
+    * Container math only; malformed framing degrades to fewer blocks,
+    * never a throw. */
+  object WebmBlocks {
+    /** One SimpleBlock: file-order index, absolute frame-data byte
+      * offset + size (past the 4-byte block header), absolute ts in ms,
+      * keyframe flag from the block header. */
+    final case class Block(
+        idx: Int, offset: Long, size: Long, tsMs: Long, keyframe: Boolean)
+
+    /** None unless the payload opens with an EBML header; blocks of the
+      * FIRST track only (the probe's single-video-track model). */
+    def blockTable(bytes: Array[Byte]): Option[Seq[Block]] = try {
+      val (firstId, _) = WebmProbe.varint(bytes, 0, keepMarker = true)
+      if (firstId != 0x1A45DFA3L) return None
+      var scaleNs = 1000000L
+      val out = Vector.newBuilder[Block]
+      var idx = 0
+      WebmProbe.walk(bytes, 0, bytes.length) {
+        case (0x18538067L, ss, se) => // Segment
+          WebmProbe.walk(bytes, ss, se) {
+            case (0x1549A966L, is, ie) => // Info
+              WebmProbe.walk(bytes, is, ie) {
+                case (0x2AD7B1L, ps, pe) =>
+                  scaleNs = WebmProbe.uint(bytes, ps, pe)
+                case _ => ()
+              }
+            case (0x1F43B675L, cs, ce) => // Cluster
+              var clusterTicks = 0L
+              WebmProbe.walk(bytes, cs, ce) {
+                case (0xE7L, ps, pe) =>
+                  clusterTicks = WebmProbe.uint(bytes, ps, pe)
+                case (0xA3L, ps, pe) => // SimpleBlock
+                  val (track, tl) =
+                    WebmProbe.varint(bytes, ps, keepMarker = false)
+                  if (track == 1 && tl > 0 && ps + tl + 3 <= pe) {
+                    val rel = (((bytes(ps + tl) & 0xff) << 8) |
+                      (bytes(ps + tl + 1) & 0xff)).toShort.toLong
+                    val flags = bytes(ps + tl + 2) & 0xff
+                    val dataStart = ps + tl + 3
+                    if (scaleNs > 0 && dataStart <= pe) {
+                      out += Block(idx, dataStart, pe - dataStart,
+                        (clusterTicks + rel) * scaleNs / 1000000L,
+                        (flags & 0x80) != 0)
+                      idx += 1
+                    }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      val blocks = out.result()
+      if (blocks.isEmpty) None else Some(blocks)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[WebmBlocks.blockTable]] as a narrow operator — one row per
+    * SimpleBlock with its byte range, clock, and keyframe flag (q_m24
+    * certifies ts/size/keyframe in closed form; absolute offsets are
+    * pinned against the actual frame bytes in WebmBlocksSpec). Non-WebM
+    * payloads emit nothing. */
+  def webmBlockTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          WebmBlocks.blockTable(bytes).toSeq.flatten.map { b =>
+            (mid, b.idx, b.offset, b.size, b.tsMs, b.keyframe)
+          }
+        }
+      }
+      .toDF("media_id", "block_idx", "offset", "size", "ts_ms", "keyframe")
   }
 
   /** (media_id, sample_rate, n_frames, duration_ms) for every payload the
@@ -2674,12 +2759,17 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
-  /** Deterministic synthetic WebM corpus keyed off an id column: a minimal
-    * valid EBML tree (header + Segment(Info(TimestampScale, Duration) +
-    * Tracks(TrackEntry(Video(PixelWidth, PixelHeight))))) with id-derived
-    * metadata — the [[WebmProbe]] walk is what q_m15 certifies. Width
+  /** Deterministic synthetic WebM corpus keyed off an id column: a valid
+    * EBML tree — header + Segment(Info(TimestampScale, Duration) +
+    * Tracks(TrackEntry(Video(PixelWidth, PixelHeight))) + two Clusters
+    * of SimpleBlocks with real frame payloads) — all id-derived, so the
+    * [[WebmProbe]] metadata walk (q_m15) and the [[WebmBlocks]] block
+    * walk (q_m24) both have closed-form oracles. Width
     * `320 + (id%16)·16`, height `180 + (id%12)·16`, duration
-    * `(3 + id%25)` seconds at the default 1 ms timestamp scale. */
+    * `(3 + id%25)` seconds at the default 1 ms timestamp scale;
+    * `3 + id%5` blocks at 40 ms cadence split across clusters at
+    * timestamps 0 / 1000 ms, sizes `50 + 10·((id+i)%4)`, keyframes on
+    * even blocks, frame bytes `(id·17 + i·5 + j) mod 256`. */
   def syntheticWebms(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -2689,10 +2779,18 @@ object Multimodal {
           val w = 320 + (mid % 16).toInt * 16
           val h = 180 + (mid % 12).toInt * 16
           val durMs = (3 + (mid % 25)) * 1000L
+          val nBlocks = 3 + (mid % 5).toInt
+          val c1 = (nBlocks + 1) / 2
           def el(idBytes: Array[Int], payload: Array[Byte]): Array[Byte] = {
-            require(payload.length < 127)
-            idBytes.map(_.toByte) ++
-              Array((0x80 | payload.length).toByte) ++ payload
+            // 1-byte size below 127 (keeps the pre-cluster byte layout),
+            // 2-byte 0x40xx form up to 16383 for the larger elements
+            require(payload.length < 16384)
+            val size =
+              if (payload.length < 127)
+                Array((0x80 | payload.length).toByte)
+              else Array((0x40 | (payload.length >> 8)).toByte,
+                (payload.length & 0xff).toByte)
+            idBytes.map(_.toByte) ++ size ++ payload
           }
           def uintBytes(v: Long): Array[Byte] = {
             var n = v; var out = List.empty[Byte]
@@ -2708,7 +2806,26 @@ object Multimodal {
             el(Array(0xB0), uintBytes(w)) ++ el(Array(0xBA), uintBytes(h)))
           val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B),
             el(Array(0xAE), video))
-          val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+          def simpleBlock(i: Int, relTsMs: Int): Array[Byte] = {
+            val sz = 50 + 10 * ((mid + i) % 4).toInt
+            val frame = Array.tabulate(sz)(j =>
+              ((mid * 17 + i * 5 + j) % 256).toByte)
+            val hdr = java.nio.ByteBuffer.allocate(4)
+              .put(0x81.toByte) // track 1 varint
+              .putShort(relTsMs.toShort)
+              .put((if (i % 2 == 0) 0x80 else 0x00).toByte) // keyframe
+              .array()
+            el(Array(0xA3), hdr ++ frame)
+          }
+          def cluster(tsMs: Long, blockIdx: Range): Array[Byte] =
+            el(Array(0x1F, 0x43, 0xB6, 0x75),
+              el(Array(0xE7), uintBytes(tsMs)) ++
+                blockIdx.map(i => simpleBlock(i,
+                  (i - blockIdx.start) * 40)).reduce(_ ++ _))
+          val clusters =
+            cluster(0L, 0 until c1) ++ cluster(1000L, c1 until nBlocks)
+          val segment = el(Array(0x18, 0x53, 0x80, 0x67),
+            info ++ tracks ++ clusters)
           (mid, "video", ebml ++ segment)
         }
       }

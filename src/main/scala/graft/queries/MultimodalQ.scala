@@ -599,11 +599,40 @@ object MultimodalQ {
         col("size"), col("dts_ms"), col("keyframe"))
   }
 
+  /** REAL Matroska/WebM block extraction, hash-certified — the EBML twin
+    * of q_m23: synthetic WebMs now carry two Clusters of SimpleBlocks
+    * with id-derived sizes, 40 ms cadence against cluster timestamps
+    * 0/1000 ms, and keyframes on even blocks, so the oracle states every
+    * block row (clock, size, sync flag) a correct Cluster walk + block
+    * header parse must produce. Absolute frame-byte offsets are pinned
+    * against the actual payload bytes in WebmBlocksSpec; q_m15 certifies
+    * the metadata half unchanged. */
+  val qM24WebmBlocks = Q(
+    "q_m24_webm_blocks",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  doc_id % 5 + 3 AS nb
+      |           FROM documents WHERE doc_id % 8 = 6),
+      |f AS (SELECT media_id, nb, (nb + 1) // 2 AS c1,
+      |             unnest(range(0, nb)) AS i
+      |      FROM t)
+      |SELECT media_id, CAST(i AS INT) AS block_idx,
+      |       CAST(50 + 10 * ((media_id + i) % 4) AS BIGINT) AS size,
+      |       CAST(CASE WHEN i < c1 THEN i * 40
+      |                 ELSE 1000 + (i - c1) * 40 END AS BIGINT) AS ts_ms,
+      |       i % 2 = 0 AS keyframe
+      |FROM f""".stripMargin) { (s, d) =>
+    Multimodal.webmBlockTable(
+      Multimodal.syntheticWebms(
+        documents(s, d).filter(col("doc_id") % 8 === 6), "doc_id"))
+      .select(col("media_id"), col("block_idx"), col("size"), col("ts_ms"),
+        col("keyframe"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
-      qM21FlacLpc, qM22AviFrames, qM23Mp4Samples)
+      qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks)
 }
