@@ -1260,7 +1260,17 @@ class NorthStarSpec extends AnyFunSuite {
         i += 1
       i
     }
-    val unknown = sample.clone(); unknown(segIdx + 4) = 0xFF.toByte
+    // write an all-ones (unknown) size varint of the SAME length as the
+    // generated one (1-byte 0x80-form or 2-byte 0x40-form), so the
+    // following bytes still line up
+    val unknown = sample.clone()
+    if ((sample(segIdx + 4) & 0x80) != 0) {
+      unknown(segIdx + 4) = 0xFF.toByte
+    } else {
+      assert((sample(segIdx + 4) & 0x40) != 0, "unexpected size form")
+      unknown(segIdx + 4) = 0x7F.toByte
+      unknown(segIdx + 5) = 0xFF.toByte
+    }
     assert(Multimodal.WebmProbe.probe(unknown)
       == Multimodal.WebmProbe.probe(sample),
       "unknown-size Segment must parse like the sized one")

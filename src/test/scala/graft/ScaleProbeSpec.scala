@@ -73,6 +73,30 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(got.size == 16)
   }
 
+  test("bottom-k sampler equals the window draw on a 100k-row hot group") {
+    import org.apache.spark.sql.expressions.Window
+    // 100k of 110k rows in ONE group: the window formulation sorts the
+    // whole hot partition; the sketch path's exchange carries only
+    // <= k pairs per map partition per group — same rows either way
+    val docs = spark.range(110000L).select(col("id"),
+      when(col("id") < 100000L, "hot")
+        .otherwise(concat(lit("g"), col("id") % 97)).as("grp"))
+    val k = 20
+    val got = graft.operators.Sampling
+      .uniformPerGroup(docs, Seq("grp"), "id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val naive = docs
+      .withColumn("pri", graft.operators.Sampling.md5Priority(col("id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("pri", "id")))
+      .where(col("rn") <= k)
+      .select(col("grp"), col("id"), col("rn").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"diverged: ${(got -- naive).take(3)}")
+    assert(got.count(_._1 == "hot") == k)
+  }
+
   test("packShards packs a single giant group without a single-task sort") {
     import spark.implicits._
     // every row in ONE group: the old per-group window pulled the whole
