@@ -258,9 +258,21 @@ object Layout {
     * entity, time-bucket). */
   def hilbertOrderBy3(
       df: DataFrame, xCol: String, yCol: String, zCol: String,
-      numPartitions: Int, bits: Int = 16): DataFrame = {
+      numPartitions: Int, bits: Int = 16): DataFrame =
+    hilbertOrderByN(df, Seq(xCol, yCol, zCol), numPartitions, bits)
+
+  /** Cluster `df` for writing by the N-dimensional Hilbert distance
+    * ([[withHilbertN]], n ∈ [2, 6]): range-partition on the key, sort
+    * within partitions, drop the key — each output task then writes one
+    * contiguous Hilbert segment, i.e. one connected region of the
+    * n-dimensional space. The clustered-write form of every supported
+    * dimension count (2-D keeps its classic-orientation twin in
+    * [[hilbertOrderBy]]). */
+  def hilbertOrderByN(
+      df: DataFrame, cols: Seq[String], numPartitions: Int,
+      bits: Int = 16): DataFrame = {
     require(numPartitions > 0, s"bad partition count: $numPartitions")
-    withHilbert3(df, xCol, yCol, zCol, "__h", bits)
+    withHilbertN(df, cols, "__h", bits)
       .repartitionByRange(numPartitions, col("__h"))
       .sortWithinPartitions(col("__h"))
       .drop("__h")

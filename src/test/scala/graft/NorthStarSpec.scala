@@ -934,6 +934,33 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertOrderByN partitions are contiguous 4-D Hilbert segments") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val cube = (0 until 8).flatMap(a => (0 until 8).flatMap(b =>
+      (0 until 8).flatMap(c => (0 until 8).map(d => (a, b, c, d)))))
+      .toDF("a", "b", "c", "d")
+    val names = Seq("a", "b", "c", "d")
+    val parts = Layout.hilbertOrderByN(cube, names, numPartitions = 8,
+      bits = 3)
+    val cells = parts.rdd.mapPartitions { it =>
+      Iterator.single(it.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toArray)
+    }.collect().filter(_.nonEmpty)
+    val dOf = Layout.withHilbertN(cube, names, "h", bits = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        -> r.getLong(4))
+      .toMap
+    assert(cells.map(_.length).sum == 4096)
+    cells.foreach { cs =>
+      val ds = cs.map(dOf).sorted
+      assert(ds.last - ds.head + 1 == ds.length,
+        s"partition holds a non-contiguous Hilbert range " +
+          s"(${ds.head}..${ds.last}, ${ds.length} cells)")
+    }
+  }
+
   test("hilbertOrderBy clusters tighter than Morton on unaligned splits") {
     import graft.operators.Layout
     import spark.implicits._
