@@ -3204,4 +3204,266 @@ object Multimodal {
       }
       .toDF("media_id", "kind", "bytes")
   }
+
+  /** Shared 16-bit-PCM decode behind the frequency-domain operators:
+    * javax.sound container recognition (WAV/AIFF/AU) first, [[FlacCodec]]
+    * fallback — the same order as [[audioStats]], but returning the raw
+    * interleaved samples instead of a reduction.
+    *
+    * @return (sampleRate, channels, interleaved samples) */
+  def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case scala.util.control.NonFatal(_) => null
+      }
+    if (ais == null) FlacCodec.decodeSamples(bytes)
+    else {
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && ais.getFrameLength > 0 &&
+          fmt.getFrameRate > 0f
+        if (!ok) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          if (n == 0) None
+          else {
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (fmt.isBigEndian)
+                  (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF))
+                    .toShort
+                else
+                  (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF))
+                    .toShort
+              i += 1
+            }
+            Some((math.round(fmt.getFrameRate), fmt.getChannels, out))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** Frequency-domain audio features — the feature-extraction step a
+    * curation pipeline runs between decode and screening (tonality /
+    * noisiness / frequency-content filters on crawled audio). Pure Scala
+    * DSP over the decoded PCM of [[decodePcm]]: no native libraries, no
+    * plan-shape difference from any other narrow decode map.
+    *
+    * The per-payload reduction: mono-mix the channels, cut
+    * `frameSize`-sample frames every `hop` samples (trailing partial
+    * frame dropped), Hann-window each, radix-2 FFT ([[Dsp.fft]]),
+    * average the per-frame power spectra, then reduce the averaged
+    * spectrum to the standard shape descriptors:
+    *
+    *  - `centroid_hz` — power-weighted mean frequency;
+    *  - `rolloff_hz`  — smallest frequency below which 85% of the power
+    *    lies;
+    *  - `bandwidth_hz` — power-weighted standard deviation around the
+    *    centroid;
+    *  - `flatness` — geometric / arithmetic mean of the power bins
+    *    (DC excluded): →1 for white noise, →0 for pure tones.
+    *
+    * AudioSpectralSpec certifies the math (FFT vs a naïve DFT
+    * differential, closed-form sine/two-tone/noise fixtures, WAV-vs-FLAC
+    * path agreement); q_m25 hash-certifies framing + robust DSP verdicts
+    * on the synthetic square-wave corpus against the SQL oracle. */
+  object Dsp {
+
+    /** In-place iterative radix-2 Cooley-Tukey FFT (decimation in time,
+      * negative-exponent convention). Lengths must be a power of two. */
+    def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+        s"FFT length must be a power of two: $n vs ${im.length}")
+      var i = 1
+      var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var blk = 0
+        while (blk < n) {
+          var cr = 1.0
+          var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val a = blk + k
+            val b = a + len / 2
+            val xr = re(b) * cr - im(b) * ci
+            val xi = re(b) * ci + im(b) * cr
+            re(b) = re(a) - xr
+            im(b) = im(a) - xi
+            re(a) += xr
+            im(a) += xi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr
+            cr = ncr
+            k += 1
+          }
+          blk += len
+        }
+        len <<= 1
+      }
+    }
+
+    /** Hann-windowed averaged power spectrum of a mono signal: one
+      * `frameSize/2 + 1`-bin array (DC..Nyquist), the mean over all full
+      * frames at stride `hop`. None when the signal is shorter than one
+      * frame. */
+    def powerSpectrum(
+        mono: Array[Double], frameSize: Int, hop: Int)
+        : Option[Array[Double]] = {
+      require(frameSize > 0 && (frameSize & (frameSize - 1)) == 0,
+        s"frameSize must be a power of two: $frameSize")
+      require(hop > 0, s"hop must be positive: $hop")
+      if (mono.length < frameSize) return None
+      val nFrames = 1 + (mono.length - frameSize) / hop
+      val window = Array.tabulate(frameSize)(i =>
+        0.5 * (1.0 - math.cos(2.0 * math.Pi * i / frameSize)))
+      val nBins = frameSize / 2 + 1
+      val acc = new Array[Double](nBins)
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
+      var f = 0
+      while (f < nFrames) {
+        val off = f * hop
+        var i = 0
+        while (i < frameSize) {
+          re(i) = mono(off + i) * window(i)
+          im(i) = 0.0
+          i += 1
+        }
+        fft(re, im)
+        var k = 0
+        while (k < nBins) {
+          acc(k) += re(k) * re(k) + im(k) * im(k)
+          k += 1
+        }
+        f += 1
+      }
+      var k = 0
+      while (k < nBins) { acc(k) /= nFrames; k += 1 }
+      Some(acc)
+    }
+
+    /** The averaged-spectrum shape descriptors (see [[Dsp]] scaladoc). */
+    final case class Spectral(
+        nFrames: Int, centroidHz: Double, rolloffHz: Double,
+        bandwidthHz: Double, flatness: Double)
+
+    /** Spectral descriptors of interleaved PCM. None when the payload is
+      * shorter than one frame or totally silent (no power to describe). */
+    def spectral(
+        sampleRate: Int, channels: Int, samples: Array[Short],
+        frameSize: Int = 512, hop: Int = 256): Option[Spectral] = {
+      require(sampleRate > 0 && channels > 0,
+        s"bad PCM meta: sr=$sampleRate ch=$channels")
+      val nMono = samples.length / channels
+      val mono = new Array[Double](nMono)
+      var i = 0
+      while (i < nMono) {
+        var c = 0
+        var s = 0.0
+        while (c < channels) { s += samples(i * channels + c); c += 1 }
+        mono(i) = s / channels
+        i += 1
+      }
+      powerSpectrum(mono, frameSize, hop).flatMap { p =>
+        val nFrames = 1 + (nMono - frameSize) / hop
+        val hzPerBin = sampleRate.toDouble / frameSize
+        var total = 0.0
+        var moment = 0.0
+        var k = 0
+        while (k < p.length) {
+          total += p(k)
+          moment += p(k) * k * hzPerBin
+          k += 1
+        }
+        if (total <= 0.0) None
+        else {
+          val centroid = moment / total
+          var cum = 0.0
+          var kRoll = 0
+          var found = false
+          k = 0
+          while (k < p.length && !found) {
+            cum += p(k)
+            if (cum >= 0.85 * total) { kRoll = k; found = true }
+            k += 1
+          }
+          var variance = 0.0
+          k = 0
+          while (k < p.length) {
+            val d = k * hzPerBin - centroid
+            variance += p(k) * d * d
+            k += 1
+          }
+          // flatness over the DC-excluded bins; the tiny floor keeps
+          // log-zero leakage bins finite without moving real spectra
+          val eps = 1e-20
+          var logSum = 0.0
+          var ariSum = 0.0
+          k = 1
+          while (k < p.length) {
+            logSum += math.log(p(k) + eps)
+            ariSum += p(k) + eps
+            k += 1
+          }
+          val nf = (p.length - 1).toDouble
+          val flat = math.exp(logSum / nf) / (ariSum / nf)
+          Some(Spectral(nFrames, centroid, kRoll * hzPerBin,
+            math.sqrt(variance / total), flat))
+        }
+      }
+    }
+  }
+
+  /** [[Dsp.spectral]] over a media table — the same narrow-map shape as
+    * [[audioStatsOf]] (undecodable / sub-frame-length / silent payloads
+    * drop).
+    *
+    * @return media_id, sample_rate, n_frames, centroid_hz, rolloff_hz,
+    *         bandwidth_hz, flatness */
+  def audioSpectralOf(
+      media: DataFrame, frameSize: Int = 512, hop: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          decodePcm(bytes).flatMap { case (sr, ch, ss) =>
+            Dsp.spectral(sr, ch, ss, frameSize, hop).map { sp =>
+              (mid, sr, sp.nFrames.toLong, sp.centroidHz, sp.rolloffHz,
+                sp.bandwidthHz, sp.flatness)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_frames", "centroid_hz",
+        "rolloff_hz", "bandwidth_hz", "flatness")
+  }
 }

@@ -628,11 +628,41 @@ object MultimodalQ {
         col("keyframe"))
   }
 
+  /** REAL frequency-domain feature extraction, hash-certified on its
+    * integral/verdict face: [[Multimodal.audioSpectralOf]] runs the full
+    * decode → Hann-window → FFT → averaged-power-spectrum reduction over
+    * the square-wave WAV corpus of q_m17. The oracle states the framing
+    * closed form (frames = 1 + (n−512)÷256 over n = 800 + (id%32)·80
+    * mono samples at 8 kHz) plus the two DSP verdicts a correct spectrum
+    * of a 40 Hz square wave must reach: tonal (flatness ≪ 0.1 — power
+    * sits in discrete 1/n² harmonics) and low-frequency (centroid
+    * ≈ 40·Σ1/n over Σ1/n², ~106 Hz ≪ 500). The continuous values
+    * (centroid/rolloff/bandwidth/flatness) are pinned in
+    * AudioSpectralSpec against closed-form sine fixtures and an FFT-vs-
+    * naïve-DFT differential. */
+  val qM25AudioSpectral = Q(
+    "q_m25_audio_spectral",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(8000 AS INT) AS sample_rate,
+      |       CAST(1 + (800 + (doc_id % 32) * 80 - 512) // 256 AS BIGINT)
+      |         AS n_frames,
+      |       TRUE AS tonal,
+      |       TRUE AS low_centroid
+      |FROM documents WHERE doc_id % 8 = 1""".stripMargin) { (s, d) =>
+    Multimodal.audioSpectralOf(
+      Multimodal.syntheticAudio(
+        documents(s, d).filter(col("doc_id") % 8 === 1), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_frames"),
+        (col("flatness") < 0.1).as("tonal"),
+        (col("centroid_hz") < 500.0).as("low_centroid"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
       qM9ImageDHash, qM10MediaFingerprints, qM11JpegDecode, qM12Mp4Probe,
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
-      qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks)
+      qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
+      qM25AudioSpectral)
 }
