@@ -3466,4 +3466,137 @@ object Multimodal {
       .toDF("media_id", "sample_rate", "n_frames", "centroid_hz",
         "rolloff_hz", "bandwidth_hz", "flatness")
   }
+
+  /** Spectral hot-band hash — the frequency-domain twin of
+    * [[audioFingerprint]] (whose 64 bits compare the TIME-envelope band
+    * RMS, so a trimmed copy shifts every band). Bit `b` here is "band b
+    * is hot": the averaged power ([[Dsp.powerSpectrum]]) summed over 4
+    * consecutive bins (DC excluded — bins 4b+1..4b+4 of a `frameSize/2`
+    * spectrum) exceeds the all-band mean. Two exact invariances follow:
+    *
+    *  - volume: scaling every sample by c multiplies every band AND the
+    *    mean by c², leaving each comparison unchanged;
+    *  - trim/shift for frame-periodic content: a time shift only rotates
+    *    FFT phase, and the power spectrum discards phase, so any copy
+    *    that still yields ≥1 full frame hashes identically.
+    *
+    * Distinct tone content lands in distinct hot-band sets, so content
+    * matching is a hamming-0 equi-join on this hash (q_m26, via the same
+    * banded [[graft.operators.Dedup.hamming64Pairs]] path as image/video
+    * near-dup — no all-pairs comparison at any scale). */
+  def audioSpectralHash(
+      bytes: Array[Byte], frameSize: Int = 512, hop: Int = 256)
+      : Option[Long] =
+    decodePcm(bytes).flatMap { case (_, channels, ss) =>
+      val nMono = ss.length / channels
+      val mono = new Array[Double](nMono)
+      var i = 0
+      while (i < nMono) {
+        var c = 0
+        var s = 0.0
+        while (c < channels) { s += ss(i * channels + c); c += 1 }
+        mono(i) = s / channels
+        i += 1
+      }
+      require(frameSize >= 260,
+        s"frameSize $frameSize too small for 64 4-bin bands")
+      Dsp.powerSpectrum(mono, frameSize, hop).map { p =>
+        val bandPow = new Array[Double](64)
+        var total = 0.0
+        var b = 0
+        while (b < 64) {
+          var k = 4 * b + 1
+          val hi = 4 * b + 4
+          var s = 0.0
+          while (k <= hi) { s += p(k); k += 1 }
+          bandPow(b) = s
+          total += s
+          b += 1
+        }
+        val mean = total / 64.0
+        var fp = 0L
+        b = 0
+        while (b < 64) {
+          if (bandPow(b) > mean) fp |= 1L << b
+          b += 1
+        }
+        fp
+      }
+    }
+
+  /** [[audioSpectralHash]] over a media table (undecodable / sub-frame
+    * payloads drop).
+    *
+    * @return media_id, spectral_hash */
+  def audioSpectralHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          audioSpectralHash(bytes).map(fp => (mid, fp))
+        }
+      }
+      .toDF("media_id", "spectral_hash")
+  }
+
+  /** Deterministic multi-tone WAV corpus for content-level audio dedup:
+    * each row of `keys` — (media_id, content_id, scale, trim) — becomes
+    * a mono 8 kHz WAV of five equal-amplitude sines whose frequencies
+    * derive from `content_id` alone. The five land mid-band in five
+    * DISJOINT ranges of [[audioSpectralHash]]'s 64 bands
+    * (`b = r₀ + content_id mod m` with disjoint (r₀, m) per tone, all
+    * moduli pairwise co-prime), and every frequency is an exact multiple
+    * of 8000/512 Hz — on-bin at the hash's frame size, so the Hann
+    * kernel stays inside one band and a time trim changes no frame's
+    * magnitude spectrum. `scale` multiplies every sample; `trim` drops
+    * that many samples from the front. Two rows therefore hash
+    * identically iff they share `content_id` — regardless of scale and
+    * trim — which is the closed form q_m26's oracle states. */
+  def syntheticTones(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select(col("media_id").cast("long"), col("content_id").cast("long"),
+        col("scale").cast("double"), col("trim").cast("int"))
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        it.map { case (mid, c, scale, trim) =>
+          val bands = Array(
+            (c % 11).toInt, 12 + (c % 13).toInt, 26 + (c % 7).toInt,
+            34 + (c % 9).toInt, 44 + (c % 16).toInt)
+          val freqs = bands.map(b => (4 * b + 2) * 8000.0 / 512)
+          val n = 2048 + (c % 8).toInt * 512 - trim
+          require(n >= 512, s"trim $trim leaves < one frame: $n")
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val t = i + trim // the untrimmed timeline, so trim = a cut
+            var v = 0.0
+            var j = 0
+            while (j < 5) {
+              v += 5000.0 * math.sin(2 * math.Pi * freqs(j) * t / 8000.0)
+              j += 1
+            }
+            val s = math.max(-32768, math.min(32767,
+              math.round(v * scale))).toInt.toShort
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (mid, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
 }

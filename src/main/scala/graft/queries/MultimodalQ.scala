@@ -657,6 +657,41 @@ object MultimodalQ {
         (col("centroid_hz") < 500.0).as("low_centroid"))
   }
 
+  /** Content-level audio near-dup via the spectral hot-band hash,
+    * hash-certified: the corpus plants, for every document in the slice,
+    * a twin re-encoded at 0.4× volume with the first 300 samples trimmed
+    * — the two edits a time-envelope fingerprint breaks on. The hash's
+    * construction ([[Multimodal.audioSpectralHash]]: on-bin tones,
+    * phase-discarding power spectrum, mean-relative hot bands) makes
+    * both edits EXACT no-ops, and [[Multimodal.syntheticTones]]' five
+    * disjoint co-prime band congruences make distinct contents collide
+    * in at most 3 of 5 bands, so the hamming-0 banded join returns
+    * precisely the planted (doc, doc+1000000) pairs — the closed form
+    * the oracle states. The join is the same 8-band LSH shape as image/
+    * video near-dup: no all-pairs stage at any corpus size. */
+  val qM26AudioNearDup = Q(
+    "q_m26_audio_neardup",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_a,
+      |       CAST(doc_id + 1000000 AS BIGINT) AS doc_b,
+      |       CAST(0 AS BIGINT) AS hamming
+      |FROM documents WHERE doc_id % 8 = 3""".stripMargin) { (s, d) =>
+    val ids = documents(s, d).filter(col("doc_id") % 8 === 3)
+      .select(col("doc_id"))
+    val originals = ids.select(
+      col("doc_id").as("media_id"), col("doc_id").as("content_id"),
+      lit(1.0).as("scale"), lit(0).as("trim"))
+    val twins = ids.select(
+      (col("doc_id") + 1000000L).as("media_id"),
+      col("doc_id").as("content_id"),
+      lit(0.4).as("scale"), lit(300).as("trim"))
+    val corpus = Multimodal.syntheticTones(originals.unionByName(twins))
+    graft.operators.Dedup.hamming64Pairs(
+      Multimodal.audioSpectralHashes(corpus)
+        .select(col("media_id").as("doc_id"),
+          col("spectral_hash").as("sim_sig")),
+      maxHamming = 0)
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
@@ -664,5 +699,5 @@ object MultimodalQ {
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
       qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
-      qM25AudioSpectral)
+      qM25AudioSpectral, qM26AudioNearDup)
 }

@@ -226,6 +226,56 @@ class AudioSpectralSpec extends AnyFunSuite {
     }
   }
 
+  // --- the spectral hot-band hash (q_m26) --------------------------------
+
+  private def toneBytes(c: Long, scale: Double, trim: Int): Array[Byte] = {
+    import spark.implicits._
+    Multimodal.syntheticTones(
+      Seq((c, c, scale, trim))
+        .toDF("media_id", "content_id", "scale", "trim"))
+      .collect().head.getAs[Array[Byte]]("bytes")
+  }
+
+  test("spectral hash: exactly the five planted hot bands") {
+    for (c <- Seq(0L, 3L, 17L, 42L)) {
+      val fp = Multimodal.audioSpectralHash(toneBytes(c, 1.0, 0))
+        .getOrElse(fail(s"content $c did not hash"))
+      val want = Set(
+        (c % 11).toInt, 12 + (c % 13).toInt, 26 + (c % 7).toInt,
+        34 + (c % 9).toInt, 44 + (c % 16).toInt)
+      val got = (0 until 64).filter(b => (fp >> b & 1L) == 1L).toSet
+      assert(got == want, s"content $c: hot bands $got != $want")
+    }
+  }
+
+  test("spectral hash is exactly invariant to volume and trim; sensitive to content") {
+    for (c <- Seq(1L, 5L, 23L)) {
+      val base = Multimodal.audioSpectralHash(toneBytes(c, 1.0, 0)).get
+      assert(Multimodal.audioSpectralHash(toneBytes(c, 0.4, 0)).get == base,
+        s"content $c: volume changed the hash")
+      assert(Multimodal.audioSpectralHash(toneBytes(c, 1.0, 300)).get == base,
+        s"content $c: trim changed the hash")
+      assert(Multimodal.audioSpectralHash(toneBytes(c, 0.4, 300)).get == base,
+        s"content $c: volume+trim changed the hash")
+      assert(Multimodal.audioSpectralHash(toneBytes(c + 1, 1.0, 0)).get != base,
+        s"contents $c and ${c + 1} collided")
+    }
+  }
+
+  test("time-envelope fingerprint breaks on trim where the spectral hash holds") {
+    // the motivating separation: audioFingerprint hashes time-band RMS,
+    // so cutting the front shifts every band; the spectral hash discards
+    // phase and cannot see the cut
+    val c = 9L
+    val a = toneBytes(c, 1.0, 0)
+    val b = toneBytes(c, 1.0, 700)
+    assert(Multimodal.audioSpectralHash(a) == Multimodal.audioSpectralHash(b))
+    val envA = Multimodal.audioFingerprint(a)
+    val envB = Multimodal.audioFingerprint(b)
+    assert(envA.isDefined && envB.isDefined && envA != envB,
+      "expected the time-envelope fingerprint to move under a 700-sample cut")
+  }
+
   test("audioSpectralOf drops undecodable and sub-frame payloads") {
     import spark.implicits._
     val junk = Seq(
