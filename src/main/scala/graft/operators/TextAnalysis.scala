@@ -21,6 +21,42 @@ object TextAnalysis {
   def uniqueTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 
+  /** Canonical-URL normalization — the dedup key every web-crawl pipeline
+    * groups on before any content hashing (the same page arrives as
+    * `HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag` and
+    * `http://example.com/a?a=1&b=2`). Pure native-function composition
+    * (regexp parts + HOF `filter` + `array_sort` — no UDF, runs map-side
+    * inside the scan stage at any scale):
+    *
+    *  - scheme and authority lowercased (path/query case is semantic and
+    *    preserved);
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - the fragment dropped;
+    *  - tracking parameters dropped (`utm_*`, `gclid`, `fbclid`, `ref`),
+    *    the survivors sorted byte-wise and rejoined;
+    *  - an empty path canonicalized to `/`.
+    *
+    * Non-URL input (no `scheme://`) returns NULL rather than a half
+    * -normalized string, so a later `groupBy` cannot merge garbage. */
+  def canonicalUrl(url: Column): Column = {
+    val trimmed = trim(url)
+    val noFrag = regexp_replace(trimmed, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val authority = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?]+)", 1))
+    val noPort = when(scheme === "http", regexp_replace(authority, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+      .otherwise(authority)
+    val path = regexp_extract(noFrag, "^[^:/?#]+://[^/?]*(/[^?]*)?", 1)
+    val pathNorm = when(path === "", "/").otherwise(path)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)")))
+    val queryNorm = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    when(scheme === "" || authority === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), noPort, pathNorm, queryNorm))
+  }
+
   /** BPE-ish regex word count: alpha runs + digit runs + single symbols. */
   val wordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def regexTokenCount(text: Column): Column =

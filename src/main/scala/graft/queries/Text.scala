@@ -1142,6 +1142,52 @@ object Text {
       weightCol = "n_chars", k = 6)
   }
 
+  /** Canonical-URL normalization ([[graft.operators.TextAnalysis
+    * .canonicalUrl]]), hash-certified: the query synthesizes one messy
+    * URL per document — id-varied scheme/host case, a default or
+    * explicit port, cased path segments, shuffled query params with
+    * tracking keys mixed in, an optional fragment — and the oracle
+    * states the expected canonical string in closed form (it does NOT
+    * re-run a normalizer: each CASE arm is the literal ground-truth
+    * answer). Covers: case folding limited to scheme+authority, :80
+    * stripped only for http, :8080 kept, params sorted, utm_ and gclid
+    * keys dropped (including the all-tracking → no-'?' edge), fragments
+    * dropped, and the empty path → '/'. */
+  val qT40UrlCanonical = Q(
+    "q_t40_url_canonical",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
+      |       '://example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+      |       CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |       CASE WHEN doc_id % 11 = 0 THEN '/'
+      |            ELSE '/Dir' || CAST(doc_id % 4 AS VARCHAR) || '/Page'
+      |       END ||
+      |       CASE doc_id % 5
+      |         WHEN 0 THEN '?a=1&z=9'
+      |         WHEN 1 THEN '?b=2'
+      |         WHEN 4 THEN '?a=1&z=9'
+      |         ELSE ''
+      |       END AS canon_url
+      |FROM documents""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val messy = concat(
+      when(id % 2 === 0, "HTTP").otherwise("hTTpS"), lit("://"),
+      lit("ExAmPle"), (id % 7).cast("string"), lit(".CoM"),
+      when(id % 3 === 0 && id % 2 === 0, ":80")
+        .when(id % 3 === 0 && id % 2 =!= 0, ":443")
+        .when(id % 3 === 1, ":8080").otherwise(""),
+      when(id % 11 === 0, "")
+        .otherwise(concat(lit("/Dir"), (id % 4).cast("string"),
+          lit("/Page"))),
+      when(id % 5 === 0, "?utm_source=feed&z=9&a=1")
+        .when(id % 5 === 1, "?b=2&fbclid=XYZ")
+        .when(id % 5 === 3, "?gclid=abc&utm_medium=email&ref")
+        .when(id % 5 === 4, "?z=9&a=1").otherwise(""),
+      when(id % 2 === 0, "#Frag").otherwise(""))
+    documents(s, d).select(id.cast("long").as("doc_id"),
+      graft.operators.TextAnalysis.canonicalUrl(messy).as("canon_url"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1152,5 +1198,5 @@ object Text {
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
-      qT39WeightedSample)
+      qT39WeightedSample, qT40UrlCanonical)
 }

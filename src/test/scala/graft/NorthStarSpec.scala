@@ -1870,4 +1870,35 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(3L)._3 == 0.0, s"unique doc flagged: ${out(3L)}")
     assert(out(1L)._3 == 6.0 / 9.0)
   }
+
+  test("canonicalUrl: case scope, ports, tracking params, fragments, null") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val cases = Seq(
+      ("  HTTP://WWW.Foo.COM:80/A/B?b=2&a=1#x  ",
+        "http://www.foo.com/A/B?a=1&b=2"),   // case folds host only
+      ("https://Foo.com:443", "https://foo.com/"),
+      ("https://foo.com:8443/p", "https://foo.com:8443/p"), // non-default
+      ("http://foo.com:443/p", "http://foo.com:443/p"),     // wrong scheme
+      ("ftp://Host/PATH", "ftp://host/PATH"),
+      ("http://foo.com/?utm_source=a", "http://foo.com/"),
+      ("http://foo.com/p?ref=x&Key=V&utm_campaign", "http://foo.com/p?Key=V"),
+      ("http://foo.com?b=2", "http://foo.com/?b=2"),
+      ("not a url", null),
+      ("", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+  }
+
+  test("canonicalUrl is idempotent on the q_t40 corpus") {
+    import graft.operators.TextAnalysis
+    val once = graft.queries.Text.qT40UrlCanonical.fn(spark, sf)
+    val twice = once.select(col("doc_id"),
+      TextAnalysis.canonicalUrl(col("canon_url")).as("canon_url"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+      "canonical form is not a fixed point")
+  }
 }
