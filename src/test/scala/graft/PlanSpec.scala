@@ -224,4 +224,23 @@ class PlanSpec extends AnyFunSuite {
         s"$q: codec pass must not shuffle:\n${bad.mkString("\n")}")
     }
   }
+
+  test("audio content near-dup stays a banded equi-join — no nested loop") {
+    val p = plan("q_m26_audio_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "spectral-hash matching must join on (band, bv), never all-pairs:\n" + p)
+  }
+
+  test("spectral features and URL canonicalization shuffle nothing") {
+    // both are per-row maps; the only acceptable exchange is the decode
+    // pass's explicit round-robin rebalance
+    for (q <- Seq("q_m25_audio_spectral", "q_t40_url_canonical")) {
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+      assert(bad.isEmpty,
+        s"$q: narrow op must not shuffle:\n${bad.mkString("\n")}")
+    }
+  }
 }
