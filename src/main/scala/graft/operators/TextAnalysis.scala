@@ -57,6 +57,42 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), noPort, pathNorm, queryNorm))
   }
 
+  /** Lowercased host of a URL: the authority minus userinfo and port.
+    * NULL when the input has no `scheme://authority`. */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(trim(url), "^[^:/?#]+://([^/?#]+)", 1)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val host = lower(regexp_replace(noUser, ":[0-9]*$", ""))
+    when(host === "", lit(null).cast("string")).otherwise(host)
+  }
+
+  /** Second-level public suffixes recognized by [[registeredDomain]] —
+    * the high-traffic subset of the public-suffix list (a production
+    * deployment would broadcast the full list; the grouping logic is
+    * identical). */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk")
+
+  /** eTLD+1 of a host — the "one domain must not dominate the mix" cap
+    * key ([[capPerKey]] / Curation's maxPerSource groups on it):
+    * `a.b.site.co.uk` → `site.co.uk`, `www.site.com` → `site.com`.
+    * Pure Column arithmetic over the label array; IPv4 literals and
+    * hosts at-or-below the suffix length pass through unchanged. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".",
+      try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+    val take = when(last2.isin(MultiLabelSuffixes: _*), 3).otherwise(2)
+    // the isNull arm first: a null host would otherwise fall through to
+    // concat_ws, which folds null arrays to "" instead of propagating
+    when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike("^[0-9.]+$") || n <= take, host)
+      .otherwise(concat_ws(".", slice(parts, n - take + 1, take)))
+  }
+
   /** BPE-ish regex word count: alpha runs + digit runs + single symbols. */
   val wordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def regexTokenCount(text: Column): Column =

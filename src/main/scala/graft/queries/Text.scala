@@ -1188,6 +1188,50 @@ object Text {
       graft.operators.TextAnalysis.canonicalUrl(messy).as("canon_url"))
   }
 
+  /** Host + eTLD+1 extraction ([[graft.operators.TextAnalysis.urlHost]] /
+    * `registeredDomain`) — the per-domain-cap grouping key — certified
+    * the same way as q_t40: the synthesized URLs carry userinfo, mixed
+    * case, ports, multi-label public suffixes and an IPv4 literal, and
+    * the oracle states each ground-truth (host, domain) pair in closed
+    * form. */
+  val qT41RegisteredDomain = Q(
+    "q_t41_registered_domain",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CASE WHEN doc_id % 6 = 5
+      |            THEN '192.168.' || CAST(doc_id % 8 AS VARCHAR) || '.9'
+      |            ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |                 CASE doc_id % 6
+      |                   WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+      |                   WHEN 2 THEN '.org'   WHEN 3 THEN '.com.au'
+      |                   ELSE '.io' END
+      |       END AS host,
+      |       CASE WHEN doc_id % 6 = 5
+      |            THEN '192.168.' || CAST(doc_id % 8 AS VARCHAR) || '.9'
+      |            ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |                 CASE doc_id % 6
+      |                   WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+      |                   WHEN 2 THEN '.org'   WHEN 3 THEN '.com.au'
+      |                   ELSE '.io' END
+      |       END AS domain
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis.{registeredDomain, urlHost}
+    val id = col("doc_id")
+    val host = when(id % 6 === 5,
+      concat(lit("192.168."), (id % 8).cast("string"), lit(".9")))
+      .otherwise(concat(lit("WWW.SiTe"), (id % 50).cast("string"),
+        when(id % 6 === 0, ".Co.UK").when(id % 6 === 1, ".COM")
+          .when(id % 6 === 2, ".org").when(id % 6 === 3, ".com.AU")
+          .otherwise(".Io")))
+    val url = concat(lit("https://"),
+      when(id % 4 === 0, "User:Pw@").otherwise(""),
+      host,
+      when(id % 3 === 1, ":8443").otherwise(""),
+      lit("/p"))
+    documents(s, d).select(id.cast("long").as("doc_id"),
+      urlHost(url).as("host"),
+      registeredDomain(urlHost(url)).as("domain"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1198,5 +1242,5 @@ object Text {
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
-      qT39WeightedSample, qT40UrlCanonical)
+      qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain)
 }

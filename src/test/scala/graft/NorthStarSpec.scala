@@ -1893,6 +1893,28 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("urlHost and registeredDomain: userinfo, ports, eTLD+1, IPs") {
+    import graft.operators.TextAnalysis.{registeredDomain, urlHost}
+    import spark.implicits._
+    val cases = Seq(
+      ("https://User:Pw@A.B.Site.CO.UK:8443/x", "a.b.site.co.uk", "site.co.uk"),
+      ("http://WWW.Site.COM/x", "www.site.com", "site.com"),
+      ("http://site.com", "site.com", "site.com"),
+      ("http://co.uk/", "co.uk", "co.uk"),           // bare suffix
+      ("http://localhost:9000/", "localhost", "localhost"),
+      ("http://192.168.0.1:8080/x", "192.168.0.1", "192.168.0.1"),
+      ("http://a.b.c.d.site.com.au", "a.b.c.d.site.com.au", "site.com.au"),
+      ("no scheme here", null, null))
+    val got = cases.map(_._1).toDF("u")
+      .select(urlHost(col("u")).as("h"),
+        registeredDomain(urlHost(col("u"))).as("d"))
+      .as[(String, String)].collect()
+    cases.zip(got).foreach { case ((in, wh, wd), (gh, gd)) =>
+      assert(gh == wh, s"urlHost($in) = $gh, want $wh")
+      assert(gd == wd, s"registeredDomain($in) = $gd, want $wd")
+    }
+  }
+
   test("canonicalUrl is idempotent on the q_t40 corpus") {
     import graft.operators.TextAnalysis
     val once = graft.queries.Text.qT40UrlCanonical.fn(spark, sf)
