@@ -431,7 +431,8 @@ object Multimodal {
     * event-time column alive across the codec map, where a plain Column
     * projection can't reach (codecs aren't Catalyst expressions). */
   def mediaFingerprints(
-      media: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+      media: DataFrame, carry: Seq[String] = Nil,
+      spectralAudio: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = media.sparkSession
@@ -449,7 +450,12 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](2)
         val fp = kind match {
           case "image" => imageDHash(bytes)
-          case "audio" => audioFingerprint(bytes)
+          // spectralAudio swaps the time-envelope fingerprint for the
+          // trim/volume-exact hot-band hash ([[audioSpectralHash]]) —
+          // both 64-bit, so the banded Hamming machinery is unchanged
+          case "audio" =>
+            if (spectralAudio) audioSpectralHash(bytes)
+            else audioFingerprint(bytes)
           case "video" => videoDHash(bytes)
           case _       => None
         }

@@ -414,7 +414,8 @@ object Streams {
   def mediaNearDupAgainstBase(
       incoming: DataFrame, base: DataFrame,
       maxHamming: Int = 7,
-      watermark: Option[(String, String)] = None): DataFrame = {
+      watermark: Option[(String, String)] = None,
+      spectralAudio: Boolean = false): DataFrame = {
     val baseIdx = base
       .select(col("media_id").as("base_id"), col("kind"),
         col("fp").as("base_fp"),
@@ -423,7 +424,8 @@ object Streams {
         col("bk.band").as("band"), col("bk.bv").as("bv"))
       .localCheckpoint()
     val fps0 = graft.operators.Multimodal.mediaFingerprints(
-      incoming, carry = watermark.map(_._1).toSeq)
+      incoming, carry = watermark.map(_._1).toSeq,
+      spectralAudio = spectralAudio)
     val fps = watermark.fold(fps0) { case (c, d) => fps0.withWatermark(c, d) }
     val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
     val pairs = fps

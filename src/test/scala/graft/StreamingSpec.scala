@@ -793,6 +793,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming audio screen: spectral mode catches trimmed re-gained copies the envelope mode cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val contents = 0L until 6L
+    val base = graft.operators.Multimodal.syntheticTones(
+      contents.map(c => (c, c, 1.0, 0))
+        .toDF("media_id", "content_id", "scale", "trim"))
+    // incoming: a 0.4x-volume, 300-sample-trimmed copy of each base clip
+    val incoming = graft.operators.Multimodal.syntheticTones(
+      contents.map(c => (c + 5000L, c, 0.4, 300))
+        .toDF("media_id", "content_id", "scale", "trim"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_audio")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    val read = () => spark.readStream.schema(schema).parquet(dir.toString)
+    for ((spectral, name) <- Seq((true, "spec_audio_out"),
+        (false, "env_audio_out"))) {
+      val baseIdx = graft.operators.Multimodal.mediaFingerprints(
+        base, spectralAudio = spectral)
+      val q = Streams.mediaNearDupAgainstBase(read(), baseIdx,
+        spectralAudio = spectral)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val pairs = spark.table(name)
+          .select("base_id", "new_id", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        if (spectral)
+          assert(pairs == contents.map(c => (c, c + 5000L, 0L)).toSet,
+            s"spectral mode must catch every planted twin exactly: $pairs")
+        else
+          // measured: the trim shifts every time band; envelope distances
+          // for these twins sit at 29-46 bits, far outside the <=7 screen
+          assert(pairs.isEmpty,
+            s"envelope mode unexpectedly matched a trimmed twin: $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("container metadata probes run unchanged on a media stream") {
     import org.apache.spark.sql.functions._
     // a crawl ingest meets MP4/WebM/FLAC/MP3 in-flight: the probes are
