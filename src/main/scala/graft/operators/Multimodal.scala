@@ -3473,6 +3473,45 @@ object Multimodal {
         "rolloff_hz", "bandwidth_hz", "flatness")
   }
 
+  /** One-decode audio profile: [[audioStats]]' time-domain screens AND
+    * [[Dsp.spectral]]'s frequency-domain descriptors from a single PCM
+    * decode — the fused pass a curation pipeline wants when it screens on
+    * both (silence/clipping AND tonality), instead of decoding every
+    * payload twice. Same narrow-map shape and drop semantics as the
+    * single-facet operators; the time-domain numbers are bit-identical to
+    * [[audioStatsOf]]'s and the spectral ones to [[audioSpectralOf]]'s
+    * (one shared kernel each), which is how q_m27's oracle can state the
+    * union of q_m17's and q_m25's closed forms.
+    *
+    * @return media_id, rms, peak, silence_ratio, zero_crossings,
+    *         sample_rate, n_frames, centroid_hz, rolloff_hz,
+    *         bandwidth_hz, flatness */
+  def audioProfile(
+      media: DataFrame, silenceFraction: Double = 0.01,
+      frameSize: Int = 512, hop: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          decodePcm(bytes).flatMap { case (sr, ch, ss) =>
+            for {
+              st <- statsOfPcm(Some(ss), silenceFraction)
+              sp <- Dsp.spectral(sr, ch, ss, frameSize, hop)
+            } yield (mid, st._1, st._2, st._3, st._4, sr,
+              sp.nFrames.toLong, sp.centroidHz, sp.rolloffHz,
+              sp.bandwidthHz, sp.flatness)
+          }
+        }
+      }
+      .toDF("media_id", "rms", "peak", "silence_ratio", "zero_crossings",
+        "sample_rate", "n_frames", "centroid_hz", "rolloff_hz",
+        "bandwidth_hz", "flatness")
+  }
+
   /** Spectral hot-band hash — the frequency-domain twin of
     * [[audioFingerprint]] (whose 64 bits compare the TIME-envelope band
     * RMS, so a trimmed copy shifts every band). Bit `b` here is "band b

@@ -692,6 +692,37 @@ object MultimodalQ {
       maxHamming = 0)
   }
 
+  /** One-decode audio profile ([[Multimodal.audioProfile]]): time-domain
+    * screens and spectral descriptors from a single PCM pass. The oracle
+    * is literally the UNION of q_m17's closed forms (square-wave RMS =
+    * peak = amp exactly, zero silence, one sign change per half-period)
+    * and q_m25's (framing arithmetic + the tonal / low-centroid DSP
+    * verdicts) — certifying that fusing the two passes changes no
+    * number. */
+  val qM27AudioProfile = Q(
+    "q_m27_audio_profile",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |       CAST(1000 + (doc_id % 7) * 4000 AS DOUBLE) AS rms,
+      |       CAST(1000 + (doc_id % 7) * 4000 AS INT) AS peak,
+      |       CAST(0.0 AS DOUBLE) AS silence_ratio,
+      |       CAST((800 + (doc_id % 32) * 80 - 1) // 100 AS BIGINT)
+      |         AS zero_crossings,
+      |       CAST(8000 AS INT) AS sample_rate,
+      |       CAST(1 + (800 + (doc_id % 32) * 80 - 512) // 256 AS BIGINT)
+      |         AS n_frames,
+      |       TRUE AS tonal,
+      |       TRUE AS low_centroid
+      |FROM documents WHERE doc_id % 8 = 1""".stripMargin) { (s, d) =>
+    Multimodal.audioProfile(
+      Multimodal.syntheticAudio(
+        documents(s, d).filter(col("doc_id") % 8 === 1), "doc_id"))
+      .select(col("media_id"), col("rms"), col("peak"),
+        col("silence_ratio"), col("zero_crossings"), col("sample_rate"),
+        col("n_frames"),
+        (col("flatness") < 0.1).as("tonal"),
+        (col("centroid_hz") < 500.0).as("low_centroid"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
@@ -699,5 +730,5 @@ object MultimodalQ {
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
       qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
-      qM25AudioSpectral, qM26AudioNearDup)
+      qM25AudioSpectral, qM26AudioNearDup, qM27AudioProfile)
 }

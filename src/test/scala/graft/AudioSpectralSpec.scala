@@ -276,6 +276,33 @@ class AudioSpectralSpec extends AnyFunSuite {
       "expected the time-envelope fingerprint to move under a 700-sample cut")
   }
 
+  test("audioProfile is bit-identical to the single-facet operators") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAudio(
+      Seq(1L, 9L, 25L, 33L).toDF("id"), "id")
+    val fused = Multimodal.audioProfile(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val stats = Multimodal.audioStatsOf(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spect = Multimodal.audioSpectralOf(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fused.keySet == stats.keySet && fused.keySet == spect.keySet)
+    fused.foreach { case (mid, f) =>
+      val st = stats(mid)
+      val sp = spect(mid)
+      assert(f.getDouble(1) == st.getDouble(1), s"$mid rms")
+      assert(f.getInt(2) == st.getInt(2), s"$mid peak")
+      assert(f.getDouble(3) == st.getDouble(3), s"$mid silence")
+      assert(f.getLong(4) == st.getLong(4), s"$mid zc")
+      assert(f.getInt(5) == sp.getInt(1), s"$mid sr")
+      assert(f.getLong(6) == sp.getLong(2), s"$mid frames")
+      assert(f.getDouble(7) == sp.getDouble(3), s"$mid centroid")
+      assert(f.getDouble(8) == sp.getDouble(4), s"$mid rolloff")
+      assert(f.getDouble(9) == sp.getDouble(5), s"$mid bandwidth")
+      assert(f.getDouble(10) == sp.getDouble(6), s"$mid flatness")
+    }
+  }
+
   test("audioSpectralOf drops undecodable and sub-frame payloads") {
     import spark.implicits._
     val junk = Seq(
