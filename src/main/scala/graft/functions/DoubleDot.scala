@@ -228,7 +228,22 @@ object GraftFunctions {
       val registryJson = exprs(1).eval(null).toString
       FhirBundlePivot(exprs.head,
         DataType.fromJson(registryJson).asInstanceOf[StructType])
-    }))
+    }),
+    // the URL family reuses the Column compositions verbatim through the
+    // classic Column<->Expression bridge, so the SQL surface cannot
+    // drift from graft.operators.TextAnalysis (one definition each)
+    "graft_canonical_url" -> (exprs =>
+      columnExpr(graft.operators.TextAnalysis.canonicalUrl(
+        org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))),
+    "graft_url_host" -> (exprs =>
+      columnExpr(graft.operators.TextAnalysis.urlHost(
+        org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))),
+    "graft_registered_domain" -> (exprs =>
+      columnExpr(graft.operators.TextAnalysis.registeredDomain(
+        org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))))
+
+  private def columnExpr(c: Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
 
   /** Register engine expressions in the session's function registry;
     * idempotent. */

@@ -107,6 +107,19 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (CAST(7 AS BIGINT)), (11), (13) AS t(h)""".stripMargin)
         .head.getLong(0)
       assert(sh == sh2)
+
+      // URL family: the SQL names must produce exactly the Column results
+      // (one definition via the Column<->Expression bridge)
+      val u = s2.sql(
+        """SELECT graft_canonical_url(
+          |         '  HTTP://U:p@WWW.Foo.COM:80/A/B?b=2&utm_source=x&a=1#f') AS c,
+          |       graft_url_host('https://U:p@A.Site.CO.UK:8443/x') AS h,
+          |       graft_registered_domain('a.b.site.co.uk') AS d,
+          |       graft_canonical_url('nope') AS n""".stripMargin).head
+      assert(u.getString(0) == "http://u:p@www.foo.com/A/B?a=1&b=2")
+      assert(u.getString(1) == "a.site.co.uk")
+      assert(u.getString(2) == "site.co.uk")
+      assert(u.isNullAt(3))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
