@@ -53,7 +53,10 @@ object TextAnalysis {
       p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)")))
     val queryNorm = when(size(kept) > 0,
       concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
-    when(scheme === "" || authority === "", lit(null).cast("string"))
+    // guard on the post-strip authority: ':80'-style host-less input
+    // would otherwise emit 'http:///x', which re-canonicalizes to null
+    // and breaks the fixed-point contract UrlFuzzSpec pins
+    when(scheme === "" || noPort === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), noPort, pathNorm, queryNorm))
   }
 
