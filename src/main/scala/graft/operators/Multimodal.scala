@@ -185,6 +185,191 @@ object Multimodal {
     }
   }
 
+  /** DCT perceptual hash (pHash) with EXACT mirror invariance — the
+    * near-dup axis [[imageDHash]] cannot cover: a mirrored repost
+    * reverses every adjacent-cell comparison, so the dHash moves ~half
+    * its bits, while the magnitude spectrum of a reflection is the
+    * original's. Pipeline: 32×32 area-averaged luma grid → 2-D DCT-II →
+    * the 8×8 low-frequency block → 63 bits comparing |AC coefficient|
+    * to the block's median |AC| (DC excluded; bit 0 fixed zero).
+    *
+    * The DCT folds each symmetric sample pair BEFORE multiplying the
+    * basis (`Σ_{x<16} B[u][x]·(v[x] ± v[31-x])`, using
+    * `B[u][31-x] = (-1)^u B[u][x]`), so a mirrored input produces
+    * coefficients that differ by an EXACT ±1 factor — bit-for-bit in
+    * floating point, not just mathematically. Hence for images whose
+    * luma grid mirrors exactly (any 32×32 source, or multiples where
+    * cell sums stay order-identical): horizontal mirror, vertical
+    * mirror, and 180° rotation leave the hash IDENTICAL, as do
+    * brightness shifts (DC-only) and positive contrast scaling (median
+    * scales with the field). q_m28 certifies the planted-mirror join;
+    * the spec pins each exact invariance and measures the dHash
+    * separation. */
+  def imagePHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None else pHashOfImage(img)
+  }
+
+  /** cos(π(2x+1)u/64) for u ∈ [0,32), x ∈ [0,16) — the half-kernel the
+    * folded DCT needs. */
+  private lazy val dctBasis32: Array[Array[Double]] =
+    Array.tabulate(32, 16)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / 64.0))
+
+  /** Folded 32-point DCT-II of `v`, first `keep` coefficients. */
+  private def dct32(v: Array[Double], keep: Int): Array[Double] = {
+    val out = new Array[Double](keep)
+    var u = 0
+    while (u < keep) {
+      val sign = if ((u & 1) == 0) 1.0 else -1.0
+      var s = 0.0
+      var x = 0
+      while (x < 16) {
+        s += dctBasis32(u)(x) * (v(x) + sign * v(31 - x))
+        x += 1
+      }
+      out(u) = s
+      u += 1
+    }
+    out
+  }
+
+  private def pHashOfImage(
+      img: java.awt.image.BufferedImage): Option[Long] = {
+    if (img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val n = 32
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = Array.ofDim[Double](n, n)
+      var cy = 0
+      while (cy < n) {
+        val y0 = cy * h / n
+        val y1 = math.max(y0 + 1, (cy + 1) * h / n)
+        var cx = 0
+        while (cx < n) {
+          val x0 = cx * w / n
+          val x1 = math.max(x0 + 1, (cx + 1) * w / n)
+          var s = 0.0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              s += 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          cells(cy)(cx) =
+            s / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+          cx += 1
+        }
+        cy += 1
+      }
+      // rows along x (keep 8), then columns along y (keep 8)
+      val rows = Array.tabulate(n)(y => dct32(cells(y), 8))
+      val colBuf = new Array[Double](n)
+      val block = Array.ofDim[Double](8, 8)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < n) { colBuf(y) = rows(y)(u); y += 1 }
+        val cu = dct32(colBuf, 8)
+        var v = 0
+        while (v < 8) { block(v)(u) = cu(v); v += 1 }
+        u += 1
+      }
+      val ac = new Array[Double](63)
+      var i = 0
+      var v = 0
+      while (v < 8) {
+        var u2 = 0
+        while (u2 < 8) {
+          if (v != 0 || u2 != 0) { ac(i) = math.abs(block(v)(u2)); i += 1 }
+          u2 += 1
+        }
+        v += 1
+      }
+      val sorted = ac.sorted
+      val median = sorted(31) // 32nd smallest of 63
+      var hash = 0L
+      i = 0
+      while (i < 63) {
+        if (ac(i) > median) hash |= 1L << (i + 1) // bit 0 fixed zero
+        i += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** [[imagePHash]] over a media table (undecodable payloads drop).
+    *
+    * @return media_id, phash */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          imagePHash(bytes).map(h => (mid, h))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Deterministic 32×32 PNG corpus for reflection-level image dedup:
+    * each row of `keys` — (media_id, content_id, mirror) — renders the
+    * SAME content-keyed pseudo-random pixel field, reflected per
+    * `mirror` (0 = none, 1 = horizontal, 2 = vertical, 3 = both, i.e.
+    * 180° rotation). 32×32 makes the luma grid the identity sampling
+    * and PNG is lossless, so [[imagePHash]]'s folded-DCT invariance is
+    * exact: two rows hash identically iff they share `content_id` —
+    * q_m28's closed form. */
+  def syntheticMirrorImages(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys
+      .select(col("media_id").cast("long"), col("content_id").cast("long"),
+        col("mirror").cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (mid, c, mirror) =>
+          require(mirror >= 0 && mirror <= 3, s"bad mirror code: $mirror")
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val img = new java.awt.image.BufferedImage(
+            32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val sx = if ((mirror & 1) != 0) 31 - x else x
+              val sy = if ((mirror & 2) != 0) 31 - y else y
+              img.setRGB(x, y,
+                (mix(c * 1031 + sy * 32 + sx) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (mid, "image", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
   /** 64-bit audio fingerprint: the dHash idea in the time domain — 65
     * time-band RMS energies from the real PCM decode, one bit per
     * adjacent-band energy comparison. Re-encoding PCM into another

@@ -723,6 +723,45 @@ object MultimodalQ {
         (col("centroid_hz") < 500.0).as("low_centroid"))
   }
 
+  /** Reflection-level image near-dup via the folded-DCT pHash,
+    * hash-certified: for every document in the slice the corpus plants a
+    * horizontally mirrored twin and a 180°-rotated twin — the reposts
+    * [[Multimodal.imageDHash]] misses (a reflection reverses every
+    * adjacent-cell comparison; the spec measures the separation). The
+    * folded DCT makes reflection an exact ±1 coefficient factor, so the
+    * magnitude-vs-median hash is bit-identical and the hamming-0 banded
+    * join returns exactly the planted (doc, doc+1000000) and
+    * (doc, doc+2000000) pairs — plus the twins' own (doc+1000000,
+    * doc+2000000) pair, since hv∘h = v: all three stated in closed form
+    * by the oracle. Same 8-band LSH shape as every other 64-bit
+    * near-dup path. */
+  val qM28ImageMirrorDedup = Q(
+    "q_m28_image_mirror_dedup",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_a,
+      |       CAST(doc_id + 1000000 AS BIGINT) AS doc_b,
+      |       CAST(0 AS BIGINT) AS hamming
+      |FROM documents WHERE doc_id % 8 = 5
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 2000000 AS BIGINT),
+      |       CAST(0 AS BIGINT)
+      |FROM documents WHERE doc_id % 8 = 5
+      |UNION ALL
+      |SELECT CAST(doc_id + 1000000 AS BIGINT),
+      |       CAST(doc_id + 2000000 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM documents WHERE doc_id % 8 = 5""".stripMargin) { (s, d) =>
+    val ids = documents(s, d).filter(col("doc_id") % 8 === 5)
+      .select(col("doc_id"))
+    def leg(offset: Long, mirror: Int) = ids.select(
+      (col("doc_id") + offset).as("media_id"),
+      col("doc_id").as("content_id"), lit(mirror).as("mirror"))
+    val corpus = Multimodal.syntheticMirrorImages(
+      leg(0L, 0).unionByName(leg(1000000L, 1)).unionByName(leg(2000000L, 3)))
+    graft.operators.Dedup.hamming64Pairs(
+      Multimodal.imagePHashes(corpus)
+        .select(col("media_id").as("doc_id"), col("phash").as("sim_sig")),
+      maxHamming = 0)
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
@@ -730,5 +769,6 @@ object MultimodalQ {
       qM13FlacProbe, qM14Mp3Probe, qM15WebmProbe, qM16GifBmp,
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
       qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
-      qM25AudioSpectral, qM26AudioNearDup, qM27AudioProfile)
+      qM25AudioSpectral, qM26AudioNearDup, qM27AudioProfile,
+      qM28ImageMirrorDedup)
 }
