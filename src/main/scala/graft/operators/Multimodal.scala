@@ -617,7 +617,8 @@ object Multimodal {
     * projection can't reach (codecs aren't Catalyst expressions). */
   def mediaFingerprints(
       media: DataFrame, carry: Seq[String] = Nil,
-      spectralAudio: Boolean = false): DataFrame = {
+      spectralAudio: Boolean = false,
+      phashImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = media.sparkSession
@@ -634,10 +635,12 @@ object Multimodal {
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
         val fp = kind match {
-          case "image" => imageDHash(bytes)
-          // spectralAudio swaps the time-envelope fingerprint for the
-          // trim/volume-exact hot-band hash ([[audioSpectralHash]]) —
-          // both 64-bit, so the banded Hamming machinery is unchanged
+          // the opt-in kernels swap in the edit-exact hashes (mirror-
+          // exact folded-DCT pHash / trim-and-volume-exact hot-band
+          // audio hash) — all 64-bit, so the banded Hamming machinery
+          // is unchanged either way
+          case "image" =>
+            if (phashImages) imagePHash(bytes) else imageDHash(bytes)
           case "audio" =>
             if (spectralAudio) audioSpectralHash(bytes)
             else audioFingerprint(bytes)

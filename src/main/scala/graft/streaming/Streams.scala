@@ -415,7 +415,8 @@ object Streams {
       incoming: DataFrame, base: DataFrame,
       maxHamming: Int = 7,
       watermark: Option[(String, String)] = None,
-      spectralAudio: Boolean = false): DataFrame = {
+      spectralAudio: Boolean = false,
+      phashImages: Boolean = false): DataFrame = {
     val baseIdx = base
       .select(col("media_id").as("base_id"), col("kind"),
         col("fp").as("base_fp"),
@@ -425,7 +426,7 @@ object Streams {
       .localCheckpoint()
     val fps0 = graft.operators.Multimodal.mediaFingerprints(
       incoming, carry = watermark.map(_._1).toSeq,
-      spectralAudio = spectralAudio)
+      spectralAudio = spectralAudio, phashImages = phashImages)
     val fps = watermark.fold(fps0) { case (c, d) => fps0.withWatermark(c, d) }
     val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
     val pairs = fps

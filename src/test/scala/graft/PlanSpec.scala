@@ -225,11 +225,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("audio content near-dup stays a banded equi-join — no nested loop") {
-    val p = plan("q_m26_audio_neardup")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      "spectral-hash matching must join on (band, bv), never all-pairs:\n" + p)
+  test("audio and image content near-dup stay banded equi-joins — no nested loop") {
+    for (q <- Seq("q_m26_audio_neardup", "q_m28_image_mirror_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must join on (band, bv), never all-pairs:\n" + p)
+    }
   }
 
   test("spectral features and URL canonicalization shuffle nothing") {

@@ -839,6 +839,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image screen: pHash mode catches mirrored reposts the dHash mode cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val contents = 0L until 6L
+    val base = graft.operators.Multimodal.syntheticMirrorImages(
+      contents.map(c => (c, c, 0)).toDF("media_id", "content_id", "mirror"))
+    val incoming = graft.operators.Multimodal.syntheticMirrorImages(
+      contents.map(c => (c + 5000L, c, 1))
+        .toDF("media_id", "content_id", "mirror"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mirror")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    for ((phash, name) <- Seq((true, "phash_img_out"),
+        (false, "dhash_img_out"))) {
+      val baseIdx = graft.operators.Multimodal.mediaFingerprints(
+        base, phashImages = phash)
+      val q = Streams.mediaNearDupAgainstBase(
+        spark.readStream.schema(schema).parquet(dir.toString), baseIdx,
+        phashImages = phash)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val pairs = spark.table(name)
+          .select("base_id", "new_id", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        if (phash)
+          assert(pairs == contents.map(c => (c, c + 5000L, 0L)).toSet,
+            s"pHash mode must catch every planted mirror exactly: $pairs")
+        else
+          // PHashSpec pins mirror dHash distances > 7 on this generator
+          assert(pairs.isEmpty,
+            s"dHash mode unexpectedly matched a mirrored copy: $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("container metadata probes run unchanged on a media stream") {
     import org.apache.spark.sql.functions._
     // a crawl ingest meets MP4/WebM/FLAC/MP3 in-flight: the probes are
