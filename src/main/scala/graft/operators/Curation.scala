@@ -68,6 +68,16 @@ object Curation {
     * verdicts) is computed on the capped corpus, and the cap rank needs
     * only an (id, src) projection, never a re-run of the heavy stages.
     * The funnel's first count already reflects it. */
+  /** `urlDedup = Some(urlCol)` adds the second corpus-definition stage
+    * (after the cap): one page fetched under many URL spellings enters
+    * the pipeline once. Documents are grouped by
+    * [[TextAnalysis.canonicalUrl]] of `urlCol` — certified standalone as
+    * q_t40 — keeping the smallest id per canonical form; rows whose URL
+    * does not canonicalize (null) all survive, because a shared null is
+    * not a shared page. The exchange carries an md5 of the canonical
+    * string (the [[Dedup.exactGroups]] digest precedent), and like the
+    * cap it needs only an (id, url) projection. The funnel's first count
+    * reflects it. */
   final case class Config(
       repetitionDropAt: Double = 0.05,
       nearDupThreshold: Double = 0.8,
@@ -79,6 +89,7 @@ object Curation {
       lmXentMax: Option[Double] = None,
       gopherScreen: Boolean = false,
       maxPerSource: Option[(String, Int)] = None,
+      urlDedup: Option[String] = None,
       /** Trained [[TextAnalysis.NbQualityModel]] screen: keep documents
         * whose NB score ≥ the threshold (0.0 = the classifier's own
         * decision boundary). Train with [[TextAnalysis.trainQualityNb]]
@@ -119,13 +130,30 @@ object Curation {
       cfg: Config = Config(),
       probes: Option[DataFrame] = None): Result = {
     // per-domain cap first: redefines the corpus every verdict set sees
-    val docs0 = cfg.maxPerSource match {
+    val capped = cfg.maxPerSource match {
       case Some((srcCol, cap)) =>
         docs.join(
           TextAnalysis.capPerKey(docs.select(col(id), col(srcCol)),
             id, srcCol, cap).select(col(id)),
           Seq(id))
       case None => docs
+    }
+    // canonical-URL dedup second — still corpus definition: one page
+    // under many URL spellings enters once (keep the smallest id; rows
+    // with no canonicalizable URL all survive)
+    val docs0 = cfg.urlDedup match {
+      case Some(urlCol) =>
+        val canonH = md5(TextAnalysis.canonicalUrl(col(urlCol))
+          .cast("binary"))
+        val keyed = capped.select(col(id), canonH.as("__graft_canon_h"))
+        val keepers = keyed.filter(col("__graft_canon_h").isNotNull)
+          .groupBy("__graft_canon_h").agg(min(col(id)).as(id))
+          .select(col(id))
+        capped.join(
+          keyed.filter(col("__graft_canon_h").isNull).select(col(id))
+            .unionByName(keepers),
+          Seq(id))
+      case None => capped
     }
     val keepRep = repetitionScreen(docs0, id, text, cfg.repetitionDropAt)
       .filter(col("verdict") === "keep").select(col("doc_id").as(id))

@@ -1915,6 +1915,33 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("curation urlDedup stage keeps one doc per canonical URL") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // URL spellings: docs 10/11 and 12/13 are the same page twice
+    // (case/port/tracking/fragment variants); doc 14 has no URL
+    val urls = Map(
+      10L -> "HTTP://Site.COM:80/a?b=2&a=1#x",
+      11L -> "http://site.com/a?utm_source=f&a=1&b=2",
+      12L -> "https://Other.ORG/p",
+      13L -> "https://other.org:443/p",
+      14L -> null)
+    val withUrl = docs.filter(col("doc_id").isin(urls.keys.toSeq: _*))
+      .withColumn("url",
+        coalesce(urls.map { case (k, v) =>
+          when(col("doc_id") === k, lit(v))
+        }.toSeq: _*))
+    val base = Curation.pipeline(withUrl, "doc_id", "text")
+    val deduped = Curation.pipeline(withUrl, "doc_id", "text",
+      Curation.Config(urlDedup = Some("url")))
+    val baseIds = base.df.select("doc_id").as[Long].collect().toSet
+    val gotIds = deduped.df.select("doc_id").as[Long].collect().toSet
+    // 11 and 13 lose to their smaller-id spellings; 14 (null URL) and
+    // every other survivor of the base pipeline are untouched
+    assert(gotIds == baseIds -- Set(11L, 13L),
+      s"urlDedup diverged: base=$baseIds got=$gotIds")
+  }
+
   test("canonicalUrl is idempotent on the q_t40 corpus") {
     import graft.operators.TextAnalysis
     val once = graft.queries.Text.qT40UrlCanonical.fn(spark, sf)
