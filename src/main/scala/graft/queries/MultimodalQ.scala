@@ -762,6 +762,35 @@ object MultimodalQ {
       maxHamming = 0)
   }
 
+  /** Reorder-level video near-dup via the temporal majority-vote hash,
+    * hash-certified — the video leg of the content-identity trio
+    * (q_m26 audio, q_m28 image): the corpus plants, per document, a
+    * frame-REVERSED re-cut of the same clip. Reversal swaps the lead
+    * title-card frame for the closing scene frame, moving the
+    * first-frame [[Multimodal.videoDHash]] 55+ bits, but leaves the
+    * frame multiset — and therefore every majority vote — untouched, so
+    * the hamming-0 banded join returns exactly the planted
+    * (doc, doc+1000000) pairs the oracle states. */
+  val qM29VideoReorderDedup = Q(
+    "q_m29_video_reorder_dedup",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_a,
+      |       CAST(doc_id + 1000000 AS BIGINT) AS doc_b,
+      |       CAST(0 AS BIGINT) AS hamming
+      |FROM documents WHERE doc_id % 8 = 7""".stripMargin) { (s, d) =>
+    val ids = documents(s, d).filter(col("doc_id") % 8 === 7)
+      .select(col("doc_id"))
+    def leg(offset: Long, reverse: Int) = ids.select(
+      (col("doc_id") + offset).as("media_id"),
+      col("doc_id").as("content_id"), lit(reverse).as("reverse"))
+    val corpus = Multimodal.syntheticReorderedVideos(
+      leg(0L, 0).unionByName(leg(1000000L, 1)))
+    graft.operators.Dedup.hamming64Pairs(
+      Multimodal.videoTemporalDHashes(corpus)
+        .select(col("media_id").as("doc_id"),
+          col("temporal_hash").as("sim_sig")),
+      maxHamming = 0)
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
@@ -770,5 +799,5 @@ object MultimodalQ {
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
       qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
       qM25AudioSpectral, qM26AudioNearDup, qM27AudioProfile,
-      qM28ImageMirrorDedup)
+      qM28ImageMirrorDedup, qM29VideoReorderDedup)
 }

@@ -416,7 +416,8 @@ object Streams {
       maxHamming: Int = 7,
       watermark: Option[(String, String)] = None,
       spectralAudio: Boolean = false,
-      phashImages: Boolean = false): DataFrame = {
+      phashImages: Boolean = false,
+      temporalVideo: Boolean = false): DataFrame = {
     val baseIdx = base
       .select(col("media_id").as("base_id"), col("kind"),
         col("fp").as("base_fp"),
@@ -426,7 +427,8 @@ object Streams {
       .localCheckpoint()
     val fps0 = graft.operators.Multimodal.mediaFingerprints(
       incoming, carry = watermark.map(_._1).toSeq,
-      spectralAudio = spectralAudio, phashImages = phashImages)
+      spectralAudio = spectralAudio, phashImages = phashImages,
+      temporalVideo = temporalVideo)
     val fps = watermark.fold(fps0) { case (c, d) => fps0.withWatermark(c, d) }
     val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
     val pairs = fps

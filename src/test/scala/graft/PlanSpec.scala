@@ -226,7 +226,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("audio and image content near-dup stay banded equi-joins — no nested loop") {
-    for (q <- Seq("q_m26_audio_neardup", "q_m28_image_mirror_dedup")) {
+    for (q <- Seq("q_m26_audio_neardup", "q_m28_image_mirror_dedup",
+        "q_m29_video_reorder_dedup")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
