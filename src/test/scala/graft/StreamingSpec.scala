@@ -882,6 +882,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming video screen: temporal mode catches re-cut clips the first-frame mode cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val contents = 0L until 5L
+    val base = graft.operators.Multimodal.syntheticReorderedVideos(
+      contents.map(c => (c, c, 0)).toDF("media_id", "content_id", "reverse"))
+    val incoming = graft.operators.Multimodal.syntheticReorderedVideos(
+      contents.map(c => (c + 5000L, c, 1))
+        .toDF("media_id", "content_id", "reverse"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_recut")
+    incoming.write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    for ((temporal, name) <- Seq((true, "tvid_out"), (false, "fvid_out"))) {
+      val baseIdx = graft.operators.Multimodal.mediaFingerprints(
+        base, temporalVideo = temporal)
+      val q = Streams.mediaNearDupAgainstBase(
+        spark.readStream.schema(schema).parquet(dir.toString), baseIdx,
+        temporalVideo = temporal)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val pairs = spark.table(name)
+          .select("base_id", "new_id", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        if (temporal)
+          assert(pairs == contents.map(c => (c, c + 5000L, 0L)).toSet,
+            s"temporal mode must catch every planted re-cut exactly: $pairs")
+        else
+          // VideoTemporalSpec pins first-frame distances > 7 under reversal
+          assert(pairs.isEmpty,
+            s"first-frame mode unexpectedly matched a re-cut: $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("container metadata probes run unchanged on a media stream") {
     import org.apache.spark.sql.functions._
     // a crawl ingest meets MP4/WebM/FLAC/MP3 in-flight: the probes are
