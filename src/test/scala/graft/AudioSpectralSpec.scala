@@ -303,6 +303,36 @@ class AudioSpectralSpec extends AnyFunSuite {
     }
   }
 
+  test("decode paths never throw on corrupted payloads") {
+    // the decoder contract everywhere in this file is Option, not
+    // exceptions: 400 mutations (byte flips, truncations, prefix junk)
+    // of valid WAV/FLAC payloads must decode or drop, never crash
+    var seed = 0xC0FFEEL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    val wav = wavOf(sine(1030, 8000, 2048), 8000)
+    val flac = verbatimFlacOf(sine(700, 8000, 1024), 8000)
+    for (i <- 0 until 400) {
+      val src = if (i % 2 == 0) wav else flac
+      val mutated = nextInt(3) match {
+        case 0 => // flip a byte
+          val b = src.clone()
+          b(nextInt(b.length)) = (b(nextInt(b.length)) ^ 0xFF).toByte
+          b
+        case 1 => // truncate
+          java.util.Arrays.copyOf(src, nextInt(src.length))
+        case 2 => // junk prefix
+          Array.fill[Byte](nextInt(16) + 1)(nextInt(256).toByte) ++ src
+      }
+      Multimodal.decodePcm(mutated)
+      Multimodal.audioSpectralHash(mutated)
+      Dsp.spectral(8000, 1, sine(100, 8000, 600)) // keep Dsp hot-pathed too
+    }
+    succeed
+  }
+
   test("audioSpectralOf drops undecodable and sub-frame payloads") {
     import spark.implicits._
     val junk = Seq(
