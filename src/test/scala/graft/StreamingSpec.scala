@@ -660,6 +660,53 @@ class StreamingSpec extends AnyFunSuite {
       "probe documents must decontaminate themselves away")
   }
 
+  test("watermarked media screen is exactly-once across a kill-restart") {
+    // the continual media-ingest screen as a checkpointed query: kill it
+    // mid-corpus, land more media, restart from the checkpoint — the
+    // sink must hold each planted pair exactly once
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_media_restart")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    val contents = 0L until 10L
+    def tones(ids: Seq[Long], offset: Long) = {
+      import spark.implicits._
+      graft.operators.Multimodal.syntheticTones(
+        ids.map(c => (c + offset, c, 1.0, 0))
+          .toDF("media_id", "content_id", "scale", "trim"))
+    }
+    val baseIdx = graft.operators.Multimodal.mediaFingerprints(
+      tones(contents, 0L))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("media_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def startQuery() = Streams.mediaNearDupAgainstBase(
+        spark.readStream.schema(schema).parquet(in), baseIdx,
+        watermark = Some(("ts", "10 minutes")))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk).start()
+    withTs(tones(contents.take(5), 5000L)).write.mode("overwrite").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    withTs(tones(contents.drop(5), 5000L)).write.mode("append").parquet(in)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("base_id", "new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length == got.distinct.length,
+      s"restart duplicated ${got.length - got.distinct.length} pairs")
+    assert(got.toSet == contents.map(c => (c, c + 5000L)).toSet,
+      s"expected each planted copy exactly once across the restart: $got")
+  }
+
   test("decontam screens tolerate degenerate probes (null text, <3 words)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
