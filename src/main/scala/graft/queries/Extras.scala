@@ -625,7 +625,41 @@ object Extras {
       .select(col("event_id"), col("h"))
   }
 
+  /** Generic one-pass table profile ([[graft.operators.Profile
+    * .profileTable]]) in its exact-distinct verification mode,
+    * hash-certified column for column: the oracle recomputes every
+    * non-null/null/distinct count and stringified min/max independently
+    * (one UNION ALL branch per column). The default approx mode swaps
+    * only `count(DISTINCT)` for HLL++ — same plan minus the Expand. */
+  val qS14Profile = Q(
+    "q_s14_profile",
+    """SELECT 'n_nationkey' AS "column", 'int' AS dtype,
+      |       CAST(COUNT(n_nationkey) AS BIGINT) AS n_non_null,
+      |       CAST(COUNT(*) - COUNT(n_nationkey) AS BIGINT) AS n_nulls,
+      |       CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_distinct,
+      |       CAST(MIN(n_nationkey) AS VARCHAR) AS min_value,
+      |       CAST(MAX(n_nationkey) AS VARCHAR) AS max_value
+      |FROM nation
+      |UNION ALL
+      |SELECT 'n_name', 'string',
+      |       CAST(COUNT(n_name) AS BIGINT),
+      |       CAST(COUNT(*) - COUNT(n_name) AS BIGINT),
+      |       CAST(COUNT(DISTINCT n_name) AS BIGINT),
+      |       MIN(n_name), MAX(n_name)
+      |FROM nation
+      |UNION ALL
+      |SELECT 'n_regionkey', 'int',
+      |       CAST(COUNT(n_regionkey) AS BIGINT),
+      |       CAST(COUNT(*) - COUNT(n_regionkey) AS BIGINT),
+      |       CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+      |       CAST(MIN(n_regionkey) AS VARCHAR),
+      |       CAST(MAX(n_regionkey) AS VARCHAR)
+      |FROM nation""".stripMargin) { (s, d) =>
+    graft.operators.Profile.profileTable(nation(s, d), exactDistinct = true)
+  }
+
   val all: Seq[Q] = Seq(
+    qS14Profile,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
