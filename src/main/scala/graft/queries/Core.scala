@@ -491,8 +491,66 @@ object Core {
       k = 5, saltSource = col("o_orderkey"))
   }
 
+  /** EXISTS correlated subquery — TPC-H Q4's shape: order-priority
+    * counts over orders with at least one deep-discount lineitem (this
+    * testdata carries no commit/receipt dates, so the late-line predicate
+    * becomes a discount one — same decorrelation shape). Certifies
+    * Catalyst's RewritePredicateSubquery (EXISTS → left-semi join on the
+    * correlation key): the Spark side is the SQL a user would actually
+    * write; the subquery must decorrelate, never execute per-row (plan
+    * pinned in PlanSpec). */
+  val qA9ExistsPriority = Q(
+    "q_a9_exists_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_discount > 0.08)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d).createOrReplaceTempView("graft_sq_orders")
+    lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM graft_sq_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_sq_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_discount > 0.08)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated SCALAR subquery — each lineitem that carries its order's
+    * maximum quantity. Certifies scalar-subquery decorrelation
+    * (aggregate-then-join): integer equality, so the compare is exact in
+    * both engines. */
+  val qA10CorrelatedMax = Q(
+    "q_a10_correlated_max",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(l_quantity AS BIGINT) AS qty
+      |FROM lineitem l
+      |WHERE l_orderkey % 10 = 3
+      |  AND l_quantity = (SELECT max(l2.l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin) {
+    (s, d) =>
+    lineitem(s, d).createOrReplaceTempView("graft_sq_lineitem")
+    s.sql(
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty
+        |FROM graft_sq_lineitem l
+        |WHERE l_orderkey % 10 = 3
+        |  AND l_quantity = (SELECT max(l2.l_quantity)
+        |                    FROM graft_sq_lineitem l2
+        |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
-    qA7ShippingPriority, qA8LocalSupplier,
+    qA7ShippingPriority, qA8LocalSupplier, qA9ExistsPriority,
+    qA10CorrelatedMax,
     qS1Scan, qS3RoundTrip, qS5Ctas, qS6ToJson,
     qP1Project, qP2ArrayIndex, qP3Explode, qP4Like, qP6HofFilter,
     qJ1Join, qJ2DerivedKey, qJ3LeftFlag, qJ4Anti,

@@ -225,6 +225,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated subqueries decorrelate to joins — no per-row subquery") {
+    val p9 = plan("q_a9_exists_priority")
+    assert(p9.contains("LeftSemi"),
+      "EXISTS must rewrite to a left-semi join:\n" + p9)
+    val p10 = plan("q_a10_correlated_max")
+    assert(p10.toLowerCase.contains("join") && !p10.contains("SubqueryExec"),
+      "correlated scalar subquery must become aggregate+join:\n" + p10)
+    for (p <- Seq(p9, p10))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+  }
+
   test("audio and image content near-dup stay banded equi-joins — no nested loop") {
     for (q <- Seq("q_m26_audio_neardup", "q_m28_image_mirror_dedup",
         "q_m29_video_reorder_dedup")) {
