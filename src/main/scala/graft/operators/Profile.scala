@@ -54,4 +54,28 @@ object Profile {
         (col("__total") - col("n_non_null")).as("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Fixed-range equi-width histogram of a numeric column — the
+    * distribution half of profiling ([[profileTable]] gives the
+    * moments). One hash aggregation on the bucket id; rows outside
+    * [lo, hi) drop (count them via [[profileTable]]'s min/max first —
+    * which is also how a caller picks the range). The bucket arithmetic
+    * is a single `floor((x − lo) / width)` in IEEE doubles, so an
+    * engine computing the same expression buckets identically —
+    * q_a12 certifies it bucket for bucket against DuckDB. */
+  def histogram(
+      df: DataFrame, column: String, bins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(lo < hi, s"empty range: [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val c = col(column).cast("double")
+    df.filter(c >= lo && c < hi)
+      .select(floor((c - lit(lo)) / lit(width)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo_edge"),
+        col("cnt"))
+  }
 }

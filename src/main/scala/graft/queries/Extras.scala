@@ -658,8 +658,51 @@ object Extras {
     graft.operators.Profile.profileTable(nation(s, d), exactDistinct = true)
   }
 
+  /** GROUPING SETS with grouping_id — the explicit form behind rollup
+    * (q_a3) and cube (q_a4); certifies the grouping-bitmask encoding
+    * agrees across engines (bit per column, 1 = aggregated out). */
+  val qA11GroupingSets = Q(
+    "q_a11_grouping_sets",
+    """SELECT coalesce(l_returnflag, '<all>') AS rf,
+      |       coalesce(l_linestatus, '<all>') AS ls,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin) { (s, d) =>
+    lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+        |       coalesce(l_linestatus, '<all>') AS ls,
+        |       CAST(grouping_id() AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
+
+  /** Equi-width histogram ([[graft.operators.Profile.histogram]]): the
+    * oracle replays the identical `floor((x − lo) / width)` IEEE
+    * arithmetic, so buckets match exactly — including boundary values. */
+  val qA12Histogram = Q(
+    "q_a12_histogram",
+    """SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT)
+      |         AS bucket,
+      |       CAST(0.0 AS DOUBLE)
+      |         + CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT)
+      |         * CAST(5000.0 AS DOUBLE) AS lo_edge,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |WHERE l_extendedprice >= 0.0 AND l_extendedprice < 120000.0
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.Profile.histogram(
+      lineitem(s, d), "l_extendedprice", bins = 24, lo = 0.0, hi = 120000.0)
+  }
+
   val all: Seq[Q] = Seq(
-    qS14Profile,
+    qS14Profile, qA11GroupingSets, qA12Histogram,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,

@@ -62,6 +62,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), "approx mode must not Expand:\n" + p)
   }
 
+  test("histogram: boundary values bucket down, out-of-range rows drop") {
+    import spark.implicits._
+    val df = Seq(-0.1, 0.0, 4.999, 5.0, 9.999, 10.0, 15.0)
+      .toDF("x")
+    val got = Profile.histogram(df, "x", bins = 2, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // -0.1, 10.0, 15.0 fall outside [0, 10)
+    assert(got == Map(0L -> (0.0, 2L), 1L -> (5.0, 2L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "x", bins = 0, lo = 0.0, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "x", bins = 4, lo = 1.0, hi = 1.0)
+    }
+  }
+
   test("refuses a zero-column frame") {
     intercept[IllegalArgumentException] {
       Profile.profileTable(spark.range(3).drop("id"))
