@@ -701,8 +701,80 @@ object Extras {
       lineitem(s, d), "l_extendedprice", bins = 24, lo = 0.0, hi = 120000.0)
   }
 
+  /** MapType surface: build a map from columns, explode it to
+    * (key, value) rows — the schema-dynamic path pipelines use for
+    * sparse per-row attributes. The oracle restates the explosion as a
+    * per-key UNION ALL. */
+  val qP7MapExplode = Q(
+    "q_p7_map_explode",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       'qty' AS key, l_quantity AS value
+      |FROM lineitem WHERE l_orderkey % 50 = 7
+      |UNION ALL
+      |SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+      |       'tax', l_tax
+      |FROM lineitem WHERE l_orderkey % 50 = 7""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 7)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        explode(map(
+          lit("qty"), col("l_quantity"),
+          lit("tax"), col("l_tax"))).as(Seq("key", "value")))
+  }
+
+  /** Native unpivot (wide → long) — the inverse of q_e6's pivot:
+    * four measure columns melt to (metric, value) rows in one
+    * Expand-based pass. */
+  val qP8Unpivot = Q(
+    "q_p8_unpivot",
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       m.metric, m.value
+      |FROM lineitem,
+      |     LATERAL (VALUES ('l_quantity', l_quantity),
+      |                     ('l_extendedprice', l_extendedprice),
+      |                     ('l_discount', l_discount),
+      |                     ('l_tax', l_tax)) AS m(metric, value)
+      |WHERE l_orderkey % 50 = 9""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 9)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "value")
+  }
+
+  /** Array-function surface over the embeddings table: size, distinct,
+    * and min/max element reductions (fixed-point longs so the
+    * float-typed elements compare exactly). */
+  val qF8ArrayFuncs = Q(
+    "q_f8_array_funcs",
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |       CAST(len(embedding) AS BIGINT) AS n_dims,
+      |       CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct,
+      |       CAST(round(CAST(list_aggregate(embedding, 'min') AS DOUBLE)
+      |                  * 1000000) AS BIGINT) AS min_fp,
+      |       CAST(round(CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+      |                  * 1000000) AS BIGINT) AS max_fp
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    embeddings(s, d).select(
+      col("vec_id").cast("long").as("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      size(array_distinct(col("embedding"))).cast("long").as("n_distinct"),
+      round(array_min(col("embedding")).cast("double") * 1000000)
+        .cast("long").as("min_fp"),
+      round(array_max(col("embedding")).cast("double") * 1000000)
+        .cast("long").as("max_fp"))
+  }
+
   val all: Seq[Q] = Seq(
     qS14Profile, qA11GroupingSets, qA12Histogram,
+    qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
