@@ -772,9 +772,52 @@ object Extras {
         .cast("long").as("max_fp"))
   }
 
+  /** Null-safe join equality (`<=>` / IS NOT DISTINCT FROM): planted
+    * null keys on both sides must MATCH each other, which a plain
+    * equi-join silently drops — the classic three-valued-logic dedup
+    * bug. Certified by aggregating the join's match counts per key
+    * class. */
+  val qJ8NullSafeJoin = Q(
+    "q_j8_nullsafe_join",
+    """WITH k AS (SELECT o_orderkey,
+      |                  nullif(o_custkey % 100, 50) AS k
+      |           FROM orders WHERE o_orderkey % 20 = 1)
+      |SELECT coalesce(CAST(a.k AS VARCHAR), '<null>') AS key_class,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM k a JOIN k b ON a.k IS NOT DISTINCT FROM b.k
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val k = orders(s, d).filter(col("o_orderkey") % 20 === 1)
+      .select(col("o_orderkey"),
+        nullif(col("o_custkey") % 100, lit(50)).as("k"))
+    k.as("a").join(k.as("b"), col("a.k") <=> col("b.k"))
+      .groupBy(coalesce(col("a.k").cast("string"), lit("<null>"))
+        .as("key_class"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** explode_outer: rows whose array filters to EMPTY must survive with
+    * a null element — the boundary a plain explode silently drops. The
+    * filter keeps only near-1.0 floats, so most embeddings yield no
+    * elements. */
+  val qP9ExplodeOuter = Q(
+    "q_p9_explode_outer",
+    """SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+      |       CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS x_fp
+      |FROM embeddings e
+      |LEFT JOIN LATERAL (
+      |  SELECT unnest(list_filter(e.embedding, v -> v > 0.995)) AS x
+      |) u ON TRUE""".stripMargin) { (s, d) =>
+    embeddings(s, d).select(
+      col("vec_id").cast("long").as("vec_id"),
+      explode_outer(filter(col("embedding"), v => v > lit(0.995f))).as("x"))
+      .select(col("vec_id"),
+        round(col("x").cast("double") * 1000000).cast("long").as("x_fp"))
+  }
+
   val all: Seq[Q] = Seq(
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
+    qJ8NullSafeJoin, qP9ExplodeOuter,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
