@@ -353,25 +353,48 @@ object Dedup {
   }
 
   /** All pairs of 64-bit signatures within `maxHamming` — the banded
-    * search shared by SimHash text near-dup and perceptual image-hash
-    * near-dup. 8 bands × 8 bits: by pigeonhole, any pair within Hamming
-    * distance 7 shares at least one untouched band — candidate generation
-    * is EXHAUSTIVE for the near-dup range, not probabilistic. Input
-    * columns: (doc_id, sim_sig). */
-  /** The 8-band split of a 64-bit signature column — array of
-    * (band, 8-bit value) structs, shared by the batch self-join and the
-    * streaming stream-static variant. */
-  private[graft] def hammingBands(sig: Column): Column =
-    array((0 until 8).map { k =>
+    * search shared by SimHash text near-dup and every perceptual
+    * media-hash near-dup. By pigeonhole, any pair within distance d
+    * shares at least one untouched band when there are > d bands —
+    * candidate generation is EXHAUSTIVE for the near-dup range, not
+    * probabilistic. Input columns: (doc_id, sim_sig). */
+  /** The band split of a 64-bit signature column — array of
+    * (band, value) structs, shared by the batch self-join and the
+    * streaming stream-static variant.
+    *
+    * `numBands` sets the scale/threshold trade: fewer bands mean WIDER
+    * band values, hence exponentially more bucket values and smaller
+    * buckets — a 100k-signature corpus bucket-joins ~n²/2^w candidate
+    * pairs per band (w = band width). The caller must keep
+    * numBands > maxHamming for exhaustiveness; [[bandsFor]] picks the
+    * smallest legal count, so a hamming-0 content-identity join (the
+    * audio/image/video exact-twin paths) degenerates to a full 64-bit
+    * equality join instead of 8 quadratic 8-bit buckets. */
+  private[graft] def hammingBands(sig: Column, numBands: Int = 8): Column = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"band count must divide 64: $numBands")
+    val w = 64 / numBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    array((0 until numBands).map { k =>
       struct(lit(k).as("band"),
-        shiftright(sig, k * 8).bitwiseAND(lit(0xFFL)).as("bv"))
+        shiftright(sig, k * w).bitwiseAND(lit(mask)).as("bv"))
     }: _*)
+  }
+
+  /** Smallest 64-dividing band count exceeding `maxHamming` — the widest
+    * (most selective) exhaustive banding for the threshold. */
+  private[graft] def bandsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming out of range: $maxHamming")
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+  }
 
   private[graft] def hamming64Pairs(
       sig: DataFrame, maxHamming: Int): DataFrame = {
+    val nb = bandsFor(maxHamming)
     val buckets = sig
       .select(col("doc_id"), col("sim_sig"),
-        explode(hammingBands(col("sim_sig"))).as("bk"))
+        explode(hammingBands(col("sim_sig"), nb)).as("bk"))
       .select(col("doc_id"), col("sim_sig"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     buckets.as("x")

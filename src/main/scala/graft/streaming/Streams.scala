@@ -418,10 +418,14 @@ object Streams {
       spectralAudio: Boolean = false,
       phashImages: Boolean = false,
       temporalVideo: Boolean = false): DataFrame = {
+    // widest exhaustive banding for the threshold (hamming-0 exact-twin
+    // screens degenerate to a full 64-bit equality join — see
+    // Dedup.bandsFor)
+    val nb = Dedup.bandsFor(maxHamming)
     val baseIdx = base
       .select(col("media_id").as("base_id"), col("kind"),
         col("fp").as("base_fp"),
-        explode(Dedup.hammingBands(col("fp"))).as("bk"))
+        explode(Dedup.hammingBands(col("fp"), nb)).as("bk"))
       .select(col("base_id"), col("kind"), col("base_fp"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
       .localCheckpoint()
@@ -433,7 +437,7 @@ object Streams {
     val tsCols = watermark.map { case (c, _) => col(c) }.toSeq
     val pairs = fps
       .select(Seq(col("media_id").as("new_id"), col("kind"), col("fp"),
-        explode(Dedup.hammingBands(col("fp"))).as("bk")) ++ tsCols: _*)
+        explode(Dedup.hammingBands(col("fp"), nb)).as("bk")) ++ tsCols: _*)
       .select(Seq(col("new_id"), col("kind"), col("fp"),
         col("bk.band").as("band"), col("bk.bv").as("bv")) ++ tsCols: _*)
       .join(baseIdx, Seq("kind", "band", "bv")) // stream-static equi-join
