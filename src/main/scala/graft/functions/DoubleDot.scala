@@ -240,7 +240,30 @@ object GraftFunctions {
         org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))),
     "graft_registered_domain" -> (exprs =>
       columnExpr(graft.operators.TextAnalysis.registeredDomain(
-        org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))))
+        org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))),
+    // the perceptual-hash surface for SQL clients: binary payload →
+    // nullable 64-bit fingerprint (null = undecodable). Deliberately
+    // ScalaUDF-backed — the per-row cost is the media decode itself, so
+    // codegen'd expression plumbing would buy nothing
+    "graft_image_dhash" ->
+      mediaHash(graft.operators.Multimodal.imageDHash),
+    "graft_image_phash" ->
+      mediaHash(graft.operators.Multimodal.imagePHash),
+    "graft_audio_fingerprint" ->
+      mediaHash(graft.operators.Multimodal.audioFingerprint),
+    "graft_audio_spectral_hash" ->
+      mediaHash(b => graft.operators.Multimodal.audioSpectralHash(b)),
+    "graft_video_dhash" ->
+      mediaHash(graft.operators.Multimodal.videoDHash),
+    "graft_video_temporal_hash" ->
+      mediaHash(graft.operators.Multimodal.videoTemporalDHash))
+
+  private def mediaHash(
+      f: Array[Byte] => Option[Long]): Seq[Expression] => Expression = {
+    val u = org.apache.spark.sql.functions.udf(f)
+    exprs => columnExpr(u(
+      org.apache.spark.sql.graft.ColumnBridge.column(exprs.head)))
+  }
 
   private def columnExpr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnBridge.expression(c)

@@ -120,6 +120,27 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(u.getString(1) == "a.site.co.uk")
       assert(u.getString(2) == "site.co.uk")
       assert(u.isNullAt(3))
+
+      // perceptual hashes through pure SQL: same values as the Scala
+      // kernels, null on junk
+      {
+        import s2.implicits._
+        val png = graft.operators.Multimodal.syntheticMirrorImages(
+          Seq((7L, 7L, 0)).toDF("media_id", "content_id", "mirror"))
+          .collect().head.getAs[Array[Byte]]("bytes")
+        Seq((png, Array.fill[Byte](16)(0x3C)))
+          .toDF("good", "junk").createOrReplaceTempView("graft_hash_in")
+        val r = s2.sql(
+          """SELECT graft_image_phash(good), graft_image_dhash(good),
+            |       graft_image_phash(junk), graft_audio_fingerprint(junk),
+            |       graft_video_temporal_hash(junk)
+            |FROM graft_hash_in""".stripMargin).head
+        assert(r.getLong(0) ==
+          graft.operators.Multimodal.imagePHash(png).get)
+        assert(r.getLong(1) ==
+          graft.operators.Multimodal.imageDHash(png).get)
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
