@@ -388,6 +388,55 @@ object Core {
       lag(col("o_totalprice"), 1).over(ord).as("prev_price"))
   }
 
+  /** RANGE window frame with a value offset — peers by VALUE distance,
+    * not row position (q_w2 covers ROWS): each order counts and sums the
+    * same customer's orders whose key lies within 10 below its own.
+    * Integer arithmetic throughout, so frame-fold order cannot matter. */
+  val qW3RangeFrame = Q(
+    "q_w3_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_near,
+      |       CAST(sum(o_orderkey) OVER w AS BIGINT) AS sum_near
+      |FROM orders
+      |WHERE o_custkey % 10 = 4
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-10, Window.currentRow)
+    orders(s, d).filter(col("o_custkey") % 10 === 4).select(
+      col("o_custkey"), col("o_orderkey"),
+      count(lit(1)).over(w).as("n_near"),
+      sum(col("o_orderkey")).over(w).as("sum_near"))
+  }
+
+  /** Disjunctive join predicate — TPC-H Q19's shape: an equi-key join
+    * whose residual condition is an OR of conjunction groups mixing both
+    * sides. Certifies that the equi-conjunct still drives a hash join
+    * with the disjunction as a post-join filter (PlanSpec pins no
+    * nested loop). */
+  val qJ9Disjunctive = Q(
+    "q_j9_disjunctive_join",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_size <= 10 AND l_quantity >= 30)
+      |   OR (p_size > 40 AND l_quantity < 5)
+      |   OR (p_brand = 'Brand#3' AND l_discount > 0.09)""".stripMargin) {
+    (s, d) =>
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_size") <= 10 && col("l_quantity") >= 30) ||
+        (col("p_size") > 40 && col("l_quantity") < 5) ||
+        (col("p_brand") === "Brand#3" && col("l_discount") > 0.09))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        stableSum(col("l_extendedprice")).as("revenue"))
+  }
+
   /** Q-O1 — top-k: ORDER BY ... DESC LIMIT n → TakeOrderedAndProject,
     * no global sort (ref: 01_dbignite_sample.py:458-459). Unique tiebreak
     * key keeps the selected set deterministic. */
@@ -556,6 +605,6 @@ object Core {
     qJ1Join, qJ2DerivedKey, qJ3LeftFlag, qJ4Anti,
     qA1Pricing, qA2AggSuite,
     qF2Substring, qF4DateParts,
-    qW1RowNumber, qW2Running,
+    qW1RowNumber, qW2Running, qW3RangeFrame, qJ9Disjunctive,
     qO1TopK, qO2TopKPerGroup)
 }

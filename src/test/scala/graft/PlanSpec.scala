@@ -225,6 +225,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("disjunctive join predicate keeps the equi-key hash join") {
+    val p = plan("q_j9_disjunctive_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the OR residual must ride the l_partkey equi-join as a filter:\n" + p)
+  }
+
   test("correlated subqueries decorrelate to joins — no per-row subquery") {
     val p9 = plan("q_a9_exists_priority")
     assert(p9.contains("LeftSemi"),
