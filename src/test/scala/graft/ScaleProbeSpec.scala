@@ -402,6 +402,49 @@ class ScaleProbeSpec extends AnyFunSuite {
       f"adaptive banding should beat the 8-band search: $secs0%.2f vs $secs%.2f")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the runtime half of the skew story (Skew.saltedAgg/topKPerGroup are
+    // the plan-level half): one hot key dominating a sort-merge join must
+    // be split by AQE's skew-join rule, visible as skew=true in the final
+    // plan. Thresholds lowered so the 60k-row hot partition qualifies.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // many input partitions matter: AQE splits a skewed REDUCE
+      // partition along mapper boundaries, so a single-mapper local
+      // relation is indivisible and the rule never fires
+      val fact = spark.range(0, 200000, 1, 32)
+        .select(when(col("id") % 5 =!= 4, 1L).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id"), lit("_"), lit("x" * 100))
+            .as("v"))
+      val dim = spark.range(0, 20000, 1, 8)
+        .select(col("id").as("k"), (col("id") * 3).as("w"))
+      // project narrow so the collect below is cheap; the SKEW lives in
+      // the shuffle, which carries the wide payload either way
+      val joined = fact.join(dim, Seq("k")).select(col("k"))
+      // count() would build its OWN QueryExecution and leave `joined`'s
+      // adaptive plan unexecuted — materialize the exact plan under test
+      // hot key 1: the 160000 redirected rows (i=1 is among them);
+      // non-hot: i in [0, 20000) with i%5 == 4 = 4000 matches
+      assert(joined.collect().length == 164000)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("skew=true"),
+        "expected AQE to mark the hot partition skew=true:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
