@@ -709,4 +709,93 @@ object Streams {
           GroupSample(group, kept.map(_._2))
         })
   }
+
+  /** The lakehouse MERGE recipe as a foreachBatch sink on plain parquet:
+    * every micro-batch folds into a keyed state directory, keeping the
+    * highest-`versionCol` row per key (exactly the batch q_j7 staging
+    * semantics, continuously). The state is VERSIONED — each merge
+    * writes a fresh `v%05d` subdirectory and readers follow the highest
+    * one carrying a `_SUCCESS` marker — so a crash mid-write leaves the
+    * previous state fully readable, and a checkpoint-replayed batch
+    * re-merges idempotently (same rows, same max version per key).
+    * Superseded state versions older than the previous one are pruned.
+    *
+    * Scale shape: one shuffle by key per micro-batch over state ∪ batch
+    * (the same cost a MERGE INTO pays); at 100 TB the state would live
+    * in a table format with file-level pruning, but the merge plan —
+    * union, per-key max-version rank, overwrite-new-version — is this
+    * one. */
+  def upsertSink(
+      stream: DataFrame, stateDir: String, keyCols: Seq[String],
+      versionCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "upsertSink needs at least one key column")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(batch.toDF(), stateDir, keyCols, versionCol)
+      }
+      .start()
+  }
+
+  /** One merge step of [[upsertSink]] — also directly usable for batch
+    * incremental loads into the same state directory. */
+  def upsertBatch(
+      batch: DataFrame, stateDir: String, keyCols: Seq[String],
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val current = latestStateVersion(spark, stateDir)
+    val merged = current match {
+      case Some((_, path)) => spark.read.parquet(path).unionByName(batch)
+      case None => batch
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val next = current.map(_._1 + 1).getOrElse(0)
+    merged
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+      .write.mode("overwrite")
+      .parquet(f"$stateDir/v$next%05d")
+    // prune everything older than the version we just superseded — the
+    // previous one stays as the crash-recovery fallback
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stateVersions(spark, stateDir).dropRight(2).foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+  }
+
+  /** Read the current upsert state ([[upsertSink]]'s output contract). */
+  def readUpsertState(spark: SparkSession, stateDir: String): DataFrame =
+    latestStateVersion(spark, stateDir) match {
+      case Some((_, path)) => spark.read.parquet(path)
+      case None => throw new IllegalStateException(
+        s"no committed upsert state under $stateDir")
+    }
+
+  /** Committed (`_SUCCESS`-marked) state versions, ascending. */
+  private def stateVersions(
+      spark: SparkSession, stateDir: String): Seq[(Int, String)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.matches("v\\d{5}") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          Some(name.drop(1).toInt -> st.getPath.toString)
+        else None
+      }
+      .sortBy(_._1)
+  }
+
+  private def latestStateVersion(
+      spark: SparkSession, stateDir: String): Option[(Int, String)] =
+    stateVersions(spark, stateDir).lastOption
 }

@@ -707,6 +707,45 @@ class StreamingSpec extends AnyFunSuite {
       s"expected each planted copy exactly once across the restart: $got")
   }
 
+  test("foreachBatch upsert sink: keyed state follows the highest version across restarts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val in = s"$root/in"; val state = s"$root/state"; val chk = s"$root/chk"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ver",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = Streams.upsertSink(
+        spark.readStream.schema(schema).parquet(in),
+        state, keyCols = Seq("k"), versionCol = "ver", checkpoint = chk)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // wave 1: insert keys 1..5 at version 1
+    (1L to 5L).map(k => (k, 1L, s"v1_$k")).toDF("k", "ver", "payload")
+      .write.mode("overwrite").parquet(in)
+    run()
+    // wave 2 (after a full stop/restart): update 2 and 3, insert 6
+    Seq((2L, 2L, "v2_2"), (3L, 2L, "v2_3"), (6L, 1L, "v1_6"))
+      .toDF("k", "ver", "payload").write.mode("append").parquet(in)
+    run()
+    val got = Streams.readUpsertState(spark, state)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().toSet
+    val want = Set(
+      (1L, 1L, "v1_1"), (2L, 2L, "v2_2"), (3L, 2L, "v2_3"),
+      (4L, 1L, "v1_4"), (5L, 1L, "v1_5"), (6L, 1L, "v1_6"))
+    assert(got == want, s"upsert state diverged: $got")
+    // state pruning keeps at most the committed version + its fallback
+    val dirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
+    assert(dirs.length <= 2, s"stale state versions survive: ${dirs.toSeq}")
+  }
+
   test("decontam screens tolerate degenerate probes (null text, <3 words)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
