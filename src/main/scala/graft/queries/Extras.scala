@@ -814,10 +814,30 @@ object Extras {
         round(col("x").cast("double") * 1000000).cast("long").as("x_fp"))
   }
 
+  /** Parquet zstd codec round trip — the storage knob a 100 TB corpus
+    * actually ships with (zstd ≈ snappy read speed at a much better
+    * ratio): write with compression=zstd, read back, checksum against
+    * the source. */
+  val qS15ZstdRoundTrip = Q(
+    "q_s15_zstd_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+      |       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
+      |FROM part""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zstd").toString
+    part(s, d).write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/part")
+    s.read.parquet(s"$tmp/part")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("p_partkey")).as("sum_key"),
+        stableSum(col("p_retailprice")).as("sum_price"))
+  }
+
   val all: Seq[Q] = Seq(
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
-    qJ8NullSafeJoin, qP9ExplodeOuter,
+    qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
