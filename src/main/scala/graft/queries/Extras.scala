@@ -814,6 +814,25 @@ object Extras {
         round(col("x").cast("double") * 1000000).cast("long").as("x_fp"))
   }
 
+  /** Explicit null ordering in sorts — a real cross-engine trap (Spark
+    * defaults NULLS FIRST on ASC, DuckDB NULLS LAST), so the certified
+    * form states the ordering on every sort key and ranks with nulls
+    * deliberately LAST. Planted nulls via nullif; unique tiebreak keeps
+    * the limit deterministic. */
+  val qO3NullOrdering = Q(
+    "q_o3_null_ordering",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |       CAST(nullif(o_custkey % 7, 3) AS BIGINT) AS grp
+      |FROM orders WHERE o_orderkey % 25 = 2
+      |ORDER BY grp ASC NULLS LAST, o_orderkey ASC
+      |LIMIT 40""".stripMargin) { (s, d) =>
+    orders(s, d).filter(col("o_orderkey") % 25 === 2)
+      .select(col("o_orderkey"),
+        nullif(col("o_custkey") % 7, lit(3)).as("grp"))
+      .orderBy(col("grp").asc_nulls_last, col("o_orderkey").asc)
+      .limit(40)
+  }
+
   /** Parquet zstd codec round trip — the storage knob a 100 TB corpus
     * actually ships with (zstd ≈ snappy read speed at a much better
     * ratio): write with compression=zstd, read back, checksum against
@@ -837,7 +856,7 @@ object Extras {
   val all: Seq[Q] = Seq(
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
-    qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip,
+    qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,
     qS7CsvRoundTrip, qS8OrcRoundTrip,
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
