@@ -1210,9 +1210,12 @@ object Similarity {
     *     collect path picks with the unit vector);
     *  2. candidates fall out of the (list_id) EQUI-JOIN against the coded
     *     lists — the banded shape, no cross join;
-    *  3. ADC distance is a narrow typed map over the joined rows (the
-    *     ~128 KB codebooks ride the closure; same subspace/component
-    *     summation order as the LUT path, so distances are bit-equal);
+    *  3. ADC distance is a codegen'd native expression over the joined
+    *     rows ([[graft.functions.AdcDistance]]; the ~128 KB codebooks
+    *     ride the expression as a per-task codegen reference, and the
+    *     subspace/component summation order matches the LUT path, so
+    *     distances are bit-equal) — the whole probe scan stays inside
+    *     WholeStageCodegen, no Row materialization or per-pair boxing;
     *  4. the shortlist is an EXACT salted two-level rank (the
     *     [[TextAnalysis.capPerKey]] argument: each query's global
     *     top-`k·rerank` is a subset of its per-salt top-`k·rerank`s), so
@@ -1237,8 +1240,7 @@ object Similarity {
       index: IvfPqIndex, queries: DataFrame, id: String, vec: String,
       k: Int, rerank: Int = PqRerank, probes: Int = IvfProbes,
       salts: Int = 64): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.graft.ColumnBridge
     require(k >= 1, s"bad k: $k")
     require(rerank >= 1, s"bad rerank: $rerank")
     require(salts >= 1, s"bad salts: $salts")
@@ -1246,63 +1248,33 @@ object Similarity {
     require(probes >= 1 && probes <= cents.length,
       s"probes must be in [1, ${cents.length}]: $probes")
     val books = index.codebooks
-    val m = books.length
-    val sub = books(0)(0).length
     val shortlist = k * rerank
     val q = normed(queries, id, vec)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     // The unit query vector is computed ONCE per query and shipped as a
-    // packed little-endian float64 BINARY: binary survives the Row API
+    // packed little-endian float64 BINARY: binary flows through the join
     // as a primitive byte[] (an array<double> column would re-box all
     // `dim` elements on EVERY joined pair — measured 3× slower on the
-    // 3M-pair sf0.1 shape).
-    val packUnit = udf { (v: Seq[Double], nrm: Double) =>
-      val u = PqMath.unit(v.toArray, nrm)
-      val bb = java.nio.ByteBuffer.allocate(u.length * 8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < u.length) { bb.putDouble(u(i)); i += 1 }
-      bb.array()
-    }
+    // 3M-pair sf0.1 shape). Both steps are native codegen'd expressions
+    // (graft.functions.AdcDistance) — no Scala udf, no RDD drop-out.
+    def packUnit(v: Column, nrm: Column): Column =
+      ColumnBridge.column(graft.functions.PackUnitVector(
+        ColumnBridge.expression(v), ColumnBridge.expression(nrm)))
+    def adc(qu: Column, code: Column): Column =
+      ColumnBridge.column(graft.functions.AdcDistance(
+        ColumnBridge.expression(qu), ColumnBridge.expression(code), books))
     val queryLists = q
       .select(col("q_id"), packUnit(col("qv"), col("qnrm")).as("qu"),
         explode(topLists(cents, probes, col("qv"))).as("list_id"))
-    val joined = queryLists
-      .join(index.codedLists, Seq("list_id"))
-      .select(col("q_id"), col("qu"), col("vec_id"), col("code"))
-    val schema = StructType(Seq(
-      q.schema("q_id").copy(name = "q_id"),
-      index.codedLists.schema("vec_id").copy(name = "cand_id"),
-      StructField("adist", DoubleType, nullable = false)))
-    val scored = joined.rdd.mapPartitions { it =>
-      it.map { r =>
-        val qu = r.getAs[Array[Byte]](1)
-        val bb = java.nio.ByteBuffer.wrap(qu)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val code = r.getAs[Array[Byte]](3)
-        // same subspace/component summation order as the LUT path →
-        // bit-equal distances (IvfPqJoinSpec pins row equality)
-        var d = 0.0
-        var mi = 0
-        while (mi < m) {
-          val cw = books(mi)(code(mi) & 0xff)
-          var i = 0
-          while (i < sub) {
-            val t = bb.getDouble((mi * sub + i) * 8) - cw(i)
-            d += t * t; i += 1
-          }
-          mi += 1
-        }
-        Row(r.get(0), r.get(2), d)
-      }
-    }
-    val spark = index.corpus.sparkSession
     // soft assignment can pair (query, vector) in ≤ IvfAssign lists with
     // the SAME adist — dedup before ranking. groupBy+min instead of
     // distinct: identical result (duplicates carry equal distances) but
     // map-side partial aggregation collapses them before the exchange.
-    val cand = spark.createDataFrame(scored, schema)
+    val cand = queryLists
+      .join(index.codedLists, Seq("list_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        adc(col("qu"), col("code")).as("adist"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(min(col("adist")).as("adist"))
     val w1 = Window
