@@ -1450,9 +1450,12 @@ object Multimodal {
     def blockTable(bytes: Array[Byte]): Option[Seq[Block]] = try {
       val (firstId, _) = WebmProbe.varint(bytes, 0, keepMarker = true)
       if (firstId != 0x1A45DFA3L) return None
+      // resolve TimestampScale in a FIRST pass over the Segment (the
+      // Mp4Samples mdhd pattern): Matroska allows the Info element to
+      // follow the Clusters, and applying the scale in file-walk order
+      // would stamp earlier clusters with the default 1 ms tick — wrong
+      // absolute timestamps rather than a graceful degrade
       var scaleNs = 1000000L
-      val out = Vector.newBuilder[Block]
-      var idx = 0
       WebmProbe.walk(bytes, 0, bytes.length) {
         case (0x18538067L, ss, se) => // Segment
           WebmProbe.walk(bytes, ss, se) {
@@ -1462,6 +1465,15 @@ object Multimodal {
                   scaleNs = WebmProbe.uint(bytes, ps, pe)
                 case _ => ()
               }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      val out = Vector.newBuilder[Block]
+      var idx = 0
+      WebmProbe.walk(bytes, 0, bytes.length) {
+        case (0x18538067L, ss, se) => // Segment
+          WebmProbe.walk(bytes, ss, se) {
             case (0x1F43B675L, cs, ce) => // Cluster
               var clusterTicks = 0L
               WebmProbe.walk(bytes, cs, ce) {

@@ -97,6 +97,25 @@ object FhirBundleSource {
         StructField(rt, ArrayType(model.resourceMap(rt)), nullable = true)))
 }
 
+/** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
+  * round-trips it through its own `write`/`readFields` so the SESSION
+  * configuration (spark.hadoop.* overrides, credentials, fs.defaultFS)
+  * captured on the driver reaches the partition readers — a fresh
+  * `new Configuration()` on executors would silently drop all of it and
+  * resolve the wrong filesystem on S3/ABFS/non-default HDFS. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class FhirBundleTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-fhir:$path"
@@ -104,11 +123,19 @@ private[sources] class FhirBundleTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new FhirScanBuilder(path, tableSchema)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the SESSION Hadoop configuration (with per-read options
+    // layered on top, the FileTable convention) at scan-build time: the
+    // driver-side listing and the executor-side readers must both see
+    // spark.hadoop.* settings, credentials, and fs.defaultFS overrides
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState
+      .newHadoopConfWithOptions(options.asScala.toMap)
+    new FhirScanBuilder(path, tableSchema, new SerializableHadoopConf(conf))
+  }
 }
 
-private[sources] class FhirScanBuilder(path: String, full: StructType)
+private[sources] class FhirScanBuilder(path: String, full: StructType,
+    conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -123,10 +150,11 @@ private[sources] class FhirScanBuilder(path: String, full: StructType)
       requiredSchema.fields.filter(f => byName.contains(f.name)))
   }
 
-  override def build(): Scan = new FhirScan(path, required)
+  override def build(): Scan = new FhirScan(path, required, conf)
 }
 
-private[sources] class FhirScan(path: String, required: StructType)
+private[sources] class FhirScan(path: String, required: StructType,
+    conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -138,9 +166,8 @@ private[sources] class FhirScan(path: String, required: StructType)
     * level, dot/underscore files skipped — the Spark file-source
     * convention). */
   private lazy val files: Seq[(String, Long)] = {
-    val conf = new Configuration()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val expanded = matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
@@ -181,25 +208,27 @@ private[sources] class FhirScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FhirReaderFactory(required)
+    new FhirReaderFactory(required, conf)
 }
 
 private[sources] case class FhirInputPartition(files: Array[String])
     extends InputPartition
 
-private[sources] class FhirReaderFactory(required: StructType)
+private[sources] class FhirReaderFactory(required: StructType,
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new FhirPartitionReader(
-      partition.asInstanceOf[FhirInputPartition].files, required)
+      partition.asInstanceOf[FhirInputPartition].files, required, conf)
 }
 
 /** Reads each file whole, runs the shared single-tokenization pivot with
   * the PRUNED registry, and projects into the required schema with a
   * minted bundleUUID. One file = one row, matching `entry()`. */
 private[sources] class FhirPartitionReader(
-    files: Array[String], required: StructType)
+    files: Array[String], required: StructType,
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   /** Resource types actually requested, sorted — the parse registry.
@@ -219,7 +248,6 @@ private[sources] class FhirPartitionReader(
   private val pivIndex: Map[String, Int] =
     types.map(_._1).zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
 
-  private val conf = new Configuration()
   private var i = -1
   private var current: InternalRow = _
 
@@ -227,8 +255,14 @@ private[sources] class FhirPartitionReader(
     i += 1
     if (i >= files.length) return false
     val p = new Path(files(i))
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     val len = fs.getFileStatus(p).getLen
+    // whole-document parse: a bundle cannot be split, and a JVM byte
+    // array caps at Int.MaxValue — reject oversized files loudly instead
+    // of overflowing into a negative allocation or a corrupt parse
+    require(len <= Int.MaxValue,
+      s"graft-fhir: bundle file ${files(i)} is $len bytes; whole-document " +
+        s"JSON bundles larger than ${Int.MaxValue} bytes are not supported")
     val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()

@@ -388,11 +388,19 @@ object Streams {
     * arrives — the perceptual hashes are pure narrow maps, so
     * [[graft.operators.Multimodal.mediaFingerprints]] runs on readStream
     * input unchanged — then banded against a base corpus's fingerprints
-    * via the same 8×8-bit pigeonhole split the batch Hamming search uses
-    * (exhaustive for distance ≤ 7). The multimodal twin of
+    * with ADAPTIVE banding ([[graft.operators.Dedup.bandsFor]]): the band
+    * count tracks `maxHamming` by the pigeonhole bound (exhaustive for
+    * the threshold), so a hamming-0 exact-twin screen degenerates to one
+    * full 64-bit equality band. The multimodal twin of
     * [[nearDupAgainstBase]]: a crawl's images/audio/video checked against
     * the training set's perceptual index before ingest, kind-partitioned
     * so an image never pairs with an audio clip.
+    *
+    * IMPORTANT: `base` fingerprints must be computed with the SAME
+    * opt-in hash variants (`spectralAudio`/`phashImages`/`temporalVideo`)
+    * passed here — a mismatch joins e.g. dHash values against pHash
+    * values and silently returns no pairs. Rebuild the base index with
+    * matching flags when switching variants.
     *
     * State: `dropDuplicates` on the pair collapses multi-band collisions.
     * With `watermark = Some((tsCol, delay))` the pair state is BOUNDED via
@@ -679,7 +687,11 @@ object Streams {
     *
     * Unlike the dedup/sessionize twins this needs NO watermark to bound
     * state: the group state is the sample itself — ≤ k (priority, id)
-    * pairs per group, forever, by construction. */
+    * pairs per group, forever, by construction.
+    *
+    * At-least-once sources are safe: offers are deduped by (priority, id),
+    * so a row re-delivered in a later micro-batch (or twice in one) cannot
+    * occupy two sample slots. */
   def uniformSampleStream(
       rows: DataFrame, groupCol: String, idCol: String,
       k: Int): org.apache.spark.sql.Dataset[GroupSample] = {
@@ -697,11 +709,19 @@ object Streams {
         (group: String, it: Iterator[SampleIn],
          state: org.apache.spark.sql.streaming.GroupState[
            Array[(Long, Long)]]) => {
+          // dedupe offers by (pri, id): an at-least-once source can
+          // re-deliver a row in a later micro-batch (or twice in one),
+          // and a duplicate insert would occupy two of the k slots and
+          // evict a distinct id — breaking prefix-consistency with the
+          // batch draw. Scratch set is bounded by k + this group's batch
+          // rows. (A pair evicted earlier can never re-enter: k smaller
+          // pairs exist by definition, so skipping it is also correct.)
+          val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
           val heap = new graft.functions.BottomKSketch.Heap(k)
           state.getOption.foreach(_.foreach { case (p, v) =>
-            heap.offer(p, v)
+            if (seen.add((p, v))) heap.offer(p, v)
           })
-          it.foreach(r => heap.offer(r.pri, r.id))
+          it.foreach(r => if (seen.add((r.pri, r.id))) heap.offer(r.pri, r.id))
           val kept = (0 until heap.size)
             .map(i => (heap.pris(i), heap.items(i)))
             .sortBy(identity).toArray

@@ -183,6 +183,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming uniform sample tolerates at-least-once re-delivery") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id")
+      .limit(60)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = 5
+    val ms = StreamTestSupport.memoryStream[(String, Long)]
+    val current =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val q = Streams
+      .uniformSampleStream(ms.toDF().toDF("source", "doc_id"),
+        "source", "doc_id", k)
+      .toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          current(r.getString(0)) = r.getSeq[Long](1))
+      }
+      .start()
+    try {
+      val (first, rest) = docs.splitAt(docs.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      // an at-least-once source re-delivers the whole first chunk
+      // alongside the new rows: duplicate (pri, id) offers must not
+      // occupy sample slots
+      ms.addData((first ++ rest).toSeq)
+      q.processAllAvailable()
+      val batch = graft.operators.Sampling
+        .uniformPerGroup(docs.distinct.toSeq.toDF("source", "doc_id"),
+          Seq("source"), "doc_id", k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+        .groupBy(_._1)
+        .map { case (g, rows) => g -> rows.sortBy(_._2).map(_._3).toSeq }
+      assert(current.toMap == batch,
+        "re-delivered rows must not displace distinct sample ids")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per content digest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     java.nio.file.Files.copy(

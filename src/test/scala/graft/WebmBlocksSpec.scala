@@ -76,6 +76,38 @@ class WebmBlocksSpec extends AnyFunSuite {
     assert(WebmBlocks.blockTable("RIFF....AVI ".getBytes).isEmpty)
   }
 
+  test("Info AFTER the Clusters still scales every timestamp") {
+    // legal Matroska: the Info element (with a non-default 2 ms
+    // TimestampScale) follows the Clusters; TimestampScale must be
+    // resolved in a first pass, not applied in file-walk order
+    def el(idBytes: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes.map(_.toByte) ++
+        Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintBytes(v: Long): Array[Byte] = {
+      var n = v; var out = List.empty[Byte]
+      do { out = (n & 0xff).toByte :: out; n >>= 8 } while (n > 0)
+      out.toArray
+    }
+    def simpleBlock(relTicks: Int): Array[Byte] =
+      el(Array(0xA3), java.nio.ByteBuffer.allocate(4)
+        .put(0x81.toByte).putShort(relTicks.toShort).put(0x80.toByte)
+        .array() ++ Array.fill(8)(7.toByte))
+    def cluster(ticks: Long): Array[Byte] =
+      el(Array(0x1F, 0x43, 0xB6, 0x75),
+        el(Array(0xE7), uintBytes(ticks)) ++ simpleBlock(5))
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), uintBytes(2000000L))) // 2 ms per tick
+    val bytes = el(Array(0x1A, 0x45, 0xDF, 0xA3), Array.empty) ++
+      el(Array(0x18, 0x53, 0x80, 0x67),
+        cluster(100L) ++ cluster(200L) ++ info)
+    val blocks = WebmBlocks.blockTable(bytes).getOrElse(fail("no blocks"))
+    assert(blocks.map(_.tsMs) == Seq(210L, 410L),
+      s"2 ms scale must apply to clusters preceding the Info element: " +
+        s"${blocks.map(_.tsMs)}")
+  }
+
   test("webmBlockTable operator stays a zero-shuffle narrow map") {
     val docs = Tables.documents(spark, GraftSpark.sf)
       .filter(col("doc_id") % 64 === 6)
