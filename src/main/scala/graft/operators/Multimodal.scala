@@ -122,8 +122,18 @@ object Multimodal {
     * downsample the decoded luma to a 9×8 grid, bit (y·8 + x) set when
     * cell(x, y) is brighter than cell(x+1, y). Robust to re-encoding and
     * uniform brightness shifts (gradients survive both); Hamming distance
-    * ≤ ~7 flags near-duplicate images. Deterministic — same arithmetic on
-    * every JVM. None when the payload is not a decodable image. */
+    * ≤ ~7 flags near-duplicate images.
+    *
+    * The kernel is EXACT integer arithmetic: per-cell luma sums on the
+    * ×1000 grid (`299·R + 587·G + 114·B`, a Long sum — summation order
+    * can never flip a bit) and the brighter-than comparison
+    * cross-multiplied (`sumA·nB > sumB·nA`) instead of dividing into
+    * doubles. Same semantics as the float form, but bit-reproducible on
+    * any platform AND closed-form computable by an independent SQL
+    * engine — q_m9's DuckDB oracle re-derives the full hash from the
+    * synthetic gradient and certifies decode → grid → compare → bit
+    * assembly end to end. None when the payload is not a decodable
+    * image. */
   def imageDHash(bytes: Array[Byte]): Option[Long] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -142,7 +152,8 @@ object Multimodal {
       val (gw, gh) = (9, 8)
       val w = img.getWidth
       val h = img.getHeight
-      val cells = Array.ofDim[Double](gh, gw)
+      val sums = Array.ofDim[Long](gh, gw) // Σ luma×1000 per cell (exact)
+      val npix = Array.ofDim[Long](gh, gw)
       var cy = 0
       while (cy < gh) {
         val y0 = cy * h / gh
@@ -151,20 +162,21 @@ object Multimodal {
         while (cx < gw) {
           val x0 = cx * w / gw
           val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
-          var s = 0.0
+          var s = 0L
           var y = y0
           while (y < math.min(y1, h)) {
             var x = x0
             while (x < math.min(x1, w)) {
               val rgb = img.getRGB(x, y)
-              s += 0.299 * ((rgb >> 16) & 0xFF) +
-                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              s += 299L * ((rgb >> 16) & 0xFF) +
+                587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
               x += 1
             }
             y += 1
           }
-          cells(cy)(cx) =
-            s / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+          sums(cy)(cx) = s
+          npix(cy)(cx) =
+            (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
           cx += 1
         }
         cy += 1
@@ -174,7 +186,9 @@ object Multimodal {
       while (y < gh) {
         var x = 0
         while (x < 8) {
-          if (cells(y)(x) > cells(y)(x + 1)) {
+          // mean(x) > mean(x+1) cross-multiplied: exact, no division.
+          // Magnitudes fit easily: sum ≤ npix·255000, npix ≤ w·h.
+          if (sums(y)(x) * npix(y)(x + 1) > sums(y)(x + 1) * npix(y)(x)) {
             hash |= 1L << (y * 8 + x)
           }
           x += 1

@@ -168,12 +168,58 @@ object MultimodalQ {
         col("width"), col("height"))
   }
 
-  /** Perceptual image hashes over the synthetic PNG corpus: the dHash
-    * every image-dedup pass keys on. Rows-only (the hash is a function of
-    * DECODED pixels — no SQL engine can decode PNG); determinism,
-    * re-encode invariance, and the near-dup pair search are pinned in
-    * NorthStarSpec. */
-  val qM9ImageDHash = Q.rowsOnly("q_m9_image_dhash") { (s, d) =>
+  /** Perceptual image hashes over the synthetic PNG corpus, HASH-CERTIFIED
+    * end to end: the dHash kernel is exact integer arithmetic (luma×1000
+    * Long sums, cross-multiplied mean comparisons — see
+    * [[Multimodal.imageDHash]]), and PNG is lossless, so the oracle
+    * re-derives every one of the 64 grid comparisons from the closed-form
+    * gradient the generator painted — certifying PNG decode → 9×8
+    * area-mean grid → brighter-than bits → two's-complement assembly in
+    * one chain (bit 63 enters as −2^63, matching the JVM's signed `|=`).
+    * Determinism, re-encode invariance, and the near-dup pair search are
+    * additionally pinned in NorthStarSpec. */
+  val qM9ImageDHash = Q(
+    "q_m9_image_dhash",
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |         CAST(8 + doc_id % 16 AS BIGINT) AS w,
+      |         CAST(8 + doc_id % 12 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 8 = 0),
+      |grid AS (
+      |  SELECT media_id, w, h, cy.cyv AS cy, cx.cxv AS cx,
+      |         (cx.cxv * w) // 9 AS x0,
+      |         greatest((cx.cxv * w) // 9 + 1, ((cx.cxv + 1) * w) // 9)
+      |           AS x1,
+      |         (cy.cyv * h) // 8 AS y0,
+      |         greatest((cy.cyv * h) // 8 + 1, ((cy.cyv + 1) * h) // 8)
+      |           AS y1
+      |  FROM ids,
+      |       generate_series(0, 7) cy(cyv),
+      |       generate_series(0, 8) cx(cxv)),
+      |cells AS (
+      |  SELECT g.media_id, g.cy, g.cx,
+      |         SUM(299 * ((g.media_id * 31 + px.x * 8) % 256)
+      |           + 587 * ((g.media_id * 17 + py.y * 8) % 256)
+      |           + 114 * ((g.media_id + px.x + py.y) % 256)) AS s,
+      |         COUNT(*) AS n
+      |  FROM grid g,
+      |       generate_series(0, 22) px(x),
+      |       generate_series(0, 18) py(y)
+      |  WHERE px.x >= g.x0 AND px.x < least(g.x1, g.w)
+      |    AND py.y >= g.y0 AND py.y < least(g.y1, g.h)
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.media_id,
+      |         CASE WHEN a.cy * 8 + a.cx = 63
+      |              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << CAST(a.cy * 8 + a.cx AS INT))
+      |         END AS bitval
+      |  FROM cells a JOIN cells b
+      |    ON a.media_id = b.media_id AND a.cy = b.cy AND a.cx + 1 = b.cx
+      |  WHERE a.cx < 8 AND a.s * b.n > b.s * a.n)
+      |SELECT i.media_id, CAST(COALESCE(SUM(b.bitval), 0) AS BIGINT) AS dhash
+      |FROM ids i LEFT JOIN bits b ON i.media_id = b.media_id
+      |GROUP BY i.media_id""".stripMargin) { (s, d) =>
     Multimodal.imageDHashes(
       Multimodal.syntheticImages(
         documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id"))
