@@ -551,6 +551,22 @@ object Similarity {
     IvfIndex(n, ivfListRows(n, cents).localCheckpoint(), cents)
   }
 
+  /** Append new vectors to a prebuilt [[IvfIndex]] WITHOUT retraining:
+    * the frozen coarse centroids soft-assign the new rows (narrow map,
+    * no shuffle) and both frames grow by union — the same build-daily /
+    * append-hourly lifecycle as [[ivfPqIndexAppend]]. Centroids drift as
+    * the corpus distribution shifts; rebuild when recall probes
+    * degrade. */
+  def ivfIndexAppend(
+      index: IvfIndex, emb: DataFrame, id: String,
+      vec: String): IvfIndex = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    IvfIndex(
+      index.corpus.unionByName(n2),
+      index.lists.unionByName(ivfListRows(n2, index.centroids)),
+      index.centroids)
+  }
+
   /** Approximate top-k against a prebuilt [[IvfIndex]] — pure query work:
     * probe-list explode map-side, candidates from the list equi-join,
     * per-pair dedup before ranking. */
@@ -642,6 +658,22 @@ object Similarity {
       emb: DataFrame, id: String, vec: String, dim: Int): LshIndex = {
     val n = normed(emb, id, vec).localCheckpoint()
     LshIndex(n, lshBucketRows(n, dim).localCheckpoint(), dim)
+  }
+
+  /** Append new vectors to a prebuilt [[LshIndex]]: the hyperplane
+    * family is a fixed-seed pure function of `dim`, so new rows hash
+    * into the SAME buckets as the original build (narrow map, no
+    * shuffle) and both frames grow by union. Unlike the quantizer-based
+    * indexes there is no trained state to drift — appends never degrade
+    * the banding itself, only the bucket occupancy balance. */
+  def lshIndexAppend(
+      index: LshIndex, emb: DataFrame, id: String,
+      vec: String): LshIndex = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    LshIndex(
+      index.corpus.unionByName(n2),
+      index.buckets.unionByName(lshBucketRows(n2, index.dim)),
+      index.dim)
   }
 
   /** Approximate top-k against a prebuilt [[LshIndex]] — the query-side
@@ -836,6 +868,21 @@ object Similarity {
     val n = normed(emb, id, vec).localCheckpoint()
     val books = pqCodebooks(n, m, k)
     PqIndex(n, pqEncode(n, books).localCheckpoint(), books)
+  }
+
+  /** Append new vectors to a prebuilt [[PqIndex]] WITHOUT retraining:
+    * the frozen codebooks encode the new rows (narrow map, no shuffle)
+    * and both frames grow by union — the [[ivfPqIndexAppend]] lifecycle.
+    * Codebooks drift as the corpus distribution shifts; rebuild when
+    * recall probes degrade. */
+  def pqIndexAppend(
+      index: PqIndex, emb: DataFrame, id: String,
+      vec: String): PqIndex = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    PqIndex(
+      index.corpus.unionByName(n2),
+      index.codes.unionByName(pqEncode(n2, index.codebooks)),
+      index.codebooks)
   }
 
   /** One-shot PQ top-k (codes consumed exactly once → built lazily). */

@@ -83,6 +83,83 @@ class AnnPersistenceSpec extends AnyFunSuite {
       rows(Similarity.ivfPqTopK(grownB, pred, K)))
   }
 
+  /** Appended vectors must be RETRIEVABLE: an external query equal to an
+    * appended corpus vector must surface that vector in its top-k (exact
+    * re-rank puts the cosine-1 self match at the top of the shortlist). */
+  private def assertAppendedRetrievable(
+      topk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      appended: org.apache.spark.sql.DataFrame): Unit = {
+    val probes = appended.filter(col("vec_id") % 101 === 3)
+    val hits = topk(probes)
+      .filter(col("query_id") === col("cand_id"))
+      .select(col("query_id")).collect().map(_.getLong(0)).toSet
+    val want = probes.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "fixture slice is empty")
+    assert(hits == want,
+      s"appended vectors not retrievable: missing ${want -- hits}")
+  }
+
+  test("LSH index: append on a LOADED index composes and retrieves") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.lshIndexBuild(half, "vec_id", "embedding", dim = 64)
+    val dir = tmp("lsh_app")
+    Similarity.lshIndexSave(idx, dir)
+    val loaded = Similarity.lshIndexLoad(spark, dir)
+    val grown = Similarity.lshIndexAppend(loaded, rest, "vec_id", "embedding")
+    val grownB = Similarity.lshIndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.lshTopK(grown, pred, K)) ==
+      rows(Similarity.lshTopK(grownB, pred, K)))
+    assertAppendedRetrievable(
+      q => Similarity.lshTopK(grown, q, "vec_id", "embedding", K), rest)
+  }
+
+  test("IVF index: append on a LOADED index composes and retrieves") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.ivfIndexBuild(half, "vec_id", "embedding")
+    val dir = tmp("ivf_app")
+    Similarity.ivfIndexSave(idx, dir)
+    val loaded = Similarity.ivfIndexLoad(spark, dir)
+    val grown = Similarity.ivfIndexAppend(loaded, rest, "vec_id", "embedding")
+    val grownB = Similarity.ivfIndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.ivfTopK(grown, pred, K)) ==
+      rows(Similarity.ivfTopK(grownB, pred, K)))
+    assertAppendedRetrievable(
+      q => Similarity.ivfTopK(grown, q, "vec_id", "embedding", K), rest)
+  }
+
+  test("PQ index: append on a LOADED index composes and retrieves") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.pqIndexBuild(half, "vec_id", "embedding")
+    val dir = tmp("pq_app")
+    Similarity.pqIndexSave(idx, dir)
+    val loaded = Similarity.pqIndexLoad(spark, dir)
+    val grown = Similarity.pqIndexAppend(loaded, rest, "vec_id", "embedding")
+    val grownB = Similarity.pqIndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.pqTopK(grown, pred, K, Similarity.PqRerank)) ==
+      rows(Similarity.pqTopK(grownB, pred, K, Similarity.PqRerank)))
+    assertAppendedRetrievable(
+      q => Similarity.pqTopK(grown, q, "vec_id", "embedding", K,
+        Similarity.PqRerank), rest)
+  }
+
+  test("IVF-PQ index: appended vectors are retrievable") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val grown = Similarity.ivfPqIndexAppend(
+      Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"),
+      rest, "vec_id", "embedding")
+    assertAppendedRetrievable(
+      q => Similarity.ivfPqTopK(grown, q, "vec_id", "embedding", K,
+        Similarity.PqRerank, Similarity.IvfProbes), rest)
+  }
+
   test("kind/version validation refuses mismatched index dirs") {
     val emb = Tables.embeddings(spark, sf)
     val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
