@@ -445,6 +445,110 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPOSED curation pipeline decomposes exactly and ~linearly at 10x") {
+    // The one 100 TB claim the per-operator probes above cannot carry:
+    // the FULL pipeline (url-dedup → repetition → near-dup → decontam →
+    // screens) composed with mixtureResample + packShards, on a
+    // 10×-replicated sf0.1 corpus. Copies are made pairwise disjoint in
+    // shingles/urls/sources (every non-marker token prefixed; the five
+    // "en" marker words stay so langId/quality verdicts still fire), so
+    // every stage verdict is decided WITHIN a copy and the big run must
+    // decompose exactly: per-stage funnel(big) = Σ_c funnel(copy_c), the
+    // big run's copy-0 row slice ≡ the standalone copy-0 run, packShards
+    // assignments restricted to copy-0 sources ≡ the standalone pack,
+    // and mixture factors are scale-invariant. Cross-copy banding
+    // collisions may create candidates — exact-Jaccard verification
+    // (jaccard 0 across copies) must erase them, which the equality pins.
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val markers = Seq("the", "a", "of", "and", "to")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text", "source")
+    def copyDf(c: Int) = base.select(
+      (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        w => when(w.isin(markers: _*), w)
+          .otherwise(concat(lit(s"c$c"), w)))).as("text"),
+      concat(lit(s"c${c}_"), col("source")).as("source"),
+      // ~10% planted url-duplicates: doc 10k+1 shares doc 10k's page
+      // under a different spelling; hosts carry the copy tag so url
+      // dedup can never collapse across copies
+      concat(lit(s"HTTP://Host$c.Example.COM/page/"),
+        when(col("doc_id") % 10 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")),
+        when(col("doc_id") % 10 === 1, lit("?utm_source=x"))
+          .otherwise(lit(""))).as("url"))
+    val copies = (0 until 10).map(c => copyDf(c).localCheckpoint())
+    val big = copies.reduce(_ unionByName _).localCheckpoint()
+    // probe suite: one slice per copy (its own prefixed text), so each
+    // copy decontaminates against its own probes only
+    val probes = copies.map(
+      _.filter(col("doc_id") % 97 === 3)
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint()
+    val cfg = Curation.Config(urlDedup = Some("url"))
+    def run(docs: org.apache.spark.sql.DataFrame)
+        : (Seq[Long], Array[org.apache.spark.sql.Row], Double) = {
+      val t0 = System.nanoTime()
+      val r = Curation.pipeline(docs, "doc_id", "text", cfg, Some(probes))
+      val rows = r.df.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (r.stageRows.map(_._2) :+ rows.length.toLong, rows, secs)
+    }
+    run(copies.head) // warm
+    val singles = copies.map(run)
+    val (bigFunnel, bigRows, tBig) = run(big)
+    // 1. per-stage funnel decomposes EXACTLY
+    val summed = singles.map(_._1).transpose.map(_.sum)
+    assert(bigFunnel == summed,
+      s"funnel did not decompose: big=$bigFunnel sum-of-copies=$summed")
+    // every stage fired and survivors remain
+    assert(bigFunnel.last > 0, "no survivors — the probe lost its teeth")
+    // the 4 observed stages strictly shrink (every planted screen fired);
+    // the appended final count equals the last observation by definition
+    val stages = bigFunnel.init
+    assert(stages == stages.sorted.reverse && stages.distinct == stages,
+      s"each planted screen should strictly shrink the corpus: $bigFunnel")
+    assert(bigFunnel.last == stages.last)
+    // 2. the big run's copy-0 slice is ROW-IDENTICAL to the solo run
+    val slice0 = bigRows.filter(_.getLong(0) < 1000000L).map(_.toString).toSet
+    assert(slice0 == singles.head._2.map(_.toString).toSet,
+      "copy-0 rows differ between the solo run and the 10x run")
+    // 3. packShards on the curated output decomposes per source
+    val withSrc = (rows: Array[org.apache.spark.sql.Row],
+        src: org.apache.spark.sql.DataFrame) =>
+      rows.map(r => (r.getLong(0), r.getString(4))).toSeq
+        .toDF("doc_id", "clean_text")
+        .join(src.select("doc_id", "source"), Seq("doc_id"))
+    def packKey(df: org.apache.spark.sql.DataFrame): Set[String] =
+      TextAnalysis.packShards(df, "doc_id", "clean_text", "source",
+        budgetTokens = 2000L).collect().map(_.toString).toSet
+    val packBig = packKey(withSrc(bigRows, big))
+    val packSolo = packKey(withSrc(singles.head._2, copies.head))
+    assert(packBig.filter(_.contains("c0_")) == packSolo,
+      "copy-0 shard assignment differs between the solo and 10x pack")
+    // 4. mixture factors are scale-invariant (same factor per source at
+    // 1x and 10x when the share map scales with the corpus)
+    def factors(docs: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val srcs = docs.select("source").distinct().as[String].collect()
+      TextAnalysis.mixtureResample(docs, "doc_id", "text", "source",
+          srcs.map(_ -> 1.0 / srcs.length).toMap, totalMultiple = 0.5)
+        .select("source", "factor").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val fBig = factors(big)
+    factors(copies.head).foreach { case (s, f) =>
+      assert(math.abs(fBig(s) - f) <= math.abs(f) * 1e-9,
+        s"factor for $s drifted at 10x: ${fBig(s)} vs $f")
+    }
+    // 5. wall-clock stays in the linear band (same conservative guard as
+    // the single-operator probes; shared-box variance is real)
+    val tSolo = singles.map(_._3).min
+    println(f"composed pipeline solo: $tSolo%.2f s, 10x: $tBig%.2f s, " +
+      f"ratio ${tBig / tSolo}%.1f")
+    assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
