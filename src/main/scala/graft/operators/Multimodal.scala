@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * (dimensions / duration) plus a deterministic feature vector reduced
   * from the decoded samples. [[AviCodec]] adds a fully offline COMPRESSED
   * video path (RIFF walk + per-frame MJPEG decode); [[FlacCodec]] the
-  * same for compressed audio. [[StubDecoder]] remains only for payloads
-  * no codec recognizes (asMediaTable stages text bytes as fake payloads);
-  * inter-frame-predicted video (mp4/webm) would slot in behind the same
-  * entry points via FFmpeg/JNI. Either way decode stays a narrow map over
-  * partitions: swapping a production codec in changes no plan shape.
+  * same for compressed audio. Inter-frame-predicted video (MP4/WebM)
+  * plugs in through the [[SampleDecoder]] seam: the offline container
+  * walkers provide the sample timeline and byte ranges, a registered
+  * decoder (ServiceLoader jar or programmatic — FFmpeg/JNI in
+  * production, [[SampleDecoders.MjpegAvi]] real today) provides the
+  * frames, and the stub is reachable only when nothing claims the
+  * container. [[StubDecoder]] remains only for payloads no codec
+  * recognizes (asMediaTable stages text bytes as fake payloads). Either
+  * way decode stays a narrow map over partitions: swapping a production
+  * codec in changes no plan shape (SampleDecoderSpec pins this).
   */
 object Multimodal {
 
@@ -553,17 +558,70 @@ object Multimodal {
       .toDF("media_id", "rms", "peak", "silence_ratio", "zero_crossings")
   }
 
+  /** Container-agnostic sample byte ranges for the [[SampleDecoder]]
+    * seam: the REAL offline walkers (RIFF `movi`, MP4 `stbl`, Matroska
+    * Clusters — the q_m22/q_m23/q_m24 machinery) produce one
+    * [[SampleRef]] per sample. None when no walker recognizes the
+    * payload. */
+  def containerSampleRefs(
+      bytes: Array[Byte]): Option[(String, Seq[SampleRef])] =
+    AviCodec.parseMeta(bytes) match {
+      case Some(m) =>
+        val cks = AviCodec.frameChunks(bytes, m)
+        if (cks.isEmpty) None
+        else Some(("avi", cks.toSeq.zipWithIndex.map { case ((st, ln), i) =>
+          SampleRef(i, st.toLong, ln.toLong,
+            i.toLong * m.usPerFrame / 1000L, keyframe = true)
+        }))
+      case None =>
+        Mp4Samples.sampleTable(bytes).filter(_.nonEmpty).map { ss =>
+          ("mp4", ss.map(s =>
+            SampleRef(s.idx, s.offset, s.size, s.dtsMs, s.keyframe)))
+        }.orElse(WebmBlocks.blockTable(bytes).filter(_.nonEmpty).map { bs =>
+          ("webm", bs.map(b =>
+            SampleRef(b.idx, b.offset, b.size, b.tsMs, b.keyframe)))
+        })
+    }
+
+  /** Frames through the [[SampleDecoder]] seam: walk the container's
+    * sample table, hand each byte range to the first claiming decoder.
+    * Empty when no walker recognizes the payload OR no decoder claims the
+    * container (the callers then fall back to their labeled stubs). */
+  private def spiFrames(bytes: Array[Byte], decoders: Seq[SampleDecoder])
+      : Iterator[(SampleRef, java.awt.image.BufferedImage)] =
+    containerSampleRefs(bytes) match {
+      case Some((container, refs)) =>
+        SampleDecoders.forContainer(container, decoders) match {
+          case Some(d) =>
+            refs.iterator.flatMap(r => d.decodeSample(bytes, r).map(r -> _))
+          case None => Iterator.empty
+        }
+      case None => Iterator.empty
+    }
+
   /** 64-bit video fingerprint: the perceptual dHash of the FIRST decoded
     * frame (Y4M path), read straight off the YUV→RGB decode — no PNG
     * encode+decode in the loop. Re-muxed or re-described copies of the
     * same footage share it; trailing-frame edits do not move it (a
     * content-level fingerprint over every sampled frame is the multi-frame
-    * extension, same machinery per frame). */
+    * extension, same machinery per frame). Compressed containers
+    * (AVI/MP4/WebM) take the [[SampleDecoder]] seam: the first decodable
+    * sample's frame is hashed — real today for MJPEG-AVI via
+    * [[SampleDecoders.MjpegAvi]], and for MP4/WebM whenever a decoder
+    * claiming them is registered. */
   def videoDHash(bytes: Array[Byte]): Option[Long] =
-    VideoCodec.parseHeader(bytes).flatMap { m =>
-      val it = VideoCodec.frameDataOffsets(bytes, m)
-      if (!it.hasNext) None
-      else dHashOfImage(VideoCodec.frameImageAtOffset(bytes, m, it.next()))
+    videoDHash(bytes, SampleDecoders.snapshot())
+
+  def videoDHash(
+      bytes: Array[Byte], decoders: Seq[SampleDecoder]): Option[Long] =
+    VideoCodec.parseHeader(bytes) match {
+      case Some(m) =>
+        val it = VideoCodec.frameDataOffsets(bytes, m)
+        if (!it.hasNext) None
+        else dHashOfImage(VideoCodec.frameImageAtOffset(bytes, m, it.next()))
+      case None =>
+        val fr = spiFrames(bytes, decoders)
+        if (fr.hasNext) dHashOfImage(fr.next()._2) else None
     }
 
   /** Temporal majority-vote video fingerprint — the whole-clip twin of
@@ -580,47 +638,65 @@ object Multimodal {
     * twins; the spec measures the first-frame hash moving where this
     * one cannot. */
   def videoTemporalDHash(bytes: Array[Byte]): Option[Long] =
-    VideoCodec.parseHeader(bytes).flatMap { m =>
-      val it = VideoCodec.frameDataOffsets(bytes, m)
-      val counts = new Array[Int](64)
-      var n = 0
-      while (it.hasNext) {
-        dHashOfImage(
-          VideoCodec.frameImageAtOffset(bytes, m, it.next())).foreach { h =>
-          var b = 0
-          while (b < 64) {
-            if (((h >> b) & 1L) == 1L) counts(b) += 1
-            b += 1
-          }
-          n += 1
-        }
-      }
-      if (n == 0) None
-      else {
-        var fp = 0L
-        var b = 0
-        while (b < 64) {
-          if (2 * counts(b) > n) fp |= 1L << b
-          b += 1
-        }
-        Some(fp)
-      }
+    videoTemporalDHash(bytes, SampleDecoders.snapshot())
+
+  /** Decoder-seam overload: Y4M frames come straight off the raw decode;
+    * compressed containers (AVI/MP4/WebM) vote over the frames a
+    * registered [[SampleDecoder]] provides — same per-frame machinery,
+    * same majority vote, unchanged plan. */
+  def videoTemporalDHash(
+      bytes: Array[Byte], decoders: Seq[SampleDecoder]): Option[Long] = {
+    val hashes: Iterator[Long] = VideoCodec.parseHeader(bytes) match {
+      case Some(m) =>
+        VideoCodec.frameDataOffsets(bytes, m).flatMap(off =>
+          dHashOfImage(VideoCodec.frameImageAtOffset(bytes, m, off)))
+      case None => spiFrames(bytes, decoders).flatMap(f => dHashOfImage(f._2))
     }
+    majorityVote64(hashes)
+  }
+
+  /** Strict per-bit majority over 64-bit hashes — order-invariant by
+    * construction (the vote sees only the multiset). None on no input. */
+  private def majorityVote64(hashes: Iterator[Long]): Option[Long] = {
+    val counts = new Array[Int](64)
+    var n = 0
+    hashes.foreach { h =>
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      n += 1
+    }
+    if (n == 0) None
+    else {
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * counts(b) > n) fp |= 1L << b
+        b += 1
+      }
+      Some(fp)
+    }
+  }
 
   /** [[videoTemporalDHash]] over a media table (undecodable payloads
-    * drop).
+    * drop). The decoder snapshot is captured HERE on the driver and
+    * shipped in the closure, so programmatic registrations reach
+    * executors on a real cluster.
     *
     * @return media_id, temporal_hash */
   def videoTemporalDHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val decoders = SampleDecoders.snapshot()
     media
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (mid, bytes) =>
-          videoTemporalDHash(bytes).map(h => (mid, h))
+          videoTemporalDHash(bytes, decoders).map(h => (mid, h))
         }
       }
       .toDF("media_id", "temporal_hash")
@@ -1983,17 +2059,24 @@ object Multimodal {
     * cardinality) comes from [[VideoCodec]]'s header+frame-count probe, and
     * each emitted frame is the ACTUAL decoded frame nearest the sampled
     * timestamp, YUV→RGB-converted and PNG-encoded — so sampled frames feed
-    * straight into [[ImageCodec]]/[[resizeImages]]. Payloads no codec
-    * recognizes fall back to the labeled stub (hash-derived duration,
-    * synthesized 8×8 PNG); a production FFmpeg/JNI codec would replace only
-    * that fallback. Either way the operator is a narrow flatMap-shaped
-    * mapPartitions — no shuffle; at 100 TB it pipelines inside the scan. */
+    * straight into [[ImageCodec]]/[[resizeImages]]. Compressed containers
+    * go through the [[SampleDecoder]] seam: the container walker's sample
+    * table provides the timeline and byte ranges, the first claiming
+    * decoder in the captured snapshot provides the frames (MJPEG-AVI real
+    * today via [[SampleDecoders.MjpegAvi]]; MP4/WebM whenever an impl is
+    * registered). The labeled stub (hash-derived duration, synthesized
+    * 8×8 PNG) is reachable ONLY when no walker recognizes the payload or
+    * no registered decoder claims its container. Either way the operator
+    * is a narrow flatMap-shaped mapPartitions — no shuffle; at 100 TB it
+    * pipelines inside the scan. */
   def sampleFrames(
       media: DataFrame, everyMs: Long,
       maxFramesPerMedia: Int = 32): Dataset[SampledFrame] = {
     require(everyMs > 0, s"everyMs must be positive: $everyMs")
     val spark = media.sparkSession
     import spark.implicits._
+    // captured on the DRIVER: programmatic registrations reach executors
+    val decoders = SampleDecoders.snapshot()
     media
       .filter(col("kind") === "video")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -2018,37 +2101,41 @@ object Multimodal {
                   VideoCodec.frameAtOffset(bytes, meta, offs(idx)))
               }
             case _ =>
-              // MJPEG-AVI: real frames at the container cadence
-              val avi = AviCodec.parseMeta(bytes).map { m =>
-                (m, AviCodec.frameChunks(bytes, m))
-              }.filter(_._2.nonEmpty)
-              avi match {
-                case Some((m, cks)) =>
-                  val durMs = cks.length.toLong * m.usPerFrame / 1000L
-                  val n = math.min(maxFramesPerMedia.toLong,
-                    durMs / everyMs + 1).toInt
-                  (0 until n).iterator.flatMap { i =>
-                    val ts = i * everyMs
-                    val idx = math.min(cks.length - 1L,
-                      ts * 1000L / m.usPerFrame).toInt
-                    AviCodec.frameImage(bytes, cks(idx)).map { img =>
-                      val bos = new java.io.ByteArrayOutputStream()
-                      javax.imageio.ImageIO.write(img, "png", bos)
-                      SampledFrame(mediaId, i, ts, bos.toByteArray)
-                    }
+              // compressed container: sample table from the real walker,
+              // frames from the first claiming SampleDecoder
+              val viaSeam = containerSampleRefs(bytes)
+                .flatMap { case (container, refs) =>
+                  SampleDecoders.forContainer(container, decoders).map {
+                    dec =>
+                      val durMs = refs.map(_.tsMs).max
+                      val n = math.min(maxFramesPerMedia.toLong,
+                        durMs / everyMs + 1).toInt
+                      (0 until n).iterator.flatMap { i =>
+                        val ts = i * everyMs
+                        // nearest-preceding sample at ts on the container
+                        // timeline (clamped to the first sample)
+                        val ref = refs.takeWhile(_.tsMs <= ts)
+                          .lastOption.getOrElse(refs.head)
+                        dec.decodeSample(bytes, ref).map { img =>
+                          val bos = new java.io.ByteArrayOutputStream()
+                          javax.imageio.ImageIO.write(img, "png", bos)
+                          SampledFrame(mediaId, i, ts, bos.toByteArray)
+                        }
+                      }
                   }
-                case None =>
-                  // stub fallback: hash-derived duration, synth frames
-                  val (_, _, durMs, _) =
-                    StubDecoder.decode(kind, bytes, 1)
-                  val n = math.min(maxFramesPerMedia.toLong,
-                    durMs / everyMs + 1).toInt
-                  val seed =
-                    mediaId * 0x9E3779B97F4A7C15L ^ bytes.length
-                  (0 until n).iterator.map { i =>
-                    val ts = i * everyMs
-                    SampledFrame(mediaId, i, ts, stubFramePng(seed, ts))
-                  }
+                }
+              viaSeam.getOrElse {
+                // stub fallback — reachable only with no claiming decoder
+                val (_, _, durMs, _) =
+                  StubDecoder.decode(kind, bytes, 1)
+                val n = math.min(maxFramesPerMedia.toLong,
+                  durMs / everyMs + 1).toInt
+                val seed =
+                  mediaId * 0x9E3779B97F4A7C15L ^ bytes.length
+                (0 until n).iterator.map { i =>
+                  val ts = i * everyMs
+                  SampledFrame(mediaId, i, ts, stubFramePng(seed, ts))
+                }
               }
           }
         }
