@@ -780,13 +780,47 @@ object Streams {
       .drop("__graft_rn")
       .write.mode("overwrite")
       .parquet(f"$stateDir/v$next%05d")
-    // prune everything older than the version we just superseded — the
-    // previous one stays as the crash-recovery fallback
+    pruneStateVersions(spark, stateDir)
+  }
+
+  /** Keep only the latest committed state version plus its predecessor
+    * (the crash-recovery fallback); delete everything older. */
+  private def pruneStateVersions(
+      spark: SparkSession, stateDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     stateVersions(spark, stateDir).dropRight(2).foreach { case (_, p) =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
     }
+  }
+
+  /** Maintenance step for [[upsertSink]]'s versioned state: rewrite the
+    * CURRENT state version into ⌈rows / targetRecordsPerFile⌉ files via
+    * [[graft.operators.Layout.compact]], committed as the NEXT state
+    * version under the same `_SUCCESS` protocol — so readers and further
+    * [[upsertBatch]] merges are oblivious to the compaction (identical
+    * rows, fewer files), a crash mid-compaction leaves the previous
+    * version fully readable, and the normal two-version prune applies.
+    * Run it between micro-batches (the sink's foreachBatch serializes
+    * merges, so schedule compaction when the query is idle or stopped).
+    * Returns the compacted file count.
+    *
+    * Why it matters at scale: each merge rewrites full state with the
+    * session's shuffle parallelism, so a long-running sink accumulates
+    * per-version file counts sized by the CLUSTER, not the data — the
+    * classic small-file drift every table format compacts away.
+    * UpsertCompactionSpec pins `readUpsertState` equality across the
+    * compaction and that merges compose on the compacted state. */
+  def compactUpsertState(
+      spark: SparkSession, stateDir: String,
+      targetRecordsPerFile: Long): Long = {
+    val (v, path) = latestStateVersion(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed upsert state under $stateDir"))
+    val files = graft.operators.Layout.compact(
+      spark, path, f"$stateDir/v${v + 1}%05d", targetRecordsPerFile)
+    pruneStateVersions(spark, stateDir)
+    files
   }
 
   /** Read the current upsert state ([[upsertSink]]'s output contract). */
