@@ -14,14 +14,18 @@ import graft.queries.Q
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] =
-    graft.queries.Core.all ++
-      graft.queries.Extras.all ++
-      graft.queries.Events.all ++
-      graft.queries.Text.all ++
-      graft.queries.DedupQ.all ++
-      graft.queries.SimilarityQ.all ++
-      graft.queries.MultimodalQ.all
+  /** (defining file, queries) per registry module — [[graft.Docs]]'s
+    * source of truth, so the README appendix cannot drift from the code. */
+  private[graft] def registryModules: Seq[(String, Seq[Q])] = Seq(
+    "queries/Core.scala" -> graft.queries.Core.all,
+    "queries/Extras.scala" -> graft.queries.Extras.all,
+    "queries/Events.scala" -> graft.queries.Events.all,
+    "queries/Text.scala" -> graft.queries.Text.all,
+    "queries/DedupQ.scala" -> graft.queries.DedupQ.all,
+    "queries/SimilarityQ.scala" -> graft.queries.SimilarityQ.all,
+    "queries/MultimodalQ.scala" -> graft.queries.MultimodalQ.all)
+
+  private def registry: Seq[Q] = registryModules.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY.md §2.4). */
