@@ -1412,6 +1412,40 @@ object Multimodal {
       if (frames >= 2) Some((sr, frames, frames * 1152L * 1000L / sr))
       else None
     }
+
+    /** The MP3 twin of [[Mp4Samples.sampleTable]]/[[WebmBlocks.blockTable]]:
+      * one [[SampleRef]] per validated frame — absolute byte range and the
+      * 1152-samples-per-frame clock. `keyframe` is true on every frame
+      * (MPEG audio frames are container-independent; the bit-reservoir
+      * back-reference is the DECODER's concern, which is why the audio
+      * seam hands a decoder the whole ref sequence in order). Returns
+      * (sampleRate, channels, refs); None under the same ≥2-consecutive-
+      * frames rule as [[probe]]. */
+    def frameTable(
+        bytes: Array[Byte]): Option[(Int, Int, Seq[SampleRef])] = {
+      var start = 0
+      while (start + 4 <= bytes.length && frameLen(bytes, start) < 0)
+        start += 1
+      if (start + 4 > bytes.length) return None
+      val sr = SampleRates((bytes(start + 2) >> 2) & 0x3)
+      // channel mode bits 6-7 of byte 3: 3 = single channel
+      val channels = if (((bytes(start + 3) >> 6) & 0x3) == 3) 1 else 2
+      val out = Seq.newBuilder[SampleRef]
+      var o = start
+      var f = 0
+      var done = false
+      while (!done && o + 4 <= bytes.length) {
+        val len = frameLen(bytes, o)
+        if (len < 0) done = true
+        else {
+          out += SampleRef(f, o.toLong, len.toLong,
+            f.toLong * 1152L * 1000L / sr, keyframe = true)
+          f += 1
+          o += len
+        }
+      }
+      if (f >= 2) Some((sr, channels, out.result())) else None
+    }
   }
 
   /** REAL WebM/Matroska (EBML) metadata probe — varint-framed element
@@ -1616,6 +1650,33 @@ object Multimodal {
       .toDF("media_id", "block_idx", "offset", "size", "ts_ms", "keyframe")
   }
 
+  /** [[Mp3Probe.frameTable]] as a narrow operator — the MP3 twin of
+    * [[mp4SampleTable]]/[[webmBlockTable]]: one row per validated frame
+    * with its absolute byte range, the 1152-samples-per-frame clock, and
+    * the stream's (sample_rate, channels). These are exactly the ranges
+    * the [[AudioSampleDecoder]] seam consumes; q_m30 certifies the whole
+    * table in closed form over the synthetic corpus. Non-MP3 payloads
+    * emit nothing.
+    *
+    * @return media_id, frame_idx, offset, size, ts_ms, sample_rate,
+    *         channels */
+  def mp3FrameTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          Mp3Probe.frameTable(bytes).toSeq.flatMap { case (sr, ch, refs) =>
+            refs.map(r => (mid, r.idx, r.offset, r.size, r.tsMs, sr, ch))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset", "size", "ts_ms",
+        "sample_rate", "channels")
+  }
+
   /** (media_id, sample_rate, n_frames, duration_ms) for every payload the
     * [[Mp3Probe]] frame walk recognizes — same narrow-map shape as every
     * decode. */
@@ -1651,6 +1712,39 @@ object Multimodal {
       .toDF("media_id", "sample_rate", "channels", "duration_ms")
   }
 
+  /** Compressed-audio frame refs for the [[AudioSampleDecoder]] seam:
+    * (container, sampleRate, channels, refs). MP3 today; more as frame
+    * walkers land. FLAC deliberately absent — it decodes fully offline
+    * through [[FlacCodec]] before the seam is consulted. */
+  def audioFrameRefs(
+      bytes: Array[Byte]): Option[(String, Int, Int, Seq[SampleRef])] =
+    Mp3Probe.frameTable(bytes).map { case (sr, ch, refs) =>
+      ("mp3", sr, ch, refs)
+    }
+
+  /** Audio through the decoder seam: frame ranges from the container
+    * walk, PCM from the first claiming [[AudioSampleDecoder]], features
+    * from the SAME band/RMS reduction every other decoded-audio source
+    * uses — so a plugged-in MP3 codec yields features arithmetic-
+    * identical to what the offline FLAC path would produce for the same
+    * samples, and the REAL duration comes from the decoded sample count.
+    * None when nothing claims the container (callers then fall back to
+    * their labeled stub). */
+  private def audioSeamDecode(
+      bytes: Array[Byte], featureDim: Int,
+      decoders: Seq[AudioSampleDecoder])
+      : Option[(Int, Int, Long, Array[Float])] =
+    audioFrameRefs(bytes).flatMap { case (container, sr, ch, refs) =>
+      AudioSampleDecoders.forContainer(container, decoders).flatMap { dec =>
+        val out = Array.newBuilder[Short]
+        refs.foreach(r => dec.decodeFrame(bytes, r).foreach(out ++= _))
+        val ss = out.result()
+        AudioCodec.pcmFeatures(sr, ch, ss, featureDim).map {
+          case (durMs, feats) => (0, 0, durMs, feats)
+        }
+      }
+    }
+
   /** Partition-parallel decode + feature extraction. Narrow map — no
     * shuffle; at 100 TB this pipelines inside the scan stage with one
     * decoder instantiation per partition (the `it => ...` closure), not per
@@ -1659,6 +1753,8 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // captured on the DRIVER: programmatic registrations reach executors
+    val audioDecoders = AudioSampleDecoders.snapshot()
     media
       // decode is per-row heavy: spread a compact source across all cores
       .repartition(spark.sparkContext.defaultParallelism)
@@ -1676,11 +1772,16 @@ object Multimodal {
               AudioCodec.decode(bytes, featureDim).map { case (d, f) =>
                 (0, 0, d, f)
               }.orElse(
+                // the AudioSampleDecoder seam: MP3 frame ranges + a
+                // registered codec → real PCM features (nothing claims
+                // the container → fall through to the labeled stub)
+                audioSeamDecode(bytes, featureDim, audioDecoders)
+              ).orElse(
                 // AudioCodec already tried the FLAC sample decode
                 // (CONSTANT/VERBATIM subframes). What lands here: Rice-
-                // coded FLAC and MP3 — REAL duration from STREAMINFO /
-                // the frame walk, features the labeled stub (residual
-                // synthesis needs a native codec)
+                // coded FLAC and unclaimed MP3 — REAL duration from
+                // STREAMINFO / the frame walk, features the labeled stub
+                // (residual synthesis needs a native codec)
                 FlacProbe.probe(bytes).map(_._3)
                   .orElse(Mp3Probe.probe(bytes).map(_._3))
                   .map { d =>
@@ -1727,6 +1828,36 @@ object Multimodal {
     * and falls back to the labeled stub. */
   object AudioCodec {
 
+    /** (durationMs, time-band RMS features) from interleaved 16-bit PCM —
+      * the one reduction every decoded-audio source shares (javax.sound
+      * PCM, offline FLAC, and seam-decoded frames all land here, so
+      * features are arithmetic-identical regardless of the codec). */
+    private[operators] def pcmFeatures(
+        sr: Int, channels: Int, ss: Array[Short],
+        featureDim: Int): Option[(Long, Array[Float])] = {
+      val frames = ss.length.toLong / channels
+      if (frames == 0) None
+      else {
+        val durationMs = frames * 1000L / sr
+        val sums = new Array[Double](featureDim)
+        val counts = new Array[Long](featureDim)
+        var i = 0
+        while (i < ss.length) {
+          val s = ss(i)
+          val band = math.min(featureDim - 1,
+            ((i / channels).toLong * featureDim / frames).toInt)
+          sums(band) += s.toDouble * s.toDouble
+          counts(band) += 1
+          i += 1
+        }
+        val feats = Array.tabulate(featureDim) { b =>
+          if (counts(b) == 0) 0f
+          else (math.sqrt(sums(b) / counts(b)) / 32768.0).toFloat
+        }
+        Some((durationMs, feats))
+      }
+    }
+
     /** None when the payload is not a recognizable 16-bit PCM audio file. */
     def decode(bytes: Array[Byte], featureDim: Int)
         : Option[(Long, Array[Float])] = {
@@ -1738,29 +1869,7 @@ object Multimodal {
           case scala.util.control.NonFatal(_) => null
         }
       if (ais == null) FlacCodec.decodeSamples(bytes).flatMap {
-        case (sr, channels, ss) =>
-          // same band/RMS arithmetic as the javax.sound branch below
-          val frames = ss.length.toLong / channels
-          if (frames == 0) None
-          else {
-            val durationMs = frames * 1000L / sr
-            val sums = new Array[Double](featureDim)
-            val counts = new Array[Long](featureDim)
-            var i = 0
-            while (i < ss.length) {
-              val s = ss(i)
-              val band = math.min(featureDim - 1,
-                ((i / channels).toLong * featureDim / frames).toInt)
-              sums(band) += s.toDouble * s.toDouble
-              counts(band) += 1
-              i += 1
-            }
-            val feats = Array.tabulate(featureDim) { b =>
-              if (counts(b) == 0) 0f
-              else (math.sqrt(sums(b) / counts(b)) / 32768.0).toFloat
-            }
-            Some((durationMs, feats))
-          }
+        case (sr, channels, ss) => pcmFeatures(sr, channels, ss, featureDim)
       }
       else {
         try {

@@ -99,3 +99,56 @@ object SampleDecoders {
       container: String, decoders: Seq[SampleDecoder]): Option[SampleDecoder] =
     decoders.find(_.claims(container))
 }
+
+/** The AUDIO half of the decoder seam: a compressed-audio frame walk
+  * ([[Multimodal.Mp3Probe.frameTable]] today) provides byte ranges, an
+  * implementation turns one frame range into interleaved 16-bit PCM.
+  * Refs arrive in file order with no gaps, so bit-reservoir codecs (MP3)
+  * can keep whatever rolling state they need across calls on one
+  * payload — a fresh payload always starts at ref.idx == 0.
+  *
+  * Same lifecycle as [[SampleDecoder]]: serializable, captured on the
+  * driver, programmatic or ServiceLoader registration; the labeled stub
+  * serves only containers no registered decoder claims. */
+trait AudioSampleDecoder extends Serializable {
+
+  /** Container families claimed, lowercase: "mp3" (more as walkers
+    * land). */
+  def claims(container: String): Boolean
+
+  /** Decode the frame at `[ref.offset, ref.offset + ref.size)` of
+    * `payload` into interleaved 16-bit PCM samples; None when the frame
+    * is not decodable. */
+  def decodeFrame(payload: Array[Byte], ref: SampleRef): Option[Array[Short]]
+}
+
+/** Registry for [[AudioSampleDecoder]] — the audio mirror of
+  * [[SampleDecoders]]. No built-in implementation yet: MP3 Huffman
+  * synthesis needs a native codec, which is exactly what this seam
+  * exists to plug in (FLAC decodes fully offline through
+  * [[Multimodal.FlacCodec]] already, before the seam is consulted). */
+object AudioSampleDecoders {
+
+  @volatile private var programmatic: List[AudioSampleDecoder] = Nil
+
+  def register(d: AudioSampleDecoder): Unit = synchronized {
+    programmatic = d :: programmatic
+  }
+
+  def unregister(d: AudioSampleDecoder): Unit = synchronized {
+    programmatic = programmatic.filterNot(_ eq d)
+  }
+
+  private lazy val serviceLoaded: List[AudioSampleDecoder] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[AudioSampleDecoder])
+        .iterator().asScala.toList
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  def snapshot(): Seq[AudioSampleDecoder] = programmatic ++ serviceLoaded
+
+  def forContainer(container: String,
+      decoders: Seq[AudioSampleDecoder]): Option[AudioSampleDecoder] =
+    decoders.find(_.claims(container))
+}

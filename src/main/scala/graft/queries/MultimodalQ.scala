@@ -837,6 +837,32 @@ object MultimodalQ {
       maxHamming = 0)
   }
 
+  /** MP3 frame table, hash-certified — the audio leg of the sample-table
+    * trio (q_m23 MP4, q_m24 WebM): the synthetic CBR corpus fixes every
+    * frame's offset (`i·(144·128000//sr)`), size, and 1152-sample clock
+    * in closed form, certifying sync validation, header sizing, and the
+    * frame walk end to end. These rows are exactly what the
+    * [[graft.operators.AudioSampleDecoder]] seam consumes. */
+  val qM30Mp3Frames = Q(
+    "q_m30_mp3_frames",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                       ELSE 32000 END AS sr,
+      |                  20 + doc_id % 40 AS frames
+      |           FROM documents WHERE doc_id % 8 = 5)
+      |SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+      |       CAST(u.i * (144 * 128000 // sr) AS BIGINT) AS "offset",
+      |       CAST(144 * 128000 // sr AS BIGINT) AS size,
+      |       CAST(u.i * 1152 * 1000 // sr AS BIGINT) AS ts_ms,
+      |       CAST(sr AS INT) AS sample_rate,
+      |       CAST(2 AS INT) AS channels
+      |FROM t, unnest(generate_series(0, CAST(frames - 1 AS BIGINT)))
+      |       AS u(i)""".stripMargin) { (s, d) =>
+    Multimodal.mp3FrameTable(
+      Multimodal.syntheticMp3s(
+        documents(s, d).filter(col("doc_id") % 8 === 5), "doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qM1BinaryMeta, qM2Features, qM3ImageDecode, qM4ImageResize,
       qM5FrameSample, qM6AudioDecode, qM7VideoDecode, qM8VideoFrames,
@@ -845,5 +871,5 @@ object MultimodalQ {
       qM17AudioStats, qM18SceneChanges, qM19GifFrames, qM20FlacDecode,
       qM21FlacLpc, qM22AviFrames, qM23Mp4Samples, qM24WebmBlocks,
       qM25AudioSpectral, qM26AudioNearDup, qM27AudioProfile,
-      qM28ImageMirrorDedup, qM29VideoReorderDedup)
+      qM28ImageMirrorDedup, qM29VideoReorderDedup, qM30Mp3Frames)
 }

@@ -48,6 +48,18 @@ class ServiceLoadedDecoder extends SampleDecoder {
       : Option[java.awt.image.BufferedImage] = None
 }
 
+/** Fake MP3 codec for the AUDIO seam: constant PCM per media (value
+  * derived from the first frame header byte), so expected band-RMS
+  * features are exact in closed form. */
+class FakeMp3Decoder extends graft.operators.AudioSampleDecoder {
+  override def claims(container: String): Boolean = container == "mp3"
+  override def decodeFrame(payload: Array[Byte], ref: SampleRef)
+      : Option[Array[Short]] = {
+    val v = (500 + 100 * (payload(ref.offset.toInt + 2) & 0x0f)).toShort
+    Some(Array.fill(1152 * 2)(v)) // stereo interleaved, constant value
+  }
+}
+
 /** The compressed-sample decoder seam: fake decoders slot into the
   * existing frame/fingerprint paths with unchanged plans; the labeled
   * stub is reachable only when no registered decoder claims the
@@ -173,6 +185,62 @@ class SampleDecoderSpec extends AnyFunSuite {
     assert(svc.nonEmpty,
       "META-INF/services entry should register ServiceLoadedDecoder")
     assert(svc.head.getClass.getSimpleName == "ServiceLoadedDecoder")
+  }
+
+  test("audio seam: a registered MP3 codec lights up real PCM features") {
+    import spark.implicits._
+    import graft.operators.AudioSampleDecoders
+    val mp3s = Multimodal.syntheticMp3s(
+      Seq(5L, 13L, 21L).toDF("doc_id"), "doc_id")
+    val payloads = mp3s.select("media_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def features() = Multimodal.extractFeatures(mp3s).collect()
+      .map(f => f.media_id -> f).toMap
+    // without a claiming codec: REAL duration from the frame walk, stub
+    // features (MP3 Huffman synthesis needs a codec)
+    val before = features()
+    payloads.foreach { case (mid, bytes) =>
+      val sr = Array(44100, 48000, 32000)((mid % 3).toInt)
+      val frames = 20 + (mid % 40).toInt
+      assert(before(mid).duration_ms == frames * 1152L * 1000L / sr)
+      val stub = Multimodal.StubDecoder.decode("audio", bytes, 8)._4
+      assert(before(mid).features.sameElements(stub),
+        s"media $mid should carry stub features while nothing claims mp3")
+    }
+    val dec = new FakeMp3Decoder
+    AudioSampleDecoders.register(dec)
+    try {
+      val after = features()
+      payloads.foreach { case (mid, bytes) =>
+        val sr = Array(44100, 48000, 32000)((mid % 3).toInt)
+        val frames = 20 + (mid % 40).toInt
+        // duration now comes from the DECODED sample count (equal here)
+        assert(after(mid).duration_ms == frames * 1152L * 1000L / sr)
+        // constant PCM value v ⇒ every band's RMS is exactly v/32768
+        val v = 500 + 100 * (bytes(2) & 0x0f)
+        val want = (v / 32768.0).toFloat
+        assert(after(mid).features.forall(_ == want),
+          s"media $mid: expected all bands $want, got " +
+            after(mid).features.toSeq)
+      }
+    } finally AudioSampleDecoders.unregister(dec)
+    // seam closed: stub features return
+    val reset = features()
+    payloads.foreach { case (mid, bytes) =>
+      assert(reset(mid).features.sameElements(
+        Multimodal.StubDecoder.decode("audio", bytes, 8)._4))
+    }
+  }
+
+  test("mp3FrameTable is a zero-shuffle narrow map") {
+    import spark.implicits._
+    val mp3s = Multimodal.syntheticMp3s(
+      Tables.documents(spark, GraftSpark.sf)
+        .filter(col("doc_id") % 64 === 5), "doc_id")
+    val df = Multimodal.mp3FrameTable(mp3s)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the frame walk must stay a narrow map")
+    assert(df.count() > 0)
   }
 
   test("webm blocks route through the seam too") {
