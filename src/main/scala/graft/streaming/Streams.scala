@@ -730,6 +730,54 @@ object Streams {
         })
   }
 
+  /** One micro-batch of the streaming ANN screen: probe the prebuilt
+    * IVF-PQ index through the fully distributed
+    * [[graft.operators.Similarity.ivfPqTopKJoin]] (query side never
+    * collected) and write this batch's top-k matches to a
+    * `batch=NNNNNN` partition directory with overwrite — so a
+    * checkpoint-replayed batch rewrites its own directory instead of
+    * appending duplicates (the exactly-once recipe the upsert sink's
+    * versioning serves for keyed state, specialized to append-only
+    * results). Also directly usable for batch incremental loads. */
+  def annScreenBatch(
+      index: graft.operators.Similarity.IvfPqIndex, batch: DataFrame,
+      id: String, vec: String, k: Int, outDir: String, batchId: Long,
+      rerank: Int = graft.operators.Similarity.PqRerank,
+      probes: Int = graft.operators.Similarity.IvfProbes): Unit =
+    graft.operators.Similarity
+      .ivfPqTopKJoin(index, batch, id, vec, k, rerank, probes)
+      .write.mode("overwrite")
+      .parquet(f"$outDir/batch=$batchId%06d")
+
+  /** Continuous ANN retrieval against a prebuilt IVF-PQ index — the
+    * streaming twin of the batch ANN join (embed a crawl stream, probe
+    * the daily index, land neighbors continuously): each micro-batch of
+    * embedded rows runs [[annScreenBatch]]. Top-k ranking needs a window
+    * over the batch's candidates, which append-mode streaming cannot
+    * express — foreachBatch is the intended shape for exactly this case,
+    * and idempotent per-batch directories keep replays exactly-once.
+    * Read results as `spark.read.parquet(outDir)`; the `batch` partition
+    * column carries provenance.
+    *
+    * Scale shape: identical to the batch join per micro-batch — banded
+    * (list_id) equi-join candidates, codegen'd ADC, salted exact
+    * shortlist; the index frames are the long-lived side, the stream is
+    * the probe side. */
+  def annScreenSink(
+      index: graft.operators.Similarity.IvfPqIndex, stream: DataFrame,
+      id: String, vec: String, k: Int, outDir: String, checkpoint: String,
+      rerank: Int = graft.operators.Similarity.PqRerank,
+      probes: Int = graft.operators.Similarity.IvfProbes)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        annScreenBatch(index, batch.toDF(), id, vec, k, outDir, batchId,
+          rerank, probes)
+      }
+      .start()
+
   /** The lakehouse MERGE recipe as a foreachBatch sink on plain parquet:
     * every micro-batch folds into a keyed state directory, keeping the
     * highest-`versionCol` row per key (exactly the batch q_j7 staging

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.Streams
+
+/** The streaming ANN screen: per-micro-batch results equal the batch
+  * distributed join on the same rows, and a replayed batch id rewrites
+  * its own partition directory instead of duplicating results. */
+class AnnStreamSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val K = 5
+
+  test("stream batches equal the batch join; replay is idempotent") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding")
+    // external queries: corpus vectors under shifted ids, two chunks
+    val queries = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val chunks = queries.grouped((queries.length + 1) / 2).toSeq
+    assert(chunks.length == 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream_ckpt").toString
+    val ms = StreamTestSupport.memoryStream[(Long, Array[Float])]
+    val q = Streams.annScreenSink(
+      idx, ms.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", K, outDir, ckpt)
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    // the `batch` partition column carries provenance
+    assert(got.select("batch").distinct().count() == 2)
+    // per-batch equality with the batch join on exactly that chunk
+    chunks.zipWithIndex.foreach { case (c, bi) =>
+      val want = Similarity.ivfPqTopKJoin(
+          idx, c.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", K)
+        .collect().map(_.toString).toSet
+      val have = got.filter(col("batch") === bi)
+        .drop("batch").collect().map(_.toString).toSet
+      assert(have == want, s"batch $bi diverged from the batch join")
+    }
+    assert(got.count() == queries.length * K)
+    // exactly-once: re-running a batch id rewrites, never duplicates
+    Streams.annScreenBatch(
+      idx, chunks.head.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", K, outDir, batchId = 0L)
+    assert(spark.read.parquet(outDir).count() == queries.length * K,
+      "replaying batch 0 must not append duplicates")
+  }
+}

@@ -254,6 +254,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed ANN join scores ADC inside codegen — no RDD drop-out") {
+    // the r10→r11 fix: the per-pair ADC scan must stay a codegen'd
+    // expression (AdcDistance) in a Project over the candidate join, not
+    // an opaque RDD mapPartitions (which re-boxed every pair and caused
+    // a 15× run-to-run spread). SerializeFromObject/DeserializeToObject
+    // around the scoring stage are the signature of that drop-out.
+    val p = plan("q_x10_ann_ivfpq_join")
+    assert(p.contains("adcdistance") && p.contains("packunitvector"),
+      "ADC must be the native expression pair:\n" + p)
+    val score = p.linesIterator
+      .filter(_.contains("adcdistance")).mkString("\n")
+    assert(!score.contains("Deserialize"),
+      s"ADC scoring fell out of codegen:\n$score")
+  }
+
   test("spectral features and URL canonicalization shuffle nothing") {
     // both are per-row maps; the only acceptable exchange is the decode
     // pass's explicit round-robin rebalance
