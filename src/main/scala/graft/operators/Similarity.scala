@@ -1505,7 +1505,9 @@ object Similarity {
 
   /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
     * append-hourly lifecycle composes: `ivfPqIndexAppend` on a loaded
-    * index encodes new rows under the frozen persisted quantizers. */
+    * index encodes new rows under the frozen persisted quantizers, and
+    * ON-DISK appends landed by [[ivfPqIndexAppendSave]] /
+    * [[ivfPqAppendSink]] are unioned in transparently. */
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex = {
     val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
@@ -1517,8 +1519,75 @@ object Similarity {
       s"codebooks at $dir: ${books.length}×${books(0).length} vs sidecar " +
         s"${meta("m")}×${meta("k")}")
     IvfPqIndex(
-      IndexIO.loadFrame(spark, s"$dir/corpus"),
-      IndexIO.loadFrame(spark, s"$dir/coded_lists"),
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/coded_lists",
+        s"$dir/appends/coded_lists"),
       cents, books)
+  }
+
+  /** Base frame plus any on-disk append partitions, base columns only
+    * (the `batch` provenance partition column is dropped). */
+  private def frameWithAppends(
+      spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      appendDir: String): DataFrame = {
+    val base = IndexIO.loadFrame(spark, baseDir)
+    val p = new org.apache.hadoop.fs.Path(appendDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) base
+    else base.unionByName(
+      spark.read.parquet(appendDir).select(base.columns.map(col): _*))
+  }
+
+  /** Append one batch of new vectors to a SAVED IVF-PQ index directory
+    * under its persisted frozen quantizers: the narrow encode of
+    * [[ivfPqIndexAppend]], landed in idempotent
+    * `appends/{corpus,coded_lists}/batch=NNNNNN` partitions — a replayed
+    * `batchId` REWRITES its own directories instead of duplicating rows,
+    * so the streaming sink below is exactly-once. [[ivfPqIndexLoad]]
+    * unions appends in transparently; fold them into a fresh base with
+    * save(load(dir)) at the daily rebuild. Also directly usable for
+    * batch incremental loads. */
+  def ivfPqIndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    IndexIO.readMeta(spark, dir, "ivf_pq") // validate kind + version
+    appendBatch(dir, emb, id, vec,
+      IndexIO.loadMatrix(spark, s"$dir/centroids"),
+      IndexIO.loadTensor(spark, s"$dir/codebooks"), batchId)
+  }
+
+  private def appendBatch(
+      dir: String, emb: DataFrame, id: String, vec: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      batchId: Long): Unit = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+    codedListRows(n2, cents, books).write.mode("overwrite")
+      .parquet(f"$dir/appends/coded_lists/batch=$batchId%06d")
+  }
+
+  /** Streaming index maintenance — the missing half of the build-daily /
+    * append-hourly lifecycle: every micro-batch of newly embedded rows is
+    * encoded under the saved index's FROZEN quantizers (loaded once,
+    * driver-side) and landed as an idempotent on-disk append, so a
+    * reader's next [[ivfPqIndexLoad]] sees them with no rebuild.
+    * Checkpoint replays rewrite their own batch partitions — exactly
+    * once. Quantizers drift as the distribution shifts: rebuild (and
+    * fold appends into the base) when recall probes degrade. */
+  def ivfPqAppendSink(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      stream: DataFrame, id: String, vec: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IndexIO.readMeta(spark, dir, "ivf_pq")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatch(dir, batch.toDF(), id, vec, cents, books, batchId)
+      }
+      .start()
   }
 }

@@ -56,4 +56,46 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == queries.length * K,
       "replaying batch 0 must not append duplicates")
   }
+
+  test("streaming index-append sink: loads see streamed rows exactly-once") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_append_idx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ann_append_ckpt").toString
+    val built = Similarity.ivfPqIndexBuild(half, "vec_id", "embedding")
+    Similarity.ivfPqIndexSave(built, dir)
+    // stream the other half in two micro-batches
+    val rows = rest.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val chunks = rows.grouped((rows.length + 1) / 2).toSeq
+    val ms = StreamTestSupport.memoryStream[(Long, Array[Float])]
+    val q = Similarity.ivfPqAppendSink(
+      spark, dir, ms.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ckpt)
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // a fresh load sees base + streamed appends, equal to the in-session
+    // append on every query path
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(loaded.corpus.count() == emb.count())
+    val want = Similarity.ivfPqTopK(
+        Similarity.ivfPqIndexAppend(built, rest, "vec_id", "embedding"),
+        col("vec_id") % 37 === 0, K)
+      .collect().map(_.toString).toSet
+    val have = Similarity.ivfPqTopK(loaded, col("vec_id") % 37 === 0, K)
+      .collect().map(_.toString).toSet
+    assert(have == want, "loaded appends diverged from in-session append")
+    // replayed batch id rewrites its partitions — no duplicate rows
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, chunks.head.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchId = 0L)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count(), "replaying append batch 0 must not duplicate rows")
+  }
 }
