@@ -244,7 +244,11 @@ object GraftFunctions {
     // the perceptual-hash surface for SQL clients: binary payload →
     // nullable 64-bit fingerprint (null = undecodable). Deliberately
     // ScalaUDF-backed — the per-row cost is the media decode itself, so
-    // codegen'd expression plumbing would buy nothing
+    // codegen'd expression plumbing would buy nothing. The video hashes
+    // resolve the SampleDecoder snapshot on the EXECUTOR: ServiceLoader
+    // provider jars work; driver-side programmatic registrations do not
+    // reach this SQL surface on a multi-node cluster — use the operator
+    // forms (videoTemporalDHashes etc.), which capture driver-side
     "graft_image_dhash" ->
       mediaHash(graft.operators.Multimodal.imageDHash),
     "graft_image_phash" ->

@@ -151,6 +151,32 @@ object IndexIO {
     (rows.map(_._1), rows.map(_._2))
   }
 
+  /** Guard for batchId-idempotent foreachBatch sinks: idempotence is
+    * scoped to ONE checkpoint lineage, so an output directory that
+    * already holds `batch=NNNNNN` partitions combined with a BRAND-NEW
+    * checkpoint means Spark will reassign batch ids from 0 and silently
+    * OVERWRITE prior results. Refuse that combination up front; resuming
+    * with the original checkpoint (it exists) or starting against a
+    * fresh output directory both pass. */
+  private[graft] def requireSameLineage(
+      spark: SparkSession, batchOutDir: String, checkpoint: String,
+      what: String): Unit = {
+    val (ofs, op) = fs(spark, batchOutDir)
+    val hasBatches = ofs.exists(op) && ofs.listStatus(op).exists(st =>
+      st.isDirectory && st.getPath.getName.matches("batch=\\d+"))
+    // a USED checkpoint carries an offsets/ directory; an empty or
+    // missing one means Spark will start a new lineage at batch 0
+    val (cfs, cp) = fs(spark, checkpoint)
+    val used = cfs.exists(
+      new org.apache.hadoop.fs.Path(cp, "offsets"))
+    require(!hasBatches || used,
+      s"$batchOutDir already holds $what from a previous run, but " +
+        s"$checkpoint is not that run's checkpoint: a new checkpoint " +
+        "lineage restarts batch ids at 0 and would overwrite them. " +
+        "Resume with the original checkpoint, or use a fresh output " +
+        "directory.")
+  }
+
   private[graft] def saveFrame(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 

@@ -192,8 +192,16 @@ object Multimodal {
         var x = 0
         while (x < 8) {
           // mean(x) > mean(x+1) cross-multiplied: exact, no division.
-          // Magnitudes fit easily: sum ≤ npix·255000, npix ≤ w·h.
-          if (sums(y)(x) * npix(y)(x + 1) > sums(y)(x + 1) * npix(y)(x)) {
+          // Compared in 128 bits (multiplyHigh + unsigned low word —
+          // operands are nonnegative): sum·npix can pass 2^63 once the
+          // image nears ~430 MP, and a wrapped sign would silently flip
+          // brighter-than bits on panorama-sized inputs.
+          val l1 = sums(y)(x) * npix(y)(x + 1)
+          val h1 = Math.multiplyHigh(sums(y)(x), npix(y)(x + 1))
+          val l2 = sums(y)(x + 1) * npix(y)(x)
+          val h2 = Math.multiplyHigh(sums(y)(x + 1), npix(y)(x))
+          if (h1 > h2 ||
+            (h1 == h2 && java.lang.Long.compareUnsigned(l1, l2) > 0)) {
             hash |= 1L << (y * 8 + x)
           }
           x += 1
@@ -841,6 +849,9 @@ object Multimodal {
       Seq(prepped.schema("media_id"), prepped.schema("kind"),
         StructField("fp", LongType, nullable = false))
         ++ carry.map(prepped.schema(_)))
+    // decoder snapshot captured on the DRIVER (the seam's contract):
+    // programmatic registrations must reach executors on a real cluster
+    val decoders = SampleDecoders.snapshot()
     prepped.mapPartitions { it: Iterator[Row] =>
       it.flatMap { r =>
         val kind = r.getString(1)
@@ -856,8 +867,8 @@ object Multimodal {
             if (spectralAudio) audioSpectralHash(bytes)
             else audioFingerprint(bytes)
           case "video" =>
-            if (temporalVideo) videoTemporalDHash(bytes)
-            else videoDHash(bytes)
+            if (temporalVideo) videoTemporalDHash(bytes, decoders)
+            else videoDHash(bytes, decoders)
           case _       => None
         }
         fp.map(h => Row.fromSeq(
@@ -1436,7 +1447,10 @@ object Multimodal {
       var done = false
       while (!done && o + 4 <= bytes.length) {
         val len = frameLen(bytes, o)
-        if (len < 0) done = true
+        // a header whose sized frame extends past EOF (crawl-truncated
+        // file) is NOT emitted: every ref must honor the seam's
+        // [offset, offset + size) ⊆ payload contract
+        if (len < 0 || o + len > bytes.length) done = true
         else {
           out += SampleRef(f, o.toLong, len.toLong,
             f.toLong * 1152L * 1000L / sr, keyframe = true)
@@ -2216,7 +2230,15 @@ object Multimodal {
                 .flatMap { case (container, refs) =>
                   SampleDecoders.forContainer(container, decoders).map {
                     dec =>
-                      val durMs = refs.map(_.tsMs).max
+                      // container duration ≈ last sample START + one
+                      // inter-sample gap (the last frame plays out too —
+                      // max(tsMs) alone would drop up to one cadence
+                      // tick vs the replaced AVI-specific path)
+                      val maxTs = refs.map(_.tsMs).max
+                      val durMs = maxTs + (if (refs.length >= 2)
+                        maxTs - refs.map(_.tsMs).sorted.apply(
+                          refs.length - 2)
+                      else 0L)
                       val n = math.min(maxFramesPerMedia.toLong,
                         durMs / everyMs + 1).toInt
                       (0 until n).iterator.flatMap { i =>

@@ -1490,7 +1490,15 @@ object Similarity {
       books)
   }
 
-  /** Persist a prebuilt [[IvfPqIndex]] under `dir`. */
+  /** Persist a prebuilt [[IvfPqIndex]] under `dir`. Any on-disk appends
+    * previously landed under `dir/appends` are DELETED after the new
+    * frames commit: a rebuild's quantizers are new, so stale append rows
+    * (encoded under the old codebooks) must never union back in through
+    * [[ivfPqIndexLoad]]. To fold appends into the base WITHOUT
+    * retraining, use [[ivfPqIndexFold]] — do NOT call
+    * `ivfPqIndexSave(ivfPqIndexLoad(dir), dir)` yourself: the loaded
+    * frames read lazily from the very files the save's overwrite deletes
+    * first. */
   def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.corpus.sparkSession
     IndexIO.saveFrame(index.corpus, s"$dir/corpus")
@@ -1501,6 +1509,24 @@ object Similarity {
       Map("n_lists" -> index.centroids.length.toLong,
         "m" -> index.codebooks.length.toLong,
         "k" -> index.codebooks(0).length.toLong))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Fold on-disk appends into the base frames (same quantizers, no
+    * retrain): the safe form of the save-after-load maintenance step.
+    * The unioned frames are MATERIALIZED (`localCheckpoint`) before the
+    * overwrite, so the save never reads from the files it is deleting —
+    * the self-destruction hazard [[Layout.compact]] guards against with
+    * its path check. Appends are pruned by the save. */
+  def ivfPqIndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val idx = ivfPqIndexLoad(spark, dir)
+    ivfPqIndexSave(
+      IvfPqIndex(idx.corpus.localCheckpoint(),
+        idx.codedLists.localCheckpoint(), idx.centroids, idx.codebooks),
+      dir)
   }
 
   /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
@@ -1525,8 +1551,10 @@ object Similarity {
       cents, books)
   }
 
-  /** Base frame plus any on-disk append partitions, base columns only
-    * (the `batch` provenance partition column is dropped). */
+  /** Base frame plus any COMMITTED on-disk append partitions (batch dirs
+    * carrying a `_SUCCESS` marker — a half-written directory left by a
+    * crashed, never-replayed append is skipped instead of failing the
+    * whole load), base columns only. */
   private def frameWithAppends(
       spark: org.apache.spark.sql.SparkSession, baseDir: String,
       appendDir: String): DataFrame = {
@@ -1534,8 +1562,17 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(appendDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) base
-    else base.unionByName(
-      spark.read.parquet(appendDir).select(base.columns.map(col): _*))
+    else {
+      val committed = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.matches("batch=\\d+") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+      if (committed.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(committed: _*)
+          .select(base.columns.map(col): _*))
+    }
   }
 
   /** Append one batch of new vectors to a SAVED IVF-PQ index directory
@@ -1580,6 +1617,11 @@ object Similarity {
       stream: DataFrame, id: String, vec: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     IndexIO.readMeta(spark, dir, "ivf_pq")
+    // batchId idempotence is scoped to ONE checkpoint lineage: a fresh
+    // checkpoint restarts batch ids at 0 and would OVERWRITE prior
+    // append partitions — refuse the foot-gun up front
+    IndexIO.requireSameLineage(spark, s"$dir/appends/corpus", checkpoint,
+      what = "index appends")
     val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
     val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
     stream.writeStream

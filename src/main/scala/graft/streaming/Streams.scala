@@ -768,7 +768,12 @@ object Streams {
       id: String, vec: String, k: Int, outDir: String, checkpoint: String,
       rerank: Int = graft.operators.Similarity.PqRerank,
       probes: Int = graft.operators.Similarity.IvfProbes)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // batchId idempotence is scoped to ONE checkpoint lineage — a fresh
+    // checkpoint against an outDir with prior batches would overwrite
+    // them from batch 0; refuse up front
+    graft.operators.IndexIO.requireSameLineage(
+      stream.sparkSession, outDir, checkpoint, what = "screen results")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -777,6 +782,7 @@ object Streams {
           rerank, probes)
       }
       .start()
+  }
 
   /** The lakehouse MERGE recipe as a foreachBatch sink on plain parquet:
     * every micro-batch folds into a keyed state directory, keeping the

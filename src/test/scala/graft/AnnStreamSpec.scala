@@ -98,4 +98,64 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
       == emb.count(), "replaying append batch 0 must not duplicate rows")
   }
+
+  test("lineage guard: fresh checkpoint against existing batches refuses") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val idx = Similarity.ivfPqIndexBuild(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_guard_out").toString
+    // land one batch directly (simulating a prior run's output)
+    Streams.annScreenBatch(
+      idx, emb.filter(col("vec_id") % 101 === 3)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", K, outDir, batchId = 0L)
+    // a NEW (unused) checkpoint would restart batch ids at 0 and
+    // overwrite the landed partitions - the sink must refuse
+    val freshCkpt = java.nio.file.Files
+      .createTempDirectory("graft_ann_guard_ckpt").toString
+    val ms = StreamTestSupport.memoryStream[(Long, Array[Float])]
+    val e = intercept[IllegalArgumentException] {
+      Streams.annScreenSink(
+        idx, ms.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", K, outDir, freshCkpt)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("index save clears stale appends; fold is the safe maintenance") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_fold_idx").toString
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"), dir)
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, rest, "vec_id", "embedding", batchId = 0L)
+    val before = Similarity.ivfPqTopK(
+        Similarity.ivfPqIndexLoad(spark, dir), col("vec_id") % 37 === 0, K)
+      .collect().map(_.toString).toSet
+    // fold: appends merge into the base without retraining, and the
+    // appends directory is pruned - identical answers from a fresh load
+    Similarity.ivfPqIndexFold(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(p), "fold must prune the appends directory")
+    val folded = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(folded.corpus.count() == emb.count())
+    assert(Similarity.ivfPqTopK(folded, col("vec_id") % 37 === 0, K)
+      .collect().map(_.toString).toSet == before)
+    // a REBUILD saved into the same dir must also leave no stale appends
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, rest, "vec_id", "embedding", batchId = 1L)
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding"), dir)
+    assert(!hfs.exists(p), "save must clear appends (stale quantizers)")
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count())
+  }
 }

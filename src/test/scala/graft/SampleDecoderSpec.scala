@@ -232,6 +232,22 @@ class SampleDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated MP3: no ref may extend past the payload") {
+    import spark.implicits._
+    val full = Multimodal.syntheticMp3s(Seq(6L).toDF("doc_id"), "doc_id")
+      .select("bytes").collect()(0).getAs[Array[Byte]](0)
+    // cut mid-frame: the final header still parses but its sized frame
+    // runs past EOF — the seam contract forbids emitting that ref
+    val cut = full.take(full.length - 50)
+    val (_, _, refs) = graft.operators.Multimodal.Mp3Probe
+      .frameTable(cut).get
+    assert(refs.nonEmpty)
+    refs.foreach(r => assert(r.offset + r.size <= cut.length,
+      s"ref $r extends past the ${cut.length}-byte payload"))
+    // and a registered decoder slicing [offset, offset+size) cannot throw
+    refs.foreach(r => cut.slice(r.offset.toInt, (r.offset + r.size).toInt))
+  }
+
   test("mp3FrameTable is a zero-shuffle narrow map") {
     import spark.implicits._
     val mp3s = Multimodal.syntheticMp3s(
