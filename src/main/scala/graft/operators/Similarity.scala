@@ -1421,27 +1421,57 @@ object Similarity {
   // top-k paths break on ids, so parquet row order is irrelevant) —
   // pinned in AnnPersistenceSpec.
 
-  /** Persist a prebuilt [[LshIndex]] under `dir`. */
+  /** Delete a saved index's `appends/` subtree — every `*IndexSave`
+    * calls this after the new frames commit: a rebuild's quantizers (or
+    * a re-bucketed corpus) make stale append rows wrong, so they must
+    * never union back in through the loads. */
+  private def pruneAppends(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Persist a prebuilt [[LshIndex]] under `dir` (stale appends
+    * pruned — see [[pruneAppends]]). */
   def lshIndexSave(index: LshIndex, dir: String): Unit = {
     val spark = index.corpus.sparkSession
     IndexIO.saveFrame(index.corpus, s"$dir/corpus")
     IndexIO.saveFrame(index.buckets, s"$dir/buckets")
     IndexIO.writeMeta(spark, dir, "lsh", Map("dim" -> index.dim.toLong))
+    pruneAppends(spark, dir)
   }
 
-  /** Reload an [[LshIndex]] saved by [[lshIndexSave]]. The frames stay
-    * lazy parquet scans — a long-lived query service should
-    * `localCheckpoint` them if it probes many times per session. */
+  /** Reload an [[LshIndex]] saved by [[lshIndexSave]], committed on-disk
+    * appends ([[lshIndexAppendSave]]) unioned in. The frames stay lazy
+    * parquet scans — a long-lived query service should `localCheckpoint`
+    * them if it probes many times per session. */
   def lshIndexLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): LshIndex = {
     val meta = IndexIO.readMeta(spark, dir, "lsh")
     LshIndex(
-      IndexIO.loadFrame(spark, s"$dir/corpus"),
-      IndexIO.loadFrame(spark, s"$dir/buckets"),
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/buckets", s"$dir/appends/buckets"),
       meta("dim").toInt)
   }
 
-  /** Persist a prebuilt [[IvfIndex]] under `dir`. */
+  /** On-disk append for a SAVED LSH index — the [[ivfPqIndexAppendSave]]
+    * lifecycle for the hyperplane index (the fixed-seed family is a pure
+    * function of the persisted `dim`, so new rows hash into the same
+    * buckets). Idempotent per `batchId`. */
+  def lshIndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    val meta = IndexIO.readMeta(spark, dir, "lsh")
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+    lshBucketRows(n2, meta("dim").toInt).write.mode("overwrite")
+      .parquet(f"$dir/appends/buckets/batch=$batchId%06d")
+  }
+
+  /** Persist a prebuilt [[IvfIndex]] under `dir` (stale appends
+    * pruned). */
   def ivfIndexSave(index: IvfIndex, dir: String): Unit = {
     val spark = index.corpus.sparkSession
     IndexIO.saveFrame(index.corpus, s"$dir/corpus")
@@ -1449,9 +1479,11 @@ object Similarity {
     IndexIO.saveMatrix(spark, s"$dir/centroids", index.centroids)
     IndexIO.writeMeta(spark, dir, "ivf",
       Map("n_lists" -> index.centroids.length.toLong))
+    pruneAppends(spark, dir)
   }
 
-  /** Reload an [[IvfIndex]] saved by [[ivfIndexSave]]. */
+  /** Reload an [[IvfIndex]] saved by [[ivfIndexSave]], committed on-disk
+    * appends ([[ivfIndexAppendSave]]) unioned in. */
   def ivfIndexLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
     val meta = IndexIO.readMeta(spark, dir, "ivf")
@@ -1460,12 +1492,27 @@ object Similarity {
       s"centroid table at $dir/centroids has ${cents.length} rows; " +
         s"sidecar says ${meta("n_lists")}")
     IvfIndex(
-      IndexIO.loadFrame(spark, s"$dir/corpus"),
-      IndexIO.loadFrame(spark, s"$dir/lists"),
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/lists", s"$dir/appends/lists"),
       cents)
   }
 
-  /** Persist a prebuilt [[PqIndex]] under `dir`. */
+  /** On-disk append for a SAVED IVF index: new rows soft-assigned under
+    * the persisted frozen centroids. Idempotent per `batchId`. */
+  def ivfIndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    IndexIO.readMeta(spark, dir, "ivf")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+    ivfListRows(n2, cents).write.mode("overwrite")
+      .parquet(f"$dir/appends/lists/batch=$batchId%06d")
+  }
+
+  /** Persist a prebuilt [[PqIndex]] under `dir` (stale appends
+    * pruned). */
   def pqIndexSave(index: PqIndex, dir: String): Unit = {
     val spark = index.corpus.sparkSession
     IndexIO.saveFrame(index.corpus, s"$dir/corpus")
@@ -1474,9 +1521,11 @@ object Similarity {
     IndexIO.writeMeta(spark, dir, "pq",
       Map("m" -> index.codebooks.length.toLong,
         "k" -> index.codebooks(0).length.toLong))
+    pruneAppends(spark, dir)
   }
 
-  /** Reload a [[PqIndex]] saved by [[pqIndexSave]]. */
+  /** Reload a [[PqIndex]] saved by [[pqIndexSave]], committed on-disk
+    * appends ([[pqIndexAppendSave]]) unioned in. */
   def pqIndexLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {
     val meta = IndexIO.readMeta(spark, dir, "pq")
@@ -1485,9 +1534,23 @@ object Similarity {
       s"codebook tensor at $dir/codebooks is ${books.length}×" +
         s"${books(0).length}; sidecar says ${meta("m")}×${meta("k")}")
     PqIndex(
-      IndexIO.loadFrame(spark, s"$dir/corpus"),
-      IndexIO.loadFrame(spark, s"$dir/codes"),
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/codes", s"$dir/appends/codes"),
       books)
+  }
+
+  /** On-disk append for a SAVED PQ index: new rows encoded under the
+    * persisted frozen codebooks. Idempotent per `batchId`. */
+  def pqIndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    IndexIO.readMeta(spark, dir, "pq")
+    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+    pqEncode(n2, books).write.mode("overwrite")
+      .parquet(f"$dir/appends/codes/batch=$batchId%06d")
   }
 
   /** Persist a prebuilt [[IvfPqIndex]] under `dir`. Any on-disk appends
@@ -1509,9 +1572,7 @@ object Similarity {
       Map("n_lists" -> index.centroids.length.toLong,
         "m" -> index.codebooks.length.toLong,
         "k" -> index.codebooks(0).length.toLong))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    pruneAppends(spark, dir)
   }
 
   /** Fold on-disk appends into the base frames (same quantizers, no

@@ -160,6 +160,67 @@ class AnnPersistenceSpec extends AnyFunSuite {
         Similarity.PqRerank, Similarity.IvfProbes), rest)
   }
 
+  test("on-disk appends: every index type loads streamed batches in") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    def check(tag: String,
+        build: org.apache.spark.sql.DataFrame => Unit,
+        appendSave: (String, Long) => Unit,
+        loadTopK: () => org.apache.spark.sql.DataFrame,
+        wantTopK: () => org.apache.spark.sql.DataFrame): Unit = {
+      build(half)
+      // two idempotent batches; batch 0 replayed once
+      appendSave(tag, 0L)
+      appendSave(tag, 0L)
+      assert(rows(loadTopK()) == rows(wantTopK()),
+        s"$tag: on-disk appends diverged from the in-session append")
+    }
+    val lshDir = tmp("lsh_disk")
+    check("lsh",
+      h => Similarity.lshIndexSave(
+        Similarity.lshIndexBuild(h, "vec_id", "embedding", dim = 64),
+        lshDir),
+      (_, b) => Similarity.lshIndexAppendSave(
+        spark, lshDir, rest, "vec_id", "embedding", b),
+      () => Similarity.lshTopK(
+        Similarity.lshIndexLoad(spark, lshDir), pred, K),
+      () => Similarity.lshTopK(Similarity.lshIndexAppend(
+        Similarity.lshIndexBuild(half, "vec_id", "embedding", dim = 64),
+        rest, "vec_id", "embedding"), pred, K))
+    val ivfDir = tmp("ivf_disk")
+    check("ivf",
+      h => Similarity.ivfIndexSave(
+        Similarity.ivfIndexBuild(h, "vec_id", "embedding"), ivfDir),
+      (_, b) => Similarity.ivfIndexAppendSave(
+        spark, ivfDir, rest, "vec_id", "embedding", b),
+      () => Similarity.ivfTopK(
+        Similarity.ivfIndexLoad(spark, ivfDir), pred, K),
+      // quantizer training is deterministic, so an in-session rebuild +
+      // append is the exact reference for the persisted lifecycle
+      () => Similarity.ivfTopK(Similarity.ivfIndexAppend(
+        Similarity.ivfIndexBuild(half, "vec_id", "embedding"),
+        rest, "vec_id", "embedding"), pred, K))
+    val pqDir = tmp("pq_disk")
+    check("pq",
+      h => Similarity.pqIndexSave(
+        Similarity.pqIndexBuild(h, "vec_id", "embedding"), pqDir),
+      (_, b) => Similarity.pqIndexAppendSave(
+        spark, pqDir, rest, "vec_id", "embedding", b),
+      () => Similarity.pqTopK(
+        Similarity.pqIndexLoad(spark, pqDir), pred, K),
+      () => Similarity.pqTopK(Similarity.pqIndexAppend(
+        Similarity.pqIndexBuild(half, "vec_id", "embedding"),
+        rest, "vec_id", "embedding"), pred, K))
+    // save clears appends for every kind (stale-quantizer protection)
+    Similarity.lshIndexSave(
+      Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64),
+      lshDir)
+    val p = new org.apache.hadoop.fs.Path(s"$lshDir/appends")
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p), "save must prune on-disk appends")
+  }
+
   test("kind/version validation refuses mismatched index dirs") {
     val emb = Tables.embeddings(spark, sf)
     val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
