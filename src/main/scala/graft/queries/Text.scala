@@ -1232,6 +1232,127 @@ object Text {
       registeredDomain(urlHost(url)).as("domain"))
   }
 
+  /** The FULL curation pipeline with BOTH corpus-definition stages in
+    * one certified composition — the configuration a crawl actually
+    * runs: per-source cap (the md5-rank recipe q_t30 certifies
+    * standalone) → canonical-URL dedup over a MESSY synthesized URL
+    * (scheme/host case, a default :80 port, a utm-only query, and a
+    * fragment vary across members of each page group, so the oracle's
+    * closed-form `doc_id // 3` page key holds ONLY if
+    * [[graft.operators.TextAnalysis.canonicalUrl]] normalizes all four
+    * — any canonicalization slip breaks hash equality) → repetition →
+    * exact-verified near-dup → quality/lang screens → redaction →
+    * split, every verdict computed on the capped+deduped corpus exactly
+    * as [[graft.operators.Curation.pipeline]] stages it. */
+  val qT42PipelineCorpusDef = Q(
+    "q_t42_pipeline_corpus_def",
+    """WITH capped AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |           row_number() OVER (PARTITION BY source
+      |             ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id)
+      |             AS rn
+      |    FROM documents) WHERE rn <= 18),
+      |docs0 AS (
+      |  SELECT c.doc_id, c.text FROM capped c
+      |  JOIN (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+      |        FROM capped GROUP BY doc_id // 3) k USING (doc_id)),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |           THEN list_transform(range(1, len(t)),
+      |                  i -> t[i] || ' ' || t[i+1])
+      |           ELSE [] END) AS gm
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs0)),
+      |cg AS (SELECT doc_id, gm, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM g GROUP BY 1, 2),
+      |rep AS (SELECT doc_id FROM (
+      |          SELECT doc_id, CAST(max(cnt) AS DOUBLE)
+      |                           / CAST(sum(cnt) AS BIGINT) AS frac
+      |          FROM cg GROUP BY 1)
+      |        WHERE frac < 0.05),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM docs0),
+      |tg AS (SELECT DISTINCT doc_id, tg FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS tg
+      |  FROM toks)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM tg GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              CAST(count(*) AS BIGINT) AS shared
+      |       FROM tg a JOIN tg b
+      |         ON a.tg = b.tg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |losers AS (SELECT DISTINCT doc_b AS doc_id
+      |           FROM sh JOIN sz x ON doc_a = x.doc_id
+      |                   JOIN sz y ON doc_b = y.doc_id
+      |           WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.8),
+      |q AS (SELECT doc_id,
+      |        0.4 * least(1.0, nn / 80.0) + 0.3 * (u / nn)
+      |          + 0.3 * least(1.0, (st / nn) * 5.0) AS quality,
+      |        CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr
+      |               THEN 'en'
+      |             WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+      |             WHEN de > 0 AND de >= fr THEN 'de'
+      |             WHEN fr > 0 THEN 'fr'
+      |             ELSE 'und' END AS pred_lang
+      |      FROM (SELECT doc_id,
+      |              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nn,
+      |              CAST(len(list_distinct(string_split(text, ' ')))
+      |                   AS DOUBLE) AS u,
+      |              CAST(len(list_filter(string_split(text, ' '),
+      |                     w -> w IN ('the','a','of','and','to')))
+      |                   AS DOUBLE) AS st,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('the','a','of','and','to'))) AS en,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('el','la','los','que','y'))) AS es,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('der','die','das','und','ist'))) AS de,
+      |              len(list_filter(string_split(text,' '),
+      |                w -> w IN ('le','les','des','et','est'))) AS fr
+      |            FROM docs0)),
+      |clean AS (SELECT doc_id,
+      |            regexp_replace(regexp_replace(text,
+      |              '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |              '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean_text
+      |          FROM docs0),
+      |split AS (SELECT doc_id,
+      |            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                   BETWEEN '0' AND 'b' THEN 'train'
+      |                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |                   BETWEEN 'c' AND 'd' THEN 'val'
+      |                 ELSE 'test' END AS split
+      |          FROM docs0)
+      |SELECT q.doc_id, q.pred_lang, q.quality, split.split,
+      |       clean.clean_text
+      |FROM q JOIN rep ON q.doc_id = rep.doc_id
+      |       JOIN clean ON q.doc_id = clean.doc_id
+      |       JOIN split ON q.doc_id = split.doc_id
+      |WHERE q.quality >= 0.5 AND q.pred_lang = 'en'
+      |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin) {
+    (s, d) =>
+      val id = col("doc_id")
+      // members of page group doc_id//3 spell the SAME page four ways:
+      // scheme/host case, an explicit default port, a tracking-only
+      // query, a fragment — canonicalization must collapse all of them
+      val messy = concat(
+        when(id % 2 === 0, "HTTP").otherwise("http"), lit("://"),
+        when(id % 2 === 0, "Docs.Example.COM")
+          .otherwise("docs.example.com"),
+        when(id % 3 === 0, ":80").otherwise(""),
+        lit("/p/"), floor(id / 3).cast("long").cast("string"),
+        when(id % 2 === 0, "?utm_source=x").otherwise(""),
+        when(id % 5 === 0, "#frag").otherwise(""))
+      graft.operators.Curation.pipeline(
+        documents(s, d).withColumn("url", messy), "doc_id", "text",
+        graft.operators.Curation.Config(
+          maxPerSource = Some(("source", 18)),
+          urlDedup = Some("url"))).df
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1242,5 +1363,6 @@ object Text {
       qT28DecontamBloom, qT29Temperature, qT30SourceCap,
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
-      qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain)
+      qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
+      qT42PipelineCorpusDef)
 }
