@@ -141,7 +141,7 @@ object Curation {
     // canonical-URL dedup second — still corpus definition: one page
     // under many URL spellings enters once (keep the smallest id; rows
     // with no canonicalizable URL all survive)
-    val docs0 = cfg.urlDedup match {
+    val defined = cfg.urlDedup match {
       case Some(urlCol) =>
         val canonH = md5(TextAnalysis.canonicalUrl(col(urlCol))
           .cast("binary"))
@@ -155,6 +155,18 @@ object Curation {
           Seq(id))
       case None => capped
     }
+    // every verdict set below (repetition, dedup pairs, LM scores, span
+    // verdicts, the emit join) re-reads the corpus: when a corpus-
+    // definition stage is active, `defined` is a multi-stage rank/join
+    // plan, and recomputing it once per consumer would re-run the cap
+    // and URL-dedup ~6x — at 100 TB, six redundant passes. Materialize
+    // the defined corpus ONCE (localCheckpoint: executor storage,
+    // ContextCleaner-tracked); with no corpus-definition stage the input
+    // is a plain scan and stays lazy.
+    val docs0 =
+      if (cfg.maxPerSource.isDefined || cfg.urlDedup.isDefined)
+        defined.localCheckpoint()
+      else defined
     val keepRep = repetitionScreen(docs0, id, text, cfg.repetitionDropAt)
       .filter(col("verdict") === "keep").select(col("doc_id").as(id))
     val losers = Dedup
