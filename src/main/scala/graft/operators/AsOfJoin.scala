@@ -22,29 +22,54 @@ object AsOfJoin {
 
   /** For each left row, attach `pickCols` from the latest right row with
     * `rightTime <= leftTime` within the same `partitionCol` group
-    * (null when no prior right row exists).
+    * (null when no prior right row exists) — or, with
+    * `forward = true`, from the EARLIEST right row with
+    * `rightTime >= leftTime` (the merge_asof 'forward' direction; the
+    * same union is windowed over descending time, so the cost is
+    * unchanged).
+    *
+    * `tolerance = Some(tol)` bounds the match's time gap (pandas
+    * merge_asof semantics): a matched right row farther than `tol` time
+    * units from the left row yields nulls instead. The time columns must
+    * be NUMERIC in the unit `tol` is stated in (epoch micros etc. —
+    * cast timestamps first); the matched right time rides the same
+    * window fill, so tolerance adds no extra pass.
     *
     * Column name contract: `leftTime`/`rightTime` name the event-time
     * columns; picked columns get a `asof_` prefix in the output.
     * `rightTieCol` breaks ties among right rows sharing a timestamp (the
-    * highest value wins) — without it the winner would be physical row
-    * order, which varies run to run.
+    * highest value wins in BOTH directions) — without it the winner
+    * would be physical row order, which varies run to run.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       partitionCol: String,
       leftTime: String, rightTime: String,
       pickCols: Seq[String],
-      rightTieCol: Option[String] = None): DataFrame = {
+      rightTieCol: Option[String] = None,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance must be nonnegative: $tol")
+      require(right.schema(rightTime).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        left.schema(leftTime).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "asOf tolerance needs NUMERIC time columns (cast timestamps to " +
+          "epoch units first so the tolerance unit is explicit)")
+    }
     val leftCols = left.columns.toSeq
     val tieType = rightTieCol.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
-    // side 0 = right (visible at equal time), side 1 = left
+    val rtType = right.schema(rightTime).dataType
+    // side 0 = right (visible at equal time), side 1 = left; __rt
+    // carries the matched right row's OWN time for the tolerance check
     val taggedRight = right.select(
       (col(partitionCol).as("__part") +:
         col(rightTime).as("__t") +:
         lit(0).as("__side") +:
         rightTieCol.fold(lit(0L).cast(tieType))(col).as("__tie") +:
+        col(rightTime).as("__rt") +:
         pickCols.map(c => col(c).as(s"asof_$c"))) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
@@ -52,19 +77,33 @@ object AsOfJoin {
         col(leftTime).as("__t") +:
         lit(1).as("__side") +:
         lit(0L).cast(tieType).as("__tie") +:
+        lit(null).cast(rtType).as("__rt") +:
         pickCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))) ++
         leftCols.map(col): _*)
 
+    // forward flips only the time ordering; right rows still sort before
+    // left rows at the boundary timestamp (ASOF >= semantics) and the
+    // highest tie still wins (greatest __tie is nearest the current row)
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__part"))
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .orderBy(timeOrd, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = pickCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) =>
-        df.withColumn(s"asof_$c",
-          last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val fillCols = pickCols.map(c => s"asof_$c") :+ "__rt"
+    val filled = fillCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1)
+    val matchedLeft = filled.filter(col("__side") === 1)
+    val bounded = tolerance.fold(matchedLeft) { tol =>
+      val delta =
+        if (forward) col("__rt").cast("long") - col("__t").cast("long")
+        else col("__t").cast("long") - col("__rt").cast("long")
+      val ok = col("__rt").isNotNull && delta <= tol
+      pickCols.foldLeft(matchedLeft) { (df, c) =>
+        df.withColumn(s"asof_$c", when(ok, col(s"asof_$c")))
+      }
+    }
+    bounded
       .select(leftCols.map(col) ++ pickCols.map(c => col(s"asof_$c")): _*)
   }
 }

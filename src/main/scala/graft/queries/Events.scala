@@ -325,7 +325,88 @@ object Events {
         .unionByName(stage(p, "3_purchase"))
   }
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof semantics):
+    * each purchase picks its most recent prior-or-simultaneous click,
+    * but only when the click is at most 30 minutes old — staler matches
+    * yield null. The oracle replays the identical union+window
+    * construction and carries the matched click's own time for the
+    * tolerance CASE, exactly as the operator does. */
+  val qE11AsOfTolerance = Q(
+    "q_e11_asof_tolerance",
+    """WITH u AS (
+      |  SELECT user_id AS part, CAST(epoch_us(ts) AS BIGINT) AS t, 0 AS side,
+      |         event_id AS tie,
+      |         value AS av, NULL::BIGINT AS event_id, NULL::DOUBLE AS v
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1, 0,
+      |         NULL::DOUBLE, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (
+      |  SELECT part, t, side, event_id, v,
+      |         last_value(av IGNORE NULLS) OVER (
+      |           PARTITION BY part ORDER BY t, side, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS a_val,
+      |         last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+      |           PARTITION BY part ORDER BY t, side, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS a_t
+      |  FROM u)
+      |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
+      |       t AS ts_us,
+      |       CASE WHEN a_t IS NOT NULL AND t - a_t <= 1800000000
+      |            THEN a_val END AS asof_click_value
+      |FROM f WHERE side = 1""".stripMargin) { (s, d) =>
+    val ev = eventsTs(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("click_value"))
+    graft.operators.AsOfJoin.asOf(
+      purchases, clicks, "user_id", "ts_us", "ts_us", Seq("click_value"),
+      rightTieCol = Some("event_id"), tolerance = Some(1800000000L))
+  }
+
+  /** FORWARD as-of join: each purchase picks the value of the user's
+    * FIRST following-or-simultaneous click (the other merge_asof
+    * direction — attribution windows that look ahead). Same union, the
+    * window ordered over descending time; the oracle mirrors it. */
+  val qE12AsOfForward = Q(
+    "q_e12_asof_forward",
+    """WITH u AS (
+      |  SELECT user_id AS part, CAST(epoch_us(ts) AS BIGINT) AS t, 0 AS side,
+      |         event_id AS tie,
+      |         value AS av, NULL::BIGINT AS event_id, NULL::DOUBLE AS v
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1, 0,
+      |         NULL::DOUBLE, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (
+      |  SELECT part, t, side, event_id, v,
+      |         last_value(av IGNORE NULLS) OVER (
+      |           PARTITION BY part ORDER BY t DESC, side, tie
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS asof_click_value
+      |  FROM u)
+      |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
+      |       t AS ts_us, asof_click_value
+      |FROM f WHERE side = 1""".stripMargin) { (s, d) =>
+    val ev = eventsTs(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("click_value"))
+    graft.operators.AsOfJoin.asOf(
+      purchases, clicks, "user_id", "ts_us", "ts_us", Seq("click_value"),
+      rightTieCol = Some("event_id"), forward = true)
+  }
+
   val all: Seq[Q] =
     Seq(qE1Json, qE2HourlyWindow, qE3UserSeq, qE4Sessionize, qE5Pivot,
-      qE6Percentiles, qE7AsOf, qE8RangeJoin, qE9Retention, qE10Funnel)
+      qE6Percentiles, qE7AsOf, qE8RangeJoin, qE9Retention, qE10Funnel,
+      qE11AsOfTolerance, qE12AsOfForward)
 }
