@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
 /** As-of (most-recent-prior) join — an operator Spark lacks natively.
   *
   * Implemented by composition (preference (a) of the custom-operator
-  * ladder): tag and union both sides, then one `last_value(..., ignoreNulls)`
-  * window per picked column over (partition, time, side) ordering, keeping
-  * left rows. Right rows sort before left rows at equal timestamps, so an
-  * exactly-simultaneous right row matches (ASOF `<=` semantics).
+  * ladder): tag and union both sides; every right row carries ONE
+  * non-null struct holding its own time plus all picked values, and a
+  * single `last_value(struct, ignoreNulls)` window over (partition,
+  * time, side) ordering fills left rows. The struct guarantees value and
+  * matched-time always come from the SAME (nearest) right row — filling
+  * each column independently would skip a null pick value back to an
+  * older right row while the matched time stayed on the nearest one,
+  * so the tolerance gate would validate a stale value against the wrong
+  * row's age. Right rows sort before left rows at equal timestamps, so
+  * an exactly-simultaneous right row matches (ASOF `<=` semantics).
   *
   * Scale shape: ONE shuffle of the unioned inputs by partition key — same
   * cost class as a sort-merge join, no range explosion, no skew beyond the
@@ -62,24 +68,29 @@ object AsOfJoin {
     val tieType = rightTieCol.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
     val rtType = right.schema(rightTime).dataType
-    // side 0 = right (visible at equal time), side 1 = left; __rt
-    // carries the matched right row's OWN time for the tolerance check
+    // The matched right row travels as ONE struct (__rt = its own time,
+    // plus every picked value — possibly-null fields ride inside a
+    // non-null struct) so a single last(ignoreNulls) takes the nearest
+    // right row wholesale; __rt feeds the tolerance check.
+    val matchType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rt", rtType) +:
+        pickCols.map(c => org.apache.spark.sql.types.StructField(
+          s"asof_$c", right.schema(c).dataType)))
+    // side 0 = right (visible at equal time), side 1 = left
     val taggedRight = right.select(
       (col(partitionCol).as("__part") +:
         col(rightTime).as("__t") +:
         lit(0).as("__side") +:
         rightTieCol.fold(lit(0L).cast(tieType))(col).as("__tie") +:
-        col(rightTime).as("__rt") +:
-        pickCols.map(c => col(c).as(s"asof_$c"))) ++
+        Seq(struct(col(rightTime).as("__rt") +:
+          pickCols.map(c => col(c).as(s"asof_$c")): _*).as("__m"))) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (col(partitionCol).as("__part") +:
         col(leftTime).as("__t") +:
         lit(1).as("__side") +:
         lit(0L).cast(tieType).as("__tie") +:
-        lit(null).cast(rtType).as("__rt") +:
-        pickCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))) ++
+        Seq(lit(null).cast(matchType).as("__m"))) ++
         leftCols.map(col): _*)
 
     // forward flips only the time ordering; right rows still sort before
@@ -89,21 +100,19 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__part"))
       .orderBy(timeOrd, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fillCols = pickCols.map(c => s"asof_$c") :+ "__rt"
-    val filled = fillCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = taggedRight.unionByName(taggedLeft)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
     val matchedLeft = filled.filter(col("__side") === 1)
     val bounded = tolerance.fold(matchedLeft) { tol =>
-      val delta =
-        if (forward) col("__rt").cast("long") - col("__t").cast("long")
-        else col("__t").cast("long") - col("__rt").cast("long")
-      val ok = col("__rt").isNotNull && delta <= tol
-      pickCols.foldLeft(matchedLeft) { (df, c) =>
-        df.withColumn(s"asof_$c", when(ok, col(s"asof_$c")))
-      }
+      // delta in the columns' NATIVE numeric type: cast("long") would
+      // truncate fractional (double/decimal) times toward zero and make
+      // the inclusive bound wrong by up to one unit
+      val rt = col("__m.__rt")
+      val delta = if (forward) rt - col("__t") else col("__t") - rt
+      val ok = rt.isNotNull && delta <= lit(tol)
+      matchedLeft.withColumn("__m", when(ok, col("__m")))
     }
-    bounded
-      .select(leftCols.map(col) ++ pickCols.map(c => col(s"asof_$c")): _*)
+    bounded.select(leftCols.map(col) ++
+      pickCols.map(c => col(s"__m.asof_$c").as(s"asof_$c")): _*)
   }
 }

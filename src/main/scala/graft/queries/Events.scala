@@ -188,10 +188,11 @@ object Events {
       |  FROM events WHERE event_type = 'purchase'),
       |f AS (
       |  SELECT part, t, side, event_id, v,
-      |         last_value(av IGNORE NULLS) OVER (
+      |         last_value(CASE WHEN side = 0 THEN struct_pack(av := av)
+      |                    END IGNORE NULLS) OVER (
       |           PARTITION BY part ORDER BY t, side, tie
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS asof_click_value
+      |           .av AS asof_click_value
       |  FROM u)
       |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
       |       t AS ts_us, asof_click_value
@@ -344,19 +345,17 @@ object Events {
       |  FROM events WHERE event_type = 'purchase'),
       |f AS (
       |  SELECT part, t, side, event_id, v,
-      |         last_value(av IGNORE NULLS) OVER (
+      |         last_value(CASE WHEN side = 0
+      |                    THEN struct_pack(rt := t, av := av) END
+      |                    IGNORE NULLS) OVER (
       |           PARTITION BY part ORDER BY t, side, tie
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS a_val,
-      |         last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
-      |           PARTITION BY part ORDER BY t, side, tie
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS a_t
+      |           AS m
       |  FROM u)
       |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
       |       t AS ts_us,
-      |       CASE WHEN a_t IS NOT NULL AND t - a_t <= 1800000000
-      |            THEN a_val END AS asof_click_value
+      |       CASE WHEN m.rt IS NOT NULL AND t - m.rt <= 1800000000
+      |            THEN m.av END AS asof_click_value
       |FROM f WHERE side = 1""".stripMargin) { (s, d) =>
     val ev = eventsTs(s, d).withColumn("ts_us", unix_micros(col("ts")))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -386,10 +385,11 @@ object Events {
       |  FROM events WHERE event_type = 'purchase'),
       |f AS (
       |  SELECT part, t, side, event_id, v,
-      |         last_value(av IGNORE NULLS) OVER (
+      |         last_value(CASE WHEN side = 0 THEN struct_pack(av := av)
+      |                    END IGNORE NULLS) OVER (
       |           PARTITION BY part ORDER BY t DESC, side, tie
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS asof_click_value
+      |           .av AS asof_click_value
       |  FROM u)
       |SELECT CAST(part AS BIGINT) AS user_id, event_id, v AS value,
       |       t AS ts_us, asof_click_value
