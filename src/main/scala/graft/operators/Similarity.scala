@@ -1430,6 +1430,13 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // a rebuild invalidates crashed-fold remnants too: an
+    // appends_folding_eN left behind must never be "restored" by a
+    // later fold's recovery after this save reset the fold epoch
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(base)) fs.listStatus(base)
+      .filter(_.getPath.getName.startsWith("appends_folding_e"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Persist a prebuilt [[LshIndex]] under `dir` (stale appends
@@ -1465,9 +1472,9 @@ object Similarity {
     val meta = IndexIO.readMeta(spark, dir, "lsh")
     val n2 = normed(emb, id, vec).localCheckpoint()
     n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
     lshBucketRows(n2, meta("dim").toInt).write.mode("overwrite")
-      .parquet(f"$dir/appends/buckets/batch=$batchId%06d")
+      .parquet(f"$dir/appends/buckets/manual=$batchId%06d")
   }
 
   /** Persist a prebuilt [[IvfIndex]] under `dir` (stale appends
@@ -1506,9 +1513,9 @@ object Similarity {
     val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
     val n2 = normed(emb, id, vec).localCheckpoint()
     n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
     ivfListRows(n2, cents).write.mode("overwrite")
-      .parquet(f"$dir/appends/lists/batch=$batchId%06d")
+      .parquet(f"$dir/appends/lists/manual=$batchId%06d")
   }
 
   /** Persist a prebuilt [[PqIndex]] under `dir` (stale appends
@@ -1548,9 +1555,9 @@ object Similarity {
     val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
     val n2 = normed(emb, id, vec).localCheckpoint()
     n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
     pqEncode(n2, books).write.mode("overwrite")
-      .parquet(f"$dir/appends/codes/batch=$batchId%06d")
+      .parquet(f"$dir/appends/codes/manual=$batchId%06d")
   }
 
   /** Persist a prebuilt [[IvfPqIndex]] under `dir`. Any on-disk appends
@@ -1577,17 +1584,87 @@ object Similarity {
 
   /** Fold on-disk appends into the base frames (same quantizers, no
     * retrain): the safe form of the save-after-load maintenance step.
-    * The unioned frames are MATERIALIZED (`localCheckpoint`) before the
-    * overwrite, so the save never reads from the files it is deleting —
+    * The unioned frames are MATERIALIZED (`localCheckpoint`) before any
+    * file mutation, so the fold never reads from files it is deleting —
     * the self-destruction hazard [[Layout.compact]] guards against with
-    * its path check. Appends are pruned by the save. */
+    * its path check.
+    *
+    * CRASH-ATOMIC: the naive prune-after-save left a window (crash after
+    * the base overwrite committed but before `appends/` was deleted)
+    * where the next load unioned the folded rows in TWICE. Instead the
+    * fold (1) renames `appends/` aside to `appends_folding_eN`, (2)
+    * overwrites the base frames, (3) commits by writing the sidecar with
+    * `fold_epoch = N`, and (4) deletes the aside directory.
+    * [[foldRecover]] (run at the start of every fold, and cheap to call
+    * from ops tooling) settles any crash: aside epoch ≤ sidecar epoch
+    * means the fold committed, so the aside is garbage and is deleted;
+    * aside epoch > sidecar epoch means it never committed, so the aside
+    * is renamed back to `appends/` and nothing was lost. A full REBUILD
+    * ([[ivfPqIndexSave]]) deletes aside remnants along with `appends/` —
+    * rows encoded under superseded quantizers must never resurface. */
   def ivfPqIndexFold(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    foldRecover(spark, dir)
+    val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
     val idx = ivfPqIndexLoad(spark, dir)
-    ivfPqIndexSave(
-      IvfPqIndex(idx.corpus.localCheckpoint(),
-        idx.codedLists.localCheckpoint(), idx.centroids, idx.codebooks),
-      dir)
+    val corpus = idx.corpus.localCheckpoint()
+    val coded = idx.codedLists.localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // nothing to fold
+    val epoch = meta.getOrElse("fold_epoch", 0L) + 1
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$dir/appends_folding_e$epoch")
+    require(fs.rename(p, aside), s"could not move $p aside to $aside")
+    IndexIO.saveFrame(corpus, s"$dir/corpus")
+    IndexIO.saveFrame(coded, s"$dir/coded_lists")
+    // the sidecar write is the commit point
+    IndexIO.writeMeta(spark, dir, "ivf_pq",
+      (meta - "version") + ("fold_epoch" -> epoch))
+    fs.delete(aside, true)
+  }
+
+  /** Settle a crashed [[ivfPqIndexFold]] — see its scaladoc for the
+    * protocol. Idempotent; safe to run against a healthy index. */
+  def foldRecover(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val committed = IndexIO.readMeta(spark, dir, "ivf_pq")
+      .getOrElse("fold_epoch", 0L)
+    fs.listStatus(base)
+      .filter(_.getPath.getName.matches("appends_folding_e\\d+"))
+      .foreach { st =>
+        val e = st.getPath.getName.stripPrefix("appends_folding_e").toLong
+        val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
+        if (e <= committed) fs.delete(st.getPath, true)
+        else if (!fs.exists(appends)) require(
+          fs.rename(st.getPath, appends),
+          s"could not restore ${st.getPath} to $appends")
+        else {
+          // new appends landed between the crash and this recovery:
+          // merge the aside's per-frame batch dirs back one by one. A
+          // name collision is ambiguous (same id written twice across
+          // the crash) — refuse with guidance rather than guess.
+          fs.listStatus(st.getPath).filter(_.isDirectory).foreach { fr =>
+            val destFrame = new org.apache.hadoop.fs.Path(
+              appends, fr.getPath.getName)
+            fs.mkdirs(destFrame)
+            fs.listStatus(fr.getPath).foreach { b =>
+              val destB = new org.apache.hadoop.fs.Path(
+                destFrame, b.getPath.getName)
+              require(!fs.exists(destB),
+                s"crashed-fold recovery collision: $destB exists both " +
+                  s"in appends/ and in ${st.getPath} — resolve manually " +
+                  "(the aside copy predates the crash)")
+              require(fs.rename(b.getPath, destB),
+                s"could not restore ${b.getPath} to $destB")
+            }
+          }
+          fs.delete(st.getPath, true)
+        }
+      }
   }
 
   /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
@@ -1626,7 +1703,7 @@ object Similarity {
     else {
       val committed = fs.listStatus(p).toSeq
         .filter(st => st.isDirectory &&
-          st.getPath.getName.matches("batch=\\d+") &&
+          st.getPath.getName.matches("(batch|manual)=\\d+") &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
       if (committed.isEmpty) base
@@ -1639,30 +1716,34 @@ object Similarity {
   /** Append one batch of new vectors to a SAVED IVF-PQ index directory
     * under its persisted frozen quantizers: the narrow encode of
     * [[ivfPqIndexAppend]], landed in idempotent
-    * `appends/{corpus,coded_lists}/batch=NNNNNN` partitions — a replayed
-    * `batchId` REWRITES its own directories instead of duplicating rows,
-    * so the streaming sink below is exactly-once. [[ivfPqIndexLoad]]
-    * unions appends in transparently; fold them into a fresh base with
-    * save(load(dir)) at the daily rebuild. Also directly usable for
-    * batch incremental loads. */
+    * `appends/{corpus,coded_lists}/manual=NNNNNN` partitions — a
+    * replayed `batchId` REWRITES its own directories instead of
+    * duplicating rows. Caller-supplied ids live in the `manual=`
+    * namespace, DISJOINT from the `batch=` namespace the streaming sink
+    * derives from its checkpoint, so a batch caller reusing a low id
+    * (say 0) can never overwrite a streamed batch that happened to get
+    * the same number. [[ivfPqIndexLoad]] unions both namespaces in
+    * transparently; fold them into a fresh base with [[ivfPqIndexFold]]
+    * at the daily rebuild. */
   def ivfPqIndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
     IndexIO.readMeta(spark, dir, "ivf_pq") // validate kind + version
     appendBatch(dir, emb, id, vec,
       IndexIO.loadMatrix(spark, s"$dir/centroids"),
-      IndexIO.loadTensor(spark, s"$dir/codebooks"), batchId)
+      IndexIO.loadTensor(spark, s"$dir/codebooks"), batchId,
+      prefix = "manual")
   }
 
   private def appendBatch(
       dir: String, emb: DataFrame, id: String, vec: String,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      batchId: Long): Unit = {
+      batchId: Long, prefix: String): Unit = {
     val n2 = normed(emb, id, vec).localCheckpoint()
     n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/batch=$batchId%06d")
+      .parquet(f"$dir/appends/corpus/$prefix%s=$batchId%06d")
     codedListRows(n2, cents, books).write.mode("overwrite")
-      .parquet(f"$dir/appends/coded_lists/batch=$batchId%06d")
+      .parquet(f"$dir/appends/coded_lists/$prefix%s=$batchId%06d")
   }
 
   /** Streaming index maintenance — the missing half of the build-daily /
@@ -1689,7 +1770,8 @@ object Similarity {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        appendBatch(dir, batch.toDF(), id, vec, cents, books, batchId)
+        appendBatch(dir, batch.toDF(), id, vec, cents, books, batchId,
+          prefix = "batch")
       }
       .start()
   }

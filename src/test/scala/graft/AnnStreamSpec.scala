@@ -91,12 +91,23 @@ class AnnStreamSpec extends AnyFunSuite {
     val have = Similarity.ivfPqTopK(loaded, col("vec_id") % 37 === 0, K)
       .collect().map(_.toString).toSet
     assert(have == want, "loaded appends diverged from in-session append")
-    // replayed batch id rewrites its partitions — no duplicate rows
+    // manual appends live in their own `manual=` namespace: a batch
+    // caller reusing id 0 lands NEW rows instead of silently
+    // overwriting the stream's checkpoint-assigned batch 0 ...
+    val extra = chunks.head.map { case (id, v) => (id + 200000L, v) }
     Similarity.ivfPqIndexAppendSave(
-      spark, dir, chunks.head.toSeq.toDF("vec_id", "embedding"),
+      spark, dir, extra.toSeq.toDF("vec_id", "embedding"),
       "vec_id", "embedding", batchId = 0L)
     assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
-      == emb.count(), "replaying append batch 0 must not duplicate rows")
+      == emb.count() + extra.length,
+      "manual id 0 must not clobber the streamed batch 0")
+    // ... and replaying the SAME manual id rewrites, never duplicates
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, extra.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchId = 0L)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count() + extra.length,
+      "replaying manual append 0 must not duplicate rows")
   }
 
   test("lineage guard: fresh checkpoint against existing batches refuses") {
@@ -157,5 +168,66 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(!hfs.exists(p), "save must clear appends (stale quantizers)")
     assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
       == emb.count())
+  }
+
+  test("fold is crash-atomic: neither crash window doubles or loses rows") {
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_crashfold_idx").toString
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"), dir)
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, rest, "vec_id", "embedding", batchId = 0L)
+    val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val hfs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // window B: crash AFTER the aside rename, BEFORE the sidecar commit.
+    // Rows are temporarily invisible (never doubled); recovery restores.
+    require(hfs.rename(appends,
+      new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e1")))
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == half.count(), "uncommitted fold must not double anything")
+    Similarity.foldRecover(spark, dir)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count(), "recovery must restore the un-folded appends")
+
+    // real fold commits at epoch 1
+    Similarity.ivfPqIndexFold(spark, dir)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count())
+
+    // window A: crash AFTER the sidecar commit, BEFORE the aside delete.
+    // Manufacture the leftover aside (same epoch as committed) holding a
+    // duplicate batch — loads ignore it and recovery deletes it.
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e1")
+    rest.write.mode("overwrite").parquet(s"$aside/corpus/manual=000000")
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count(), "committed-fold leftovers must not double rows")
+    Similarity.foldRecover(spark, dir)
+    assert(!hfs.exists(aside), "recovery must delete committed leftovers")
+
+    // an aside whose epoch was never committed gets restored by the NEXT
+    // fold (foldRecover runs first), then folded in
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir,
+      emb.limit(5).select((col("vec_id") + 500000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", batchId = 7L)
+    require(hfs.rename(appends,
+      new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e2")))
+    Similarity.ivfPqIndexFold(spark, dir)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count() + 5,
+      "next fold must restore and fold an uncommitted aside")
+    // a REBUILD prunes aside remnants (stale quantizers must not return)
+    rest.write.mode("overwrite").parquet(
+      s"$dir/appends_folding_e99/corpus/manual=000000")
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding"), dir)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/appends_folding_e99")),
+      "rebuild must delete crashed-fold remnants")
   }
 }
