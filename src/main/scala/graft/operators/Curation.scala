@@ -95,7 +95,32 @@ object Curation {
         * decision boundary). Train with [[TextAnalysis.trainQualityNb]]
         * on a curated-vs-crawl labeled frame, then screen the crawl —
         * a pure Column fold, fused into the final filter stage. */
-      nbScreen: Option[(TextAnalysis.NbQualityModel, Double)] = None)
+      nbScreen: Option[(TextAnalysis.NbQualityModel, Double)] = None,
+      /** How the DEFINED corpus (post cap/URL-dedup) is materialized so
+        * the ~6 downstream verdict passes don't each re-run the
+        * rank/join chain. The trade is fault tolerance, not semantics —
+        * all three modes produce identical output:
+        *  - [[Materialize.LocalCheckpoint]] (default): executor block
+        *    storage, lineage TRUNCATED — cheapest, but an executor loss
+        *    mid-job FAILS the job instead of recomputing. Right for
+        *    local / short interactive runs.
+        *  - [[Materialize.PersistDisk]]: `DISK_ONLY` persist with
+        *    lineage retained — an executor loss recomputes only the
+        *    lost partitions. The 1000-executor default.
+        *  - [[Materialize.ReliableCheckpoint]]: writes to
+        *    `sparkContext.getCheckpointDir` (caller must have set an
+        *    HDFS/object-store dir) — survives executor loss AND frees
+        *    the lineage; for very long pipelines over flaky fleets. */
+      materialize: Materialize = Materialize.LocalCheckpoint)
+
+  /** Materialization strategy for the defined corpus — see
+    * [[Config.materialize]] for the failure-semantics trade. */
+  sealed trait Materialize
+  object Materialize {
+    case object LocalCheckpoint extends Materialize
+    case object PersistDisk extends Materialize
+    case object ReliableCheckpoint extends Materialize
+  }
 
   /** Curated corpus + the stage funnel. `df` has columns
     * (id, pred_lang, quality, split, clean_text); observations resolve
@@ -160,12 +185,22 @@ object Curation {
     // definition stage is active, `defined` is a multi-stage rank/join
     // plan, and recomputing it once per consumer would re-run the cap
     // and URL-dedup ~6x — at 100 TB, six redundant passes. Materialize
-    // the defined corpus ONCE (localCheckpoint: executor storage,
-    // ContextCleaner-tracked); with no corpus-definition stage the input
-    // is a plain scan and stays lazy.
+    // the defined corpus ONCE; HOW is the fault-tolerance knob
+    // Config.materialize — with no corpus-definition stage the input is
+    // a plain scan and stays lazy.
     val docs0 =
       if (cfg.maxPerSource.isDefined || cfg.urlDedup.isDefined)
-        defined.localCheckpoint()
+        cfg.materialize match {
+          case Materialize.LocalCheckpoint => defined.localCheckpoint()
+          case Materialize.PersistDisk => defined.persist(
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          case Materialize.ReliableCheckpoint =>
+            require(
+              defined.sparkSession.sparkContext.getCheckpointDir.isDefined,
+              "Materialize.ReliableCheckpoint needs " +
+                "sparkContext.setCheckpointDir(<hdfs/object-store dir>)")
+            defined.checkpoint()
+        }
       else defined
     val keepRep = repetitionScreen(docs0, id, text, cfg.repetitionDropAt)
       .filter(col("verdict") === "keep").select(col("doc_id").as(id))
