@@ -29,7 +29,65 @@ object SimilarityQ {
     Similarity.bruteForceTopK(n.filter(col("vec_id") < 8), n, k = 5)
   }
 
-  val qX2LshTopK = Q.rowsOnly("q_x2_ann_lsh") { (s, d) =>
+  /** Hyperplane-LSH top-k, HASH-CERTIFIED: with fixed LCG hyperplanes
+    * the banding is fully deterministic, so the oracle replays it — a
+    * recursive CTE regenerates the identical LCG sequence (the
+    * mod-2^64 state in HUGEINT; value = (s >>> 11) / 2^53 * 2 - 1 is
+    * exact in both engines), buckets are the same sign-bit ORs, the
+    * multi-probe single-bit flips are XORs, and the cosine re-rank
+    * mirrors q_x1. Only the plane-dot SIGNS must agree across engines
+    * (never near zero on real data); sims canonicalize at %.10g. */
+  val qX2LshTopK = Q(
+    "q_x2_ann_lsh",
+    """WITH RECURSIVE lcg(n, s) AS (
+      |  SELECT 0, CAST(42 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT n + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407)
+      |           % CAST(18446744073709551616 AS HUGEINT)
+      |  FROM lcg WHERE n < 4608),
+      |vals AS (
+      |  SELECT n,
+      |         CAST(s // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+      |           AS w
+      |  FROM lcg WHERE n >= 1),
+      |pl AS (
+      |  SELECT (n - 1) // 64 AS g, list(w ORDER BY n) AS w
+      |  FROM vals GROUP BY 1),
+      |e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |dots AS (
+      |  SELECT e.vec_id, pl.g,
+      |         list_sum(list_transform(range(1, 65),
+      |                                 i -> e.v[i] * pl.w[i])) AS d
+      |  FROM e CROSS JOIN pl),
+      |b AS (
+      |  SELECT vec_id, g // 6 AS t,
+      |         CAST(sum(CASE WHEN d > 0
+      |                       THEN 1 << (g % 6) ELSE 0 END) AS BIGINT) AS bk
+      |  FROM dots GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT vec_id AS q_id, t, xor(bk, f.bit) AS qbk
+      |  FROM b CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32)) f(bit)
+      |  WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT DISTINCT p.q_id AS query_id, c.vec_id AS cand_id
+      |  FROM probes p JOIN b c ON p.t = c.t AND p.qbk = c.bk
+      |  WHERE c.vec_id <> p.q_id),
+      |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |scored AS (
+      |  SELECT cand.query_id, cand.cand_id,
+      |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |  FROM cand JOIN nn q ON q.vec_id = cand.query_id
+      |            JOIN nn c ON c.vec_id = cand.cand_id),
+      |r AS (
+      |  SELECT query_id, cand_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, cand_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, sim
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
     Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding",
       queryPred = col("vec_id") < 8, k = 5, dim = 64)
   }
