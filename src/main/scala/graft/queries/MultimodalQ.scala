@@ -24,17 +24,44 @@ object MultimodalQ {
         md5(col("bytes")).as("digest"))
   }
 
-  /** Library users get the typed Dataset (raw `features` array) from
-    * [[Multimodal.extractFeatures]]; the registered query projects the
-    * vector to a deterministic digest because the harness' rows-only
-    * sorter (pandas lexsort) cannot order raw arrays. */
-  val qM2Features = Q.rowsOnly("q_m2_media_features") { (s, d) =>
-    Multimodal.extractFeatures(
-      Multimodal.asMediaTable(documents(s, d), "doc_id", "text")).toDF()
-      .select(
-        col("media_id"), col("kind"), col("n_bytes"),
-        col("width"), col("height"), col("duration_ms"),
-        md5(to_json(col("features")).cast("binary")).as("features_digest"))
+  /** REAL mixed-modality feature extraction, hash-certified: one
+    * [[Multimodal.extractFeatures]] pass over a corpus where EVERY row
+    * takes a real decode path — PNG via ImageIO, 16-bit PCM WAV via
+    * javax.sound, Y4M via the header+frame parse — and the recovered
+    * geometry/duration are closed-form functions of the id, so the
+    * oracle states per modality what a correct decoder must return
+    * (width/height for images and video, duration for audio and video,
+    * zeros for the dimensions a modality does not have). Library users
+    * get the typed Dataset with the raw `features` vector riding the
+    * same decode; those floats are pinned exactly in NorthStarSpec
+    * (engine-side arithmetic — not restatable in SQL). */
+  val qM2Features = Q(
+    "q_m2_media_features",
+    """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+      |       CAST(8 + doc_id % 16 AS INT) AS width,
+      |       CAST(8 + doc_id % 12 AS INT) AS height,
+      |       CAST(0 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 8 = 0
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT), 'audio', CAST(0 AS INT), CAST(0 AS INT),
+      |       CAST((800 + (doc_id % 32) * 80) * 1000 / 8000 AS BIGINT)
+      |FROM documents WHERE doc_id % 8 = 1
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT), 'video',
+      |       CAST(8 + (doc_id % 8) * 2 AS INT),
+      |       CAST(8 + (doc_id % 6) * 2 AS INT),
+      |       CAST((4 + doc_id % 16) * 100 AS BIGINT)
+      |FROM documents WHERE doc_id % 8 = 2""".stripMargin) { (s, d) =>
+    val base = documents(s, d)
+    val media = Multimodal.syntheticImages(
+        base.filter(col("doc_id") % 8 === 0), "doc_id")
+      .unionByName(Multimodal.syntheticAudio(
+        base.filter(col("doc_id") % 8 === 1), "doc_id"))
+      .unionByName(Multimodal.syntheticVideos(
+        base.filter(col("doc_id") % 8 === 2), "doc_id"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"),
+        col("width"), col("height"), col("duration_ms"))
   }
 
   /** REAL image decode, hash-certified: synthetic PNGs are rendered with
@@ -84,16 +111,43 @@ object MultimodalQ {
       .select(col("media_id"), col("width"), col("height"))
   }
 
-  /** Frame sampling over the video slice of the media table. Cardinality
-    * derives from the STUB duration probe (engine-specific hashing → no
-    * SQL oracle, rows-only), but the output is fully deterministic and the
-    * frames are real PNGs — the digest column pins their bytes. */
-  val qM5FrameSample = Q.rowsOnly("q_m5_frame_sample") { (s, d) =>
-    Multimodal.sampleFrames(
-        Multimodal.asMediaTable(documents(s, d), "doc_id", "text"),
-        everyMs = 60000L).toDF()
-      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
-        md5(col("frame")).as("frame_digest"))
+  /** REAL frame sampling, hash-certified: [[Multimodal.sampleFrames]]
+    * over the Y4M corpus, where duration (and thus the fan-out
+    * cardinality `duration/300ms + 1`) comes from the REAL header+frame
+    * probe, and each emitted frame is real decoded pixels re-encoded as
+    * PNG. The sampled frames are then RE-DECODED through the image path
+    * and joined back on (media_id, frame_idx), so the oracle certifies
+    * the whole chain — sampling cadence, per-media cardinality, and
+    * that every sampled frame decodes to the source video's geometry —
+    * in closed form. The join key is a composite long (the frame-id
+    * fan-out is ≤32 per media by the operator's cap); at scale both
+    * sides are the same narrow decode pipeline, joined on one
+    * equi-key. */
+  val qM5FrameSample = Q(
+    "q_m5_frame_sample",
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |                  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+      |                  CAST(8 + (doc_id % 6) * 2 AS INT) AS height,
+      |                  (4 + doc_id % 16) * 100 AS dur
+      |           FROM documents WHERE doc_id % 8 = 2)
+      |SELECT t.media_id,
+      |       CAST(f.i AS INT) AS frame_idx,
+      |       CAST(f.i * 300 AS BIGINT) AS ts_ms,
+      |       t.width, t.height
+      |FROM t, generate_series(0, t.dur // 300) f(i)""".stripMargin) {
+    (s, d) =>
+      val frames = Multimodal.sampleFrames(
+          Multimodal.syntheticVideos(
+            documents(s, d).filter(col("doc_id") % 8 === 2), "doc_id"),
+          everyMs = 300L).toDF()
+        .withColumn("k", col("media_id") * 100 + col("frame_idx"))
+      val dims = Multimodal.extractFeatures(
+          frames.select(col("k").as("media_id"),
+            lit("image").as("kind"), col("frame").as("bytes"))).toDF()
+        .select(col("media_id").as("k"), col("width"), col("height"))
+      frames.join(dims, Seq("k"))
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("width"), col("height"))
   }
 
   /** REAL audio decode, hash-certified: synthetic 8 kHz WAVs carry a frame
