@@ -134,7 +134,8 @@ object MultimodalQ {
       |       CAST(f.i AS INT) AS frame_idx,
       |       CAST(f.i * 300 AS BIGINT) AS ts_ms,
       |       t.width, t.height
-      |FROM t, generate_series(0, t.dur // 300) f(i)""".stripMargin) {
+      |FROM t, unnest(generate_series(0, CAST(t.dur // 300 AS BIGINT)))
+      |       AS f(i)""".stripMargin) {
     (s, d) =>
       val frames = Multimodal.sampleFrames(
           Multimodal.syntheticVideos(
