@@ -1430,12 +1430,13 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    // a rebuild invalidates crashed-fold remnants too: an
-    // appends_folding_eN left behind must never be "restored" by a
-    // later fold's recovery after this save reset the fold epoch
+    // a rebuild invalidates crashed-fold remnants too: an aside, parked
+    // base, or folding scratch left behind must never be "restored" by
+    // a later fold's recovery after this save reset the fold epoch
     val base = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(base)) fs.listStatus(base)
-      .filter(_.getPath.getName.startsWith("appends_folding_e"))
+      .filter(_.getPath.getName
+        .matches("(appends|corpus|coded_lists)_(folding|old)_e\\d+"))
       .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -1584,48 +1585,78 @@ object Similarity {
 
   /** Fold on-disk appends into the base frames (same quantizers, no
     * retrain): the safe form of the save-after-load maintenance step.
-    * The unioned frames are MATERIALIZED (`localCheckpoint`) before any
-    * file mutation, so the fold never reads from files it is deleting —
-    * the self-destruction hazard [[Layout.compact]] guards against with
-    * its path check.
+    * The folded frames are written to FRESH `*_folding_eN` directories
+    * while every file they read (the old base, the aside appends) stays
+    * untouched — so no materialization pass is needed (at index scale a
+    * `localCheckpoint` of the corpus would itself be a full copy), and
+    * the self-destruction hazard [[Layout.compact]] guards against
+    * cannot arise.
     *
-    * CRASH-ATOMIC: the naive prune-after-save left a window (crash after
-    * the base overwrite committed but before `appends/` was deleted)
-    * where the next load unioned the folded rows in TWICE. Instead the
-    * fold (1) renames `appends/` aside to `appends_folding_eN`, (2)
-    * overwrites the base frames, (3) commits by writing the sidecar with
-    * `fold_epoch = N`, and (4) deletes the aside directory.
-    * [[foldRecover]] (run at the start of every fold, and cheap to call
-    * from ops tooling) settles any crash: aside epoch ≤ sidecar epoch
-    * means the fold committed, so the aside is garbage and is deleted;
-    * aside epoch > sidecar epoch means it never committed, so the aside
-    * is renamed back to `appends/` and nothing was lost. A full REBUILD
-    * ([[ivfPqIndexSave]]) deletes aside remnants along with `appends/` —
-    * rows encoded under superseded quantizers must never resurface. */
+    * CRASH-ATOMIC, with the sidecar write as the only durable state
+    * transition: (1) rename `appends/` aside to `appends_folding_eN`
+    * FIRST — appends landed concurrently from that instant (e.g. by a
+    * live [[ivfPqAppendSink]]) start a fresh `appends/` the fold never
+    * touches, and simply fold next time; (2) write the unioned frames
+    * to `corpus_folding_eN` / `coded_lists_folding_eN`; (3) swap each
+    * into place, parking the previous base at `*_old_eN`; (4) commit by
+    * writing the sidecar with `fold_epoch = N`; (5) delete the aside
+    * and the `*_old_eN` parks. [[foldRecover]] (run at the start of
+    * every fold, and cheap to call from ops tooling) settles any crash
+    * by comparing remnant epochs to the committed `fold_epoch`:
+    * committed remnants are garbage and are deleted; uncommitted ones
+    * are rolled back — parked bases restored over any half-published
+    * swap, folding scratch deleted, aside merged back to `appends/` —
+    * so every row is always in exactly one live location. Readers that
+    * overlap a fold mid-swap (steps 3–4) can see a mixed base; run
+    * folds from a single maintenance job, as with any compaction. A
+    * full REBUILD ([[ivfPqIndexSave]]) deletes fold remnants along with
+    * `appends/` — rows encoded under superseded quantizers must never
+    * resurface. */
   def ivfPqIndexFold(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     foldRecover(spark, dir)
-    val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
-    val idx = ivfPqIndexLoad(spark, dir)
-    val corpus = idx.corpus.localCheckpoint()
-    val coded = idx.codedLists.localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return // nothing to fold
+    if (!fs.exists(p)) return // nothing to fold — checked before any load
+    val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
     val epoch = meta.getOrElse("fold_epoch", 0L) + 1
     val aside = new org.apache.hadoop.fs.Path(
       s"$dir/appends_folding_e$epoch")
     require(fs.rename(p, aside), s"could not move $p aside to $aside")
-    IndexIO.saveFrame(corpus, s"$dir/corpus")
-    IndexIO.saveFrame(coded, s"$dir/coded_lists")
+    IndexIO.saveFrame(
+      frameWithAppends(spark, s"$dir/corpus", s"$aside/corpus"),
+      s"$dir/corpus_folding_e$epoch")
+    IndexIO.saveFrame(
+      frameWithAppends(spark, s"$dir/coded_lists", s"$aside/coded_lists"),
+      s"$dir/coded_lists_folding_e$epoch")
+    foldSwapIn(fs, dir, "corpus", epoch)
+    foldSwapIn(fs, dir, "coded_lists", epoch)
     // the sidecar write is the commit point
     IndexIO.writeMeta(spark, dir, "ivf_pq",
       (meta - "version") + ("fold_epoch" -> epoch))
     fs.delete(aside, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus_old_e$epoch"),
+      true)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/coded_lists_old_e$epoch"), true)
+  }
+
+  /** Publish a folded frame: park the live base at `*_old_eN`, rename
+    * the freshly written `*_folding_eN` into its place. Both renames are
+    * rolled back by [[foldRecover]] if the sidecar never commits. */
+  private def foldSwapIn(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      frame: String, epoch: Long): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/$frame")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/${frame}_old_e$epoch")
+    val fresh =
+      new org.apache.hadoop.fs.Path(s"$dir/${frame}_folding_e$epoch")
+    require(fs.rename(cur, old), s"could not park $cur at $old")
+    require(fs.rename(fresh, cur), s"could not publish $fresh to $cur")
   }
 
   /** Settle a crashed [[ivfPqIndexFold]] — see its scaladoc for the
-    * protocol. Idempotent; safe to run against a healthy index. */
+    * protocol. Idempotent; safe to run against a healthy index, and
+    * safe to re-run if the recovery itself crashes midway. */
   def foldRecover(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir)
@@ -1633,39 +1664,76 @@ object Similarity {
     if (!fs.exists(base)) return
     val committed = IndexIO.readMeta(spark, dir, "ivf_pq")
       .getOrElse("fold_epoch", 0L)
-    fs.listStatus(base)
-      .filter(_.getPath.getName.matches("appends_folding_e\\d+"))
-      .foreach { st =>
-        val e = st.getPath.getName.stripPrefix("appends_folding_e").toLong
-        val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
-        if (e <= committed) fs.delete(st.getPath, true)
-        else if (!fs.exists(appends)) require(
-          fs.rename(st.getPath, appends),
-          s"could not restore ${st.getPath} to $appends")
-        else {
-          // new appends landed between the crash and this recovery:
-          // merge the aside's per-frame batch dirs back one by one. A
-          // name collision is ambiguous (same id written twice across
-          // the crash) — refuse with guidance rather than guess.
-          fs.listStatus(st.getPath).filter(_.isDirectory).foreach { fr =>
-            val destFrame = new org.apache.hadoop.fs.Path(
-              appends, fr.getPath.getName)
-            fs.mkdirs(destFrame)
-            fs.listStatus(fr.getPath).foreach { b =>
-              val destB = new org.apache.hadoop.fs.Path(
-                destFrame, b.getPath.getName)
-              require(!fs.exists(destB),
-                s"crashed-fold recovery collision: $destB exists both " +
-                  s"in appends/ and in ${st.getPath} — resolve manually " +
-                  "(the aside copy predates the crash)")
-              require(fs.rename(b.getPath, destB),
-                s"could not restore ${b.getPath} to $destB")
-            }
-          }
-          fs.delete(st.getPath, true)
-        }
+    val remnant = "(appends|corpus|coded_lists)_(folding|old)_e(\\d+)".r
+    val epochs = fs.listStatus(base).flatMap(st =>
+      st.getPath.getName match {
+        case remnant(_, _, e) => Some(e.toLong)
+        case _ => None
+      }).toSet.toSeq.sorted
+    epochs.foreach { e =>
+      def del(name: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        if (fs.exists(p)) fs.delete(p, true)
       }
+      if (e <= committed) {
+        // the fold committed: every remnant of its epoch is garbage
+        Seq(s"appends_folding_e$e", s"corpus_old_e$e",
+          s"coded_lists_old_e$e", s"corpus_folding_e$e",
+          s"coded_lists_folding_e$e").foreach(del)
+      } else {
+        // never committed: roll back. Parked bases win over any
+        // half-published swap; folding scratch is discarded; the aside
+        // appends merge back so the next fold retries them.
+        Seq("corpus", "coded_lists").foreach { frame =>
+          val old =
+            new org.apache.hadoop.fs.Path(s"$dir/${frame}_old_e$e")
+          if (fs.exists(old)) {
+            del(frame)
+            require(
+              fs.rename(old, new org.apache.hadoop.fs.Path(s"$dir/$frame")),
+              s"could not restore $old to $dir/$frame")
+          }
+          del(s"${frame}_folding_e$e")
+        }
+        restoreAside(fs, dir,
+          new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e$e"))
+      }
+    }
   }
+
+  /** Merge a crashed fold's aside appends back under `dir/appends`. */
+  private def restoreAside(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, asidePath: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(asidePath)) {
+      val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
+      if (!fs.exists(appends)) require(
+        fs.rename(asidePath, appends),
+        s"could not restore $asidePath to $appends")
+      else {
+        // new appends landed between the crash and this recovery (the
+        // fold renames appends/ aside as its FIRST step, so a live sink
+        // keeps writing into a fresh appends/): merge the aside's
+        // per-frame batch dirs back one by one. A name collision is
+        // ambiguous (same id written twice across the crash) — refuse
+        // with guidance rather than guess.
+        fs.listStatus(asidePath).filter(_.isDirectory).foreach { fr =>
+          val destFrame = new org.apache.hadoop.fs.Path(
+            appends, fr.getPath.getName)
+          fs.mkdirs(destFrame)
+          fs.listStatus(fr.getPath).foreach { b =>
+            val destB = new org.apache.hadoop.fs.Path(
+              destFrame, b.getPath.getName)
+            require(!fs.exists(destB),
+              s"crashed-fold recovery collision: $destB exists both " +
+                s"in appends/ and in $asidePath — resolve manually " +
+                "(the aside copy predates the crash)")
+            require(fs.rename(b.getPath, destB),
+              s"could not restore ${b.getPath} to $destB")
+          }
+        }
+        fs.delete(asidePath, true)
+      }
+    }
 
   /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
     * append-hourly lifecycle composes: `ivfPqIndexAppend` on a loaded

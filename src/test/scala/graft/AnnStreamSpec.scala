@@ -224,10 +224,71 @@ class AnnStreamSpec extends AnyFunSuite {
     // a REBUILD prunes aside remnants (stale quantizers must not return)
     rest.write.mode("overwrite").parquet(
       s"$dir/appends_folding_e99/corpus/manual=000000")
+    rest.write.mode("overwrite").parquet(s"$dir/corpus_old_e99")
     Similarity.ivfPqIndexSave(
       Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding"), dir)
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(
         s"$dir/appends_folding_e99")),
       "rebuild must delete crashed-fold remnants")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/corpus_old_e99")),
+      "rebuild must delete parked-base remnants (would be 'rolled back' " +
+        "over the rebuild once the fold epoch resets)")
+  }
+
+  test("fold swap windows roll back; concurrent appends survive a crash") {
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_swapfold_idx").toString
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"), dir)
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, rest, "vec_id", "embedding", batchId = 0L)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // window C: crash AFTER the folding dirs are written, BEFORE the
+    // swap — base untouched, scratch discarded, aside restored.
+    require(hfs.rename(p("appends"), p("appends_folding_e1")))
+    val idx1 = Similarity.ivfPqIndexLoad(spark, dir)
+    idx1.corpus.write.parquet(s"$dir/corpus_folding_e1")
+    idx1.codedLists.write.parquet(s"$dir/coded_lists_folding_e1")
+    Similarity.foldRecover(spark, dir)
+    assert(!hfs.exists(p("corpus_folding_e1")) &&
+      !hfs.exists(p("coded_lists_folding_e1")),
+      "pre-swap recovery must discard the folding scratch")
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count(), "pre-swap recovery must restore the aside appends")
+
+    // window D: crash MID-SWAP — corpus published, coded_lists not.
+    // Recovery restores the parked corpus so the pair stays consistent.
+    require(hfs.rename(p("appends"), p("appends_folding_e1")))
+    val idx2 = Similarity.ivfPqIndexLoad(spark, dir)
+    idx2.corpus.write.parquet(s"$dir/corpus_folding_e1")
+    idx2.codedLists.write.parquet(s"$dir/coded_lists_folding_e1")
+    require(hfs.rename(p("corpus"), p("corpus_old_e1")))
+    require(hfs.rename(p("corpus_folding_e1"), p("corpus")))
+    // a live append sink keeps landing batches into the fresh appends/
+    // while the fold is crashed — recovery must MERGE, not delete
+    val extra = emb.limit(7).select(
+      (col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    Similarity.ivfPqIndexAppendSave(
+      spark, dir, extra, "vec_id", "embedding", batchId = 55L)
+    Similarity.foldRecover(spark, dir)
+    assert(!hfs.exists(p("corpus_old_e1")) &&
+      !hfs.exists(p("coded_lists_folding_e1")),
+      "mid-swap recovery must restore the parked base and drop scratch")
+    val recovered = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(recovered.corpus.count() == emb.count() + 7,
+      "rows from the crashed fold AND the concurrent append must survive")
+    // and the settled index folds cleanly afterwards
+    Similarity.ivfPqIndexFold(spark, dir)
+    assert(Similarity.ivfPqIndexLoad(spark, dir).corpus.count()
+      == emb.count() + 7)
+    assert(!hfs.exists(p("appends")) && !hfs.exists(p("corpus_old_e1")),
+      "a committed fold leaves no appends or remnants behind")
   }
 }
