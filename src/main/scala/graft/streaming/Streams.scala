@@ -784,126 +784,244 @@ object Streams {
       .start()
   }
 
+  /** Default key-space partition count for [[upsertSink]] state. Fixed at
+    * state creation (the first committed merge) and read back from the
+    * manifest thereafter; size it so one partition's state fits one task
+    * comfortably (at 100 TB of state that means thousands, not 32). */
+  val UpsertDefaultPartitions = 32
+
   /** The lakehouse MERGE recipe as a foreachBatch sink on plain parquet:
     * every micro-batch folds into a keyed state directory, keeping the
     * highest-`versionCol` row per key (exactly the batch q_j7 staging
-    * semantics, continuously). The state is VERSIONED — each merge
-    * writes a fresh `v%05d` subdirectory and readers follow the highest
-    * one carrying a `_SUCCESS` marker — so a crash mid-write leaves the
-    * previous state fully readable, and a checkpoint-replayed batch
-    * re-merges idempotently (same rows, same max version per key).
-    * Superseded state versions older than the previous one are pruned.
+    * semantics, continuously). The state is HASH-PARTITIONED on the key
+    * columns into `numPartitions` buckets fixed at creation, and
+    * MANIFEST-COMMITTED: a merge writes fresh files ONLY for the buckets
+    * its batch touches (under `v%05d/__graft_p=K`, one `_SUCCESS` per
+    * version), then publishes `_manifests/m%05d.json` mapping every
+    * bucket to the version that last wrote it — the manifest write is
+    * the commit point. Readers follow the newest manifest, so a crash
+    * mid-merge leaves the previous state fully readable, and a
+    * checkpoint-replayed batch re-merges idempotently (same rows per
+    * key; versions are manifest-chained, not batch-id-derived, so even a
+    * FRESH checkpoint pointed at existing state merges correctly rather
+    * than overwriting).
     *
-    * Scale shape: one shuffle by key per micro-batch over state ∪ batch
-    * (the same cost a MERGE INTO pays); at 100 TB the state would live
-    * in a table format with file-level pruning, but the merge plan —
-    * union, per-key max-version rank, overwrite-new-version — is this
-    * one. */
+    * Scale shape: per-batch cost is one shuffle over (touched state ∪
+    * batch) — the table-format MERGE file-group model on plain parquet.
+    * A batch updating 1 of P buckets rewrites 1/P of the state, not all
+    * of it; UpsertCompactionSpec pins that cost curve. Version dirs are
+    * pruned at bucket granularity via the manifests (a dir survives
+    * while ANY bucket still points at it); [[compactUpsertState]] folds
+    * the live buckets into a single fresh version when file counts or
+    * stale-dir amplification drift. */
   def upsertSink(
       stream: DataFrame, stateDir: String, keyCols: Seq[String],
-      versionCol: String, checkpoint: String)
+      versionCol: String, checkpoint: String,
+      numPartitions: Int = UpsertDefaultPartitions)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyCols.nonEmpty, "upsertSink needs at least one key column")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
-        upsertBatch(batch.toDF(), stateDir, keyCols, versionCol)
+        upsertBatch(batch.toDF(), stateDir, keyCols, versionCol,
+          numPartitions)
       }
       .start()
   }
 
   /** One merge step of [[upsertSink]] — also directly usable for batch
-    * incremental loads into the same state directory. */
+    * incremental loads into the same state directory. Reads ONLY the
+    * buckets the batch touches (every batch key hashes into one of
+    * them, so per-key max-version dedup never needs the others), writes
+    * only those buckets into the next version, and commits by manifest. */
   def upsertBatch(
       batch: DataFrame, stateDir: String, keyCols: Seq[String],
-      versionCol: String): Unit = {
+      versionCol: String,
+      numPartitions: Int = UpsertDefaultPartitions): Unit = {
+    require(keyCols.nonEmpty, "upsertBatch needs at least one key column")
+    require(numPartitions > 0 && numPartitions <= 65536,
+      s"bad upsert state partition count: $numPartitions")
     val spark = batch.sparkSession
-    val current = latestStateVersion(spark, stateDir)
-    val merged = current match {
-      case Some((_, path)) => spark.read.parquet(path).unionByName(batch)
-      case None => batch
-    }
+    val prev = latestUpsertManifest(spark, stateDir)
+    // the stored partition count wins: the key→bucket map is frozen at
+    // state creation (changing it silently would split keys across
+    // buckets and break per-bucket dedup)
+    val p = prev.map(_.numParts).getOrElse(numPartitions)
+    val pCol = pmod(hash(keyCols.map(col): _*), lit(p))
+    // bounded driver collect: ≤ p ints, never data rows
+    val touched = batch.withColumn("__graft_p", pCol)
+      .select("__graft_p").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty micro-batch: nothing to commit
+    val batchCols = batch.columns.toSeq
+    val oldTouched = prev.map { m =>
+      touched.toSeq.flatMap(k => m.parts.get(k).map(v =>
+        f"$stateDir/v$v%05d/__graft_p=$k"))
+    }.getOrElse(Nil)
+    val merged =
+      if (oldTouched.isEmpty) batch
+      else spark.read.parquet(oldTouched: _*)
+        .select(batchCols.map(col): _*).unionByName(batch)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
-    val next = current.map(_._1 + 1).getOrElse(0)
+    val next = prev.map(_.id + 1).getOrElse(0)
     merged
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
+      .withColumn("__graft_p", pCol)
+      // one task per touched bucket: bounded file counts per version
+      .repartition(touched.length, col("__graft_p"))
       .write.mode("overwrite")
+      .partitionBy("__graft_p")
       .parquet(f"$stateDir/v$next%05d")
-    pruneStateVersions(spark, stateDir)
+    // the manifest write is the commit point
+    writeUpsertManifest(spark, stateDir, UpsertManifest(next, p,
+      prev.map(_.parts).getOrElse(Map.empty) ++ touched.map(_ -> next)))
+    pruneUpsertState(spark, stateDir)
   }
 
-  /** Keep only the latest committed state version plus its predecessor
-    * (the crash-recovery fallback); delete everything older. */
-  private def pruneStateVersions(
-      spark: SparkSession, stateDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stateVersions(spark, stateDir).dropRight(2).foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    }
-  }
-
-  /** Maintenance step for [[upsertSink]]'s versioned state: rewrite the
-    * CURRENT state version into ⌈rows / targetRecordsPerFile⌉ files via
-    * [[graft.operators.Layout.compact]], committed as the NEXT state
-    * version under the same `_SUCCESS` protocol — so readers and further
-    * [[upsertBatch]] merges are oblivious to the compaction (identical
-    * rows, fewer files), a crash mid-compaction leaves the previous
-    * version fully readable, and the normal two-version prune applies.
+  /** Maintenance step for [[upsertSink]]'s state: rewrite ALL live
+    * buckets into ⌈bucket rows / targetRecordsPerFile⌉ files as the NEXT
+    * version, committed under the same manifest protocol — readers and
+    * further [[upsertBatch]] merges are oblivious (identical rows, fewer
+    * files), a crash mid-compaction leaves the previous manifest fully
+    * readable, and the prune then drops every superseded version dir.
     * Run it between micro-batches (the sink's foreachBatch serializes
     * merges, so schedule compaction when the query is idle or stopped).
-    * Returns the compacted file count.
+    * Returns the compacted parquet file count.
     *
-    * Why it matters at scale: each merge rewrites full state with the
-    * session's shuffle parallelism, so a long-running sink accumulates
-    * per-version file counts sized by the CLUSTER, not the data — the
-    * classic small-file drift every table format compacts away.
-    * UpsertCompactionSpec pins `readUpsertState` equality across the
-    * compaction and that merges compose on the compacted state. */
+    * Why it matters at scale: incremental merges leave two kinds of
+    * drift — small files in hot buckets, and old version dirs kept
+    * alive by one cold bucket each. One compaction pass settles both,
+    * exactly the table-format OPTIMIZE role. */
   def compactUpsertState(
       spark: SparkSession, stateDir: String,
       targetRecordsPerFile: Long): Long = {
-    val (v, path) = latestStateVersion(spark, stateDir).getOrElse(
+    require(targetRecordsPerFile > 0,
+      s"bad target records/file: $targetRecordsPerFile")
+    val m = latestUpsertManifest(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"no committed upsert state under $stateDir"))
-    val files = graft.operators.Layout.compact(
-      spark, path, f"$stateDir/v${v + 1}%05d", targetRecordsPerFile)
-    pruneStateVersions(spark, stateDir)
+    val next = m.id + 1
+    // read per referenced version WITH basePath so the bucket column
+    // survives — compaction must not re-derive it (it has no key list)
+    val cur = m.parts.groupBy(_._2).toSeq.map { case (v, entries) =>
+      spark.read.option("basePath", f"$stateDir/v$v%05d")
+        .parquet(entries.keys.toSeq.sorted.map(k =>
+          f"$stateDir/v$v%05d/__graft_p=$k"): _*)
+    }.reduce(_.unionByName(_))
+    cur
+      .repartition(m.parts.size, col("__graft_p"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy("__graft_p")
+      .parquet(f"$stateDir/v$next%05d")
+    writeUpsertManifest(spark, stateDir,
+      UpsertManifest(next, m.numParts, m.parts.map { case (k, _) =>
+        k -> next
+      }))
+    pruneUpsertState(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(f"$stateDir/v$next%05d")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var files = 0L
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) files += 1
     files
   }
 
-  /** Read the current upsert state ([[upsertSink]]'s output contract). */
+  /** Read the current upsert state ([[upsertSink]]'s output contract):
+    * the newest manifest's bucket→version pointers, unioned. */
   def readUpsertState(spark: SparkSession, stateDir: String): DataFrame =
-    latestStateVersion(spark, stateDir) match {
-      case Some((_, path)) => spark.read.parquet(path)
-      case None => throw new IllegalStateException(
+    latestUpsertManifest(spark, stateDir) match {
+      case Some(m) if m.parts.nonEmpty =>
+        spark.read.parquet(m.parts.toSeq.sorted.map { case (k, v) =>
+          f"$stateDir/v$v%05d/__graft_p=$k"
+        }: _*)
+      case _ => throw new IllegalStateException(
         s"no committed upsert state under $stateDir")
     }
 
-  /** Committed (`_SUCCESS`-marked) state versions, ascending. */
-  private def stateVersions(
-      spark: SparkSession, stateDir: String): Seq[(Int, String)] = {
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (name.matches("v\\d{5}") &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          Some(name.drop(1).toInt -> st.getPath.toString)
-        else None
-      }
+  /** Bucket→version pointers published by one committed merge. */
+  private case class UpsertManifest(
+      id: Int, numParts: Int, parts: Map[Int, Int])
+
+  private def writeUpsertManifest(
+      spark: SparkSession, stateDir: String, m: UpsertManifest): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val entries = m.parts.toSeq.sorted
+      .map { case (k, v) => s""""p$k":$v""" }.mkString(",")
+    val json =
+      s"""{"id":${m.id},"num_parts":${m.numParts},"parts":{$entries}}"""
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, f"m${m.id}%05d.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Committed manifests, ascending by id. */
+  private def upsertManifests(spark: SparkSession, stateDir: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("m\\d{5}\\.json"))
+      .map(st => st.getPath.getName.drop(1).dropRight(5).toInt -> st.getPath)
       .sortBy(_._1)
   }
 
-  private def latestStateVersion(
-      spark: SparkSession, stateDir: String): Option[(Int, String)] =
-    stateVersions(spark, stateDir).lastOption
+  private def latestUpsertManifest(
+      spark: SparkSession, stateDir: String): Option[UpsertManifest] =
+    upsertManifests(spark, stateDir).lastOption.map { case (_, p) =>
+      readUpsertManifest(spark, stateDir, p)
+    }
+
+  private def readUpsertManifest(spark: SparkSession, stateDir: String,
+      path: org.apache.hadoop.fs.Path): UpsertManifest = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val json =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    def field(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"upsert manifest $path missing '$name': $json"))
+    val parts = """"p(\d+)":(\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
+    UpsertManifest(field("id"), field("num_parts"), parts)
+  }
+
+  /** Keep the latest manifest plus its predecessor (the crash-recovery
+    * fallback); delete older manifests, and every version dir neither of
+    * the two still points at. Bucket granularity means a version dir
+    * lives while ANY bucket references it — [[compactUpsertState]]
+    * repoints all buckets and so releases everything older. */
+  private def pruneUpsertState(
+      spark: SparkSession, stateDir: String): Unit = {
+    val manifests = upsertManifests(spark, stateDir)
+    if (manifests.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = manifests.takeRight(2)
+    manifests.dropRight(2).foreach { case (_, p) => fs.delete(p, false) }
+    val referenced = keep
+      .flatMap { case (_, p) =>
+        readUpsertManifest(spark, stateDir, p).parts.values
+      }.toSet
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.matches("v\\d{5}") &&
+          !referenced.contains(n.drop(1).toInt)
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 }
