@@ -1072,9 +1072,13 @@ object Similarity {
 
   def ivfPqIndexBuild(
       emb: DataFrame, id: String, vec: String,
-      m: Int = PqSubspaces, k: Int = PqCodebook): IvfPqIndex = {
+      m: Int = PqSubspaces, k: Int = PqCodebook,
+      lists: Int = IvfLists): IvfPqIndex = {
     val n = normed(emb, id, vec).localCheckpoint()
-    val cents = kmeansCentroids(n)
+    // `lists` is the scale lever: per-query candidate work is
+    // |corpus|·probes/lists, so grow lists with the corpus (√n is the
+    // classic choice) to keep a 10× corpus from costing 10× per query
+    val cents = kmeansCentroids(n, lists)
     val books = pqCodebooks(n, m, k)
     IvfPqIndex(n, codedListRows(n, cents, books).localCheckpoint(),
       cents, books)

@@ -549,6 +549,75 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
   }
 
+  test("ivfPqTopKJoin decomposes over planted clusters and stays linear at 10x") {
+    // The flagship ANN join's 100 TB claim: with the list count grown
+    // with the corpus (the √n rule ivfPqIndexBuild documents), a 10×
+    // corpus joined against 10× queries costs ~10×, not 100× — per-query
+    // candidate work is |corpus|·probes/lists and stays constant. Ten
+    // copies of the sf0.1 embeddings are planted in near-orthogonal
+    // directions (copy c rides 10·e_c against 0.25·original, so
+    // within-copy cosine ≳0.95 and cross-copy ≲0.1), which makes the
+    // decomposition claim checkable without relying on quantizer
+    // equality across differently-built indexes: every query's top-k
+    // must come entirely from its own copy — any cross-copy leak means
+    // the probed lists starved the query of its own cluster.
+    import graft.operators.Similarity
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    def copyDf(c: Int) = base.select(
+      (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * lit(0.25f) + when(i === c, lit(10.0f)).otherwise(lit(0.0f)))
+          .cast("float")).as("embedding"))
+    val copies = (0 until 10).map(c => copyDf(c).localCheckpoint())
+    val big = copies.reduce(_ unionByName _).localCheckpoint()
+    def queriesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select((col("vec_id") + lit(50000000L)).as("vec_id"),
+        col("embedding"))
+    val K = 5
+    // solo: 2k corpus, 16 lists; 10×: 20k corpus, 160 lists — same
+    // corpus/lists ratio, so the candidate join carries the same rows
+    // per query at both scales
+    val idxSolo = Similarity.ivfPqIndexBuild(
+      copies.head, "vec_id", "embedding", lists = 16)
+    val idxBig = Similarity.ivfPqIndexBuild(
+      big, "vec_id", "embedding", lists = 160)
+    def run(idx: Similarity.IvfPqIndex,
+        qs: org.apache.spark.sql.DataFrame)
+        : (Array[org.apache.spark.sql.Row], Double) = {
+      val t0 = System.nanoTime()
+      val rows = Similarity.ivfPqTopKJoin(
+        idx, qs, "vec_id", "embedding", K).collect()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(idxSolo, queriesOf(copies.head)) // warm
+    val (soloRows, tSolo0) = run(idxSolo, queriesOf(copies.head))
+    val (_, tSolo1) = run(idxSolo, queriesOf(copies.head))
+    val tSolo = math.min(tSolo0, tSolo1)
+    val (bigRows, tBig0) = run(idxBig, queriesOf(big))
+    val (_, tBig1) = run(idxBig, queriesOf(big))
+    val tBig = math.min(tBig0, tBig1)
+    // every query answered with a full top-k at both scales
+    val nBase = base.count()
+    assert(soloRows.groupBy(_.getLong(0)).size == nBase)
+    val perQuery = bigRows.groupBy(_.getLong(0))
+    assert(perQuery.size == nBase * 10,
+      s"only ${perQuery.size} of ${nBase * 10} queries answered")
+    assert(perQuery.values.forall(_.length == K))
+    // decomposition: all K neighbors live in the query's own copy
+    val leaks = bigRows.filter { r =>
+      (r.getLong(0) - 50000000L) / 1000000L != r.getLong(1) / 1000000L
+    }
+    assert(leaks.isEmpty,
+      s"${leaks.length} cross-copy neighbors leaked, e.g. " +
+        leaks.take(3).mkString(", "))
+    // wall-clock stays in the linear band (same conservative guard as
+    // the other probes; shared-box variance is real, quadratic is ~100×)
+    println(f"ivfPqTopKJoin solo: $tSolo%.2f s, 10x: $tBig%.2f s, " +
+      f"ratio ${tBig / tSolo}%.1f")
+    assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
