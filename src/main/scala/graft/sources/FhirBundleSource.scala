@@ -95,6 +95,47 @@ object FhirBundleSource {
       StructField("timestamp", StringType, nullable = true) +:
       model.resourceMap.keys.toSeq.sorted.map(rt =>
         StructField(rt, ArrayType(model.resourceMap(rt)), nullable = true)))
+
+  /** (path, length) of every data file under the load path (one glob
+    * level, dot/underscore files skipped — the Spark file-source
+    * convention). Shared by the batch scan and the micro-batch stream. */
+  private[sources] def listDataFiles(
+      path: String, conf: Configuration): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val expanded = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }
+    expanded
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      })
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** First-fit-decreasing bin-packing under the session's
+    * `spark.sql.files.maxPartitionBytes`: a directory of small bundles
+    * groups into few tasks; a huge file still gets its own partition
+    * (whole-document parse — no intra-file split). */
+  private[sources] def packPartitions(
+      files: Seq[(String, Long)]): Array[InputPartition] = {
+    val maxBytes =
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    files.sortBy(-_._2).foreach { case (f, len) =>
+      bins.indexWhere(_._2 + len <= maxBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), len))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + len)
+      }
+    }
+    bins.map(b => FhirInputPartition(b._1.toArray): InputPartition).toArray
+  }
 }
 
 /** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
@@ -121,7 +162,8 @@ private[sources] class FhirBundleTable(path: String, tableSchema: StructType)
   override def name(): String = s"graft-fhir:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // capture the SESSION Hadoop configuration (with per-read options
@@ -162,23 +204,8 @@ private[sources] class FhirScan(path: String, required: StructType,
   override def description(): String =
     s"graft-fhir $path [${required.fieldNames.mkString(", ")}]"
 
-  /** (path, length) of every data file under the load path (one glob
-    * level, dot/underscore files skipped — the Spark file-source
-    * convention). */
-  private lazy val files: Seq[(String, Long)] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val expanded = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-    }
-    expanded
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith(".") && !n.startsWith("_")
-      })
-      .map(st => (st.getPath.toString, st.getLen))
-  }
+  private lazy val files: Seq[(String, Long)] =
+    FhirBundleSource.listDataFiles(path, conf.value)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -187,28 +214,73 @@ private[sources] class FhirScan(path: String, required: StructType,
       java.util.OptionalLong.of(files.length.toLong)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val maxBytes =
-      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    // first-fit decreasing bin-packing under the byte cap: a directory
-    // of small bundles groups into few tasks; a huge file still gets
-    // its own partition (whole-document parse — no intra-file split)
-    val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    files.sortBy(-_._2).foreach { case (f, len) =>
-      bins.indexWhere(_._2 + len <= maxBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), len))
-        case i =>
-          bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + len)
-      }
-    }
-    bins.map(b => FhirInputPartition(b._1.toArray): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] =
+    FhirBundleSource.packPartitions(files)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FhirReaderFactory(required, conf)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new FhirMicroBatchStream(path, required, conf)
+}
+
+/** Offset for [[FhirMicroBatchStream]]: the full sorted set of file
+  * paths seen so far. Two offsets alone determine a batch's file set
+  * (`end -- start`), so a checkpoint-replayed batch re-reads EXACTLY
+  * the same files — the property that makes restart exactly-once. The
+  * per-batch offset size is O(total files seen); at production feed
+  * volume the standard fix is the FileStreamSource one (a compacted
+  * seen-file log keyed from the offset), which slots in behind this
+  * same interface. */
+private[sources] case class FhirStreamOffset(files: Seq[String])
+    extends streaming.Offset {
+  override def json(): String =
+    FhirStreamOffset.mapper.writeValueAsString(files.toArray)
+}
+
+private[sources] object FhirStreamOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def parse(json: String): FhirStreamOffset = FhirStreamOffset(
+    mapper.readValue(json, classOf[Array[String]]).toSeq)
+}
+
+/** Micro-batch stream over a bundle directory: each trigger picks up
+  * files not yet claimed by the previous offset — the ADT "real-time"
+  * feed story run through the SAME pruned-registry parse and bin-packed
+  * partition planning as the batch scan (the reader factory is shared,
+  * so the streaming rows are the batch rows, minted bundleUUID and
+  * all). */
+private[sources] class FhirMicroBatchStream(
+    path: String, required: StructType, conf: SerializableHadoopConf)
+    extends streaming.MicroBatchStream {
+
+  override def initialOffset(): streaming.Offset = FhirStreamOffset(Nil)
+
+  override def latestOffset(): streaming.Offset = FhirStreamOffset(
+    FhirBundleSource.listDataFiles(path, conf.value).map(_._1).sorted)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    FhirStreamOffset.parse(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset)
+      : Array[InputPartition] = {
+    val seen = start.asInstanceOf[FhirStreamOffset].files.toSet
+    val fresh = end.asInstanceOf[FhirStreamOffset].files
+      .filterNot(seen)
+    // re-stat for bin-packing; a file that vanished between offset and
+    // (re)plan breaks immutability and must fail loudly, not skip rows
+    val fs = new Path(path).getFileSystem(conf.value)
+    FhirBundleSource.packPartitions(
+      fresh.map(f => (f, fs.getFileStatus(new Path(f)).getLen)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FhirReaderFactory(required, conf)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class FhirInputPartition(files: Array[String])
