@@ -284,16 +284,32 @@ object MultimodalQ {
     * image dHash, audio band-energy fingerprint, first-frame video dHash —
     * every row joins the same banded Hamming near-dup search. Rows-only
     * (fingerprints are functions of decoded pixels/samples). */
+  /** Unified fingerprint table over the REAL compressed-container decode
+    * paths (rows-only: perceptual hashes have no SQL restatement, but
+    * every hashed pixel/sample went through a genuine parse): image rows
+    * are frames decoded OUT of MJPEG-AVI containers (RIFF walk + JPEG
+    * decode, PNG re-encode by [[Multimodal.aviFrames]]), audio rows are
+    * FLAC payloads (the offline frame-walk decode `AudioCodec.decode`
+    * falls back to), video rows are Y4M clips (header + planar-YUV
+    * parse). Frame rows ride a disjoint id namespace (10M + mid·32 +
+    * idx; the frame cap makes the packing injective) so the unified
+    * table's keys never collide across kinds. */
   val qM10MediaFingerprints = Q.rowsOnly("q_m10_media_fingerprints") {
     (s, d) =>
       val base = documents(s, d)
+      val frames = Multimodal.aviFrames(
+          Multimodal.syntheticAvis(
+            base.filter(col("doc_id") % 8 === 7), "doc_id")).toDF()
+        .select(
+          (lit(10000000L) + col("media_id") * 32 + col("frame_idx"))
+            .as("media_id"),
+          lit("image").as("kind"), col("frame").as("bytes"))
+      val flacs = Multimodal.syntheticFlacs(
+        base.filter(col("doc_id") % 8 === 6), "doc_id")
+      val vids = Multimodal.syntheticVideos(
+        base.filter(col("doc_id") % 8 === 2), "doc_id")
       Multimodal.mediaFingerprints(
-        Multimodal.syntheticImages(
-          base.filter(col("doc_id") % 8 === 0), "doc_id")
-          .unionByName(Multimodal.syntheticAudio(
-            base.filter(col("doc_id") % 8 === 1), "doc_id"))
-          .unionByName(Multimodal.syntheticVideos(
-            base.filter(col("doc_id") % 8 === 2), "doc_id")))
+        frames.unionByName(flacs).unionByName(vids))
   }
 
   /** REAL JPEG decode + resize chain, hash-certified: the same gradient

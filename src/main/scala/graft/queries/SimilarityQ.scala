@@ -92,7 +92,157 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5, dim = 64)
   }
 
-  val qX3IvfTopK = Q.rowsOnly("q_x3_ann_ivf") { (s, d) =>
+  // ---- q_x3 oracle: full deterministic replay of the IVF path --------
+  // The coarse quantizer is seeded and deterministic end to end
+  // (xxhash64-ordered sample, strict-tie Lloyd's, left-fold double
+  // sums), so DuckDB can replay ALL of it and the query hash-certifies.
+  // The helpers below emit 64-bit-wrapping arithmetic in HUGEINT (a
+  // 64×64 product overflows 128-bit, hence the split multiply).
+
+  /** `(a * b) mod 2^64` for a < 2^64 and a constant b < 2^64. */
+  private def mulmod(a: String, b: String): String =
+    s"(((($a) % 4294967296) * $b" +
+      s" + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616)"
+
+  /** 64-bit rotate-left: high and low parts land in disjoint bit ranges,
+    * so `+` is `|`. */
+  private def rotl(a: String, r: Int): String =
+    s"(((($a) * ${1L << r}) % 18446744073709551616)" +
+      s" + (($a) // ${1L << (64 - r)}))"
+
+  private def xorshift(a: String, k: Int): String =
+    s"xor(($a), ($a) // ${1L << k})"
+
+  /** One Lloyd iteration over `samples`, `cents$p` → `cents$n`: strict
+    * argmax (ties → lowest list id), per-dimension sums folded in sample
+    * (xxhash) order, means unit-normalized — each float op in the same
+    * sequence the driver loop runs it. Empty lists keep their previous
+    * centroid (the coalesce). */
+  private def lloyd(p: Int, n: Int): String =
+    s"""d$n AS (
+       |  SELECT s.vec_id, s.ord, s.v, c.c,
+       |         list_sum(list_transform(range(1, 65),
+       |                                 i -> s.v[i] * c.cent[i])) AS d
+       |  FROM samples s CROSS JOIN cents$p c),
+       |a$n AS (
+       |  SELECT vec_id, ord, v, c,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d DESC, c) AS rn
+       |  FROM d$n),
+       |m$n AS (
+       |  SELECT c, i, list_sum(list(v[i] ORDER BY ord)) / count(*) AS m
+       |  FROM a$n, unnest(range(1, 65)) u(i)
+       |  WHERE rn = 1 GROUP BY c, i),
+       |w$n AS (SELECT c, list(m ORDER BY i) AS w FROM m$n GROUP BY c),
+       |nc$n AS (
+       |  SELECT c, list_transform(w, x -> x /
+       |           sqrt(list_sum(list_transform(w, y -> y * y)))) AS cent
+       |  FROM w$n),
+       |cents$n AS (
+       |  SELECT p.c, coalesce(n2.cent, p.cent) AS cent
+       |  FROM cents$p p LEFT JOIN nc$n n2 ON p.c = n2.c)""".stripMargin
+
+  /** Spark's `xxhash64(BIGINT)` (XXH64.hashLong, seed 42) as staged
+    * CTEs `x0…x6` + `xx` over `e(vec_id, v)` — validated value-exact
+    * against Spark for the id range. Primes are the XXH64 constants as
+    * unsigned decimals; the final CASE re-signs to Spark's BIGINT. */
+  private def xxhashCtes: String = {
+    val T = "18446744073709551616"
+    val p1 = "11400714785074694791"; val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161"; val p4 = "9650029242287828579"
+    val h0 = "2870177450012600311" // seed 42 + PRIME64_5 + 8
+    s"""x0 AS (SELECT vec_id,
+       |  ((CAST(vec_id AS HUGEINT) % $T) + $T) % $T AS u FROM e),
+       |x1 AS (SELECT vec_id, ${mulmod("u", p2)} AS k1 FROM x0),
+       |x2 AS (SELECT vec_id, ${mulmod(rotl("k1", 31), p1)} AS k3 FROM x1),
+       |x3 AS (SELECT vec_id,
+       |  ${rotl(s"xor(CAST($h0 AS HUGEINT), k3)", 27)} AS h2 FROM x2),
+       |x4 AS (SELECT vec_id,
+       |  (${mulmod("h2", p1)} + $p4) % $T AS h3 FROM x3),
+       |x5 AS (SELECT vec_id,
+       |  ${mulmod(xorshift("h3", 33), p2)} AS h5 FROM x4),
+       |x6 AS (SELECT vec_id,
+       |  ${mulmod(xorshift("h5", 29), p3)} AS h7 FROM x5),
+       |xx AS (SELECT vec_id,
+       |  CAST(CASE WHEN ${xorshift("h7", 32)} >= 9223372036854775808
+       |            THEN ${xorshift("h7", 32)} - $T
+       |            ELSE ${xorshift("h7", 32)} END AS BIGINT) AS xx
+       |  FROM x6)""".stripMargin
+  }
+
+  /** IVF top-k, HASH-CERTIFIED by full deterministic replay: the oracle
+    * regenerates the ENTIRE trained quantizer — xxhash64 replayed in
+    * wrapping HUGEINT arithmetic orders the training sample exactly as
+    * Spark's `orderBy(xxhash64(vec_id), vec_id)` does, the 16 initial
+    * centroids are that order's head, and three unrolled Lloyd
+    * iterations repeat the driver loop with every double folded in the
+    * same sequence (list_sum ≡ the left-fold `DoubleDot` kernel, means
+    * then unit-norm, strict ties to the lowest list) — then soft-assigns
+    * the corpus to its top-[[Similarity.IvfAssign]] lists, probes the
+    * queries' top-[[Similarity.IvfProbes]], and re-ranks candidates by
+    * exact cosine, mirroring q_x1. Assumes the corpus fits the training
+    * sample cap ([[Similarity.IvfSample]] = 2048; true at every test
+    * SF, where the sample is therefore the whole corpus) and dim 64. */
+  val qX3IvfTopK = Q(
+    "q_x3_ann_ivf",
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |$xxhashCtes,
+       |samples AS (
+       |  SELECT e.vec_id, e.v,
+       |         row_number() OVER (ORDER BY xx.xx, e.vec_id) AS ord
+       |  FROM e JOIN xx ON e.vec_id = xx.vec_id),
+       |cents0 AS (
+       |  SELECT ord - 1 AS c,
+       |         list_transform(v, x -> x /
+       |           sqrt(list_sum(list_transform(v, y -> y * y)))) AS cent
+       |  FROM samples WHERE ord <= 16),
+       |${lloyd(0, 1)},
+       |${lloyd(1, 2)},
+       |${lloyd(2, 3)},
+       |corpd AS (
+       |  SELECT e.vec_id, c.c,
+       |         list_sum(list_transform(range(1, 65),
+       |                                 i -> e.v[i] * c.cent[i])) AS d
+       |  FROM e CROSS JOIN cents3 c),
+       |corplists AS (
+       |  SELECT vec_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 2),
+       |qrylists AS (
+       |  SELECT vec_id AS q_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd WHERE vec_id < 8)
+       |  WHERE rn <= 6),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id AS query_id, cl.vec_id AS cand_id
+       |  FROM qrylists q JOIN corplists cl ON q.list_id = cl.list_id
+       |  WHERE cl.vec_id <> q.q_id),
+       |nn AS (SELECT vec_id, v,
+       |              sqrt(list_sum(list_transform(range(1, 65),
+       |                                           i -> v[i] * v[i])))
+       |                AS nrm
+       |       FROM e),
+       |scored AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |         list_sum(list_transform(range(1, 65),
+       |                                 i -> q.v[i] * c.v[i]))
+       |           / (q.nrm * c.nrm) AS sim
+       |  FROM cand JOIN nn q ON q.vec_id = cand.query_id
+       |            JOIN nn c ON c.vec_id = cand.cand_id),
+       |r AS (SELECT query_id, cand_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, sim
+       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
     Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
       queryPred = col("vec_id") < 8, k = 5)
   }
