@@ -224,13 +224,44 @@ object DedupQ {
 
   /** Semantic dedup (SemDeDup): spherical k-means clusters the corpus,
     * near-dup search runs only within clusters (Σc² vs n² — the scale
-    * path), verdict = keep/drop per vector. Rows-only: the k-means
-    * assignment is iterative float; the recall and subset contracts are
-    * pinned by NorthStarSpec (intra-cluster pairs ⊆ exact all-pairs; a
-    * planted-duplicate corpus measures the co-clustering recall floor). */
-  val qD10SemDedup = Q.rowsOnly("q_d10_semdedup") { (s, d) =>
-    graft.operators.Similarity.semanticDedup(
-      embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
+    * path), verdict = keep/drop per vector. HASH-CERTIFIED via
+    * [[SimilarityQ.quantizerCtes]]' full training replay: the oracle
+    * recomputes clusters, then ALL within-cluster pairs with exact
+    * cosine ≥ threshold (the 1-Bucket-Theta blocking only spreads work;
+    * it never changes the pair set), and drops the higher id of every
+    * qualifying pair. Certifies training + assignment + the pair
+    * semantics in one row set; NorthStarSpec keeps the recall-floor and
+    * subset contracts. */
+  val qD10SemDedup = Q(
+    "q_d10_semdedup",
+    s"""WITH ${SimilarityQ.quantizerCtes},
+       |best AS (
+       |  SELECT vec_id, c AS cluster,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d DESC, c) AS rn
+       |  FROM corpd),
+       |assign AS (SELECT vec_id, cluster FROM best WHERE rn = 1),
+       |nn AS (SELECT vec_id, v,
+       |              sqrt(list_sum(list_transform(range(1, 65),
+       |                                           i -> v[i] * v[i])))
+       |                AS nrm
+       |       FROM e),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN nn na ON na.vec_id = a.vec_id
+       |  JOIN nn nb ON nb.vec_id = b.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |                                i -> na.v[i] * nb.v[i]))
+       |          / (na.nrm * nb.nrm) >= 0.45)
+       |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       |       CASE WHEN l.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+       |         AS verdict
+       |FROM assign a LEFT JOIN losers l ON a.vec_id = l.vec_id""".stripMargin) {
+    (s, d) =>
+      graft.operators.Similarity.semanticDedup(
+        embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
   }
 
   /** Span cut (Lee et al. second half): q_d9 profiles duplicated spans;

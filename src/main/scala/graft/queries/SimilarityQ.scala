@@ -171,24 +171,17 @@ object SimilarityQ {
        |  FROM x6)""".stripMargin
   }
 
-  /** IVF top-k, HASH-CERTIFIED by full deterministic replay: the oracle
-    * regenerates the ENTIRE trained quantizer — xxhash64 replayed in
-    * wrapping HUGEINT arithmetic orders the training sample exactly as
-    * Spark's `orderBy(xxhash64(vec_id), vec_id)` does, the 16 initial
-    * centroids are that order's head, and three unrolled Lloyd
-    * iterations repeat the driver loop with every double folded in the
-    * same sequence (list_sum ≡ the left-fold `DoubleDot` kernel, means
-    * then unit-norm, strict ties to the lowest list) — then soft-assigns
-    * the corpus to its top-[[Similarity.IvfAssign]] lists, probes the
-    * queries' top-[[Similarity.IvfProbes]], and re-ranks candidates by
-    * exact cosine, mirroring q_x1. Assumes the corpus fits the training
-    * sample cap ([[Similarity.IvfSample]] = 2048; true at every test
-    * SF, where the sample is therefore the whole corpus) and dim 64. */
-  val qX3IvfTopK = Q(
-    "q_x3_ann_ivf",
-    s"""WITH e AS (SELECT vec_id,
-       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
+  /** The shared replayed-quantizer prelude: `e` (doubles), `xx`
+    * (xxhash64), `samples` (the training order), `cents0…cents3` (three
+    * Lloyd iterations), `corpd` (every vector's dot against every final
+    * centroid). q_x3/q_x4/q_x5 all append their own tails. Assumes the
+    * corpus fits the training sample cap ([[Similarity.IvfSample]] =
+    * 2048; true at every test SF, where the sample is therefore the
+    * whole corpus) and dim 64. */
+  private[queries] def quantizerCtes: String =
+    s"""e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
        |$xxhashCtes,
        |samples AS (
        |  SELECT e.vec_id, e.v,
@@ -206,7 +199,151 @@ object SimilarityQ {
        |  SELECT e.vec_id, c.c,
        |         list_sum(list_transform(range(1, 65),
        |                                 i -> e.v[i] * c.cent[i])) AS d
-       |  FROM e CROSS JOIN cents3 c),
+       |  FROM e CROSS JOIN cents3 c)""".stripMargin
+
+  /** One per-subspace PQ Lloyd iteration, `pq{mi}_p` → `pq{mi}_n`: the
+    * [[Similarity.pqCodebooks]] driver loop — argMIN L2 over the 8-dim
+    * slice (each squared term added left-to-right, ties → lowest code),
+    * plain per-dimension means in sample order (no re-normalization),
+    * empty cells keep their codeword. */
+  private def pqLloyd(mi: Int, p: Int, n: Int): String = {
+    val off = mi * 8
+    s"""pd${mi}_$n AS (
+       |  SELECT s.ord, s.u, c.c,
+       |         list_sum(list_transform(range(1, 9),
+       |           i -> (s.u[$off + i] - c.cent[i])
+       |              * (s.u[$off + i] - c.cent[i]))) AS d
+       |  FROM usamples s CROSS JOIN pq${mi}_$p c),
+       |pa${mi}_$n AS (
+       |  SELECT ord, u, c,
+       |         row_number() OVER (PARTITION BY ord ORDER BY d, c) AS rn
+       |  FROM pd${mi}_$n),
+       |pm${mi}_$n AS (
+       |  SELECT c, i,
+       |         list_sum(list(u[$off + i] ORDER BY ord)) / count(*) AS m
+       |  FROM pa${mi}_$n, unnest(range(1, 9)) t(i)
+       |  WHERE rn = 1 GROUP BY c, i),
+       |pw${mi}_$n AS (
+       |  SELECT c, list(m ORDER BY i) AS w FROM pm${mi}_$n GROUP BY c),
+       |pq${mi}_$n AS (
+       |  SELECT p.c, coalesce(n2.w, p.cent) AS cent
+       |  FROM pq${mi}_$p p LEFT JOIN pw${mi}_$n n2 ON p.c = n2.c)""".stripMargin
+  }
+
+  /** The PQ replay prelude shared by q_x7/q_x9/q_x10: unit sample and
+    * corpus frames, the eight trained codebooks (init = the first
+    * min(256, sample) unit-sample slices, then [[pqLloyd]]×3), the
+    * corpus byte codes (argMIN per subspace), and the per-query ADC
+    * lookup tables. `qFilter` restricts the LUT query set (empty =
+    * every corpus vector queries, the q_x10 shape). Appends after
+    * [[quantizerCtes]], which supplies `e`/`samples`. */
+  private def pqCtes(qFilter: String): String = {
+    val books = (0 until 8).map { mi =>
+      val off = mi * 8
+      s"""pq${mi}_0 AS (
+         |  SELECT ord - 1 AS c, u[$off + 1 : $off + 8] AS cent
+         |  FROM usamples WHERE ord <= 256),
+         |${pqLloyd(mi, 0, 1)},
+         |${pqLloyd(mi, 1, 2)},
+         |${pqLloyd(mi, 2, 3)}""".stripMargin
+    }.mkString(",\n")
+    val encs = (0 until 8).map { mi =>
+      val off = mi * 8
+      s"""enc$mi AS (
+         |  SELECT e2.vec_id, $mi AS mi, e2.c AS code
+         |  FROM (SELECT vec_id, c,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY d, c) AS rn
+         |        FROM (SELECT uc.vec_id, c.c,
+         |                     list_sum(list_transform(range(1, 9),
+         |                       i -> (uc.u[$off + i] - c.cent[i])
+         |                          * (uc.u[$off + i] - c.cent[i]))) AS d
+         |              FROM ucorpus uc CROSS JOIN pq${mi}_3 c))
+         |       e2(vec_id, c, rn)
+         |  WHERE e2.rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until 8).map { mi =>
+      val off = mi * 8
+      s"""lut$mi AS (
+         |  SELECT q.vec_id AS q_id, $mi AS mi, c.c AS code,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (q.u[$off + i] - c.cent[i])
+         |              * (q.u[$off + i] - c.cent[i]))) AS dv
+         |  FROM ucorpus q CROSS JOIN pq${mi}_3 c$qFilter)""".stripMargin
+    }.mkString(",\n")
+    s"""nrm0 AS (SELECT vec_id,
+       |              sqrt(list_sum(list_transform(range(1, 65),
+       |                                           i -> v[i] * v[i])))
+       |                AS nrm
+       |       FROM e),
+       |usamples AS (
+       |  SELECT s.ord, s.vec_id, list_transform(s.v, x -> x / n.nrm) AS u
+       |  FROM samples s JOIN nrm0 n ON s.vec_id = n.vec_id),
+       |ucorpus AS (
+       |  SELECT e.vec_id, list_transform(e.v, x -> x / n.nrm) AS u
+       |  FROM e JOIN nrm0 n ON e.vec_id = n.vec_id),
+       |$books,
+       |$encs,
+       |$luts,
+       |codes AS (${(0 until 8).map(mi => s"SELECT * FROM enc$mi")
+      .mkString(" UNION ALL ")}),
+       |luts AS (${(0 until 8).map(mi => s"SELECT * FROM lut$mi")
+      .mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** The shared ADC-shortlist-rerank tail: asymmetric distances summed
+    * in subspace order per (query, candidate), global top-80 shortlist
+    * by (adist, the id's decimal string — ASCII order ≡ Spark's UTF-8
+    * byte order), exact cosine re-rank top-5. `candCte` supplies the
+    * (q_id, cand_id) pairs to score. */
+  private def adcTail(candCte: String): String =
+    s"""$candCte,
+       |adist AS (
+       |  SELECT ca.q_id, ca.cand_id,
+       |         list_sum(list(l.dv ORDER BY l.mi)) AS d
+       |  FROM cand ca
+       |  JOIN codes c ON c.vec_id = ca.cand_id
+       |  JOIN luts l ON l.q_id = ca.q_id AND l.mi = c.mi
+       |             AND l.code = c.code
+       |  GROUP BY ca.q_id, ca.cand_id),
+       |short AS (
+       |  SELECT q_id, cand_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY d, CAST(cand_id AS VARCHAR))
+       |           AS rn
+       |  FROM adist),
+       |scored AS (
+       |  SELECT s.q_id AS query_id, s.cand_id,
+       |         list_sum(list_transform(range(1, 65),
+       |                                 i -> q.v[i] * c.v[i]))
+       |           / (qn.nrm * cn.nrm) AS sim
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.q_id
+       |  JOIN e c ON c.vec_id = s.cand_id
+       |  JOIN nrm0 qn ON qn.vec_id = s.q_id
+       |  JOIN nrm0 cn ON cn.vec_id = s.cand_id
+       |  WHERE s.rn <= 80),
+       |r AS (SELECT query_id, cand_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, sim
+       |FROM r WHERE rn <= 5""".stripMargin
+
+  /** IVF top-k, HASH-CERTIFIED by full deterministic replay: the oracle
+    * regenerates the ENTIRE trained quantizer — xxhash64 replayed in
+    * wrapping HUGEINT arithmetic orders the training sample exactly as
+    * Spark's `orderBy(xxhash64(vec_id), vec_id)` does, the 16 initial
+    * centroids are that order's head, and three unrolled Lloyd
+    * iterations repeat the driver loop with every double folded in the
+    * same sequence (list_sum ≡ the left-fold `DoubleDot` kernel, means
+    * then unit-norm, strict ties to the lowest list) — then soft-assigns
+    * the corpus to its top-[[Similarity.IvfAssign]] lists, probes the
+    * queries' top-[[Similarity.IvfProbes]], and re-ranks candidates by
+    * exact cosine, mirroring q_x1. */
+  val qX3IvfTopK = Q(
+    "q_x3_ann_ivf",
+    s"""WITH $quantizerCtes,
        |corplists AS (
        |  SELECT vec_id, c AS list_id
        |  FROM (SELECT vec_id, c,
@@ -247,16 +384,55 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5)
   }
 
-  /** Embedding k-means assignment (deterministic hash-sampled training,
-    * literal-centroid map-side argmax). Engine-specific float iteration →
-    * rows-only; determinism + planted-cluster purity pinned in specs. */
-  val qX4KMeans = Q.rowsOnly("q_x4_kmeans") { (s, d) =>
+  /** Embedding k-means assignment, HASH-CERTIFIED: the replayed
+    * quantizer ([[quantizerCtes]]) plus a strict argmax per vector
+    * (ties → lowest cluster) and `cos_sim = dot / nrm` — the float
+    * "iteration" is deterministic left-fold arithmetic both engines
+    * evaluate identically, so the whole training certifies, not just
+    * the assignment. */
+  val qX4KMeans = Q(
+    "q_x4_kmeans",
+    s"""WITH $quantizerCtes,
+       |nrm AS (SELECT vec_id,
+       |               sqrt(list_sum(list_transform(range(1, 65),
+       |                                            i -> v[i] * v[i])))
+       |                 AS nrm
+       |        FROM e),
+       |best AS (
+       |  SELECT vec_id, c, d,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d DESC, c) AS rn
+       |  FROM corpd)
+       |SELECT b.vec_id, CAST(b.c AS INT) AS cluster,
+       |       b.d / n.nrm AS cos_sim
+       |FROM best b JOIN nrm n ON b.vec_id = n.vec_id
+       |WHERE b.rn = 1""".stripMargin) { (s, d) =>
     Similarity.kMeansAssign(embeddings(s, d), "vec_id", "embedding")
   }
 
-  /** Diversity subsample: ≤ 32 vectors per k-means cluster by
-    * deterministic hash draw (two-level bounded selection). */
-  val qX5Diversity = Q.rowsOnly("q_x5_diversity") { (s, d) =>
+  /** Diversity subsample, HASH-CERTIFIED: ≤ 32 per replayed-quantizer
+    * cluster by the deterministic hash draw — rank by (xxhash64(vec_id),
+    * the id's decimal string) inside each cluster; ASCII-digit VARCHAR
+    * order equals Spark's UTF-8-byte string order, so the tie-break
+    * replays exactly too. */
+  val qX5Diversity = Q(
+    "q_x5_diversity",
+    s"""WITH $quantizerCtes,
+       |best AS (
+       |  SELECT vec_id, c AS cluster,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d DESC, c) AS rn
+       |  FROM corpd),
+       |ranked AS (
+       |  SELECT b.vec_id, b.cluster,
+       |         row_number() OVER (PARTITION BY b.cluster
+       |                            ORDER BY x.xx,
+       |                                     CAST(b.vec_id AS VARCHAR))
+       |           AS r
+       |  FROM best b JOIN xx x ON b.vec_id = x.vec_id
+       |  WHERE b.rn = 1)
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster
+       |FROM ranked WHERE r <= 32""".stripMargin) { (s, d) =>
     Similarity.diversitySample(embeddings(s, d), "vec_id", "embedding",
       perCluster = 32)
   }
@@ -274,13 +450,27 @@ object SimilarityQ {
         md5(to_json(col("proj")).cast("binary")).as("proj_digest"))
   }
 
-  /** Product-quantization ANN: 8-byte codes (32× compression of the
-    * 64-float embeddings), ADC scan with bounded per-partition heaps,
-    * exact-cosine re-rank of the 4·k shortlist. Probabilistic recall →
-    * rows-only; RecallSpec pins the floor and the index-path equality. */
-  val qX7PqTopK = Q.rowsOnly("q_x7_ann_pq") { (s, d) =>
-    Similarity.pqTopK(embeddings(s, d), "vec_id", "embedding",
-      queryPred = col("vec_id") < 8, k = 5)
+  /** Product-quantization ANN, HASH-CERTIFIED: 8-byte codes (32×
+    * compression of the 64-float embeddings), ADC scan with bounded
+    * per-partition heaps, exact-cosine re-rank of the shortlist. The
+    * recall is probabilistic, but the COMPUTATION is deterministic — the
+    * oracle replays codebook training per subspace ([[pqLloyd]]), the
+    * corpus byte codes, every ADC lookup value, the (adist, id-bytes)
+    * shortlist order, and the re-rank, all in the same left-fold float
+    * sequences. RecallSpec still pins the quality floor. */
+  val qX7PqTopK = Q(
+    "q_x7_ann_pq",
+    s"""WITH $quantizerCtes,
+       |${pqCtes(" WHERE q.vec_id < 8")},
+       |${adcTail(
+      """cand AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id
+        |  FROM ucorpus q CROSS JOIN ucorpus c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)""".stripMargin)}"""
+      .stripMargin) {
+    (s, d) =>
+      Similarity.pqTopK(embeddings(s, d), "vec_id", "embedding",
+        queryPred = col("vec_id") < 8, k = 5)
   }
 
   /** Embedding-quality screen: squared distance to the per-label centroid
@@ -319,23 +509,71 @@ object SimilarityQ {
       "vec_id", "embedding", "label", multiple = 2.0)
   }
 
-  /** IVF-PQ: coarse-quantizer pruning over PQ codes with exact re-rank —
-    * the canonical billion-scale ANN composition (only probed lists are
-    * read, and what is read is 8 B codes). Rows-only: both approximation
-    * sources compose; RecallSpec pins the floor and one-shot/index
-    * equality. */
-  val qX9IvfPqTopK = Q.rowsOnly("q_x9_ann_ivfpq") { (s, d) =>
-    Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
-      queryPred = col("vec_id") < 8, k = 5)
+  /** Coarse-probe CTEs for the IVF-PQ tails: soft-assigned corpus lists
+    * (top-2 by raw-vector dot, the [[Similarity.ivfListRows]] shape) and
+    * per-query probed lists (top-6 by UNIT-vector dot — the collect
+    * path's driver-side probe selection; argmax-equivalent to raw, and
+    * the replay mirrors the actual arithmetic). */
+  private def ivfPqProbeCtes(qFilter: String): String =
+    s"""corplists AS (
+       |  SELECT vec_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 2),
+       |qprobes AS (
+       |  SELECT q_id, list_id
+       |  FROM (SELECT uq.vec_id AS q_id, c.c AS list_id,
+       |               row_number() OVER (PARTITION BY uq.vec_id
+       |                 ORDER BY list_sum(list_transform(range(1, 65),
+       |                   i -> uq.u[i] * c.cent[i])) DESC, c.c) AS rn
+       |        FROM ucorpus uq CROSS JOIN cents3 c$qFilter)
+       |  WHERE rn <= 6)""".stripMargin
+
+  /** IVF-PQ, HASH-CERTIFIED: coarse-quantizer pruning over PQ codes
+    * with exact re-rank — the canonical billion-scale ANN composition
+    * (only probed lists are read, and what is read is 8 B codes). The
+    * oracle composes the two replayed quantizers — coarse
+    * ([[quantizerCtes]]) and product ([[pqCtes]]) — then candidates are
+    * the soft-assigned corpus rows in the query's probed lists, deduped
+    * before the ADC shortlist exactly as the ordered-set scan dedups.
+    * RecallSpec still pins the composed recall floor. */
+  val qX9IvfPqTopK = Q(
+    "q_x9_ann_ivfpq",
+    s"""WITH $quantizerCtes,
+       |${pqCtes(" WHERE q.vec_id < 8")},
+       |${ivfPqProbeCtes(" WHERE uq.vec_id < 8")},
+       |${adcTail(
+      """cand AS (
+        |  SELECT DISTINCT p.q_id, cl.vec_id AS cand_id
+        |  FROM qprobes p JOIN corplists cl ON p.list_id = cl.list_id
+        |  WHERE cl.vec_id <> p.q_id)""".stripMargin)}""".stripMargin) {
+    (s, d) =>
+      Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
+        queryPred = col("vec_id") < 8, k = 5)
   }
 
-  /** The DISTRIBUTED large-batch external-query IVF-PQ path: the whole
-    * embeddings table probes its own prebuilt index as an external query
-    * frame — no driver collect of queries, candidates from the list
-    * equi-join, exact salted two-level shortlist (IvfPqJoinSpec pins
-    * row-equality with the collect path; rows-only here like every ANN
-    * approximation). */
-  val qX10IvfPqJoin = Q.rowsOnly("q_x10_ann_ivfpq_join") { (s, d) =>
+  /** The DISTRIBUTED large-batch external-query IVF-PQ path,
+    * HASH-CERTIFIED: the whole embeddings table probes its own prebuilt
+    * index as an external query frame — no driver collect of queries,
+    * candidates from the list equi-join, codegen'd ADC bit-equal to the
+    * LUT path, exact salted two-level shortlist. The oracle is the q_x9
+    * replay with every corpus vector as a query and no self-exclusion
+    * (the external-query contract); certifying it pins the whole
+    * distributed pipeline — banded join, ADC expression, salted rank —
+    * against the independent SQL restatement, row-for-row including
+    * float sims. */
+  val qX10IvfPqJoin = Q(
+    "q_x10_ann_ivfpq_join",
+    s"""WITH $quantizerCtes,
+       |${pqCtes("")},
+       |${ivfPqProbeCtes("")},
+       |${adcTail(
+      """cand AS (
+        |  SELECT DISTINCT p.q_id, cl.vec_id AS cand_id
+        |  FROM qprobes p JOIN corplists cl ON p.list_id = cl.list_id)"""
+        .stripMargin)}""".stripMargin) { (s, d) =>
     val emb = embeddings(s, d)
     Similarity.ivfPqTopKJoin(
       Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding"),
