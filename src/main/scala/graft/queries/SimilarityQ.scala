@@ -437,17 +437,47 @@ object SimilarityQ {
       perCluster = 32)
   }
 
-  /** Johnson–Lindenstrauss random projection 64→16 dims (deterministic
-    * LCG planes; the pre-filter in front of dense similarity work).
-    * Rows-only — a 16-term double dot per output element has no tractable
-    * hash-stable SQL twin; RecallSpec pins the measured cosine distortion
-    * and top-k overlap floors. The digest column makes the rows-only sort
-    * stable (the harness cannot order raw arrays). */
-  val qX6RandomProjection = Q.rowsOnly("q_x6_random_projection") { (s, d) =>
-    Similarity.randomProjection(embeddings(s, d), "vec_id", "embedding",
-        outDim = 16)
-      .select(col("vec_id"),
-        md5(to_json(col("proj")).cast("binary")).as("proj_digest"))
+  /** Johnson–Lindenstrauss random projection 64→16 dims, HASH-CERTIFIED:
+    * the q_x2 recursive-CTE LCG regenerates the 16 planes (first 1024
+    * values of the shared sequence), each output element is the same
+    * left-fold dot scaled by the exact power-of-two 1/4 (DuckDB's `/4`
+    * ≡ Spark's `*0.25` bit-for-bit), and the 16 elements ride as scalar
+    * columns so the harness can sort and hash them directly — the digest
+    * workaround the rows-only era needed is gone. RecallSpec keeps the
+    * distortion and top-k overlap floors. */
+  val qX6RandomProjection = Q(
+    "q_x6_random_projection",
+    s"""WITH RECURSIVE lcg(n, s) AS (
+       |  SELECT 0, CAST(42 AS HUGEINT)
+       |  UNION ALL
+       |  SELECT n + 1,
+       |         (s * 6364136223846793005 + 1442695040888963407)
+       |           % CAST(18446744073709551616 AS HUGEINT)
+       |  FROM lcg WHERE n < 1024),
+       |vals AS (
+       |  SELECT n,
+       |         CAST(s // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+       |           AS w
+       |  FROM lcg WHERE n >= 1),
+       |pl AS (
+       |  SELECT (n - 1) // 64 AS j, list(w ORDER BY n) AS w
+       |  FROM vals GROUP BY 1),
+       |e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |p AS (SELECT e.vec_id, pl.j,
+       |             list_sum(list_transform(range(1, 65),
+       |                                     i -> e.v[i] * pl.w[i]))
+       |               / 4.0 AS pv
+       |      FROM e CROSS JOIN pl)
+       |SELECT vec_id,
+       |${(0 until 16).map(j =>
+      s"       max(CASE WHEN j = $j THEN pv END) AS p$j").mkString(",\n")}
+       |FROM p GROUP BY vec_id""".stripMargin) { (s, d) =>
+    val proj = Similarity.randomProjection(
+      embeddings(s, d), "vec_id", "embedding", outDim = 16)
+    proj.select(col("vec_id") +:
+      (0 until 16).map(j => col("proj").getItem(j).as(s"p$j")): _*)
   }
 
   /** Product-quantization ANN, HASH-CERTIFIED: 8-byte codes (32×
