@@ -688,14 +688,58 @@ object Text {
       "ta", "ble", "jo", "in", "sc", "an", "val", "ue", "er", "ing") ++
       ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
 
+  /** DuckDB arm of [[WpVocab]]'s greedy longest-match step: the vocab is
+    * compile-time fixed, so "longest piece matching at cursor i" is a
+    * static CASE over piece lengths descending — generated from the SAME
+    * Seq the Spark expression carries, so the two can never drift. */
+  private def wpMatchCase: String =
+    WpVocab.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, vs) =>
+      s"WHEN substr(w, i, $l) IN (${vs.map(v => s"'$v'").mkString(", ")})" +
+        s" THEN $l"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Per-word greedy segmentation replayed as a recursive CTE: state
+    * (word, cursor, pieces, unks) advances by the longest vocab match or
+    * one [UNK] character — exactly [[graft.functions.WordpieceTokens]]'s
+    * loop, which is deterministic, so both engines walk identical chains.
+    * Runs over DISTINCT words only (vocabulary-sized, not corpus-sized);
+    * docs re-join their words afterwards. */
+  private def wpSegCte: String =
+    s"""words AS (
+       |  SELECT DISTINCT w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |seg AS (
+       |  SELECT w, 1 AS i, 0 AS pieces, 0 AS unks FROM words
+       |  UNION ALL
+       |  SELECT w, i + CASE WHEN m = 0 THEN 1 ELSE m END, pieces + 1,
+       |         unks + CASE WHEN m = 0 THEN 1 ELSE 0 END
+       |  FROM (SELECT w, i, pieces, unks, $wpMatchCase AS m
+       |        FROM seg WHERE i <= length(w)) t),
+       |wp AS (SELECT w, pieces, unks FROM seg WHERE i > length(w))""".stripMargin
+
   /** Subword tokenization budget: greedy longest-match wordpiece count
     * vs the whitespace count — the number sequence packing and mixture
     * sampling SHOULD budget with once a real tokenizer vocab drops in.
-    * Rows-only: per-doc piece segmentation has no tractable SQL oracle
-    * (iterative longest-match per word); NorthStarSpec pins the
-    * expression against an independent reference implementation plus a
-    * character-conservation property. */
-  val qT18Wordpiece = Q.rowsOnly("q_t18_wordpiece") { (s, d) =>
+    * Certified: the greedy MaxMatch walk is deterministic and all-integer,
+    * so [[wpSegCte]] replays it per distinct word and the doc totals are
+    * exact sums (NorthStarSpec additionally pins the expression against an
+    * independent implementation plus character conservation). */
+  val qT18Wordpiece = Q(
+    "q_t18_wordpiece",
+    s"""WITH RECURSIVE $wpSegCte,
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, coalesce(p.pieces, 0) AS p,
+       |         coalesce(p.unks, 0) AS u, d.n_ws
+       |  FROM docw d LEFT JOIN wp p ON d.w = p.w)
+       |SELECT doc_id, CAST(sum(p) AS BIGINT) AS n_pieces,
+       |       CAST(sum(u) AS BIGINT) AS n_unk,
+       |       any_value(n_ws) AS n_whitespace_tokens
+       |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
     val pieces = graft.functions.GraftFunctions
       .wordpieceTokens(col("text"), WpVocab)
     documents(s, d).select(
@@ -709,12 +753,28 @@ object Text {
     * per-source pack as q_t11, but every document's budget is its
     * wordpiece piece count (q_t18's counter) instead of the whitespace
     * count — the form a real training pipeline runs, since context
-    * windows are measured in tokenizer pieces. Rows-only (the greedy
-    * segmentation has no tractable SQL oracle); NorthStarSpec pins the
-    * shard assignment against an independent window-sum recount over
-    * independently recomputed piece counts, and q_t18's conservation
-    * property covers the counter itself. */
-  val qT20SubwordPack = Q.rowsOnly("q_t20_subword_pack") { (s, d) =>
+    * windows are measured in tokenizer pieces. Certified: piece counts
+    * replay via [[wpSegCte]] and the pack itself is q_t11's certified
+    * floor-of-prefix-sum. */
+  val qT20SubwordPack = Q(
+    "q_t20_subword_pack",
+    s"""WITH RECURSIVE $wpSegCte,
+       |docw AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT d.doc_id, any_value(d.source) AS source,
+       |         CAST(sum(coalesce(p.pieces, 0)) AS BIGINT) AS n_tokens
+       |  FROM docw d LEFT JOIN wp p ON d.w = p.w
+       |  GROUP BY d.doc_id),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY source
+       |                     ORDER BY doc_id) - n_tokens, 0) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(floor(start_tok / 2048) AS BIGINT) AS shard_id
+       |FROM c""".stripMargin) { (s, d) =>
     packShards(documents(s, d), "doc_id", "text", "source",
       budgetTokens = 2048L,
       counter = t => size(
@@ -946,14 +1006,72 @@ object Text {
       "doc_id", "text", width = 16)
   }
 
+  /** One BPE training level replayed in SQL: count adjacent pairs over
+    * the surviving segmentations, take the argmax (count desc, then pair
+    * asc — the trainer's tie-break), then re-segment with the same greedy
+    * left-to-right fold the trainer applies. Two prunings keep the chain
+    * cheap without changing results: words lacking either winning token
+    * keep their segmentation untouched, and fully-merged (single-token)
+    * words can never vote again so they drop from the chain. */
+  private def bpeLevelCte(n: Int): String = {
+    val p = n - 1
+    s"""pc$n AS MATERIALIZED (
+       |  SELECT s[i] AS l, s[i + 1] AS r, sum(f) AS c
+       |  FROM seg$p, unnest(range(1, len(s))) t(i)
+       |  GROUP BY 1, 2),
+       |best$n AS MATERIALIZED (
+       |  SELECT $n AS rank, l, r, c
+       |  FROM pc$n ORDER BY c DESC, l, r LIMIT 1),
+       |seg$n AS MATERIALIZED (
+       |  SELECT w, f,
+       |         CASE WHEN b.l IS NULL OR len(s) < 2
+       |                   OR NOT (list_contains(s, b.l)
+       |                           AND list_contains(s, b.r))
+       |              THEN s
+       |              ELSE list_reduce(
+       |                list_transform(s, x -> [x]),
+       |                (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+       |                  THEN list_append(acc[:-2], b.l || b.r)
+       |                  ELSE list_concat(acc, x) END)
+       |         END AS s
+       |  FROM seg$p LEFT JOIN best$n b ON true
+       |  WHERE len(s) >= 2)""".stripMargin
+  }
+
+  /** Full BPE-trainer replay: seg0 is the distinct-word table (char
+    * segmentation + the `</w>` end marker, frequency-weighted), then one
+    * [[bpeLevelCte]] per merge rank chained as materialized CTEs.
+    * Validated offline up to 512 levels (exact match); registered only at
+    * small n — the chain is serial by construction, so oracle latency
+    * grows linearly with rank depth (~0.3 s at 16, minutes at 512). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val levels = (1 to nMerges).map(bpeLevelCte).mkString(",\n")
+    val union = (1 to nMerges).map(k => s"SELECT * FROM best$k")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |         list_append(list_transform(range(1, length(w) + 1),
+       |                                    i -> w[i]), '</w>') AS s
+       |  FROM words),
+       |$levels
+       |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+       |       CAST(c AS BIGINT) AS pair_count
+       |FROM ($union) WHERE c >= 1""".stripMargin
+  }
+
   /** BPE merge training on the corpus (Sennrich et al.): 16 merges in
     * rank order (each merge costs one distributed pass + one argmax row
     * to the driver, so the registered demo keeps the count small; the
-    * operator takes any n). Rows-only — iterative argmax is not
-    * SQL-expressible; BpeSpec differential-tests the full list against
-    * an independent plain-Scala trainer and pins segmentation character
-    * conservation. */
-  val qT32BpeMerges = Q.rowsOnly("q_t32_bpe_merges") { (s, d) =>
+    * operator takes any n). Certified — the training loop is
+    * deterministic (argmax with a total-order tie-break), so
+    * [[bpeOracleSql]] replays all 16 levels as chained materialized CTEs;
+    * BpeSpec additionally differential-tests against an independent
+    * plain-Scala trainer and pins segmentation character conservation. */
+  val qT32BpeMerges = Q("q_t32_bpe_merges", bpeOracleSql(16)) { (s, d) =>
     import s.implicits._
     graft.operators.TextAnalysis
       .deriveBpeMerges(documents(s, d), "doc_id", "text", nMerges = 16)
@@ -1037,9 +1155,13 @@ object Text {
     * [[TextAnalysis.trainBpeMerges]] — one distributed word-count pass,
     * then a driver-side incremental merge loop over the pruned word
     * table (the production trainer shape; q_t32's per-merge-job loop is
-    * the differential reference BpeSpec pins it against). Rows-only —
-    * iterative argmax is not SQL-expressible. minPairCount=1 lets the
-    * sf0.01 corpus actually reach deep merge ranks. */
+    * the differential reference BpeSpec pins it against). Rows-only BY
+    * LATENCY, not expressibility: [[bpeOracleSql]](512) reproduced this
+    * query's output EXACTLY offline, but the serial 512-level CTE chain
+    * runs minutes in DuckDB — unacceptable in the correctness gate — so
+    * q_t32 certifies the identical replay at rank 16 and BpeSpec pins the
+    * two trainers against each other. minPairCount=1 lets the sf0.01
+    * corpus actually reach deep merge ranks. */
   val qT37Bpe512 = Q.rowsOnly("q_t37_bpe512") { (s, d) =>
     import s.implicits._
     graft.operators.TextAnalysis
