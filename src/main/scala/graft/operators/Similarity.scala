@@ -829,34 +829,26 @@ object Similarity {
   }
 
   /** Encode a normed corpus against literal codebooks: one byte per
-    * subspace, narrow mapPartitions (256 codewords × 8 subspaces is far
-    * past what an expression tree can carry; the codebooks ride in the
-    * closure, ~128 KB). No shuffle — the code column is born on the
-    * corpus partitioning.
+    * subspace via the codegen'd [[graft.functions.PqEncodeCode]]
+    * expression (codebooks ride the codegen reference mechanism, ~128 KB
+    * shipped once per task — the [[graft.functions.AdcDistance]] shape).
+    * No shuffle — the code column is born on the corpus partitioning,
+    * and the whole encode stays inside whole-stage codegen (PlanSpec
+    * guards the no-RDD plan; PqEncodeSpec pins byte-equality with the
+    * former mapPartitions scan).
     *
     * @return vec_id, code (binary, [[PqSubspaces]] bytes) */
   def pqEncode(
-      n: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
-    val m = books.length
-    val sub = books(0)(0).length
-    val in = n.select(col("vec_id"), col("v"), col("nrm"))
-    val schema = StructType(Seq(
-      in.schema("vec_id"), StructField("code", BinaryType, nullable = false)))
-    val rows = in.rdd.mapPartitions { it =>
-      it.map { r =>
-        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
-        val code = new Array[Byte](m)
-        var mi = 0
-        while (mi < m) {
-          code(mi) = PqMath.nearest(u, mi * sub, books(mi)).toByte
-          mi += 1
-        }
-        Row(r.get(0), code)
-      }
-    }
-    n.sparkSession.createDataFrame(rows, schema)
+      n: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    n.select(col("vec_id"), pqEncodeCol(books).as("code"))
+
+  /** The shared encode Column both [[pqEncode]] and the IVF-PQ
+    * inverted-list build project. */
+  private def pqEncodeCol(books: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqEncodeCode(
+      ColumnBridge.expression(col("v")),
+      ColumnBridge.expression(col("nrm")), books))
   }
 
   /** Build a reusable [[PqIndex]]: codebooks trained once, corpus and
@@ -1045,30 +1037,9 @@ object Similarity {
     * and incremental appends share. */
   private def codedListRows(
       n: DataFrame, cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
-    val sub = books(0)(0).length
-    val in = ivfListRows(n, cents)
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
-    val schema = StructType(Seq(
-      in.schema("vec_id"),
-      StructField("code", BinaryType, nullable = false),
-      in.schema("list_id")))
-    val rows = in.rdd.mapPartitions { it =>
-      it.map { r =>
-        val u = PqMath.unit(r.getSeq[Double](1).toArray, r.getDouble(2))
-        val code = new Array[Byte](books.length)
-        var mi = 0
-        while (mi < books.length) {
-          code(mi) = PqMath.nearest(u, mi * sub, books(mi)).toByte
-          mi += 1
-        }
-        Row(r.get(0), code, r.get(3))
-      }
-    }
-    n.sparkSession.createDataFrame(rows, schema)
-  }
+      books: Array[Array[Array[Double]]]): DataFrame =
+    ivfListRows(n, cents)
+      .select(col("vec_id"), pqEncodeCol(books).as("code"), col("list_id"))
 
   def ivfPqIndexBuild(
       emb: DataFrame, id: String, vec: String,
