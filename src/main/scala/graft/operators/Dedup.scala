@@ -335,14 +335,28 @@ object Dedup {
     * trigram shingles, not unigrams — on low-vocabulary corpora every
     * document shares most unigrams, so token-level SimHash cannot separate
     * near-dups from background; shingles restore discrimination.
-    * Engine-specific hashing → rows-only certification (no SQL oracle). */
+    * `tokenHash` picks the shingle hash: [[xxhash64]] (default — the
+    * at-scale choice, engine-specific) or [[md5Hash64]] (SQL-portable,
+    * what q_d4's hash certification replays). */
+  /** SQL-portable 64-bit token hash: two 32-bit md5-prefix chunks packed
+    * into one long (`hi << 32 | lo` — the shift wraps into two's
+    * complement, which equals DuckDB's `CAST(… AS HUGEINT)·2³² + lo`
+    * unsigned form bit for bit). ~10× slower than [[xxhash64]] per token,
+    * so it is the CERTIFICATION hash, not the at-scale default — but it
+    * lets the entire SimHash pipeline (votes, signature packing, banded
+    * Hamming search) replay exactly in the DuckDB oracle. */
+  def md5Hash64(w: Column): Column =
+    shiftleft(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+
   def simHashPairs(
       docs: DataFrame, id: String, text: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = fanOut(docs).select(col(id).as("doc_id"),
       explode(wordTrigrams(col(text))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", tokenHash(col("w")))
     // bit j vote: +1 when set, -1 when clear; simhash bit j = (vote > 0) —
     // one SimHashSketch aggregate (long[64] vote buffer) instead of 64
     // sum() columns, same JIT-size reasoning as MinHashSketch.

@@ -75,8 +75,47 @@ object DedupQ {
       Dedup.minHashLshPairs(documents(s, d), "doc_id", "text", 0.8)
   }
 
-  val qD4SimHash = Q.rowsOnly("q_d4_simhash") { (s, d) =>
-    Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 7)
+  /** SimHash near-dup pairs, HASH-CERTIFIED end to end by replaying the
+    * whole pipeline in SQL: the portable md5-prefix token hash
+    * ([[Dedup.md5Hash64]]; hi·2³²+lo in unsigned HUGEINT form), the
+    * per-bit ±1 votes over DISTINCT trigram shingles (WordTrigrams is a
+    * set), the `vote > 0` signature packing (bit 63 via the min-long
+    * literal), and the banded Hamming search — which is EXHAUSTIVE for
+    * hamming ≤ 7 by pigeonhole, so brute-force `bit_count(xor)` over all
+    * pairs states the identical result. The at-scale xxhash64 default of
+    * [[Dedup.simHashPairs]] shares every line of machinery except the
+    * token hash (NorthStarSpec exercises it). */
+  val qD4SimHash = Q(
+    "q_d4_simhash",
+    """WITH RECURSIVE bits(j, p) AS (
+      |  SELECT 0, CAST(1 AS HUGEINT)
+      |  UNION ALL SELECT j + 1, p * 2 FROM bits WHERE j < 63),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tg AS (SELECT DISTINCT doc_id, w FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [array_to_string(t, ' ')] END) AS w
+      |  FROM toks)),
+      |h AS (SELECT doc_id,
+      |        CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+      |             AS HUGEINT) * 4294967296
+      |          + CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS uh
+      |      FROM tg),
+      |votes AS (SELECT doc_id, j, p,
+      |            SUM(CASE WHEN (uh // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM h CROSS JOIN bits GROUP BY 1, 2, 3),
+      |sig AS (SELECT doc_id,
+      |          CAST(SUM(CASE WHEN v <= 0 THEN 0
+      |                        WHEN j = 63 THEN -9223372036854775807 - 1
+      |                        ELSE CAST(p AS BIGINT) END) AS BIGINT) AS s
+      |        FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin) { (s, d) =>
+    Dedup.simHashPairs(documents(s, d), "doc_id", "text", maxHamming = 7,
+      tokenHash = Dedup.md5Hash64)
   }
 
   val qD5EmbedNearDup = Q(
