@@ -610,8 +610,55 @@ object SimilarityQ {
       emb, "vec_id", "embedding", k = 5)
   }
 
+  /** SQ8 scalar-quantized ANN, HASH-CERTIFIED end to end — the only
+    * compressed-ANN family member whose quantizer needs NO iterative
+    * replay: training is one exact per-dimension min/max pass over the
+    * unit corpus, so the oracle restates it directly (per-dim agg via the
+    * list-valued `unnest(range(…))` fan-out), reconstructs each corpus
+    * vector at the cell midpoint with the IDENTICAL IEEE double tree
+    * (`mn + (clamp(floor((u−mn)/sp·256)) + 0.5)/256·sp`), and ranks by
+    * the same asymmetric `1 − 2·q·r + ‖r‖²` distance. q_x1's query/k
+    * shape, so recall against exact cosine is directly comparable
+    * (RecallSpec pins the floor). */
+  val qX11Sq8TopK = Q(
+    "q_x11_ann_sq8",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |uv AS (SELECT vec_id,
+      |         list_transform(v, x -> x /
+      |           sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+      |       FROM e),
+      |dims AS (SELECT i, min(u[i]) AS mn, max(u[i]) - min(u[i]) AS sp
+      |         FROM (SELECT u, unnest(range(1, len(u) + 1)) AS i FROM uv)
+      |         GROUP BY i),
+      |mm AS (SELECT list(mn ORDER BY i) AS mn, list(sp ORDER BY i) AS sp
+      |       FROM dims),
+      |recon AS (SELECT c.vec_id,
+      |            list_transform(range(1, len(c.u) + 1), i ->
+      |              CASE WHEN m.sp[i] = 0 THEN m.mn[i]
+      |                   ELSE m.mn[i]
+      |                        + (least(greatest(floor((c.u[i] - m.mn[i])
+      |                             / m.sp[i] * 256.0), 0.0), 255.0) + 0.5)
+      |                          / 256.0 * m.sp[i] END) AS rv
+      |          FROM uv c CROSS JOIN mm m),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |             (1.0 - 2.0 * list_dot_product(q.u, c.rv))
+      |               + list_dot_product(c.rv, c.rv) AS d2
+      |      FROM uv q JOIN recon c
+      |        ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, cand_id, d2,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY d2, cand_id) AS rn
+      |      FROM p)
+      |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, d2
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val n = Similarity.normed(embeddings(s, d), "vec_id", "embedding")
+    Similarity.sq8TopK(n.filter(col("vec_id") < 8), n, k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
       qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK,
-      qX10IvfPqJoin)
+      qX10IvfPqJoin, qX11Sq8TopK)
 }

@@ -386,4 +386,22 @@ class RecallSpec extends AnyFunSuite {
       "2-way soft assignment measured 0.89 on this near-uniform fixture; " +
       "hard assignment measured 0.67)")
   }
+
+  test("SQ8 top-k recall@5 on the sf0.1 embeddings; codes stay in [0,255]") {
+    val n = Similarity.normed(Tables.embeddings(spark, sf),
+      "vec_id", "embedding")
+    val approx = topSets(Similarity.sq8TopK(n.filter(pred), n, K))
+    val r = recallAt5(approx)
+    println(f"sq8 recall@5 = $r%.3f over ${exact.size} queries")
+    assert(r >= 0.9, f"SQ8 recall collapsed: $r%.3f (measured 0.988 on " +
+      "this near-uniform fixture — 256 uniform levels per dimension " +
+      "reconstruct unit vectors nearly losslessly, vs PQ's 8-byte codes)")
+    // the byte contract behind the 8x at-rest compression claim
+    val q = Similarity.sq8Train(n)
+    import org.apache.spark.sql.functions._
+    val bad = n.select(explode(Similarity.sq8CodeCol(
+        transform(col("v"), _ / col("nrm")), q)).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0, s"$bad codes escaped the byte range")
+  }
 }
