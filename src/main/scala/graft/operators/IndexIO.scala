@@ -66,7 +66,7 @@ object IndexIO {
     val json =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val kind = """"kind":"([a-z_]+)"""".r
+    val kind = """"kind":"([a-z0-9_]+)"""".r
       .findFirstMatchIn(json).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(s"no kind in $p: $json"))
     require(kind == expectKind,

@@ -243,6 +243,106 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col("d2"))
   }
 
+  /** Build a reusable [[Sq8Index]]: quantizer trained once (one exact
+    * aggregation pass), corpus and byte codes materialized once — the
+    * [[pqIndexBuild]] lifecycle with no sampled training step. */
+  final case class Sq8Index(
+      corpus: DataFrame, codes: DataFrame, quantizer: Sq8Quantizer)
+
+  def sq8IndexBuild(emb: DataFrame, id: String, vec: String): Sq8Index = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val q = sq8Train(n)
+    Sq8Index(n,
+      n.select(col("vec_id"), sq8CodeCol(unitCol, q).as("code"))
+        .localCheckpoint(), q)
+  }
+
+  /** Top-k against a prebuilt [[Sq8Index]] — pure query work: candidates
+    * reconstruct from the stored byte codes (bit-identical to the
+    * one-shot [[sq8TopK]] path, which encodes and reconstructs inline;
+    * RecallSpec pins the equality). */
+  def sq8TopK(index: Sq8Index, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val recon = index.codes.select(col("vec_id"),
+      sq8ReconCol(col("code"), index.quantizer).as("rv"))
+    val qs = queries.select(col("vec_id").as("query_id"), unitCol.as("qu"))
+    val scored = broadcast(qs)
+      .join(recon, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        ((lit(1d) - lit(2d) * dot(col("qu"), col("rv")))
+          + dot(col("rv"), col("rv"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("d2"))
+  }
+
+  /** Append new vectors to a prebuilt [[Sq8Index]] WITHOUT retraining:
+    * the frozen per-dim bounds encode the new rows (narrow map, no
+    * shuffle). Out-of-range components clamp to the boundary cells —
+    * rebuild when drift probes show the bounds no longer cover the
+    * corpus. */
+  def sq8IndexAppend(
+      index: Sq8Index, emb: DataFrame, id: String,
+      vec: String): Sq8Index = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    Sq8Index(
+      index.corpus.unionByName(n2),
+      index.codes.unionByName(n2.select(col("vec_id"),
+        sq8CodeCol(unitCol, index.quantizer).as("code"))),
+      index.quantizer)
+  }
+
+  /** Persist a prebuilt [[Sq8Index]] under `dir` (stale appends pruned —
+    * a rebuild's bounds are new, so rows encoded under the old quantizer
+    * must never union back in). The quantizer rides the double-exact
+    * parquet tensor, never text. */
+  def sq8IndexSave(index: Sq8Index, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.codes, s"$dir/codes")
+    IndexIO.saveTensor(spark, s"$dir/quantizer",
+      Array(Array(index.quantizer.mins, index.quantizer.spans)))
+    IndexIO.writeMeta(spark, dir, "sq8",
+      Map("dim" -> index.quantizer.mins.length.toLong))
+    pruneAppends(spark, dir)
+  }
+
+  /** Reload an [[Sq8Index]] saved by [[sq8IndexSave]], committed on-disk
+    * appends ([[sq8IndexAppendSave]]) unioned in. */
+  def sq8IndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Sq8Index = {
+    val meta = IndexIO.readMeta(spark, dir, "sq8")
+    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+    require(t.length == 1 && t(0).length == 2
+        && t(0)(0).length == meta("dim") && t(0)(1).length == meta("dim"),
+      s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
+        s"${meta("dim")} rows")
+    Sq8Index(
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/codes", s"$dir/appends/codes"),
+      Sq8Quantizer(t(0)(0), t(0)(1)))
+  }
+
+  /** On-disk append for a SAVED SQ8 index: new rows encoded under the
+    * persisted frozen bounds. Idempotent per `batchId`. */
+  def sq8IndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    val meta = IndexIO.readMeta(spark, dir, "sq8")
+    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+    require(t(0)(0).length == meta("dim"), s"corrupt quantizer at $dir")
+    val q = Sq8Quantizer(t(0)(0), t(0)(1))
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
+    n2.select(col("vec_id"), sq8CodeCol(unitCol, q).as("code"))
+      .write.mode("overwrite")
+      .parquet(f"$dir/appends/codes/manual=$batchId%06d")
+  }
+
   /** Hyperplane-LSH layout: `Planes` sign bits per table × `LshTables`
     * independent tables. One 6-plane table alone is too selective — a true
     * neighbor at angle θ collides with probability (1-θ/π)^6, so recall@5

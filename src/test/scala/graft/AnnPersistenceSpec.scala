@@ -148,6 +148,38 @@ class AnnPersistenceSpec extends AnyFunSuite {
         Similarity.PqRerank), rest)
   }
 
+  test("SQ8 index: save → load → query identical; on-disk append composes") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val qs = Similarity.normed(emb.filter(pred), "vec_id", "embedding")
+    val idx = Similarity.sq8IndexBuild(half, "vec_id", "embedding")
+    val built = rows(Similarity.sq8TopK(idx, qs, K))
+    val dir = tmp("sq8")
+    Similarity.sq8IndexSave(idx, dir)
+    val loaded = Similarity.sq8IndexLoad(spark, dir)
+    assert(loaded.quantizer.mins.toSeq == idx.quantizer.mins.toSeq
+      && loaded.quantizer.spans.toSeq == idx.quantizer.spans.toSeq,
+      "quantizer bounds must round-trip double-exact")
+    assert(rows(Similarity.sq8TopK(loaded, qs, K)) == built)
+    // on-disk append under the frozen bounds, then reload: identical to
+    // the in-memory append of the same rows
+    Similarity.sq8IndexAppendSave(spark, dir, rest,
+      "vec_id", "embedding", batchId = 1L)
+    Similarity.sq8IndexAppendSave(spark, dir, rest,
+      "vec_id", "embedding", batchId = 1L) // replay: idempotent per batch
+    val reloaded = Similarity.sq8IndexLoad(spark, dir)
+    val grown = Similarity.sq8IndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.sq8TopK(reloaded, qs, K)) ==
+      rows(Similarity.sq8TopK(grown, qs, K)))
+    // appended vectors are retrievable: an appended row queries itself
+    val self = Similarity.normed(
+      rest.filter(col("vec_id") % 41 === 0), "vec_id", "embedding")
+    val hits = Similarity.sq8TopK(reloaded, self, K)
+      .select("query_id").distinct().count()
+    assert(hits == self.count(), "appended vectors must be query-able")
+  }
+
   test("IVF-PQ index: appended vectors are retrievable") {
     val emb = Tables.embeddings(spark, sf)
     val half = emb.filter(col("vec_id") % 2 === 0)

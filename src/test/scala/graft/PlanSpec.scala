@@ -280,4 +280,29 @@ class PlanSpec extends AnyFunSuite {
         s"$q: narrow op must not shuffle:\n${bad.mkString("\n")}")
     }
   }
+
+  test("SQ8 scan broadcasts queries, prunes top-k map-side, one shuffle") {
+    val p = plan("q_x11_ann_sq8")
+    // queries (the tiny side) are the broadcast build side; the corpus
+    // rides ONE narrow scan with the quantizer literals inline
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "queries must broadcast:\n" + p)
+    assert(p.contains("LessThan(vec_id,8)"),
+      "query-side filter must reach the parquet scan:\n" + p)
+    // rank pruning must happen BEFORE the exchange: the partial
+    // WindowGroupLimit caps each task at k rows per query, so the only
+    // shuffle moves |queries|·k·partitions rows, not the scored corpus
+    val partialBelowExchange = p.linesIterator
+      .dropWhile(l => !l.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partialBelowExchange,
+      "partial top-k prune must sit below the rank exchange:\n" + p)
+    // count in the FINAL plan only (AQE's printout repeats the initial)
+    val shuffles = p.split("== Initial Plan ==").head.linesIterator
+      .filter(l =>
+        l.contains("Exchange") && !l.contains("RoundRobinPartitioning")
+          && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.size == 1,
+      s"SQ8 top-k needs exactly one hash shuffle:\n${shuffles.mkString("\n")}")
+  }
 }

@@ -387,6 +387,18 @@ class RecallSpec extends AnyFunSuite {
       "hard assignment measured 0.67)")
   }
 
+  test("prebuilt SQ8 index answers identically to the one-shot path") {
+    val n = Similarity.normed(Tables.embeddings(spark, sf),
+      "vec_id", "embedding")
+    val oneShot = Similarity.sq8TopK(n.filter(pred), n, K)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = Similarity.sq8IndexBuild(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val indexed = Similarity.sq8TopK(idx, n.filter(pred), K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == oneShot, "SQ8 index path diverged from one-shot")
+  }
+
   test("SQ8 top-k recall@5 on the sf0.1 embeddings; codes stay in [0,255]") {
     val n = Similarity.normed(Tables.embeddings(spark, sf),
       "vec_id", "embedding")
