@@ -618,6 +618,54 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
   }
 
+  test("sq8TopK stays linear at 10x corpus and decomposes over clusters") {
+    // The SQ8 scan's 100 TB claim is the simplest of the family: cost is
+    // |corpus|·|queries| byte-code reconstructions with no index
+    // structure, so a 10× corpus against a FIXED query set must cost
+    // ~10× — and the 256-level reconstruction preserves the planted
+    // separation (within-copy cosine ≳0.95, cross-copy ≲0.1), so every
+    // query's top-k stays inside its own copy at both scales.
+    import graft.operators.Similarity
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    def copyDf(c: Int) = base.select(
+      (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * lit(0.25f) + when(i === c, lit(10.0f)).otherwise(lit(0.0f)))
+          .cast("float")).as("embedding"))
+    val copies = (0 until 10).map(c => copyDf(c).localCheckpoint())
+    val big = copies.reduce(_ unionByName _).localCheckpoint()
+    val K = 5
+    val qs = Similarity.normed(copies.head, "vec_id", "embedding")
+      .filter(col("vec_id") % 61 === 0).localCheckpoint()
+    val nQs = qs.count()
+    def run(corpus: org.apache.spark.sql.DataFrame)
+        : (Array[org.apache.spark.sql.Row], Double) = {
+      val n = Similarity.normed(corpus, "vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val rows = Similarity.sq8TopK(qs, n, K).collect()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(copies.head) // warm
+    val (soloRows, tSolo0) = run(copies.head)
+    val (_, tSolo1) = run(copies.head)
+    val tSolo = math.min(tSolo0, tSolo1)
+    val (bigRows, tBig0) = run(big)
+    val (_, tBig1) = run(big)
+    val tBig = math.min(tBig0, tBig1)
+    assert(soloRows.groupBy(_.getLong(0)).size == nQs)
+    val perQuery = bigRows.groupBy(_.getLong(0))
+    assert(perQuery.size == nQs && perQuery.values.forall(_.length == K))
+    // decomposition: copy-0 queries keep copy-0 neighbors at 10×
+    val leaks = bigRows.filter(_.getLong(1) / 1000000L != 0L)
+    assert(leaks.isEmpty,
+      s"${leaks.length} cross-copy neighbors leaked, e.g. " +
+        leaks.take(3).mkString(", "))
+    println(f"sq8TopK solo: $tSolo%.2f s, 10x corpus: $tBig%.2f s, " +
+      f"ratio ${tBig / tSolo}%.1f")
+    assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
