@@ -187,6 +187,18 @@ object GraftFunctions {
       }
       BottomKSketch(exprs.head, exprs(1), k).toAggregateExpression()
     }),
+    "graft_kmv" -> (exprs => {
+      require(exprs(1).foldable,
+        "graft_kmv(hash, k): k must be an integer literal")
+      val k = exprs(1).eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.toInt
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv: k must be an integral literal, got $other")
+      }
+      KmvSketch(exprs.head, k).toAggregateExpression()
+    }),
     "graft_zvalue2" -> (exprs => zValue2Expr(exprs.head, exprs(1))),
     "graft_hilbert" -> (exprs => {
       require(exprs.head.foldable,
@@ -322,6 +334,14 @@ object GraftFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_freq", item,
       org.apache.spark.sql.functions.lit(capacity))
+  }
+
+  /** KMV distinct-count sketch (see [[KmvSketch]]): the k smallest
+    * DISTINCT hashes, unsigned-ascending. */
+  def kmvSketch(hash: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_kmv", hash,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Greedy longest-match subword pieces over a fixed vocab (see

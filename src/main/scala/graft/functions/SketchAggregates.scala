@@ -395,3 +395,93 @@ case class FrequentItemsSketch(
       newChildren: IndexedSeq[Expression]): FrequentItemsSketch =
     copy(child = newChildren.head)
 }
+
+/** KMV (k-minimum-values) distinct-count sketch: the k smallest DISTINCT
+  * hash values under UNSIGNED 64-bit order. Unlike [[BottomKSketch]]
+  * (which ranks possibly-repeating priorities), KMV's estimator
+  * `D̂ = (k−1)/h₍ₖ₎` is only unbiased over a duplicate-free order
+  * statistic, so the buffer is a bounded sorted SET — re-offering a hash
+  * already held is a no-op, which is precisely what makes
+  * `count(DISTINCT x)`'s shuffle avoidable: duplicates collapse inside
+  * each map task, partials merge by set union, and at most k longs cross
+  * the wire per group. With a deterministic portable hash the whole
+  * sketch replays in SQL — q_a13 hash-certifies it, the certification
+  * HLL (q_a5) cannot have.
+  *
+  * Unsigned order rides a sign-bit flip: `h ^ Long.MinValue` maps
+  * unsigned order onto signed order, so a plain TreeSet compares
+  * correctly; eval unflips and emits the ascending array. */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2 && k <= 65536, s"k in [2, 65536]: $k")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(
+      buf: java.util.TreeSet[java.lang.Long], flipped: Long): Unit = {
+    if (buf.size < k) { buf.add(flipped); () }
+    else if (flipped < buf.last()) {
+      if (buf.add(flipped)) { buf.remove(buf.last()); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long] ^ Long.MinValue)
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue() ^ Long.MinValue; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(
+      buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong()); i += 1 }
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}

@@ -120,11 +120,76 @@ object Extras {
   }
 
   /** HLL sketch: approximate distinct counts (engine-specific sketch →
-    * rows-only; the exact twin is certified in q_a2_agg_suite). */
+    * rows-only; the exact twin is certified in q_a2_agg_suite, and the
+    * CERTIFIABLE sketch twin is q_a13's KMV estimator). */
   val qA5Approx = Q.rowsOnly("q_a5_approx_distinct") { (s, d) =>
     lineitem(s, d).agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
+  }
+
+  /** One KMV leg of the q_a13 oracle: the portable md5-prefix hash over
+    * DISTINCT key strings, ranked in UNSIGNED 64-bit order (sign class
+    * first, then signed value — exactly the sketch's flipped-sign
+    * TreeSet order), and the `D̂ = (k−1)/h₍ₖ₎` estimate on the identical
+    * IEEE tree the Spark side computes (`CAST AS DOUBLE / 2⁶⁴ + CASE`),
+    * falling back to the exact count when fewer than k distinct hashes
+    * exist. */
+  private def kmvOracleLeg(tag: String, keyCol: String): String =
+    s"""h_$tag AS (
+       |  SELECT DISTINCT
+       |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |      * 4294967296 + lo AS h
+       |  FROM (SELECT
+       |      CAST(('0x' || substring(md5(CAST($keyCol AS VARCHAR)), 1, 8))
+       |        AS BIGINT) AS hi,
+       |      CAST(('0x' || substring(md5(CAST($keyCol AS VARCHAR)), 9, 8))
+       |        AS BIGINT) AS lo
+       |    FROM lineitem)),
+       |r_$tag AS (
+       |  SELECT h, row_number() OVER (
+       |      ORDER BY CASE WHEN h >= 0 THEN 0 ELSE 1 END, h) AS rn
+       |  FROM h_$tag),
+       |e_$tag AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM h_$tag) < 256
+       |    THEN (SELECT CAST(count(*) AS DOUBLE) FROM h_$tag)
+       |    ELSE 255.0 / (SELECT CAST(h AS DOUBLE) / 18446744073709551616.0
+       |                    + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END
+       |                  FROM r_$tag WHERE rn = 256)
+       |    END AS est)""".stripMargin
+
+  /** KMV approximate distinct counts, HASH-CERTIFIED — the sketch twin
+    * of q_a5 whose estimator is a pure order statistic: the k smallest
+    * DISTINCT portable hashes ([[graft.functions.KmvSketch]], bounded
+    * memory, set-union mergeable — duplicates collapse map-side, ≤k longs
+    * cross the shuffle) and `D̂ = (k−1)/h₍ₖ₎` computed in Column land so
+    * the oracle replays every IEEE op. Relative error ≈ 1/√(k−2) ≈ 6 %
+    * at k = 256; KmvSpec pins accuracy against the exact counts. */
+  val qA13KmvDistinct = Q(
+    "q_a13_kmv_distinct",
+    s"""WITH ${kmvOracleLeg("ord", "l_orderkey")},
+       |${kmvOracleLeg("prt", "l_partkey")}
+       |SELECT (SELECT est FROM e_ord) AS est_orders,
+       |       (SELECT est FROM e_prt) AS est_parts""".stripMargin) {
+    (s, d) =>
+      import graft.functions.GraftFunctions.kmvSketch
+      import graft.operators.Dedup.md5Hash64
+      val k = 256
+      def est(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val kth = element_at(a, k)
+        val norm = kth.cast("double") / lit(18446744073709551616.0) +
+          when(kth < 0, lit(1.0)).otherwise(lit(0.0))
+        when(size(a) < k, size(a).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / norm)
+      }
+      lineitem(s, d)
+        .agg(
+          kmvSketch(md5Hash64(col("l_orderkey").cast("string")), k)
+            .as("a_ord"),
+          kmvSketch(md5Hash64(col("l_partkey").cast("string")), k)
+            .as("a_prt"))
+        .select(est(col("a_ord")).as("est_orders"),
+          est(col("a_prt")).as("est_parts"))
   }
 
   /** Salted two-phase aggregation — numerically equal to the direct
@@ -861,7 +926,7 @@ object Extras {
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
-    qA5Approx, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
+    qA5Approx, qA13KmvDistinct, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
     qZ3Hilbert, qZ4Hilbert3, qZ5Hilbert4, qS13SchemaMerge, qJ5FullOuter,
     qJ6Cross, qJ7Upsert)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.kmvSketch
+import graft.operators.Dedup.md5Hash64
+
+/** Contracts of the KMV distinct-count sketch beyond q_a13's replay
+  * certification: estimator accuracy against exact counts, partition- and
+  * duplicate-insensitivity (the properties that make the sketch a safe
+  * `count(DISTINCT …)` substitute at shuffle-free cost), and the exact
+  * small-cardinality path. */
+class KmvSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  private val K = 256
+
+  private def estimate(df: org.apache.spark.sql.DataFrame,
+      c: String): Double = {
+    val a = df.agg(kmvSketch(md5Hash64(col(c).cast("string")), K).as("a"))
+    val kth = element_at(col("a"), K)
+    val norm = kth.cast("double") / lit(18446744073709551616.0) +
+      when(kth < 0, lit(1.0)).otherwise(lit(0.0))
+    a.select(when(size(col("a")) < K, size(col("a")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) / norm))
+      .collect()(0).getDouble(0)
+  }
+
+  test("KMV estimate lands within 4/sqrt(k) of the exact distinct count") {
+    val li = Tables.lineitem(spark, sf)
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+      val exact = li.select(c).distinct().count().toDouble
+      val est = estimate(li, c)
+      val rel = math.abs(est - exact) / exact
+      println(f"kmv $c: exact $exact%.0f est $est%.1f rel $rel%.4f")
+      // σ ≈ 1/√(k−2) ≈ 0.063; 4σ keeps this deterministic check honest
+      // without flaking on an unlucky hash draw
+      assert(rel < 4.0 / math.sqrt(K - 2), f"$c: rel error $rel%.4f")
+    }
+  }
+
+  test("sketch is partition- and duplicate-insensitive") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    def arr(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(kmvSketch(md5Hash64(col("l_orderkey").cast("string")), K)
+          .as("a"))
+        .collect()(0).getSeq[Long](0)
+    val base = arr(li)
+    assert(base.length == K)
+    assert(arr(li.repartition(3)) == base, "merge order changed the sketch")
+    assert(arr(li.union(li).repartition(7)) == base,
+      "duplicates perturbed the sketch")
+    // unsigned ascending order is part of the eval contract
+    val flipped = base.map(_ ^ Long.MinValue)
+    assert(flipped == flipped.sorted, "eval must emit unsigned-ascending")
+  }
+
+  test("below k distinct values the estimate is exact") {
+    val s = spark
+    import s.implicits._
+    val tiny = (0 until 500).map(i => i % 37).toDF("v")
+    assert(estimate(tiny, "v") == 37.0)
+  }
+}
