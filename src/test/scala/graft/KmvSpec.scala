@@ -57,6 +57,40 @@ class KmvSpec extends AnyFunSuite {
     assert(flipped == flipped.sorted, "eval must emit unsigned-ascending")
   }
 
+  test("streaming KMV aggregation equals the batch sketch at every prefix") {
+    // complete-mode aggregation: the sketch buffer rides the state store
+    // (serialize/merge across micro-batches), so a running distinct-count
+    // over a stream must equal the batch sketch over the prefix fed so far
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(kmvSketch(md5Hash64(col("k").cast("string")), K).as("a"))
+        .collect()(0).getSeq[Long](0)
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).as[Long].collect()
+    val chunks = keys.grouped(keys.length / 3 + 1).toSeq
+    val ms = StreamTestSupport.memoryStream[Long]
+    @volatile var current: Seq[Long] = Nil
+    val q = ms.toDF().toDF("k")
+      .agg(kmvSketch(md5Hash64(col("k").cast("string")), K).as("a"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        current = df.collect()(0).getSeq[Long](0)
+      }
+      .start()
+    try {
+      var fed = Array.empty[Long]
+      chunks.foreach { c =>
+        fed = fed ++ c
+        ms.addData(c.toSeq)
+        q.processAllAvailable()
+        assert(current == sketchOf(fed.toSeq.toDF("k")),
+          s"after ${fed.length} rows: stream sketch != batch sketch")
+      }
+    } finally q.stop()
+  }
+
   test("below k distinct values the estimate is exact") {
     val s = spark
     import s.implicits._
