@@ -281,6 +281,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch combines map-side; scan reads only the key columns") {
+    val p = plan("q_a13_kmv_distinct").split("== Initial Plan ==").head
+    // the whole point of the sketch: duplicates collapse in the partial
+    // aggregate, so the single-partition exchange moves <=2k longs per
+    // task, never the keys
+    assert(p.contains("partial_kmvsketch"),
+      "KMV must partial-aggregate before the exchange:\n" + p)
+    val partialBelowExchange = p.linesIterator
+      .dropWhile(l => !l.contains("Exchange SinglePartition"))
+      .exists(_.contains("partial_kmvsketch"))
+    assert(partialBelowExchange,
+      "partial sketch must sit below the exchange:\n" + p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "column pruning must reach the scan:\n" + p)
+  }
+
   test("SQ8 scan broadcasts queries, prunes top-k map-side, one shuffle") {
     val p = plan("q_x11_ann_sq8")
     // queries (the tiny side) are the broadcast build side; the corpus
