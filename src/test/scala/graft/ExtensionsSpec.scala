@@ -108,6 +108,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getLong(0)
       assert(sh == sh2)
 
+      // KMV through pure SQL: k smallest DISTINCT hashes in unsigned
+      // order — the duplicate collapses, -1 (unsigned max) ranks last
+      val kmv = s2.sql(
+        """SELECT graft_kmv(h, 3) AS a
+          |FROM VALUES (CAST(7 AS BIGINT)), (11), (7), (-1), (3) AS t(h)"""
+          .stripMargin).head.getSeq[Long](0)
+      assert(kmv == Seq(3L, 7L, 11L), s"got $kmv")
+
       // URL family: the SQL names must produce exactly the Column results
       // (one definition via the Column<->Expression bridge)
       val u = s2.sql(
