@@ -158,6 +158,53 @@ object Extras {
        |                  FROM r_$tag WHERE rn = 256)
        |    END AS est)""".stripMargin
 
+  /** Per-group KMV — the realistic grouped shape (distinct orders per
+    * return flag; at 100 TB: distinct users per day, distinct docs per
+    * crawl), HASH-CERTIFIED by the same replay as q_a13 with the order
+    * statistic PARTITIONed per group. k = 64 keeps the estimator branch
+    * live from sf0.001 up (hundreds of distinct orders per flag) while
+    * the oracle's `max(CASE WHEN rn = k …)` turns NULL below k distinct,
+    * selecting the exact-count branch — mirroring `size(a) < k`. */
+  val qA14KmvGroups = Q(
+    "q_a14_kmv_groups",
+    """WITH hs AS (
+      |  SELECT DISTINCT l_returnflag AS g,
+      |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+      |      * 4294967296 + lo AS h
+      |  FROM (SELECT l_returnflag,
+      |      CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |        AS BIGINT) AS hi,
+      |      CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 9, 8))
+      |        AS BIGINT) AS lo
+      |    FROM lineitem)),
+      |r AS (
+      |  SELECT g, h,
+      |    row_number() OVER (PARTITION BY g
+      |      ORDER BY CASE WHEN h >= 0 THEN 0 ELSE 1 END, h) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS nd
+      |  FROM hs)
+      |SELECT g AS l_returnflag,
+      |  CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+      |       ELSE 63.0 / max(CASE WHEN rn = 64
+      |         THEN CAST(h AS DOUBLE) / 18446744073709551616.0
+      |            + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END END)
+      |  END AS est_orders
+      |FROM r GROUP BY g""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions.kmvSketch
+    import graft.operators.Dedup.md5Hash64
+    val k = 64
+    val kth = element_at(col("a"), k)
+    val norm = kth.cast("double") / lit(18446744073709551616.0) +
+      when(kth < 0, lit(1.0)).otherwise(lit(0.0))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kmvSketch(md5Hash64(col("l_orderkey").cast("string")), k)
+        .as("a"))
+      .select(col("l_returnflag"),
+        when(size(col("a")) < k, size(col("a")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / norm).as("est_orders"))
+  }
+
   /** KMV approximate distinct counts, HASH-CERTIFIED — the sketch twin
     * of q_a5 whose estimator is a pure order statistic: the k smallest
     * DISTINCT portable hashes ([[graft.functions.KmvSketch]], bounded
@@ -926,7 +973,8 @@ object Extras {
     qU1Union, qU2Intersect, qU3Except,
     qA3Rollup, qA4Cube, qA6StrAgg,
     qF5Strings, qF6Case, qF7DateArith,
-    qA5Approx, qA13KmvDistinct, qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
+    qA5Approx, qA13KmvDistinct, qA14KmvGroups,
+    qK1SaltedAgg, qK2BloomJoin, qS9BucketedJoin,
     qS10JsonRoundTrip, qS11Partitioned, qS12Compact, qZ1ZOrder, qZ2ZOrder3,
     qZ3Hilbert, qZ4Hilbert3, qZ5Hilbert4, qS13SchemaMerge, qJ5FullOuter,
     qJ6Cross, qJ7Upsert)
