@@ -280,21 +280,113 @@ object MultimodalQ {
         documents(s, d).filter(col("doc_id") % 8 === 0), "doc_id"))
   }
 
-  /** One perceptual fingerprint per media row across ALL modalities:
-    * image dHash, audio band-energy fingerprint, first-frame video dHash —
-    * every row joins the same banded Hamming near-dup search. Rows-only
-    * (fingerprints are functions of decoded pixels/samples). */
   /** Unified fingerprint table over the REAL compressed-container decode
-    * paths (rows-only: perceptual hashes have no SQL restatement, but
-    * every hashed pixel/sample went through a genuine parse): image rows
-    * are frames decoded OUT of MJPEG-AVI containers (RIFF walk + JPEG
-    * decode, PNG re-encode by [[Multimodal.aviFrames]]), audio rows are
-    * FLAC payloads (the offline frame-walk decode `AudioCodec.decode`
-    * falls back to), video rows are Y4M clips (header + planar-YUV
-    * parse). Frame rows ride a disjoint id namespace (10M + mid·32 +
-    * idx; the frame cap makes the packing injective) so the unified
-    * table's keys never collide across kinds. */
-  val qM10MediaFingerprints = Q.rowsOnly("q_m10_media_fingerprints") {
+    * paths, HASH-CERTIFIED end to end — the oracle restates what a
+    * correct decode + perceptual hash must produce for each modality:
+    * image rows are frames decoded OUT of MJPEG-AVI containers (RIFF
+    * walk + JPEG decode, PNG re-encode by [[Multimodal.aviFrames]]) —
+    * solid-gray sources decode uniform, so every strict adjacent-cell
+    * comparison is false and a correct dHash is EXACTLY 0 (one wrong
+    * pixel anywhere flips a bit); audio rows are FLAC payloads whose
+    * CONSTANT subframes make every band's sum-of-squares an exact
+    * integer the oracle re-derives from [[Multimodal.flacAmp]]'s closed
+    * form (then the identical `float32(sqrt(s/n)/32768)` IEEE chain and
+    * adjacent-band comparisons); video rows replay the Y4M planar parse —
+    * neutral chroma collapses the YUV→RGB matrix to
+    * `gray = clamp((298·(Y−16)+128) >> 8)` — through the same exact
+    * integer dHash grid as q_m9. Frame rows ride a disjoint id namespace
+    * (10M + mid·32 + idx; the frame cap makes the packing injective) so
+    * the unified table's keys never collide across kinds. */
+  val qM10MediaFingerprints = Q(
+    "q_m10_media_fingerprints",
+    """WITH af AS (
+      |  SELECT 10000000 + doc_id * 32 + i AS media_id
+      |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |               unnest(range(0, 2 + doc_id % 6)) AS i
+      |        FROM documents WHERE doc_id % 8 = 7)),
+      |flacs AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS mid,
+      |         CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |         CAST(8000 + (doc_id % 32) * 1600 AS BIGINT) AS total
+      |  FROM documents WHERE doc_id % 8 = 6),
+      |aj AS (SELECT mid, channels, total,
+      |              unnest(range(0, total)) AS j
+      |       FROM flacs),
+      |ab AS (SELECT mid, channels,
+      |              least(64, (j * 65) // total) AS band,
+      |              (mid * 131 + (j // 4096) * 977) % 20000 - 10000 AS a0,
+      |              (mid * 197 + (j // 4096) * 563) % 20000 - 10000 AS a1
+      |       FROM aj),
+      |abands AS (
+      |  SELECT mid, band,
+      |         SUM(a0 * a0
+      |           + CASE WHEN channels = 2 THEN a1 * a1 ELSE 0 END) AS s,
+      |         SUM(channels) AS n
+      |  FROM ab GROUP BY 1, 2),
+      |afeats AS (
+      |  SELECT mid, band,
+      |         CAST(sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |              / 32768.0 AS REAL) AS fv
+      |  FROM abands),
+      |abits AS (
+      |  SELECT a.mid,
+      |         CASE WHEN a.band = 63
+      |              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << CAST(a.band AS INT))
+      |         END AS bitval
+      |  FROM afeats a JOIN afeats b
+      |    ON a.mid = b.mid AND a.band + 1 = b.band
+      |  WHERE a.band < 64 AND a.fv > b.fv),
+      |afp AS (
+      |  SELECT f.mid AS media_id,
+      |         CAST(COALESCE(SUM(b.bitval), 0) AS BIGINT) AS fp
+      |  FROM flacs f LEFT JOIN abits b ON f.mid = b.mid
+      |  GROUP BY 1),
+      |vids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |         CAST(8 + (doc_id % 8) * 2 AS BIGINT) AS w,
+      |         CAST(8 + (doc_id % 6) * 2 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 8 = 2),
+      |vgrid AS (
+      |  SELECT media_id, w, h, cy.cyv AS cy, cx.cxv AS cx,
+      |         (cx.cxv * w) // 9 AS x0,
+      |         greatest((cx.cxv * w) // 9 + 1, ((cx.cxv + 1) * w) // 9)
+      |           AS x1,
+      |         (cy.cyv * h) // 8 AS y0,
+      |         greatest((cy.cyv * h) // 8 + 1, ((cy.cyv + 1) * h) // 8)
+      |           AS y1
+      |  FROM vids,
+      |       generate_series(0, 7) cy(cyv),
+      |       generate_series(0, 8) cx(cxv)),
+      |vcells AS (
+      |  SELECT g.media_id, g.cy, g.cx,
+      |         SUM(1000 * least(255, greatest(0,
+      |           (298 * ((g.media_id * 31 + px.x * 4 + py.y * 2) % 220)
+      |              + 128) // 256))) AS s,
+      |         COUNT(*) AS n
+      |  FROM vgrid g,
+      |       generate_series(0, 21) px(x),
+      |       generate_series(0, 17) py(y)
+      |  WHERE px.x >= g.x0 AND px.x < least(g.x1, g.w)
+      |    AND py.y >= g.y0 AND py.y < least(g.y1, g.h)
+      |  GROUP BY 1, 2, 3),
+      |vbits AS (
+      |  SELECT a.media_id,
+      |         CASE WHEN a.cy * 8 + a.cx = 63
+      |              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << CAST(a.cy * 8 + a.cx AS INT))
+      |         END AS bitval
+      |  FROM vcells a JOIN vcells b
+      |    ON a.media_id = b.media_id AND a.cy = b.cy AND a.cx + 1 = b.cx
+      |  WHERE a.cx < 8 AND a.s * b.n > b.s * a.n),
+      |vfp AS (
+      |  SELECT v.media_id,
+      |         CAST(COALESCE(SUM(b.bitval), 0) AS BIGINT) AS fp
+      |  FROM vids v LEFT JOIN vbits b ON v.media_id = b.media_id
+      |  GROUP BY 1)
+      |SELECT media_id, 'image' AS kind, CAST(0 AS BIGINT) AS fp FROM af
+      |UNION ALL SELECT media_id, 'audio' AS kind, fp FROM afp
+      |UNION ALL SELECT media_id, 'video' AS kind, fp FROM vfp""".stripMargin) {
     (s, d) =>
       val base = documents(s, d)
       val frames = Multimodal.aviFrames(
