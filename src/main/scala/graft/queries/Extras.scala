@@ -190,19 +190,12 @@ object Extras {
       |            + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END END)
       |  END AS est_orders
       |FROM r GROUP BY g""".stripMargin) { (s, d) =>
-    import graft.functions.GraftFunctions.kmvSketch
-    import graft.operators.Dedup.md5Hash64
-    val k = 64
-    val kth = element_at(col("a"), k)
-    val norm = kth.cast("double") / lit(18446744073709551616.0) +
-      when(kth < 0, lit(1.0)).otherwise(lit(0.0))
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(kmvSketch(md5Hash64(col("l_orderkey").cast("string")), k)
-        .as("a"))
+    graft.operators.Sketches
+      .approxDistinctByGroup(lineitem(s, d), Seq("l_returnflag"),
+        "l_orderkey", k = 64,
+        tokenHash = graft.operators.Dedup.md5Hash64)
       .select(col("l_returnflag"),
-        when(size(col("a")) < k, size(col("a")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) / norm).as("est_orders"))
+        col("est_l_orderkey").as("est_orders"))
   }
 
   /** KMV approximate distinct counts, HASH-CERTIFIED — the sketch twin
@@ -219,24 +212,11 @@ object Extras {
        |SELECT (SELECT est FROM e_ord) AS est_orders,
        |       (SELECT est FROM e_prt) AS est_parts""".stripMargin) {
     (s, d) =>
-      import graft.functions.GraftFunctions.kmvSketch
-      import graft.operators.Dedup.md5Hash64
-      val k = 256
-      def est(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val kth = element_at(a, k)
-        val norm = kth.cast("double") / lit(18446744073709551616.0) +
-          when(kth < 0, lit(1.0)).otherwise(lit(0.0))
-        when(size(a) < k, size(a).cast("double"))
-          .otherwise(lit((k - 1).toDouble) / norm)
-      }
-      lineitem(s, d)
-        .agg(
-          kmvSketch(md5Hash64(col("l_orderkey").cast("string")), k)
-            .as("a_ord"),
-          kmvSketch(md5Hash64(col("l_partkey").cast("string")), k)
-            .as("a_prt"))
-        .select(est(col("a_ord")).as("est_orders"),
-          est(col("a_prt")).as("est_parts"))
+      graft.operators.Sketches
+        .approxDistinct(lineitem(s, d), Seq("l_orderkey", "l_partkey"),
+          tokenHash = graft.operators.Dedup.md5Hash64)
+        .select(col("est_l_orderkey").as("est_orders"),
+          col("est_l_partkey").as("est_parts"))
   }
 
   /** Salted two-phase aggregation — numerically equal to the direct

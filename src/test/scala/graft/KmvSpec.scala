@@ -30,14 +30,21 @@ class KmvSpec extends AnyFunSuite {
 
   test("KMV estimate lands within 4/sqrt(k) of the exact distinct count") {
     val li = Tables.lineitem(spark, sf)
-    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+    // the default operator surface (xxhash64) in one pass over all keys
+    val op = graft.operators.Sketches
+      .approxDistinct(li, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .collect()(0)
+    for ((c, i) <- Seq("l_orderkey", "l_partkey", "l_suppkey").zipWithIndex) {
       val exact = li.select(c).distinct().count().toDouble
       val est = estimate(li, c)
       val rel = math.abs(est - exact) / exact
-      println(f"kmv $c: exact $exact%.0f est $est%.1f rel $rel%.4f")
+      val relOp = math.abs(op.getDouble(i) - exact) / exact
+      println(f"kmv $c: exact $exact%.0f est $est%.1f rel $rel%.4f " +
+        f"op(xxhash64) rel $relOp%.4f")
       // σ ≈ 1/√(k−2) ≈ 0.063; 4σ keeps this deterministic check honest
       // without flaking on an unlucky hash draw
       assert(rel < 4.0 / math.sqrt(K - 2), f"$c: rel error $rel%.4f")
+      assert(relOp < 4.0 / math.sqrt(K - 2), f"$c: op rel error $relOp%.4f")
     }
   }
 
