@@ -96,6 +96,13 @@ object Curation {
         * on a curated-vs-crawl labeled frame, then screen the crawl —
         * a pure Column fold, fused into the final filter stage. */
       nbScreen: Option[(TextAnalysis.NbQualityModel, Double)] = None,
+      /** Front stage: the input `text` column is raw HTML — rewrite it
+        * through [[TextAnalysis.extractText]] (certified standalone as
+        * q_t43) BEFORE anything else runs, so every screen, verdict set
+        * and the emitted `clean_text` judge extracted text, never markup.
+        * A pure codegen'd Column rewrite fused into the first scan — no
+        * extra pass, no shuffle. */
+      htmlExtract: Boolean = false,
       /** How the DEFINED corpus (post cap/URL-dedup) is materialized so
         * the ~6 downstream verdict passes don't each re-run the
         * rank/join chain. The trade is fault tolerance, not semantics —
@@ -151,9 +158,13 @@ object Curation {
     *        stays benchmark-sized (its shingles broadcast). None skips
     *        the stage (its funnel count then equals dedup's). */
   def pipeline(
-      docs: DataFrame, id: String, text: String,
+      docs0In: DataFrame, id: String, text: String,
       cfg: Config = Config(),
       probes: Option[DataFrame] = None): Result = {
+    // HTML front stage: from here on, `text` means EXTRACTED text
+    val docs = if (cfg.htmlExtract)
+      docs0In.withColumn(text, TextAnalysis.extractText(col(text)))
+    else docs0In
     // per-domain cap first: redefines the corpus every verdict set sees
     val capped = cfg.maxPerSource match {
       case Some((srcCol, cap)) =>

@@ -96,6 +96,63 @@ object TextAnalysis {
       .otherwise(concat_ws(".", slice(parts, n - take + 1, take)))
   }
 
+  /** HTML character-reference decode ([[graft.functions.HtmlEntityMath]]
+    * one-pass semantics) as a codegen'd native expression — named subset
+    * + full numeric dec/hex incl. supplementary planes; torn or unknown
+    * references pass through verbatim. */
+  def decodeHtmlEntities(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.HtmlEntityDecode(ColumnBridge.expression(c)))
+  }
+
+  /** HTML/markup → text extraction — the missing HEAD of a crawl
+    * pipeline: every downstream screen this module ships (langid, Gopher
+    * rules, LM scoring, dedup) assumes a clean `text` column that
+    * something must have extracted from WARC payload HTML. Pure
+    * `regexp_replace` Column composition plus ONE native expression
+    * ([[decodeHtmlEntities]]) — codegen'd end to end, map-side inside the
+    * parquet scan stage at any scale, no UDF, no shuffle.
+    *
+    * Stages, in a deliberately fixed order:
+    *  1. comments `<!-- … -->` removed (unterminated → dropped to end);
+    *  2. `<script>`/`<style>` SUBTREES removed — their character data is
+    *     code, not text (unterminated → dropped to end);
+    *  3. block-level tags (`p div br hr h1–h6 li ul ol dl dt dd table
+    *     thead tbody tfoot tr td th blockquote pre section article aside
+    *     header footer nav form figure figcaption main address`) become
+    *     newlines, so paragraph structure survives as line structure;
+    *  4. every remaining tag becomes a space (inline tags must not glue
+    *     `…end<b>Start` into one token);
+    *  5. entity decode — AFTER tag strip, so `&lt;script&gt;` becomes the
+    *     literal text `<script>` and can never re-enter as markup;
+    *  6. whitespace canonicalization: horizontal runs (space, tab, VT,
+    *     FF, CR, NBSP) → one space, spaces trimmed around newlines,
+    *     newline runs collapsed, ends trimmed.
+    *
+    * Defined-subset caveats (documented, fuzz-pinned in HtmlExtractSpec):
+    * a `>` inside a QUOTED attribute value closes the tag early, and a
+    * lone `<` swallows text up to the next `>` — torn markup degrades to
+    * torn text, never to a crash. The regex chain is RE2-compatible
+    * (`\z`, not Java's trailing-newline-exempt `$`), so the DuckDB
+    * oracle replays it verbatim (q_t43). */
+  def extractText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?(-->|\\z)", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?(</script\\s*>|\\z)", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?(</style\\s*>|\\z)", " ")
+    val blocks = regexp_replace(noStyle,
+      "(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody" +
+        "|tfoot|tr|td|th|blockquote|pre|section|article|aside|header" +
+        "|footer|nav|form|figure|figcaption|main|address)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = decodeHtmlEntities(noTags)
+    val hws = regexp_replace(decoded, "[ \\t\\x0B\\f\\r\\x{A0}]+", " ")
+    val trimmedLines = regexp_replace(hws, " ?\\n ?", "\n")
+    trim(regexp_replace(trimmedLines, "\\n+", "\n"), " \n")
+  }
+
   /** BPE-ish regex word count: alpha runs + digit runs + single symbols. */
   val wordRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def regexTokenCount(text: Column): Column =

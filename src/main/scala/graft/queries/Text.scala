@@ -1475,6 +1475,88 @@ object Text {
           urlDedup = Some("url"))).df
   }
 
+  /** HTML → text extraction ([[graft.operators.TextAnalysis.extractText]])
+    * hash-certified: each document's text is wrapped in a full synthetic
+    * page — comment, style and script subtrees (one script body even
+    * contains `<p>` markup that must NOT leak), attribute-bearing block
+    * tags, named + decimal + hex character references, an NBSP thousands
+    * separator, and (every 5th doc) an UNTERMINATED trailing script that
+    * must swallow to end-of-input. The oracle replays the identical
+    * RE2-compatible regexp chain in DuckDB, with the entity subset as a
+    * replace() chain rewriting `&amp;` LAST (= the kernel's one-pass
+    * no-rescan semantics); general numeric decode is spec-pinned in
+    * HtmlExtractSpec. */
+  val qT43HtmlExtract = Q(
+    "q_t43_html_extract",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc</title><!-- hidden '
+      |      || CAST(doc_id AS VARCHAR) || ' -->'
+      |      || '<style type="text/css">p { color: #fff; }</style>'
+      |      || '<script>var x = "<p>nope</p>";</script></head>'
+      |      || '<body><h1 class="t" data-n="'
+      |      || CAST(doc_id % 10 AS VARCHAR) || '">Heading '
+      |      || CAST(doc_id % 10 AS VARCHAR) || '</h1>'
+      |      || '<p>' || text || '</p>'
+      |      || CASE WHEN doc_id % 3 = 0
+      |           THEN '<ul><li>alpha &amp; beta</li>'
+      |                || '<li>&lt;tag&gt; &quot;q&quot;</li></ul>'
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 4 = 1
+      |           THEN '<div>caf&eacute; &#65;&#x42;C 1&nbsp;000</div>'
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 2
+      |           THEN '<script>late = 1; // unterminated'
+      |           ELSE '</body></html>' END AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id,
+      |         regexp_replace(html, '(?s)<!--.*?(-->|\z)', ' ', 'g') AS t
+      |       FROM h),
+      |s2 AS (SELECT doc_id, regexp_replace(t,
+      |         '(?is)<script\b[^>]*>.*?(</script\s*>|\z)', ' ', 'g') AS t
+      |       FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t,
+      |         '(?is)<style\b[^>]*>.*?(</style\s*>|\z)', ' ', 'g') AS t
+      |       FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t,
+      |         '(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|blockquote|pre|section|article|aside|header|footer|nav|form|figure|figcaption|main|address)\b[^>]*>',
+      |         chr(10), 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id,
+      |         regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+      |s6 AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(replace(
+      |           replace(t,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |           '&eacute;', chr(233)), '&#65;', 'A'), '&#x42;', 'B'),
+      |           '&nbsp;', chr(160)), '&amp;', '&') AS t FROM s5),
+      |s7 AS (SELECT doc_id, regexp_replace(t,
+      |         '[ \t\x0B\f\r\x{A0}]+', ' ', 'g') AS t FROM s6),
+      |s8 AS (SELECT doc_id,
+      |         regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s7)
+      |SELECT doc_id,
+      |       trim(regexp_replace(t, '\n+', chr(10), 'g'),
+      |            ' ' || chr(10)) AS txt
+      |FROM s8""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc</title><!-- hidden "),
+      id.cast("string"), lit(" -->"),
+      lit("<style type=\"text/css\">p { color: #fff; }</style>"),
+      lit("<script>var x = \"<p>nope</p>\";</script></head>"),
+      lit("<body><h1 class=\"t\" data-n=\""), (id % 10).cast("string"),
+      lit("\">Heading "), (id % 10).cast("string"), lit("</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(id % 3 === 0,
+        "<ul><li>alpha &amp; beta</li>" +
+          "<li>&lt;tag&gt; &quot;q&quot;</li></ul>").otherwise(""),
+      when(id % 4 === 1,
+        "<div>caf&eacute; &#65;&#x42;C 1&nbsp;000</div>").otherwise(""),
+      when(id % 5 === 2, "<script>late = 1; // unterminated")
+        .otherwise("</body></html>"))
+    documents(s, d).select(id,
+      graft.operators.TextAnalysis.extractText(html).as("txt"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1486,5 +1568,5 @@ object Text {
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
-      qT42PipelineCorpusDef)
+      qT42PipelineCorpusDef, qT43HtmlExtract)
 }
