@@ -1593,19 +1593,8 @@ object Similarity {
     * a re-bucketed corpus) make stale append rows wrong, so they must
     * never union back in through the loads. */
   private def pruneAppends(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    // a rebuild invalidates crashed-fold remnants too: an aside, parked
-    // base, or folding scratch left behind must never be "restored" by
-    // a later fold's recovery after this save reset the fold epoch
-    val base = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(base)) fs.listStatus(base)
-      .filter(_.getPath.getName
-        .matches("(appends|corpus|coded_lists)_(folding|old)_e\\d+"))
-      .foreach(st => fs.delete(st.getPath, true))
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    IndexIO.pruneAppendsAndRemnants(spark, dir)
 
   /** Persist a prebuilt [[LshIndex]] under `dir` (stale appends
     * pruned — see [[pruneAppends]]). */
@@ -1751,156 +1740,43 @@ object Similarity {
   }
 
   /** Fold on-disk appends into the base frames (same quantizers, no
-    * retrain): the safe form of the save-after-load maintenance step.
-    * The folded frames are written to FRESH `*_folding_eN` directories
-    * while every file they read (the old base, the aside appends) stays
-    * untouched — so no materialization pass is needed (at index scale a
-    * `localCheckpoint` of the corpus would itself be a full copy), and
-    * the self-destruction hazard [[Layout.compact]] guards against
-    * cannot arise.
+    * retrain): the safe form of the save-after-load maintenance step —
+    * do NOT call `save(load(dir), dir)` yourself: the loaded frames read
+    * lazily from the very files the save's overwrite deletes first.
     *
-    * CRASH-ATOMIC, with the sidecar write as the only durable state
-    * transition: (1) rename `appends/` aside to `appends_folding_eN`
-    * FIRST — appends landed concurrently from that instant (e.g. by a
-    * live [[ivfPqAppendSink]]) start a fresh `appends/` the fold never
-    * touches, and simply fold next time; (2) write the unioned frames
-    * to `corpus_folding_eN` / `coded_lists_folding_eN`; (3) swap each
-    * into place, parking the previous base at `*_old_eN`; (4) commit by
-    * writing the sidecar with `fold_epoch = N`; (5) delete the aside
-    * and the `*_old_eN` parks. [[foldRecover]] (run at the start of
-    * every fold, and cheap to call from ops tooling) settles any crash
-    * by comparing remnant epochs to the committed `fold_epoch`:
-    * committed remnants are garbage and are deleted; uncommitted ones
-    * are rolled back — parked bases restored over any half-published
-    * swap, folding scratch deleted, aside merged back to `appends/` —
-    * so every row is always in exactly one live location. Readers that
-    * overlap a fold mid-swap (steps 3–4) can see a mixed base; run
-    * folds from a single maintenance job, as with any compaction. A
-    * full REBUILD ([[ivfPqIndexSave]]) deletes fold remnants along with
-    * `appends/` — rows encoded under superseded quantizers must never
-    * resurface. */
+    * The crash-atomic protocol (aside-rename first, fresh `*_folding_eN`
+    * scratch, park-and-swap publish, sidecar `fold_epoch` commit,
+    * [[foldRecover]] rollback) is ONE generic implementation shared by
+    * every index family — [[graft.operators.IndexIO.indexFold]] carries
+    * the full protocol scaladoc; `IndexIO.FramesOf` names each family's
+    * frames. Exists per family so the continual-ingest story
+    * (`*AppendSink`/`*IndexAppendSave` hourly + fold daily) composes
+    * with all five index layouts, not just IVF-PQ. */
   def ivfPqIndexFold(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    foldRecover(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/appends")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return // nothing to fold — checked before any load
-    val meta = IndexIO.readMeta(spark, dir, "ivf_pq")
-    val epoch = meta.getOrElse("fold_epoch", 0L) + 1
-    val aside = new org.apache.hadoop.fs.Path(
-      s"$dir/appends_folding_e$epoch")
-    require(fs.rename(p, aside), s"could not move $p aside to $aside")
-    IndexIO.saveFrame(
-      frameWithAppends(spark, s"$dir/corpus", s"$aside/corpus"),
-      s"$dir/corpus_folding_e$epoch")
-    IndexIO.saveFrame(
-      frameWithAppends(spark, s"$dir/coded_lists", s"$aside/coded_lists"),
-      s"$dir/coded_lists_folding_e$epoch")
-    foldSwapIn(fs, dir, "corpus", epoch)
-    foldSwapIn(fs, dir, "coded_lists", epoch)
-    // the sidecar write is the commit point
-    IndexIO.writeMeta(spark, dir, "ivf_pq",
-      (meta - "version") + ("fold_epoch" -> epoch))
-    fs.delete(aside, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus_old_e$epoch"),
-      true)
-    fs.delete(
-      new org.apache.hadoop.fs.Path(s"$dir/coded_lists_old_e$epoch"), true)
-  }
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "ivf_pq")
 
-  /** Publish a folded frame: park the live base at `*_old_eN`, rename
-    * the freshly written `*_folding_eN` into its place. Both renames are
-    * rolled back by [[foldRecover]] if the sidecar never commits. */
-  private def foldSwapIn(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      frame: String, epoch: Long): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/$frame")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/${frame}_old_e$epoch")
-    val fresh =
-      new org.apache.hadoop.fs.Path(s"$dir/${frame}_folding_e$epoch")
-    require(fs.rename(cur, old), s"could not park $cur at $old")
-    require(fs.rename(fresh, cur), s"could not publish $fresh to $cur")
-  }
+  /** [[ivfPqIndexFold]] for a saved LSH index (frames: corpus, buckets). */
+  def lshIndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "lsh")
 
-  /** Settle a crashed [[ivfPqIndexFold]] — see its scaladoc for the
-    * protocol. Idempotent; safe to run against a healthy index, and
-    * safe to re-run if the recovery itself crashes midway. */
+  /** [[ivfPqIndexFold]] for a saved IVF index (frames: corpus, lists). */
+  def ivfIndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "ivf")
+
+  /** [[ivfPqIndexFold]] for a saved PQ index (frames: corpus, codes). */
+  def pqIndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "pq")
+
+  /** [[ivfPqIndexFold]] for a saved SQ8 index (frames: corpus, codes). */
+  def sq8IndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "sq8")
+
+  /** Settle a crashed `*IndexFold` of ANY family — kind-agnostic (the
+    * sidecar names the frame set). Idempotent; safe to run against a
+    * healthy index, and safe to re-run if the recovery itself crashes
+    * midway. See [[graft.operators.IndexIO.indexFoldRecover]]. */
   def foldRecover(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return
-    val committed = IndexIO.readMeta(spark, dir, "ivf_pq")
-      .getOrElse("fold_epoch", 0L)
-    val remnant = "(appends|corpus|coded_lists)_(folding|old)_e(\\d+)".r
-    val epochs = fs.listStatus(base).flatMap(st =>
-      st.getPath.getName match {
-        case remnant(_, _, e) => Some(e.toLong)
-        case _ => None
-      }).toSet.toSeq.sorted
-    epochs.foreach { e =>
-      def del(name: String): Unit = {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      if (e <= committed) {
-        // the fold committed: every remnant of its epoch is garbage
-        Seq(s"appends_folding_e$e", s"corpus_old_e$e",
-          s"coded_lists_old_e$e", s"corpus_folding_e$e",
-          s"coded_lists_folding_e$e").foreach(del)
-      } else {
-        // never committed: roll back. Parked bases win over any
-        // half-published swap; folding scratch is discarded; the aside
-        // appends merge back so the next fold retries them.
-        Seq("corpus", "coded_lists").foreach { frame =>
-          val old =
-            new org.apache.hadoop.fs.Path(s"$dir/${frame}_old_e$e")
-          if (fs.exists(old)) {
-            del(frame)
-            require(
-              fs.rename(old, new org.apache.hadoop.fs.Path(s"$dir/$frame")),
-              s"could not restore $old to $dir/$frame")
-          }
-          del(s"${frame}_folding_e$e")
-        }
-        restoreAside(fs, dir,
-          new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e$e"))
-      }
-    }
-  }
-
-  /** Merge a crashed fold's aside appends back under `dir/appends`. */
-  private def restoreAside(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, asidePath: org.apache.hadoop.fs.Path): Unit =
-    if (fs.exists(asidePath)) {
-      val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
-      if (!fs.exists(appends)) require(
-        fs.rename(asidePath, appends),
-        s"could not restore $asidePath to $appends")
-      else {
-        // new appends landed between the crash and this recovery (the
-        // fold renames appends/ aside as its FIRST step, so a live sink
-        // keeps writing into a fresh appends/): merge the aside's
-        // per-frame batch dirs back one by one. A name collision is
-        // ambiguous (same id written twice across the crash) — refuse
-        // with guidance rather than guess.
-        fs.listStatus(asidePath).filter(_.isDirectory).foreach { fr =>
-          val destFrame = new org.apache.hadoop.fs.Path(
-            appends, fr.getPath.getName)
-          fs.mkdirs(destFrame)
-          fs.listStatus(fr.getPath).foreach { b =>
-            val destB = new org.apache.hadoop.fs.Path(
-              destFrame, b.getPath.getName)
-            require(!fs.exists(destB),
-              s"crashed-fold recovery collision: $destB exists both " +
-                s"in appends/ and in $asidePath — resolve manually " +
-                "(the aside copy predates the crash)")
-            require(fs.rename(b.getPath, destB),
-              s"could not restore ${b.getPath} to $destB")
-          }
-        }
-        fs.delete(asidePath, true)
-      }
-    }
+      dir: String): Unit = IndexIO.indexFoldRecover(spark, dir)
 
   /** Reload an [[IvfPqIndex]] saved by [[ivfPqIndexSave]] — the
     * append-hourly lifecycle composes: `ivfPqIndexAppend` on a loaded
@@ -1930,23 +1806,8 @@ object Similarity {
     * whole load), base columns only. */
   private def frameWithAppends(
       spark: org.apache.spark.sql.SparkSession, baseDir: String,
-      appendDir: String): DataFrame = {
-    val base = IndexIO.loadFrame(spark, baseDir)
-    val p = new org.apache.hadoop.fs.Path(appendDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) base
-    else {
-      val committed = fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.matches("(batch|manual)=\\d+") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-      if (committed.isEmpty) base
-      else base.unionByName(
-        spark.read.parquet(committed: _*)
-          .select(base.columns.map(col): _*))
-    }
-  }
+      appendDir: String): DataFrame =
+    IndexIO.frameWithAppends(spark, baseDir, appendDir)
 
   /** Append one batch of new vectors to a SAVED IVF-PQ index directory
     * under its persisted frozen quantizers: the narrow encode of

@@ -253,6 +253,102 @@ class AnnPersistenceSpec extends AnyFunSuite {
       .exists(p), "save must prune on-disk appends")
   }
 
+  test("fold generalizes: every family folds appends crash-atomically") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val extra = emb.limit(5).select(
+      (col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val qs = Similarity.normed(emb.filter(pred), "vec_id", "embedding")
+    val total = emb.count()
+
+    // (tag, build+save into dir, appendSave(df, batchId), corpus count
+    // of a fresh load, top-k of a fresh load) — one row per family; the
+    // SAME generic protocol must hold for each
+    final case class Fam(tag: String,
+        save: String => Unit,
+        append: (String, org.apache.spark.sql.DataFrame, Long) => Unit,
+        corpusCount: String => Long,
+        topk: String => Set[String],
+        fold: String => Unit)
+    val fams = Seq(
+      Fam("lsh",
+        d => Similarity.lshIndexSave(
+          Similarity.lshIndexBuild(half, "vec_id", "embedding", dim = 64), d),
+        (d, df, b) => Similarity.lshIndexAppendSave(
+          spark, d, df, "vec_id", "embedding", b),
+        d => Similarity.lshIndexLoad(spark, d).corpus.count(),
+        d => rows(Similarity.lshTopK(
+          Similarity.lshIndexLoad(spark, d), pred, K)),
+        d => Similarity.lshIndexFold(spark, d)),
+      Fam("ivf",
+        d => Similarity.ivfIndexSave(
+          Similarity.ivfIndexBuild(half, "vec_id", "embedding"), d),
+        (d, df, b) => Similarity.ivfIndexAppendSave(
+          spark, d, df, "vec_id", "embedding", b),
+        d => Similarity.ivfIndexLoad(spark, d).corpus.count(),
+        d => rows(Similarity.ivfTopK(
+          Similarity.ivfIndexLoad(spark, d), pred, K)),
+        d => Similarity.ivfIndexFold(spark, d)),
+      Fam("pq",
+        d => Similarity.pqIndexSave(
+          Similarity.pqIndexBuild(half, "vec_id", "embedding"), d),
+        (d, df, b) => Similarity.pqIndexAppendSave(
+          spark, d, df, "vec_id", "embedding", b),
+        d => Similarity.pqIndexLoad(spark, d).corpus.count(),
+        d => rows(Similarity.pqTopK(
+          Similarity.pqIndexLoad(spark, d), pred, K)),
+        d => Similarity.pqIndexFold(spark, d)),
+      Fam("sq8",
+        d => Similarity.sq8IndexSave(
+          Similarity.sq8IndexBuild(half, "vec_id", "embedding"), d),
+        (d, df, b) => Similarity.sq8IndexAppendSave(
+          spark, d, df, "vec_id", "embedding", b),
+        d => Similarity.sq8IndexLoad(spark, d).corpus.count(),
+        d => rows(Similarity.sq8TopK(
+          Similarity.sq8IndexLoad(spark, d), qs, K)),
+        d => Similarity.sq8IndexFold(spark, d)))
+
+    fams.foreach { f =>
+      val dir = tmp(s"fold_${f.tag}")
+      val hfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def exists(name: String) =
+        hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+      f.save(dir)
+      f.append(dir, rest, 0L)
+      val before = f.topk(dir)
+      // fold == load-with-appends, row for row, from a fresh load
+      f.fold(dir)
+      assert(!exists("appends"), s"${f.tag}: fold must prune appends/")
+      assert(f.corpusCount(dir) == total,
+        s"${f.tag}: folded corpus lost rows")
+      assert(f.topk(dir) == before,
+        s"${f.tag}: fold changed query answers")
+      // crash BEFORE the sidecar commit (epoch 2 never commits): rows
+      // are temporarily invisible, never doubled; recovery restores them
+      f.append(dir, extra, 7L)
+      require(hfs.rename(
+        new org.apache.hadoop.fs.Path(s"$dir/appends"),
+        new org.apache.hadoop.fs.Path(s"$dir/appends_folding_e2")))
+      assert(f.corpusCount(dir) == total,
+        s"${f.tag}: uncommitted aside must not double rows")
+      Similarity.foldRecover(spark, dir)
+      assert(f.corpusCount(dir) == total + 5,
+        s"${f.tag}: recovery must restore the un-folded appends")
+      // and the settled index folds cleanly afterwards
+      f.fold(dir)
+      assert(f.corpusCount(dir) == total + 5 && !exists("appends"),
+        s"${f.tag}: post-recovery fold lost rows")
+      // a rebuild prunes remnants for this family too
+      f.append(dir, extra, 9L)
+      rest.write.mode("overwrite").parquet(s"$dir/corpus_old_e99")
+      f.save(dir)
+      assert(!exists("appends") && !exists("corpus_old_e99"),
+        s"${f.tag}: save must prune appends and fold remnants")
+    }
+  }
+
   test("kind/version validation refuses mismatched index dirs") {
     val emb = Tables.embeddings(spark, sf)
     val idx = Similarity.lshIndexBuild(emb, "vec_id", "embedding", dim = 64)
