@@ -1225,4 +1225,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length == 4 && ids.distinct.length == 4,
       "a replayed or re-listed file was read twice")
   }
+
+  test("graft-fhir offsets stay constant-size across many batches; seen log compacts") {
+    // the unbounded-offset fix: each persisted offset is one epoch
+    // number backed by the compacted seen-file log, so offset JSON size
+    // must NOT grow with the number of files ever ingested — while every
+    // file is still read exactly once across restarts
+    val fixture = new java.io.File(getClass.getResource("/adt").getPath)
+      .listFiles().filter(_.getName.endsWith(".json")).minBy(_.getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_fhir_off")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-fhir").load(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val nBatches = 13 // crosses the CompactInterval=10 boundary
+    (1 to nBatches).foreach { i =>
+      java.nio.file.Files.copy(fixture.toPath,
+        java.nio.file.Paths.get(in, f"adt_more_$i%02d.json"))
+      run() // restart per landing: every batch goes through the WAL
+    }
+    // exactly once: one output row per landed file, no dup mint
+    val got = spark.read.parquet(out)
+    assert(got.count() == nBatches.toLong,
+      "each landed file must be read exactly once")
+    assert(got.select("bundleUUID").distinct().count() == nBatches.toLong)
+    // offset WAL entries are constant-size epochs, not file lists
+    val offsetFiles = new java.io.File(s"$chk/offsets")
+      .listFiles().filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(offsetFiles.length >= nBatches)
+    val lineSizes = offsetFiles.map { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      val offsetLine = text.linesIterator.toSeq.last
+      assert(offsetLine.matches("""\{"epoch":\d+\}"""),
+        s"offset must be an epoch, got: $offsetLine")
+      offsetLine.length
+    }
+    // constant-size: the 13th batch's offset is as small as the 1st
+    // (the legacy form grew by a full path per landed file)
+    assert(lineSizes.max - lineSizes.min <= 2,
+      s"offset lines grew across batches: ${lineSizes.mkString(", ")}")
+    assert(lineSizes.max < 32)
+    // the seen log compacted: after epoch >= 10 there is exactly one
+    // compact file and fewer than CompactInterval tail logs
+    val logDir = new java.io.File(s"$chk/sources/0/graft_seen_files")
+    assert(logDir.isDirectory, s"seen log missing at $logDir")
+    val names = logDir.listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".compact")) == 1,
+      s"expected one compact file, got: ${names.mkString(", ")}")
+    assert(names.count(_.endsWith(".log")) <
+      graft.sources.FhirSeenFileLog.CompactInterval)
+  }
 }
