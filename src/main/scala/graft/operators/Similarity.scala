@@ -136,19 +136,45 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbors for each query vector (queries broadcast
-    * against the candidate corpus; ranks tie-broken by candidate id). */
+    * against the candidate corpus; ranks tie-broken by candidate id).
+    * The rank is the exact salted two-level shortlist ([[saltedTopK]]),
+    * so no window partition ever holds one query's full scored corpus. */
   def bruteForceTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      salts: Int = 64): DataFrame = {
+    require(k >= 1, s"bad k: $k")
     val scored = broadcast(queries.as("q"))
       .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
         cosine(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id"))
+    saltedTopK(scored, k, salts,
+      Seq(col("sim").desc, col("cand_id")), "sim")
+  }
+
+  /** EXACT salted two-level top-k over (query_id, cand_id, score) rows:
+    * level 1 ranks within (query, salt-of-candidate) partitions and
+    * keeps each salt's top-k; level 2 ranks the ≤ salts·k survivors per
+    * query. Each query's global top-k is a subset of the union of its
+    * per-salt top-ks (the [[TextAnalysis.capPerKey]] argument), so the
+    * result is ROW-IDENTICAL to the single-window form — but no window
+    * partition is ever corpus-sized: the single-window shape holds one
+    * query's whole scored corpus in one sort task, the
+    * group-sized-partition skew `q_o2`'s two-level rank exists to avoid
+    * (and which [[ivfPqTopKJoin]] already uses for its shortlist). */
+  private def saltedTopK(scored: DataFrame, k: Int, salts: Int,
+      order: Seq[Column], score: String): DataFrame = {
+    require(salts >= 1, s"bad salts: $salts")
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("cand_id").cast("string")), lit(salts.toLong)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+      .select(col("query_id"), col("cand_id"), col("rank"), col(score))
   }
 
   /** Scalar quantizer (SQ8): one byte per DIMENSION — per-dim [min, max]
@@ -217,14 +243,16 @@ object Similarity {
   /** SQ8 asymmetric top-k: full-precision unit queries against the
     * quantizer-reconstructed corpus, ranked by exact-on-reconstruction
     * squared L2 (`‖q‖² = 1`, so d² = 1 − 2·q·r + ‖r‖²). Shape mirrors
-    * [[bruteForceTopK]] — broadcast queries, one narrow scan, bounded
-    * per-partition rank; the corpus side reads 1-byte-per-dim codes
+    * [[bruteForceTopK]] — broadcast queries, one narrow scan, and the
+    * exact salted two-level rank (`saltedTopK` — no corpus-sized window
+    * partition); the corpus side reads 1-byte-per-dim codes
     * (8× less I/O than raw float64 at scale; compose with the IVF list
-    * structure when a linear scan itself is too much). Deterministic,
-    * closed-form end to end → hash-certified (q_x11). */
+    * structure via [[ivfSq8TopK]] when a linear scan itself is too
+    * much). Deterministic, closed-form end to end → hash-certified
+    * (q_x11). */
   def sq8TopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      quant: Option[Sq8Quantizer] = None): DataFrame = {
+      quant: Option[Sq8Quantizer] = None, salts: Int = 64): DataFrame = {
     require(k >= 1, s"bad k: $k")
     val q = quant.getOrElse(sq8Train(corpus))
     val coded = corpus.select(col("vec_id"), sq8CodeCol(unitCol, q).as("code"))
@@ -235,12 +263,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         ((lit(1d) - lit(2d) * dot(col("qu"), col("rv")))
           + dot(col("rv"), col("rv"))).as("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("d2"))
+    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
   }
 
   /** Build a reusable [[Sq8Index]]: quantizer trained once (one exact
@@ -261,7 +284,11 @@ object Similarity {
     * reconstruct from the stored byte codes (bit-identical to the
     * one-shot [[sq8TopK]] path, which encodes and reconstructs inline;
     * RecallSpec pins the equality). */
-  def sq8TopK(index: Sq8Index, queries: DataFrame, k: Int): DataFrame = {
+  def sq8TopK(index: Sq8Index, queries: DataFrame, k: Int): DataFrame =
+    sq8TopK(index, queries, k, salts = 64)
+
+  def sq8TopK(index: Sq8Index, queries: DataFrame, k: Int,
+      salts: Int): DataFrame = {
     require(k >= 1, s"bad k: $k")
     val recon = index.codes.select(col("vec_id"),
       sq8ReconCol(col("code"), index.quantizer).as("rv"))
@@ -271,12 +298,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("cand_id"),
         ((lit(1d) - lit(2d) * dot(col("qu"), col("rv")))
           + dot(col("rv"), col("rv"))).as("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("d2"))
+    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
   }
 
   /** Append new vectors to a prebuilt [[Sq8Index]] WITHOUT retraining:

@@ -297,7 +297,7 @@ class PlanSpec extends AnyFunSuite {
       "column pruning must reach the scan:\n" + p)
   }
 
-  test("SQ8 scan broadcasts queries, prunes top-k map-side, one shuffle") {
+  test("SQ8 scan broadcasts queries; exact rank is two-level, never corpus-sized") {
     val p = plan("q_x11_ann_sq8")
     // queries (the tiny side) are the broadcast build side; the corpus
     // rides ONE narrow scan with the quantizer literals inline
@@ -305,20 +305,41 @@ class PlanSpec extends AnyFunSuite {
       "queries must broadcast:\n" + p)
     assert(p.contains("LessThan(vec_id,8)"),
       "query-side filter must reach the parquet scan:\n" + p)
-    // rank pruning must happen BEFORE the exchange: the partial
-    // WindowGroupLimit caps each task at k rows per query, so the only
-    // shuffle moves |queries|·k·partitions rows, not the scored corpus
+    assertSaltedExactRank(p, "SQ8")
+  }
+
+  test("brute-force top-k uses the same salted two-level rank") {
+    val p = plan("q_x1_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+      "queries must broadcast:\n" + p)
+    assertSaltedExactRank(p, "brute")
+  }
+
+  /** The exact top-k paths must never sort one query's whole scored
+    * corpus in a single window partition: level 1 partitions by
+    * (query, salt) with a PARTIAL WindowGroupLimit below its exchange
+    * (each task forwards ≤ k rows per salt group), level 2 ranks the
+    * ≤ salts·k survivors per query. Two hash exchanges, both pruned. */
+  private def assertSaltedExactRank(p: String, tag: String): Unit = {
+    assert(p.contains("__salt"),
+      s"$tag rank lost its salt level:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 4,
+      s"$tag two-level rank lost WindowGroupLimit pushdown:\n$p")
     val partialBelowExchange = p.linesIterator
       .dropWhile(l => !l.contains("Exchange hashpartitioning"))
       .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partialBelowExchange,
-      "partial top-k prune must sit below the rank exchange:\n" + p)
+      s"$tag partial top-k prune must sit below the rank exchange:\n$p")
     // count in the FINAL plan only (AQE's printout repeats the initial)
     val shuffles = p.split("== Initial Plan ==").head.linesIterator
       .filter(l =>
         l.contains("Exchange") && !l.contains("RoundRobinPartitioning")
           && !l.contains("BroadcastExchange")).toSeq
-    assert(shuffles.size == 1,
-      s"SQ8 top-k needs exactly one hash shuffle:\n${shuffles.mkString("\n")}")
+    assert(shuffles.size == 2,
+      s"$tag top-k needs exactly the two pruned rank shuffles:\n" +
+        shuffles.mkString("\n"))
+    // and the per-query exchange must hash on query_id alone (level 2)
+    assert(p.contains("hashpartitioning(query_id"),
+      s"$tag level-2 rank must partition by query_id:\n$p")
   }
 }

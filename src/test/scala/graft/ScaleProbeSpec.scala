@@ -666,6 +666,53 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
   }
 
+  test("bruteForceTopK stays linear at 10x corpus; salting never changes rows") {
+    // the exact path's salted two-level rank: cost is |corpus|·|queries|
+    // cosines, so 10× corpus against a FIXED query set must cost ~10× —
+    // and the rank must be EXACTLY the single-window answer (salts=1
+    // degenerates to it), at any salt count.
+    import graft.operators.Similarity
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    def copyDf(c: Int) = base.select(
+      (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * lit(0.25f) + when(i === c, lit(10.0f)).otherwise(lit(0.0f)))
+          .cast("float")).as("embedding"))
+    val copies = (0 until 10).map(c => copyDf(c).localCheckpoint())
+    val big = copies.reduce(_ unionByName _).localCheckpoint()
+    val K = 5
+    val qs = Similarity.normed(copies.head, "vec_id", "embedding")
+      .filter(col("vec_id") % 61 === 0).localCheckpoint()
+    val nQs = qs.count()
+    def run(corpus: org.apache.spark.sql.DataFrame)
+        : (Array[org.apache.spark.sql.Row], Double) = {
+      val n = Similarity.normed(corpus, "vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val rows = Similarity.bruteForceTopK(qs, n, K).collect()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    run(copies.head) // warm
+    val (soloRows, tSolo0) = run(copies.head)
+    val (_, tSolo1) = run(copies.head)
+    val tSolo = math.min(tSolo0, tSolo1)
+    val (bigRows, tBig0) = run(big)
+    val (_, tBig1) = run(big)
+    val tBig = math.min(tBig0, tBig1)
+    assert(soloRows.groupBy(_.getLong(0)).size == nQs)
+    val perQuery = bigRows.groupBy(_.getLong(0))
+    assert(perQuery.size == nQs && perQuery.values.forall(_.length == K))
+    // exactness: the salted two-level rank IS the single-window rank
+    val n1 = Similarity.normed(copies.head, "vec_id", "embedding")
+    val single = Similarity.bruteForceTopK(qs, n1, K, salts = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(soloRows.map(_.toString).sorted.toSeq == single,
+      "salts=64 diverged from the single-window rank")
+    println(f"bruteForceTopK solo: $tSolo%.2f s, 10x corpus: $tBig%.2f s, " +
+      f"ratio ${tBig / tSolo}%.1f")
+    assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
