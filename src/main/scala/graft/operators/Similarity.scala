@@ -365,6 +365,46 @@ object Similarity {
       .parquet(f"$dir/appends/codes/manual=$batchId%06d")
   }
 
+  /** IVF-SQ8 composed ANN: coarse-quantizer list pruning over
+    * scalar-quantized payloads — the SQ8 twin of [[ivfPqTopK]], for when
+    * a linear SQ8 scan ([[sq8TopK]]) is itself too much. The inverted
+    * lists carry (vec_id, 1-byte-per-dim code, list_id): only the
+    * queries' [[IvfProbes]] probed lists are read, and what is read is
+    * codes (8× less I/O than raw float64 lists, at far higher fidelity
+    * than PQ's one-byte-per-SUBSPACE codes). Candidates reconstruct at
+    * the cell midpoint AFTER the list equi-join and rank by the same
+    * exact-on-reconstruction `1 − 2·q·r + ‖r‖²` as [[sq8TopK]]; a
+    * (query, candidate) pair meeting in up to [[IvfAssign]] shared lists
+    * is collapsed by a (query, candidate) min-aggregation before the
+    * exact salted two-level rank (d2 is identical on every copy — min is
+    * just the dedup device, [[ivfTopK]]'s max(sim) in mirror). Both
+    * quantizers are deterministic (hash-sampled Lloyd coarse; closed-form
+    * min/max SQ8), so the whole composition hash-certifies (q_x12);
+    * recall is probabilistic — RecallSpec pins the floor. */
+  def ivfSq8TopK(
+      emb: DataFrame, id: String, vec: String,
+      queryPred: Column, k: Int, salts: Int = 64): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n)
+    val quant = sq8Train(n)
+    val lists = n.select(col("vec_id"),
+      sq8CodeCol(unitCol, quant).as("code"),
+      explode(topLists(cents, IvfAssign)).as("list_id"))
+    val queryLists = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), unitCol.as("qu"),
+        explode(topLists(cents, IvfProbes)).as("list_id"))
+    val rv = sq8ReconCol(col("code"), quant)
+    val scored = broadcast(queryLists)
+      .join(lists, queryLists("list_id") === lists("list_id")
+        && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
+        ((lit(1d) - lit(2d) * dot(col("qu"), rv)) + dot(rv, rv)).as("d2"))
+      .groupBy("query_id", "cand_id")
+      .agg(min(col("d2")).as("d2"))
+    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+  }
+
   /** Hyperplane-LSH layout: `Planes` sign bits per table × `LshTables`
     * independent tables. One 6-plane table alone is too selective — a true
     * neighbor at angle θ collides with probability (1-θ/π)^6, so recall@5

@@ -620,12 +620,14 @@ object SimilarityQ {
     * the same asymmetric `1 − 2·q·r + ‖r‖²` distance. q_x1's query/k
     * shape, so recall against exact cosine is directly comparable
     * (RecallSpec pins the floor). */
-  val qX11Sq8TopK = Q(
-    "q_x11_ann_sq8",
-    """WITH e AS (SELECT vec_id,
-      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |           FROM embeddings),
-      |uv AS (SELECT vec_id,
+  /** The SQ8 replay block shared by q_x11/q_x12 — assumes a CTE
+    * `e(vec_id, v)` with double vectors: unit corpus, exact per-dim
+    * min/max bounds (the whole "training"), and each corpus vector
+    * reconstructed at its quantization-cell midpoint with the IDENTICAL
+    * IEEE double tree the engine's [[Similarity.sq8ReconCol]] evaluates
+    * (`mn + (clamp(floor((u−mn)/sp·256)) + 0.5)/256·sp`). */
+  private def sq8Ctes: String =
+    """uv AS (SELECT vec_id,
       |         list_transform(v, x -> x /
       |           sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
       |       FROM e),
@@ -641,7 +643,14 @@ object SimilarityQ {
       |                        + (least(greatest(floor((c.u[i] - m.mn[i])
       |                             / m.sp[i] * 256.0), 0.0), 255.0) + 0.5)
       |                          / 256.0 * m.sp[i] END) AS rv
-      |          FROM uv c CROSS JOIN mm m),
+      |          FROM uv c CROSS JOIN mm m)""".stripMargin
+
+  val qX11Sq8TopK = Q(
+    "q_x11_ann_sq8",
+    s"""WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |$sq8Ctes,
       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |             (1.0 - 2.0 * list_dot_product(q.u, c.rv))
       |               + list_dot_product(c.rv, c.rv) AS d2
@@ -657,8 +666,54 @@ object SimilarityQ {
     Similarity.sq8TopK(n.filter(col("vec_id") < 8), n, k = 5)
   }
 
+  /** IVF-SQ8 composed ANN, HASH-CERTIFIED: the oracle composes the two
+    * already-replayed quantizers — the coarse Lloyd-trained lists
+    * ([[quantizerCtes]], soft-assigned corpus top-2 / query probes top-6
+    * by raw-vector dot, the q_x3 shape) and the closed-form SQ8
+    * min/max bounds + midpoint reconstruction ([[sq8Ctes]], the q_x11
+    * shape) — then candidates are the DISTINCT (query, corpus) pairs
+    * meeting in a probed list (the engine's min-agg dedup in mirror),
+    * ranked by the same asymmetric `1 − 2·q·r + ‖r‖²`. Probabilistic
+    * recall (RecallSpec floor), deterministic computation. */
+  val qX12IvfSq8TopK = Q(
+    "q_x12_ann_ivfsq8",
+    s"""WITH $quantizerCtes,
+       |corplists AS (
+       |  SELECT vec_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 2),
+       |qrylists AS (
+       |  SELECT vec_id AS q_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd WHERE vec_id < 8)
+       |  WHERE rn <= 6),
+       |$sq8Ctes,
+       |cand AS (
+       |  SELECT DISTINCT q.q_id AS query_id, cl.vec_id AS cand_id
+       |  FROM qrylists q JOIN corplists cl ON q.list_id = cl.list_id
+       |  WHERE cl.vec_id <> q.q_id),
+       |p AS (SELECT cand.query_id, cand.cand_id,
+       |             (1.0 - 2.0 * list_dot_product(q.u, c.rv))
+       |               + list_dot_product(c.rv, c.rv) AS d2
+       |      FROM cand JOIN uv q ON q.vec_id = cand.query_id
+       |                JOIN recon c ON c.vec_id = cand.cand_id),
+       |r AS (SELECT query_id, cand_id, d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY d2, cand_id) AS rn
+       |      FROM p)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, d2
+       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    Similarity.ivfSq8TopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
       qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK,
-      qX10IvfPqJoin, qX11Sq8TopK)
+      qX10IvfPqJoin, qX11Sq8TopK, qX12IvfSq8TopK)
 }

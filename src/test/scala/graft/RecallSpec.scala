@@ -416,4 +416,18 @@ class RecallSpec extends AnyFunSuite {
       .filter(col("c") < 0 || col("c") > 255).count()
     assert(bad == 0, s"$bad codes escaped the byte range")
   }
+
+  test("IVF-SQ8 top-k recall@5 on the sf0.1 embeddings") {
+    val approx = topSets(Similarity.ivfSq8TopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pred, K))
+    val r = recallAt5(approx)
+    println(f"ivfsq8 recall@5 = $r%.3f over ${exact.size} queries")
+    // the composition is bounded above by plain IVF's recall (same
+    // 16-list/6-probe/2-assign pruning decides WHICH candidates are
+    // seen) and SQ8's near-lossless reconstruction barely reorders
+    // within the candidate set, so the floor is IVF's 0.8
+    assert(r >= 0.8, f"IVF-SQ8 recall collapsed: $r%.3f (IVF alone " +
+      "measured 0.89 on this fixture and SQ8 reconstruction is " +
+      "near-lossless, so the composition should track plain IVF)")
+  }
 }
