@@ -1533,18 +1533,31 @@ object TextAnalysis {
 
   /** One-pass corpus report — the "data card" numbers every training-data
     * drop ships with: document/token mass, exact-duplicate rate (distinct
-    * content fingerprints vs rows), quality and language mix. ONE
-    * hash-aggregation over map-side projections (the fingerprint count is
-    * approx_count_distinct-free: md5 collisions are negligible and the
-    * count is exact via a distinct aggregate — Spark plans it as a
-    * two-level agg, no extra pass). All arithmetic SQL-portable →
-    * hash-certified.
+    * content fingerprints vs rows), quality and language mix, and the
+    * KMV approximate distinct-content cardinality riding the SAME
+    * aggregation ([[Sketches]] — at 100 TB the exact distinct aggregate
+    * shuffles every distinct fingerprint once, while the sketch column
+    * costs ≤k longs per partial; the report carries both so the sketch
+    * self-calibrates against the exact count at certification scale and
+    * a caller can drop `n_distinct_content` when the corpus outgrows
+    * it). ONE hash-aggregation over map-side projections (the
+    * fingerprint count is approx_count_distinct-free: md5 collisions are
+    * negligible and the count is exact via a distinct aggregate — Spark
+    * plans it as a two-level agg, no extra pass). All arithmetic
+    * SQL-portable → hash-certified.
+    *
+    * `sketchHash` picks the KMV 64-bit hash: [[xxhash64]] (default,
+    * codegen'd) or [[Dedup.md5Hash64]] (what q_t24's oracle replays).
     *
     * @return one row: n_docs, n_tokens, n_distinct_content,
-    *         mean_quality (stable-sum), pct_lang (share of `lang`) */
+    *         est_distinct_content (KMV), mean_quality (stable-sum),
+    *         pct_lang (share of `lang`) */
   def corpusReport(
       docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-      lang: String = "en"): org.apache.spark.sql.DataFrame =
+      lang: String = "en", sketchK: Int = 64,
+      sketchHash: Column => Column = xxhash64(_))
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(id),
         tokenCount(col(text)).as("__n"),
@@ -1555,10 +1568,56 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(col("__n")).as("n_tokens"),
         countDistinct(col("__fp")).as("n_distinct_content"),
+        graft.functions.GraftFunctions
+          .kmvSketch(sketchHash(col("__fp")), sketchK).as("__kmv"),
         (sum(round(col("__q") * lit(100.0)).cast("long"))
           / lit(100.0) / count(lit(1))).as("mean_quality"),
         (sum(when(col("__l") === lang, 1L).otherwise(0L)).cast("double")
           / count(lit(1))).as("pct_lang"))
+      .select(col("n_docs"), col("n_tokens"), col("n_distinct_content"),
+        Sketches.kmvEstimate(col("__kmv"), sketchK)
+          .as("est_distinct_content"),
+        col("mean_quality"), col("pct_lang"))
+  }
+
+  /** Per-source corpus card — the grouped companion of [[corpusReport]]
+    * for the web-crawl deployment: each source (crawl, dump, feed) gets
+    * its document/token mass plus KMV approximate distinct hosts and
+    * registered domains ([[urlHost]] / [[registeredDomain]] of `url`) —
+    * the cardinalities a per-domain cap ([[TextAnalysis.capPerKey]]
+    * family) and a crawl-frontier report need, WITHOUT a distinct
+    * shuffle: one groupBy pass, duplicates collapse map-side inside the
+    * sketch partials, ≤k longs per (source, column) cross the wire. At
+    * 100 TB an exact `count(DISTINCT host)` per source re-shuffles every
+    * host string; this is the [[Sketches.approxDistinctByGroup]] shape
+    * widened to two sketch columns sharing the scan.
+    *
+    * @return one row per source: source, n_docs, n_tokens,
+    *         est_distinct_hosts, est_distinct_domains */
+  def sourceCard(
+      docs: org.apache.spark.sql.DataFrame, source: String, text: String,
+      url: Column, sketchK: Int = 64,
+      sketchHash: Column => Column = xxhash64(_))
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val host = urlHost(url)
+    docs
+      .select(col(source), tokenCount(col(text)).as("__n"),
+        host.as("__h"), registeredDomain(host).as("__d"))
+      .groupBy(col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        graft.functions.GraftFunctions
+          .kmvSketch(sketchHash(col("__h")), sketchK).as("__kh"),
+        graft.functions.GraftFunctions
+          .kmvSketch(sketchHash(col("__d")), sketchK).as("__kd"))
+      .select(col(source), col("n_docs"), col("n_tokens"),
+        Sketches.kmvEstimate(col("__kh"), sketchK)
+          .as("est_distinct_hosts"),
+        Sketches.kmvEstimate(col("__kd"), sketchK)
+          .as("est_distinct_domains"))
+  }
 
   /** Deterministic corpus shuffle — the data-order step in front of
     * training: global order = ascending md5(seed‖id), reproducible across

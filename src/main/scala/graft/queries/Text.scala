@@ -269,9 +269,12 @@ object Text {
   }
 
   /** One-pass corpus report ("data card" numbers): doc/token mass, exact
-    * duplicate rate via distinct content fingerprints, stable-sum mean
-    * quality, language share — one aggregation, every formula shared
-    * term-for-term with q_t2/t3/t4's oracles. */
+    * duplicate rate via distinct content fingerprints, the KMV
+    * approximate-distinct twin riding the same aggregation (certified by
+    * the q_a13 replay pattern over the fingerprint strings — portable
+    * md5 hash, unsigned order statistic, exact IEEE estimator tree),
+    * stable-sum mean quality, language share — one aggregation, every
+    * formula shared term-for-term with q_t2/t3/t4's oracles. */
   val qT24CorpusReport = Q(
     "q_t24_corpus_report",
     """WITH t AS (
@@ -298,10 +301,30 @@ object Text {
       |             ELSE 'und' END AS pred_lang,
       |        md5(array_to_string(list_sort(list_distinct(
       |          string_split(text, ' '))), ' ')) AS fp
-      |      FROM t)
+      |      FROM t),
+      |hfp AS (
+      |  SELECT DISTINCT
+      |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+      |      * 4294967296 + lo AS h
+      |  FROM (SELECT
+      |      CAST(('0x' || substring(md5(fp), 1, 8)) AS BIGINT) AS hi,
+      |      CAST(('0x' || substring(md5(fp), 9, 8)) AS BIGINT) AS lo
+      |    FROM q)),
+      |rfp AS (
+      |  SELECT h, row_number() OVER (
+      |      ORDER BY CASE WHEN h >= 0 THEN 0 ELSE 1 END, h) AS rn
+      |  FROM hfp),
+      |efp AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM hfp) < 64
+      |    THEN (SELECT CAST(count(*) AS DOUBLE) FROM hfp)
+      |    ELSE 63.0 / (SELECT CAST(h AS DOUBLE) / 18446744073709551616.0
+      |                    + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END
+      |                  FROM rfp WHERE rn = 64)
+      |    END AS est)
       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_tokens,
       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_content,
+      |       (SELECT est FROM efp) AS est_distinct_content,
       |       sum(CAST(round(quality * 100) AS BIGINT)) / 100.0 / count(*)
       |         AS mean_quality,
       |       CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
@@ -309,7 +332,109 @@ object Text {
       |FROM q""".stripMargin) {
     (s, d) =>
       graft.operators.TextAnalysis.corpusReport(documents(s, d),
-        "doc_id", "text")
+        "doc_id", "text",
+        sketchHash = graft.operators.Dedup.md5Hash64)
+  }
+
+  /** Per-source corpus card ([[graft.operators.TextAnalysis.sourceCard]]):
+    * doc/token mass plus KMV approximate distinct hosts and registered
+    * domains per source — the q_a14 per-group replay pattern (portable
+    * md5 hash, per-source unsigned order statistic, exact-count branch
+    * below k) over q_t41's closed-form synthesized messy URLs, whose
+    * ground-truth host/domain strings the oracle states directly. One
+    * groupBy pass in the engine, no distinct shuffle. k = 8 here (not
+    * the operator's default 64) because the fixture holds ≤15 distinct
+    * hosts per source — the small k keeps the ESTIMATOR branch live at
+    * every SF instead of certifying only the exact-count fallback. */
+  val qT44SourceCard = Q(
+    "q_t44_source_card",
+    """WITH u AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |         CASE WHEN doc_id % 6 = 5
+      |              THEN '192.168.' || CAST(doc_id % 8 AS VARCHAR) || '.9'
+      |              ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |                   CASE doc_id % 6
+      |                     WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+      |                     WHEN 2 THEN '.org'   WHEN 3 THEN '.com.au'
+      |                     ELSE '.io' END
+      |         END AS host,
+      |         CASE WHEN doc_id % 6 = 5
+      |              THEN '192.168.' || CAST(doc_id % 8 AS VARCHAR) || '.9'
+      |              ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |                   CASE doc_id % 6
+      |                     WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+      |                     WHEN 2 THEN '.org'   WHEN 3 THEN '.com.au'
+      |                     ELSE '.io' END
+      |         END AS dom
+      |  FROM documents),
+      |hh AS (
+      |  SELECT DISTINCT source,
+      |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+      |      * 4294967296 + lo AS h
+      |  FROM (SELECT source,
+      |      CAST(('0x' || substring(md5(host), 1, 8)) AS BIGINT) AS hi,
+      |      CAST(('0x' || substring(md5(host), 9, 8)) AS BIGINT) AS lo
+      |    FROM u)),
+      |rh AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CASE WHEN h >= 0 THEN 0 ELSE 1 END, h) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nd
+      |  FROM hh),
+      |eh AS (
+      |  SELECT source,
+      |    CASE WHEN max(nd) < 8 THEN CAST(max(nd) AS DOUBLE)
+      |         ELSE 7.0 / max(CASE WHEN rn = 8
+      |           THEN CAST(h AS DOUBLE) / 18446744073709551616.0
+      |              + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END END)
+      |    END AS est_distinct_hosts
+      |  FROM rh GROUP BY source),
+      |hd AS (
+      |  SELECT DISTINCT source,
+      |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+      |      * 4294967296 + lo AS h
+      |  FROM (SELECT source,
+      |      CAST(('0x' || substring(md5(dom), 1, 8)) AS BIGINT) AS hi,
+      |      CAST(('0x' || substring(md5(dom), 9, 8)) AS BIGINT) AS lo
+      |    FROM u)),
+      |rd AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CASE WHEN h >= 0 THEN 0 ELSE 1 END, h) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nd
+      |  FROM hd),
+      |ed AS (
+      |  SELECT source,
+      |    CASE WHEN max(nd) < 8 THEN CAST(max(nd) AS DOUBLE)
+      |         ELSE 7.0 / max(CASE WHEN rn = 8
+      |           THEN CAST(h AS DOUBLE) / 18446744073709551616.0
+      |              + CASE WHEN h < 0 THEN 1.0 ELSE 0.0 END END)
+      |    END AS est_distinct_domains
+      |  FROM rd GROUP BY source),
+      |base AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n) AS BIGINT) AS n_tokens
+      |  FROM u GROUP BY source)
+      |SELECT base.source, n_docs, n_tokens,
+      |       est_distinct_hosts, est_distinct_domains
+      |FROM base JOIN eh USING (source) JOIN ed USING (source)"""
+      .stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val host = when(id % 6 === 5,
+      concat(lit("192.168."), (id % 8).cast("string"), lit(".9")))
+      .otherwise(concat(lit("WWW.SiTe"), (id % 50).cast("string"),
+        when(id % 6 === 0, ".Co.UK").when(id % 6 === 1, ".COM")
+          .when(id % 6 === 2, ".org").when(id % 6 === 3, ".com.AU")
+          .otherwise(".Io")))
+    val url = concat(lit("https://"),
+      when(id % 4 === 0, "User:Pw@").otherwise(""),
+      host,
+      when(id % 3 === 1, ":8443").otherwise(""),
+      lit("/p"))
+    graft.operators.TextAnalysis.sourceCard(documents(s, d),
+      "source", "text", url,
+      sketchK = 8, sketchHash = graft.operators.Dedup.md5Hash64)
   }
 
   /** Deterministic corpus shuffle: epoch order = ascending md5(seed‖id),
@@ -1568,5 +1693,5 @@ object Text {
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
-      qT42PipelineCorpusDef, qT43HtmlExtract)
+      qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard)
 }

@@ -104,4 +104,37 @@ class KmvSpec extends AnyFunSuite {
     val tiny = (0 until 500).map(i => i % 37).toDF("v")
     assert(estimate(tiny, "v") == 37.0)
   }
+
+  test("sourceCard per-source host/domain estimates match exact counts") {
+    // default k=64 against the fixture's <=15 distinct hosts per source:
+    // every group takes the exact branch, so the KMV columns must EQUAL
+    // count(DISTINCT host/domain) per source - a deterministic contract,
+    // plus the doc/token mass shared with the q_t24 formulas
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val url = concat(lit("https://www.Site"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 2 === 0, ".COM").otherwise(".org"),
+      lit("/p"))
+    val card = TextAnalysis.sourceCard(docs, "source", "text", url)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = docs.select(col("source"),
+        lower(concat(lit("www.site"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0, ".com").otherwise(".org")))
+          .as("host"))
+      .withColumn("dom", regexp_replace(col("host"), "^www\\.", ""))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct("host").as("dh"),
+        countDistinct("dom").as("dd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(card.keySet == exact.keySet)
+    exact.foreach { case (src, (n, dh, dd)) =>
+      val (cn, ch, cd) = card(src)
+      assert(cn == n, s"$src n_docs")
+      assert(ch == dh.toDouble, s"$src hosts: est $ch vs exact $dh")
+      assert(cd == dd.toDouble, s"$src domains: est $cd vs exact $dd")
+    }
+  }
 }
