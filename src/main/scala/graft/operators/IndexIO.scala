@@ -208,7 +208,8 @@ object IndexIO {
     "ivf" -> Seq("corpus", "lists"),
     "pq" -> Seq("corpus", "codes"),
     "sq8" -> Seq("corpus", "codes"),
-    "ivf_pq" -> Seq("corpus", "coded_lists"))
+    "ivf_pq" -> Seq("corpus", "coded_lists"),
+    "ivf_sq8" -> Seq("corpus", "coded_lists"))
 
   /** Base frame plus any COMMITTED on-disk append partitions (batch dirs
     * carrying a `_SUCCESS` marker — a half-written directory left by a

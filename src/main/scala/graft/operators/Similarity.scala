@@ -384,22 +384,131 @@ object Similarity {
   def ivfSq8TopK(
       emb: DataFrame, id: String, vec: String,
       queryPred: Column, k: Int, salts: Int = 64): DataFrame = {
-    require(k >= 1, s"bad k: $k")
     val n = normed(emb, id, vec).localCheckpoint()
     val cents = kmeansCentroids(n)
     val quant = sq8Train(n)
-    val lists = n.select(col("vec_id"),
-      sq8CodeCol(unitCol, quant).as("code"),
-      explode(topLists(cents, IvfAssign)).as("list_id"))
-    val queryLists = n.filter(queryPred)
+    // one-shot path: coded lists consumed exactly once → built lazily
+    ivfSq8TopKFrom(
+      IvfSq8Index(n, sq8CodedListRows(n, cents, quant), cents, quant),
+      queryPred, k, salts)
+  }
+
+  /** A prebuilt, reusable IVF-SQ8 index: the normed corpus, its
+    * SQ8-coded soft-assigned inverted-list rows, the coarse centroids,
+    * and the scalar quantizer — the same build-daily / query-per-batch
+    * lifecycle as [[IvfPqIndex]], with the closed-form quantizer in
+    * place of trained codebooks. */
+  final case class IvfSq8Index(
+      corpus: DataFrame, codedLists: DataFrame,
+      centroids: Array[Array[Double]], quantizer: Sq8Quantizer)
+
+  /** (vec_id, code, list_id) SQ8-coded inverted-list rows for a normed
+    * frame under FIXED quantizers — the narrow encode the initial build
+    * and incremental appends share (the [[codedListRows]] twin). */
+  private def sq8CodedListRows(
+      n: DataFrame, cents: Array[Array[Double]],
+      quant: Sq8Quantizer): DataFrame =
+    ivfListRows(n, cents)
+      .select(col("vec_id"), sq8CodeCol(unitCol, quant).as("code"),
+        col("list_id"))
+
+  /** Build a reusable [[IvfSq8Index]]: coarse quantizer from the bounded
+    * deterministic sample, SQ8 bounds from ONE exact min/max pass,
+    * corpus and coded lists materialized once. `lists` is the scale
+    * lever, exactly as in [[ivfPqIndexBuild]]. */
+  def ivfSq8IndexBuild(emb: DataFrame, id: String, vec: String,
+      lists: Int = IvfLists): IvfSq8Index = {
+    val n = normed(emb, id, vec).localCheckpoint()
+    val cents = kmeansCentroids(n, lists)
+    val quant = sq8Train(n)
+    IvfSq8Index(n, sq8CodedListRows(n, cents, quant).localCheckpoint(),
+      cents, quant)
+  }
+
+  /** Append new vectors to a prebuilt [[IvfSq8Index]] WITHOUT
+    * retraining: frozen centroids soft-assign, frozen bounds encode
+    * (narrow map, no shuffle); out-of-range components clamp to the
+    * boundary cells. Rebuild when drift probes degrade. */
+  def ivfSq8IndexAppend(
+      index: IvfSq8Index, emb: DataFrame, id: String,
+      vec: String): IvfSq8Index = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    IvfSq8Index(
+      index.corpus.unionByName(n2),
+      index.codedLists.unionByName(
+        sq8CodedListRows(n2, index.centroids, index.quantizer)),
+      index.centroids, index.quantizer)
+  }
+
+  /** Top-k against a prebuilt [[IvfSq8Index]] — pure query work, the
+    * family's collect-free small-batch path (queries broadcast). */
+  def ivfSq8TopK(index: IvfSq8Index, queryPred: Column, k: Int,
+      salts: Int): DataFrame =
+    ivfSq8TopKFrom(index, queryPred, k, salts)
+
+  def ivfSq8TopK(index: IvfSq8Index, queryPred: Column,
+      k: Int): DataFrame =
+    ivfSq8TopKFrom(index, queryPred, k, salts = 64)
+
+  private def ivfSq8TopKFrom(
+      index: IvfSq8Index, queryPred: Column, k: Int,
+      salts: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val queryLists = index.corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), unitCol.as("qu"),
-        explode(topLists(cents, IvfProbes)).as("list_id"))
-    val rv = sq8ReconCol(col("code"), quant)
+        explode(topLists(index.centroids, IvfProbes)).as("list_id"))
+    val rv = sq8ReconCol(col("code"), index.quantizer)
     val scored = broadcast(queryLists)
-      .join(lists, queryLists("list_id") === lists("list_id")
-        && col("q_id") =!= col("vec_id"))
+      .join(index.codedLists,
+        queryLists("list_id") === index.codedLists("list_id")
+          && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         ((lit(1d) - lit(2d) * dot(col("qu"), rv)) + dot(rv, rv)).as("d2"))
+      .groupBy("query_id", "cand_id")
+      .agg(min(col("d2")).as("d2"))
+    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+  }
+
+  /** The DISTRIBUTED large-batch external-query IVF-SQ8 path — the
+    * [[ivfPqTopKJoin]] deployment shape for the SQ8 family: the query
+    * frame is NEVER collected and never broadcast-hinted (big by
+    * assumption), candidates fall out of the (list_id) equi-join against
+    * the coded lists, the asymmetric distance is the codegen'd
+    * [[graft.functions.Sq8AdcDistance]] over a packed unit query and the
+    * in-place byte codes (bit-equal to the one-shot path's Column
+    * formulation — its scaladoc carries the fold argument), shared-list
+    * duplicates collapse map-side (groupBy+min), and the final rank is
+    * the exact salted two-level shortlist. No re-rank stage: unlike PQ,
+    * SQ8's exact-on-reconstruction d² IS the family's final metric, so
+    * the pipeline ends at the rank (one fewer join than IVF-PQ). The
+    * whole composition is deterministic → hash-certified (q_x13: every
+    * corpus vector queries its own index, no self-exclusion — the
+    * external-query contract). Same AQE skew note as [[ivfPqTopKJoin]]:
+    * the join key space is only `lists` values; OptimizeSkewedJoin
+    * splits hot lists by mapper ranges. */
+  def ivfSq8TopKJoin(
+      index: IvfSq8Index, queries: DataFrame, id: String, vec: String,
+      k: Int, probes: Int = IvfProbes, salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(k >= 1, s"bad k: $k")
+    val cents = index.centroids
+    require(probes >= 1 && probes <= cents.length,
+      s"probes must be in [1, ${cents.length}]: $probes")
+    def packUnit(v: Column, nrm: Column): Column =
+      ColumnBridge.column(graft.functions.PackUnitVector(
+        ColumnBridge.expression(v), ColumnBridge.expression(nrm)))
+    def sq8Adc(qu: Column, code: Column): Column =
+      ColumnBridge.column(graft.functions.Sq8AdcDistance(
+        ColumnBridge.expression(qu), ColumnBridge.expression(code),
+        index.quantizer.mins, index.quantizer.spans))
+    val queryLists = normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"),
+        packUnit(col("v"), col("nrm")).as("qu"),
+        explode(topLists(cents, probes, col("v"))).as("list_id"))
+    val scored = queryLists
+      .join(index.codedLists, Seq("list_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
+        sq8Adc(col("qu"), col("code")).as("d2"))
       .groupBy("query_id", "cand_id")
       .agg(min(col("d2")).as("d2"))
     saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
@@ -1892,6 +2001,66 @@ object Similarity {
       IndexIO.loadTensor(spark, s"$dir/codebooks"), batchId,
       prefix = "manual")
   }
+
+  /** Persist a prebuilt [[IvfSq8Index]] under `dir` (stale appends
+    * pruned — rebuild bounds/centroids are new). Same layout as
+    * [[ivfPqIndexSave]] with the 2×dim quantizer tensor in place of
+    * codebooks. */
+  def ivfSq8IndexSave(index: IvfSq8Index, dir: String): Unit = {
+    val spark = index.corpus.sparkSession
+    IndexIO.saveFrame(index.corpus, s"$dir/corpus")
+    IndexIO.saveFrame(index.codedLists, s"$dir/coded_lists")
+    IndexIO.saveMatrix(spark, s"$dir/centroids", index.centroids)
+    IndexIO.saveTensor(spark, s"$dir/quantizer",
+      Array(Array(index.quantizer.mins, index.quantizer.spans)))
+    IndexIO.writeMeta(spark, dir, "ivf_sq8",
+      Map("n_lists" -> index.centroids.length.toLong,
+        "dim" -> index.quantizer.mins.length.toLong))
+    pruneAppends(spark, dir)
+  }
+
+  /** Reload an [[IvfSq8Index]] saved by [[ivfSq8IndexSave]], committed
+    * on-disk appends ([[ivfSq8IndexAppendSave]]) unioned in. */
+  def ivfSq8IndexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfSq8Index = {
+    val meta = IndexIO.readMeta(spark, dir, "ivf_sq8")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+    require(cents.length == meta("n_lists"),
+      s"centroids at $dir: ${cents.length} vs sidecar ${meta("n_lists")}")
+    require(t.length == 1 && t(0).length == 2
+        && t(0)(0).length == meta("dim") && t(0)(1).length == meta("dim"),
+      s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
+        s"${meta("dim")} rows")
+    IvfSq8Index(
+      frameWithAppends(spark, s"$dir/corpus", s"$dir/appends/corpus"),
+      frameWithAppends(spark, s"$dir/coded_lists",
+        s"$dir/appends/coded_lists"),
+      cents, Sq8Quantizer(t(0)(0), t(0)(1)))
+  }
+
+  /** On-disk append for a SAVED IVF-SQ8 index: new rows soft-assigned
+    * and encoded under the persisted frozen centroids + bounds.
+    * Idempotent per `batchId` (`manual=` namespace). */
+  def ivfSq8IndexAppendSave(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
+    val meta = IndexIO.readMeta(spark, dir, "ivf_sq8")
+    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+    require(t(0)(0).length == meta("dim"), s"corrupt quantizer at $dir")
+    val quant = Sq8Quantizer(t(0)(0), t(0)(1))
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    n2.write.mode("overwrite")
+      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
+    sq8CodedListRows(n2, cents, quant).write.mode("overwrite")
+      .parquet(f"$dir/appends/coded_lists/manual=$batchId%06d")
+  }
+
+  /** [[ivfPqIndexFold]] for a saved IVF-SQ8 index (frames: corpus,
+    * coded_lists). */
+  def ivfSq8IndexFold(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = IndexIO.indexFold(spark, dir, "ivf_sq8")
 
   private def appendBatch(
       dir: String, emb: DataFrame, id: String, vec: String,

@@ -23,7 +23,11 @@ object Sketches {
   /** The estimate Column over a KMV sketch array — the one IEEE tree both
     * the Scala surface and the DuckDB oracles state: normalize the k-th
     * smallest hash by `CAST AS DOUBLE / 2⁶⁴ + (h<0 ? 1 : 0)` (unsigned
-    * without 128-bit math), divide into k−1. */
+    * without 128-bit math), divide into k−1. The `size(sketch) < k`
+    * exactness fallback counts distinct HASHES, not values — a 64-bit
+    * collision inside a ≤k-distinct group would undercount by 1; at
+    * p ≈ k²/2⁶⁵ this is negligible and inherent to KMV (the estimator
+    * branch carries the same collapse inside its order statistic). */
   private[graft] def kmvEstimate(sketch: Column, k: Int): Column = {
     val kth = element_at(sketch, k)
     val norm = kth.cast("double") / lit(18446744073709551616.0) +

@@ -315,12 +315,26 @@ class PlanSpec extends AnyFunSuite {
     assertSaltedExactRank(p, "brute")
   }
 
+  test("IVF-SQ8 probes via equi-join; rank stays two-level") {
+    val p = plan("q_x12_ann_ivfsq8")
+    // the candidate step is a LIST equi-join with broadcast query probes
+    // — never a nested-loop scan of the corpus
+    assert(p.contains("BroadcastHashJoin [list_id"),
+      "probed lists must candidate via a broadcast equi-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "IVF-SQ8 must not fall back to a nested-loop scan:\n" + p)
+    // 3 shuffles: the (query, cand) shared-list dedup agg + the two
+    // pruned rank levels
+    assertSaltedExactRank(p, "IVF-SQ8", expectShuffles = 3)
+  }
+
   /** The exact top-k paths must never sort one query's whole scored
     * corpus in a single window partition: level 1 partitions by
     * (query, salt) with a PARTIAL WindowGroupLimit below its exchange
     * (each task forwards ≤ k rows per salt group), level 2 ranks the
     * ≤ salts·k survivors per query. Two hash exchanges, both pruned. */
-  private def assertSaltedExactRank(p: String, tag: String): Unit = {
+  private def assertSaltedExactRank(p: String, tag: String,
+      expectShuffles: Int = 2): Unit = {
     assert(p.contains("__salt"),
       s"$tag rank lost its salt level:\n$p")
     assert("WindowGroupLimit".r.findAllIn(p).length >= 4,
@@ -335,8 +349,8 @@ class PlanSpec extends AnyFunSuite {
       .filter(l =>
         l.contains("Exchange") && !l.contains("RoundRobinPartitioning")
           && !l.contains("BroadcastExchange")).toSeq
-    assert(shuffles.size == 2,
-      s"$tag top-k needs exactly the two pruned rank shuffles:\n" +
+    assert(shuffles.size == expectShuffles,
+      s"$tag top-k needs exactly $expectShuffles pruned shuffles:\n" +
         shuffles.mkString("\n"))
     // and the per-query exchange must hash on query_id alone (level 2)
     assert(p.contains("hashpartitioning(query_id"),
