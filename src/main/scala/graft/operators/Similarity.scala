@@ -450,6 +450,37 @@ object Similarity {
       k: Int): DataFrame =
     ivfSq8TopKFrom(index, queryPred, k, salts = 64)
 
+  /** EXTERNAL-query overload of [[ivfSq8TopK]] — same contract as the
+    * LSH/IVF/PQ twins: new vectors probe the prebuilt coded lists, no
+    * self-exclusion, the (small) query frame broadcast. The asymmetric
+    * distance here is the COLUMN formulation (`sq8ReconCol` + two HOF
+    * folds), so IvfSq8JoinSpec's row-for-row equality with
+    * [[ivfSq8TopKJoin]] pins the codegen'd
+    * [[graft.functions.Sq8AdcDistance]] kernel bit-exactly against it
+    * (the SQ8 mirror of IvfPqJoinSpec). */
+  def ivfSq8TopK(
+      index: IvfSq8Index, queries: DataFrame, id: String, vec: String,
+      k: Int, probes: Int, salts: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(probes >= 1 && probes <= index.centroids.length,
+      s"probes must be in [1, ${index.centroids.length}]: $probes")
+    val queryLists = normed(queries, id, vec)
+      .select(col("vec_id").as("q_id"), unitCol.as("qu"),
+        explode(topLists(index.centroids, probes)).as("list_id"))
+    val rv = sq8ReconCol(col("code"), index.quantizer)
+    val scored = broadcast(queryLists)
+      .join(index.codedLists, Seq("list_id"))
+      .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
+        ((lit(1d) - lit(2d) * dot(col("qu"), rv)) + dot(rv, rv)).as("d2"))
+      .groupBy("query_id", "cand_id")
+      .agg(min(col("d2")).as("d2"))
+    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+  }
+
+  def ivfSq8TopK(index: IvfSq8Index, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame =
+    ivfSq8TopK(index, queries, id, vec, k, IvfProbes, 64)
+
   private def ivfSq8TopKFrom(
       index: IvfSq8Index, queryPred: Column, k: Int,
       salts: Int): DataFrame = {
@@ -2048,7 +2079,10 @@ object Similarity {
     val meta = IndexIO.readMeta(spark, dir, "ivf_sq8")
     val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
     val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
-    require(t(0)(0).length == meta("dim"), s"corrupt quantizer at $dir")
+    require(t.length == 1 && t(0).length == 2
+        && t(0)(0).length == meta("dim") && t(0)(1).length == meta("dim"),
+      s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
+        s"${meta("dim")} rows")
     val quant = Sq8Quantizer(t(0)(0), t(0)(1))
     val n2 = normed(emb, id, vec).localCheckpoint()
     n2.write.mode("overwrite")

@@ -712,8 +712,58 @@ object SimilarityQ {
       queryPred = col("vec_id") < 8, k = 5)
   }
 
+  /** The DISTRIBUTED large-batch external-query IVF-SQ8 path,
+    * HASH-CERTIFIED: the whole embeddings table probes its own prebuilt
+    * [[Similarity.IvfSq8Index]] as an external query frame — no driver
+    * collect of queries, candidates from the (list_id) equi-join, the
+    * codegen'd [[graft.functions.Sq8AdcDistance]] bit-equal to the
+    * Column formulation, exact salted two-level shortlist. The oracle is
+    * the q_x12 replay with every corpus vector as a query and no
+    * self-exclusion (the external-query contract — the q_x10 shape for
+    * the SQ8 family); certifying it pins the whole distributed
+    * pipeline — probe join, packed-query ADC kernel, min-agg dedup,
+    * salted rank — against the independent SQL restatement, row-for-row
+    * including float d². */
+  val qX13IvfSq8Join = Q(
+    "q_x13_ann_ivfsq8_join",
+    s"""WITH $quantizerCtes,
+       |corplists AS (
+       |  SELECT vec_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 2),
+       |qrylists AS (
+       |  SELECT vec_id AS q_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 6),
+       |$sq8Ctes,
+       |cand AS (
+       |  SELECT DISTINCT q.q_id AS query_id, cl.vec_id AS cand_id
+       |  FROM qrylists q JOIN corplists cl ON q.list_id = cl.list_id),
+       |p AS (SELECT cand.query_id, cand.cand_id,
+       |             (1.0 - 2.0 * list_dot_product(q.u, c.rv))
+       |               + list_dot_product(c.rv, c.rv) AS d2
+       |      FROM cand JOIN uv q ON q.vec_id = cand.query_id
+       |                JOIN recon c ON c.vec_id = cand.cand_id),
+       |r AS (SELECT query_id, cand_id, d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY d2, cand_id) AS rn
+       |      FROM p)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, d2
+       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity.ivfSq8TopKJoin(
+      Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding"),
+      emb, "vec_id", "embedding", k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
       qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK,
-      qX10IvfPqJoin, qX11Sq8TopK, qX12IvfSq8TopK)
+      qX10IvfPqJoin, qX11Sq8TopK, qX12IvfSq8TopK, qX13IvfSq8Join)
 }

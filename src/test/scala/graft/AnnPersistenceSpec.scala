@@ -180,6 +180,39 @@ class AnnPersistenceSpec extends AnyFunSuite {
     assert(hits == self.count(), "appended vectors must be query-able")
   }
 
+  test("IVF-SQ8 index: save → load → query identical; on-disk append composes") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.ivfSq8IndexBuild(half, "vec_id", "embedding")
+    val built = rows(Similarity.ivfSq8TopK(idx, pred, K))
+    val dir = tmp("ivfsq8")
+    Similarity.ivfSq8IndexSave(idx, dir)
+    val loaded = Similarity.ivfSq8IndexLoad(spark, dir)
+    // both model artifacts must round-trip bit-exactly
+    assert(loaded.centroids.zip(idx.centroids).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    }, "centroid doubles drifted through save/load")
+    assert(loaded.quantizer.mins.toSeq == idx.quantizer.mins.toSeq
+      && loaded.quantizer.spans.toSeq == idx.quantizer.spans.toSeq,
+      "quantizer bounds must round-trip double-exact")
+    assert(rows(Similarity.ivfSq8TopK(loaded, pred, K)) == built)
+    // on-disk append under the frozen centroids + bounds, then reload:
+    // identical to the in-memory append of the same rows
+    Similarity.ivfSq8IndexAppendSave(spark, dir, rest,
+      "vec_id", "embedding", batchId = 1L)
+    Similarity.ivfSq8IndexAppendSave(spark, dir, rest,
+      "vec_id", "embedding", batchId = 1L) // replay: idempotent per batch
+    val reloaded = Similarity.ivfSq8IndexLoad(spark, dir)
+    val grown = Similarity.ivfSq8IndexAppend(idx, rest, "vec_id", "embedding")
+    assert(rows(Similarity.ivfSq8TopK(reloaded, pred, K)) ==
+      rows(Similarity.ivfSq8TopK(grown, pred, K)))
+    // appended vectors are retrievable through the join path
+    assertAppendedRetrievable(
+      q => Similarity.ivfSq8TopKJoin(reloaded, q, "vec_id", "embedding", K),
+      rest)
+  }
+
   test("IVF-PQ index: appended vectors are retrievable") {
     val emb = Tables.embeddings(spark, sf)
     val half = emb.filter(col("vec_id") % 2 === 0)
@@ -307,7 +340,16 @@ class AnnPersistenceSpec extends AnyFunSuite {
         d => Similarity.sq8IndexLoad(spark, d).corpus.count(),
         d => rows(Similarity.sq8TopK(
           Similarity.sq8IndexLoad(spark, d), qs, K)),
-        d => Similarity.sq8IndexFold(spark, d)))
+        d => Similarity.sq8IndexFold(spark, d)),
+      Fam("ivfsq8",
+        d => Similarity.ivfSq8IndexSave(
+          Similarity.ivfSq8IndexBuild(half, "vec_id", "embedding"), d),
+        (d, df, b) => Similarity.ivfSq8IndexAppendSave(
+          spark, d, df, "vec_id", "embedding", b),
+        d => Similarity.ivfSq8IndexLoad(spark, d).corpus.count(),
+        d => rows(Similarity.ivfSq8TopK(
+          Similarity.ivfSq8IndexLoad(spark, d), pred, K)),
+        d => Similarity.ivfSq8IndexFold(spark, d)))
 
     fams.foreach { f =>
       val dir = tmp(s"fold_${f.tag}")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** The distributed large-batch IVF-SQ8 query path: row-for-row equality
+  * with the broadcast external-query overload — the Column formulation
+  * (`sq8ReconCol` + two HOF folds) versus the codegen'd
+  * [[graft.functions.Sq8AdcDistance]] packed-byte kernel. Any IEEE
+  * drift between the two distance evaluations (accumulation order,
+  * endianness of the packed query, midpoint reconstruction) breaks the
+  * float d² equality here, so this spec IS the kernel's bit-equality
+  * pin (the SQ8 mirror of IvfPqJoinSpec). */
+class IvfSq8JoinSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+  private val K = 5
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val idx = Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("join path equals the broadcast Column path row-for-row") {
+    val queries = emb.filter(col("vec_id") % 9 === 0)
+    val viaColumn = rows(Similarity.ivfSq8TopK(
+      idx, queries, "vec_id", "embedding", K))
+    val viaJoin = rows(Similarity.ivfSq8TopKJoin(
+      idx, queries, "vec_id", "embedding", K))
+    assert(viaColumn.nonEmpty, "fixture produced no query rows")
+    assert(viaJoin == viaColumn,
+      s"missing ${(viaColumn -- viaJoin).take(3)}, " +
+        s"extra ${(viaJoin -- viaColumn).take(3)}")
+    // and with a non-default salt count (exactness must not depend on it)
+    assert(rows(Similarity.ivfSq8TopKJoin(
+      idx, queries, "vec_id", "embedding", K, salts = 3)) == viaColumn)
+  }
+
+  test("join path scales past a broadcastable query batch") {
+    // 1500 external queries: the corpus replicated under shifted ids —
+    // replicas must retrieve exactly the original's neighbors
+    val big = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding")))
+      .unionByName(emb.select((col("vec_id") + 200000L).as("vec_id"),
+        col("embedding")))
+    assert(big.count() == 1500)
+    val out = Similarity.ivfSq8TopKJoin(idx, big, "vec_id", "embedding", K)
+      .collect()
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.size == 1500, s"only ${perQuery.size} queries answered")
+    assert(perQuery.values.forall(_.length == K))
+    val base = perQuery.filter(_._1 < 100000L)
+    base.foreach { case (qid, rs) =>
+      val shifted = perQuery(qid + 100000L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val orig = rs.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(shifted == orig, s"replica of $qid diverged")
+    }
+  }
+}

@@ -430,4 +430,24 @@ class RecallSpec extends AnyFunSuite {
       "measured 0.89 on this fixture and SQ8 reconstruction is " +
       "near-lossless, so the composition should track plain IVF)")
   }
+
+  test("IVF-SQ8 distributed join path recall@5 on the sf0.1 embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding")
+    // external-query contract: the self match occupies one of the k
+    // slots, so drop it before scoring against the self-excluded exact
+    // reference (one extra k of headroom keeps the comparison honest)
+    val out = Similarity.ivfSq8TopKJoin(
+      idx, emb.filter(pred), "vec_id", "embedding", K + 1)
+      .filter(col("query_id") =!= col("cand_id"))
+    val approx = out.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(2)).take(K).map(_.getLong(1)).toSet
+      }
+    val r = recallAt5(approx)
+    println(f"ivfsq8 join recall@5 = $r%.3f over ${exact.size} queries")
+    assert(r >= 0.8, f"IVF-SQ8 join-path recall collapsed: $r%.3f " +
+      "(same pruning geometry as the one-shot path, which floors at 0.8)")
+  }
 }

@@ -1226,6 +1226,95 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed or re-listed file was read twice")
   }
 
+  test("graft-fhir: a legacy full-list checkpoint migrates mid-stream") {
+    // pre-r14 checkpoints persisted the FULL sorted file list as the
+    // offset. A restart from such a WAL must (a) not re-ingest any file
+    // the legacy offset carries, (b) not lose files landed after it, and
+    // (c) move the WAL forward in the constant-size epoch form, with the
+    // legacy seen set durably migrated into the seen log as epoch 0
+    val fixtures = new java.io.File(getClass.getResource("/adt").getPath)
+      .listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(fixtures.length == 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_fhir_legacy")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(fs: Seq[java.io.File]): Unit = fs.foreach(f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(in, f.getName)))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-fhir").load(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(fixtures.take(2)); run()
+    // forge the legacy checkpoint: the seen log's own tagged lines carry
+    // the EXACT path strings the source lists, so harvest them first...
+    val logDir = new java.io.File(s"$chk/sources/0/graft_seen_files")
+    assert(logDir.isDirectory, s"seen log missing at $logDir")
+    val seenPaths = logDir.listFiles()
+      .filter(f => f.getName.endsWith(".log") || f.getName.endsWith(".compact"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]))
+      .filter(_.nonEmpty).map(_.split('\t')(1)).distinct.sorted
+    assert(seenPaths.length == 2, s"expected 2 seen files: ${seenPaths.toSeq}")
+    // ...then rewrite the last committed WAL offset to the pre-r14 array
+    // form and delete the seen log entirely (a legacy checkpoint has none)
+    val offsetsDir = new java.io.File(s"$chk/offsets")
+    val lastOff = offsetsDir.listFiles()
+      .filter(_.getName.matches("\\d+")).maxBy(_.getName.toInt)
+    val walLines = new String(
+      java.nio.file.Files.readAllBytes(lastOff.toPath)).linesIterator.toSeq
+    assert(walLines.last.startsWith("{\"epoch\":"))
+    val legacyJson = seenPaths.map(p => "\"" + p + "\"")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(lastOff.toPath,
+      (walLines.init :+ legacyJson).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      java.nio.file.Files.delete(f.toPath)
+    }
+    rmTree(logDir)
+    // land two more files and restart from the forged legacy WAL
+    land(fixtures.drop(2)); run()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4,
+      "legacy restart must neither re-ingest nor lose files")
+    assert(got.select("bundleUUID").distinct().count() == 4,
+      "a file carried by the legacy offset was read twice")
+    // the post-restart WAL entry is back in the epoch form
+    val newLast = offsetsDir.listFiles()
+      .filter(_.getName.matches("\\d+")).maxBy(_.getName.toInt)
+    assert(newLast.getName.toInt > lastOff.getName.toInt,
+      "restart must have planned a new batch for the landed files")
+    val newLine = new String(java.nio.file.Files.readAllBytes(
+      newLast.toPath)).linesIterator.toSeq.last
+    assert(newLine.matches("""\{"epoch":\d+\}"""),
+      s"post-migration offset must be an epoch, got: $newLine")
+    // and the legacy seen set is DURABLY in the rebuilt log (either as
+    // epoch-0 `.migrated` lines from deserializeOffset, or tagged by the
+    // first post-restart advance() if the trigger listed the directory
+    // first — both orderings are exactly-once; what must hold is that
+    // every legacy path is logged so it can never be re-ingested)
+    val rebuilt = new java.io.File(s"$chk/sources/0/graft_seen_files")
+      .listFiles()
+      .filter(f => f.getName.endsWith(".log") || f.getName.endsWith(".compact")
+        || f.getName.endsWith(".migrated"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]))
+      .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
+    assert(seenPaths.toSet.subsetOf(rebuilt),
+      s"legacy files missing from the rebuilt seen log: " +
+        s"${seenPaths.toSet -- rebuilt}")
+    // a further restart with nothing new re-reads nothing
+    run()
+    assert(spark.read.parquet(out).count() == 4,
+      "an idle restart after migration must be a no-op")
+  }
+
   test("graft-fhir offsets stay constant-size across many batches; seen log compacts") {
     // the unbounded-offset fix: each persisted offset is one epoch
     // number backed by the compacted seen-file log, so offset JSON size
