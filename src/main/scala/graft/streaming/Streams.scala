@@ -599,12 +599,20 @@ object Streams {
     * @return (id, rep_fraction, quality, pred_lang, gopher_verdict,
     *         xent, nb_score, verdict, clean_text) */
   def curationScreenStream(
-      incoming: DataFrame, id: String, text: String,
+      incomingIn: DataFrame, id: String, text: String,
       model: Option[TextAnalysis.LmModel] = None,
       cfg: graft.operators.Curation.Config =
         graft.operators.Curation.Config()): DataFrame = {
-    val spark = incoming.sparkSession
+    val spark = incomingIn.sparkSession
     import spark.implicits._
+    // HTML front stage, mirroring the batch pipeline: when
+    // cfg.htmlExtract is set the incoming `text` is raw HTML — rewrite
+    // it through extractText (certified as q_t43) BEFORE any screen, so
+    // verdicts and clean_text judge extracted text. A pure codegen'd
+    // Column rewrite: stateless, no watermark, streams unchanged.
+    val incoming = if (cfg.htmlExtract)
+      incomingIn.withColumn(text, TextAnalysis.extractText(col(text)))
+    else incomingIn
     // ONE typed narrow map computes both per-row loop statistics — the
     // linear repetition fraction (the quadratic HOF form would bite on
     // long documents) and, when a model rides along, the LM xent; the

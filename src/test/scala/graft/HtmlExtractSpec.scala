@@ -122,6 +122,36 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("htmlExtract front stage on the curation STREAM equals the plain-text stream") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val docs = spark.read.parquet(s"${GraftSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val asHtml = docs.select(col("doc_id"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")).as("text"))
+    def screened(in: org.apache.spark.sql.DataFrame,
+        cfg: graft.operators.Curation.Config): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_html_scr")
+      in.write.mode("overwrite").parquet(dir.toString)
+      val name = s"html_scr_${dir.getFileName.toString.takeRight(6)}"
+      val q = graft.streaming.Streams.curationScreenStream(
+          spark.readStream.schema(in.schema).parquet(dir.toString),
+          "doc_id", "text", None, cfg)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      } finally q.stop()
+    }
+    val viaFront = screened(asHtml,
+      graft.operators.Curation.Config(htmlExtract = true))
+    val plain = screened(docs, graft.operators.Curation.Config())
+    assert(viaFront.nonEmpty && viaFront == plain,
+      "streamed htmlExtract front stage must be bit-identical to the " +
+        "stream over pre-extracted text")
+  }
+
   // ---- hostile-markup fuzz ----
 
   private val tagName = Gen.oneOf("p", "P", "div", "b", "script", "SCRIPT",
