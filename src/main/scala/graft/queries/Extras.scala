@@ -945,7 +945,47 @@ object Extras {
         stableSum(col("p_retailprice")).as("sum_price"))
   }
 
+  /** `graft-warc` crawl-archive round trip, HASH-CERTIFIED: the
+    * documents table becomes a member-per-record gzip WARC archive via
+    * the distributed [[graft.sources.WarcIO.warcSave]] writer (one
+    * `.warc.gz` per partition, warcinfo-led, ISO 28500 framing), then
+    * reads back through the `graft-warc` DSv2 source — envelope parse,
+    * explicit multi-member gunzip, HTTP status/header split,
+    * Content-Length byte framing. The oracle restates closed-form what
+    * a correct round trip must recover from the source rows: the minted
+    * URI, the 200 status, the byte-exact UTF-8 payload, and its octet
+    * length. warcinfo records are filtered by type — the result is
+    * partition-count independent. */
+  val qS16WarcRoundTrip = Q(
+    "q_s16_warc_roundtrip",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CAST(200 AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q").toString
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp)
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        length(col("payload")).cast("long").as("payload_len"))
+  }
+
   val all: Seq[Q] = Seq(
+    qS16WarcRoundTrip,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

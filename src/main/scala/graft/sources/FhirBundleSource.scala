@@ -96,46 +96,19 @@ object FhirBundleSource {
       model.resourceMap.keys.toSeq.sorted.map(rt =>
         StructField(rt, ArrayType(model.resourceMap(rt)), nullable = true)))
 
-  /** (path, length) of every data file under the load path (one glob
-    * level, dot/underscore files skipped — the Spark file-source
-    * convention). Shared by the batch scan and the micro-batch stream. */
+  /** See [[SourceFiles.listDataFiles]] — shared with `graft-warc`. */
   private[sources] def listDataFiles(
-      path: String, conf: Configuration): Seq[(String, Long)] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val expanded = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-    }
-    expanded
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith(".") && !n.startsWith("_")
-      })
-      .map(st => (st.getPath.toString, st.getLen))
-  }
+      path: String, conf: Configuration): Seq[(String, Long)] =
+    SourceFiles.listDataFiles(path, conf)
 
   /** First-fit-decreasing bin-packing under the session's
     * `spark.sql.files.maxPartitionBytes`: a directory of small bundles
     * groups into few tasks; a huge file still gets its own partition
     * (whole-document parse — no intra-file split). */
   private[sources] def packPartitions(
-      files: Seq[(String, Long)]): Array[InputPartition] = {
-    val maxBytes =
-      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    files.sortBy(-_._2).foreach { case (f, len) =>
-      bins.indexWhere(_._2 + len <= maxBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), len))
-        case i =>
-          bins(i)._1 += f
-          bins(i) = (bins(i)._1, bins(i)._2 + len)
-      }
-    }
-    bins.map(b => FhirInputPartition(b._1.toArray): InputPartition).toArray
-  }
+      files: Seq[(String, Long)]): Array[InputPartition] =
+    SourceFiles.packFileBins(files)
+      .map(b => FhirInputPartition(b): InputPartition)
 }
 
 /** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
@@ -225,178 +198,13 @@ private[sources] class FhirScan(path: String, required: StructType,
     new FhirMicroBatchStream(path, required, conf, checkpointLocation)
 }
 
-/** Offset for [[FhirMicroBatchStream]]: one seen-log EPOCH — constant
-  * size no matter how many files the stream has ever ingested. The file
-  * sets live in the [[FhirSeenFileLog]] under the source's checkpoint
-  * directory; two epochs determine a batch's file set exactly (the
-  * tagged lines in `(start, end]`), so a checkpoint-replayed batch
-  * re-reads EXACTLY the same files — the property that makes restart
-  * exactly-once. Replaces the unbounded full-file-list offset (every
-  * offset JSON used to carry every path ever seen — O(total files) per
-  * micro-batch at a million-file ADT feed); the legacy form is still
-  * parsed for checkpoint compatibility ([[FhirLegacyStreamOffset]]). */
-private[graft] case class FhirStreamOffset(epoch: Long)
-    extends streaming.Offset {
-  override def json(): String = s"""{"epoch":$epoch}"""
-}
-
-/** Pre-r14 offset form: the full sorted file list. Never written
-  * anymore — parsed so an old checkpoint restarts cleanly, its seen
-  * set migrated into the log (epoch 0) on deserialization. */
-private[graft] case class FhirLegacyStreamOffset(files: Seq[String])
-    extends streaming.Offset {
-  override def json(): String =
-    FhirStreamOffset.mapper.writeValueAsString(files.toArray)
-}
-
-private[graft] object FhirStreamOffset {
-  private[sources] val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-  def parse(json: String): streaming.Offset = {
-    val t = json.trim
-    if (t.startsWith("[")) FhirLegacyStreamOffset(
-      mapper.readValue(t, classOf[Array[String]]).toSeq)
-    else FhirStreamOffset(mapper.readTree(t).get("epoch").asLong())
-  }
-}
-
-/** Compacted seen-file log — the FileStreamSource metadata-log pattern,
-  * kept under the source's checkpoint location so it shares the
-  * checkpoint's durability and lineage. Epoch `N` lands as an atomic
-  * (tmp + rename) `N.log` holding `epoch TAB path` lines for the files
-  * FIRST seen at `N`; every [[FhirSeenFileLog.CompactInterval]]-th
-  * epoch lands as `N.compact` holding ALL tagged lines ≤ N, after which
-  * older log files are deleted — so startup replay reads one compact
-  * plus a bounded tail, and the offset each batch persists is just the
-  * epoch number. Legacy full-list offsets migrate in as epoch-0 lines
-  * (`0-K.migrated` files, idempotent by set-difference). */
-private[graft] class FhirSeenFileLog(
-    dir: Path, hconf: org.apache.hadoop.conf.Configuration) {
-  import FhirSeenFileLog._
-
-  private val fs = dir.getFileSystem(hconf)
-  /** path → epoch first seen (insertion order irrelevant; tags drive
-    * batch membership). */
-  private val seen = scala.collection.mutable.HashMap[String, Long]()
-  private var max = 0L
-
-  if (!fs.exists(dir)) fs.mkdirs(dir)
-  else {
-    val names = fs.listStatus(dir).map(_.getPath.getName)
-    val compacts = names.collect { case CompactName(e) => e.toLong }
-    val latestC = if (compacts.nonEmpty) compacts.max else -1L
-    val toRead = names.filter {
-      case CompactName(e) => e.toLong == latestC
-      case LogName(e) => e.toLong > latestC
-      case MigratedName(_) => true // epoch-0 lines; compaction removes them
-      case _ => false // tmp leftovers from a crashed write
-    }.sorted
-    toRead.foreach { n =>
-      readLines(fs, new Path(dir, n)).foreach { case (e, p) =>
-        if (!seen.contains(p)) seen(p) = e
-        if (e > max) max = e
-      }
-    }
-    val fileEpochs = names.collect {
-      case CompactName(e) => e.toLong
-      case LogName(e) => e.toLong
-    }
-    if (fileEpochs.nonEmpty) max = math.max(max, fileEpochs.max)
-  }
-
-  def maxEpoch: Long = max
-  def contains(path: String): Boolean = seen.contains(path)
-
-  /** Record `fresh` (none of which may be seen already) as the next
-    * epoch; returns it. Compacting epochs fold the whole seen set into
-    * one file and drop the older ones. */
-  def advance(fresh: Seq[String]): Long = {
-    val e = max + 1
-    val compact = e % CompactInterval == 0
-    val lines: Seq[(Long, String)] =
-      if (compact) (seen.toSeq.map(_.swap) ++ fresh.map(e -> _)).sortBy(_._1)
-      else fresh.map(e -> _)
-    val name = f"$e%020d." + (if (compact) "compact" else "log")
-    writeAtomic(fs, dir, name, lines)
-    if (compact) fs.listStatus(dir).map(_.getPath).foreach { p =>
-      p.getName match {
-        case CompactName(c) if c.toLong < e => fs.delete(p, false)
-        case LogName(c) if c.toLong < e => fs.delete(p, false)
-        case MigratedName(_) => fs.delete(p, false)
-        case _ => ()
-      }
-    }
-    fresh.foreach(f => seen(f) = e)
-    max = e
-    e
-  }
-
-  /** Durably add a legacy offset's file list as epoch-0 lines (files
-    * already in the log are skipped). Without this, a restart that
-    * later reads only epoch offsets would lose the legacy seen set and
-    * re-ingest every pre-migration file. */
-  def migrate(files: Seq[String]): Unit = {
-    val fresh = files.filterNot(seen.contains)
-    if (fresh.isEmpty) return
-    val k = fs.listStatus(dir)
-      .count(st => MigratedName.matches(st.getPath.getName))
-    writeAtomic(fs, dir, f"0-$k%d.migrated", fresh.map(0L -> _))
-    fresh.foreach(f => seen(f) = 0L)
-  }
-
-  /** The files first seen in `(startEpoch, endEpoch]`, sorted. */
-  def filesIn(startEpoch: Long, endEpoch: Long): Seq[String] =
-    seen.collect {
-      case (p, e) if e > startEpoch && e <= endEpoch => p
-    }.toSeq.sorted
-
-  /** Every file first seen at or before `endEpoch`. */
-  def allUpTo(endEpoch: Long): Set[String] =
-    seen.collect { case (p, e) if e <= endEpoch => p }.toSet
-}
-
-private[graft] object FhirSeenFileLog {
-  /** Compact every 10th epoch: startup replay reads ≤ 1 compact + 9
-    * logs, and per-epoch log files stay proportional to that epoch's
-    * FRESH files only. */
-  val CompactInterval = 10
-
-  private val LogName = "(\\d{20})\\.log".r
-  private val CompactName = "(\\d{20})\\.compact".r
-  private val MigratedName = "0-(\\d+)\\.migrated".r
-
-  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      name: String, lines: Seq[(Long, String)]): Unit = {
-    val tmp = new Path(dir, s".$name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(lines.map { case (e, p) => s"$e\t$p\n" }.mkString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, new Path(dir, name)),
-      s"could not publish seen-file log ${new Path(dir, name)}")
-  }
-
-  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Seq[(Long, String)] = {
-    val in = fs.open(p)
-    val text =
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      val i = l.indexOf('\t')
-      (l.substring(0, i).toLong, l.substring(i + 1))
-    }
-  }
-}
-
 /** Micro-batch stream over a bundle directory: each trigger picks up
   * files not yet in the seen log — the ADT "real-time" feed story run
   * through the SAME pruned-registry parse and bin-packed partition
   * planning as the batch scan (the reader factory is shared, so the
   * streaming rows are the batch rows, minted bundleUUID and all). The
   * offsets it persists are constant-size epochs backed by the compacted
-  * [[FhirSeenFileLog]]; exactly-once restart is pinned in
+  * [[SeenFileLog]]; exactly-once restart is pinned in
   * StreamingSpec, including offset-size boundedness and a legacy
   * full-list checkpoint migrating mid-stream. */
 private[sources] class FhirMicroBatchStream(
@@ -404,22 +212,22 @@ private[sources] class FhirMicroBatchStream(
     checkpointLocation: String)
     extends streaming.MicroBatchStream {
 
-  private lazy val log = new FhirSeenFileLog(
+  private lazy val log = new SeenFileLog(
     new Path(checkpointLocation, "graft_seen_files"), conf.value)
 
-  override def initialOffset(): streaming.Offset = FhirStreamOffset(0L)
+  override def initialOffset(): streaming.Offset = EpochStreamOffset(0L)
 
   override def latestOffset(): streaming.Offset = synchronized {
     val fresh = FhirBundleSource.listDataFiles(path, conf.value)
       .map(_._1).filterNot(log.contains).sorted
     if (fresh.nonEmpty) log.advance(fresh)
-    FhirStreamOffset(log.maxEpoch)
+    EpochStreamOffset(log.maxEpoch)
   }
 
   override def deserializeOffset(json: String): streaming.Offset =
     synchronized {
-      FhirStreamOffset.parse(json) match {
-        case legacy: FhirLegacyStreamOffset =>
+      EpochStreamOffset.parse(json) match {
+        case legacy: LegacyFileListOffset =>
           log.migrate(legacy.files); legacy
         case o => o
       }
@@ -429,12 +237,12 @@ private[sources] class FhirMicroBatchStream(
       start: streaming.Offset, end: streaming.Offset)
       : Array[InputPartition] = synchronized {
     val fresh = (start, end) match {
-      case (FhirStreamOffset(s), FhirStreamOffset(e)) => log.filesIn(s, e)
-      case (FhirLegacyStreamOffset(sf), FhirStreamOffset(e)) =>
+      case (EpochStreamOffset(s), EpochStreamOffset(e)) => log.filesIn(s, e)
+      case (LegacyFileListOffset(sf), EpochStreamOffset(e)) =>
         (log.allUpTo(e) -- sf).toSeq.sorted
-      case (FhirLegacyStreamOffset(sf), FhirLegacyStreamOffset(ef)) =>
+      case (LegacyFileListOffset(sf), LegacyFileListOffset(ef)) =>
         ef.filterNot(sf.toSet)
-      case (FhirStreamOffset(s), FhirLegacyStreamOffset(ef)) =>
+      case (EpochStreamOffset(s), LegacyFileListOffset(ef)) =>
         ef.filterNot(log.allUpTo(s))
     }
     // re-stat for bin-packing; a file that vanished between offset and

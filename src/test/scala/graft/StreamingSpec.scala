@@ -1368,6 +1368,6 @@ class StreamingSpec extends AnyFunSuite {
     assert(names.count(_.endsWith(".compact")) == 1,
       s"expected one compact file, got: ${names.mkString(", ")}")
     assert(names.count(_.endsWith(".log")) <
-      graft.sources.FhirSeenFileLog.CompactInterval)
+      graft.sources.SeenFileLog.CompactInterval)
   }
 }

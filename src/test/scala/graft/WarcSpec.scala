@@ -1,0 +1,269 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{WarcHttp, WarcIO}
+
+/** The `graft-warc` crawl source: envelope/HTTP parsing on hand-built
+  * archives (every record type, folded headers, chunked bodies, hostile
+  * framing), byte-exact round-trips through the distributed writer's
+  * member-per-record gzip layout, column pruning, and the streaming
+  * landing-directory story with exactly-once restart. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_warc_$tag")
+
+  /** One raw record with computed Content-Length + separators. */
+  private def rec(tpe: String, extra: Seq[(String, String)],
+      block: Array[Byte]): Array[Byte] = {
+    val head = (Seq("WARC-Type" -> tpe) ++ extra ++
+      Seq("Content-Length" -> block.length.toString))
+      .map { case (k, v) => s"$k: $v\r\n" }.mkString
+    val env = s"WARC/1.0\r\n$head\r\n".getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(env); bos.write(block); bos.write("\r\n\r\n".getBytes(UTF_8))
+    bos.toByteArray
+  }
+
+  private def httpBlock(status: String, headers: Seq[(String, String)],
+      body: Array[Byte]): Array[Byte] = {
+    val head = (s"HTTP/1.1 $status\r\n" +
+      headers.map { case (k, v) => s"$k: $v\r\n" }.mkString + "\r\n")
+      .getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(head); bos.write(body)
+    bos.toByteArray
+  }
+
+  test("plain .warc: every record type parses; chunked bodies decode") {
+    val dir = tmp("plain")
+    val body = "<html><body>hi &amp; bye</body></html>".getBytes(UTF_8)
+    val chunkedBody =
+      ("7\r\n<html><\r\n" + "6;ext=1\r\n/html>\r\n" + "0\r\n\r\n")
+        .getBytes(UTF_8)
+    val bytes = Seq(
+      rec("warcinfo", Seq(
+        "WARC-Record-ID" -> "<urn:w:info>",
+        "WARC-Date" -> "2026-02-03T04:05:06Z",
+        "Content-Type" -> "application/warc-fields"),
+        "software: test\r\n".getBytes(UTF_8)),
+      rec("request", Seq(
+        "WARC-Record-ID" -> "<urn:w:req>",
+        "WARC-Target-URI" -> "https://x.example/a",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /a HTTP/1.1\r\nHost: x.example\r\n\r\n".getBytes(UTF_8)),
+      rec("response", Seq(
+        "WARC-Record-ID" -> "<urn:w:resp>",
+        "WARC-Target-URI" -> "https://x.example/a",
+        "WARC-Date" -> "2026-02-03T04:05:07Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock("200 OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8"), body)),
+      rec("response", Seq(
+        "WARC-Record-ID" -> "<urn:w:chunked>",
+        "WARC-Target-URI" -> "https://x.example/c",
+        "Content-Type" -> "application/http"),
+        httpBlock("404 Not Found",
+          Seq("Content-Type" -> "text/html",
+            "Transfer-Encoding" -> "chunked"), chunkedBody)),
+      rec("metadata", Seq(
+        "WARC-Record-ID" -> "<urn:w:meta>",
+        "WARC-Target-URI" -> "https://x.example/a",
+        "Content-Type" -> "application/json"),
+        """{"k":1}""".getBytes(UTF_8))
+    ).reduce(_ ++ _)
+    java.nio.file.Files.write(dir.resolve("sample.warc"), bytes)
+
+    val df = spark.read.format("graft-warc").load(dir.toString)
+    val rows = df.collect().map(r => r.getAs[String]("record_id") -> r).toMap
+    assert(rows.size == 5)
+    val info = rows("<urn:w:info>")
+    assert(info.getAs[String]("warc_type") == "warcinfo"
+      && info.getAs[String]("target_uri") == null
+      && info.getAs[Integer]("http_status") == null)
+    val req = rows("<urn:w:req>")
+    assert(req.getAs[String]("warc_type") == "request"
+      && req.getAs[Integer]("http_status") == null, // no status line
+      "request records carry no status")
+    val resp = rows("<urn:w:resp>")
+    assert(resp.getAs[Int]("http_status") == 200
+      && resp.getAs[String]("http_content_type")
+        == "text/html; charset=utf-8"
+      && resp.getAs[String]("warc_date") == "2026-02-03T04:05:07Z"
+      && java.util.Arrays.equals(resp.getAs[Array[Byte]]("payload"), body))
+    val chunked = rows("<urn:w:chunked>")
+    assert(chunked.getAs[Int]("http_status") == 404)
+    assert(new String(chunked.getAs[Array[Byte]]("payload"), UTF_8)
+      == "<html></html>", "chunked body must decode")
+    val meta = rows("<urn:w:meta>")
+    assert(meta.getAs[String]("content_type") == "application/json"
+      && new String(meta.getAs[Array[Byte]]("payload"), UTF_8)
+        == """{"k":1}""", "non-http blocks pass through raw")
+    // provenance + envelope length
+    assert(rows.values.forall(_.getAs[String]("warc_file")
+      .endsWith("sample.warc")))
+    assert(meta.getAs[Long]("content_length") == 7L)
+  }
+
+  test("writer round-trip: member-per-record gzip archives read back byte-exact") {
+    val dir = tmp("rt")
+    import spark.implicits._
+    val docs = (0 until 57).map { i =>
+      (s"https://example.org/p/$i", "2026-01-01T00:00:00Z",
+        s"<urn:graft:doc:$i>", "text/html; charset=utf-8",
+        s"<html><body>doc $i ${"x" * (i % 13)}</body></html>"
+          .getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    val written = WarcIO.warcSave(docs.repartition(4), dir.toString)
+    assert(written == 57L)
+    val names = new java.io.File(dir.toString).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".warc.gz")) == 4
+      && !names.exists(_.startsWith(".")), s"bad layout: ${names.toSeq}")
+    val back = spark.read.format("graft-warc").load(dir.toString)
+    assert(back.filter(col("warc_type") === "warcinfo").count() == 4)
+    val got = back.filter(col("warc_type") === "response")
+      .select("target_uri", "warc_date", "record_id", "http_content_type",
+        "http_status", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), new String(r.getAs[Array[Byte]](5),
+          UTF_8))).toSet
+    val want = docs.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3), 200,
+      new String(r.getAs[Array[Byte]](4), UTF_8))).toSet
+    assert(got == want, "round-trip drifted")
+    // plain (non-gzip) variant reads through the same parser
+    val dir2 = tmp("rt_plain")
+    WarcIO.warcSave(docs.limit(5).repartition(1), dir2.toString,
+      gzip = false)
+    assert(spark.read.format("graft-warc").load(dir2.toString)
+      .filter(col("warc_type") === "response").count() == 5)
+  }
+
+  test("column pruning: a manifest scan skips content blocks") {
+    val dir = tmp("prune")
+    import spark.implicits._
+    val docs = (0 until 9).map { i =>
+      (s"https://e/$i", "2026-01-01T00:00:00Z", s"<urn:d:$i>",
+        "text/html", s"payload $i".getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    WarcIO.warcSave(docs.repartition(1), dir.toString)
+    val manifest = spark.read.format("graft-warc").load(dir.toString)
+      .select("target_uri", "warc_type", "content_length")
+    // pruning reaches the scan: ReadSchema carries only the manifest cols
+    val plan = manifest.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"),
+      s"payload survived pruning in:\n$plan")
+    val uris = manifest.filter(col("warc_type") === "response")
+      .collect().map(_.getString(0)).toSet
+    assert(uris == (0 until 9).map(i => s"https://e/$i").toSet)
+  }
+
+  test("framing errors fail loudly; interior HTTP hostility degrades one row") {
+    // truncated content block: the archive lies about its last record
+    val dir = tmp("trunc")
+    val good = rec("resource", Seq("WARC-Record-ID" -> "<urn:ok>",
+      "Content-Type" -> "text/plain"), "fine".getBytes(UTF_8))
+    val lying = {
+      val env = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        "WARC-Record-ID: <urn:cut>\r\nContent-Type: text/plain\r\n" +
+        "Content-Length: 9999\r\n\r\nonly-this").getBytes(UTF_8)
+      env
+    }
+    java.nio.file.Files.write(dir.resolve("cut.warc"), good ++ lying)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir.toString).collect()
+    }
+    assert(e.getMessage.contains("truncated")
+      || Option(e.getCause).exists(_.getMessage.contains("truncated")))
+    // non-WARC bytes at a record boundary: refuse, never resync-guess
+    val dir2 = tmp("garbage")
+    java.nio.file.Files.write(dir2.resolve("bad.warc"),
+      good ++ "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir2.toString).collect()
+    }
+    // malformed chunked interior: row survives with the RAW body
+    val rawBody = "not actually chunked".getBytes(UTF_8)
+    val dir3 = tmp("badchunk")
+    java.nio.file.Files.write(dir3.resolve("c.warc"),
+      rec("response", Seq("WARC-Record-ID" -> "<urn:bc>",
+        "WARC-Target-URI" -> "https://e/b",
+        "Content-Type" -> "application/http"),
+        httpBlock("200 OK", Seq("Content-Type" -> "text/plain",
+          "Transfer-Encoding" -> "chunked"), rawBody)))
+    val r = spark.read.format("graft-warc").load(dir3.toString).collect()
+    assert(r.length == 1 && java.util.Arrays.equals(
+      r(0).getAs[Array[Byte]]("payload"), rawBody))
+    assert(WarcHttp.dechunk(rawBody).isEmpty)
+  }
+
+  test("multi-member gzip: a bad second member fails loudly, not silently") {
+    val dir = tmp("badgz")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec("resource", Seq("WARC-Record-ID" -> "<urn:m1>",
+      "Content-Type" -> "text/plain"), "one".getBytes(UTF_8)))
+    gz.finish()
+    bos.write(Array[Byte](0x1f, 0x33)) // torn second member magic
+    java.nio.file.Files.write(dir.resolve("two.warc.gz"), bos.toByteArray)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("magic")), msgs(e).mkString(" | "))
+  }
+
+  test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
+    import spark.implicits._
+    val root = tmp("stream")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def landBatch(tag: String, ids: Range): Unit = {
+      val stage = tmp(s"stage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://example.org/p/$i", "2026-01-01T00:00:00Z",
+          s"<urn:graft:doc:$i>", "text/html",
+          s"payload $i".getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-warc").load(in)
+        .filter(col("warc_type") === "response")
+        .select("target_uri", "record_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    landBatch("a", 0 until 4); run()
+    landBatch("b", 4 until 7); run() // restart picks up ONLY the new file
+    run() // idle restart is a no-op
+    val got = spark.read.parquet(out)
+    assert(got.count() == 7, "each response must land exactly once")
+    assert(got.select("record_id").distinct().count() == 7)
+    // offsets are the constant-size epoch form
+    val offsetFiles = new java.io.File(s"$chk/offsets")
+      .listFiles().filter(_.getName.matches("\\d+"))
+    assert(offsetFiles.nonEmpty)
+    offsetFiles.foreach { f =>
+      val line = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .linesIterator.toSeq.last
+      assert(line.matches("""\{"epoch":\d+\}"""), s"bad offset: $line")
+    }
+  }
+}
