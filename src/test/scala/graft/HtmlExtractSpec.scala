@@ -39,6 +39,37 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(d("&#128512;") == new String(Character.toChars(0x1F600)))
   }
 
+  test("the full HTML 4.01 table decodes: Greek, arrows, math, spacing") {
+    val d = HtmlEntityMath.decodeString _
+    // one representative per table section, spot-checked by codepoint
+    assert(d("&Agrave;&yuml;") == "Àÿ") // lat1 endpoints
+    assert(d("&alpha;&beta;&gamma; &Omega;") == "αβγ Ω")
+    assert(d("&sigmaf;&thetasym;&piv;") == "ςϑϖ")
+    assert(d("&larr;&rArr;&harr;") == "←⇒↔")
+    assert(d("x &le; y &ne; z &isin; S") == "x ≤ y ≠ z ∈ S")
+    assert(d("&sum;&prod;&int;&radic;&infin;") ==
+      "∑∏∫√∞")
+    assert(d("&lceil;&lang;&rang;&rfloor;") ==
+      "⌈⟨⟩⌋") // lang/rang at the HTML5 codepoints
+    assert(d("&OElig;&scaron;&Yuml;&fnof;") == "ŒšŸƒ")
+    assert(d("&ensp;|&thinsp;|&zwnj;|&zwj;") ==
+      "\u2002|\u2009|\u200C|\u200D")
+    assert(d("&dagger;&Dagger;&permil;&frasl;") ==
+      "†‡‰⁄")
+    assert(d("&spades;&clubs;&hearts;&diams;&loz;") ==
+      "♠♣♥♦◊")
+    assert(d("&not;&curren;&brvbar;&uml;&macr;&cedil;") ==
+      "¬¤¦¨¯¸")
+    assert(d("&weierp;&image;&real;&alefsym;") ==
+      "℘ℑℜℵ")
+    // case matters: &Sigma; vs &sigma;, unknown casings pass through
+    assert(d("&Sigma;&sigma;") == "Σσ")
+    assert(d("&SIGMA;") == "&SIGMA;")
+    // HTML5-only long names still pass through verbatim
+    assert(d("&CounterClockwiseContourIntegral;") ==
+      "&CounterClockwiseContourIntegral;")
+  }
+
   test("one pass, no rescan: &amp;lt; is the literal text &lt;") {
     assert(HtmlEntityMath.decodeString("&amp;lt;") == "&lt;")
     assert(HtmlEntityMath.decodeString("&amp;amp;lt;") == "&amp;lt;")
