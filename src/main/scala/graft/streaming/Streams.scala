@@ -668,6 +668,50 @@ object Streams {
         col("nb_score"), col("verdict"), col("clean_text"))
   }
 
+  /** The page projection of a WARC landing directory shared by the
+    * streaming and batch halves of the crawl story: HTTP-200 `text/html`
+    * response records, payload decoded as UTF-8, keyed by
+    * `page_id = xxhash64(target_uri)` (the LONG id the curation screen's
+    * typed map needs; the URI rides alongside for joins and sinks). */
+  private def crawlPageCols(warc: DataFrame): DataFrame = warc
+    .filter(col("warc_type") === "response"
+      && col("http_status") === 200
+      && coalesce(col("http_content_type"), lit(""))
+        .startsWith("text/html"))
+    .select(xxhash64(col("target_uri")).as("page_id"),
+      col("target_uri"), decode(col("payload"), "UTF-8").as("text"))
+
+  /** Streaming (page_id, target_uri, text) over a WARC landing
+    * directory — compose downstream operators on this, or join its
+    * static twin [[crawlPages]] back to a screened sink by `page_id`. */
+  def crawlPageStream(spark: SparkSession, dir: String): DataFrame =
+    crawlPageCols(spark.readStream.format("graft-warc").load(dir))
+
+  /** Batch twin of [[crawlPageStream]] over the same directory. */
+  def crawlPages(spark: SparkSession, dir: String): DataFrame =
+    crawlPageCols(spark.read.format("graft-warc").load(dir))
+
+  /** The COMPLETE continual-ingest crawl story in one call: tail a WARC
+    * landing directory (`graft-warc` micro-batch stream — constant-size
+    * epoch offsets over the compacted seen log), keep HTTP-200
+    * `text/html` responses, decode payload bytes, and run the composed
+    * stateless curation screen with the HTML front stage forced on
+    * ([[curationScreenStream]] under `cfg.copy(htmlExtract = true)`), so
+    * every verdict judges EXTRACTED text. Emits the screen's verdict
+    * columns keyed by `page_id`; recover URIs by joining
+    * [[crawlPages]](dir) on `page_id` at the sink (the screen's typed
+    * scoring map is (long, text)-shaped, so the URI does not ride
+    * through it). Corpus-relative stages ([[nearDupAgainstBase]],
+    * [[contaminationStream]]) compose downstream, exactly as for any
+    * other screened stream. */
+  def crawlScreenStream(
+      spark: SparkSession, dir: String,
+      model: Option[TextAnalysis.LmModel] = None,
+      cfg: graft.operators.Curation.Config =
+        graft.operators.Curation.Config()): DataFrame =
+    curationScreenStream(crawlPageStream(spark, dir), "page_id", "text",
+      model, cfg.copy(htmlExtract = true))
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

@@ -212,6 +212,41 @@ class PlanSpec extends AnyFunSuite {
       "two-level shortlist lost its WindowGroupLimit pushdown:\n" + p)
   }
 
+  test("distributed IVF-SQ8 join path: equi-joins only, ranks limited, ADC in codegen") {
+    val p = plan("q_x13_ann_ivfsq8_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the list equi-join:\n" + p)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "two-level shortlist lost its WindowGroupLimit pushdown:\n" + p)
+    // the asymmetric distance must be the native expression inside
+    // whole-stage codegen, not an RDD drop-out or a HOF reconstruction
+    assert(p.contains("sq8adcdistance") || p.contains("Sq8AdcDistance")
+      || p.toLowerCase.contains("sq8_adc"),
+      "SQ8 ADC kernel missing from the executed plan:\n" + p)
+  }
+
+  test("WARC manifest scan prunes payload and reports byte statistics") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_plan")
+    graft.sources.WarcIO.warcSave(
+      Tables.documents(spark, sf).limit(40).select(
+        concat(lit("https://e/"), col("doc_id").cast("string"))
+          .as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:d:"), col("doc_id").cast("string"), lit(">"))
+          .as("record_id"),
+        lit("text/html").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload")).repartition(2),
+      dir.toString)
+    val manifest = spark.read.format("graft-warc").load(dir.toString)
+      .select("target_uri", "warc_type")
+    manifest.collect()
+    val p = manifest.queryExecution.executedPlan.toString
+    assert(p.contains("target_uri") && !p.contains("payload"),
+      "payload must be pruned from the manifest scan:\n" + p)
+  }
+
   test("GIF frame extraction and FLAC decode carry no shuffle") {
     // both are flatMap/map-shaped codec passes: the only allowed
     // exchange is the explicit round-robin spreading of the compact

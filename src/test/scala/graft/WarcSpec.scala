@@ -221,6 +221,62 @@ class WarcSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("magic")), msgs(e).mkString(" | "))
   }
 
+  test("crawlScreenStream: WARC landing dir → extract → screens, batch-identical") {
+    import spark.implicits._
+    val root = tmp("crawl")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // pages: real doc text wrapped in markup (every screen must judge the
+    // EXTRACTED text), one non-HTML response, one 404 — both excluded
+    val docs = spark.read.parquet(s"${GraftSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val pages = docs.select(
+      concat(lit("https://crawl.example/p/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:c:"), col("doc_id").cast("string"), lit(">"))
+        .as("record_id"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      encode(concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")), "UTF-8").as("payload"))
+    WarcIO.warcSave(pages.repartition(2), in)
+    // a binary response that must not reach the screen
+    val stage = tmp("crawl_png")
+    WarcIO.warcSave(Seq(("https://crawl.example/logo", "2026-01-01T00:00:00Z",
+      "<urn:c:png>", "image/png", Array[Byte](1, 2, 3)))
+      .toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+    new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).foreach(f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(in, s"png-${f.getName}")))
+
+    val q = graft.streaming.Streams.crawlScreenStream(spark, in)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("crawl_screen_out").start()
+    val streamed =
+      try {
+        q.processAllAvailable()
+        spark.table("crawl_screen_out").collect()
+          .map(_.toString).sorted.toSeq
+      } finally q.stop()
+    // structural twin: batch pages through the batch screen call
+    val batch = graft.streaming.Streams.curationScreenStream(
+        graft.streaming.Streams.crawlPages(spark, in), "page_id", "text",
+        None, graft.operators.Curation.Config(htmlExtract = true))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.size == 60, s"got ${streamed.size} screened pages")
+    assert(streamed == batch,
+      "streamed crawl screen must equal the batch twin bit-for-bit")
+    // URIs join back on page_id at the sink
+    val withUri = spark.table("crawl_screen_out")
+      .join(graft.streaming.Streams.crawlPages(spark, in)
+        .select("page_id", "target_uri"), "page_id")
+    assert(withUri.count() == 60
+      && withUri.filter(col("target_uri").startsWith(
+        "https://crawl.example/p/")).count() == 60)
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
