@@ -1611,8 +1611,11 @@ object Text {
     * replace() chain rewriting `&amp;` LAST (= the kernel's one-pass
     * no-rescan semantics); general numeric decode is spec-pinned in
     * HtmlExtractSpec. */
-  val qT43HtmlExtract = Q(
-    "q_t43_html_extract",
+  /** The q_t43/q_t45 shared replay: synthetic page build + the
+    * identical nine-stage extraction chain, as one DuckDB query over
+    * `documents`. q_t45 reuses it VERBATIM because the WARC round trip
+    * composed in front is byte-identity on the payload. */
+  private def htmlExtractOracle: String =
     """WITH h AS (
       |  SELECT doc_id,
       |    '<html><head><title>Doc</title><!-- hidden '
@@ -1661,9 +1664,15 @@ object Text {
       |SELECT doc_id,
       |       trim(regexp_replace(t, '\n+', chr(10), 'g'),
       |            ' ' || chr(10)) AS txt
-      |FROM s8""".stripMargin) { (s, d) =>
+      |FROM s8""".stripMargin
+
+  /** The engine-side synthetic page of [[htmlExtractOracle]]'s `h` CTE:
+    * comment/style/script subtrees, attribute-bearing block tags, named
+    * + numeric character references, and (every 5th doc) an
+    * unterminated trailing script. */
+  private def syntheticPage: org.apache.spark.sql.Column = {
     val id = col("doc_id")
-    val html = concat(
+    concat(
       lit("<html><head><title>Doc</title><!-- hidden "),
       id.cast("string"), lit(" -->"),
       lit("<style type=\"text/css\">p { color: #fff; }</style>"),
@@ -1678,8 +1687,47 @@ object Text {
         "<div>caf&eacute; &#65;&#x42;C 1&nbsp;000</div>").otherwise(""),
       when(id % 5 === 2, "<script>late = 1; // unterminated")
         .otherwise("</body></html>"))
-    documents(s, d).select(id,
-      graft.operators.TextAnalysis.extractText(html).as("txt"))
+  }
+
+  val qT43HtmlExtract = Q("q_t43_html_extract", htmlExtractOracle) {
+    (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.operators.TextAnalysis.extractText(syntheticPage).as("txt"))
+  }
+
+  /** The crawl story END TO END, hash-certified: the q_t43 synthetic
+    * pages are framed as HTTP-200 responses in a member-per-record gzip
+    * WARC archive by the distributed [[graft.sources.WarcIO.warcSave]]
+    * writer, read back through the `graft-warc` DSv2 source, UTF-8
+    * decoded, and extracted with [[graft.operators.TextAnalysis
+    * .extractText]] — writer framing, envelope parse, explicit
+    * multi-member gunzip, Content-Length byte framing, payload decode
+    * and the whole nine-stage extraction chain in ONE certified
+    * composition. The oracle is [[htmlExtractOracle]] VERBATIM: a
+    * correct WARC round trip is byte-identity on the payload, so the
+    * composed result must hash-match plain extraction. */
+  val qT45CrawlExtract = Q("q_t45_crawl_extract", htmlExtractOracle) {
+    (s, d) =>
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_crawl_q").toString
+      graft.sources.WarcIO.warcSave(
+        documents(s, d).select(
+          concat(lit("https://crawl.example/p/"),
+            col("doc_id").cast("string")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          concat(lit("<urn:crawl:"), col("doc_id").cast("string"),
+            lit(">")).as("record_id"),
+          lit("text/html; charset=utf-8").as("http_content_type"),
+          encode(syntheticPage, "UTF-8").as("payload"))
+          .repartition(8),
+        tmp)
+      s.read.format("graft-warc").load(tmp)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "p/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.TextAnalysis.extractText(
+            decode(col("payload"), "UTF-8")).as("txt"))
   }
 
   val all: Seq[Q] =
@@ -1693,5 +1741,6 @@ object Text {
       qT31LengthBuckets, qT32BpeMerges, qT33TokenBudget, qT34FreqTokens,
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
-      qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard)
+      qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
+      qT45CrawlExtract)
 }
