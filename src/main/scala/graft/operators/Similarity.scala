@@ -352,18 +352,9 @@ object Similarity {
     * persisted frozen bounds. Idempotent per `batchId`. */
   def sq8IndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    val meta = IndexIO.readMeta(spark, dir, "sq8")
-    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
-    require(t(0)(0).length == meta("dim"), s"corrupt quantizer at $dir")
-    val q = Sq8Quantizer(t(0)(0), t(0)(1))
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
-    n2.select(col("vec_id"), sq8CodeCol(unitCol, q).as("code"))
-      .write.mode("overwrite")
-      .parquet(f"$dir/appends/codes/manual=$batchId%06d")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "sq8"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** IVF-SQ8 composed ANN: coarse-quantizer list pruning over
     * scalar-quantized payloads — the SQ8 twin of [[ivfPqTopK]], for when
@@ -1827,14 +1818,9 @@ object Similarity {
     * buckets). Idempotent per `batchId`. */
   def lshIndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    val meta = IndexIO.readMeta(spark, dir, "lsh")
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
-    lshBucketRows(n2, meta("dim").toInt).write.mode("overwrite")
-      .parquet(f"$dir/appends/buckets/manual=$batchId%06d")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "lsh"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** Persist a prebuilt [[IvfIndex]] under `dir` (stale appends
     * pruned). */
@@ -1867,15 +1853,9 @@ object Similarity {
     * the persisted frozen centroids. Idempotent per `batchId`. */
   def ivfIndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    IndexIO.readMeta(spark, dir, "ivf")
-    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
-    ivfListRows(n2, cents).write.mode("overwrite")
-      .parquet(f"$dir/appends/lists/manual=$batchId%06d")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "ivf"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** Persist a prebuilt [[PqIndex]] under `dir` (stale appends
     * pruned). */
@@ -1909,15 +1889,9 @@ object Similarity {
     * persisted frozen codebooks. Idempotent per `batchId`. */
   def pqIndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    IndexIO.readMeta(spark, dir, "pq")
-    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
-    pqEncode(n2, books).write.mode("overwrite")
-      .parquet(f"$dir/appends/codes/manual=$batchId%06d")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "pq"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** Persist a prebuilt [[IvfPqIndex]] under `dir`. Any on-disk appends
     * previously landed under `dir/appends` are DELETED after the new
@@ -2025,13 +1999,9 @@ object Similarity {
     * at the daily rebuild. */
   def ivfPqIndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    IndexIO.readMeta(spark, dir, "ivf_pq") // validate kind + version
-    appendBatch(dir, emb, id, vec,
-      IndexIO.loadMatrix(spark, s"$dir/centroids"),
-      IndexIO.loadTensor(spark, s"$dir/codebooks"), batchId,
-      prefix = "manual")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "ivf_pq"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** Persist a prebuilt [[IvfSq8Index]] under `dir` (stale appends
     * pruned — rebuild bounds/centroids are new). Same layout as
@@ -2075,65 +2045,129 @@ object Similarity {
     * Idempotent per `batchId` (`manual=` namespace). */
   def ivfSq8IndexAppendSave(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      emb: DataFrame, id: String, vec: String, batchId: Long): Unit = {
-    val meta = IndexIO.readMeta(spark, dir, "ivf_sq8")
-    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
-    val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
-    require(t.length == 1 && t(0).length == 2
-        && t(0)(0).length == meta("dim") && t(0)(1).length == meta("dim"),
-      s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
-        s"${meta("dim")} rows")
-    val quant = Sq8Quantizer(t(0)(0), t(0)(1))
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/manual=$batchId%06d")
-    sq8CodedListRows(n2, cents, quant).write.mode("overwrite")
-      .parquet(f"$dir/appends/coded_lists/manual=$batchId%06d")
-  }
+      emb: DataFrame, id: String, vec: String, batchId: Long): Unit =
+    writeAppend(dir, appendEncoders(spark, dir, "ivf_sq8"), emb, id, vec,
+      batchId, prefix = "manual")
 
   /** [[ivfPqIndexFold]] for a saved IVF-SQ8 index (frames: corpus,
     * coded_lists). */
   def ivfSq8IndexFold(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = IndexIO.indexFold(spark, dir, "ivf_sq8")
 
-  private def appendBatch(
-      dir: String, emb: DataFrame, id: String, vec: String,
-      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      batchId: Long, prefix: String): Unit = {
-    val n2 = normed(emb, id, vec).localCheckpoint()
-    n2.write.mode("overwrite")
-      .parquet(f"$dir/appends/corpus/$prefix%s=$batchId%06d")
-    codedListRows(n2, cents, books).write.mode("overwrite")
-      .parquet(f"$dir/appends/coded_lists/$prefix%s=$batchId%06d")
+  /** The frozen-artifact encoders of one SAVED index: frame name →
+    * (normed batch → rows), with the family's model artifacts
+    * (centroids / codebooks / bounds) loaded ONCE driver-side and
+    * captured — the per-batch work is then pure narrow Column/encode
+    * maps. One entry per [[IndexIO.FramesOf]] frame; validates the
+    * sidecar kind and the artifact shapes exactly like the load path.
+    * This is what makes the manual `*IndexAppendSave`s and the generic
+    * [[indexAppendSink]] ONE implementation per family instead of two
+    * that can drift. */
+  private def appendEncoders(
+      spark: org.apache.spark.sql.SparkSession, dir: String, kind: String)
+      : Seq[(String, DataFrame => DataFrame)] = kind match {
+    case "lsh" =>
+      val meta = IndexIO.readMeta(spark, dir, "lsh")
+      Seq("corpus" -> identity[DataFrame] _,
+        "buckets" -> ((n2: DataFrame) =>
+          lshBucketRows(n2, meta("dim").toInt)))
+    case "ivf" =>
+      IndexIO.readMeta(spark, dir, "ivf")
+      val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+      Seq("corpus" -> identity[DataFrame] _,
+        "lists" -> ((n2: DataFrame) => ivfListRows(n2, cents)))
+    case "pq" =>
+      IndexIO.readMeta(spark, dir, "pq")
+      val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+      Seq("corpus" -> identity[DataFrame] _,
+        "codes" -> ((n2: DataFrame) => pqEncode(n2, books)))
+    case "sq8" =>
+      val meta = IndexIO.readMeta(spark, dir, "sq8")
+      val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+      require(t.length == 1 && t(0).length == 2
+          && t(0)(0).length == meta("dim")
+          && t(0)(1).length == meta("dim"),
+        s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
+          s"${meta("dim")} rows")
+      val q = Sq8Quantizer(t(0)(0), t(0)(1))
+      Seq("corpus" -> identity[DataFrame] _,
+        "codes" -> ((n2: DataFrame) =>
+          n2.select(col("vec_id"), sq8CodeCol(unitCol, q).as("code"))))
+    case "ivf_pq" =>
+      IndexIO.readMeta(spark, dir, "ivf_pq")
+      val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+      val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+      Seq("corpus" -> identity[DataFrame] _,
+        "coded_lists" -> ((n2: DataFrame) =>
+          codedListRows(n2, cents, books)))
+    case "ivf_sq8" =>
+      val meta = IndexIO.readMeta(spark, dir, "ivf_sq8")
+      val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
+      val t = IndexIO.loadTensor(spark, s"$dir/quantizer")
+      require(t.length == 1 && t(0).length == 2
+          && t(0)(0).length == meta("dim")
+          && t(0)(1).length == meta("dim"),
+        s"quantizer tensor at $dir/quantizer does not carry 2×dim=" +
+          s"${meta("dim")} rows")
+      val q = Sq8Quantizer(t(0)(0), t(0)(1))
+      Seq("corpus" -> identity[DataFrame] _,
+        "coded_lists" -> ((n2: DataFrame) => sq8CodedListRows(n2, cents, q)))
+    case other => throw new IllegalArgumentException(
+      s"unknown index kind for appends: $other")
   }
 
-  /** Streaming index maintenance — the missing half of the build-daily /
-    * append-hourly lifecycle: every micro-batch of newly embedded rows is
-    * encoded under the saved index's FROZEN quantizers (loaded once,
-    * driver-side) and landed as an idempotent on-disk append, so a
-    * reader's next [[ivfPqIndexLoad]] sees them with no rebuild.
+  /** Land one append batch: each frame's rows under
+    * `dir/appends/<frame>/<prefix>=<batchId>` — overwrite per partition,
+    * so a replayed batch id rewrites itself (idempotent). */
+  private def writeAppend(
+      dir: String, encoders: Seq[(String, DataFrame => DataFrame)],
+      emb: DataFrame, id: String, vec: String, batchId: Long,
+      prefix: String): Unit = {
+    val n2 = normed(emb, id, vec).localCheckpoint()
+    encoders.foreach { case (frame, enc) =>
+      enc(n2).write.mode("overwrite")
+        .parquet(f"$dir/appends/$frame%s/$prefix%s=$batchId%06d")
+    }
+  }
+
+  /** Streaming index maintenance for EVERY saved index family — the
+    * missing half of the build-daily / append-hourly lifecycle: the
+    * sidecar names the family ([[IndexIO.readKind]]), its frozen
+    * quantizers load once driver-side ([[appendEncoders]]), and every
+    * micro-batch of newly embedded rows lands as an idempotent on-disk
+    * append, so a reader's next `*IndexLoad` sees them with no rebuild.
     * Checkpoint replays rewrite their own batch partitions — exactly
-    * once. Quantizers drift as the distribution shifts: rebuild (and
-    * fold appends into the base) when recall probes degrade. */
-  def ivfPqAppendSink(
+    * once. Quantizers drift as the distribution shifts: rebuild (or
+    * `*IndexFold` + rebuild) when recall probes degrade. */
+  def indexAppendSink(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       stream: DataFrame, id: String, vec: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    IndexIO.readMeta(spark, dir, "ivf_pq")
+    val kind = IndexIO.readKind(spark, dir)
     // batchId idempotence is scoped to ONE checkpoint lineage: a fresh
     // checkpoint restarts batch ids at 0 and would OVERWRITE prior
     // append partitions — refuse the foot-gun up front
     IndexIO.requireSameLineage(spark, s"$dir/appends/corpus", checkpoint,
       what = "index appends")
-    val cents = IndexIO.loadMatrix(spark, s"$dir/centroids")
-    val books = IndexIO.loadTensor(spark, s"$dir/codebooks")
+    val encoders = appendEncoders(spark, dir, kind)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        appendBatch(dir, batch.toDF(), id, vec, cents, books, batchId,
+        writeAppend(dir, encoders, batch.toDF(), id, vec, batchId,
           prefix = "batch")
       }
       .start()
+  }
+
+  /** [[indexAppendSink]] pinned to an IVF-PQ dir (kind-validated up
+    * front — the original single-family entry point, kept so existing
+    * callers read as before). */
+  def ivfPqAppendSink(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      stream: DataFrame, id: String, vec: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IndexIO.readMeta(spark, dir, "ivf_pq")
+    indexAppendSink(spark, dir, stream, id, vec, checkpoint)
   }
 }

@@ -110,6 +110,92 @@ class AnnStreamSpec extends AnyFunSuite {
       "replaying manual append 0 must not duplicate rows")
   }
 
+  test("generic indexAppendSink: every family streams appends in, loads equal in-session") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val pred = col("vec_id") % 37 === 0
+    val qs = Similarity.normed(emb.filter(pred), "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // (family, build+save, top-k of a fresh load, top-k of the
+    // in-session build(half)+append(rest) reference)
+    final case class Fam(tag: String,
+        save: String => Unit,
+        loadTopK: String => Set[String],
+        wantTopK: () => Set[String])
+    val fams = Seq(
+      Fam("lsh",
+        d => Similarity.lshIndexSave(
+          Similarity.lshIndexBuild(half, "vec_id", "embedding", dim = 64), d),
+        d => rows(Similarity.lshTopK(
+          Similarity.lshIndexLoad(spark, d), pred, K)),
+        () => rows(Similarity.lshTopK(Similarity.lshIndexAppend(
+          Similarity.lshIndexBuild(half, "vec_id", "embedding", dim = 64),
+          rest, "vec_id", "embedding"), pred, K))),
+      Fam("ivf",
+        d => Similarity.ivfIndexSave(
+          Similarity.ivfIndexBuild(half, "vec_id", "embedding"), d),
+        d => rows(Similarity.ivfTopK(
+          Similarity.ivfIndexLoad(spark, d), pred, K)),
+        () => rows(Similarity.ivfTopK(Similarity.ivfIndexAppend(
+          Similarity.ivfIndexBuild(half, "vec_id", "embedding"),
+          rest, "vec_id", "embedding"), pred, K))),
+      Fam("pq",
+        d => Similarity.pqIndexSave(
+          Similarity.pqIndexBuild(half, "vec_id", "embedding"), d),
+        d => rows(Similarity.pqTopK(
+          Similarity.pqIndexLoad(spark, d), pred, K)),
+        () => rows(Similarity.pqTopK(Similarity.pqIndexAppend(
+          Similarity.pqIndexBuild(half, "vec_id", "embedding"),
+          rest, "vec_id", "embedding"), pred, K))),
+      Fam("sq8",
+        d => Similarity.sq8IndexSave(
+          Similarity.sq8IndexBuild(half, "vec_id", "embedding"), d),
+        d => rows(Similarity.sq8TopK(
+          Similarity.sq8IndexLoad(spark, d), qs, K)),
+        () => rows(Similarity.sq8TopK(Similarity.sq8IndexAppend(
+          Similarity.sq8IndexBuild(half, "vec_id", "embedding"),
+          rest, "vec_id", "embedding"), qs, K))),
+      Fam("ivfpq",
+        d => Similarity.ivfPqIndexSave(
+          Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"), d),
+        d => rows(Similarity.ivfPqTopK(
+          Similarity.ivfPqIndexLoad(spark, d), pred, K)),
+        () => rows(Similarity.ivfPqTopK(Similarity.ivfPqIndexAppend(
+          Similarity.ivfPqIndexBuild(half, "vec_id", "embedding"),
+          rest, "vec_id", "embedding"), pred, K))),
+      Fam("ivfsq8",
+        d => Similarity.ivfSq8IndexSave(
+          Similarity.ivfSq8IndexBuild(half, "vec_id", "embedding"), d),
+        d => rows(Similarity.ivfSq8TopK(
+          Similarity.ivfSq8IndexLoad(spark, d), pred, K)),
+        () => rows(Similarity.ivfSq8TopK(Similarity.ivfSq8IndexAppend(
+          Similarity.ivfSq8IndexBuild(half, "vec_id", "embedding"),
+          rest, "vec_id", "embedding"), pred, K))))
+    val chunks = rest.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .grouped((rest.count().toInt + 1) / 2).toSeq
+    fams.foreach { f =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sink_${f.tag}").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sink_ck_${f.tag}").toString
+      f.save(dir)
+      val ms = StreamTestSupport.memoryStream[(Long, Array[Float])]
+      val q = Similarity.indexAppendSink(
+        spark, dir, ms.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ckpt)
+      try {
+        chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      assert(f.loadTopK(dir) == f.wantTopK(),
+        s"${f.tag}: streamed appends diverged from the in-session append")
+    }
+  }
+
   test("lineage guard: fresh checkpoint against existing batches refuses") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
