@@ -984,8 +984,40 @@ object Extras {
         length(col("payload")).cast("long").as("payload_len"))
   }
 
+  /** WET (extracted-text `conversion` records) round trip,
+    * HASH-CERTIFIED — the archive-the-curated-corpus tail of the crawl
+    * story: [[graft.sources.WarcIO.wetSave]] frames each document's
+    * text as an ISO 28500 `conversion` record (text/plain, no HTTP
+    * envelope), and the `graft-warc` source reads it back. The
+    * certified `content_length` pins the writer's Content-Length
+    * framing to the exact UTF-8 octet count. */
+  val qS17WetRoundTrip = Q(
+    "q_s17_wet_roundtrip",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wet_q").toString
+    graft.sources.WarcIO.wetSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:wet:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        col("text"))
+        .repartition(8),
+      tmp)
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "conversion")
+      .select(col("target_uri"),
+        decode(col("payload"), "UTF-8").as("text"),
+        col("content_length"))
+  }
+
   val all: Seq[Q] = Seq(
-    qS16WarcRoundTrip,
+    qS16WarcRoundTrip, qS17WetRoundTrip,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

@@ -618,6 +618,48 @@ object WarcIO {
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
       col(payload).cast("binary"))
+    archiveSave(rows, dir, gzip, infoDate, r =>
+      responseRecord(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3),
+        if (r.isNullAt(4)) Array.empty[Byte]
+        else r.getAs[Array[Byte]](4)))
+  }
+
+  /** The WET analog of [[warcSave]]: archive an EXTRACTED-TEXT corpus as
+    * `conversion` records (ISO 28500 §6.8 — the record type public
+    * crawls ship their extracted text as), `Content-Type: text/plain`,
+    * UTF-8 payloads, same member-per-record gzip layout and atomic
+    * publish. The natural tail of the crawl pipeline: read WARC →
+    * [[graft.operators.TextAnalysis.extractText]] → screens → `wetSave`
+    * the surviving text, and the corpus re-reads through `graft-warc`
+    * (q_s17 certifies the round trip). */
+  def wetSave(
+      df: DataFrame, dir: String, gzip: Boolean = true,
+      uri: String = "target_uri", date: String = "warc_date",
+      recordId: String = "record_id", text: String = "text",
+      infoDate: String = "2026-01-01T00:00:00Z"): Long = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(
+      col(uri).cast("string"), col(date).cast("string"),
+      col(recordId).cast("string"), col(text).cast("string"))
+    archiveSave(rows, dir, gzip, infoDate, r =>
+      conversionRecord(r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) Array.empty[Byte]
+        else r.getString(3)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Shared partition-archive loop: one warcinfo-led `.warc[.gz]` file
+    * per partition, one gzip member per record, tmp+rename publish.
+    * `mkRecord` turns each projected row into one framed record. */
+  private def archiveSave(
+      rows: DataFrame, dir: String, gzip: Boolean, infoDate: String,
+      mkRecord: org.apache.spark.sql.Row => Array[Byte]): Long = {
+    val spark = rows.sparkSession
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val fs0 = new Path(dir).getFileSystem(conf.value)
+    fs0.mkdirs(new Path(dir))
     val ext = if (gzip) ".warc.gz" else ".warc"
     val counts = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
       val fs = new Path(dir).getFileSystem(conf.value)
@@ -633,20 +675,31 @@ object WarcIO {
             gz.write(recBytes); gz.finish() // member trailer, stream open
           } else out.write(recBytes)
         member(WarcIO.warcinfoRecord(name, infoDate))
-        it.foreach { r =>
-          member(WarcIO.responseRecord(
-            r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3),
-            if (r.isNullAt(4)) Array.empty[Byte]
-            else r.getAs[Array[Byte]](4)))
-          n += 1
-        }
+        it.foreach { r => member(mkRecord(r)); n += 1 }
       } finally out.close()
       require(fs.rename(tmp, new Path(dir, name)),
         s"graft-warc: could not publish $name under $dir")
       Iterator.single(n)
     }
     counts.sum().toLong
+  }
+
+  /** One `conversion` record: WARC envelope over a raw text block. */
+  private[sources] def conversionRecord(
+      uri: String, date: String, recordId: String,
+      textBytes: Array[Byte]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val envelope =
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: $recordId\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${textBytes.length}\r\n\r\n").getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream(
+      envelope.length + textBytes.length + 4)
+    bos.write(envelope); bos.write(textBytes)
+    bos.write(Crlf); bos.write(Crlf)
+    bos.toByteArray
   }
 
   /** One `response` record: WARC envelope + HTTP/1.1 200 message. */

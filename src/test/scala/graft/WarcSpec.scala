@@ -145,6 +145,34 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("warc_type") === "response").count() == 5)
   }
 
+  test("wetSave: conversion records round-trip extracted text byte-exact") {
+    val dir = tmp("wet")
+    import spark.implicits._
+    val docs = (0 until 23).map { i =>
+      (s"https://example.org/p/$i", "2026-01-01T00:00:00Z",
+        s"<urn:graft:wet:$i>", s"extracted text $i\nsecond line é$i")
+    }.toDF("target_uri", "warc_date", "record_id", "text")
+    assert(WarcIO.wetSave(docs.repartition(3), dir.toString) == 23L)
+    val back = spark.read.format("graft-warc").load(dir.toString)
+    assert(back.filter(col("warc_type") === "warcinfo").count() == 3)
+    val conv = back.filter(col("warc_type") === "conversion")
+    val got = conv.select("target_uri", "record_id", "payload",
+        "content_type", "http_status", "content_length")
+      .collect().map { r =>
+        assert(r.getAs[String]("content_type") == "text/plain")
+        assert(r.getAs[Integer]("http_status") == null,
+          "conversion records carry no HTTP message")
+        val text = new String(r.getAs[Array[Byte]]("payload"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(r.getAs[Long]("content_length") ==
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+        (r.getString(0), r.getString(1), text)
+      }.toSet
+    val want = docs.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    assert(got == want, "WET round-trip drifted")
+  }
+
   test("column pruning: a manifest scan skips content blocks") {
     val dir = tmp("prune")
     import spark.implicits._
