@@ -242,6 +242,27 @@ private[sources] class WarcPartitionReader(
   private var current: InternalRow = _
   private var currentFile: UTF8String = _
 
+  /** Per-column extractors resolved ONCE at reader construction — the
+    * row loop below must not string-match column names per cell (ten
+    * comparisons x columns x millions of records). */
+  private val extractors: Array[WarcRecord => Any] =
+    required.fields.map(f => f.name match {
+      case "record_id" => (r: WarcRecord) => utf8(r.recordId)
+      case "warc_type" => (r: WarcRecord) => utf8(r.warcType)
+      case "target_uri" => (r: WarcRecord) => utf8(r.targetUri)
+      case "warc_date" => (r: WarcRecord) => utf8(r.warcDate)
+      case "content_type" => (r: WarcRecord) => utf8(r.contentType)
+      case "content_length" => (r: WarcRecord) => r.contentLength
+      case "http_status" => (r: WarcRecord) =>
+        if (r.httpStatus == null) null else r.httpStatus.intValue()
+      case "http_content_type" => (r: WarcRecord) =>
+        utf8(r.httpContentType)
+      case "payload" => (r: WarcRecord) => r.payload
+      case "warc_file" => (_: WarcRecord) => currentFile
+      case other => throw new IllegalStateException(
+        s"graft-warc: unknown required column $other")
+    })
+
   private def openNext(): Boolean = {
     closeStream()
     fi += 1
@@ -249,8 +270,12 @@ private[sources] class WarcPartitionReader(
     val p = new Path(files(fi))
     val fs = p.getFileSystem(conf.value)
     val raw: java.io.InputStream = fs.open(p)
+    // buffer ABOVE the gunzip too: the record iterator reads header
+    // bytes one at a time, and each unbuffered read would otherwise be
+    // an inflater round-trip (plus a 1-byte array) per header byte
     in = if (files(fi).endsWith(".gz"))
-      new MultiMemberGzipInputStream(raw, files(fi))
+      new java.io.BufferedInputStream(
+        new MultiMemberGzipInputStream(raw, files(fi)), 1 << 16)
     else new java.io.BufferedInputStream(raw, 1 << 16)
     it = new WarcRecordIterator(in, files(fi), needBlock)
     currentFile = UTF8String.fromString(files(fi))
@@ -263,21 +288,7 @@ private[sources] class WarcPartitionReader(
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      row.update(i, required.fields(i).name match {
-        case "record_id" => utf8(r.recordId)
-        case "warc_type" => utf8(r.warcType)
-        case "target_uri" => utf8(r.targetUri)
-        case "warc_date" => utf8(r.warcDate)
-        case "content_type" => utf8(r.contentType)
-        case "content_length" => r.contentLength
-        case "http_status" =>
-          if (r.httpStatus == null) null else r.httpStatus.intValue()
-        case "http_content_type" => utf8(r.httpContentType)
-        case "payload" => r.payload
-        case "warc_file" => currentFile
-        case other => throw new IllegalStateException(
-          s"graft-warc: unknown required column $other")
-      })
+      row.update(i, extractors(i)(r))
       i += 1
     }
     current = row
