@@ -108,9 +108,13 @@ private[sources] class WarcTable(path: String, tableSchema: StructType)
 
 private[sources] class WarcScanBuilder(path: String, full: StructType,
     conf: SerializableHadoopConf)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushedTypes: Option[Set[String]] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = full.fieldNames.toSet
@@ -118,17 +122,49 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
       requiredSchema.fields.filter(f => byName.contains(f.name)))
   }
 
-  override def build(): Scan = new WarcScan(path, required, conf)
+  /** Record-type pushdown: `warc_type = 'response'` (or IN) reaches the
+    * record loop, which then SKIPS non-matching records' content blocks
+    * instead of materializing them — in a real crawl archive roughly
+    * half the records are request/metadata envelopes, so a
+    * response-only scan halves the bytes it buffers. Every filter is
+    * also returned as residual (Spark re-applies it), keeping the
+    * pushdown a pure skip optimization with no correctness surface. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val types = filters.collect {
+      case EqualTo("warc_type", v: String) => Set(v)
+      case In("warc_type", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (types.nonEmpty) {
+      pushedTypes = Some(types.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("warc_type", _) | In("warc_type", _) => true
+        case _ => false
+      }
+    }
+    filters // all residual: Spark re-applies, pushdown is skip-only
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan = new WarcScan(path, required, conf, pushedTypes)
 }
 
 private[sources] class WarcScan(path: String, required: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    typeFilter: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-warc $path [${required.fieldNames.mkString(", ")}]"
+    s"graft-warc $path [${required.fieldNames.mkString(", ")}]" +
+      typeFilter.fold("")(t =>
+        s" PushedRecordTypes: [${t.toSeq.sorted.mkString(", ")}]")
 
   private lazy val files: Seq[(String, Long)] =
     SourceFiles.listDataFiles(path, conf.value)
@@ -145,7 +181,7 @@ private[sources] class WarcScan(path: String, required: StructType,
       .map(b => WarcInputPartition(b): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, conf)
+    new WarcReaderFactory(required, conf, typeFilter)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
@@ -157,12 +193,14 @@ private[sources] case class WarcInputPartition(files: Array[String])
     extends InputPartition
 
 private[sources] class WarcReaderFactory(required: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    typeFilter: Option[Set[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].files, required, conf)
+      partition.asInstanceOf[WarcInputPartition].files, required, conf,
+      typeFilter)
 }
 
 /** Micro-batch stream over a WARC landing directory: identical offset
@@ -228,7 +266,8 @@ private[sources] final case class WarcRecord(
 
 private[sources] class WarcPartitionReader(
     files: Array[String], required: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    typeFilter: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   /** Content blocks must be materialized iff any HTTP-derived column or
@@ -277,7 +316,7 @@ private[sources] class WarcPartitionReader(
       new java.io.BufferedInputStream(
         new MultiMemberGzipInputStream(raw, files(fi)), 1 << 16)
     else new java.io.BufferedInputStream(raw, 1 << 16)
-    it = new WarcRecordIterator(in, files(fi), needBlock)
+    it = new WarcRecordIterator(in, files(fi), needBlock, typeFilter)
     currentFile = UTF8String.fromString(files(fi))
     true
   }
@@ -314,7 +353,8 @@ private[sources] class WarcPartitionReader(
   * length-framed away from payloads, so the line reader never scans
   * content bytes. */
 private[sources] final class WarcRecordIterator(
-    in: java.io.InputStream, file: String, needBlock: Boolean)
+    in: java.io.InputStream, file: String, needBlock: Boolean,
+    typeFilter: Option[Set[String]] = None)
     extends Iterator[WarcRecord] {
 
   private var nextRec: WarcRecord = _
@@ -334,6 +374,12 @@ private[sources] final class WarcRecordIterator(
 
   private def advance(): Unit = {
     nextRec = null
+    // loop, not recursion: a pushed type filter can skip an unbounded
+    // run of records and must not grow the stack doing it
+    while (nextRec == null && !finished) advanceOnce()
+  }
+
+  private def advanceOnce(): Unit = {
     var line = readLine()
     while (line != null && line.isEmpty) line = readLine() // separators
     if (line == null) { finished = true; return }
@@ -365,6 +411,13 @@ private[sources] final class WarcRecordIterator(
       s"graft-warc: $file: unsupported Content-Length $len")
     val warcType = h.getOrElse("warc-type", null)
     val contentType = h.getOrElse("content-type", null)
+    // pushed record-type filter: a non-matching record's content block
+    // is SKIPPED, never buffered or HTTP-split (Spark re-applies the
+    // residual filter, so this is a pure skip optimization)
+    if (typeFilter.exists(t => warcType == null || !t.contains(warcType))) {
+      in.skipNBytes(len)
+      return // nextRec stays null; advance()'s loop tries the next record
+    }
     var status: Integer = null
     var httpCt: String = null
     var payload: Array[Byte] = null

@@ -193,6 +193,47 @@ class WarcSpec extends AnyFunSuite {
     assert(uris == (0 until 9).map(i => s"https://e/$i").toSet)
   }
 
+  test("warc_type pushdown reaches the record loop; results stay exact") {
+    val dir = tmp("push")
+    import spark.implicits._
+    val docs = (0 until 12).map { i =>
+      (s"https://e/$i", "2026-01-01T00:00:00Z", s"<urn:p:$i>",
+        "text/html", s"page $i".getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    WarcIO.warcSave(docs.repartition(2), dir.toString)     // + 2 warcinfo
+    val wet = tmp("push_wet")
+    WarcIO.wetSave(docs.limit(5).select(col("target_uri"),
+      col("warc_date"), col("record_id"),
+      decode(col("payload"), "UTF-8").as("text")).repartition(1),
+      wet.toString)
+    new java.io.File(wet.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).foreach(f =>
+        java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(
+          dir.toString, s"wet-${f.getName}")))
+    val all = spark.read.format("graft-warc").load(dir.toString)
+    // 12 responses + 5 conversions + 3 warcinfo
+    assert(all.count() == 20)
+    val responses = all.filter(col("warc_type") === "response")
+    responses.collect()
+    val plan = responses.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedRecordTypes: [response]"),
+      s"warc_type equality must reach the scan:\n$plan")
+    assert(responses.count() == 12)
+    assert(responses.select("target_uri").collect().map(_.getString(0))
+      .toSet == (0 until 12).map(i => s"https://e/$i").toSet)
+    // IN pushes too, and payloads of the kept types stay byte-exact
+    val both = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("warc_type").isin("response", "conversion"))
+    both.collect()
+    assert(both.queryExecution.executedPlan.toString
+      .contains("PushedRecordTypes: [conversion, response]"))
+    assert(both.count() == 17)
+    // a non-pushable filter still evaluates exactly (residual path)
+    assert(spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("http_status") === 200).count() == 12)
+  }
+
   test("framing errors fail loudly; interior HTTP hostility degrades one row") {
     // truncated content block: the archive lies about its last record
     val dir = tmp("trunc")
