@@ -186,7 +186,8 @@ private[sources] class WarcScan(path: String, required: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required, conf, checkpointLocation)
+    new WarcMicroBatchStream(path, required, conf, checkpointLocation,
+      typeFilter)
 }
 
 private[sources] case class WarcInputPartition(files: Array[String])
@@ -212,7 +213,7 @@ private[sources] class WarcReaderFactory(required: StructType,
   * the WAL means a corrupted/foreign checkpoint and fails loudly. */
 private[sources] class WarcMicroBatchStream(
     path: String, required: StructType, conf: SerializableHadoopConf,
-    checkpointLocation: String)
+    checkpointLocation: String, typeFilter: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
   import org.apache.spark.sql.connector.read.streaming
@@ -252,7 +253,7 @@ private[sources] class WarcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, conf)
+    new WarcReaderFactory(required, conf, typeFilter)
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
