@@ -1016,8 +1016,47 @@ object Extras {
         col("content_length"))
   }
 
+  /** CDX-indexed record fetch, HASH-CERTIFIED — the random-access story
+    * at archive scale: [[graft.sources.WarcIO.warcSave]] writes a
+    * `_cdx` sidecar of exact byte extents in the same pass, and
+    * [[graft.sources.WarcIO.warcFetch]] answers a URI list by seeking
+    * just those extents (kilobytes per page out of a 100 TB archive, no
+    * scan). The oracle restates the fetched subset closed-form from the
+    * source rows; hash-matching payload text and octet length pins the
+    * offset/length arithmetic and the single-member gunzip byte-exactly. */
+  val qS18WarcFetch = Q(
+    "q_s18_warc_fetch",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CAST(200 AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+      |FROM documents WHERE doc_id % 7 = 3""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdx_q").toString
+    val docs = documents(s, d)
+    graft.sources.WarcIO.warcSave(
+      docs.select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp)
+    graft.sources.WarcIO.warcFetch(s, tmp,
+      docs.filter(col("doc_id") % 7 === 3)
+        .select(concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri")))
+      .select(col("target_uri"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        length(col("payload")).cast("long").as("payload_len"))
+  }
+
   val all: Seq[Q] = Seq(
-    qS16WarcRoundTrip, qS17WetRoundTrip,
+    qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

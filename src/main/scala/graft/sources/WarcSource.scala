@@ -683,7 +683,7 @@ object WarcIO {
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
       col(payload).cast("binary"))
-    archiveSave(rows, dir, gzip, infoDate, r =>
+    archiveSave(rows, dir, gzip, infoDate, "response", r =>
       responseRecord(r.getString(0), r.getString(1), r.getString(2),
         r.getString(3),
         if (r.isNullAt(4)) Array.empty[Byte]
@@ -707,18 +707,39 @@ object WarcIO {
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(text).cast("string"))
-    archiveSave(rows, dir, gzip, infoDate, r =>
+    archiveSave(rows, dir, gzip, infoDate, "conversion", r =>
       conversionRecord(r.getString(0), r.getString(1), r.getString(2),
         if (r.isNullAt(3)) Array.empty[Byte]
         else r.getString(3)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** The CDX sidecar's schema: one row per record with its EXACT byte
+    * extent inside its archive file — for a `.warc.gz` the extent is one
+    * whole gzip member, so a reader can seek + bounded-read + gunzip
+    * exactly one record (the layout public crawl indexes describe). */
+  val CdxSchema: StructType = StructType(Seq(
+    StructField("target_uri", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("warc_file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+
   /** Shared partition-archive loop: one warcinfo-led `.warc[.gz]` file
     * per partition, one gzip member per record, tmp+rename publish.
-    * `mkRecord` turns each projected row into one framed record. */
+    * `mkRecord` turns each projected row into one framed record; rows
+    * carry `target_uri` at 0 and `record_id` at 2 for the index. The
+    * SAME pass emits each record's (offset, length) extent, written as
+    * the `_cdx` parquet sidecar (underscore-prefixed — the archive
+    * listing skips it): the record-level random-access index
+    * [[warcFetch]] seeks with. Ordering is crash-safe: every archive
+    * file publishes (tmp+rename) inside its task, and the sidecar
+    * commits through Spark's output committer only after all tasks —
+    * a visible `_cdx` implies every file it points into is live. */
   private def archiveSave(
       rows: DataFrame, dir: String, gzip: Boolean, infoDate: String,
+      recordType: String,
       mkRecord: org.apache.spark.sql.Row => Array[Byte]): Long = {
     val spark = rows.sparkSession
     val conf = new SerializableHadoopConf(
@@ -726,27 +747,109 @@ object WarcIO {
     val fs0 = new Path(dir).getFileSystem(conf.value)
     fs0.mkdirs(new Path(dir))
     val ext = if (gzip) ".warc.gz" else ".warc"
-    val counts = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val cdxRows = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
       val fs = new Path(dir).getFileSystem(conf.value)
       fs.setWriteChecksum(false) // no .crc sidecars in the archive dir
       val name = f"part-$pid%05d$ext"
       val tmp = new Path(dir, s".$name.tmp")
       val out = fs.create(tmp, true)
-      var n = 0L
+      val fullPath = fs.makeQualified(new Path(dir, name)).toString
+      val cdx = scala.collection.mutable.ArrayBuffer[Row]()
+      var pos = 0L
       try {
-        def member(recBytes: Array[Byte]): Unit =
+        def member(recBytes: Array[Byte]): Long = {
           if (gzip) {
             val gz = new java.util.zip.GZIPOutputStream(out, 1 << 15)
             gz.write(recBytes); gz.finish() // member trailer, stream open
           } else out.write(recBytes)
-        member(WarcIO.warcinfoRecord(name, infoDate))
-        it.foreach { r => member(mkRecord(r)); n += 1 }
+          val start = pos
+          pos = out.getPos
+          pos - start
+        }
+        val infoLen = member(WarcIO.warcinfoRecord(name, infoDate))
+        cdx += Row(null, s"<urn:graft:warcinfo:$name>", "warcinfo",
+          fullPath, 0L, infoLen)
+        it.foreach { r =>
+          val start = pos
+          val len = member(mkRecord(r))
+          cdx += Row(r.getString(0), r.getString(2), recordType,
+            fullPath, start, len)
+        }
       } finally out.close()
       require(fs.rename(tmp, new Path(dir, name)),
         s"graft-warc: could not publish $name under $dir")
-      Iterator.single(n)
+      cdx.iterator
     }
-    counts.sum().toLong
+    spark.createDataFrame(cdxRows, CdxSchema)
+      .write.mode("overwrite").parquet(s"$dir/_cdx")
+    spark.read.parquet(s"$dir/_cdx")
+      .filter(org.apache.spark.sql.functions.col("warc_type")
+        =!= "warcinfo").count()
+  }
+
+  /** Record-level RANDOM ACCESS into an archive [[warcSave]]/[[wetSave]]
+    * wrote: join the wanted URIs against the `_cdx` sidecar, seek each
+    * matched record's exact byte extent, and parse just that record —
+    * fetching a thousand pages out of a 100 TB archive reads kilobytes
+    * per page instead of scanning the corpus. Matched extents
+    * repartition by file and sort by offset, so each task sweeps its
+    * files forward instead of seeking randomly. Output schema =
+    * [[WarcSource.Schema]] (what a full scan of only those records
+    * would return). */
+  def warcFetch(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      uris: DataFrame, uriCol: String = "target_uri"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val matched = spark.read.parquet(s"$dir/_cdx")
+      .join(uris.select(col(uriCol).cast("string").as("target_uri"))
+        .distinct(), "target_uri")
+      .select("warc_file", "offset", "length")
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("warc_file"))
+      .sortWithinPartitions(col("warc_file"), col("offset"))
+    val required = WarcSource.Schema
+    val rows = matched.rdd.mapPartitions { it =>
+      var openFile: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      def ensureOpen(f: String): org.apache.hadoop.fs.FSDataInputStream = {
+        if (openFile != f) {
+          if (in != null) in.close()
+          val p = new Path(f)
+          in = p.getFileSystem(conf.value).open(p)
+          openFile = f
+        }
+        in
+      }
+      val out = it.map { r =>
+        val (f, off, len) =
+          (r.getString(0), r.getLong(1), r.getLong(2))
+        val stream = ensureOpen(f)
+        stream.seek(off)
+        val bytes = new Array[Byte](len.toInt)
+        stream.readFully(bytes)
+        val slice: java.io.InputStream =
+          if (f.endsWith(".gz"))
+            new java.io.BufferedInputStream(
+              new MultiMemberGzipInputStream(
+                new java.io.ByteArrayInputStream(bytes), f), 1 << 14)
+          else new java.io.ByteArrayInputStream(bytes)
+        val rec = new WarcRecordIterator(slice, f, needBlock = true).next()
+        Row(rec.recordId, rec.warcType, rec.targetUri, rec.warcDate,
+          rec.contentType, rec.contentLength, rec.httpStatus,
+          rec.httpContentType, rec.payload, f)
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && in != null) { in.close(); in = null }
+          h
+        }
+        def next(): Row = out.next()
+      }
+    }
+    spark.createDataFrame(rows, required)
   }
 
   /** One `conversion` record: WARC envelope over a raw text block. */

@@ -193,6 +193,53 @@ class WarcSpec extends AnyFunSuite {
     assert(uris == (0 until 9).map(i => s"https://e/$i").toSet)
   }
 
+  test("CDX sidecar + warcFetch: record-level random access is byte-exact") {
+    val dir = tmp("cdx")
+    import spark.implicits._
+    val docs = (0 until 57).map { i =>
+      (s"https://example.org/p/$i", "2026-01-01T00:00:00Z",
+        s"<urn:graft:doc:$i>", "text/html; charset=utf-8",
+        s"<html>fetch target $i ${"y" * (i % 11)}</html>".getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    WarcIO.warcSave(docs.repartition(4), dir.toString)
+    // the sidecar indexes every record with its exact member extent
+    val cdx = spark.read.parquet(s"$dir/_cdx")
+    assert(cdx.count() == 57 + 4) // + one warcinfo per file
+    assert(cdx.filter(col("length") <= 0 || col("offset") < 0).count() == 0)
+    // extents tile each file exactly: sum(length) == file size
+    val sizes = cdx.groupBy("warc_file")
+      .agg(sum(col("length")).as("bytes")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    sizes.foreach { case (f, bytes) =>
+      val real = new java.io.File(new java.net.URI(f)).length()
+      assert(real == bytes, s"$f: indexed $bytes vs on-disk $real")
+    }
+    // fetch a subset: byte-exact payloads, full reader schema
+    val want = (0 until 57).filter(_ % 7 == 3)
+    val uris = want.map(i => s"https://example.org/p/$i").toDF("target_uri")
+    val fetched = graft.sources.WarcIO.warcFetch(spark, dir.toString, uris)
+    assert(fetched.schema == spark.read.format("graft-warc")
+      .load(dir.toString).schema)
+    val got = fetched.collect().map { r =>
+      (r.getAs[String]("target_uri"), r.getAs[Int]("http_status"),
+        new String(r.getAs[Array[Byte]]("payload"), UTF_8))
+    }.toSet
+    assert(got == want.map(i => (s"https://example.org/p/$i", 200,
+      s"<html>fetch target $i ${"y" * (i % 11)}</html>")).toSet)
+    // absent uris fetch nothing; plain (non-gzip) archives seek too
+    assert(graft.sources.WarcIO.warcFetch(spark, dir.toString,
+      Seq("https://nowhere/x").toDF("target_uri")).count() == 0)
+    val plainDir = tmp("cdx_plain")
+    WarcIO.warcSave(docs.limit(9).repartition(1), plainDir.toString,
+      gzip = false)
+    assert(graft.sources.WarcIO.warcFetch(spark, plainDir.toString,
+      Seq("https://example.org/p/5").toDF("target_uri"))
+      .select("payload").collect().map(r =>
+        new String(r.getAs[Array[Byte]](0), UTF_8)).toSeq
+      == Seq(s"<html>fetch target 5 ${"y" * 5}</html>"))
+  }
+
   test("warc_type pushdown reaches the record loop; results stay exact") {
     val dir = tmp("push")
     import spark.implicits._
