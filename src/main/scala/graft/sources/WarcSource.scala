@@ -545,7 +545,7 @@ private[graft] object WarcHttp {
   * trailers are consumed but not verified — the deflate structure
   * itself frames each member; verification would add a full extra pass
   * of checksum arithmetic per byte.) */
-private[sources] final class MultiMemberGzipInputStream(
+private[graft] final class MultiMemberGzipInputStream(
     raw: java.io.InputStream, file: String) extends java.io.InputStream {
 
   private val inf = new java.util.zip.Inflater(true) // raw deflate
@@ -825,6 +825,9 @@ object WarcIO {
       val out = it.map { r =>
         val (f, off, len) =
           (r.getString(0), r.getLong(1), r.getLong(2))
+        require(len > 0 && len <= Int.MaxValue - 8,
+          s"graft-warc: $f: unfetchable record extent $len at $off " +
+            "(corrupt _cdx row?)")
         val stream = ensureOpen(f)
         stream.seek(off)
         val bytes = new Array[Byte](len.toInt)
