@@ -77,7 +77,8 @@ class WarcSource extends TableProvider with DataSourceRegister {
 object WarcSource {
   /** Fixed table schema: envelope headers, HTTP split, payload bytes,
     * provenance. `warc_date` stays the ISO-8601 string the archive
-    * carries (lossless; cast downstream when a timestamp is wanted). */
+    * carries (lossless; cast downstream when a timestamp is wanted);
+    * `warc_type` canonicalizes to the registry's lowercase. */
   val Schema: StructType = StructType(Seq(
     StructField("record_id", StringType, nullable = true),
     StructField("warc_type", StringType, nullable = true),
@@ -410,7 +411,9 @@ private[sources] final class WarcRecordIterator(
       s"graft-warc: $file: record without Content-Length")).toLong
     require(len >= 0 && len <= Int.MaxValue - 8,
       s"graft-warc: $file: unsupported Content-Length $len")
-    val warcType = h.getOrElse("warc-type", null)
+    // values canonicalize to the registry's lowercase ("Response" and
+    // "response" are the same record type to every consumer downstream)
+    val warcType = h.get("warc-type").map(_.toLowerCase).orNull
     val contentType = h.getOrElse("content-type", null)
     // pushed record-type filter: a non-matching record's content block
     // is SKIPPED, never buffered or HTTP-split (Spark re-applies the

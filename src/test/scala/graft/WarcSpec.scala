@@ -281,6 +281,26 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("http_status") === 200).count() == 12)
   }
 
+  test("foreign-case headers and type values parse; warc_type canonicalizes") {
+    val dir = tmp("case")
+    java.nio.file.Files.write(dir.resolve("c.warc"),
+      ("WARC/1.1\r\nWaRc-TyPe: Response\r\n" +
+        "WARC-RECORD-ID: <urn:cs:1>\r\n" +
+        "warc-target-uri: https://e/cs\r\n" +
+        "CONTENT-TYPE: application/http; msgtype=response\r\n" +
+        "content-length: 38\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\n\r\n" +
+        "0123456789012345678" +
+        "\r\n\r\n").getBytes(UTF_8))
+    val r = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("warc_type") === "response").collect()
+    assert(r.length == 1, "mixed-case WARC-Type must canonicalize")
+    assert(r(0).getAs[Int]("http_status") == 200
+      && r(0).getAs[String]("target_uri") == "https://e/cs"
+      && new String(r(0).getAs[Array[Byte]]("payload"), UTF_8)
+        == "0123456789012345678")
+  }
+
   test("framing errors fail loudly; interior HTTP hostility degrades one row") {
     // truncated content block: the archive lies about its last record
     val dir = tmp("trunc")
