@@ -2054,6 +2054,31 @@ object Similarity {
   def ivfSq8IndexFold(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = IndexIO.indexFold(spark, dir, "ivf_sq8")
 
+  /** The operational RECALL PROBE — the rebuild trigger of the
+    * build-daily / append-hourly lifecycle the `*IndexAppend*` scaladocs
+    * reference: mean per-query recall of an approximate top-k frame
+    * against the exact one (both `(query_id, cand_id, …)`-shaped, e.g.
+    * `ivfSq8TopK(index, pred, k)` vs `bruteForceTopK(n.filter(pred), n,
+    * k)` on a small deterministic query sample). Runs distributed — an
+    * equi-join and two aggregates; only the final scalar reaches the
+    * driver. Schedule it against a saved index as quantizer-drift
+    * monitoring: when the probe degrades below the family's RecallSpec
+    * floor, rebuild (and fold) instead of appending further. Queries
+    * with no approximate answer at all count as zero recall — a
+    * silently-empty index reads as broken, not perfect. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val truth = exact.groupBy("query_id").agg(count(lit(1)).as("t"))
+    val row = truth.join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("hits"), lit(0L)).cast("double")
+        / col("t").cast("double")))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0) // empty probe set
+  }
+
   /** The frozen-artifact encoders of one SAVED index: frame name →
     * (normed batch → rows), with the family's model artifacts
     * (centroids / codebooks / bounds) loaded ONCE driver-side and

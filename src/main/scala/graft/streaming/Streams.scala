@@ -712,6 +712,55 @@ object Streams {
     curationScreenStream(crawlPageStream(spark, dir), "page_id", "text",
       model, cfg.copy(htmlExtract = true))
 
+  /** The crawl pipeline CLOSED end to end as one streaming job: tail a
+    * WARC landing directory, extract + screen every page
+    * ([[curationScreenStream]]'s verdict columns, HTML front stage
+    * forced on), and archive each micro-batch's SURVIVORS as WET
+    * `conversion` records ([[graft.sources.WarcIO.wetSave]]) under
+    * `outDir/batch=<id>` — re-readable with a one-level glob over
+    * `outDir` through `format("graft-warc")`. Runs the
+    * screen inside `foreachBatch`, where the micro-batch is a STATIC
+    * frame: the verdicts join back to their URIs without stream-stream
+    * join limits, and a checkpoint-replayed batch rewrites its own
+    * `batch=` directory — exactly once, the idempotence scheme every
+    * other `foreachBatch` sink here uses. Dropped pages are simply not
+    * archived; route them elsewhere by composing the screen directly if
+    * a quarantine sink is needed. */
+  def crawlCurateToWetSink(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String,
+      model: Option[TextAnalysis.LmModel] = None,
+      cfg: graft.operators.Curation.Config =
+        graft.operators.Curation.Config(),
+      /** WARC-Date stamped on the archived records; None = capture
+        * time (current_timestamp at batch execution). Pin a literal
+        * for reproducible archives — a replayed batch then rewrites
+        * BYTE-identical files, not just row-identical ones. */
+      warcDate: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    crawlPageStream(spark, inDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val pages = batch.toDF().localCheckpoint()
+        val keep = curationScreenStream(pages, "page_id", "text",
+          model, cfg.copy(htmlExtract = true))
+          .filter(col("verdict") === "keep")
+          .join(pages.select(col("page_id"), col("target_uri")),
+            Seq("page_id"))
+          .select(col("target_uri"),
+            warcDate.map(lit(_)).getOrElse(
+              date_format(current_timestamp(),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("warc_date"),
+            concat(lit("<urn:graft:wet:"), col("page_id").cast("string"),
+              lit(">")).as("record_id"),
+            col("clean_text").as("text"))
+        graft.sources.WarcIO.wetSave(
+          keep, f"$outDir%s/batch=$batchId%06d")
+        ()
+      }
+      .start()
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

@@ -431,6 +431,21 @@ class RecallSpec extends AnyFunSuite {
       "near-lossless, so the composition should track plain IVF)")
   }
 
+  test("recallAtK operator equals the spec's local recall computation") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = Similarity.normed(emb, "vec_id", "embedding")
+    val exactDf = Similarity.bruteForceTopK(n.filter(pred), n, K)
+    val approxDf = Similarity.ivfTopK(emb, "vec_id", "embedding", pred, K)
+    val viaOp = Similarity.recallAtK(approxDf, exactDf)
+    val viaLocal = recallAt5(topSets(approxDf))
+    assert(math.abs(viaOp - viaLocal) < 1e-12,
+      f"operator $viaOp%.6f vs local $viaLocal%.6f")
+    // perfect self-recall; empty approx counts as zero, not as perfect
+    assert(Similarity.recallAtK(exactDf, exactDf) == 1.0)
+    assert(Similarity.recallAtK(
+      exactDf.filter(col("query_id") < -1), exactDf) == 0.0)
+  }
+
   test("IVF-SQ8 distributed join path recall@5 on the sf0.1 embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val idx = Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding")

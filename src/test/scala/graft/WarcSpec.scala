@@ -413,6 +413,63 @@ class WarcSpec extends AnyFunSuite {
         "https://crawl.example/p/")).count() == 60)
   }
 
+  test("crawlCurateToWetSink: WARC in → screens → WET out, survivors only, idempotent") {
+    import spark.implicits._
+    val root = tmp("wetout")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // 40 real-text pages (screen keeps most) + one low-quality page of
+    // gibberish tokens (screen must drop it)
+    val docs = spark.read.parquet(s"${GraftSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+    val junk = Seq((999999L,
+      (0 until 90).map(j => s"zq${j}xj").mkString(" ")))
+      .toDF("doc_id", "text")
+    WarcIO.warcSave(docs.unionByName(junk).select(
+      concat(lit("https://crawl.example/p/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:c:"), col("doc_id").cast("string"), lit(">"))
+        .as("record_id"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      encode(concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")), "UTF-8").as("payload"))
+      .repartition(2), in)
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlCurateToWetSink(
+        spark, in, out, chk, warcDate = Some("2026-02-02T00:00:00Z"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val wet = spark.read.format("graft-warc").load(s"$out/*")
+      .filter(col("warc_type") === "conversion")
+    val expected = graft.streaming.Streams.curationScreenStream(
+        graft.streaming.Streams.crawlPages(spark, in), "page_id", "text",
+        None, graft.operators.Curation.Config(htmlExtract = true))
+      .filter(col("verdict") === "keep")
+    val nKeep = expected.count()
+    assert(nKeep > 0 && nKeep <= 40, s"fixture keeps $nKeep")
+    assert(wet.count() == nKeep, "WET archive must hold exactly the keeps")
+    // the junk page was screened out before archiving
+    assert(wet.filter(col("target_uri") ===
+      "https://crawl.example/p/999999").count() == 0)
+    // archived text is the screen's emitted clean_text, byte-exact
+    val gotText = wet.select(col("target_uri"),
+      decode(col("payload"), "UTF-8").as("t")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantText = expected
+      .join(graft.streaming.Streams.crawlPages(spark, in)
+        .select("page_id", "target_uri"), Seq("page_id"))
+      .select(col("target_uri"), col("clean_text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotText == wantText, "archived text diverged from clean_text")
+    // idle restart: nothing new lands, archive unchanged
+    run()
+    assert(spark.read.format("graft-warc").load(s"$out/*")
+      .filter(col("warc_type") === "conversion").count() == nKeep,
+      "an idle restart must not duplicate archived records")
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
