@@ -219,7 +219,7 @@ private[sources] class FhirMicroBatchStream(
 
   override def latestOffset(): streaming.Offset = synchronized {
     val fresh = FhirBundleSource.listDataFiles(path, conf.value)
-      .map(_._1).filterNot(log.contains).sorted
+      .filterNot(f => log.contains(f._1)).sortBy(_._1)
     if (fresh.nonEmpty) log.advance(fresh)
     EpochStreamOffset(log.maxEpoch)
   }
@@ -236,20 +236,20 @@ private[sources] class FhirMicroBatchStream(
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset)
       : Array[InputPartition] = synchronized {
-    val fresh = (start, end) match {
+    val fresh: Seq[(String, Long)] = (start, end) match {
+      // sizes ride in the seen log — (re)planning is an in-memory
+      // bin-pack, no per-file getFileStatus storm on the driver
       case (EpochStreamOffset(s), EpochStreamOffset(e)) => log.filesIn(s, e)
+      // legacy full-list offsets carry no sizes; -1 re-stats below
       case (LegacyFileListOffset(sf), EpochStreamOffset(e)) =>
-        (log.allUpTo(e) -- sf).toSeq.sorted
+        (log.allUpTo(e) -- sf).toSeq.sorted.map((_, -1L))
       case (LegacyFileListOffset(sf), LegacyFileListOffset(ef)) =>
-        ef.filterNot(sf.toSet)
+        ef.filterNot(sf.toSet).map((_, -1L))
       case (EpochStreamOffset(s), LegacyFileListOffset(ef)) =>
-        ef.filterNot(log.allUpTo(s))
+        ef.filterNot(log.allUpTo(s)).map((_, -1L))
     }
-    // re-stat for bin-packing; a file that vanished between offset and
-    // (re)plan breaks immutability and must fail loudly, not skip rows
-    val fs = new Path(path).getFileSystem(conf.value)
     FhirBundleSource.packPartitions(
-      fresh.map(f => (f, fs.getFileStatus(new Path(f)).getLen)))
+      SourceFiles.withSizes(fresh, path, conf.value))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

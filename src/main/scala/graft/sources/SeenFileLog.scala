@@ -54,9 +54,13 @@ private[graft] class SeenFileLog(
   import SeenFileLog._
 
   private val fs = dir.getFileSystem(hconf)
-  /** path → epoch first seen (insertion order irrelevant; tags drive
-    * batch membership). */
-  private val seen = scala.collection.mutable.HashMap[String, Long]()
+  /** path → (epoch first seen, size in bytes) — insertion order
+    * irrelevant; tags drive batch membership. Size rides in the log so
+    * a replayed batch bin-packs WITHOUT re-statting every file on the
+    * driver (a 100k-file backfill would otherwise be 100k sequential
+    * namenode/object-store RPCs per replan); -1 marks a legacy line
+    * whose size was never recorded (pre-r16 logs, migrated offsets). */
+  private val seen = scala.collection.mutable.HashMap[String, (Long, Long)]()
   private var max = 0L
 
   if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -71,8 +75,8 @@ private[graft] class SeenFileLog(
       case _ => false // tmp leftovers from a crashed write
     }.sorted
     toRead.foreach { n =>
-      readLines(fs, new Path(dir, n)).foreach { case (e, p) =>
-        if (!seen.contains(p)) seen(p) = e
+      readLines(fs, new Path(dir, n)).foreach { case (e, sz, p) =>
+        if (!seen.contains(p)) seen(p) = (e, sz)
         if (e > max) max = e
       }
     }
@@ -86,15 +90,17 @@ private[graft] class SeenFileLog(
   def maxEpoch: Long = max
   def contains(path: String): Boolean = seen.contains(path)
 
-  /** Record `fresh` (none of which may be seen already) as the next
-    * epoch; returns it. Compacting epochs fold the whole seen set into
-    * one file and drop the older ones. */
-  def advance(fresh: Seq[String]): Long = {
+  /** Record `fresh` (path, size) pairs — none of which may be seen
+    * already — as the next epoch; returns it. Compacting epochs fold
+    * the whole seen set into one file and drop the older ones. */
+  def advance(fresh: Seq[(String, Long)]): Long = {
     val e = max + 1
     val compact = e % CompactInterval == 0
-    val lines: Seq[(Long, String)] =
-      if (compact) (seen.toSeq.map(_.swap) ++ fresh.map(e -> _)).sortBy(_._1)
-      else fresh.map(e -> _)
+    val lines: Seq[(Long, Long, String)] =
+      if (compact)
+        (seen.toSeq.map { case (p, (ep, sz)) => (ep, sz, p) } ++
+          fresh.map { case (p, sz) => (e, sz, p) }).sortBy(_._1)
+      else fresh.map { case (p, sz) => (e, sz, p) }
     val name = f"$e%020d." + (if (compact) "compact" else "log")
     writeAtomic(fs, dir, name, lines)
     if (compact) fs.listStatus(dir).map(_.getPath).foreach { p =>
@@ -105,7 +111,7 @@ private[graft] class SeenFileLog(
         case _ => ()
       }
     }
-    fresh.foreach(f => seen(f) = e)
+    fresh.foreach { case (f, sz) => seen(f) = (e, sz) }
     max = e
     e
   }
@@ -113,25 +119,27 @@ private[graft] class SeenFileLog(
   /** Durably add a legacy offset's file list as epoch-0 lines (files
     * already in the log are skipped). Without this, a restart that
     * later reads only epoch offsets would lose the legacy seen set and
-    * re-ingest every pre-migration file. */
+    * re-ingest every pre-migration file. Legacy offsets carry no
+    * sizes — these lines record -1 and re-stat at plan time. */
   def migrate(files: Seq[String]): Unit = {
     val fresh = files.filterNot(seen.contains)
     if (fresh.isEmpty) return
     val k = fs.listStatus(dir)
       .count(st => MigratedName.matches(st.getPath.getName))
-    writeAtomic(fs, dir, f"0-$k%d.migrated", fresh.map(0L -> _))
-    fresh.foreach(f => seen(f) = 0L)
+    writeAtomic(fs, dir, f"0-$k%d.migrated", fresh.map((0L, -1L, _)))
+    fresh.foreach(f => seen(f) = (0L, -1L))
   }
 
-  /** The files first seen in `(startEpoch, endEpoch]`, sorted. */
-  def filesIn(startEpoch: Long, endEpoch: Long): Seq[String] =
+  /** The (path, size) pairs first seen in `(startEpoch, endEpoch]`,
+    * sorted by path; size -1 for legacy lines (caller stats those). */
+  def filesIn(startEpoch: Long, endEpoch: Long): Seq[(String, Long)] =
     seen.collect {
-      case (p, e) if e > startEpoch && e <= endEpoch => p
-    }.toSeq.sorted
+      case (p, (e, sz)) if e > startEpoch && e <= endEpoch => (p, sz)
+    }.toSeq.sortBy(_._1)
 
   /** Every file first seen at or before `endEpoch`. */
   def allUpTo(endEpoch: Long): Set[String] =
-    seen.collect { case (p, e) if e <= endEpoch => p }.toSet
+    seen.collect { case (p, (e, _)) if e <= endEpoch => p }.toSet
 }
 
 private[graft] object SeenFileLog {
@@ -145,18 +153,23 @@ private[graft] object SeenFileLog {
   private val MigratedName = "0-(\\d+)\\.migrated".r
 
   private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      name: String, lines: Seq[(Long, String)]): Unit = {
+      name: String, lines: Seq[(Long, Long, String)]): Unit = {
     val tmp = new Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(lines.map { case (e, p) => s"$e\t$p\n" }.mkString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(lines.map { case (e, sz, p) => s"$e\t$sz\t$p\n" }
+      .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, new Path(dir, name)),
       s"could not publish seen-file log ${new Path(dir, name)}")
   }
 
+  /** (epoch, size, path) per line. Two formats coexist: pre-r16 logs
+    * wrote `epoch TAB path` (size unknown → -1); r16+ writes
+    * `epoch TAB size TAB path`. The path is always the LAST field, so
+    * a path containing a tab can only exist in the 3-field form, where
+    * only the first two tabs delimit. */
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Seq[(Long, String)] = {
+      p: Path): Seq[(Long, Long, String)] = {
     val in = fs.open(p)
     val text =
       try new String(in.readAllBytes(),
@@ -164,7 +177,14 @@ private[graft] object SeenFileLog {
       finally in.close()
     text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
-      (l.substring(0, i).toLong, l.substring(i + 1))
+      val e = l.substring(0, i).toLong
+      val rest = l.substring(i + 1)
+      val j = rest.indexOf('\t')
+      if (j < 0) (e, -1L, rest) // legacy 2-field line
+      else rest.substring(0, j).toLongOption match {
+        case Some(sz) => (e, sz, rest.substring(j + 1))
+        case None => (e, -1L, rest) // legacy path that contains a tab
+      }
     }
   }
 }
@@ -192,6 +212,22 @@ private[graft] object SourceFiles {
       })
       .map(st => (st.getPath.toString, st.getLen))
   }
+
+  /** Resolve any size-unknown (-1, legacy log lines) entries with one
+    * getFileStatus each; entries that carry their size pass through
+    * untouched — the normal case after one round of r16+ listings. A
+    * file that vanished between listing and (re)plan breaks source
+    * immutability and fails loudly here, not by skipping rows. */
+  def withSizes(files: Seq[(String, Long)], path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] =
+    if (files.forall(_._2 >= 0)) files
+    else {
+      val fs = new Path(path).getFileSystem(conf)
+      files.map { case (f, sz) =>
+        if (sz >= 0) (f, sz)
+        else (f, fs.getFileStatus(new Path(f)).getLen)
+      }
+    }
 
   /** First-fit-decreasing bin-packing under the session's
     * `spark.sql.files.maxPartitionBytes`: a directory of small files

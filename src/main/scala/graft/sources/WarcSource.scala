@@ -226,7 +226,7 @@ private[sources] class WarcMicroBatchStream(
 
   override def latestOffset(): streaming.Offset = synchronized {
     val fresh = SourceFiles.listDataFiles(path, conf.value)
-      .map(_._1).filterNot(log.contains).sorted
+      .filterNot(f => log.contains(f._1)).sortBy(_._1)
     if (fresh.nonEmpty) log.advance(fresh)
     EpochStreamOffset(log.maxEpoch)
   }
@@ -246,10 +246,12 @@ private[sources] class WarcMicroBatchStream(
       case other => throw new IllegalStateException(
         s"graft-warc: unrecognized offset pair: $other")
     }
-    val fresh = log.filesIn(s, e)
-    val fs = new Path(path).getFileSystem(conf.value)
+    // sizes ride in the seen log (recorded at listing time), so a
+    // (re)plan is a pure in-memory bin-pack — no per-file getFileStatus
+    // RPC storm on the driver at a 100k-file backfill. Only legacy
+    // pre-r16 lines (size -1) re-stat.
     SourceFiles.packFileBins(
-      fresh.map(f => (f, fs.getFileStatus(new Path(f)).getLen)))
+      SourceFiles.withSizes(log.filesIn(s, e), path, conf.value))
       .map(b => WarcInputPartition(b): InputPartition)
   }
 
@@ -311,13 +313,12 @@ private[sources] class WarcPartitionReader(
     val p = new Path(files(fi))
     val fs = p.getFileSystem(conf.value)
     val raw: java.io.InputStream = fs.open(p)
-    // buffer ABOVE the gunzip too: the record iterator reads header
-    // bytes one at a time, and each unbuffered read would otherwise be
-    // an inflater round-trip (plus a 1-byte array) per header byte
-    in = if (files(fi).endsWith(".gz"))
-      new java.io.BufferedInputStream(
-        new MultiMemberGzipInputStream(raw, files(fi)), 1 << 16)
-    else new java.io.BufferedInputStream(raw, 1 << 16)
+    // buffer ABOVE the decompressor too: the record iterator reads
+    // header bytes one at a time, and each unbuffered read would
+    // otherwise be an inflater round-trip (plus a 1-byte array) per
+    // header byte
+    in = new java.io.BufferedInputStream(
+      WarcCodec.decompressed(raw, files(fi)), 1 << 16)
     it = new WarcRecordIterator(in, files(fi), needBlock, typeFilter)
     currentFile = UTF8String.fromString(files(fi))
     true
@@ -653,6 +654,195 @@ private[graft] final class MultiMemberGzipInputStream(
   }
 }
 
+/** Decompressor dispatch by archive extension, shared by the scan
+  * reader and [[WarcIO.warcFetch]]'s extent slices. `.gz` goes through
+  * [[MultiMemberGzipInputStream]], `.zst` (the framing newer public
+  * crawl tooling ships) through [[MultiFrameZstdInputStream]] — both
+  * drive member/frame boundaries explicitly so a truncated archive
+  * fails LOUDLY instead of silently ending early. Anything else reads
+  * as plain bytes. */
+private[graft] object WarcCodec {
+  def decompressed(raw: java.io.InputStream,
+      file: String): java.io.InputStream =
+    if (file.endsWith(".gz")) new MultiMemberGzipInputStream(raw, file)
+    else if (file.endsWith(".zst"))
+      new MultiFrameZstdInputStream(raw, file)
+    else raw
+}
+
+/** Streaming decompressor for CONCATENATED zstd frames (RFC 8878, the
+  * frame-per-record `.warc.zst` layout). zstd-jni's `ZstdInputStream`
+  * nominally continues across concatenated frames but SILENTLY returns
+  * EOF when the trailing frame is cut mid-stream (measured: a 5-frame
+  * archive truncated by 7 bytes read back partial bytes with no
+  * exception) — the exact silent-truncation failure
+  * [[MultiMemberGzipInputStream]] exists to prevent on the gzip side.
+  * This wrapper walks each frame's structure itself — magic, frame
+  * header (FCS/DID/window fields sized from the descriptor bits),
+  * block headers (3-byte LE: last-flag, type, size; RLE blocks store
+  * one byte), optional content checksum — so a frame's exact
+  * compressed extent is known from its own framing, then hands the
+  * COMPLETE frame to the native decoder (which does throw on
+  * single-frame corruption). EOF inside any frame structure fails
+  * loudly; skippable frames (0x184D2A5x — seekable-zstd indexes) are
+  * consumed and skipped. */
+private[graft] final class MultiFrameZstdInputStream(
+    raw: java.io.InputStream, file: String) extends java.io.InputStream {
+
+  private val in = new java.io.BufferedInputStream(raw, 1 << 16)
+  private var cur: java.io.InputStream = _
+  private var eof = false
+
+  private def need(what: String): Int = {
+    val b = in.read()
+    if (b == -1) throw new java.io.EOFException(
+      s"graft-warc: $file: truncated zstd $what")
+    b
+  }
+
+  private def readIntLE(what: String): Int =
+    need(what) | (need(what) << 8) | (need(what) << 16) |
+      (need(what) << 24)
+
+  private def copy(n: Long, bos: java.io.ByteArrayOutputStream,
+      what: String): Unit = {
+    var left = n
+    val buf = new Array[Byte](1 << 14)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length).toInt)
+      if (r == -1) throw new java.io.EOFException(
+        s"graft-warc: $file: truncated zstd $what " +
+          s"($left of $n bytes missing)")
+      bos.write(buf, 0, r)
+      left -= r
+    }
+  }
+
+  /** One complete frame's raw bytes; null at clean EOF. */
+  private def nextFrameBytes(): Array[Byte] = {
+    while (true) {
+      val b0 = in.read()
+      if (b0 == -1) return null
+      val magic = b0 | (need("magic") << 8) | (need("magic") << 16) |
+        (need("magic") << 24)
+      if ((magic & 0xfffffff0) == 0x184d2a50) { // skippable frame
+        val sz = readIntLE("skippable size")
+        var left = sz.toLong & 0xffffffffL
+        while (left > 0) { need("skippable body"); left -= 1 }
+      } else if (magic != 0xfd2fb528) {
+        throw new java.io.IOException(
+          f"graft-warc: $file: bad zstd frame magic 0x$magic%08x")
+      } else {
+        val bos = new java.io.ByteArrayOutputStream(1 << 14)
+        def w(v: Int): Unit = bos.write(v)
+        w(b0); w((magic >>> 8) & 0xff); w((magic >>> 16) & 0xff)
+        w((magic >>> 24) & 0xff)
+        val fhd = need("frame header"); w(fhd)
+        val singleSegment = (fhd & 0x20) != 0
+        val checksum = (fhd & 0x04) != 0
+        if (!singleSegment) w(need("window descriptor"))
+        val didLen = (fhd & 3) match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+        }
+        var i = 0
+        while (i < didLen) { w(need("dictionary id")); i += 1 }
+        val fcsLen = ((fhd >>> 6) & 3) match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2; case 2 => 4; case _ => 8
+        }
+        i = 0
+        while (i < fcsLen) { w(need("content size")); i += 1 }
+        var last = false
+        while (!last) {
+          val h0 = need("block header"); val h1 = need("block header")
+          val h2 = need("block header")
+          w(h0); w(h1); w(h2)
+          val hdr = h0 | (h1 << 8) | (h2 << 16)
+          last = (hdr & 1) != 0
+          val btype = (hdr >>> 1) & 3
+          val bsize = hdr >>> 3
+          if (btype == 3) throw new java.io.IOException(
+            s"graft-warc: $file: reserved zstd block type")
+          // RLE blocks store ONE byte (bsize is the regenerated size)
+          copy(if (btype == 1) 1L else bsize.toLong, bos, "block")
+        }
+        if (checksum) { i = 0; while (i < 4) { w(need("checksum")); i += 1 } }
+        return bos.toByteArray
+      }
+    }
+    null // unreachable
+  }
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n == -1) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    while (true) {
+      if (eof) return -1
+      if (cur == null) {
+        val frame = nextFrameBytes()
+        if (frame == null) { eof = true; return -1 }
+        cur = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(frame))
+      }
+      val n = cur.read(b, off, len)
+      if (n > 0) return n
+      cur.close(); cur = null
+    }
+    -1 // unreachable
+  }
+
+  override def close(): Unit = {
+    if (cur != null) cur.close()
+    in.close()
+  }
+}
+
+/** Per-file gzip MEMBER writer (RFC 1952): ONE native Deflater and one
+  * CRC32, reused across every member via `reset()` — header (10 bytes,
+  * OS=unknown) and trailer (CRC32 + ISIZE, little-endian) are written
+  * by hand so no per-member `GZIPOutputStream` is ever allocated. The
+  * per-record-stream form holds a native zlib context per record until
+  * GC (`finish()` does not `end()` its deflater) — off-heap memory
+  * invisible to heap pressure, the classic archive-writer OOM. */
+private[sources] final class GzipMemberWriter(out: java.io.OutputStream) {
+  private val defl = new java.util.zip.Deflater(
+    java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+  private val crc = new java.util.zip.CRC32()
+  private val buf = new Array[Byte](1 << 15)
+
+  def writeMember(bytes: Array[Byte]): Unit = {
+    out.write(GzipMemberWriter.Header)
+    defl.reset(); crc.reset()
+    defl.setInput(bytes); defl.finish()
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    crc.update(bytes)
+    writeIntLE(crc.getValue.toInt)
+    writeIntLE(bytes.length) // ISIZE = input length mod 2^32
+  }
+
+  private def writeIntLE(v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  /** Release the native zlib context (does NOT close `out`). */
+  def end(): Unit = defl.end()
+}
+
+private[sources] object GzipMemberWriter {
+  /** magic, deflate, no flags, mtime 0, xfl 0, OS unknown. */
+  val Header: Array[Byte] = Array[Byte](
+    0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+}
+
 /** Distributed WARC archive WRITER — the sink half of the crawl story:
   * one `.warc.gz` (or plain `.warc`) file per partition, one gzip
   * member per record (the layout public crawls ship, and the one
@@ -670,27 +860,25 @@ object WarcIO {
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   def warcSave(
-      df: DataFrame, dir: String, gzip: Boolean = true,
+      df: DataFrame, dir: String, codec: String = "gzip",
       uri: String = "target_uri", date: String = "warc_date",
       recordId: String = "record_id",
       httpContentType: String = "http_content_type",
       payload: String = "payload",
       infoDate: String = "2026-01-01T00:00:00Z"): Long = {
     import org.apache.spark.sql.functions.col
-    val spark = df.sparkSession
-    val conf = new SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
-    val fs0 = new Path(dir).getFileSystem(conf.value)
-    fs0.mkdirs(new Path(dir))
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
       col(payload).cast("binary"))
-    archiveSave(rows, dir, gzip, infoDate, "response", r =>
-      responseRecord(r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3),
-        if (r.isNullAt(4)) Array.empty[Byte]
-        else r.getAs[Array[Byte]](4)))
+    archiveSave(rows, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      Seq(("response", rid,
+        responseRecord(r.getString(0), r.getString(1), rid,
+          r.getString(3),
+          if (r.isNullAt(4)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](4))))
+    })
   }
 
   /** The WET analog of [[warcSave]]: archive an EXTRACTED-TEXT corpus as
@@ -702,7 +890,7 @@ object WarcIO {
     * the surviving text, and the corpus re-reads through `graft-warc`
     * (q_s17 certifies the round trip). */
   def wetSave(
-      df: DataFrame, dir: String, gzip: Boolean = true,
+      df: DataFrame, dir: String, codec: String = "gzip",
       uri: String = "target_uri", date: String = "warc_date",
       recordId: String = "record_id", text: String = "text",
       infoDate: String = "2026-01-01T00:00:00Z"): Long = {
@@ -710,11 +898,14 @@ object WarcIO {
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(text).cast("string"))
-    archiveSave(rows, dir, gzip, infoDate, "conversion", r =>
-      conversionRecord(r.getString(0), r.getString(1), r.getString(2),
-        if (r.isNullAt(3)) Array.empty[Byte]
-        else r.getString(3)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    archiveSave(rows, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      Seq(("conversion", rid,
+        conversionRecord(r.getString(0), r.getString(1), rid,
+          if (r.isNullAt(3)) Array.empty[Byte]
+          else r.getString(3)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    })
   }
 
   /** The CDX sidecar's schema: one row per record with its EXACT byte
@@ -729,65 +920,114 @@ object WarcIO {
     StructField("offset", LongType, nullable = false),
     StructField("length", LongType, nullable = false)))
 
-  /** Shared partition-archive loop: one warcinfo-led `.warc[.gz]` file
-    * per partition, one gzip member per record, tmp+rename publish.
-    * `mkRecord` turns each projected row into one framed record; rows
-    * carry `target_uri` at 0 and `record_id` at 2 for the index. The
-    * SAME pass emits each record's (offset, length) extent, written as
-    * the `_cdx` parquet sidecar (underscore-prefixed — the archive
-    * listing skips it): the record-level random-access index
+  /** Archive part-file names this writer mints — also the overwrite
+    * set: [[archiveSave]] clears matching stale files up front. */
+  private val PartName = "part-\\d{5}\\.warc(\\.gz|\\.zst)?".r
+
+  private[sources] def memberExt(codec: String): String = codec match {
+    case "gzip" => ".warc.gz"
+    case "zstd" => ".warc.zst"
+    case "none" => ".warc"
+    case other => throw new IllegalArgumentException(
+      s"graft-warc: unknown archive codec '$other' " +
+        "(gzip | zstd | none)")
+  }
+
+  /** Shared partition-archive loop: one warcinfo-led `.warc[.gz|.zst]`
+    * file per partition, one compressed member (gzip member / zstd
+    * frame) per record, tmp+rename publish. `mkRecords` turns each
+    * projected row into its framed records — usually one, two when a
+    * `request` record rides with its response — as (warc_type,
+    * record_id, bytes); rows carry `target_uri` at ordinal 0 for the
+    * index. The SAME pass emits each record's (offset, length) extent,
+    * written as the `_cdx` parquet sidecar (underscore-prefixed — the
+    * archive listing skips it): the record-level random-access index
     * [[warcFetch]] seeks with. Ordering is crash-safe: every archive
     * file publishes (tmp+rename) inside its task, and the sidecar
     * commits through Spark's output committer only after all tasks —
-    * a visible `_cdx` implies every file it points into is live. */
+    * a visible `_cdx` implies every file it points into is live.
+    *
+    * Re-run/replay semantics are OVERWRITE: existing `part-*` archive
+    * files (and crashed `.tmp` leftovers) are deleted up front, and
+    * each publish deletes its destination before the rename — Hadoop
+    * `rename` does not overwrite on HDFS/object stores, and a replayed
+    * `foreachBatch` that repartitions smaller must not leave the prior
+    * attempt's extra part files for the glob reader to double-count. */
   private def archiveSave(
-      rows: DataFrame, dir: String, gzip: Boolean, infoDate: String,
-      recordType: String,
-      mkRecord: org.apache.spark.sql.Row => Array[Byte]): Long = {
+      rows: DataFrame, dir: String, codec: String, infoDate: String,
+      mkRecords: org.apache.spark.sql.Row
+        => Seq[(String, String, Array[Byte])]): Long = {
     val spark = rows.sparkSession
     val conf = new SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
     val fs0 = new Path(dir).getFileSystem(conf.value)
     fs0.mkdirs(new Path(dir))
-    val ext = if (gzip) ".warc.gz" else ".warc"
+    val ext = memberExt(codec)
+    fs0.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (PartName.matches(n) || (n.startsWith(".") && n.endsWith(".tmp")))
+        fs0.delete(p, false)
+    }
     val cdxRows = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val fs = new Path(dir).getFileSystem(conf.value)
-      fs.setWriteChecksum(false) // no .crc sidecars in the archive dir
-      val name = f"part-$pid%05d$ext"
-      val tmp = new Path(dir, s".$name.tmp")
-      val out = fs.create(tmp, true)
-      val fullPath = fs.makeQualified(new Path(dir, name)).toString
+      // a PRIVATE FileSystem instance: setWriteChecksum mutates the
+      // instance it is called on, and the JVM-cached shared one must
+      // keep its .crc behavior for every other writer on this executor
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new Path(dir).toUri, conf.value)
       val cdx = scala.collection.mutable.ArrayBuffer[Row]()
-      var pos = 0L
       try {
-        def member(recBytes: Array[Byte]): Long = {
-          if (gzip) {
-            val gz = new java.util.zip.GZIPOutputStream(out, 1 << 15)
-            gz.write(recBytes); gz.finish() // member trailer, stream open
-          } else out.write(recBytes)
-          val start = pos
-          pos = out.getPos
-          pos - start
+        fs.setWriteChecksum(false) // no .crc sidecars in the archive dir
+        val name = f"part-$pid%05d$ext"
+        val tmp = new Path(dir, s".$name.tmp")
+        val out = fs.create(tmp, true)
+        val fullPath = fs.makeQualified(new Path(dir, name)).toString
+        // ONE deflater for the whole file, reset per member — a fresh
+        // GZIPOutputStream per record leaks a native zlib context per
+        // record until GC (finish() never end()s its deflater): the
+        // classic off-heap OOM on a million-record partition
+        val gzw = if (codec == "gzip") new GzipMemberWriter(out) else null
+        var pos = 0L
+        try {
+          def member(recBytes: Array[Byte]): Long = {
+            codec match {
+              case "gzip" => gzw.writeMember(recBytes)
+              case "zstd" => out.write(
+                com.github.luben.zstd.Zstd.compress(recBytes, 3))
+              case _ => out.write(recBytes)
+            }
+            val start = pos
+            pos = out.getPos
+            pos - start
+          }
+          val infoLen = member(WarcIO.warcinfoRecord(name, infoDate))
+          cdx += Row(null, s"<urn:graft:warcinfo:$name>", "warcinfo",
+            fullPath, 0L, infoLen)
+          it.foreach { r =>
+            val uri = r.getString(0)
+            mkRecords(r).foreach { case (recType, recId, bytes) =>
+              val start = pos
+              val len = member(bytes)
+              cdx += Row(uri, recId, recType, fullPath, start, len)
+            }
+          }
+        } finally {
+          if (gzw != null) gzw.end()
+          out.close()
         }
-        val infoLen = member(WarcIO.warcinfoRecord(name, infoDate))
-        cdx += Row(null, s"<urn:graft:warcinfo:$name>", "warcinfo",
-          fullPath, 0L, infoLen)
-        it.foreach { r =>
-          val start = pos
-          val len = member(mkRecord(r))
-          cdx += Row(r.getString(0), r.getString(2), recordType,
-            fullPath, start, len)
-        }
-      } finally out.close()
-      require(fs.rename(tmp, new Path(dir, name)),
-        s"graft-warc: could not publish $name under $dir")
+        val dest = new Path(dir, name)
+        fs.delete(dest, false) // rename won't overwrite on HDFS/object stores
+        require(fs.rename(tmp, dest),
+          s"graft-warc: could not publish $name under $dir")
+      } finally fs.close()
       cdx.iterator
     }
     spark.createDataFrame(cdxRows, CdxSchema)
       .write.mode("overwrite").parquet(s"$dir/_cdx")
     spark.read.parquet(s"$dir/_cdx")
       .filter(org.apache.spark.sql.functions.col("warc_type")
-        =!= "warcinfo").count()
+        =!= "warcinfo")
+      .filter(org.apache.spark.sql.functions.col("warc_type")
+        =!= "request").count()
   }
 
   /** Record-level RANDOM ACCESS into an archive [[warcSave]]/[[wetSave]]
@@ -836,11 +1076,9 @@ object WarcIO {
         val bytes = new Array[Byte](len.toInt)
         stream.readFully(bytes)
         val slice: java.io.InputStream =
-          if (f.endsWith(".gz"))
-            new java.io.BufferedInputStream(
-              new MultiMemberGzipInputStream(
-                new java.io.ByteArrayInputStream(bytes), f), 1 << 14)
-          else new java.io.ByteArrayInputStream(bytes)
+          new java.io.BufferedInputStream(
+            WarcCodec.decompressed(
+              new java.io.ByteArrayInputStream(bytes), f), 1 << 14)
         val rec = new WarcRecordIterator(slice, f, needBlock = true).next()
         Row(rec.recordId, rec.warcType, rec.targetUri, rec.warcDate,
           rec.contentType, rec.contentLength, rec.httpStatus,

@@ -591,7 +591,10 @@ object Streams {
     * @param id a LONG-castable id column (the typed narrow map needs a
     *        concrete encoder — same restriction as
     *        [[TextAnalysis.lmScoreWith]]); non-numeric ids would cast to
-    *        null
+    *        null. Set `stringId = true` to key by a STRING column
+    *        instead (the crawl path keys by `target_uri` itself — a
+    *        64-bit hash key would cross-join two colliding URIs'
+    *        verdicts at multi-billion-page scale).
     * @param model pretrained [[TextAnalysis.LmModel]]; when present AND
     *        `cfg.lmXentMax` is set, high-xent documents drop. Documents
     *        with < 2 tokens have null xent and drop whenever the LM
@@ -599,41 +602,48 @@ object Streams {
     * @return (id, rep_fraction, quality, pred_lang, gopher_verdict,
     *         xent, nb_score, verdict, clean_text) */
   def curationScreenStream(
-      incomingIn: DataFrame, id: String, text: String,
+      incoming: DataFrame, id: String, text: String,
       model: Option[TextAnalysis.LmModel] = None,
       cfg: graft.operators.Curation.Config =
-        graft.operators.Curation.Config()): DataFrame = {
-    val spark = incomingIn.sparkSession
+        graft.operators.Curation.Config(),
+      stringId: Boolean = false): DataFrame = {
+    val spark = incoming.sparkSession
     import spark.implicits._
     // HTML front stage, mirroring the batch pipeline: when
     // cfg.htmlExtract is set the incoming `text` is raw HTML — rewrite
     // it through extractText (certified as q_t43) BEFORE any screen, so
     // verdicts and clean_text judge extracted text. A pure codegen'd
     // Column rewrite: stateless, no watermark, streams unchanged.
-    val incoming = if (cfg.htmlExtract)
-      incomingIn.withColumn(text, TextAnalysis.extractText(col(text)))
-    else incomingIn
+    val extracted = if (cfg.htmlExtract)
+      incoming.withColumn(text, TextAnalysis.extractText(col(text)))
+    else incoming
     // ONE typed narrow map computes both per-row loop statistics — the
     // linear repetition fraction (the quadratic HOF form would bite on
     // long documents) and, when a model rides along, the LM xent; the
-    // text column rides through for the Column-level screens
-    val scored = incoming.select(col(id).cast("long"), col(text))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (d, t) =>
-          val toks =
-            if (t == null) Array.empty[String] else t.split(" ", -1)
-          if (toks.length < 2) (d, t, Option.empty[Double],
-            Option.empty[Double])
-          else {
-            val rep = TextAnalysis.topBigramFracOf(toks)
-            // ONE shared scoring loop (LmModel.score) — the bit-equality
-            // contract with the batch scorer cannot fork
-            val xent = model.flatMap(_.score(toks)).map(_._2)
-            (d, t, Some(rep), xent)
-          }
+    // text column rides through for the Column-level screens. The id
+    // type forks ONLY the encoder — the scoring loop is one shared
+    // function, so the long- and string-keyed forms cannot drift.
+    def scoreIt[K](it: Iterator[(K, String)])
+        : Iterator[(K, String, Option[Double], Option[Double])] =
+      it.map { case (d, t) =>
+        val toks =
+          if (t == null) Array.empty[String] else t.split(" ", -1)
+        if (toks.length < 2) (d, t, Option.empty[Double],
+          Option.empty[Double])
+        else {
+          val rep = TextAnalysis.topBigramFracOf(toks)
+          // ONE shared scoring loop (LmModel.score) — the bit-equality
+          // contract with the batch scorer cannot fork
+          val xent = model.flatMap(_.score(toks)).map(_._2)
+          (d, t, Some(rep), xent)
         }
       }
+    val scored = (if (stringId)
+      extracted.select(col(id).cast("string"), col(text))
+        .as[(String, String)].mapPartitions(scoreIt[String] _).toDF()
+    else
+      extracted.select(col(id).cast("long"), col(text))
+        .as[(Long, String)].mapPartitions(scoreIt[Long] _).toDF())
       .toDF(id, text, "rep_fraction", "xent")
     val lmOn = model.isDefined && cfg.lmXentMax.isDefined
     scored
@@ -670,20 +680,26 @@ object Streams {
 
   /** The page projection of a WARC landing directory shared by the
     * streaming and batch halves of the crawl story: HTTP-200 `text/html`
-    * response records, payload decoded as UTF-8, keyed by
-    * `page_id = xxhash64(target_uri)` (the LONG id the curation screen's
-    * typed map needs; the URI rides alongside for joins and sinks). */
+    * response records (content type matched case-insensitively — real
+    * servers emit `Text/HTML` too), payload decoded as UTF-8. The
+    * authoritative page key is `target_uri` ITSELF; `page_id =
+    * xxhash64(target_uri)` rides alongside as a compact CONVENIENCE
+    * handle only — at multi-billion-page scale 64-bit birthday
+    * collisions are likely (~20% chance of one at 3B URIs), so nothing
+    * in the pipeline joins on it. */
   private def crawlPageCols(warc: DataFrame): DataFrame = warc
     .filter(col("warc_type") === "response"
       && col("http_status") === 200
-      && coalesce(col("http_content_type"), lit(""))
+      && lower(coalesce(col("http_content_type"), lit("")))
         .startsWith("text/html"))
     .select(xxhash64(col("target_uri")).as("page_id"),
       col("target_uri"), decode(col("payload"), "UTF-8").as("text"))
 
   /** Streaming (page_id, target_uri, text) over a WARC landing
     * directory — compose downstream operators on this, or join its
-    * static twin [[crawlPages]] back to a screened sink by `page_id`. */
+    * static twin [[crawlPages]] back to a screened sink by
+    * `target_uri` (the authoritative key; `page_id` is a convenience
+    * hash, see [[crawlPageCols]]). */
   def crawlPageStream(spark: SparkSession, dir: String): DataFrame =
     crawlPageCols(spark.readStream.format("graft-warc").load(dir))
 
@@ -698,19 +714,19 @@ object Streams {
     * stateless curation screen with the HTML front stage forced on
     * ([[curationScreenStream]] under `cfg.copy(htmlExtract = true)`), so
     * every verdict judges EXTRACTED text. Emits the screen's verdict
-    * columns keyed by `page_id`; recover URIs by joining
-    * [[crawlPages]](dir) on `page_id` at the sink (the screen's typed
-    * scoring map is (long, text)-shaped, so the URI does not ride
-    * through it). Corpus-relative stages ([[nearDupAgainstBase]],
-    * [[contaminationStream]]) compose downstream, exactly as for any
-    * other screened stream. */
+    * columns keyed by `target_uri` — the URI is the authoritative page
+    * identity, so consumers join on it directly (no 64-bit hash key
+    * whose birthday collisions would cross-join two URIs' verdicts at
+    * multi-billion-page scale). Corpus-relative stages
+    * ([[nearDupAgainstBase]], [[contaminationStream]]) compose
+    * downstream, exactly as for any other screened stream. */
   def crawlScreenStream(
       spark: SparkSession, dir: String,
       model: Option[TextAnalysis.LmModel] = None,
       cfg: graft.operators.Curation.Config =
         graft.operators.Curation.Config()): DataFrame =
-    curationScreenStream(crawlPageStream(spark, dir), "page_id", "text",
-      model, cfg.copy(htmlExtract = true))
+    curationScreenStream(crawlPageStream(spark, dir), "target_uri",
+      "text", model, cfg.copy(htmlExtract = true), stringId = true)
 
   /** The crawl pipeline CLOSED end to end as one streaming job: tail a
     * WARC landing directory, extract + screen every page
@@ -718,14 +734,15 @@ object Streams {
     * forced on), and archive each micro-batch's SURVIVORS as WET
     * `conversion` records ([[graft.sources.WarcIO.wetSave]]) under
     * `outDir/batch=<id>` — re-readable with a one-level glob over
-    * `outDir` through `format("graft-warc")`. Runs the
-    * screen inside `foreachBatch`, where the micro-batch is a STATIC
-    * frame: the verdicts join back to their URIs without stream-stream
-    * join limits, and a checkpoint-replayed batch rewrites its own
-    * `batch=` directory — exactly once, the idempotence scheme every
-    * other `foreachBatch` sink here uses. Dropped pages are simply not
-    * archived; route them elsewhere by composing the screen directly if
-    * a quarantine sink is needed. */
+    * `outDir` through `format("graft-warc")`. The screen is keyed by
+    * `target_uri` itself, so the verdicts carry their URIs — no
+    * join-back, and no 64-bit hash key whose collision would cross two
+    * URIs' verdicts. Runs inside `foreachBatch`, where the micro-batch
+    * is a STATIC frame, and a checkpoint-replayed batch rewrites its
+    * own `batch=` directory — exactly once, the idempotence scheme
+    * every other `foreachBatch` sink here uses. Dropped pages are
+    * simply not archived; route them elsewhere by composing the screen
+    * directly if a quarantine sink is needed. */
   def crawlCurateToWetSink(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String,
@@ -743,16 +760,19 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
         val pages = batch.toDF().localCheckpoint()
-        val keep = curationScreenStream(pages, "page_id", "text",
-          model, cfg.copy(htmlExtract = true))
+        val keep = curationScreenStream(pages, "target_uri", "text",
+          model, cfg.copy(htmlExtract = true), stringId = true)
           .filter(col("verdict") === "keep")
-          .join(pages.select(col("page_id"), col("target_uri")),
-            Seq("page_id"))
           .select(col("target_uri"),
             warcDate.map(lit(_)).getOrElse(
               date_format(current_timestamp(),
                 "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("warc_date"),
-            concat(lit("<urn:graft:wet:"), col("page_id").cast("string"),
+            // record id minted from the URI hash — same VALUE the old
+            // page_id join produced, but only a label here: row
+            // identity is target_uri, so a hash collision can at worst
+            // duplicate a record-id string, never cross two pages
+            concat(lit("<urn:graft:wet:"),
+              xxhash64(col("target_uri")).cast("string"),
               lit(">")).as("record_id"),
             col("clean_text").as("text"))
         graft.sources.WarcIO.wetSave(

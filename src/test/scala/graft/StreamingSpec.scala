@@ -1258,7 +1258,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(f => f.getName.endsWith(".log") || f.getName.endsWith(".compact"))
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
         .toArray(Array.empty[String]))
-      .filter(_.nonEmpty).map(_.split('\t')(1)).distinct.sorted
+      .filter(_.nonEmpty).map(_.split('\t').last).distinct.sorted
     assert(seenPaths.length == 2, s"expected 2 seen files: ${seenPaths.toSeq}")
     // ...then rewrite the last committed WAL offset to the pre-r14 array
     // form and delete the seen log entirely (a legacy checkpoint has none)
@@ -1305,7 +1305,7 @@ class StreamingSpec extends AnyFunSuite {
         || f.getName.endsWith(".migrated"))
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
         .toArray(Array.empty[String]))
-      .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
+      .filter(_.nonEmpty).map(_.split('\t').last).toSet
     assert(seenPaths.toSet.subsetOf(rebuilt),
       s"legacy files missing from the rebuilt seen log: " +
         s"${seenPaths.toSet -- rebuilt}")

@@ -35,7 +35,7 @@ class WarcFuzzSpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
         .map(_.toArray)))
 
-  test("warcSave/read round-trips arbitrary payload bytes (gzip and plain)") {
+  test("warcSave/read round-trips arbitrary payload bytes (all codecs)") {
     import spark.implicits._
     val docs = (0 until 48).map { i =>
       (s"https://fuzz.example/p/$i", "2026-01-01T00:00:00Z",
@@ -44,10 +44,10 @@ class WarcFuzzSpec extends AnyFunSuite {
     }
     val df = docs.toDF("target_uri", "warc_date", "record_id",
       "http_content_type", "payload")
-    for (gz <- Seq(true, false)) {
+    for (codec <- Seq("gzip", "zstd", "none")) {
       val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_fuzz_$gz").toString
-      assert(WarcIO.warcSave(df.repartition(3), dir, gzip = gz) == 48L)
+        .createTempDirectory(s"graft_fuzz_$codec").toString
+      assert(WarcIO.warcSave(df.repartition(3), dir, codec = codec) == 48L)
       val got = spark.read.format("graft-warc").load(dir)
         .filter(col("warc_type") === "response")
         .select("target_uri", "payload").collect()
@@ -56,7 +56,7 @@ class WarcFuzzSpec extends AnyFunSuite {
       assert(got.size == 48)
       docs.foreach { case (uri, _, _, _, p) =>
         assert(got(uri) == p.toSeq,
-          s"payload of $uri drifted through the $gz round trip")
+          s"payload of $uri drifted through the $codec round trip")
       }
       // the indexed fetch survives the same hostile payloads
       val fetched = WarcIO.warcFetch(spark, dir,
@@ -64,8 +64,37 @@ class WarcFuzzSpec extends AnyFunSuite {
         .select("target_uri", "payload").collect()
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
       docs.take(7).foreach { case (uri, _, _, _, p) =>
-        assert(fetched(uri) == p.toSeq, s"fetch of $uri drifted ($gz)")
+        assert(fetched(uri) == p.toSeq, s"fetch of $uri drifted ($codec)")
       }
+    }
+  }
+
+  test("truncated/corrupt zstd frame fails loudly, never truncates silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzz_zcut").toString
+    val df = (0 until 12).map(i =>
+      (s"https://fuzz.example/z/$i", "2026-01-01T00:00:00Z",
+        s"<urn:fuzzz:$i>", "text/plain",
+        sample(payloadGen, 2000 + i)))
+      .toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload")
+    WarcIO.warcSave(df.repartition(1), dir, codec = "zstd")
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.zst")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    // cut mid-frame: the reader must throw, not return a prefix as if
+    // the archive simply ended there
+    java.nio.file.Files.write(part.toPath, bytes.take(bytes.length - 7))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir).count()
+    }
+    assert(ex.getMessage != null)
+    // corrupt frame magic: equally loud
+    val garbled = bytes.clone(); garbled(0) = 0x00
+    java.nio.file.Files.write(part.toPath, garbled)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir).count()
     }
   }
 

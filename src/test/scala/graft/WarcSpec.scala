@@ -140,7 +140,7 @@ class WarcSpec extends AnyFunSuite {
     // plain (non-gzip) variant reads through the same parser
     val dir2 = tmp("rt_plain")
     WarcIO.warcSave(docs.limit(5).repartition(1), dir2.toString,
-      gzip = false)
+      codec = "none")
     assert(spark.read.format("graft-warc").load(dir2.toString)
       .filter(col("warc_type") === "response").count() == 5)
   }
@@ -232,7 +232,7 @@ class WarcSpec extends AnyFunSuite {
       Seq("https://nowhere/x").toDF("target_uri")).count() == 0)
     val plainDir = tmp("cdx_plain")
     WarcIO.warcSave(docs.limit(9).repartition(1), plainDir.toString,
-      gzip = false)
+      codec = "none")
     assert(graft.sources.WarcIO.warcFetch(spark, plainDir.toString,
       Seq("https://example.org/p/5").toDF("target_uri"))
       .select("payload").collect().map(r =>
@@ -396,21 +396,52 @@ class WarcSpec extends AnyFunSuite {
         spark.table("crawl_screen_out").collect()
           .map(_.toString).sorted.toSeq
       } finally q.stop()
-    // structural twin: batch pages through the batch screen call
+    // structural twin: batch pages through the batch screen call —
+    // keyed by target_uri, the authoritative page identity (no 64-bit
+    // hash key in the pipeline's joins)
     val batch = graft.streaming.Streams.curationScreenStream(
-        graft.streaming.Streams.crawlPages(spark, in), "page_id", "text",
-        None, graft.operators.Curation.Config(htmlExtract = true))
+        graft.streaming.Streams.crawlPages(spark, in), "target_uri",
+        "text", None,
+        graft.operators.Curation.Config(htmlExtract = true),
+        stringId = true)
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.size == 60, s"got ${streamed.size} screened pages")
     assert(streamed == batch,
       "streamed crawl screen must equal the batch twin bit-for-bit")
-    // URIs join back on page_id at the sink
+    // the URI rides through the screen itself — no join-back needed
     val withUri = spark.table("crawl_screen_out")
-      .join(graft.streaming.Streams.crawlPages(spark, in)
-        .select("page_id", "target_uri"), "page_id")
     assert(withUri.count() == 60
       && withUri.filter(col("target_uri").startsWith(
         "https://crawl.example/p/")).count() == 60)
+  }
+
+  test("curation screen keyed by uri: equal page hashes cannot merge rows") {
+    import spark.implicits._
+    // Two DISTINCT URIs. Before r16 the crawl pipeline joined verdicts
+    // back by page_id = xxhash64(target_uri) alone, so a 64-bit
+    // birthday collision (likely somewhere in a multi-billion-page
+    // corpus) would cross-join the two pages' verdicts. The screen now
+    // keys by target_uri ITSELF — a page_id column forced equal for
+    // both rows must be irrelevant: two rows in, two correctly-mapped
+    // rows out.
+    val pages = Seq(
+      ("https://a.example/x", 42L,
+        "<html><body><p>the quick brown fox jumps over the lazy " +
+          "dog and keeps on running through the long field</p></body></html>"),
+      ("https://b.example/y", 42L, // same forced page_id
+        "<html><body><p>a completely different page about spark " +
+          "partitioning and the shuffles it takes to join two corpora" +
+          "</p></body></html>"))
+      .toDF("target_uri", "page_id", "text")
+    val out = graft.streaming.Streams.curationScreenStream(
+      pages, "target_uri", "text", None,
+      graft.operators.Curation.Config(htmlExtract = true),
+      stringId = true).collect()
+    assert(out.length == 2, "two distinct URIs must survive as two rows")
+    val byUri = out.map(r => r.getAs[String]("target_uri") ->
+      r.getAs[String]("clean_text")).toMap
+    assert(byUri("https://a.example/x").contains("quick brown fox"))
+    assert(byUri("https://b.example/y").contains("spark partitioning"))
   }
 
   test("crawlCurateToWetSink: WARC in → screens → WET out, survivors only, idempotent") {
@@ -444,8 +475,10 @@ class WarcSpec extends AnyFunSuite {
     val wet = spark.read.format("graft-warc").load(s"$out/*")
       .filter(col("warc_type") === "conversion")
     val expected = graft.streaming.Streams.curationScreenStream(
-        graft.streaming.Streams.crawlPages(spark, in), "page_id", "text",
-        None, graft.operators.Curation.Config(htmlExtract = true))
+        graft.streaming.Streams.crawlPages(spark, in), "target_uri",
+        "text", None,
+        graft.operators.Curation.Config(htmlExtract = true),
+        stringId = true)
       .filter(col("verdict") === "keep")
     val nKeep = expected.count()
     assert(nKeep > 0 && nKeep <= 40, s"fixture keeps $nKeep")
@@ -458,8 +491,6 @@ class WarcSpec extends AnyFunSuite {
       decode(col("payload"), "UTF-8").as("t")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val wantText = expected
-      .join(graft.streaming.Streams.crawlPages(spark, in)
-        .select("page_id", "target_uri"), Seq("page_id"))
       .select(col("target_uri"), col("clean_text")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gotText == wantText, "archived text diverged from clean_text")
