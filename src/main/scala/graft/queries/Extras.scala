@@ -1055,8 +1055,130 @@ object Extras {
         length(col("payload")).cast("long").as("payload_len"))
   }
 
+  /** CDX-driven `target_uri` pushdown in the `graft-warc` SCAN,
+    * HASH-CERTIFIED — [[qS18WarcFetch]] proves the seek+bounded-read
+    * path as a standalone function; this certifies it lifted into the
+    * DSv2 source: `load(dir).filter(target_uri.isin(…))` consults the
+    * `_cdx` sidecar and plans one partition per file of matched byte
+    * extents (kilobytes per page out of a 100 TB archive), with the
+    * filter also re-applied by Spark as residual (skip-only pushdown,
+    * no correctness surface; WarcSpec pins the coverage-gate fallback
+    * when unindexed files land). The driver-side `collect()` builds
+    * the literal IN list itself — a pushed In filter is literal by
+    * construction, bounded by the probe count. Oracle restates the
+    * fetched subset closed-form from the source rows. */
+  val qS19CdxPushdown = Q(
+    "q_s19_cdx_pushdown",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CAST(200 AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+      |FROM documents WHERE doc_id % 37 = 5""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdxp_q").toString
+    val docs = documents(s, d)
+    graft.sources.WarcIO.warcSave(
+      docs.select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp)
+    val uris = docs.filter(col("doc_id") % 37 === 5)
+      .select(concat(lit("https://example.org/doc/"),
+        col("doc_id").cast("string"))).collect().map(_.getString(0))
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("target_uri").isin(uris.toSeq: _*))
+      .select(col("target_uri"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        length(col("payload")).cast("long").as("payload_len"))
+  }
+
+  /** WARC request/response pairing via WARC-Concurrent-To,
+    * HASH-CERTIFIED — real crawl archives interleave request/response/
+    * metadata records; [[graft.sources.WarcIO.warcSave]] writes the
+    * interleaved layout (requestHttp column → one `request` record per
+    * response, Concurrent-To pointing at it) and
+    * [[graft.sources.WarcIO.pairRequests]] attaches each request's
+    * parsed HTTP header map back onto its response by record id (a
+    * skew-free unique-key equi-join, no adjacency assumption). The
+    * certified column reads a negotiation header (Accept-Language)
+    * through the pairing — the curation signal the crawl side actually
+    * reaches for. */
+  val qS20RequestPairing = Q(
+    "q_s20_request_pairing",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       text,
+      |       'en-' || CAST(doc_id % 5 AS VARCHAR) AS accept_lang
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pair_q").toString
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("GET /doc/"), col("doc_id").cast("string"),
+          lit(" HTTP/1.1\r\nHost: example.org\r\nAccept-Language: en-"),
+          (col("doc_id") % 5).cast("string")).as("req_http"))
+        .repartition(8),
+      tmp, requestHttp = Some("req_http"))
+    graft.sources.WarcIO.pairRequests(
+      s.read.format("graft-warc").load(tmp))
+      .select(col("target_uri"),
+        decode(col("payload"), "UTF-8").as("text"),
+        col("request_headers").getItem("accept-language")
+          .as("accept_lang"))
+  }
+
+  /** `.warc.zst` archive round trip, HASH-CERTIFIED — the framing
+    * newer public crawl tooling ships: frame-per-record zstd members
+    * written via the shared archive loop, read back through
+    * [[graft.sources.MultiFrameZstdInputStream]] (explicit RFC 8878
+    * frame walking — zstd-jni's own stream silently truncates a cut
+    * trailing frame, so boundaries are parsed from the framing itself;
+    * WarcFuzzSpec pins the loud-failure contract). Same oracle shape
+    * as q_s16: the round trip must be byte-identical. */
+  val qS16zZstdWarc = Q(
+    "q_s16z_warc_zstd",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CAST(200 AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wzst_q").toString
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp, codec = "zstd")
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        length(col("payload")).cast("long").as("payload_len"))
+  }
+
   val all: Seq[Q] = Seq(
-    qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch,
+    qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
+    qS20RequestPairing, qS16zZstdWarc,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

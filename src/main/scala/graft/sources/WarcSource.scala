@@ -78,7 +78,12 @@ object WarcSource {
   /** Fixed table schema: envelope headers, HTTP split, payload bytes,
     * provenance. `warc_date` stays the ISO-8601 string the archive
     * carries (lossless; cast downstream when a timestamp is wanted);
-    * `warc_type` canonicalizes to the registry's lowercase. */
+    * `warc_type` canonicalizes to the registry's lowercase.
+    * `concurrent_to` is the WARC-Concurrent-To envelope pointer (how
+    * real crawls tie a `request` record to its `response`);
+    * `http_headers` is the FULL parsed HTTP header map (lowercased
+    * names, repeats comma-joined per RFC 9110) — the curation signals
+    * (redirect Location, content negotiation, user-agent) live there. */
   val Schema: StructType = StructType(Seq(
     StructField("record_id", StringType, nullable = true),
     StructField("warc_type", StringType, nullable = true),
@@ -88,6 +93,9 @@ object WarcSource {
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("concurrent_to", StringType, nullable = true),
+    StructField("http_headers",
+      MapType(StringType, StringType), nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("warc_file", StringType, nullable = false)))
 }
@@ -114,6 +122,7 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
 
   private var required: StructType = full
   private var pushedTypes: Option[Set[String]] = None
+  private var pushedUris: Option[Set[String]] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
@@ -127,24 +136,36 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
     * record loop, which then SKIPS non-matching records' content blocks
     * instead of materializing them — in a real crawl archive roughly
     * half the records are request/metadata envelopes, so a
-    * response-only scan halves the bytes it buffers. Every filter is
-    * also returned as residual (Spark re-applies it), keeping the
-    * pushdown a pure skip optimization with no correctness surface. */
+    * response-only scan halves the bytes it buffers.
+    *
+    * URI pushdown: `target_uri = '…'` (or IN) makes the scan consult
+    * the `_cdx` sidecar ([[WarcIO.archiveSave]] writes one per archive
+    * directory) and read ONLY the matched records' byte extents —
+    * fetching a thousand pages out of a 100 TB archive reads
+    * kilobytes per page instead of scanning the corpus. Falls back to
+    * the full scan whenever the sidecar is absent or does not cover
+    * every listed archive file (foreign files landed next to ours).
+    *
+    * Every filter is also returned as residual (Spark re-applies it),
+    * keeping both pushdowns skip-only with no correctness surface. */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources.{EqualTo, In}
-    val types = filters.collect {
-      case EqualTo("warc_type", v: String) => Set(v)
-      case In("warc_type", vs) if vs.forall(_.isInstanceOf[String]) =>
+    def collectSets(column: String): Seq[Set[String]] = filters.collect {
+      case EqualTo(c, v: String) if c == column => Set(v)
+      case In(c, vs) if c == column
+          && vs.forall(_.isInstanceOf[String]) =>
         vs.map(_.asInstanceOf[String]).toSet
     }
-    if (types.nonEmpty) {
-      pushedTypes = Some(types.reduce(_ intersect _))
-      pushed = filters.filter {
-        case EqualTo("warc_type", _) | In("warc_type", _) => true
-        case _ => false
-      }
+    val types = collectSets("warc_type")
+    if (types.nonEmpty) pushedTypes = Some(types.reduce(_ intersect _))
+    val uris = collectSets("target_uri")
+    if (uris.nonEmpty) pushedUris = Some(uris.reduce(_ intersect _))
+    pushed = filters.filter {
+      case EqualTo("warc_type", _) | In("warc_type", _) => types.nonEmpty
+      case EqualTo("target_uri", _) | In("target_uri", _) => uris.nonEmpty
+      case _ => false
     }
     filters // all residual: Spark re-applies, pushdown is skip-only
   }
@@ -152,12 +173,14 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  override def build(): Scan = new WarcScan(path, required, conf, pushedTypes)
+  override def build(): Scan =
+    new WarcScan(path, required, conf, pushedTypes, pushedUris)
 }
 
 private[sources] class WarcScan(path: String, required: StructType,
     conf: SerializableHadoopConf,
-    typeFilter: Option[Set[String]] = None)
+    typeFilter: Option[Set[String]] = None,
+    uriFilter: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -165,24 +188,49 @@ private[sources] class WarcScan(path: String, required: StructType,
   override def description(): String =
     s"graft-warc $path [${required.fieldNames.mkString(", ")}]" +
       typeFilter.fold("")(t =>
-        s" PushedRecordTypes: [${t.toSeq.sorted.mkString(", ")}]")
+        s" PushedRecordTypes: [${t.toSeq.sorted.mkString(", ")}]") +
+      uriFilter.fold("") { u =>
+        val shown = u.toSeq.sorted.take(8)
+        val more = if (u.size > 8) s", … ${u.size - 8} more" else ""
+        s" PushedUris: [${shown.mkString(", ")}$more]" +
+          (if (extentPlan.isDefined) " (cdx-indexed)"
+           else " (no cdx coverage — full scan)")
+      }
 
   private lazy val files: Seq[(String, Long)] =
     SourceFiles.listDataFiles(path, conf.value)
 
+  /** The CDX point-lookup plan: defined iff a `target_uri` filter is
+    * pushed AND every listed archive file is covered by a `_cdx`
+    * sidecar — then each partition is one file's matched byte extents
+    * (kilobytes seeked, not terabytes scanned). */
+  private lazy val extentPlan: Option[Array[WarcExtentPartition]] =
+    uriFilter.flatMap(uris =>
+      WarcCdx.planExtents(files.map(_._1), uris, typeFilter, conf))
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(1L, files.map(_._2).sum))
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty() // records per file are unknown
+      java.util.OptionalLong.of(math.max(1L, extentPlan match {
+        case Some(parts) => parts.map(_.lengths.sum).sum
+        case None => files.map(_._2).sum
+      }))
+    override def numRows(): java.util.OptionalLong = extentPlan match {
+      case Some(parts) =>
+        java.util.OptionalLong.of(parts.map(_.offsets.length.toLong).sum)
+      case None => java.util.OptionalLong.empty() // records unknown
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    SourceFiles.packFileBins(files)
-      .map(b => WarcInputPartition(b): InputPartition)
+    extentPlan match {
+      case Some(parts) => parts.map(p => p: InputPartition)
+      case None => SourceFiles.packFileBins(files)
+        .map(b => WarcInputPartition(b): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, conf, typeFilter)
+    if (extentPlan.isDefined) new WarcExtentReaderFactory(required, conf)
+    else new WarcReaderFactory(required, conf, typeFilter)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
@@ -262,11 +310,72 @@ private[sources] class WarcMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** One parsed WARC record (envelope + HTTP split, when present). */
+/** One parsed WARC record (envelope + HTTP split, when present).
+  * `httpHeaders` preserves field order, lowercased names, repeats
+  * comma-joined; null when the block is not an HTTP message or was
+  * skipped. */
 private[sources] final case class WarcRecord(
     recordId: String, warcType: String, targetUri: String, warcDate: String,
     contentType: String, contentLength: Long, httpStatus: Integer,
-    httpContentType: String, payload: Array[Byte])
+    httpContentType: String, concurrentTo: String,
+    httpHeaders: Seq[(String, String)], payload: Array[Byte])
+
+/** Column extraction shared by the sequential scan reader and the CDX
+  * extent reader: per-column closures resolved ONCE per reader — the
+  * row loop must not string-match column names per cell (ten
+  * comparisons x columns x millions of records). */
+private[sources] object WarcColumns {
+  /** Whether any required column forces materializing content blocks
+    * (otherwise the parser SKIPS them). */
+  def needBlock(required: StructType): Boolean =
+    required.fieldNames.exists(
+      Set("payload", "http_status", "http_content_type", "http_headers"))
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  def extractors(
+      required: StructType): Array[(WarcRecord, UTF8String) => Any] =
+    required.fields.map(f => f.name match {
+      case "record_id" => (r: WarcRecord, _: UTF8String) => utf8(r.recordId)
+      case "warc_type" => (r: WarcRecord, _: UTF8String) => utf8(r.warcType)
+      case "target_uri" =>
+        (r: WarcRecord, _: UTF8String) => utf8(r.targetUri)
+      case "warc_date" => (r: WarcRecord, _: UTF8String) => utf8(r.warcDate)
+      case "content_type" =>
+        (r: WarcRecord, _: UTF8String) => utf8(r.contentType)
+      case "content_length" =>
+        (r: WarcRecord, _: UTF8String) => r.contentLength
+      case "http_status" => (r: WarcRecord, _: UTF8String) =>
+        if (r.httpStatus == null) null else r.httpStatus.intValue()
+      case "http_content_type" => (r: WarcRecord, _: UTF8String) =>
+        utf8(r.httpContentType)
+      case "concurrent_to" =>
+        (r: WarcRecord, _: UTF8String) => utf8(r.concurrentTo)
+      case "http_headers" => (r: WarcRecord, _: UTF8String) =>
+        if (r.httpHeaders == null) null
+        else new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            r.httpHeaders.map(h => utf8(h._1): Any).toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            r.httpHeaders.map(h => utf8(h._2): Any).toArray))
+      case "payload" => (r: WarcRecord, _: UTF8String) => r.payload
+      case "warc_file" => (_: WarcRecord, file: UTF8String) => file
+      case other => throw new IllegalStateException(
+        s"graft-warc: unknown required column $other")
+    })
+
+  def toRow(rec: WarcRecord, file: UTF8String,
+      extractors: Array[(WarcRecord, UTF8String) => Any]): InternalRow = {
+    val row = new GenericInternalRow(extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      row.update(i, extractors(i)(rec, file))
+      i += 1
+    }
+    row
+  }
+}
 
 private[sources] class WarcPartitionReader(
     files: Array[String], required: StructType,
@@ -274,37 +383,14 @@ private[sources] class WarcPartitionReader(
     typeFilter: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
-  /** Content blocks must be materialized iff any HTTP-derived column or
-    * the payload itself is required; otherwise they are skipped. */
-  private val needBlock = required.fieldNames.exists(
-    Set("payload", "http_status", "http_content_type"))
+  private val needBlock = WarcColumns.needBlock(required)
+  private val extractors = WarcColumns.extractors(required)
 
   private var fi = -1
   private var it: WarcRecordIterator = _
   private var in: java.io.InputStream = _
   private var current: InternalRow = _
   private var currentFile: UTF8String = _
-
-  /** Per-column extractors resolved ONCE at reader construction — the
-    * row loop below must not string-match column names per cell (ten
-    * comparisons x columns x millions of records). */
-  private val extractors: Array[WarcRecord => Any] =
-    required.fields.map(f => f.name match {
-      case "record_id" => (r: WarcRecord) => utf8(r.recordId)
-      case "warc_type" => (r: WarcRecord) => utf8(r.warcType)
-      case "target_uri" => (r: WarcRecord) => utf8(r.targetUri)
-      case "warc_date" => (r: WarcRecord) => utf8(r.warcDate)
-      case "content_type" => (r: WarcRecord) => utf8(r.contentType)
-      case "content_length" => (r: WarcRecord) => r.contentLength
-      case "http_status" => (r: WarcRecord) =>
-        if (r.httpStatus == null) null else r.httpStatus.intValue()
-      case "http_content_type" => (r: WarcRecord) =>
-        utf8(r.httpContentType)
-      case "payload" => (r: WarcRecord) => r.payload
-      case "warc_file" => (_: WarcRecord) => currentFile
-      case other => throw new IllegalStateException(
-        s"graft-warc: unknown required column $other")
-    })
 
   private def openNext(): Boolean = {
     closeStream()
@@ -326,19 +412,9 @@ private[sources] class WarcPartitionReader(
 
   override def next(): Boolean = {
     while (it == null || !it.hasNext) if (!openNext()) return false
-    val r = it.next()
-    val row = new GenericInternalRow(required.length)
-    var i = 0
-    while (i < required.length) {
-      row.update(i, extractors(i)(r))
-      i += 1
-    }
-    current = row
+    current = WarcColumns.toRow(it.next(), currentFile, extractors)
     true
   }
-
-  private def utf8(s: String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s)
 
   override def get(): InternalRow = current
 
@@ -346,6 +422,112 @@ private[sources] class WarcPartitionReader(
     if (in != null) { in.close(); in = null; it = null }
 
   override def close(): Unit = closeStream()
+}
+
+/** CDX point-lookup planning for the pushed `target_uri` filter: the
+  * scan consults the `_cdx` sidecars and plans one partition per
+  * archive file holding just the matched records' byte extents. */
+private[sources] object WarcCdx {
+
+  /** Hard ceiling on extents collected to the driver at plan time. A
+    * pushed EqualTo/In carries a bounded literal list, so this only
+    * trips when the SAME uris recur pathologically across an archive —
+    * at which point a full scan plans fine and this plan would not. */
+  val MaxExtents: Int = 1 << 22
+
+  def planExtents(
+      dataFiles: Seq[String], uris: Set[String],
+      typeFilter: Option[Set[String]],
+      conf: SerializableHadoopConf): Option[Array[WarcExtentPartition]] = {
+    import org.apache.spark.sql.functions.col
+    if (dataFiles.isEmpty) return Some(Array.empty)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(dataFiles.head).getFileSystem(conf.value)
+    val parents = dataFiles.map(f => new Path(f).getParent).distinct
+    val cdxDirs = parents.map(new Path(_, "_cdx"))
+    if (!cdxDirs.forall(fs.exists)) return None // no index → full scan
+    val cdx = spark.read.parquet(cdxDirs.map(_.toString): _*)
+    // coverage gate: every listed archive file must be indexed —
+    // a foreign file landed next to ours could hold matching records
+    // the index does not know about, and the residual filter can only
+    // drop rows, never resurrect skipped ones
+    val indexed = cdx.select("warc_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val listed = dataFiles.map(f =>
+      fs.makeQualified(new Path(f)).toString)
+    if (!listed.forall(indexed.contains)) return None
+    val matched = typeFilter.foldLeft(
+        cdx.filter(col("target_uri").isin(uris.toSeq: _*)))(
+        (d, t) => d.filter(col("warc_type").isin(t.toSeq: _*)))
+      .select("warc_file", "offset", "length")
+      .limit(MaxExtents + 1).collect()
+    require(matched.length <= MaxExtents,
+      s"graft-warc: pushed target_uri lookup matched more than " +
+        s"$MaxExtents records — use a full scan with a filter instead")
+    Some(matched.groupBy(_.getString(0)).toArray.sortBy(_._1)
+      .map { case (file, rows) =>
+        val sorted = rows.sortBy(_.getLong(1)) // forward sweep per file
+        WarcExtentPartition(file,
+          sorted.map(_.getLong(1)), sorted.map(_.getLong(2)))
+      })
+  }
+}
+
+private[sources] case class WarcExtentPartition(
+    file: String, offsets: Array[Long], lengths: Array[Long])
+    extends InputPartition
+
+private[sources] class WarcExtentReaderFactory(required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcExtentReader(
+      partition.asInstanceOf[WarcExtentPartition], required, conf)
+}
+
+/** Seek-and-read over one file's matched CDX extents (sorted by
+  * offset — each task sweeps forward, never backward): per extent, one
+  * bounded read + one single-member decompress + one record parse.
+  * The point-lookup twin of [[WarcPartitionReader]], returning exactly
+  * the rows a full scan of those records would. */
+private[sources] class WarcExtentReader(
+    part: WarcExtentPartition, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  private val needBlock = WarcColumns.needBlock(required)
+  private val extractors = WarcColumns.extractors(required)
+  private val fileUtf8 = UTF8String.fromString(part.file)
+
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private var i = -1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= part.offsets.length) return false
+    if (in == null) {
+      val p = new Path(part.file)
+      in = p.getFileSystem(conf.value).open(p)
+    }
+    val len = part.lengths(i)
+    require(len > 0 && len <= Int.MaxValue - 8,
+      s"graft-warc: ${part.file}: unfetchable record extent $len at " +
+        s"${part.offsets(i)} (corrupt _cdx row?)")
+    in.seek(part.offsets(i))
+    val bytes = new Array[Byte](len.toInt)
+    in.readFully(bytes)
+    val slice = new java.io.BufferedInputStream(
+      WarcCodec.decompressed(
+        new java.io.ByteArrayInputStream(bytes), part.file), 1 << 14)
+    val rec =
+      new WarcRecordIterator(slice, part.file, needBlock).next()
+    current = WarcColumns.toRow(rec, fileUtf8, extractors)
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (in != null) { in.close(); in = null }
 }
 
 /** Pull-parser over one (decompressed) WARC stream. Record grammar
@@ -425,6 +607,7 @@ private[sources] final class WarcRecordIterator(
     }
     var status: Integer = null
     var httpCt: String = null
+    var headers: Seq[(String, String)] = null
     var payload: Array[Byte] = null
     if (needBlock) {
       val block = in.readNBytes(len.toInt)
@@ -433,14 +616,15 @@ private[sources] final class WarcRecordIterator(
           s"(${block.length} of $len bytes) — archive is cut short")
       if (contentType != null
           && contentType.toLowerCase.startsWith("application/http")) {
-        val (st, ct, body) = WarcHttp.split(block)
-        status = st; httpCt = ct; payload = body
+        val (st, ct, hs, body) = WarcHttp.split(block)
+        status = st; httpCt = ct; headers = hs; payload = body
       } else payload = block
     } else in.skipNBytes(len)
     nextRec = WarcRecord(
       h.getOrElse("warc-record-id", null), warcType,
       h.getOrElse("warc-target-uri", null), h.getOrElse("warc-date", null),
-      contentType, len, status, httpCt, payload)
+      contentType, len, status, httpCt,
+      h.getOrElse("warc-concurrent-to", null), headers, payload)
   }
 
   override def hasNext: Boolean = {
@@ -461,10 +645,15 @@ private[sources] final class WarcRecordIterator(
   * hostility must not kill the scan the way framing errors do. */
 private[graft] object WarcHttp {
 
-  /** (status | null, content-type | null, payload bytes). */
-  def split(block: Array[Byte]): (Integer, String, Array[Byte]) = {
+  /** (status | null, content-type | null, ordered header pairs | null,
+    * payload bytes). Header names lowercase; repeated fields
+    * comma-join (RFC 9110 list semantics). Requests and other
+    * status-line-less messages return null status but REAL headers —
+    * that is what [[WarcIO.pairRequests]] attaches to responses. */
+  def split(block: Array[Byte])
+      : (Integer, String, Seq[(String, String)], Array[Byte]) = {
     val sep = indexOfCrlfCrlf(block)
-    if (sep < 0) return (null, null, block) // headerless — keep raw
+    if (sep < 0) return (null, null, null, block) // headerless — keep raw
     val head = new String(block, 0, sep,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r\n", -1)
@@ -477,18 +666,21 @@ private[graft] object WarcHttp {
       } else null // request/other message — no status line
     var ct: String = null
     var chunked = false
+    val headers = scala.collection.mutable.LinkedHashMap[String, String]()
     lines.drop(1).foreach { l =>
       val i = l.indexOf(':')
       if (i > 0) {
         val k = l.substring(0, i).trim.toLowerCase
         val v = l.substring(i + 1).trim
+        headers(k) = headers.get(k).fold(v)(prev => s"$prev, $v")
         if (k == "content-type" && ct == null) ct = v
         if (k == "transfer-encoding"
             && v.toLowerCase.contains("chunked")) chunked = true
       }
     }
     val body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
-    (status, ct, if (chunked) dechunk(body).getOrElse(body) else body)
+    (status, ct, headers.toSeq,
+      if (chunked) dechunk(body).getOrElse(body) else body)
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -859,26 +1051,61 @@ object WarcIO {
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** @param requestHttp optional column holding the captured HTTP
+    *        REQUEST message head ("GET /x HTTP/1.1\r\nHost: …" — no
+    *        body); when set, each row also emits a `request` record
+    *        tied to its response via WARC-Concurrent-To, the
+    *        interleaved layout real crawls ship. The return count
+    *        still counts responses only. */
   def warcSave(
       df: DataFrame, dir: String, codec: String = "gzip",
       uri: String = "target_uri", date: String = "warc_date",
       recordId: String = "record_id",
       httpContentType: String = "http_content_type",
       payload: String = "payload",
-      infoDate: String = "2026-01-01T00:00:00Z"): Long = {
-    import org.apache.spark.sql.functions.col
+      infoDate: String = "2026-01-01T00:00:00Z",
+      requestHttp: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
-      col(payload).cast("binary"))
+      col(payload).cast("binary"),
+      requestHttp.fold(lit(null).cast("string"))(c => col(c).cast("string")))
     archiveSave(rows, dir, codec, infoDate, r => {
       val rid = r.getString(2)
-      Seq(("response", rid,
+      val resp = ("response", rid,
         responseRecord(r.getString(0), r.getString(1), rid,
           r.getString(3),
           if (r.isNullAt(4)) Array.empty[Byte]
-          else r.getAs[Array[Byte]](4))))
+          else r.getAs[Array[Byte]](4)))
+      if (r.isNullAt(5)) Seq(resp)
+      else {
+        val reqId = s"<urn:graft:req:${rid.stripPrefix("<").stripSuffix(">")}>"
+        // request FIRST, response second — the common crawl layout;
+        // the reader pairs by Concurrent-To, not by adjacency
+        Seq(("request", reqId,
+          requestRecord(r.getString(0), r.getString(1), reqId, rid,
+            r.getString(5))), resp)
+      }
     })
+  }
+
+  /** Attach each `request` record's HTTP headers to its `response` via
+    * the WARC-Concurrent-To pointer: response rows come back unchanged
+    * plus `request_headers` (null when no request record points at
+    * that response). A plain equi-join on the response record id — ids
+    * are unique, so the shuffle is skew-free; at archive scale the
+    * pairs co-reside in one file, but adjacency is NOT assumed
+    * (ISO 28500 allows any interleaving, including cross-file). */
+  def pairRequests(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val requests = df
+      .filter(col("warc_type") === "request"
+        && col("concurrent_to").isNotNull)
+      .select(col("concurrent_to").as("record_id"),
+        col("http_headers").as("request_headers"))
+    df.filter(col("warc_type") === "response")
+      .join(requests, Seq("record_id"), "left")
   }
 
   /** The WET analog of [[warcSave]]: archive an EXTRACTED-TEXT corpus as
@@ -1082,7 +1309,10 @@ object WarcIO {
         val rec = new WarcRecordIterator(slice, f, needBlock = true).next()
         Row(rec.recordId, rec.warcType, rec.targetUri, rec.warcDate,
           rec.contentType, rec.contentLength, rec.httpStatus,
-          rec.httpContentType, rec.payload, f)
+          rec.httpContentType, rec.concurrentTo,
+          if (rec.httpHeaders == null) null
+          else scala.collection.immutable.ListMap(rec.httpHeaders: _*),
+          rec.payload, f)
       }
       new Iterator[Row] {
         def hasNext: Boolean = {
@@ -1110,6 +1340,27 @@ object WarcIO {
     val bos = new java.io.ByteArrayOutputStream(
       envelope.length + textBytes.length + 4)
     bos.write(envelope); bos.write(textBytes)
+    bos.write(Crlf); bos.write(Crlf)
+    bos.toByteArray
+  }
+
+  /** One `request` record: WARC envelope (Concurrent-To pointing at
+    * its response) + the captured HTTP request head, empty body. */
+  private[sources] def requestRecord(
+      uri: String, date: String, recordId: String, concurrentTo: String,
+      httpHead: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val head = if (httpHead == null) "" else httpHead
+    val block = (head.stripSuffix("\r\n") + "\r\n\r\n").getBytes(utf8)
+    val envelope =
+      (s"WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: $recordId\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Concurrent-To: $concurrentTo\r\n" +
+        "Content-Type: application/http; msgtype=request\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream(
+      envelope.length + block.length + 4)
+    bos.write(envelope); bos.write(block)
     bos.write(Crlf); bos.write(Crlf)
     bos.toByteArray
   }

@@ -281,6 +281,138 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("http_status") === 200).count() == 12)
   }
 
+  test("target_uri pushdown: CDX point lookup, byte-exact, honest fallback") {
+    val dir = tmp("uripush")
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (s"https://e/u/$i", "2026-01-01T00:00:00Z", s"<urn:u:$i>",
+        "text/html", s"uri page $i ${"z" * (i % 9)}".getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    WarcIO.warcSave(docs.repartition(4), dir.toString)
+    val wanted = Seq(3, 17, 29).map(i => s"https://e/u/$i")
+    val pushed = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("target_uri").isin(wanted: _*))
+    val got = pushed.collect().map(r => (r.getAs[String]("target_uri"),
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8),
+      r.getAs[Int]("http_status"))).toSet
+    assert(got == Set(3, 17, 29).map(i =>
+      (s"https://e/u/$i", s"uri page $i ${"z" * (i % 9)}", 200)))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUris:") && plan.contains("(cdx-indexed)"),
+      s"uri lookup must consult the CDX index:\n$plan")
+    // single-equality form pushes too
+    val one = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("target_uri") === "https://e/u/7")
+    assert(one.count() == 1)
+    assert(one.queryExecution.executedPlan.toString
+      .contains("(cdx-indexed)"))
+    // coverage gate: a FOREIGN archive file the index does not know
+    // about lands in the directory → the lookup must fall back to the
+    // full scan (an indexed plan would silently miss its records)
+    val foreign = rec("response", Seq(
+      "WARC-Record-ID" -> "<urn:u:foreign>",
+      "WARC-Target-URI" -> wanted.head,
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpBlock("200 OK", Seq("Content-Type" -> "text/html"),
+        "foreign copy".getBytes(UTF_8)))
+    java.nio.file.Files.write(dir.resolve("foreign.warc"), foreign)
+    val fb = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("target_uri").isin(wanted: _*))
+    val fbRows = fb.collect()
+    assert(fbRows.length == 4, "fallback must see the unindexed record")
+    assert(fbRows.map(r => new String(r.getAs[Array[Byte]]("payload"),
+      UTF_8)).toSet.contains("foreign copy"))
+    assert(fb.queryExecution.executedPlan.toString
+      .contains("(no cdx coverage — full scan)"))
+    // no _cdx at all (e.g. a hand-landed archive) → same fallback
+    val dir2 = tmp("uripush_nocdx")
+    java.nio.file.Files.write(dir2.resolve("only.warc"), foreign)
+    val noCdx = spark.read.format("graft-warc").load(dir2.toString)
+      .filter(col("target_uri") === wanted.head)
+    assert(noCdx.count() == 1)
+    // combined with a warc_type filter, the extents narrow by type too
+    val typed = spark.read.format("graft-warc").load(dir.toString)
+    // (read from the pre-foreign copy: rebuild a clean archive)
+    val dir3 = tmp("uripush_typed")
+    WarcIO.warcSave(docs.repartition(2), dir3.toString)
+    val both = spark.read.format("graft-warc").load(dir3.toString)
+      .filter(col("target_uri").isin(wanted: _*)
+        && col("warc_type") === "response")
+    assert(both.collect().map(_.getAs[String]("target_uri")).toSet
+      == wanted.toSet)
+    assert(both.queryExecution.executedPlan.toString
+      .contains("(cdx-indexed)"))
+  }
+
+  test("WARC-Concurrent-To: request records parse and pair onto responses") {
+    val dir = tmp("pair")
+    import spark.implicits._
+    val docs = (0 until 20).map { i =>
+      (s"https://e/pair/$i", "2026-01-01T00:00:00Z", s"<urn:pr:$i>",
+        "text/html", s"paired page $i".getBytes(UTF_8),
+        s"GET /pair/$i HTTP/1.1\r\nHost: e\r\n" +
+          s"Accept-Language: en-${i % 3}\r\nX-Dup: a\r\nX-Dup: b")
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload", "req_http")
+    WarcIO.warcSave(docs.repartition(2), dir.toString,
+      requestHttp = Some("req_http"))
+    val all = spark.read.format("graft-warc").load(dir.toString)
+    assert(all.filter(col("warc_type") === "request").count() == 20
+      && all.filter(col("warc_type") === "response").count() == 20)
+    val req = all.filter(col("warc_type") === "request"
+      && col("target_uri") === "https://e/pair/4").collect().head
+    assert(req.getAs[String]("concurrent_to") == "<urn:pr:4>")
+    assert(req.getAs[Integer]("http_status") == null)
+    val hdrs = req.getAs[Map[String, String]]("http_headers")
+    assert(hdrs("host") == "e" && hdrs("accept-language") == "en-1")
+    assert(hdrs("x-dup") == "a, b", "repeats must comma-join")
+    // pairing: every response gets its request's headers
+    val paired = WarcIO.pairRequests(all).collect()
+    assert(paired.length == 20)
+    paired.foreach { r =>
+      val i = r.getAs[String]("target_uri").split("/").last.toInt
+      val rh = r.getAs[Map[String, String]]("request_headers")
+      assert(rh("accept-language") == s"en-${i % 3}",
+        s"page $i paired with the wrong request")
+      assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8)
+        == s"paired page $i")
+    }
+    // reader-side pairing does NOT assume adjacency or order: a hand
+    // interleaved archive (response first, metadata between, request
+    // last) still pairs; a response without a request keeps null
+    val dir2 = tmp("pair_raw")
+    val bytes = Seq(
+      rec("response", Seq("WARC-Record-ID" -> "<urn:x:r1>",
+        "WARC-Target-URI" -> "https://x/1",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock("200 OK", Seq("Content-Type" -> "text/html"),
+          "one".getBytes(UTF_8))),
+      rec("metadata", Seq("WARC-Record-ID" -> "<urn:x:m>",
+        "WARC-Target-URI" -> "https://x/1",
+        "Content-Type" -> "application/json"),
+        """{"note":1}""".getBytes(UTF_8)),
+      rec("response", Seq("WARC-Record-ID" -> "<urn:x:r2>",
+        "WARC-Target-URI" -> "https://x/2",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock("200 OK", Seq("Content-Type" -> "text/html"),
+          "two".getBytes(UTF_8))),
+      rec("request", Seq("WARC-Record-ID" -> "<urn:x:q1>",
+        "WARC-Target-URI" -> "https://x/1",
+        "WARC-Concurrent-To" -> "<urn:x:r1>",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /1 HTTP/1.1\r\nUser-Agent: probe\r\n\r\n".getBytes(UTF_8))
+    ).reduce(_ ++ _)
+    java.nio.file.Files.write(dir2.resolve("mixed.warc"), bytes)
+    val p2 = WarcIO.pairRequests(
+      spark.read.format("graft-warc").load(dir2.toString))
+      .collect().map(r => r.getAs[String]("record_id") ->
+        Option(r.getAs[Map[String, String]]("request_headers"))).toMap
+    assert(p2("<urn:x:r1>").exists(_("user-agent") == "probe"))
+    assert(p2("<urn:x:r2>").isEmpty,
+      "a response with no request record must keep null headers")
+  }
+
   test("foreign-case headers and type values parse; warc_type canonicalizes") {
     val dir = tmp("case")
     java.nio.file.Files.write(dir.resolve("c.warc"),
