@@ -40,5 +40,16 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-specific hashing) → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    registry.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+    registry.collect { case Q(n, _, Some(sql), _) => n -> sql }.toMap
+
+  /** The rows-only queries (no oracle SQL) with their one-line
+    * rationales — written by [[Verify]] as `rows_only.json` next to
+    * `oracle_sql.json`, so a consumer of the driver's CORRECTNESS file
+    * can tell a DOCUMENTED estimator (rows-only by nature, spec-pinned,
+    * with a certified twin) from a genuinely missing oracle. */
+  def rowsOnly: Map[String, String] =
+    registry.collect {
+      case Q(n, _, None, why) =>
+        n -> why.getOrElse("no SQL-expressible oracle")
+    }.toMap
 }

@@ -51,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only sidecar: the documented estimators (no oracle SQL by
+    // nature, each with a certified twin and a pinned spec) — so a
+    // consumer of the correctness JSON can distinguish them from a
+    // genuinely missing oracle instead of reading `err: no_oracle`.
+    val ro = SparkEntry.rowsOnly
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), ro)
     spark.stop()
   }
 }

@@ -122,7 +122,10 @@ object Extras {
   /** HLL sketch: approximate distinct counts (engine-specific sketch →
     * rows-only; the exact twin is certified in q_a2_agg_suite, and the
     * CERTIFIABLE sketch twin is q_a13's KMV estimator). */
-  val qA5Approx = Q.rowsOnly("q_a5_approx_distinct") { (s, d) =>
+  val qA5Approx = Q.rowsOnly("q_a5_approx_distinct",
+    "HLL estimator: engine-specific sketch state has no DuckDB " +
+      "restatement; exact twin certified in q_a2_agg_suite, certifiable " +
+      "sketch twin in q_a13/q_a14 (KMV)") { (s, d) =>
     lineitem(s, d).agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       approx_count_distinct(col("l_partkey")).as("approx_parts"))

@@ -762,8 +762,55 @@ object SimilarityQ {
       emb, "vec_id", "embedding", k = 5)
   }
 
+  /** q_x13 at a NON-DEFAULT operating point (probes=3 instead of 6,
+    * salts=7 instead of 64), HASH-CERTIFIED — knob-plumbing insurance:
+    * the oracle's probed-lists CTE is `rn <= 3`, so an engine that
+    * silently ignored the probes knob would reproduce the default-6
+    * candidates and hash-MISMATCH here (the r14 false-certification
+    * episode is why the knobs get their own certified point), while a
+    * broken salt path would break the exact two-level shortlist, whose
+    * results must be salt-count-invariant. */
+  val qX13bIvfSq8JoinTuned = Q(
+    "q_x13b_ann_ivfsq8_join_tuned",
+    s"""WITH $quantizerCtes,
+       |corplists AS (
+       |  SELECT vec_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 2),
+       |qrylists AS (
+       |  SELECT vec_id AS q_id, c AS list_id
+       |  FROM (SELECT vec_id, c,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY d DESC, c) AS rn
+       |        FROM corpd)
+       |  WHERE rn <= 3),
+       |$sq8Ctes,
+       |cand AS (
+       |  SELECT DISTINCT q.q_id AS query_id, cl.vec_id AS cand_id
+       |  FROM qrylists q JOIN corplists cl ON q.list_id = cl.list_id),
+       |p AS (SELECT cand.query_id, cand.cand_id,
+       |             (1.0 - 2.0 * list_dot_product(q.u, c.rv))
+       |               + list_dot_product(c.rv, c.rv) AS d2
+       |      FROM cand JOIN uv q ON q.vec_id = cand.query_id
+       |                JOIN recon c ON c.vec_id = cand.cand_id),
+       |r AS (SELECT query_id, cand_id, d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY d2, cand_id) AS rn
+       |      FROM p)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, d2
+       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity.ivfSq8TopKJoin(
+      Similarity.ivfSq8IndexBuild(emb, "vec_id", "embedding"),
+      emb, "vec_id", "embedding", k = 5, probes = 3, salts = 7)
+  }
+
   val all: Seq[Q] =
     Seq(qX1TopK, qX2LshTopK, qX3IvfTopK, qX4KMeans, qX5Diversity,
       qX6RandomProjection, qX7PqTopK, qX8CentroidOutliers, qX9IvfPqTopK,
-      qX10IvfPqJoin, qX11Sq8TopK, qX12IvfSq8TopK, qX13IvfSq8Join)
+      qX10IvfPqJoin, qX11Sq8TopK, qX12IvfSq8TopK, qX13IvfSq8Join,
+      qX13bIvfSq8JoinTuned)
 }

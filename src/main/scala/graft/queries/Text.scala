@@ -1271,7 +1271,10 @@ object Text {
     * capacity 64. Rows-only — estimates depend on encounter order; the
     * deterministic guarantee (all >N/65 tokens present, undercount
     * ≤ N/65) is pinned against exact counts in a spec. */
-  val qT34FreqTokens = Q.rowsOnly("q_t34_freq_tokens") { (s, d) =>
+  val qT34FreqTokens = Q.rowsOnly("q_t34_freq_tokens",
+    "Misra-Gries estimates depend on encounter order; the deterministic " +
+      "guarantee (all >N/65 tokens present, undercount <= N/65) is " +
+      "spec-pinned against exact counts") { (s, d) =>
     graft.operators.TextAnalysis.frequentTokens(documents(s, d),
       "doc_id", "text", capacity = 64)
   }
@@ -1287,7 +1290,10 @@ object Text {
     * q_t32 certifies the identical replay at rank 16 and BpeSpec pins the
     * two trainers against each other. minPairCount=1 lets the sf0.01
     * corpus actually reach deep merge ranks. */
-  val qT37Bpe512 = Q.rowsOnly("q_t37_bpe512") { (s, d) =>
+  val qT37Bpe512 = Q.rowsOnly("q_t37_bpe512",
+    "rows-only by ORACLE LATENCY, not expressibility: the 512-level " +
+      "replay CTE reproduced this output exactly but runs minutes in " +
+      "DuckDB; q_t32 certifies the identical loop at rank 16") { (s, d) =>
     import s.implicits._
     graft.operators.TextAnalysis
       .trainBpeMerges(documents(s, d), "doc_id", "text",

@@ -30,7 +30,12 @@ package object queries {
   final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      /** For rows-only queries: the one-line WHY (estimator state,
+        * encounter-order semantics, oracle runtime) — surfaced in
+        * `rows_only.json` so a CORRECTNESS consumer can tell a
+        * documented estimator from a real missing oracle. */
+      rowsOnlyWhy: Option[String] = None)
 
   object Q {
     def apply(name: String, oracle: String)(
@@ -38,8 +43,10 @@ package object queries {
       Q(name, fn, Some(oracle))
 
     /** Rows-only check: no DuckDB-expressible oracle (engine-specific
-      * hashing, e.g. MinHash signatures). */
-    def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-      Q(name, fn, None)
+      * hashing, e.g. MinHash signatures). `why` states the rationale
+      * (the full version lives in the query's scaladoc). */
+    def rowsOnly(name: String, why: String)(
+        fn: (SparkSession, String) => DataFrame): Q =
+      Q(name, fn, None, Some(why))
   }
 }

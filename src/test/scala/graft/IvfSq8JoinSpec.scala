@@ -39,6 +39,25 @@ class IvfSq8JoinSpec extends AnyFunSuite {
       idx, queries, "vec_id", "embedding", K, salts = 3)) == viaColumn)
   }
 
+  test("non-default probes reach the plan: fewer probes, different shortlist") {
+    // the q_x13b operating point: probes=3 must probe exactly 3 lists —
+    // equal to the Column path at the SAME probes, and NOT equal to the
+    // default-6 result (a knob silently ignored reproduces the default;
+    // the r14 false-certification episode is why this pin exists)
+    val queries = emb.filter(col("vec_id") % 9 === 0)
+    val tuned = rows(Similarity.ivfSq8TopKJoin(
+      idx, queries, "vec_id", "embedding", K, probes = 3, salts = 7))
+    val columnTuned = rows(Similarity.ivfSq8TopK(
+      idx, queries, "vec_id", "embedding", K, probes = 3, salts = 7))
+    assert(tuned == columnTuned,
+      "probes=3 join path diverged from the probes=3 Column path")
+    val default6 = rows(Similarity.ivfSq8TopKJoin(
+      idx, queries, "vec_id", "embedding", K))
+    assert(tuned != default6,
+      "probes=3 reproduced the default-probes shortlist — the knob " +
+        "is not reaching the candidate join")
+  }
+
   test("join path scales past a broadcastable query batch") {
     // 1500 external queries: the corpus replicated under shifted ids —
     // replicas must retrieve exactly the original's neighbors

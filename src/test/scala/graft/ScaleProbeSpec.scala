@@ -713,6 +713,60 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(tBig / tSolo < 30, s"super-linear blowup: $tSolo vs $tBig")
   }
 
+  test("wetSave + graft-warc scan scale ~linearly 5k -> 50k records") {
+    // the crawl family's quadratic/driver-creep guard: archive write
+    // (member-per-record gzip, one file per partition, cdx sidecar in
+    // the same pass) and the scan read-back must both grow with the
+    // corpus, not with corpus² or with per-record driver RPCs
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(
+        concat(lit("https://probe.example/p/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:probe:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        col("text"))
+    val big = (0 until 10).map(i =>
+      docs.select(
+        concat(lit(s"https://probe.example/c$i/"),
+          col("target_uri")).as("target_uri"),
+        col("warc_date"),
+        concat(lit(s"<urn:c$i:"), col("record_id"), lit(">"))
+          .as("record_id"),
+        col("text"))).reduce(_ unionByName _)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def roundTrip(df: org.apache.spark.sql.DataFrame,
+        parts: Int): (Double, Double) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_wet").toString
+      val (n, tw) = timed(graft.sources.WarcIO.wetSave(
+        df.repartition(parts), dir))
+      val (m, tr) = timed(spark.read.format("graft-warc").load(dir)
+        .filter(col("warc_type") === "conversion").count())
+      assert(n == m, s"round trip lost records: wrote $n, read $m")
+      (tw, tr)
+    }
+    roundTrip(docs.limit(500), 2) // warm
+    def best(parts: Int,
+        df: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (w1, r1) = roundTrip(df, parts)
+      val (w2, r2) = roundTrip(df, parts)
+      (math.min(w1, w2), math.min(r1, r2))
+    }
+    // 10x the records AND 10x the files — the shape a 10x crawl lands
+    val (w1, r1) = best(4, docs)
+    val (w10, r10) = best(40, big)
+    println(f"wetSave 5k: $w1%.2f s, 50k: $w10%.2f s, " +
+      f"ratio ${w10 / w1}%.1f; scan 5k: $r1%.2f s, 50k: $r10%.2f s, " +
+      f"ratio ${r10 / r1}%.1f")
+    assert(w10 / w1 < 30, s"super-linear write blowup: $w1 vs $w10")
+    assert(r10 / r1 < 30, s"super-linear read blowup: $r1 vs $r10")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)

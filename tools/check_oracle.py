@@ -49,6 +49,11 @@ def main(out_dir, sf_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    rows_only_why = {}
+    ro_path = f"{out_dir}/rows_only.json"
+    if os.path.exists(ro_path):
+        with open(ro_path) as f:
+            rows_only_why = json.load(f)
     n_pass = n_fail = n_rowsonly = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
@@ -60,7 +65,16 @@ def main(out_dir, sf_dir):
         mine = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         mcols, mrows = mine.columns, mine.fetchall()
         if name not in oracles:
-            print(f"  rows-only {name}: {len(mrows)} rows")
+            why = rows_only_why.get(name)
+            tag = f" — {why}" if why else ""
+            if rows_only_why and not why:
+                # an undeclared oracle-less query is a registry bug, not
+                # a documented estimator (only enforced when the sidecar
+                # exists — pre-r16 output dirs have none)
+                print(f"  FAIL {name}: no oracle and no rows_only rationale")
+                n_fail += 1
+                continue
+            print(f"  rows-only {name}: {len(mrows)} rows{tag}")
             n_rowsonly += 1
             continue
         try:
