@@ -384,6 +384,7 @@ private[sources] class WarcPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val needBlock = WarcColumns.needBlock(required)
+  private val needHeaders = required.fieldNames.contains("http_headers")
   private val extractors = WarcColumns.extractors(required)
 
   private var fi = -1
@@ -405,7 +406,8 @@ private[sources] class WarcPartitionReader(
     // header byte
     in = new java.io.BufferedInputStream(
       WarcCodec.decompressed(raw, files(fi)), 1 << 16)
-    it = new WarcRecordIterator(in, files(fi), needBlock, typeFilter)
+    it = new WarcRecordIterator(in, files(fi), needBlock, typeFilter,
+      needHeaders)
     currentFile = UTF8String.fromString(files(fi))
     true
   }
@@ -495,6 +497,7 @@ private[sources] class WarcExtentReader(
     conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val needBlock = WarcColumns.needBlock(required)
+  private val needHeaders = required.fieldNames.contains("http_headers")
   private val extractors = WarcColumns.extractors(required)
   private val fileUtf8 = UTF8String.fromString(part.file)
 
@@ -519,8 +522,8 @@ private[sources] class WarcExtentReader(
     val slice = new java.io.BufferedInputStream(
       WarcCodec.decompressed(
         new java.io.ByteArrayInputStream(bytes), part.file), 1 << 14)
-    val rec =
-      new WarcRecordIterator(slice, part.file, needBlock).next()
+    val rec = new WarcRecordIterator(slice, part.file, needBlock,
+      needHeaders = needHeaders).next()
     current = WarcColumns.toRow(rec, fileUtf8, extractors)
     true
   }
@@ -539,7 +542,11 @@ private[sources] class WarcExtentReader(
   * content bytes. */
 private[sources] final class WarcRecordIterator(
     in: java.io.InputStream, file: String, needBlock: Boolean,
-    typeFilter: Option[Set[String]] = None)
+    typeFilter: Option[Set[String]] = None,
+    /** Collect the HTTP header map only when the `http_headers` column
+      * is actually required — the map is a per-record allocation the
+      * 100 TB scan hot path should not pay for a manifest query. */
+    needHeaders: Boolean = false)
     extends Iterator[WarcRecord] {
 
   private var nextRec: WarcRecord = _
@@ -616,7 +623,7 @@ private[sources] final class WarcRecordIterator(
           s"(${block.length} of $len bytes) — archive is cut short")
       if (contentType != null
           && contentType.toLowerCase.startsWith("application/http")) {
-        val (st, ct, hs, body) = WarcHttp.split(block)
+        val (st, ct, hs, body) = WarcHttp.split(block, needHeaders)
         status = st; httpCt = ct; headers = hs; payload = body
       } else payload = block
     } else in.skipNBytes(len)
@@ -649,8 +656,11 @@ private[graft] object WarcHttp {
     * payload bytes). Header names lowercase; repeated fields
     * comma-join (RFC 9110 list semantics). Requests and other
     * status-line-less messages return null status but REAL headers —
-    * that is what [[WarcIO.pairRequests]] attaches to responses. */
-  def split(block: Array[Byte])
+    * that is what [[WarcIO.pairRequests]] attaches to responses. The
+    * header MAP is collected only under `wantHeaders` (a per-record
+    * allocation the hot path skips when the column is pruned);
+    * content-type/chunked detection always runs. */
+  def split(block: Array[Byte], wantHeaders: Boolean = true)
       : (Integer, String, Seq[(String, String)], Array[Byte]) = {
     val sep = indexOfCrlfCrlf(block)
     if (sep < 0) return (null, null, null, block) // headerless — keep raw
@@ -666,20 +676,24 @@ private[graft] object WarcHttp {
       } else null // request/other message — no status line
     var ct: String = null
     var chunked = false
-    val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+    val headers =
+      if (wantHeaders)
+        scala.collection.mutable.LinkedHashMap[String, String]()
+      else null
     lines.drop(1).foreach { l =>
       val i = l.indexOf(':')
       if (i > 0) {
         val k = l.substring(0, i).trim.toLowerCase
         val v = l.substring(i + 1).trim
-        headers(k) = headers.get(k).fold(v)(prev => s"$prev, $v")
+        if (headers != null)
+          headers(k) = headers.get(k).fold(v)(prev => s"$prev, $v")
         if (k == "content-type" && ct == null) ct = v
         if (k == "transfer-encoding"
             && v.toLowerCase.contains("chunked")) chunked = true
       }
     }
     val body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
-    (status, ct, headers.toSeq,
+    (status, ct, if (headers == null) null else headers.toSeq,
       if (chunked) dechunk(body).getOrElse(body) else body)
   }
 
@@ -1306,7 +1320,8 @@ object WarcIO {
           new java.io.BufferedInputStream(
             WarcCodec.decompressed(
               new java.io.ByteArrayInputStream(bytes), f), 1 << 14)
-        val rec = new WarcRecordIterator(slice, f, needBlock = true).next()
+        val rec = new WarcRecordIterator(slice, f, needBlock = true,
+          needHeaders = true).next()
         Row(rec.recordId, rec.warcType, rec.targetUri, rec.warcDate,
           rec.contentType, rec.contentLength, rec.httpStatus,
           rec.httpContentType, rec.concurrentTo,
