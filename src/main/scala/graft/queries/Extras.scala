@@ -1179,9 +1179,109 @@ object Extras {
         length(col("payload")).cast("long").as("payload_len"))
   }
 
+  /** HTTP status fidelity through the WARC round trip, HASH-CERTIFIED —
+    * a real crawl archive is full of 301/404/503 captures and their
+    * statuses ARE curation signals; [[graft.sources.WarcIO.warcSave]]'s
+    * httpStatus column writes each capture's REAL status line (with an
+    * out-of-table 599 exercising the bare-phrase fallback RFC 9112
+    * allows) and the reader's HTTP split parses the CODE back. Payload
+    * text rides along: a non-200 status line must not disturb the
+    * Content-Length byte framing. */
+  val qS21StatusFidelity = Q(
+    "q_s21_status_fidelity",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CAST(CASE doc_id % 8 WHEN 0 THEN 200 WHEN 1 THEN 301
+      |            WHEN 2 THEN 302 WHEN 3 THEN 304 WHEN 4 THEN 404
+      |            WHEN 5 THEN 500 WHEN 6 THEN 503 ELSE 599 END
+      |            AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wst_q").toString
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 8).cast("int").as("m"))
+        .withColumn("status",
+          when(col("m") === 0, 200).when(col("m") === 1, 301)
+            .when(col("m") === 2, 302).when(col("m") === 3, 304)
+            .when(col("m") === 4, 404).when(col("m") === 5, 500)
+            .when(col("m") === 6, 503).otherwise(599))
+        .repartition(8),
+      tmp, httpStatus = Some("status"))
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        length(col("payload")).cast("long").as("payload_len"))
+  }
+
+  /** WARC `revisit` dedup storage round trip, HASH-CERTIFIED — the
+    * layout real archival crawlers write: per distinct payload digest
+    * one full `response` holds the bytes and every other capture is a
+    * `revisit` envelope pointing at it (WARC-Refers-To +
+    * WARC-Payload-Digest, identical-payload-digest profile).
+    * [[graft.sources.WarcIO.warcDedupSave]] picks the canonical
+    * capture with a partial-aggregating min(struct) group-by (NOT a
+    * window — the hot digest is the point of dedup and must not need
+    * one partition), and [[graft.sources.WarcIO.expandRevisits]]
+    * rematerializes payloads through a unique-key join on the
+    * canonical record id. The oracle restates canonical choice
+    * (min doc_id per payload class — record ids are zero-padded so
+    * string order IS numeric order), the refers_to pointer, and the
+    * rematerialized text closed-form. */
+  val qS22RevisitDedup = Q(
+    "q_s22_revisit_dedup",
+    """WITH src AS (SELECT doc_id, doc_id % 41 AS cls FROM documents),
+      |     canon AS (SELECT cls, min(doc_id) AS canon_id
+      |               FROM src GROUP BY cls)
+      |SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CASE WHEN doc_id = canon_id THEN 'response'
+      |            ELSE 'revisit' END AS stored_type,
+      |       CASE WHEN doc_id = canon_id THEN CAST(NULL AS VARCHAR)
+      |            ELSE '<urn:graft:doc:'
+      |                 || lpad(CAST(canon_id AS VARCHAR), 8, '0')
+      |                 || '>' END AS refers_to,
+      |       'shared payload #' || CAST(cls AS VARCHAR) AS text
+      |FROM src JOIN canon USING (cls)""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rvst_q").toString
+    graft.sources.WarcIO.warcDedupSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:doc:"),
+          lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(">")).as("record_id"),
+        lit("text/plain; charset=utf-8").as("http_content_type"),
+        encode(concat(lit("shared payload #"),
+          (col("doc_id") % 41).cast("string")), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp)
+    val raw = s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type").isin("response", "revisit"))
+    val expanded = graft.sources.WarcIO.expandRevisits(raw)
+      .select(col("record_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+    raw.select(col("record_id"), col("target_uri"),
+      col("warc_type").as("stored_type"), col("refers_to"))
+      .join(expanded, "record_id")
+      .select(col("target_uri"), col("stored_type"), col("refers_to"),
+        col("text"))
+  }
+
   val all: Seq[Q] = Seq(
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
-    qS20RequestPairing, qS16zZstdWarc,
+    qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

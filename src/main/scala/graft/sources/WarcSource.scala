@@ -81,6 +81,10 @@ object WarcSource {
     * `warc_type` canonicalizes to the registry's lowercase.
     * `concurrent_to` is the WARC-Concurrent-To envelope pointer (how
     * real crawls tie a `request` record to its `response`);
+    * `refers_to` / `payload_digest` are the WARC-Refers-To and
+    * WARC-Payload-Digest envelope headers — how `revisit` records
+    * (crawl-side dedup storage) point at the capture that holds the
+    * bytes ([[WarcIO.expandRevisits]] follows the pointer);
     * `http_headers` is the FULL parsed HTTP header map (lowercased
     * names, repeats comma-joined per RFC 9110) — the curation signals
     * (redirect Location, content negotiation, user-agent) live there. */
@@ -94,6 +98,8 @@ object WarcSource {
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
     StructField("concurrent_to", StringType, nullable = true),
+    StructField("refers_to", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
     StructField("http_headers",
       MapType(StringType, StringType), nullable = true),
     StructField("payload", BinaryType, nullable = true),
@@ -317,7 +323,8 @@ private[sources] class WarcMicroBatchStream(
 private[sources] final case class WarcRecord(
     recordId: String, warcType: String, targetUri: String, warcDate: String,
     contentType: String, contentLength: Long, httpStatus: Integer,
-    httpContentType: String, concurrentTo: String,
+    httpContentType: String, concurrentTo: String, refersTo: String,
+    payloadDigest: String,
     httpHeaders: Seq[(String, String)], payload: Array[Byte])
 
 /** Column extraction shared by the sequential scan reader and the CDX
@@ -352,6 +359,10 @@ private[sources] object WarcColumns {
         utf8(r.httpContentType)
       case "concurrent_to" =>
         (r: WarcRecord, _: UTF8String) => utf8(r.concurrentTo)
+      case "refers_to" =>
+        (r: WarcRecord, _: UTF8String) => utf8(r.refersTo)
+      case "payload_digest" =>
+        (r: WarcRecord, _: UTF8String) => utf8(r.payloadDigest)
       case "http_headers" => (r: WarcRecord, _: UTF8String) =>
         if (r.httpHeaders == null) null
         else new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -631,7 +642,9 @@ private[sources] final class WarcRecordIterator(
       h.getOrElse("warc-record-id", null), warcType,
       h.getOrElse("warc-target-uri", null), h.getOrElse("warc-date", null),
       contentType, len, status, httpCt,
-      h.getOrElse("warc-concurrent-to", null), headers, payload)
+      h.getOrElse("warc-concurrent-to", null),
+      h.getOrElse("warc-refers-to", null),
+      h.getOrElse("warc-payload-digest", null), headers, payload)
   }
 
   override def hasNext: Boolean = {
@@ -1070,7 +1083,11 @@ object WarcIO {
     *        body); when set, each row also emits a `request` record
     *        tied to its response via WARC-Concurrent-To, the
     *        interleaved layout real crawls ship. The return count
-    *        still counts responses only. */
+    *        still counts responses only.
+    * @param httpStatus optional int column with each capture's real
+    *        HTTP status — a crawl archive is full of 301/404/503
+    *        captures and their statuses ARE curation signals; null
+    *        values (and an unset param) keep the 200 default. */
   def warcSave(
       df: DataFrame, dir: String, codec: String = "gzip",
       uri: String = "target_uri", date: String = "warc_date",
@@ -1078,20 +1095,23 @@ object WarcIO {
       httpContentType: String = "http_content_type",
       payload: String = "payload",
       infoDate: String = "2026-01-01T00:00:00Z",
-      requestHttp: Option[String] = None): Long = {
+      requestHttp: Option[String] = None,
+      httpStatus: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
       col(payload).cast("binary"),
-      requestHttp.fold(lit(null).cast("string"))(c => col(c).cast("string")))
+      requestHttp.fold(lit(null).cast("string"))(c => col(c).cast("string")),
+      httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int")))
     archiveSave(rows, dir, codec, infoDate, r => {
       val rid = r.getString(2)
       val resp = ("response", rid,
         responseRecord(r.getString(0), r.getString(1), rid,
           r.getString(3),
           if (r.isNullAt(4)) Array.empty[Byte]
-          else r.getAs[Array[Byte]](4)))
+          else r.getAs[Array[Byte]](4),
+          status = if (r.isNullAt(6)) 200 else r.getInt(6)))
       if (r.isNullAt(5)) Seq(resp)
       else {
         val reqId = s"<urn:graft:req:${rid.stripPrefix("<").stripSuffix(">")}>"
@@ -1120,6 +1140,102 @@ object WarcIO {
         col("http_headers").as("request_headers"))
     df.filter(col("warc_type") === "response")
       .join(requests, Seq("record_id"), "left")
+  }
+
+  /** [[warcSave]] with DEDUPLICATED STORAGE — the layout real archival
+    * crawlers write: per distinct payload digest ONE full `response`
+    * record holds the bytes, and every other capture of those bytes
+    * becomes a `revisit` envelope (WARC-Refers-To → the canonical
+    * record, WARC-Payload-Digest = labelled sha1, identical-payload-
+    * digest profile, HTTP head only). On a duplicate-heavy crawl this
+    * is the difference between storing the corpus and storing its
+    * distinct content.
+    *
+    * Canonical choice is deterministic: min (date, record_id) per
+    * digest, computed as a partial-aggregating `min(struct(...))`
+    * group-by + equi-join back on the digest — NOT a window, which
+    * would sort each digest's captures inside one task: the hot digest
+    * (empty page, parked-domain boilerplate) is exactly the case dedup
+    * exists for, and its group must not need to fit one partition.
+    * Both shuffles hash on the digest; AQE's skew split applies.
+    *
+    * Digest format: `sha1:` + uppercase hex of SHA-1 over the payload
+    * bytes (computed by the codegen'd built-in; hex rather than the
+    * Base32 some crawls ship — the label makes it self-describing and
+    * [[expandRevisits]] follows record ids, not digest bytes).
+    * Returns the response + revisit record count (every capture). */
+  def warcDedupSave(
+      df: DataFrame, dir: String, codec: String = "gzip",
+      uri: String = "target_uri", date: String = "warc_date",
+      recordId: String = "record_id",
+      httpContentType: String = "http_content_type",
+      payload: String = "payload",
+      infoDate: String = "2026-01-01T00:00:00Z",
+      httpStatus: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{
+      coalesce, col, concat, lit, min, sha1, struct, upper}
+    val rows = df.select(
+      col(uri).cast("string").as("_uri"), col(date).cast("string").as("_dt"),
+      col(recordId).cast("string").as("_rid"),
+      col(httpContentType).cast("string").as("_ct"),
+      coalesce(col(payload).cast("binary"), lit(Array.empty[Byte]))
+        .as("_pl"),
+      httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int"))
+        .as("_st"))
+      .withColumn("_digest", concat(lit("sha1:"), upper(sha1(col("_pl")))))
+    val canon = rows.groupBy(col("_digest"))
+      .agg(min(struct(col("_dt"), col("_rid"))).as("_c"))
+      .select(col("_digest"), col("_c._rid").as("_canon_rid"))
+    val keyed = rows.join(canon, "_digest").select(
+      col("_uri"), col("_dt"), col("_rid"), col("_ct"), col("_pl"),
+      col("_st"), col("_digest"), col("_canon_rid"))
+    archiveSave(keyed, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      val st = if (r.isNullAt(5)) 200 else r.getInt(5)
+      val digest = r.getString(6)
+      val canonRid = r.getString(7)
+      if (rid == canonRid)
+        Seq(("response", rid,
+          responseRecord(r.getString(0), r.getString(1), rid,
+            r.getString(3), r.getAs[Array[Byte]](4), st, digest)))
+      else
+        Seq(("revisit", rid,
+          revisitRecord(r.getString(0), r.getString(1), rid, canonRid,
+            digest, r.getString(3), st)))
+    })
+  }
+
+  /** Rematerialize a [[warcDedupSave]] archive: `revisit` rows come
+    * back as full captures with the payload (and null-status fallback
+    * fields) pulled from their WARC-Refers-To target, `warc_type`
+    * rewritten to `response`; real responses pass through. The join is
+    * a unique-key equi-join on the canonical record id — skew-free
+    * regardless of how duplicate-heavy the corpus is, because the
+    * BUILD side has one row per distinct payload. Rows whose referent
+    * is missing (partial archive listing) keep their null payload —
+    * degrading the row, not the scan. */
+  def expandRevisits(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val originals = df.filter(col("warc_type") === "response")
+      .select(col("record_id").as("_ref_rid"),
+        col("payload").as("_ref_payload"),
+        col("http_status").as("_ref_status"),
+        col("http_content_type").as("_ref_ct"))
+    val revisits = df.filter(col("warc_type") === "revisit")
+      .join(originals, col("refers_to") === col("_ref_rid"), "left")
+      .select(df.columns.map {
+        case "warc_type" => lit("response").as("warc_type")
+        // a revisit's OWN payload is the empty head-only body — the
+        // real bytes live at the referent, unconditionally
+        case "payload" => col("_ref_payload").as("payload")
+        case "http_status" => coalesce(col("http_status"),
+          col("_ref_status")).as("http_status")
+        case "http_content_type" => coalesce(col("http_content_type"),
+          col("_ref_ct")).as("http_content_type")
+        case c => col(c)
+      }.toSeq: _*)
+    df.filter(col("warc_type") =!= "revisit"
+      || col("warc_type").isNull).unionByName(revisits)
   }
 
   /** The WET analog of [[warcSave]]: archive an EXTRACTED-TEXT corpus as
@@ -1324,7 +1440,8 @@ object WarcIO {
           needHeaders = true).next()
         Row(rec.recordId, rec.warcType, rec.targetUri, rec.warcDate,
           rec.contentType, rec.contentLength, rec.httpStatus,
-          rec.httpContentType, rec.concurrentTo,
+          rec.httpContentType, rec.concurrentTo, rec.refersTo,
+          rec.payloadDigest,
           if (rec.httpHeaders == null) null
           else scala.collection.immutable.ListMap(rec.httpHeaders: _*),
           rec.payload, f)
@@ -1380,23 +1497,74 @@ object WarcIO {
     bos.toByteArray
   }
 
-  /** One `response` record: WARC envelope + HTTP/1.1 200 message. */
+  /** RFC 9110 reason phrases for the statuses a crawl actually sees;
+    * anything else gets the bare "Status" phrase (readers parse the
+    * CODE — the phrase is decorative, RFC 9112 §4 allows any text). */
+  private val ReasonPhrase = Map(
+    200 -> "OK", 201 -> "Created", 204 -> "No Content",
+    206 -> "Partial Content", 301 -> "Moved Permanently", 302 -> "Found",
+    303 -> "See Other", 304 -> "Not Modified", 307 -> "Temporary Redirect",
+    308 -> "Permanent Redirect", 400 -> "Bad Request", 401 -> "Unauthorized",
+    403 -> "Forbidden", 404 -> "Not Found", 410 -> "Gone",
+    429 -> "Too Many Requests", 500 -> "Internal Server Error",
+    502 -> "Bad Gateway", 503 -> "Service Unavailable",
+    504 -> "Gateway Timeout")
+
+  /** One `response` record: WARC envelope + an HTTP/1.1 message with
+    * the capture's REAL status line (200 when the crawl did not record
+    * one). `digest` (labelled, e.g. "sha1:…"), when non-null, rides as
+    * WARC-Payload-Digest — what `revisit` records point back at. */
   private[sources] def responseRecord(
       uri: String, date: String, recordId: String, httpCt: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte], status: Int = 200,
+      digest: String = null): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val phrase = ReasonPhrase.getOrElse(status, "Status")
     val httpHead =
-      (s"HTTP/1.1 200 OK\r\nContent-Type: $httpCt\r\n" +
+      (s"HTTP/1.1 $status $phrase\r\nContent-Type: $httpCt\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes(utf8)
     val blockLen = httpHead.length + payload.length
+    val digestLine =
+      if (digest == null) "" else s"WARC-Payload-Digest: $digest\r\n"
     val envelope =
       (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $recordId\r\n" +
-        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" + digestLine +
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: $blockLen\r\n\r\n").getBytes(utf8)
     val bos = new java.io.ByteArrayOutputStream(
       envelope.length + blockLen + 4)
     bos.write(envelope); bos.write(httpHead); bos.write(payload)
+    bos.write(Crlf); bos.write(Crlf)
+    bos.toByteArray
+  }
+
+  /** One `revisit` record (ISO 28500 §6.7.2, identical-payload-digest
+    * profile): the crawl-side DEDUP storage form — an envelope that
+    * says "this capture's bytes are identical to [[WARC-Refers-To]]",
+    * carrying only the HTTP message HEAD (status line + headers, no
+    * body). A duplicate-heavy crawl stores each distinct payload once;
+    * [[WarcIO.expandRevisits]] rematerializes on read. */
+  private[sources] def revisitRecord(
+      uri: String, date: String, recordId: String, refersTo: String,
+      digest: String, httpCt: String, status: Int): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val phrase = ReasonPhrase.getOrElse(status, "Status")
+    // head only — no Content-Length header, so nothing implies a body
+    val httpHead =
+      (s"HTTP/1.1 $status $phrase\r\nContent-Type: $httpCt\r\n\r\n")
+        .getBytes(utf8)
+    val envelope =
+      (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Record-ID: $recordId\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Refers-To: $refersTo\r\n" +
+        s"WARC-Payload-Digest: $digest\r\n" +
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+        "identical-payload-digest\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${httpHead.length}\r\n\r\n").getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream(
+      envelope.length + httpHead.length + 4)
+    bos.write(envelope); bos.write(httpHead)
     bos.write(Crlf); bos.write(Crlf)
     bos.toByteArray
   }

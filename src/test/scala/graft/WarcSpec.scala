@@ -145,6 +145,92 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("warc_type") === "response").count() == 5)
   }
 
+  test("http status fidelity: real status lines round-trip; unknown and null codes behave") {
+    val dir = tmp("status")
+    import spark.implicits._
+    val docs = Seq(
+      ("https://x.example/ok", 200: Integer),
+      ("https://x.example/moved", 301: Integer),
+      ("https://x.example/missing", 404: Integer),
+      ("https://x.example/down", 503: Integer),
+      ("https://x.example/odd", 599: Integer), // no RFC phrase — bare fallback
+      ("https://x.example/null", null: Integer) // null → 200 default
+    ).zipWithIndex.map { case ((u, st), i) =>
+      (u, "2026-01-01T00:00:00Z", s"<urn:graft:st:$i>", "text/html",
+        s"<html>page $i</html>".getBytes(UTF_8), st)
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload", "status")
+    WarcIO.warcSave(docs.repartition(2), dir.toString,
+      httpStatus = Some("status"))
+    val back = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "http_status", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](2), UTF_8))).toSet
+    assert(back == Set(
+      ("https://x.example/ok", 200, "<html>page 0</html>"),
+      ("https://x.example/moved", 301, "<html>page 1</html>"),
+      ("https://x.example/missing", 404, "<html>page 2</html>"),
+      ("https://x.example/down", 503, "<html>page 3</html>"),
+      ("https://x.example/odd", 599, "<html>page 4</html>"),
+      ("https://x.example/null", 200, "<html>page 5</html>")),
+      "status lines drifted through the round trip")
+  }
+
+  test("revisit dedup storage: duplicates become revisit envelopes; expandRevisits rematerializes") {
+    val dir = tmp("revisit")
+    import spark.implicits._
+    // 6 captures, 3 distinct payloads: A x3 (distinct dates — canonical
+    // must be the EARLIEST capture), B x2, C x1
+    val docs = Seq(
+      ("https://x.example/a1", "2026-01-03T00:00:00Z", "<urn:g:a1>", "A"),
+      ("https://x.example/a2", "2026-01-01T00:00:00Z", "<urn:g:a2>", "A"),
+      ("https://x.example/a3", "2026-01-02T00:00:00Z", "<urn:g:a3>", "A"),
+      ("https://x.example/b1", "2026-01-01T00:00:00Z", "<urn:g:b1>", "B"),
+      ("https://x.example/b2", "2026-01-01T00:00:00Z", "<urn:g:b2>", "B"),
+      ("https://x.example/c1", "2026-01-01T00:00:00Z", "<urn:g:c1>", "C")
+    ).map { case (u, dt, rid, p) =>
+      (u, dt, rid, "text/plain", s"payload $p".getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload")
+    val written = WarcIO.warcDedupSave(docs.repartition(3), dir.toString)
+    assert(written == 6L, "every capture counts, revisit or not")
+    val raw = spark.read.format("graft-warc").load(dir.toString)
+    val responses = raw.filter(col("warc_type") === "response")
+    val revisits = raw.filter(col("warc_type") === "revisit")
+    assert(responses.count() == 3, "one full response per distinct payload")
+    // every record (both kinds) carries the labelled digest
+    assert(raw.filter(col("warc_type").isin("response", "revisit"))
+      .filter(!col("payload_digest").startsWith("sha1:")).count() == 0)
+    val revRows = revisits
+      .select("record_id", "refers_to", "payload", "http_status")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](2).length, r.getInt(3))).toSet
+    // canonical for A is the EARLIEST capture a2; for B the id tiebreak b1
+    assert(revRows == Set(
+      ("<urn:g:a1>", "<urn:g:a2>", 0, 200),
+      ("<urn:g:a3>", "<urn:g:a2>", 0, 200),
+      ("<urn:g:b2>", "<urn:g:b1>", 0, 200)),
+      s"revisit envelopes drifted: $revRows")
+    // expandRevisits: all six captures back with their real bytes
+    val expanded = WarcIO.expandRevisits(
+      raw.filter(col("warc_type").isin("response", "revisit")))
+    val got = expanded.select("target_uri", "warc_type", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), UTF_8))).toSet
+    assert(got == docs.collect().map(r => (r.getString(0), "response",
+      new String(r.getAs[Array[Byte]](4), UTF_8))).toSet,
+      "rematerialization drifted")
+    // a missing referent degrades the row (null payload), not the scan
+    val orphaned = WarcIO.expandRevisits(
+      raw.filter(col("warc_type") === "revisit"))
+    assert(orphaned.count() == 3
+      && orphaned.filter(col("payload").isNull).count() == 3,
+      "orphaned revisits must survive with null payloads")
+  }
+
   test("wetSave: conversion records round-trip extracted text byte-exact") {
     val dir = tmp("wet")
     import spark.implicits._
