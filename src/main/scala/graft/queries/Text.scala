@@ -1736,6 +1736,48 @@ object Text {
             decode(col("payload"), "UTF-8")).as("txt"))
   }
 
+  /** Status-GATED crawl extraction, hash-certified: the q_t45
+    * composition with the archive carrying each capture's REAL HTTP
+    * status (301/404/503 captures interleaved, the shape of any real
+    * crawl) and the curation side keeping only `http_status = 200`
+    * before extracting. The status gate runs on the parsed status-line
+    * CODE the reader recovered — certifying that non-200 records ride
+    * through the round trip without disturbing their neighbors and
+    * that the filter is the one a real pipeline writes. Oracle =
+    * [[htmlExtractOracle]] restricted to the 200 class closed-form. */
+  val qT46StatusGatedExtract = Q(
+    "q_t46_status_gated_extract",
+    // NO stripMargin around the embedded oracle: its '||' concat lines
+    // would lose a pipe to margin stripping
+    "SELECT * FROM (\n" + htmlExtractOracle +
+      "\n) WHERE doc_id % 4 = 0") { (s, d) =>
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft_sgate_q").toString
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://crawl.example/p/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:crawl:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(syntheticPage, "UTF-8").as("payload"),
+        when(col("doc_id") % 4 === 0, 200)
+          .when(col("doc_id") % 4 === 1, 301)
+          .when(col("doc_id") % 4 === 2, 404)
+          .otherwise(503).as("status"))
+        .repartition(8),
+      tmp, httpStatus = Some("status"))
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "response"
+        && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "p/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.extractText(
+          decode(col("payload"), "UTF-8")).as("txt"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1748,5 +1790,5 @@ object Text {
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
-      qT45CrawlExtract)
+      qT45CrawlExtract, qT46StatusGatedExtract)
 }

@@ -1106,7 +1106,7 @@ object WarcIO {
       httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int")))
     archiveSave(rows, dir, codec, infoDate, r => {
       val rid = r.getString(2)
-      val resp = ("response", rid,
+      val resp = ("response", rid, null,
         responseRecord(r.getString(0), r.getString(1), rid,
           r.getString(3),
           if (r.isNullAt(4)) Array.empty[Byte]
@@ -1117,7 +1117,7 @@ object WarcIO {
         val reqId = s"<urn:graft:req:${rid.stripPrefix("<").stripSuffix(">")}>"
         // request FIRST, response second — the common crawl layout;
         // the reader pairs by Concurrent-To, not by adjacency
-        Seq(("request", reqId,
+        Seq(("request", reqId, null,
           requestRecord(r.getString(0), r.getString(1), reqId, rid,
             r.getString(5))), resp)
       }
@@ -1162,7 +1162,18 @@ object WarcIO {
     * Digest format: `sha1:` + uppercase hex of SHA-1 over the payload
     * bytes (computed by the codegen'd built-in; hex rather than the
     * Base32 some crawls ship — the label makes it self-describing and
-    * [[expandRevisits]] follows record ids, not digest bytes).
+    * [[expandRevisits]] follows record ids, not digest bytes). Every
+    * record's digest also lands in the `_cdx` sidecar, which therefore
+    * doubles as the PERSISTENT dedup index.
+    *
+    * `priorIndex` extends dedup ACROSS archives — the continual-crawl
+    * story: pass prior batches' `_cdx` rows (columns `payload_digest`,
+    * `record_id`, responses only) and any capture whose digest is
+    * already indexed becomes a revisit pointing at the PRIOR canonical
+    * record, storing zero payload bytes for content the crawl has ever
+    * seen. The prior side reduces to one row per digest via a
+    * partial-aggregating min before the join.
+    *
     * Returns the response + revisit record count (every capture). */
   def warcDedupSave(
       df: DataFrame, dir: String, codec: String = "gzip",
@@ -1171,7 +1182,8 @@ object WarcIO {
       httpContentType: String = "http_content_type",
       payload: String = "payload",
       infoDate: String = "2026-01-01T00:00:00Z",
-      httpStatus: Option[String] = None): Long = {
+      httpStatus: Option[String] = None,
+      priorIndex: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions.{
       coalesce, col, concat, lit, min, sha1, struct, upper}
     val rows = df.select(
@@ -1183,26 +1195,66 @@ object WarcIO {
       httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int"))
         .as("_st"))
       .withColumn("_digest", concat(lit("sha1:"), upper(sha1(col("_pl")))))
-    val canon = rows.groupBy(col("_digest"))
+    val withPrior = priorIndex match {
+      case Some(idx) =>
+        // defensive min: a well-formed index has one canonical per
+        // digest, but a duplicate must not fan the join out
+        val prior = idx
+          .filter(col("payload_digest").isNotNull)
+          .select(col("payload_digest").as("_digest"),
+            col("record_id").as("_prior_rid"))
+          .groupBy(col("_digest"))
+          .agg(min(col("_prior_rid")).as("_prior_rid"))
+        rows.join(prior, Seq("_digest"), "left")
+      case None =>
+        rows.withColumn("_prior_rid", lit(null).cast("string"))
+    }
+    // canonical choice only among digests the index has never seen
+    val canon = withPrior.filter(col("_prior_rid").isNull)
+      .groupBy(col("_digest"))
       .agg(min(struct(col("_dt"), col("_rid"))).as("_c"))
-      .select(col("_digest"), col("_c._rid").as("_canon_rid"))
-    val keyed = rows.join(canon, "_digest").select(
+      .select(col("_digest"), col("_c._rid").as("_fresh_rid"))
+    val keyed = withPrior.join(canon, Seq("_digest"), "left").select(
       col("_uri"), col("_dt"), col("_rid"), col("_ct"), col("_pl"),
-      col("_st"), col("_digest"), col("_canon_rid"))
+      col("_st"), col("_digest"),
+      coalesce(col("_prior_rid"), col("_fresh_rid")).as("_canon_rid"))
     archiveSave(keyed, dir, codec, infoDate, r => {
       val rid = r.getString(2)
       val st = if (r.isNullAt(5)) 200 else r.getInt(5)
       val digest = r.getString(6)
       val canonRid = r.getString(7)
       if (rid == canonRid)
-        Seq(("response", rid,
+        Seq(("response", rid, digest,
           responseRecord(r.getString(0), r.getString(1), rid,
             r.getString(3), r.getAs[Array[Byte]](4), st, digest)))
       else
-        Seq(("revisit", rid,
+        Seq(("revisit", rid, digest,
           revisitRecord(r.getString(0), r.getString(1), rid, canonRid,
             digest, r.getString(3), st)))
     })
+  }
+
+  /** Compact a batched dedup archive (the `batch=<id>` tree
+    * [[graft.streaming.Streams.crawlDedupArchiveSink]] grows) into ONE
+    * fresh dedup archive at `destDir`: read every batch, rematerialize
+    * revisits, and re-dedup from scratch — the index a later crawl
+    * passes as `priorIndex` shrinks from per-batch sidecars back to a
+    * single `_cdx`. Reads and writes are both distributed streaming
+    * passes; the only driver-side work is the batch-dir glob. The
+    * destination must be a DIFFERENT directory — the source tree stays
+    * readable until the caller swaps it, the same publish discipline
+    * as parquet compaction ([[graft.operators.Layout]]). Returns the
+    * record count of the compacted archive. */
+  def compactDedupArchive(
+      spark: org.apache.spark.sql.SparkSession, batchedDir: String,
+      destDir: String, codec: String = "gzip"): Long = {
+    import org.apache.spark.sql.functions.col
+    require(new Path(destDir) != new Path(batchedDir),
+      "graft-warc: compact into a fresh directory, then swap")
+    val full = expandRevisits(
+      spark.read.format("graft-warc").load(s"$batchedDir/batch=*")
+        .filter(col("warc_type").isin("response", "revisit")))
+    warcDedupSave(full, destDir, codec, httpStatus = Some("http_status"))
   }
 
   /** Rematerialize a [[warcDedupSave]] archive: `revisit` rows come
@@ -1257,7 +1309,7 @@ object WarcIO {
       col(recordId).cast("string"), col(text).cast("string"))
     archiveSave(rows, dir, codec, infoDate, r => {
       val rid = r.getString(2)
-      Seq(("conversion", rid,
+      Seq(("conversion", rid, null,
         conversionRecord(r.getString(0), r.getString(1), rid,
           if (r.isNullAt(3)) Array.empty[Byte]
           else r.getString(3)
@@ -1268,14 +1320,19 @@ object WarcIO {
   /** The CDX sidecar's schema: one row per record with its EXACT byte
     * extent inside its archive file — for a `.warc.gz` the extent is one
     * whole gzip member, so a reader can seek + bounded-read + gunzip
-    * exactly one record (the layout public crawl indexes describe). */
+    * exactly one record (the layout public crawl indexes describe).
+    * `payload_digest` rides along when the writer computed one (real
+    * public CDX files carry it too): it is the PERSISTENT DEDUP INDEX —
+    * [[warcDedupSave]]'s priorIndex is exactly prior batches' sidecar
+    * rows, no separate index structure to maintain. */
   val CdxSchema: StructType = StructType(Seq(
     StructField("target_uri", StringType, nullable = true),
     StructField("record_id", StringType, nullable = true),
     StructField("warc_type", StringType, nullable = false),
     StructField("warc_file", StringType, nullable = false),
     StructField("offset", LongType, nullable = false),
-    StructField("length", LongType, nullable = false)))
+    StructField("length", LongType, nullable = false),
+    StructField("payload_digest", StringType, nullable = true)))
 
   /** Archive part-file names this writer mints — also the overwrite
     * set: [[archiveSave]] clears matching stale files up front. */
@@ -1310,10 +1367,12 @@ object WarcIO {
     * `rename` does not overwrite on HDFS/object stores, and a replayed
     * `foreachBatch` that repartitions smaller must not leave the prior
     * attempt's extra part files for the glob reader to double-count. */
+  /** mkRecords yields (warc_type, record_id, payload_digest|null,
+    * framed bytes) per record. */
   private def archiveSave(
       rows: DataFrame, dir: String, codec: String, infoDate: String,
       mkRecords: org.apache.spark.sql.Row
-        => Seq[(String, String, Array[Byte])]): Long = {
+        => Seq[(String, String, String, Array[Byte])]): Long = {
     val spark = rows.sparkSession
     val conf = new SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
@@ -1358,13 +1417,13 @@ object WarcIO {
           }
           val infoLen = member(WarcIO.warcinfoRecord(name, infoDate))
           cdx += Row(null, s"<urn:graft:warcinfo:$name>", "warcinfo",
-            fullPath, 0L, infoLen)
+            fullPath, 0L, infoLen, null)
           it.foreach { r =>
             val uri = r.getString(0)
-            mkRecords(r).foreach { case (recType, recId, bytes) =>
+            mkRecords(r).foreach { case (recType, recId, digest, bytes) =>
               val start = pos
               val len = member(bytes)
-              cdx += Row(uri, recId, recType, fullPath, start, len)
+              cdx += Row(uri, recId, recType, fullPath, start, len, digest)
             }
           }
         } finally {

@@ -781,6 +781,64 @@ object Streams {
       }
       .start()
 
+  /** Continual-crawl ARCHIVAL with cross-batch dedup storage: tail a
+    * WARC landing directory and re-archive every `response` capture
+    * under `outDir/batch=<id>` in the deduplicated layout
+    * ([[graft.sources.WarcIO.warcDedupSave]]) — one full response per
+    * payload digest THE CRAWL HAS EVER SEEN, every later capture a
+    * `revisit` envelope pointing at the first. The persistent dedup
+    * index is nothing but the prior batches' `_cdx` sidecars
+    * (digest + canonical record id, responses only) — no separate
+    * index structure, and it rides the same atomic publish as the
+    * archives themselves.
+    *
+    * Exactly-once on replay: the prior index EXCLUDES the batch's own
+    * `batch=` directory, so a checkpoint-replayed batch sees exactly
+    * the state it saw the first time and rewrites its own directory
+    * byte-identically (all envelope fields pass through from the
+    * landing records — nothing is stamped at write time).
+    *
+    * Read the whole archive back with a one-level glob —
+    * `format("graft-warc").load(s"$outDir/batch=*")` — and
+    * rematerialize with [[graft.sources.WarcIO.expandRevisits]]
+    * (cross-batch referents resolve because the glob spans every
+    * batch). The per-batch index read is a union of small parquet
+    * sidecars that grows with batch count — compact long-lived crawls
+    * by rewriting old batches through a fresh batch run. */
+  def crawlDedupArchiveSink(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, codec: String = "gzip")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-warc").load(inDir)
+      .filter(col("warc_type") === "response")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val batchDir = f"batch=$batchId%06d"
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(
+          s.sessionState.newHadoopConf())
+        fs.mkdirs(outPath)
+        val priorCdx = fs.listStatus(outPath)
+          .filter(st => st.isDirectory
+            && st.getPath.getName.startsWith("batch=")
+            && st.getPath.getName != batchDir)
+          .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_cdx"))
+          .filter(fs.exists)
+          .map(_.toString)
+        val prior =
+          if (priorCdx.isEmpty) None
+          else Some(s.read.parquet(priorCdx.toSeq: _*)
+            .filter(col("warc_type") === "response"))
+        graft.sources.WarcIO.warcDedupSave(
+          batch.toDF(), s"$outDir/$batchDir", codec,
+          httpStatus = Some("http_status"), priorIndex = prior)
+        ()
+      }
+      .start()
+
   /** Streaming FHIR ADT feed: the same whole-file read + per-resource
     * pivot as the batch BundleReader, as a file-source stream. Downstream
     * flattens (graft.fhir.Flatten) apply unchanged. */

@@ -719,6 +719,108 @@ class WarcSpec extends AnyFunSuite {
       "an idle restart must not duplicate archived records")
   }
 
+  test("crawlDedupArchiveSink: cross-batch revisits via the _cdx index, replay-safe") {
+    import spark.implicits._
+    val root = tmp("dedupsink")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def landBatch(tag: String,
+        rows: Seq[(String, String, String, Integer)]): Unit = {
+      val stage = tmp(s"stage_$tag")
+      WarcIO.warcSave(rows.map { case (u, rid, p, st) =>
+        (u, "2026-01-01T00:00:00Z", rid, "text/plain",
+          p.getBytes(UTF_8), st)
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload", "status").repartition(1), stage.toString,
+        httpStatus = Some("status"))
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlDedupArchiveSink(
+        spark, in, out, chk)
+      try q.processAllAvailable() finally q.stop()
+    }
+    landBatch("a", Seq(
+      ("https://x.example/a1", "<urn:d:a1>", "PAYLOAD-A", 200),
+      ("https://x.example/a2", "<urn:d:a2>", "PAYLOAD-A", 200),
+      ("https://x.example/b1", "<urn:d:b1>", "PAYLOAD-B", 200)))
+    run()
+    landBatch("b", Seq(
+      ("https://x.example/a3", "<urn:d:a3>", "PAYLOAD-A", 200),
+      ("https://x.example/b2", "<urn:d:b2>", "PAYLOAD-B", 404),
+      ("https://x.example/c1", "<urn:d:c1>", "PAYLOAD-C", 200)))
+    run()
+    run() // idle restart: no new batch directory, nothing duplicated
+    def archive() = spark.read.format("graft-warc").load(s"$out/batch=*")
+    def check(): Unit = {
+      val all = archive()
+      // one full response per payload the CRAWL has ever seen
+      assert(all.filter(col("warc_type") === "response")
+        .select("record_id").collect().map(_.getString(0)).toSet
+        == Set("<urn:d:a1>", "<urn:d:b1>", "<urn:d:c1>"))
+      // batch 1 stored only ONE payload: c1 — a3/b2 dedup CROSS-batch
+      assert(spark.read.format("graft-warc").load(s"$out/batch=000001")
+        .filter(col("warc_type") === "response").count() == 1)
+      val rev = all.filter(col("warc_type") === "revisit")
+        .select("record_id", "refers_to", "http_status").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(rev == Set(
+        ("<urn:d:a2>", "<urn:d:a1>", 200),
+        ("<urn:d:a3>", "<urn:d:a1>", 200), // cross-batch referent
+        ("<urn:d:b2>", "<urn:d:b1>", 404)), // status survives dedup
+        s"revisit pointers drifted: $rev")
+      // the glob spans every batch, so cross-batch referents resolve
+      val got = WarcIO.expandRevisits(
+        all.filter(col("warc_type").isin("response", "revisit")))
+        .select(col("target_uri"), decode(col("payload"), "UTF-8"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map(
+        "https://x.example/a1" -> "PAYLOAD-A",
+        "https://x.example/a2" -> "PAYLOAD-A",
+        "https://x.example/a3" -> "PAYLOAD-A",
+        "https://x.example/b1" -> "PAYLOAD-B",
+        "https://x.example/b2" -> "PAYLOAD-B",
+        "https://x.example/c1" -> "PAYLOAD-C"),
+        "rematerialization drifted")
+    }
+    check()
+    // force a REPLAY of batch 1: offsets/1 exists but its commit marker
+    // is gone, so restart re-executes it — the prior index must exclude
+    // the batch's own directory or the replay would revisit against
+    // itself and drift
+    assert(new java.io.File(s"$chk/commits/1").delete())
+    // the local FS keeps a checksum sidecar the commit rewrite trips on
+    new java.io.File(s"$chk/commits/.1.crc").delete()
+    run()
+    check()
+    // compaction: the batch tree re-dedups into ONE archive whose _cdx
+    // alone is the next crawl's prior index
+    val compacted = s"$root/compacted"
+    val n = WarcIO.compactDedupArchive(spark, out, compacted)
+    assert(n == 6L, "every capture survives compaction")
+    val comp = spark.read.format("graft-warc").load(compacted)
+    assert(comp.filter(col("warc_type") === "response").count() == 3)
+    assert(comp.filter(col("warc_type") === "revisit").count() == 3)
+    val gotComp = WarcIO.expandRevisits(
+      comp.filter(col("warc_type").isin("response", "revisit")))
+      .select(col("target_uri"), decode(col("payload"), "UTF-8"),
+        col("http_status"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(gotComp == Map(
+      "https://x.example/a1" -> (("PAYLOAD-A", 200)),
+      "https://x.example/a2" -> (("PAYLOAD-A", 200)),
+      "https://x.example/a3" -> (("PAYLOAD-A", 200)),
+      "https://x.example/b1" -> (("PAYLOAD-B", 200)),
+      "https://x.example/b2" -> (("PAYLOAD-B", 404)),
+      "https://x.example/c1" -> (("PAYLOAD-C", 200))),
+      "compaction must preserve every capture, payload, and status")
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
