@@ -1279,9 +1279,72 @@ object Extras {
         col("text"))
   }
 
+  /** CROSS-ARCHIVE dedup via the `_cdx` digest index, HASH-CERTIFIED —
+    * the continual-crawl two-batch story as one registry query: batch 0
+    * (even doc ids) dedups internally, batch 1 (odd ids) passes
+    * batch 0's sidecar as `priorIndex`, so any payload batch 0 ever
+    * stored becomes a cross-archive `revisit` pointing at batch 0's
+    * canonical record. The oracle restates the whole two-phase
+    * canonical choice closed-form: a class's canonical is its minimum
+    * EVEN doc id when one exists (batch 0 saw the payload first),
+    * otherwise its minimum odd id — and every non-canonical capture's
+    * refers_to pointer and rematerialized text follow from it. Reading
+    * back is ONE glob scan over both archives + [[graft.sources.WarcIO
+    * .expandRevisits]], whose unique-canonical join resolves referents
+    * across archive directories. */
+  val qS23CrossBatchDedup = Q(
+    "q_s23_crossbatch_dedup",
+    """WITH src AS (SELECT doc_id, doc_id % 29 AS cls FROM documents),
+      |     canon AS (SELECT cls,
+      |         coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+      |                  min(doc_id)) AS canon_id
+      |       FROM src GROUP BY cls)
+      |SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CASE WHEN doc_id = canon_id THEN 'response'
+      |            ELSE 'revisit' END AS stored_type,
+      |       CASE WHEN doc_id = canon_id THEN CAST(NULL AS VARCHAR)
+      |            ELSE '<urn:graft:doc:'
+      |                 || lpad(CAST(canon_id AS VARCHAR), 8, '0')
+      |                 || '>' END AS refers_to,
+      |       'shared payload #' || CAST(cls AS VARCHAR) AS text
+      |FROM src JOIN canon USING (cls)""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xbat_q").toString
+    val captures = documents(s, d).select(
+      col("doc_id"),
+      concat(lit("https://example.org/doc/"),
+        col("doc_id").cast("string")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:graft:doc:"),
+        lpad(col("doc_id").cast("string"), 8, "0"),
+        lit(">")).as("record_id"),
+      lit("text/plain; charset=utf-8").as("http_content_type"),
+      encode(concat(lit("shared payload #"),
+        (col("doc_id") % 29).cast("string")), "UTF-8").as("payload"))
+    graft.sources.WarcIO.warcDedupSave(
+      captures.filter(col("doc_id") % 2 === 0).repartition(4),
+      s"$tmp/batch=0")
+    graft.sources.WarcIO.warcDedupSave(
+      captures.filter(col("doc_id") % 2 === 1).repartition(4),
+      s"$tmp/batch=1",
+      priorIndex = Some(s.read.parquet(s"$tmp/batch=0/_cdx")
+        .filter(col("warc_type") === "response")))
+    val raw = s.read.format("graft-warc").load(s"$tmp/batch=*")
+      .filter(col("warc_type").isin("response", "revisit"))
+    val expanded = graft.sources.WarcIO.expandRevisits(raw)
+      .select(col("record_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+    raw.select(col("record_id"), col("target_uri"),
+      col("warc_type").as("stored_type"), col("refers_to"))
+      .join(expanded, "record_id")
+      .select(col("target_uri"), col("stored_type"), col("refers_to"),
+        col("text"))
+  }
+
   val all: Seq[Q] = Seq(
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
+    qS23CrossBatchDedup,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

@@ -1778,6 +1778,44 @@ object Text {
           decode(col("payload"), "UTF-8")).as("txt"))
   }
 
+  /** robots.txt fetch-policy evaluation (RFC 9309), HASH-CERTIFIED —
+    * the policy half of crawl curation: per document a synthetic
+    * robots.txt with a `*` group (prefix Disallow + `$`-anchored Allow)
+    * and a mixed-case bot group (wildcard Disallow, longer Allow,
+    * Crawl-delay), evaluated through [[graft.operators.Robots
+    * .robotsVerdict]] for both a case-folded agent match and the `*`
+    * fallback. The three certified columns pin group selection,
+    * case-insensitivity, wildcard + `$` matching, longest-match
+    * precedence with the Allow tie-break, and Crawl-delay extraction —
+    * the oracle restates every verdict closed-form from the id
+    * arithmetic the synthetic file was built from. */
+  val qT47Robots = Q(
+    "q_t47_robots",
+    """SELECT doc_id,
+      |       doc_id % 3 <> doc_id % 7 AS allowed_bot,
+      |       CAST(doc_id % 5 AS DOUBLE) + 0.5 AS crawl_delay,
+      |       doc_id % 2 = 0 AS allowed_star
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Robots
+    val robots = concat(
+      lit("# synthetic policy\nUser-agent: *\nDisallow: /private\n"),
+      lit("Allow: /private/ok$\n\nUser-agent: GraftBot\nDisallow: /p/"),
+      (col("doc_id") % 7).cast("string"), lit("*\nAllow: /p/"),
+      (col("doc_id") % 7).cast("string"),
+      lit("/keep\nCrawl-delay: "), (col("doc_id") % 5).cast("string"),
+      lit(".5\n"))
+    val botVerdict = Robots.robotsVerdict(robots, lit("GRAFTBOT"),
+      concat(lit("/p/"), (col("doc_id") % 3).cast("string"), lit("/x")))
+    documents(s, d).select(
+      col("doc_id"),
+      botVerdict.getField("allowed").as("allowed_bot"),
+      botVerdict.getField("crawl_delay").as("crawl_delay"),
+      Robots.robotsAllows(robots, lit("otherbot"),
+        concat(lit("/private/ok"),
+          when(col("doc_id") % 2 === 0, "").otherwise("x")))
+        .as("allowed_star"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1790,5 +1828,5 @@ object Text {
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
-      qT45CrawlExtract, qT46StatusGatedExtract)
+      qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots)
 }

@@ -767,6 +767,69 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(r10 / r1 < 30, s"super-linear read blowup: $r1 vs $r10")
   }
 
+  test("warcDedupSave + expandRevisits scale ~linearly on duplicate-heavy data") {
+    // dedup's hot case: few distinct payloads, huge capture classes.
+    // 10x the corpus keeps the SAME 200 payload classes, so canonical
+    // groups grow 10x — the min(struct) group-by must stay linear (a
+    // window formulation would sort each class in one task) and the
+    // expandRevisits join must stay skew-free (unique canonical ids on
+    // the build side).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(
+        concat(lit("https://probe.example/d/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:dprobe:"),
+          lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(">")).as("record_id"),
+        lit("text/plain").as("http_content_type"),
+        encode(concat(lit("payload #"),
+          (col("doc_id") % 200).cast("string")), "UTF-8").as("payload"))
+    val big = (0 until 10).map(i =>
+      docs.select(
+        concat(lit(s"https://probe.example/c$i/"),
+          col("target_uri")).as("target_uri"),
+        col("warc_date"),
+        concat(lit(s"<urn:c$i:"), col("record_id"), lit(">"))
+          .as("record_id"),
+        col("http_content_type"),
+        col("payload"))).reduce(_ unionByName _)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def roundTrip(df: org.apache.spark.sql.DataFrame,
+        parts: Int): (Double, Double) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_dedup").toString
+      val (n, tw) = timed(graft.sources.WarcIO.warcDedupSave(
+        df.repartition(parts), dir))
+      val (m, tr) = timed {
+        val raw = spark.read.format("graft-warc").load(dir)
+          .filter(col("warc_type").isin("response", "revisit"))
+        graft.sources.WarcIO.expandRevisits(raw)
+          .filter(col("payload").isNotNull).count()
+      }
+      assert(n == m, s"dedup round trip lost captures: wrote $n, read $m")
+      (tw, tr)
+    }
+    roundTrip(docs.limit(500), 2) // warm
+    def best(parts: Int,
+        df: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (w1, r1) = roundTrip(df, parts)
+      val (w2, r2) = roundTrip(df, parts)
+      (math.min(w1, w2), math.min(r1, r2))
+    }
+    val (w1, r1) = best(4, docs)
+    val (w10, r10) = best(40, big)
+    println(f"warcDedupSave 5k: $w1%.2f s, 50k: $w10%.2f s, " +
+      f"ratio ${w10 / w1}%.1f; expand 5k: $r1%.2f s, 50k: $r10%.2f s, " +
+      f"ratio ${r10 / r1}%.1f")
+    assert(w10 / w1 < 30, s"super-linear dedup-write blowup: $w1 vs $w10")
+    assert(r10 / r1 < 30, s"super-linear expand blowup: $r1 vs $r10")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
