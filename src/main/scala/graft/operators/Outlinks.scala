@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlink extraction + crawl-frontier derivation — the tail of the
+  * crawl loop: fetch → extract → OUTLINKS → FRONTIER → fetch. Both
+  * operators are plain narrow/shuffle-once DataFrame transforms:
+  * extraction is a per-row regex + explode (no state, no shuffle), and
+  * the frontier is one distinct + one anti-join, both hashing on the
+  * canonical URL — high-cardinality, skew-free keys at any corpus
+  * size.
+  *
+  * Reference framing: the public crawl pipelines this engine models
+  * (WARC → WET → curation) all regenerate their fetch frontier from
+  * anchor hrefs; see ISO 28500 for the archive side. */
+object Outlinks {
+
+  /** RFC 3986 §5 reference resolution as a scalar kernel. A grouped
+    * stateful parse with dot-segment normalization has no public
+    * Column formulation (same rationale as [[Robots]]'s evaluator);
+    * `java.net.URI` implements the RFC algorithm exactly. Returns
+    * null for unresolvable/junk refs — a frontier must never enqueue
+    * half-parsed garbage. */
+  private[graft] def resolveRef(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    val r = ref.trim
+    if (r.isEmpty || r.startsWith("#")) return null // same-document
+    val lower = r.toLowerCase
+    if (lower.startsWith("javascript:") || lower.startsWith("mailto:")
+      || lower.startsWith("data:") || lower.startsWith("tel:")) return null
+    // crawl hrefs carry literal spaces often enough to matter
+    val cleaned = r.replace(" ", "%20")
+    // query-only reference: RFC 3986 §5.3 keeps the BASE path, but
+    // java.net.URI (RFC 2396 lineage) drops the final path segment —
+    // splice onto the base directly
+    if (cleaned.startsWith("?")) {
+      val b = base.trim
+      val q = b.indexOf('?'); val f = b.indexOf('#')
+      val cut = math.min(if (q >= 0) q else b.length,
+        if (f >= 0) f else b.length)
+      val rf = cleaned.indexOf('#')
+      return b.substring(0, cut) +
+        (if (rf >= 0) cleaned.substring(0, rf) else cleaned)
+    }
+    try {
+      val resolved = new java.net.URI(base.trim).resolve(
+        new java.net.URI(cleaned)).normalize()
+      if (!resolved.isAbsolute) null
+      else {
+        var s = resolved.toString
+        // drop the fragment: a frontier key never includes one
+        val h = s.indexOf('#')
+        if (h >= 0) s = s.substring(0, h)
+        // java.net.URI keeps excess '..' above the root; RFC 3986
+        // remove_dot_segments drops them — fix on the string (multi-arg
+        // URI constructors would double-encode existing escapes)
+        val prefix = resolved.getScheme + "://" + resolved.getRawAuthority
+        if (s.startsWith(prefix + "/..")) {
+          var rest = s.substring(prefix.length)
+          while (rest.startsWith("/../")) rest = rest.substring(3)
+          if (rest == "/..") rest = "/"
+          s = prefix + rest
+        }
+        s
+      }
+    } catch { case _: Exception => null }
+  }
+
+  private val resolveUdf = udf(resolveRef _)
+
+  /** Absolute resolved URL (fragment-stripped) of one href against one
+    * base, null when the ref is same-document, non-fetchable
+    * (javascript:/mailto:/data:/tel:) or unparseable. */
+  def resolveUri(base: Column, ref: Column): Column = resolveUdf(base, ref)
+
+  /** Anchor hrefs of an HTML column, raw (pre-resolution): both quote
+    * styles; HTML character references in the URL decoded (`&amp;` is
+    * the norm inside real hrefs). Unquoted hrefs — vanishingly rare in
+    * post-2000 markup — are not matched; the extraction is a curation
+    * signal, not a validator. */
+  private def rawHrefs(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1)),
+      h => TextAnalysis.decodeHtmlEntities(h))
+
+  /** One output row per (page row, outlink): every input column plus
+    * `outCol` holding the ABSOLUTE resolved URL. Pages with no
+    * resolvable link emit nothing (the frontier shape); rows explode
+    * narrowly — no shuffle, no driver state. Resolution happens after
+    * the explode so the RFC 3986 kernel runs on a plain column. */
+  def extractOutlinks(
+      df: DataFrame, html: String, baseUri: String,
+      outCol: String = "outlink"): DataFrame =
+    df.withColumn(outCol, explode(rawHrefs(col(html))))
+      .withColumn(outCol, resolveUri(col(baseUri), col(outCol)))
+      .filter(col(outCol).isNotNull)
+
+  /** Next fetch frontier from extracted outlinks: canonicalize
+    * ([[TextAnalysis.canonicalUrl]]), keep http(s), drop everything the
+    * crawl has already seen (left-anti join on the canonical form), and
+    * emit one row per NEW canonical URL with its host and registered
+    * domain — the politeness/partitioning keys a scheduler shards by.
+    * Plan shape: one hash aggregate (distinct) + one anti-join, both on
+    * the canonical URL; the seen side streams — at 100 TB the seen set
+    * is a table, not a broadcast. */
+  def crawlFrontier(
+      links: DataFrame, linkCol: String,
+      seen: DataFrame, seenCol: String): DataFrame = {
+    val canon = links
+      .select(TextAnalysis.canonicalUrl(col(linkCol)).as("frontier_url"))
+      .filter(col("frontier_url").isNotNull
+        && col("frontier_url").rlike("^https?://"))
+      .distinct()
+    val seenCanon = seen
+      .select(TextAnalysis.canonicalUrl(col(seenCol)).as("frontier_url"))
+      .filter(col("frontier_url").isNotNull)
+    canon.join(seenCanon, Seq("frontier_url"), "left_anti")
+      .select(col("frontier_url"),
+        TextAnalysis.urlHost(col("frontier_url")).as("url_host"))
+      .withColumn("registered_domain",
+        TextAnalysis.registeredDomain(col("url_host")))
+  }
+}

@@ -1816,6 +1816,86 @@ object Text {
         .as("allowed_star"))
   }
 
+  /** Outlink extraction + RFC 3986 resolution, HASH-CERTIFIED — the
+    * frontier-feeding head of the crawl loop: per document a synthetic
+    * page carries an absolute anchor, a root-relative one, a
+    * dot-segment relative one (`../`), a same-directory query link
+    * whose `&amp;` must entity-decode, and two non-fetchables
+    * (fragment-only, `javascript:`) that must drop.
+    * [[graft.operators.Outlinks.extractOutlinks]] explodes one row per
+    * resolved link; the oracle restates all four survivors closed-form
+    * from the id arithmetic — pinning quote handling, entity decode,
+    * RFC 3986 merge + dot-segment removal, and the non-fetchable
+    * filter. */
+  val qT48Outlinks = Q(
+    "q_t48_outlinks",
+    """SELECT doc_id, 'https://ext.example/x/'
+      |         || CAST(doc_id % 9 AS VARCHAR) AS outlink FROM documents
+      |UNION ALL SELECT doc_id, 'https://crawl.example/r/'
+      |         || CAST(doc_id % 5 AS VARCHAR) FROM documents
+      |UNION ALL SELECT doc_id, 'https://crawl.example/a/u/'
+      |         || CAST(doc_id % 3 AS VARCHAR) FROM documents
+      |UNION ALL SELECT doc_id, 'https://crawl.example/a/b/q.html?x=1&y=2'
+      |         FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val page = concat(
+      lit("<html><body><a href=\"https://ext.example/x/"),
+      (col("doc_id") % 9).cast("string"), lit("\">e</a>"),
+      lit("<a href='/r/"), (col("doc_id") % 5).cast("string"),
+      lit("'>r</a><a href=\"../u/"), (col("doc_id") % 3).cast("string"),
+      lit("\">u</a><a href=\"q.html?x=1&amp;y=2\">q</a>"),
+      lit("<a href=\"#top\">t</a>"),
+      lit("<a href=\"javascript:void(0)\">j</a></body></html>"))
+    Outlinks.extractOutlinks(
+      documents(s, d).select(col("doc_id"), page.as("html"),
+        concat(lit("https://crawl.example/a/b/p"),
+          col("doc_id").cast("string"), lit(".html")).as("base_uri")),
+      "html", "base_uri")
+      .select(col("doc_id"), col("outlink"))
+  }
+
+  /** Crawl-frontier derivation, HASH-CERTIFIED — outlinks →
+    * canonicalize → drop seen → (url, host, registered domain): the
+    * operator a scheduler shards by. Seen set = the `/r/0`,`/r/1`
+    * canonical forms, so exactly those two outlink classes must
+    * vanish; the oracle derives every surviving frontier row from the
+    * residue classes `documents` actually contains (data-dependent,
+    * not a constant table). Pins the distinct + left-anti plan, the
+    * canonical-form join key, and the host/eTLD+1 derivation. */
+  val qT49Frontier = Q(
+    "q_t49_frontier",
+    """WITH m9 AS (SELECT DISTINCT doc_id % 9 AS v FROM documents),
+      |     m5 AS (SELECT DISTINCT doc_id % 5 AS v FROM documents
+      |            WHERE doc_id % 5 >= 2),
+      |     m3 AS (SELECT DISTINCT doc_id % 3 AS v FROM documents)
+      |SELECT 'https://ext.example/x/' || CAST(v AS VARCHAR)
+      |         AS frontier_url,
+      |       'ext.example' AS url_host,
+      |       'ext.example' AS registered_domain FROM m9
+      |UNION ALL SELECT 'https://crawl.example/r/' || CAST(v AS VARCHAR),
+      |       'crawl.example', 'crawl.example' FROM m5
+      |UNION ALL SELECT 'https://crawl.example/a/u/' || CAST(v AS VARCHAR),
+      |       'crawl.example', 'crawl.example' FROM m3
+      |UNION ALL SELECT 'https://crawl.example/a/b/q.html?x=1&y=2',
+      |       'crawl.example', 'crawl.example'""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val page = concat(
+      lit("<html><body><a href=\"https://ext.example/x/"),
+      (col("doc_id") % 9).cast("string"), lit("\">e</a>"),
+      lit("<a href='/r/"), (col("doc_id") % 5).cast("string"),
+      lit("'>r</a><a href=\"../u/"), (col("doc_id") % 3).cast("string"),
+      lit("\">u</a><a href=\"q.html?x=1&amp;y=2\">q</a></body></html>"))
+    val links = Outlinks.extractOutlinks(
+      documents(s, d).select(col("doc_id"), page.as("html"),
+        concat(lit("https://crawl.example/a/b/p"),
+          col("doc_id").cast("string"), lit(".html")).as("base_uri")),
+      "html", "base_uri")
+    val seen = s.range(2).select(
+      concat(lit("https://crawl.example/r/"), col("id").cast("string"))
+        .as("url"))
+    Outlinks.crawlFrontier(links, "outlink", seen, "url")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1828,5 +1908,6 @@ object Text {
       qT35LmBuckets, qT36NbTrain, qT37Bpe512, qT38UniformSample,
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
-      qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots)
+      qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
+      qT48Outlinks, qT49Frontier)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Outlinks
+
+/** Outlink extraction + RFC 3986 resolution + frontier derivation:
+  * kernel edge cases and the composed DataFrame shapes. */
+class OutlinksSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+
+  test("resolveRef: RFC 3986 merge, dot segments, junk filtering") {
+    val base = "https://h.example/a/b/page.html"
+    def r(ref: String) = Outlinks.resolveRef(base, ref)
+    assert(r("https://x.example/p") == "https://x.example/p")
+    assert(r("//cdn.example/lib.js") == "https://cdn.example/lib.js")
+    assert(r("/root") == "https://h.example/root")
+    assert(r("sib.html") == "https://h.example/a/b/sib.html")
+    assert(r("./sib.html") == "https://h.example/a/b/sib.html")
+    assert(r("../up.html") == "https://h.example/a/up.html")
+    assert(r("../../../over.html") == "https://h.example/over.html")
+    assert(r("?q=1") == "https://h.example/a/b/page.html?q=1")
+    assert(r("x.html#frag") == "https://h.example/a/b/x.html") // frag drops
+    assert(r("with space.html")
+      == "https://h.example/a/b/with%20space.html")
+    assert(r("#top") == null)          // same-document
+    assert(r("") == null)
+    assert(r("javascript:void(0)") == null)
+    assert(r("mailto:a@b.c") == null)
+    assert(r("data:text/plain,x") == null)
+    assert(r("ht tp://broken") == null) // unparseable → null, not throw
+    assert(Outlinks.resolveRef(null, "/x") == null)
+    assert(Outlinks.resolveRef(base, null) == null)
+  }
+
+  test("extractOutlinks: both quote styles, entity decode, narrow explode") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """<a href="/one">1</a> <A HREF='/two?a=1&amp;b=2'>2</A>
+             |<a id="x" href="three.html">3</a>
+             |<a href="#skip">s</a><p>no links here</p>""".stripMargin,
+        "https://h.example/d/p.html"),
+      (2L, "<p>plain, linkless</p>", "https://h.example/")
+    ).toDF("id", "html", "base")
+    val got = Outlinks.extractOutlinks(df, "html", "base")
+      .select("id", "outlink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "https://h.example/one"),
+      (1L, "https://h.example/two?a=1&b=2"),
+      (1L, "https://h.example/d/three.html")))
+    // the plan stays narrow: no exchange anywhere in an extract-only job
+    val plan = Outlinks.extractOutlinks(df, "html", "base")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
+  }
+
+  test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
+    import spark.implicits._
+    val links = Seq(
+      "https://A.example/p#frag",     // canonicalizes: lowercase, no frag
+      "https://a.example/p",          // duplicate after canonicalization
+      "https://b.example:443/q?utm_source=x&k=1", // port+tracking strip
+      "ftp://files.example/z",        // non-http(s): dropped
+      "https://sub.site.co.uk/r"      // multi-label suffix
+    ).toDF("outlink")
+    val seen = Seq("https://a.example/p?utm_source=y") // canonical = /p
+      .toDF("url")
+    val got = Outlinks.crawlFrontier(links, "outlink", seen, "url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("https://b.example/q?k=1", "b.example", "b.example"),
+      ("https://sub.site.co.uk/r", "sub.site.co.uk", "site.co.uk")))
+  }
+}
