@@ -97,6 +97,59 @@ object Outlinks {
       .withColumn(outCol, resolveUri(col(baseUri), col(outCol)))
       .filter(col(outCol).isNotNull)
 
+  /** `<urlset>` sitemap shape: repeated `<url>` children. Values stay
+    * strings except priority (the protocol's only numeric). */
+  private val UrlsetSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("loc",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lastmod",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("changefreq",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("priority",
+            org.apache.spark.sql.types.DoubleType))))) ))
+
+  /** `<sitemapindex>` shape: repeated `<sitemap>` children. */
+  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sitemap",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("loc",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lastmod",
+            org.apache.spark.sql.types.StringType))))) ))
+
+  /** Sitemap entries — the OTHER frontier feed (sitemaps.org protocol):
+    * one output row per `<url>` of a `<urlset>` (columns `loc`,
+    * `lastmod`, `changefreq`, `priority`, `is_index=false`) or per
+    * `<sitemap>` of a `<sitemapindex>` (`is_index=true` — the loc is
+    * another sitemap to fetch, not a page). Parsing is Spark's native
+    * `from_xml` (codegen'd, per-row, no shuffle); a payload matching
+    * neither shape emits nothing — malformed sitemaps degrade to
+    * silence, not errors, exactly like a crawler treats them. Feed the
+    * `is_index=false` locs to [[crawlFrontier]] alongside anchor
+    * outlinks. */
+  def sitemapEntries(df: DataFrame, xml: String): DataFrame = {
+    val u = from_xml(col(xml), UrlsetSchema)
+    val i = from_xml(col(xml), IndexSchema)
+    val urls = df
+      .withColumn("_e", explode(u.getField("url")))
+      .select(col("_e.loc").as("loc"), col("_e.lastmod").as("lastmod"),
+        col("_e.changefreq").as("changefreq"),
+        col("_e.priority").as("priority"), lit(false).as("is_index"))
+      .filter(col("loc").isNotNull)
+    val maps = df
+      .withColumn("_e", explode(i.getField("sitemap")))
+      .select(col("_e.loc").as("loc"), col("_e.lastmod").as("lastmod"),
+        lit(null).cast("string").as("changefreq"),
+        lit(null).cast("double").as("priority"), lit(true).as("is_index"))
+      .filter(col("loc").isNotNull)
+    urls.unionByName(maps)
+  }
+
   /** Next fetch frontier from extracted outlinks: canonicalize
     * ([[TextAnalysis.canonicalUrl]]), keep http(s), drop everything the
     * crawl has already seen (left-anti join on the canonical form), and

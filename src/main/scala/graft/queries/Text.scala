@@ -1896,6 +1896,50 @@ object Text {
     Outlinks.crawlFrontier(links, "outlink", seen, "url")
   }
 
+  /** Sitemap parsing (sitemaps.org protocol), HASH-CERTIFIED — the
+    * other frontier feed: per document either a `<sitemapindex>` (every
+    * 4th id) or a two-entry `<urlset>` whose second entry omits
+    * optional fields. [[graft.operators.Outlinks.sitemapEntries]]
+    * parses both shapes through Spark's native `from_xml` and explodes
+    * one row per entry; the oracle restates every loc/lastmod/
+    * changefreq/priority and the is_index flag closed-form — pinning
+    * shape dispatch, optional-element nulls, and the numeric priority
+    * cast. */
+  val qT50Sitemap = Q(
+    "q_t50_sitemap",
+    """SELECT 'https://s.example/maps/' || CAST(doc_id AS VARCHAR)
+      |         || '.xml' AS loc,
+      |       '2026-01-15' AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+      |       CAST(NULL AS DOUBLE) AS priority, TRUE AS is_index
+      |FROM documents WHERE doc_id % 4 = 0
+      |UNION ALL
+      |SELECT 'https://s.example/p/' || CAST(doc_id AS VARCHAR),
+      |       '2026-02-01', 'weekly',
+      |       CAST(doc_id % 10 AS DOUBLE) / 10, FALSE
+      |FROM documents WHERE doc_id % 4 <> 0
+      |UNION ALL
+      |SELECT 'https://s.example/q/' || CAST(doc_id % 6 AS VARCHAR),
+      |       NULL, 'monthly', NULL, FALSE
+      |FROM documents WHERE doc_id % 4 <> 0""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val xml = when(col("doc_id") % 4 === 0, concat(
+      lit("<sitemapindex><sitemap><loc>https://s.example/maps/"),
+      col("doc_id").cast("string"),
+      lit(".xml</loc><lastmod>2026-01-15</lastmod></sitemap>" +
+        "</sitemapindex>")))
+      .otherwise(concat(
+        lit("<urlset><url><loc>https://s.example/p/"),
+        col("doc_id").cast("string"),
+        lit("</loc><lastmod>2026-02-01</lastmod>" +
+          "<changefreq>weekly</changefreq><priority>0."),
+        (col("doc_id") % 10).cast("string"),
+        lit("</priority></url><url><loc>https://s.example/q/"),
+        (col("doc_id") % 6).cast("string"),
+        lit("</loc><changefreq>monthly</changefreq></url></urlset>")))
+    Outlinks.sitemapEntries(
+      documents(s, d).select(col("doc_id"), xml.as("xml")), "xml")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1909,5 +1953,5 @@ object Text {
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
-      qT48Outlinks, qT49Frontier)
+      qT48Outlinks, qT49Frontier, qT50Sitemap)
 }

@@ -56,6 +56,33 @@ class OutlinksSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
   }
 
+  test("sitemapEntries: both shapes, optional fields, malformed degrades") {
+    import spark.implicits._
+    val urlset =
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://s.example/a</loc><lastmod>2026-01-02</lastmod>
+        |<changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>https://s.example/b</loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>https://s.example/m1.xml</loc>
+        |<lastmod>2026-01-03</lastmod></sitemap></sitemapindex>"""
+        .stripMargin
+    val df = Seq(urlset, index, "<p>not a sitemap</p>", "torn <url")
+      .toDF("xml")
+    val got = Outlinks.sitemapEntries(df, "xml").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("https://s.example/a", Some("2026-01-02"), Some("daily"),
+        Some(0.8), false),
+      ("https://s.example/b", None, None, None, false),
+      ("https://s.example/m1.xml", Some("2026-01-03"), None, None, true)),
+      s"sitemap rows drifted: $got")
+  }
+
   test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
     import spark.implicits._
     val links = Seq(
