@@ -160,19 +160,30 @@ object Outlinks {
     * is a table, not a broadcast. */
   def crawlFrontier(
       links: DataFrame, linkCol: String,
-      seen: DataFrame, seenCol: String): DataFrame = {
-    val canon = links
+      seen: DataFrame, seenCol: String): DataFrame =
+    politenessKeys(
+      canonicalLinks(links, linkCol).distinct()
+        .join(canonicalSeen(seen, seenCol), Seq("frontier_url"),
+          "left_anti"))
+
+  /** Fetchable canonical forms of a link column, as `frontier_url`. */
+  private[graft] def canonicalLinks(
+      links: DataFrame, linkCol: String): DataFrame =
+    links
       .select(TextAnalysis.canonicalUrl(col(linkCol)).as("frontier_url"))
       .filter(col("frontier_url").isNotNull
         && col("frontier_url").rlike("^https?://"))
-      .distinct()
-    val seenCanon = seen
-      .select(TextAnalysis.canonicalUrl(col(seenCol)).as("frontier_url"))
+
+  private[graft] def canonicalSeen(
+      seen: DataFrame, seenCol: String): DataFrame =
+    seen.select(TextAnalysis.canonicalUrl(col(seenCol))
+      .as("frontier_url"))
       .filter(col("frontier_url").isNotNull)
-    canon.join(seenCanon, Seq("frontier_url"), "left_anti")
-      .select(col("frontier_url"),
-        TextAnalysis.urlHost(col("frontier_url")).as("url_host"))
+
+  /** Host + eTLD+1 — the scheduler's politeness/sharding keys. */
+  private[graft] def politenessKeys(df: DataFrame): DataFrame =
+    df.select(col("frontier_url"),
+      TextAnalysis.urlHost(col("frontier_url")).as("url_host"))
       .withColumn("registered_domain",
         TextAnalysis.registeredDomain(col("url_host")))
-  }
 }

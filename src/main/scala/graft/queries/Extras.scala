@@ -1341,10 +1341,69 @@ object Extras {
         col("text"))
   }
 
+  /** Conditional-GET re-crawl (ISO 28500 §6.7.1 `server-not-modified`
+    * revisits), HASH-CERTIFIED — cycle 0 archives every page in full;
+    * cycle 1's conditional fetches get `304` for every third page
+    * (archived as a revisit pointing at cycle 0's capture of the SAME
+    * URI via the `_cdx` index, no payload stored) and a changed `200`
+    * body for the rest. Reading both cycles through one glob +
+    * [[graft.sources.WarcIO.expandRevisits]] must show cycle 1 with
+    * the 304s' ORIGINAL text rematerialized from cycle 0, their 304
+    * status preserved (the honest capture), and the re-fetched pages'
+    * new bodies — all restated closed-form. */
+  val qS24NotModified = Q(
+    "q_s24_not_modified",
+    """SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'revisit'
+      |            ELSE 'response' END AS stored_type,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 304 ELSE 200 END
+      |            AS INTEGER) AS http_status,
+      |       CASE WHEN doc_id % 3 = 0 THEN text
+      |            ELSE 'v2 ' || text END AS text
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_304_q").toString
+    val docs = documents(s, d)
+    def base(prefix: String) = docs.select(
+      concat(lit("https://example.org/doc/"),
+        col("doc_id").cast("string")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit(s"<$prefix:"), col("doc_id").cast("string"),
+        lit(">")).as("record_id"),
+      lit("text/plain; charset=utf-8").as("http_content_type"),
+      col("doc_id"), col("text"))
+    graft.sources.WarcIO.warcSave(
+      base("urn:c0").withColumn("payload",
+        encode(col("text"), "UTF-8")).repartition(4),
+      s"$tmp/cycle=0")
+    graft.sources.WarcIO.warcNotModifiedSave(
+      base("urn:c1")
+        .withColumn("http_status",
+          when(col("doc_id") % 3 === 0, 304).otherwise(200))
+        .withColumn("payload",
+          when(col("doc_id") % 3 === 0, lit(Array.empty[Byte]))
+            .otherwise(encode(concat(lit("v2 "), col("text")), "UTF-8")))
+        .repartition(4),
+      s"$tmp/cycle=1",
+      priorIndex = s.read.parquet(s"$tmp/cycle=0/_cdx")
+        .filter(col("warc_type") === "response"))
+    val raw = s.read.format("graft-warc").load(s"$tmp/cycle=*")
+      .filter(col("warc_type").isin("response", "revisit"))
+    val expanded = graft.sources.WarcIO.expandRevisits(raw)
+      .select(col("record_id"), col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"))
+    raw.select(col("record_id"), col("target_uri"),
+      col("warc_type").as("stored_type"))
+      .join(expanded, "record_id")
+      .filter(col("record_id").startsWith("<urn:c1:"))
+      .select(col("target_uri"), col("stored_type"), col("http_status"),
+        col("text"))
+  }
+
   val all: Seq[Q] = Seq(
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
-    qS23CrossBatchDedup,
+    qS23CrossBatchDedup, qS24NotModified,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

@@ -1234,6 +1234,58 @@ object WarcIO {
     })
   }
 
+  /** [[warcSave]] for CONDITIONAL-GET crawls — the ISO 28500 §6.7.1
+    * `server-not-modified` revisit profile: a capture whose server
+    * answered `304 Not Modified` carries no payload by definition, so
+    * it archives as a revisit pointing at the URI's prior full capture
+    * in `priorIndex` (earlier archives' `_cdx` rows — target_uri +
+    * record_id, responses only). Non-304 rows (and 304s whose URI has
+    * no indexed prior — nothing to refer to) archive as full
+    * responses. The join hashes on target_uri: unique per crawl cycle,
+    * skew-free. [[expandRevisits]] rematerializes the unchanged
+    * payload from the referent on read; the revisit's own 304 status
+    * is preserved (it is the honest capture record).
+    * Returns the total record count (responses + revisits). */
+  def warcNotModifiedSave(
+      df: DataFrame, dir: String, priorIndex: DataFrame,
+      codec: String = "gzip",
+      uri: String = "target_uri", date: String = "warc_date",
+      recordId: String = "record_id",
+      httpContentType: String = "http_content_type",
+      payload: String = "payload", httpStatus: String = "http_status",
+      infoDate: String = "2026-01-01T00:00:00Z"): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, min}
+    val prior = priorIndex
+      .filter(col("target_uri").isNotNull)
+      .select(col("target_uri").as("_uri"),
+        col("record_id").as("_prior_rid"))
+      .groupBy(col("_uri")) // defensive: one referent per URI
+      .agg(min(col("_prior_rid")).as("_prior_rid"))
+    val rows = df.select(
+      col(uri).cast("string").as("_uri"),
+      col(date).cast("string").as("_dt"),
+      col(recordId).cast("string").as("_rid"),
+      col(httpContentType).cast("string").as("_ct"),
+      coalesce(col(payload).cast("binary"), lit(Array.empty[Byte]))
+        .as("_pl"),
+      col(httpStatus).cast("int").as("_st"))
+      .join(prior, Seq("_uri"), "left")
+    archiveSave(rows, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      val st = if (r.isNullAt(5)) 200 else r.getInt(5)
+      val priorRid = if (r.isNullAt(6)) null else r.getString(6)
+      if (st == 304 && priorRid != null)
+        Seq(("revisit", rid, null,
+          revisitRecord(r.getString(0), r.getString(1), rid, priorRid,
+            digest = null, r.getString(3), st,
+            profile = "server-not-modified")))
+      else
+        Seq(("response", rid, null,
+          responseRecord(r.getString(0), r.getString(1), rid,
+            r.getString(3), r.getAs[Array[Byte]](4), st)))
+    })
+  }
+
   /** Compact a batched dedup archive (the `batch=<id>` tree
     * [[graft.streaming.Streams.crawlDedupArchiveSink]] grows) into ONE
     * fresh dedup archive at `destDir`: read every batch, rematerialize
@@ -1597,28 +1649,32 @@ object WarcIO {
     bos.toByteArray
   }
 
-  /** One `revisit` record (ISO 28500 §6.7.2, identical-payload-digest
-    * profile): the crawl-side DEDUP storage form — an envelope that
-    * says "this capture's bytes are identical to [[WARC-Refers-To]]",
-    * carrying only the HTTP message HEAD (status line + headers, no
-    * body). A duplicate-heavy crawl stores each distinct payload once;
-    * [[WarcIO.expandRevisits]] rematerializes on read. */
+  /** One `revisit` record (ISO 28500 §6.7): the crawl-side DEDUP
+    * storage form — an envelope that says "this capture's bytes live
+    * at [[WARC-Refers-To]]", carrying only the HTTP message HEAD
+    * (status line + headers, no body). Two profiles:
+    * `identical-payload-digest` (§6.7.2 — same bytes seen before,
+    * `digest` required) and `server-not-modified` (§6.7.1 — the server
+    * answered 304, no digest to record). [[WarcIO.expandRevisits]]
+    * rematerializes either on read. */
   private[sources] def revisitRecord(
       uri: String, date: String, recordId: String, refersTo: String,
-      digest: String, httpCt: String, status: Int): Array[Byte] = {
+      digest: String, httpCt: String, status: Int,
+      profile: String = "identical-payload-digest"): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val phrase = ReasonPhrase.getOrElse(status, "Status")
     // head only — no Content-Length header, so nothing implies a body
     val httpHead =
       (s"HTTP/1.1 $status $phrase\r\nContent-Type: $httpCt\r\n\r\n")
         .getBytes(utf8)
+    val digestLine =
+      if (digest == null) "" else s"WARC-Payload-Digest: $digest\r\n"
     val envelope =
       (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Record-ID: $recordId\r\n" +
         s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
-        s"WARC-Refers-To: $refersTo\r\n" +
-        s"WARC-Payload-Digest: $digest\r\n" +
-        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
-        "identical-payload-digest\r\n" +
+        s"WARC-Refers-To: $refersTo\r\n" + digestLine +
+        s"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+        s"$profile\r\n" +
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${httpHead.length}\r\n\r\n").getBytes(utf8)
     val bos = new java.io.ByteArrayOutputStream(

@@ -781,6 +781,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming outlinks over a WARC landing directory: one row per
+    * (page, resolved absolute link) — [[graft.operators.Outlinks
+    * .extractOutlinks]] over the crawl page stream (the `text` column
+    * is the decoded HTML payload; extraction and RFC 3986 resolution
+    * are narrow per-row work, so the stream stays stateless here). */
+  def crawlOutlinkStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Outlinks.extractOutlinks(
+      crawlPageStream(spark, dir), "text", "target_uri")
+
+  /** The CONTINUAL frontier: canonical fetchable outlinks of the crawl
+    * stream, minus a static seen set, each NEW URL emitted exactly once
+    * across the stream's lifetime with its politeness keys. The
+    * exactly-once emission is `dropDuplicates` state keyed by the
+    * canonical URL — that state IS the crawler's emitted-frontier set,
+    * so its growth is inherent to the problem, not a leak; at crawl
+    * scale back it with the RocksDB state store, and fold long-lived
+    * state back into the static `seen` table across restarts (pass the
+    * union, clear the checkpoint). The seen-side anti-join streams
+    * against the static table per micro-batch. */
+  def crawlFrontierStream(
+      spark: SparkSession, dir: String,
+      seen: DataFrame, seenCol: String): DataFrame = {
+    import graft.operators.Outlinks
+    Outlinks.politenessKeys(
+      Outlinks.canonicalLinks(crawlOutlinkStream(spark, dir), "outlink")
+        .dropDuplicates("frontier_url")
+        .join(Outlinks.canonicalSeen(seen, seenCol),
+          Seq("frontier_url"), "left_anti"))
+  }
+
   /** Continual-crawl ARCHIVAL with cross-batch dedup storage: tail a
     * WARC landing directory and re-archive every `response` capture
     * under `outDir/batch=<id>` in the deduplicated layout

@@ -821,6 +821,88 @@ class WarcSpec extends AnyFunSuite {
       "compaction must preserve every capture, payload, and status")
   }
 
+  test("warcNotModifiedSave: 304 w/o a prior falls back to a full response") {
+    import spark.implicits._
+    val dir = tmp("nm")
+    val rows = Seq(
+      // 304 with NO prior capture of the URI: nothing to refer to —
+      // must archive as a (payload-less) full response, not crash
+      ("https://x.example/orphan", "<urn:nm:1>", 304),
+      ("https://x.example/fresh", "<urn:nm:2>", 200))
+      .toDF("target_uri", "record_id", "status")
+      .select(col("target_uri"), lit("2026-01-01T00:00:00Z").as("warc_date"),
+        col("record_id"), lit("text/plain").as("http_content_type"),
+        encode(lit("body"), "UTF-8").as("payload"),
+        col("status").as("http_status"))
+    val prior = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("target_uri",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("record_id",
+            org.apache.spark.sql.types.StringType))))
+    assert(WarcIO.warcNotModifiedSave(rows.repartition(1), dir.toString,
+      prior) == 2L)
+    val back = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("warc_type").isin("response", "revisit"))
+      .select("warc_type", "record_id", "http_status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(back == Set(("response", "<urn:nm:1>", 304),
+      ("response", "<urn:nm:2>", 200)),
+      s"orphan 304 must degrade to a full response: $back")
+  }
+
+  test("crawlFrontierStream matches the batch frontier; emits once") {
+    import spark.implicits._
+    val root = tmp("frontier")
+    val in = s"$root/in"; val chk = s"$root/chk"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"fstage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://h.example/p/$i", "2026-01-01T00:00:00Z",
+          s"<urn:f:$tag:$i>", "text/html; charset=utf-8",
+          (s"""<html><body><a href="/l/${i % 4}">x</a>""" +
+            s"""<a href="https://ext.example/e/$i">e</a></body></html>""")
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    val seen = Seq("https://h.example/l/0").toDF("url")
+    def run(): Unit = {
+      val q = graft.streaming.Streams
+        .crawlFrontierStream(spark, in, seen, "url")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("a", 0 until 3); run()
+    land("b", 2 until 5); run() // /l/2,/l/3 + ext/2 already emitted
+    val got = spark.read.parquet(out)
+    // exactly-once emission across batches: no frontier URL twice
+    assert(got.count() == got.select("frontier_url").distinct().count(),
+      "a frontier URL must be emitted exactly once across the stream")
+    val want = graft.operators.Outlinks.crawlFrontier(
+      graft.operators.Outlinks.extractOutlinks(
+        graft.streaming.Streams.crawlPages(spark, in),
+        "text", "target_uri"),
+      "outlink", seen, "url")
+    assert(got.select("frontier_url", "url_host", "registered_domain")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+      == want.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet,
+      "stream frontier diverged from the batch derivation")
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
