@@ -85,6 +85,18 @@ object Outlinks {
         lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1)),
       h => TextAnalysis.decodeHtmlEntities(h))
 
+  private val resolveAllUdf = udf(
+    (base: String, refs: Seq[String]) =>
+      if (refs == null) Seq.empty[String]
+      else refs.map(r => resolveRef(base, r)).filter(_ != null))
+
+  /** ALL resolved outlinks of one page as an `array<string>` — the
+    * per-page (non-exploded) form WAT-style metadata records embed;
+    * one kernel invocation per page, order = document order,
+    * non-fetchables dropped. */
+  def pageLinks(html: Column, base: Column): Column =
+    resolveAllUdf(base, rawHrefs(html))
+
   /** One output row per (page row, outlink): every input column plus
     * `outCol` holding the ABSOLUTE resolved URL. Pages with no
     * resolvable link emit nothing (the frontier shape); rows explode

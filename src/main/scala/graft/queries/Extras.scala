@@ -1400,10 +1400,62 @@ object Extras {
         col("text"))
   }
 
+  /** WAT metadata archival, HASH-CERTIFIED — the third member of the
+    * public-crawl format triad (WARC pages / WAT metadata / WET text,
+    * the other two certified by q_s16/q_s17): per page one `metadata`
+    * record whose JSON payload packs the status and the page's
+    * RESOLVED outlink array ([[graft.operators.Outlinks.pageLinks]] —
+    * one RFC 3986 kernel call per page, document order), with
+    * WARC-Refers-To naming the page's archive record. Read back
+    * through `graft-warc`, the JSON fields and both resolved links are
+    * restated closed-form — pinning the metadata framing, the
+    * refers_to passthrough, and to_json/get_json_object round-trip
+    * fidelity. */
+  val qS25WatMetadata = Q(
+    "q_s25_wat_metadata",
+    """SELECT 'https://crawl.example/p' || CAST(doc_id AS VARCHAR)
+      |         || '.html' AS target_uri,
+      |       '<urn:resp:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+      |       CAST(200 AS INTEGER) AS status,
+      |       'https://crawl.example/l/' || CAST(doc_id % 5 AS VARCHAR)
+      |         AS link0,
+      |       'https://e.example/x/' || CAST(doc_id % 7 AS VARCHAR)
+      |         AS link1
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wat_q").toString
+    val uriC = concat(lit("https://crawl.example/p"),
+      col("doc_id").cast("string"), lit(".html"))
+    val page = concat(
+      lit("<html><body><a href=\"/l/"), (col("doc_id") % 5).cast("string"),
+      lit("\">a</a><a href=\"https://e.example/x/"),
+      (col("doc_id") % 7).cast("string"),
+      lit("\">b</a></body></html>"))
+    graft.sources.WarcIO.watSave(
+      documents(s, d).select(
+        uriC.as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:wat:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        to_json(struct(lit(200).as("status"),
+          Outlinks.pageLinks(page, uriC).as("links"))).as("metadata"),
+        concat(lit("<urn:resp:"), col("doc_id").cast("string"),
+          lit(">")).as("refers"))
+        .repartition(8),
+      tmp, refersTo = Some("refers"))
+    val json = decode(col("payload"), "UTF-8")
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "metadata")
+      .select(col("target_uri"), col("refers_to"),
+        get_json_object(json, "$.status").cast("int").as("status"),
+        get_json_object(json, "$.links[0]").as("link0"),
+        get_json_object(json, "$.links[1]").as("link1"))
+  }
+
   val all: Seq[Q] = Seq(
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
-    qS23CrossBatchDedup, qS24NotModified,
+    qS23CrossBatchDedup, qS24NotModified, qS25WatMetadata,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

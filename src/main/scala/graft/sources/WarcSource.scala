@@ -1369,6 +1369,56 @@ object WarcIO {
     })
   }
 
+  /** The WAT analog of [[warcSave]]/[[wetSave]] — the third member of
+    * the public-crawl format triad: per page one `metadata` record
+    * whose payload is a JSON document (headers, status, outlinks —
+    * whatever the caller packs via `to_json`), `WARC-Refers-To`
+    * pointing at the page's archive record when a referent column is
+    * given. Same member-per-record layout, atomic publish, and `_cdx`
+    * sidecar as the other writers; re-reads through `graft-warc` with
+    * the JSON payload decoding via `from_json`/`get_json_object`. */
+  def watSave(
+      df: DataFrame, dir: String, codec: String = "gzip",
+      uri: String = "target_uri", date: String = "warc_date",
+      recordId: String = "record_id", metaJson: String = "metadata",
+      refersTo: Option[String] = None,
+      infoDate: String = "2026-01-01T00:00:00Z"): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = df.select(
+      col(uri).cast("string"), col(date).cast("string"),
+      col(recordId).cast("string"), col(metaJson).cast("string"),
+      refersTo.fold(lit(null).cast("string"))(c => col(c).cast("string")))
+    archiveSave(rows, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      Seq(("metadata", rid, null,
+        metadataRecord(r.getString(0), r.getString(1), rid,
+          if (r.isNullAt(4)) null else r.getString(4),
+          if (r.isNullAt(3)) Array.empty[Byte]
+          else r.getString(3)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    })
+  }
+
+  /** One `metadata` record: WARC envelope over a JSON block. */
+  private[sources] def metadataRecord(
+      uri: String, date: String, recordId: String, refersTo: String,
+      json: Array[Byte]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val refLine =
+      if (refersTo == null) "" else s"WARC-Refers-To: $refersTo\r\n"
+    val envelope =
+      (s"WARC/1.0\r\nWARC-Type: metadata\r\n" +
+        s"WARC-Record-ID: $recordId\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" + refLine +
+        "Content-Type: application/json\r\n" +
+        s"Content-Length: ${json.length}\r\n\r\n").getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream(
+      envelope.length + json.length + 4)
+    bos.write(envelope); bos.write(json)
+    bos.write(Crlf); bos.write(Crlf)
+    bos.toByteArray
+  }
+
   /** The CDX sidecar's schema: one row per record with its EXACT byte
     * extent inside its archive file — for a `.warc.gz` the extent is one
     * whole gzip member, so a reader can seek + bounded-read + gunzip
