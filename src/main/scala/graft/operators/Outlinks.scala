@@ -33,15 +33,19 @@ object Outlinks {
     val cleaned = r.replace(" ", "%20")
     // query-only reference: RFC 3986 §5.3 keeps the BASE path, but
     // java.net.URI (RFC 2396 lineage) drops the final path segment —
-    // splice onto the base directly
+    // splice onto the base directly, then VALIDATE the splice (junk
+    // bytes in the query must null out, same as everywhere else)
     if (cleaned.startsWith("?")) {
       val b = base.trim
       val q = b.indexOf('?'); val f = b.indexOf('#')
       val cut = math.min(if (q >= 0) q else b.length,
         if (f >= 0) f else b.length)
       val rf = cleaned.indexOf('#')
-      return b.substring(0, cut) +
+      val candidate = b.substring(0, cut) +
         (if (rf >= 0) cleaned.substring(0, rf) else cleaned)
+      return try {
+        if (new java.net.URI(candidate).isAbsolute) candidate else null
+      } catch { case _: Exception => null }
     }
     try {
       val resolved = new java.net.URI(base.trim).resolve(
