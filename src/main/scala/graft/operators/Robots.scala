@@ -158,4 +158,42 @@ object Robots {
   /** Convenience boolean: may `agent` fetch `path` under `robots`? */
   def robotsAllows(robots: Column, agent: Column, path: Column): Column =
     robotsVerdict(robots, agent, path).getField("allowed")
+
+  /** Gate a page frame by per-HOST policy — the shape a real pipeline
+    * runs: robots.txt lives once per host, pages join to it on the
+    * lowercased host of their URL, and each page's path+query is
+    * evaluated under its host's policy. Pages whose host has NO stored
+    * policy pass (the web's default-allow); pages with one pass iff
+    * the merged applicable group allows their path. Returns the
+    * surviving rows unchanged.
+    *
+    * Plan shape: one equi-join hashing on the host. Host popularity is
+    * the canonical skew key (one giant host can dominate a crawl), but
+    * the BUILD side is one small row per distinct host — broadcast it
+    * when the policy table fits, and AQE's skew split covers the
+    * shuffle case; the verdict itself is a narrow projection after the
+    * join. */
+  def gateByPolicy(
+      pages: org.apache.spark.sql.DataFrame, uriCol: String,
+      policies: org.apache.spark.sql.DataFrame, hostCol: String,
+      robotsCol: String, agent: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{
+      coalesce, col, lit, lower, regexp_extract}
+    val keyed = policies.select(
+      lower(org.apache.spark.sql.functions.trim(col(hostCol)))
+        .as("_gate_host"),
+      col(robotsCol).as("_gate_robots"))
+    val withHost = pages.withColumn("_gate_host",
+      TextAnalysis.urlHost(col(uriCol)))
+    val path = coalesce(
+      org.apache.spark.sql.functions.nullif(
+        regexp_extract(col(uriCol),
+          "^[^:/?#]+://[^/?#]*([/?][^#]*)?", 1), lit("")),
+      lit("/"))
+    withHost.join(keyed, Seq("_gate_host"), "left")
+      .filter(col("_gate_robots").isNull // no stored policy: default-allow
+        || robotsAllows(col("_gate_robots"), lit(agent), path))
+      .drop("_gate_host", "_gate_robots")
+  }
 }

@@ -1940,6 +1940,37 @@ object Text {
       documents(s, d).select(col("doc_id"), xml.as("xml")), "xml")
   }
 
+  /** Per-host robots GATE, HASH-CERTIFIED — the join shape a real
+    * pipeline runs: policies live once per host (here hosts 0–3 each
+    * disallow `/p/<their index>`; host 4 has NO stored policy), pages
+    * join to their host's policy and survive iff allowed — so a page
+    * survives when its host is the policy-less h4 (default-allow) or
+    * its path index differs from its host index. The oracle restates
+    * that survival set closed-form; a broken host join, path
+    * extraction, or default-allow arm each flips rows. */
+  val qT51RobotsGate = Q(
+    "q_t51_robots_gate",
+    """SELECT doc_id,
+      |       'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |         || '.example/p/' || CAST(doc_id % 7 AS VARCHAR)
+      |         AS target_uri
+      |FROM documents
+      |WHERE doc_id % 5 = 4 OR doc_id % 7 <> doc_id % 5""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Robots
+      val pages = documents(s, d).select(col("doc_id"),
+        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example/p/"), (col("doc_id") % 7).cast("string"))
+          .as("target_uri"))
+      val policies = s.range(4).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example"))
+          .as("host"),
+        concat(lit("User-agent: *\nDisallow: /p/"),
+          col("id").cast("string")).as("robots"))
+      Robots.gateByPolicy(pages, "target_uri", policies, "host",
+        "robots", "graftbot")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1953,5 +1984,5 @@ object Text {
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
-      qT48Outlinks, qT49Frontier, qT50Sitemap)
+      qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate)
 }
