@@ -1452,10 +1452,48 @@ object Extras {
         get_json_object(json, "$.links[1]").as("link1"))
   }
 
+  /** `resource` record round trip, HASH-CERTIFIED — the direct-payload
+    * record type (ISO 28500 §6.5, no HTTP envelope): fetched assets
+    * archive with their own Content-Type at the ENVELOPE level and the
+    * raw bytes as the whole content block. Certifies the envelope
+    * content_type surfacing (per-row, not the application/http
+    * constant), the null http_status (no status line to parse), and
+    * byte-exact payload framing. */
+  val qS26ResourceRoundTrip = Q(
+    "q_s26_resource_roundtrip",
+    """SELECT 'https://example.org/asset/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+      |            ELSE 'application/javascript' END AS content_type,
+      |       CAST(NULL AS INTEGER) AS http_status,
+      |       text,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rsrc_q").toString
+    graft.sources.WarcIO.resourceSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/asset/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:graft:asset:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        when(col("doc_id") % 2 === 0, "image/png")
+          .otherwise("application/javascript").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8),
+      tmp)
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("warc_type") === "resource")
+      .select(col("target_uri"), col("content_type"), col("http_status"),
+        decode(col("payload"), "UTF-8").as("text"),
+        col("content_length"))
+  }
+
   val all: Seq[Q] = Seq(
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
     qS23CrossBatchDedup, qS24NotModified, qS25WatMetadata,
+    qS26ResourceRoundTrip,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

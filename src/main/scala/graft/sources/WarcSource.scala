@@ -1369,6 +1369,57 @@ object WarcIO {
     })
   }
 
+  /** `resource` records (ISO 28500 §6.5) — direct payloads with NO
+    * HTTP message envelope: the record type for archiving fetched
+    * assets addressed by URI (images, scripts, data files) or locally
+    * produced artifacts. Completes the writer-side record-type surface
+    * (warcinfo/response/request/conversion/metadata/revisit/resource —
+    * everything but segmented `continuation` records, which the
+    * member-per-record layout deliberately avoids needing). Payload
+    * bytes round-trip verbatim; `contentType` stamps the block's
+    * Content-Type. Same layout, publish, and `_cdx` sidecar as every
+    * other writer here. */
+  def resourceSave(
+      df: DataFrame, dir: String, codec: String = "gzip",
+      uri: String = "target_uri", date: String = "warc_date",
+      recordId: String = "record_id",
+      contentType: String = "content_type", payload: String = "payload",
+      infoDate: String = "2026-01-01T00:00:00Z"): Long = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(
+      col(uri).cast("string"), col(date).cast("string"),
+      col(recordId).cast("string"), col(contentType).cast("string"),
+      col(payload).cast("binary"))
+    archiveSave(rows, dir, codec, infoDate, r => {
+      val rid = r.getString(2)
+      Seq(("resource", rid, null,
+        resourceRecord(r.getString(0), r.getString(1), rid,
+          r.getString(3),
+          if (r.isNullAt(4)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](4))))
+    })
+  }
+
+  /** One `resource` record: WARC envelope over raw payload bytes. */
+  private[sources] def resourceRecord(
+      uri: String, date: String, recordId: String, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val ct = if (contentType == null) "application/octet-stream"
+      else contentType
+    val envelope =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Record-ID: $recordId\r\n" +
+        s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: $ct\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(utf8)
+    val bos = new java.io.ByteArrayOutputStream(
+      envelope.length + payload.length + 4)
+    bos.write(envelope); bos.write(payload)
+    bos.write(Crlf); bos.write(Crlf)
+    bos.toByteArray
+  }
+
   /** The WAT analog of [[warcSave]]/[[wetSave]] — the third member of
     * the public-crawl format triad: per page one `metadata` record
     * whose payload is a JSON document (headers, status, outlinks —
