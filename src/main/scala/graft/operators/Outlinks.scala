@@ -202,4 +202,71 @@ object Outlinks {
       TextAnalysis.urlHost(col("frontier_url")).as("url_host"))
       .withColumn("registered_domain",
         TextAnalysis.registeredDomain(col("url_host")))
+
+  /** Politeness-aware FETCH PLAN — the operator a crawler actually
+    * consumes: frontier URLs × per-host robots policies → the allowed
+    * URLs, each with its host's effective crawl delay, a per-host
+    * fetch sequence number, and the earliest offset (seconds into the
+    * host's fetch window) at which fetching it honors that delay:
+    * `fetch_offset = (fetch_seq - 1) * crawl_delay`.
+    *
+    * Semantics:
+    *   - a URL whose host has NO stored policy passes (default-allow,
+    *     same as [[Robots.gateByPolicy]]) at `defaultDelay`;
+    *   - a URL whose policy disallows its path (merged-group
+    *     longest-match, [[Robots.decide]]) is dropped;
+    *   - the effective delay is `max(policy crawl-delay,
+    *     defaultDelay)` — the default is a floor, not a fallback: a
+    *     host asking for LESS politeness than the crawler's own
+    *     minimum still gets the minimum;
+    *   - `fetch_seq` is the 1-based rank of the URL among its host's
+    *     allowed URLs ordered lexicographically — deterministic, so a
+    *     re-derived plan is byte-identical.
+    *
+    * Scale shape: the crawl-delay is per (host, agent), so it is
+    * parsed ONCE per host on the policy side (one narrow projection
+    * over the small build side) — only the per-path allow/deny runs
+    * per URL row. The join hashes on the host (the canonical skew
+    * key — broadcast the policy table when it fits; AQE skew-split
+    * covers the shuffle case), and the per-host sequence comes from
+    * [[Skew.rankWithinKey]] — no task ever sorts a whole host's URLs,
+    * no matter how hot the host.
+    *
+    * @param frontier frame with a URL column ([[crawlFrontier]]'s
+    *                 output or any URL list)
+    * @return frontier columns (url_host re-derived) plus `crawl_delay`,
+    *         `fetch_seq`, `fetch_offset` */
+  def fetchPlan(
+      frontier: DataFrame, urlCol: String,
+      policies: DataFrame, hostCol: String, robotsCol: String,
+      agent: String, defaultDelay: Double = 1.0,
+      numPartitions: Int = 0): DataFrame = {
+    require(defaultDelay > 0, s"defaultDelay must be > 0: $defaultDelay")
+    val pol = policies.select(
+      lower(trim(col(hostCol))).as("url_host"),
+      col(robotsCol).as("__robots"),
+      // delay is path-independent — parse once per host, build-side
+      Robots.robotsVerdict(col(robotsCol), lit(agent), lit("/"))
+        .getField("crawl_delay").as("__host_delay"))
+    val path = coalesce(
+      nullif(regexp_extract(col(urlCol),
+        "^[^:/?#]+://[^/?#]*([/?][^#]*)?", 1), lit("")),
+      lit("/"))
+    val inCols = frontier.columns.toSeq.filterNot(_ == "url_host")
+    frontier
+      .withColumn("url_host", TextAnalysis.urlHost(col(urlCol)))
+      .join(pol, Seq("url_host"), "left")
+      .filter(col("__robots").isNull
+        || Robots.robotsAllows(col("__robots"), lit(agent), path))
+      .withColumn("crawl_delay", greatest(
+        coalesce(col("__host_delay"), lit(defaultDelay)),
+        lit(defaultDelay)))
+      .drop("__robots", "__host_delay")
+      .transform(Skew.rankWithinKey(_, Seq("url_host"), Seq(urlCol),
+        "fetch_seq", numPartitions))
+      .withColumn("fetch_offset",
+        (col("fetch_seq") - 1).cast("double") * col("crawl_delay"))
+      .select((inCols.map(col) ++ Seq(col("url_host"),
+        col("crawl_delay"), col("fetch_seq"), col("fetch_offset"))): _*)
+  }
 }

@@ -43,6 +43,61 @@ object Robots {
   private[graft] final case class Applicable(
       rules: List[Rule], crawlDelay: Option[Double])
 
+  /** Percent-encoding normalization applied to BOTH rule patterns and
+    * request paths before matching — RFC 9309 §2.2.2 matching operates
+    * on percent-encoding-normalized octets, so `Disallow: /a%20b` must
+    * match the path `/a b` and vice versa. Chosen normalization
+    * (documented because the RFC leaves latitude):
+    *   - a valid `%XX` escape whose octet is UNRESERVED per RFC 3986
+    *     (`A-Z a-z 0-9 - . _ ~`) or a space decodes to the raw char;
+    *   - every other valid escape is preserved, canonicalized to
+    *     uppercase hex. That keeps `%2F` distinct from the real path
+    *     separator `/`, and never injects the `*`/`$` metacharacters
+    *     (`%2A`/`%24`) or a new `%` (`%25`) into a pattern;
+    *   - an invalid escape (`%` not followed by two hex digits) passes
+    *     through verbatim, matching literally;
+    *   - raw chars are untouched, so a raw space normalizes to itself
+    *     and matches a decoded `%20`. Raw non-ASCII text and its
+    *     UTF-8 escape sequence intentionally stay distinct (the same
+    *     choice Google's open-source matcher makes). */
+  private[graft] def normalizePct(s: String): String = {
+    var i = 0
+    var changed = false
+    val n = s.length
+    // fast path: scan for '%' first — most patterns/paths have none
+    while (i < n && s.charAt(i) != '%') i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n
+          && hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        val b = (hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))
+        val ch = b.toChar
+        val unreserved = (ch >= 'A' && ch <= 'Z') ||
+          (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') ||
+          ch == '-' || ch == '.' || ch == '_' || ch == '~' || ch == ' '
+        if (unreserved) { sb.append(ch); changed = true }
+        else {
+          sb.append('%')
+          val u1 = Character.toUpperCase(s.charAt(i + 1))
+          val u2 = Character.toUpperCase(s.charAt(i + 2))
+          if (u1 != s.charAt(i + 1) || u2 != s.charAt(i + 2))
+            changed = true
+          sb.append(u1).append(u2)
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    if (changed) sb.toString else s
+  }
+
   /** Wildcard path match: `*` spans any run, `$` (only meaningful at
     * pattern end) anchors to path end. Iterative two-pointer walk with
     * single-star backtracking — no regex, no allocation. */
@@ -68,8 +123,43 @@ object Robots {
     p == pat.length // consumed the whole pattern at path end
   }
 
-  /** Parse + select the merged applicable group for `agent`. */
+  /** Per-executor memo of parsed policies: a host's robots.txt is one
+    * row build-side but gates MILLIONS of page rows, and re-running the
+    * full line parse per page is pure wasted CPU (narrow, no shuffle —
+    * a constant factor, not a scale hazard, but a large one). Keyed by
+    * the (robots text, agent) pair itself so a hash collision can never
+    * swap policies; access-ordered LRU capped at 128 entries (robots
+    * files are small — crawlers cap fetches around 512 KB — so the
+    * worst-case footprint is tens of MB, typical is KBs). */
+  private val ParseCacheMax = 128
+  private val parseCache =
+    new java.util.LinkedHashMap[(String, String), Applicable](
+        ParseCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Applicable])
+          : Boolean = size() > ParseCacheMax
+    }
+
+  /** Parse + select the merged applicable group for `agent`, memoized
+    * per executor (see [[parseCache]]; differential-tested against
+    * [[applicableUncached]] in RobotsSpec). */
   private[graft] def applicable(robots: String, agent: String)
+      : Applicable = {
+    if (robots == null) return Applicable(Nil, None)
+    val key = (robots, if (agent == null) "*" else agent)
+    parseCache.synchronized {
+      val hit = parseCache.get(key)
+      if (hit != null) return hit
+    }
+    val parsed = applicableUncached(robots, agent)
+    parseCache.synchronized { parseCache.put(key, parsed) }
+    parsed
+  }
+
+  /** The raw (unmemoized) parse — rule patterns come out
+    * percent-normalized via [[normalizePct]] so [[decide]] matches in
+    * normalized space on both sides. */
+  private[graft] def applicableUncached(robots: String, agent: String)
       : Applicable = {
     if (robots == null) return Applicable(Nil, None)
     val agentLc = if (agent == null) "*" else agent.trim.toLowerCase
@@ -103,7 +193,7 @@ object Robots {
           case "allow" | "disallow" =>
             agentRun = false
             if (cur != null && value.nonEmpty)
-              cur.rules += Rule(key == "allow", value)
+              cur.rules += Rule(key == "allow", normalizePct(value))
             // empty Disallow: permits everything — representable as no
             // rule at all (nothing to match keeps the allowed default)
           case "crawl-delay" =>
@@ -129,7 +219,8 @@ object Robots {
   private[graft] def decide(robots: String, agent: String,
       path: String): (Boolean, Option[Double]) = {
     val app = applicable(robots, agent)
-    val p = if (path == null || path.isEmpty) "/" else path
+    val p = normalizePct(
+      if (path == null || path.isEmpty) "/" else path)
     var bestLen = -1
     var bestAllow = true // no matching rule → allowed
     app.rules.foreach { r =>

@@ -73,4 +73,64 @@ object Skew {
       .where(col("rank") <= k)
       .select((inCols.map(col) :+ col("rank")): _*)
   }
+
+  /** FULL per-group row numbering without a group-sized sort
+    * partition — the companion to [[topKPerGroup]] for when EVERY row
+    * needs its rank (a crawl fetch sequence, a per-key pagination
+    * index), not just the top k. Exactly equals `row_number() OVER
+    * (PARTITION BY group ORDER BY order)` when `order` is a total
+    * order within each group (append a unique tiebreak column
+    * otherwise — ties straddling a range boundary would rank
+    * partition-dependently).
+    *
+    * Shape: range-partition on (group ++ order) splits a hot group's
+    * rows across CONTIGUOUS partitions, so no task ever holds more
+    * than ~n_total/`numPartitions` rows regardless of key skew. The
+    * rank then assembles from two bounded pieces:
+    *   1. a row_number window over (physical partition id, group) —
+    *      each window group is a slice of one range partition, capped
+    *      by the partition size;
+    *   2. per-(group, partition) counts cumulated per group in
+    *      partition-id order — at most `numPartitions` rows per
+    *      group — joined back as each slice's starting offset.
+    * Both pieces derive from the SAME range exchange (one shuffle,
+    * planned once — ReuseExchange), and range boundaries split on the
+    * full (group ++ order) tuple, so every row in an earlier
+    * partition-id slice of a group sorts before every row in a later
+    * one — offset + local rank IS the global rank.
+    *
+    * @return the input columns plus `outCol` (1-based long rank) */
+  def rankWithinKey(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      outCol: String = "rank", numPartitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty,
+      "need group and order columns")
+    Seq("__pid", "__lr", "__off", outCol).foreach { reserved =>
+      require(!df.columns.contains(reserved),
+        s"rankWithinKey reserves column name '$reserved'; rename it")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val inCols = df.columns.toSeq
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeCols = (groupCols ++ orderCols).map(col)
+    val parted = df.repartitionByRange(n, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lr", row_number().over(
+      Window.partitionBy((col("__pid") +: groupCols.map(col)): _*)
+        .orderBy(orderCols.map(col): _*)))
+    val offsets = parted
+      .groupBy((groupCols.map(col) :+ col("__pid")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.partitionBy(groupCols.map(col): _*)
+            .orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select((groupCols.map(col) :+ col("__pid") :+ col("__off")): _*)
+    local.join(offsets, groupCols :+ "__pid")
+      .withColumn(outCol, (col("__off") + col("__lr")).cast("long"))
+      .select((inCols.map(col) :+ col(outCol)): _*)
+  }
 }

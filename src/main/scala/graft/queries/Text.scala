@@ -1971,6 +1971,112 @@ object Text {
         "robots", "graftbot")
   }
 
+  /** Charset-aware payload decoding, HASH-CERTIFIED — the most common
+    * real-crawl correctness hazard: per document one of six
+    * byte-level fixtures built in-plane from `encode`/`unhex` —
+    * header-declared UTF-8, header-declared windows-1252 (0xE9/0x80 →
+    * é/€), meta-prescan windows-1252 (0x93/0x94 → curly quotes), a
+    * UTF-16LE BOM beating a LYING utf-8 header, undeclared-but-valid
+    * UTF-8 (validity sniff), and undeclared cp1252 (the HTML5
+    * default). [[graft.operators.CharsetDecode.charsetDecoded]]
+    * detects + decodes; the oracle restates both the detected charset
+    * and the decoded text closed-form per residue class — any
+    * precedence slip (header over BOM, default over sniff) flips
+    * rows. */
+  val qT52CharsetDecode = Q(
+    "q_t52_charset_decode",
+    """SELECT doc_id, doc_id % 6 AS case_id,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'windows-1252'
+      |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'UTF-16LE'
+      |    WHEN 4 THEN 'UTF-8' ELSE 'windows-1252' END AS charset,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN '<html>d' || CAST(doc_id AS VARCHAR) || ' é€</html>'
+      |    WHEN 1 THEN '<html>d' || CAST(doc_id AS VARCHAR) || ' é€</html>'
+      |    WHEN 2 THEN '<meta charset="windows-1252">d'
+      |                  || CAST(doc_id AS VARCHAR) || ' “”'
+      |    WHEN 3 THEN '<html>d' || CAST(doc_id AS VARCHAR) || ' π</html>'
+      |    WHEN 4 THEN '<html>d' || CAST(doc_id AS VARCHAR)
+      |                  || ' héllo ✓</html>'
+      |    ELSE 'd' || CAST(doc_id AS VARCHAR) || ' café' END AS text
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.CharsetDecode
+    val m = col("doc_id") % 6
+    val idStr = col("doc_id").cast("string")
+    def ascii(c: org.apache.spark.sql.Column) = encode(c, "ISO-8859-1")
+    val ct = when(m === 0, lit("text/html; charset=utf-8"))
+      .when(m === 1, lit("text/html; charset=windows-1252"))
+      .when(m === 3, lit("text/html; charset=utf-8")) // lies — BOM wins
+      .when(m === 5, lit(null).cast("string"))
+      .otherwise(lit("text/html"))
+    val payload = when(m === 0,
+        encode(concat(lit("<html>d"), idStr, lit(" é€</html>")), "UTF-8"))
+      .when(m === 1, concat(ascii(concat(lit("<html>d"), idStr, lit(" "))),
+        unhex(lit("E980")), ascii(lit("</html>"))))
+      .when(m === 2, concat(
+        ascii(concat(lit("<meta charset=\"windows-1252\">d"), idStr,
+          lit(" "))), unhex(lit("9394"))))
+      .when(m === 3, concat(unhex(lit("FFFE")),
+        encode(concat(lit("<html>d"), idStr, lit(" π</html>")),
+          "UTF-16LE")))
+      .when(m === 4, encode(
+        concat(lit("<html>d"), idStr, lit(" héllo ✓</html>")), "UTF-8"))
+      .otherwise(concat(ascii(concat(lit("d"), idStr, lit(" caf"))),
+        unhex(lit("E9"))))
+    val dec = CharsetDecode.charsetDecoded(payload, ct)
+    documents(s, d).select(col("doc_id"), m.as("case_id"),
+      dec.getField("charset").as("charset"),
+      dec.getField("text").as("text"))
+  }
+
+  /** Politeness-aware fetch plan, HASH-CERTIFIED — frontier × per-host
+    * robots → allowed URLs with per-host fetch sequence and earliest
+    * offset: hosts 0–3 disallow paths ending in their own index
+    * (wildcard + `$` anchor through the gate) and ask for
+    * `Crawl-delay: <index>` (host 0's 0 s clamps to the 1 s floor);
+    * host 4 has no policy (default-allow at the floor). The oracle
+    * restates the gate closed-form and recomputes the sequence with an
+    * independent `ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)`
+    * window — certifying that [[graft.operators.Skew.rankWithinKey]]'s
+    * range-partitioned two-level rank (no task ever sorts a whole
+    * host) EQUALS the naive group-sized window. */
+  val qT53FetchPlan = Q(
+    "q_t53_fetch_plan",
+    """WITH f AS (
+      |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '.example/u/' || CAST(doc_id AS VARCHAR)
+      |           AS frontier_url,
+      |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      |           AS url_host,
+      |         doc_id % 5 AS h, doc_id % 10 AS last
+      |  FROM documents),
+      | g AS (SELECT frontier_url, url_host,
+      |              CASE WHEN h = 4 THEN CAST(1.0 AS DOUBLE)
+      |                   ELSE GREATEST(CAST(h AS DOUBLE), 1.0) END
+      |                AS crawl_delay
+      |       FROM f WHERE h = 4 OR last <> h)
+      |SELECT frontier_url, url_host, crawl_delay,
+      |       ROW_NUMBER() OVER (PARTITION BY url_host
+      |                          ORDER BY frontier_url) AS fetch_seq,
+      |       (ROW_NUMBER() OVER (PARTITION BY url_host
+      |                           ORDER BY frontier_url) - 1)
+      |         * crawl_delay AS fetch_offset
+      |FROM g""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val frontier = documents(s, d).select(
+      concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example/u/"), col("doc_id").cast("string"))
+        .as("frontier_url"))
+    val policies = s.range(4).select(
+      concat(lit("h"), col("id").cast("string"), lit(".example"))
+        .as("host"),
+      concat(lit("User-agent: *\nDisallow: /u/*"),
+        col("id").cast("string"), lit("$\nCrawl-delay: "),
+        col("id").cast("string")).as("robots"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -1984,5 +2090,6 @@ object Text {
       qT39WeightedSample, qT40UrlCanonical, qT41RegisteredDomain,
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
-      qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate)
+      qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
+      qT52CharsetDecode, qT53FetchPlan)
 }

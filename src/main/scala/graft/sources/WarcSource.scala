@@ -442,10 +442,12 @@ private[sources] class WarcPartitionReader(
   * archive file holding just the matched records' byte extents. */
 private[sources] object WarcCdx {
 
-  /** Hard ceiling on extents collected to the driver at plan time. A
+  /** Ceiling on extents collected to the driver at plan time. A
     * pushed EqualTo/In carries a bounded literal list, so this only
     * trips when the SAME uris recur pathologically across an archive —
-    * at which point a full scan plans fine and this plan would not. */
+    * at which point [[planExtents]] returns None and the scan falls
+    * back to the full pass + residual filter rather than failing a
+    * query the user cannot restructure. */
   val MaxExtents: Int = 1 << 22
 
   def planExtents(
@@ -474,9 +476,12 @@ private[sources] object WarcCdx {
         (d, t) => d.filter(col("warc_type").isin(t.toSeq: _*)))
       .select("warc_file", "offset", "length")
       .limit(MaxExtents + 1).collect()
-    require(matched.length <= MaxExtents,
-      s"graft-warc: pushed target_uri lookup matched more than " +
-        s"$MaxExtents records — use a full scan with a filter instead")
+    if (matched.length > MaxExtents) {
+      // pathologically recurring uris: the extent list would not fit
+      // the driver — fall back to the full scan + residual filter
+      // (same rows, just slower) instead of failing a plain query
+      return None
+    }
     Some(matched.groupBy(_.getString(0)).toArray.sortBy(_._1)
       .map { case (file, rows) =>
         val sorted = rows.sortBy(_.getLong(1)) // forward sweep per file
@@ -1010,7 +1015,11 @@ private[graft] final class MultiFrameZstdInputStream(
       }
       val n = cur.read(b, off, len)
       if (n > 0) return n
-      cur.close(); cur = null
+      // only -1 ends the frame: a 0-byte return is a legitimate
+      // "no bytes THIS call" some codec versions emit mid-frame, and
+      // treating it as exhaustion would silently truncate the frame —
+      // the exact failure class this wrapper exists to prevent
+      if (n == -1) { cur.close(); cur = null }
     }
     -1 // unreachable
   }
@@ -1112,7 +1121,11 @@ object WarcIO {
           if (r.isNullAt(4)) Array.empty[Byte]
           else r.getAs[Array[Byte]](4),
           status = if (r.isNullAt(6)) 200 else r.getInt(6)))
-      if (r.isNullAt(5)) Seq(resp)
+      // record_id is nullable throughout the schema: a null-id row
+      // still writes its response (responseRecord tolerates null) but
+      // cannot anchor a Concurrent-To pair, so the request record is
+      // skipped — one malformed row degrades, not the write stage
+      if (r.isNullAt(5) || rid == null) Seq(resp)
       else {
         val reqId = s"<urn:graft:req:${rid.stripPrefix("<").stripSuffix(">")}>"
         // request FIRST, response second — the common crawl layout;
@@ -1301,7 +1314,14 @@ object WarcIO {
       spark: org.apache.spark.sql.SparkSession, batchedDir: String,
       destDir: String, codec: String = "gzip"): Long = {
     import org.apache.spark.sql.functions.col
-    require(new Path(destDir) != new Path(batchedDir),
+    // qualify both paths before comparing: a trailing slash, relative
+    // path, or scheme-less alias of the source must not slip past the
+    // guard and let the compactor delete part files it is reading
+    val fs = new Path(batchedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val qSrc = fs.makeQualified(new Path(batchedDir))
+    val qDst = fs.makeQualified(new Path(destDir))
+    require(qDst != qSrc,
       "graft-warc: compact into a fresh directory, then swap")
     val full = expandRevisits(
       spark.read.format("graft-warc").load(s"$batchedDir/batch=*")

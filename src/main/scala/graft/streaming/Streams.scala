@@ -681,19 +681,25 @@ object Streams {
   /** The page projection of a WARC landing directory shared by the
     * streaming and batch halves of the crawl story: HTTP-200 `text/html`
     * response records (content type matched case-insensitively — real
-    * servers emit `Text/HTML` too), payload decoded as UTF-8. The
-    * authoritative page key is `target_uri` ITSELF; `page_id =
-    * xxhash64(target_uri)` rides alongside as a compact CONVENIENCE
-    * handle only — at multi-billion-page scale 64-bit birthday
-    * collisions are likely (~20% chance of one at 3B URIs), so nothing
-    * in the pipeline joins on it. */
+    * servers emit `Text/HTML` too), payload decoded CHARSET-AWARE via
+    * [[graft.operators.CharsetDecode.decodePayload]] (BOM → Content-Type
+    * `charset=` → meta prescan → UTF-8 validity → windows-1252) — a
+    * real crawl is several percent non-UTF-8, and a bare UTF-8 decode
+    * would mojibake those pages into extraction, langid, dedup, and
+    * the WET sink. The authoritative page key is `target_uri` ITSELF;
+    * `page_id = xxhash64(target_uri)` rides alongside as a compact
+    * CONVENIENCE handle only — at multi-billion-page scale 64-bit
+    * birthday collisions are likely (~20% chance of one at 3B URIs),
+    * so nothing in the pipeline joins on it. */
   private def crawlPageCols(warc: DataFrame): DataFrame = warc
     .filter(col("warc_type") === "response"
       && col("http_status") === 200
       && lower(coalesce(col("http_content_type"), lit("")))
         .startsWith("text/html"))
     .select(xxhash64(col("target_uri")).as("page_id"),
-      col("target_uri"), decode(col("payload"), "UTF-8").as("text"))
+      col("target_uri"),
+      graft.operators.CharsetDecode.decodePayload(
+        col("payload"), col("http_content_type")).as("text"))
 
   /** Streaming (page_id, target_uri, text) over a WARC landing
     * directory — compose downstream operators on this, or join its

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Outlinks, Skew}
+
+/** [[Skew.rankWithinKey]] (range-partitioned full per-group row
+  * numbering) and [[Outlinks.fetchPlan]] (robots gate + crawl-delay +
+  * per-host fetch sequence): differential equality against the naive
+  * group-sized window, skewed-host behavior, and the politeness
+  * semantics (delay floor, default-allow, wildcard gate). */
+class FetchPlanSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("rankWithinKey equals the naive window, hot key included") {
+    // 1 cold key per id + one hot key holding half the rows — forced
+    // through MANY more range partitions than any key has rows
+    val rows = (0 until 2000).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${i % 37}"
+      (k, f"v$i%05d", i.toLong)
+    }
+    val df = rows.toDF("k", "v", "payload")
+    val got = Skew.rankWithinKey(df, Seq("k"), Seq("v"), "seq",
+      numPartitions = 16)
+    val naive = df.withColumn("seq",
+      row_number().over(Window.partitionBy("k").orderBy("v"))
+        .cast("long"))
+    assert(got.columns.toSeq ==
+      Seq("k", "v", "payload", "seq"))
+    assert(got.exceptAll(naive).isEmpty
+      && naive.exceptAll(got).isEmpty,
+      "two-level range rank must EQUAL the group-sized window")
+    // ranks are a 1..n permutation per key
+    val perKey = got.groupBy("k")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"),
+        max("seq").as("hi"), countDistinct("seq").as("d"))
+      .collect()
+    perKey.foreach { r =>
+      val (n, lo, hi, d) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == 1 && hi == n && d == n, s"key ${r.getString(0)}")
+    }
+  }
+
+  test("rankWithinKey: multi-column order and reserved-name guard") {
+    val df = Seq(("a", 2, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      ("b", 9, "z")).toDF("k", "n", "s")
+    val got = Skew.rankWithinKey(df, Seq("k"), Seq("n", "s"), "r")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))
+        -> r.getLong(3)).toMap
+    assert(got(("a", 1, "x")) == 1 && got(("a", 1, "y")) == 2
+      && got(("a", 2, "x")) == 3 && got(("b", 9, "z")) == 1)
+    val clash = df.withColumnRenamed("s", "__pid")
+    val e = intercept[IllegalArgumentException] {
+      Skew.rankWithinKey(clash, Seq("k"), Seq("n"))
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
+  test("fetchPlan: gate, delay floor, default-allow, sequence+offset") {
+    // hosts a/b have policies; host c none. b's path gate uses a
+    // wildcard+anchor; a asks for LESS delay than the floor
+    val frontier = Seq(
+      "https://a.example/p/1", "https://a.example/p/2",
+      "https://a.example/blocked/x",
+      "https://b.example/u/10", "https://b.example/u/13", // 13 ends in 3
+      "https://c.example/anything").toDF("frontier_url")
+    val policies = Seq(
+      ("a.example",
+        "User-agent: *\nDisallow: /blocked\nCrawl-delay: 0.2"),
+      ("b.example", "User-agent: *\nDisallow: /u/*3$\nCrawl-delay: 4"))
+      .toDF("host", "robots")
+    val got = Outlinks.fetchPlan(frontier, "frontier_url", policies,
+      "host", "robots", "graftbot", defaultDelay = 1.0)
+      .collect().map(r => r.getAs[String]("frontier_url") ->
+        ((r.getAs[String]("url_host"), r.getAs[Double]("crawl_delay"),
+          r.getAs[Long]("fetch_seq"), r.getAs[Double]("fetch_offset"))))
+      .toMap
+    assert(got.size == 4, s"gate must drop 2 of 6: ${got.keys}")
+    assert(!got.contains("https://a.example/blocked/x"))
+    assert(!got.contains("https://b.example/u/13"))
+    // a: 0.2 clamps to the 1.0 floor; lexicographic seq 1,2
+    assert(got("https://a.example/p/1") ==
+      (("a.example", 1.0, 1L, 0.0)))
+    assert(got("https://a.example/p/2") ==
+      (("a.example", 1.0, 2L, 1.0)))
+    // b: declared 4 s honored
+    assert(got("https://b.example/u/10") ==
+      (("b.example", 4.0, 1L, 0.0)))
+    // c: no policy → default-allow at the floor
+    assert(got("https://c.example/anything") ==
+      (("c.example", 1.0, 1L, 0.0)))
+  }
+
+  test("fetchPlan composes on crawlFrontier output (url_host rides)") {
+    val links = Seq(
+      ("https://d.example/x", 1L), ("https://d.example/y", 1L),
+      ("https://e.example/z", 2L)).toDF("outlink", "src")
+    val frontier = Outlinks.crawlFrontier(links, "outlink",
+      Seq.empty[String].toDF("url"), "url")
+    val planned = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", defaultDelay = 2.0)
+    val rows = planned.collect()
+    assert(rows.length == 3)
+    assert(planned.columns.contains("registered_domain"),
+      "frontier columns must pass through")
+    val d = rows.filter(_.getAs[String]("url_host") == "d.example")
+      .sortBy(_.getAs[Long]("fetch_seq"))
+    assert(d.map(_.getAs[Double]("fetch_offset")).toSeq ==
+      Seq(0.0, 2.0))
+  }
+}

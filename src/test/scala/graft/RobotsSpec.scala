@@ -77,6 +77,53 @@ class RobotsSpec extends AnyFunSuite {
     assert(delay(policy, "stranger").isEmpty) // * group has none
   }
 
+  test("percent-encoding normalization (RFC 9309 §2.2.2)") {
+    // unreserved + space octets decode
+    assert(Robots.normalizePct("/a%20b") == "/a b")
+    assert(Robots.normalizePct("/%41%7e%2Dx") == "/A~-x")
+    // reserved/meta escapes preserved, canonicalized to uppercase —
+    // %2F stays distinct from '/', %2A/%24 never become wildcards
+    assert(Robots.normalizePct("/a%2fb") == "/a%2Fb")
+    assert(Robots.normalizePct("/p%2a%24%25") == "/p%2A%24%25")
+    // invalid escapes pass through verbatim
+    assert(Robots.normalizePct("/x%zz%2") == "/x%zz%2")
+    assert(Robots.normalizePct("/plain") == "/plain")
+    // end-to-end: encoded pattern matches raw path and vice versa
+    val enc = "User-agent: *\nDisallow: /a%20b"
+    assert(!allowed(enc, "x", "/a b"))
+    assert(!allowed(enc, "x", "/a%20b/c"))
+    val raw = "User-agent: *\nDisallow: /a b"
+    assert(!allowed(raw, "x", "/a%20b"))
+    // %2F does NOT match a literal slash (encoded slash is data)
+    val slash = "User-agent: *\nDisallow: /a%2Fb"
+    assert(allowed(slash, "x", "/a/b"))
+    assert(!allowed(slash, "x", "/a%2fb"))
+    // an encoded '$' in a pattern is a literal, not an anchor
+    val dollar = "User-agent: *\nDisallow: /d%24"
+    assert(!allowed(dollar, "x", "/d%24tail"))
+    assert(allowed(dollar, "x", "/d"))
+  }
+
+  test("memoized parse is verdict-identical to the uncached kernel") {
+    val policies = Seq(policy,
+      "User-agent: a\nDisallow: /x%2a\nAllow: /x%2Ay",
+      "User-agent: *\nDisallow:\n", null)
+    val agents = Seq("BotA", "botb", "stranger", null)
+    val paths = Seq("/shared/yes/now", "/private/ok", "/a b",
+      "/x%2Ayz", "", null)
+    for (r <- policies; a <- agents) {
+      // the memoized lookup must be structurally identical to a fresh
+      // raw parse, on first touch AND on the cache-hit path
+      if (r != null)
+        assert(Robots.applicable(r, a) == Robots.applicableUncached(r, a))
+      for (p <- paths) {
+        val first = Robots.decide(r, a, p)
+        val again = Robots.decide(r, a, p) // second hit = cache path
+        assert(first == again, s"cache divergence for ($a, $p)")
+      }
+    }
+  }
+
   test("Column surface evaluates over a frame") {
     val spark = GraftSpark.spark
     import spark.implicits._

@@ -499,6 +499,39 @@ class WarcSpec extends AnyFunSuite {
       "a response with no request record must keep null headers")
   }
 
+  test("warcSave: a null record_id row degrades (no request), never NPEs") {
+    val dir = tmp("nullrid")
+    import spark.implicits._
+    val docs = Seq(
+      ("https://e/ok", "2026-01-01T00:00:00Z", "<urn:n:1>",
+        "text/html", "fine".getBytes(UTF_8), "GET /ok HTTP/1.1\r\nHost: e"),
+      ("https://e/anon", "2026-01-01T00:00:00Z", null,
+        "text/html", "anon".getBytes(UTF_8), "GET /anon HTTP/1.1\r\nHost: e"))
+      .toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload", "req_http")
+    WarcIO.warcSave(docs, dir.toString, requestHttp = Some("req_http"))
+    val all = spark.read.format("graft-warc").load(dir.toString)
+    // both responses written; only the id-bearing row minted a request
+    assert(all.filter(col("warc_type") === "response").count() == 2)
+    val reqs = all.filter(col("warc_type") === "request").collect()
+    assert(reqs.length == 1
+      && reqs.head.getAs[String]("concurrent_to") == "<urn:n:1>")
+  }
+
+  test("compactDedupArchive rejects aliased same-directory targets") {
+    val dir = tmp("aliasguard")
+    // trailing-slash and unqualified aliases of the SAME directory must
+    // all trip the guard — compacting in place would delete the part
+    // files being read
+    for (alias <- Seq(dir.toString, dir.toString + "/",
+        s"file:$dir", s"file://$dir")) {
+      val e = intercept[IllegalArgumentException] {
+        WarcIO.compactDedupArchive(spark, dir.toString, alias)
+      }
+      assert(e.getMessage.contains("fresh directory"), s"alias $alias")
+    }
+  }
+
   test("foreign-case headers and type values parse; warc_type canonicalizes") {
     val dir = tmp("case")
     java.nio.file.Files.write(dir.resolve("c.warc"),
@@ -631,6 +664,49 @@ class WarcSpec extends AnyFunSuite {
     assert(withUri.count() == 60
       && withUri.filter(col("target_uri").startsWith(
         "https://crawl.example/p/")).count() == 60)
+  }
+
+  test("crawl pages decode charset-aware: cp1252/SJIS/BOM, twin-equal") {
+    import spark.implicits._
+    val in = tmp("charset").toString
+    // four pages, four declaration paths: header cp1252, meta-only
+    // cp1252, UTF-16LE BOM under a LYING utf-8 header, undeclared UTF-8
+    val sjisless = Seq(
+      ("https://cs.example/h1252", "text/html; charset=windows-1252",
+        "caf".getBytes(UTF_8) ++ Array(0xe9.toByte)),
+      ("https://cs.example/meta", "text/html",
+        "<meta charset=windows-1252>x".getBytes(UTF_8) ++
+          Array(0x80.toByte)),
+      ("https://cs.example/bom16", "text/html; charset=utf-8",
+        Array(0xff.toByte, 0xfe.toByte) ++
+          "<p>snow</p>".getBytes("UTF-16LE")),
+      ("https://cs.example/plain", "text/html",
+        "<p>héllo</p>".getBytes(UTF_8)))
+    WarcIO.warcSave(sjisless.toDF(
+      "target_uri", "http_content_type", "payload")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("record_id",
+        concat(lit("<urn:cs:"), monotonically_increasing_id()
+          .cast("string"), lit(">"))), in)
+    val batch = graft.streaming.Streams.crawlPages(spark, in)
+      .collect().map(r => r.getAs[String]("target_uri").split("/").last
+        -> r.getAs[String]("text")).toMap
+    assert(batch("h1252") == "café")
+    assert(batch("meta") == "<meta charset=windows-1252>x€")
+    assert(batch("bom16") == "<p>snow</p>", "BOM beats the lying header")
+    assert(batch("plain") == "<p>héllo</p>", "UTF-8 validity sniff")
+    // streaming twin decodes identically
+    val q = graft.streaming.Streams.crawlPageStream(spark, in)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("charset_twin").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("charset_twin").collect()
+        .map(r => r.getAs[String]("target_uri") ->
+          r.getAs[String]("text")).toMap
+      assert(streamed ==
+        batch.map { case (k, v) => s"https://cs.example/$k" -> v })
+    } finally q.stop()
   }
 
   test("curation screen keyed by uri: equal page hashes cannot merge rows") {
