@@ -101,6 +101,19 @@ object Outlinks {
   def pageLinks(html: Column, base: Column): Column =
     resolveAllUdf(base, rawHrefs(html))
 
+  /** The page `<title>` — first title element's text, HTML character
+    * references decoded, whitespace runs collapsed, null when absent
+    * or empty: the WAT metadata field ([[graft.sources.WarcIO
+    * .watPayload]]) and a curation signal in its own right. Codegen'd
+    * end to end (regexp + entity decode), narrow per-row. */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html,
+      "(?is)<title[^>]*>(.*?)</title>", 1)
+    val cleaned = trim(regexp_replace(
+      TextAnalysis.decodeHtmlEntities(raw), "\\s+", " "))
+    when(length(cleaned) > 0, cleaned)
+  }
+
   /** One output row per (page row, outlink): every input column plus
     * `outCol` holding the ABSOLUTE resolved URL. Pages with no
     * resolvable link emit nothing (the frontier shape); rows explode

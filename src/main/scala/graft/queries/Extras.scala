@@ -1452,6 +1452,97 @@ object Extras {
         get_json_object(json, "$.links[1]").as("link1"))
   }
 
+  /** Typed WAT read-back, HASH-CERTIFIED — q_s25 writes WAT metadata
+    * and restates it with hand-written `get_json_object` paths; this
+    * closes the loop at the API level: [[graft.sources.WarcIO
+    * .watPayload]] packs the PINNED envelope (status, content type,
+    * `<title>`, resolved links) and [[WarcIO.watEntries]] parses it
+    * back to typed top-level columns with no caller-side schema. Also
+    * certifies [[graft.operators.Outlinks.htmlTitle]] (entity decode +
+    * whitespace collapse) field-for-field against the closed form. */
+  val qS28WatEntries = Q(
+    "q_s28_wat_entries",
+    """SELECT 'https://crawl.example/w' || CAST(doc_id AS VARCHAR)
+      |         || '.html' AS target_uri,
+      |       '<urn:wresp:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+      |       CASE WHEN doc_id % 7 = 0 THEN 404
+      |            ELSE 200 END AS status,
+      |       'text/html' AS content_type,
+      |       'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS title,
+      |       'https://crawl.example/n/' || CAST(doc_id % 11 AS VARCHAR)
+      |         AS link0,
+      |       CAST(1 AS INTEGER) AS n_links
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wat2_q").toString
+    val uriC = concat(lit("https://crawl.example/w"),
+      col("doc_id").cast("string"), lit(".html"))
+    val page = concat(
+      lit("<html><head><title>  Doc "), col("doc_id").cast("string"),
+      lit(" &amp;\n more </title></head><body><a href=\"/n/"),
+      (col("doc_id") % 11).cast("string"),
+      lit("\">n</a></body></html>"))
+    graft.sources.WarcIO.watSave(
+      documents(s, d).select(
+        uriC.as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:wat2:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        graft.sources.WarcIO.watPayload(
+          when(col("doc_id") % 7 === 0, 404).otherwise(200),
+          lit("text/html"), Outlinks.htmlTitle(page),
+          Outlinks.pageLinks(page, uriC)).as("metadata"),
+        concat(lit("<urn:wresp:"), col("doc_id").cast("string"),
+          lit(">")).as("refers"))
+        .repartition(8),
+      tmp, refersTo = Some("refers"))
+    graft.sources.WarcIO.watEntries(
+      s.read.format("graft-warc").load(tmp))
+      .select(col("target_uri"), col("refers_to"), col("status"),
+        col("content_type"), col("title"),
+        col("links").getItem(0).as("link0"),
+        size(col("links")).as("n_links"))
+  }
+
+  /** CDX `payload_digest` point lookup, HASH-CERTIFIED — the dedup
+    * tier's natural forensic lookup (fetch-canonical-by-digest: the
+    * dedup archive stores ONE full response per digest, so the digest
+    * IS the content key). A digest EqualTo/In filter rides the same
+    * `_cdx` extent machinery as q_s19's uri lookup — the scan seeks
+    * just the matched records' byte extents instead of scanning the
+    * archive, conjoined with the `warc_type` narrowing. Payloads are
+    * doc-unique here, so the digest set is equivalent to the closed-
+    * form doc_id predicate the oracle recomputes (DuckDB has no sha1 —
+    * the digest column itself stays out of the projection; the framing
+    * and extent fidelity are what the hash certifies). */
+  val qS27DigestPushdown = Q(
+    "q_s27_digest_pushdown",
+    """SELECT 'https://example.org/dg/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       'doc ' || CAST(doc_id AS VARCHAR) || ': ' || text AS text
+      |FROM documents WHERE doc_id % 41 = 7""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dgp_q").toString
+    val docs = documents(s, d).select(
+      concat(lit("https://example.org/dg/"),
+        col("doc_id").cast("string")).as("target_uri"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("<urn:graft:dg:"), col("doc_id").cast("string"),
+        lit(">")).as("record_id"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      encode(concat(lit("doc "), col("doc_id").cast("string"),
+        lit(": "), col("text")), "UTF-8").as("payload"),
+      col("doc_id"))
+    graft.sources.WarcIO.warcDedupSave(
+      docs.drop("doc_id").repartition(8), tmp)
+    val digests = docs.filter(col("doc_id") % 41 === 7)
+      .select(concat(lit("sha1:"), upper(sha1(col("payload")))))
+      .collect().map(_.getString(0))
+    s.read.format("graft-warc").load(tmp)
+      .filter(col("payload_digest").isin(digests.toSeq: _*)
+        && col("warc_type") === "response")
+      .select(col("target_uri"), decode(col("payload"), "UTF-8").as("text"))
+  }
+
   /** `resource` record round trip, HASH-CERTIFIED — the direct-payload
     * record type (ISO 28500 §6.5, no HTTP envelope): fetched assets
     * archive with their own Content-Type at the ENVELOPE level and the
@@ -1493,7 +1584,7 @@ object Extras {
     qS16WarcRoundTrip, qS17WetRoundTrip, qS18WarcFetch, qS19CdxPushdown,
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
     qS23CrossBatchDedup, qS24NotModified, qS25WatMetadata,
-    qS26ResourceRoundTrip,
+    qS26ResourceRoundTrip, qS27DigestPushdown, qS28WatEntries,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

@@ -129,6 +129,7 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
   private var required: StructType = full
   private var pushedTypes: Option[Set[String]] = None
   private var pushedUris: Option[Set[String]] = None
+  private var pushedDigests: Option[Set[String]] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
@@ -152,8 +153,16 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
     * the full scan whenever the sidecar is absent or does not cover
     * every listed archive file (foreign files landed next to ours).
     *
+    * Digest pushdown: `payload_digest = '…'` (or IN) is served by the
+    * SAME extent machinery — the sidecar carries each record's digest,
+    * so fetch-canonical-by-digest (the dedup tier's natural forensic
+    * point lookup: [[WarcIO.warcDedupSave]] stores canonical records
+    * keyed by digest) seeks exact extents instead of scanning. When a
+    * uri filter rides alongside, the extents are the conjunction
+    * (Spark's pushed filter array is a conjunction).
+    *
     * Every filter is also returned as residual (Spark re-applies it),
-    * keeping both pushdowns skip-only with no correctness surface. */
+    * keeping all pushdowns skip-only with no correctness surface. */
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
@@ -168,9 +177,13 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
     if (types.nonEmpty) pushedTypes = Some(types.reduce(_ intersect _))
     val uris = collectSets("target_uri")
     if (uris.nonEmpty) pushedUris = Some(uris.reduce(_ intersect _))
+    val digests = collectSets("payload_digest")
+    if (digests.nonEmpty) pushedDigests = Some(digests.reduce(_ intersect _))
     pushed = filters.filter {
       case EqualTo("warc_type", _) | In("warc_type", _) => types.nonEmpty
       case EqualTo("target_uri", _) | In("target_uri", _) => uris.nonEmpty
+      case EqualTo("payload_digest", _) | In("payload_digest", _) =>
+        digests.nonEmpty
       case _ => false
     }
     filters // all residual: Spark re-applies, pushdown is skip-only
@@ -180,39 +193,45 @@ private[sources] class WarcScanBuilder(path: String, full: StructType,
     pushed
 
   override def build(): Scan =
-    new WarcScan(path, required, conf, pushedTypes, pushedUris)
+    new WarcScan(path, required, conf, pushedTypes, pushedUris,
+      pushedDigests)
 }
 
 private[sources] class WarcScan(path: String, required: StructType,
     conf: SerializableHadoopConf,
     typeFilter: Option[Set[String]] = None,
-    uriFilter: Option[Set[String]] = None)
+    uriFilter: Option[Set[String]] = None,
+    digestFilter: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  private def lookupTag(label: String, vals: Set[String]): String = {
+    val shown = vals.toSeq.sorted.take(8)
+    val more = if (vals.size > 8) s", … ${vals.size - 8} more" else ""
+    s" $label: [${shown.mkString(", ")}$more]" +
+      (if (extentPlan.isDefined) " (cdx-indexed)"
+       else " (no cdx coverage — full scan)")
+  }
   override def description(): String =
     s"graft-warc $path [${required.fieldNames.mkString(", ")}]" +
       typeFilter.fold("")(t =>
         s" PushedRecordTypes: [${t.toSeq.sorted.mkString(", ")}]") +
-      uriFilter.fold("") { u =>
-        val shown = u.toSeq.sorted.take(8)
-        val more = if (u.size > 8) s", … ${u.size - 8} more" else ""
-        s" PushedUris: [${shown.mkString(", ")}$more]" +
-          (if (extentPlan.isDefined) " (cdx-indexed)"
-           else " (no cdx coverage — full scan)")
-      }
+      uriFilter.fold("")(lookupTag("PushedUris", _)) +
+      digestFilter.fold("")(lookupTag("PushedDigests", _))
 
   private lazy val files: Seq[(String, Long)] =
     SourceFiles.listDataFiles(path, conf.value)
 
-  /** The CDX point-lookup plan: defined iff a `target_uri` filter is
-    * pushed AND every listed archive file is covered by a `_cdx`
-    * sidecar — then each partition is one file's matched byte extents
-    * (kilobytes seeked, not terabytes scanned). */
+  /** The CDX point-lookup plan: defined iff a `target_uri` and/or
+    * `payload_digest` filter is pushed AND every listed archive file
+    * is covered by a `_cdx` sidecar — then each partition is one
+    * file's matched byte extents (kilobytes seeked, not terabytes
+    * scanned). */
   private lazy val extentPlan: Option[Array[WarcExtentPartition]] =
-    uriFilter.flatMap(uris =>
-      WarcCdx.planExtents(files.map(_._1), uris, typeFilter, conf))
+    if (uriFilter.isEmpty && digestFilter.isEmpty) None
+    else WarcCdx.planExtents(files.map(_._1), uriFilter, digestFilter,
+      typeFilter, conf)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -437,21 +456,23 @@ private[sources] class WarcPartitionReader(
   override def close(): Unit = closeStream()
 }
 
-/** CDX point-lookup planning for the pushed `target_uri` filter: the
-  * scan consults the `_cdx` sidecars and plans one partition per
-  * archive file holding just the matched records' byte extents. */
+/** CDX point-lookup planning for the pushed `target_uri` /
+  * `payload_digest` filters: the scan consults the `_cdx` sidecars and
+  * plans one partition per archive file holding just the matched
+  * records' byte extents. */
 private[sources] object WarcCdx {
 
   /** Ceiling on extents collected to the driver at plan time. A
     * pushed EqualTo/In carries a bounded literal list, so this only
-    * trips when the SAME uris recur pathologically across an archive —
-    * at which point [[planExtents]] returns None and the scan falls
-    * back to the full pass + residual filter rather than failing a
-    * query the user cannot restructure. */
+    * trips when the SAME uris/digests recur pathologically across an
+    * archive — at which point [[planExtents]] returns None and the
+    * scan falls back to the full pass + residual filter rather than
+    * failing a query the user cannot restructure. */
   val MaxExtents: Int = 1 << 22
 
   def planExtents(
-      dataFiles: Seq[String], uris: Set[String],
+      dataFiles: Seq[String], uris: Option[Set[String]],
+      digests: Option[Set[String]],
       typeFilter: Option[Set[String]],
       conf: SerializableHadoopConf): Option[Array[WarcExtentPartition]] = {
     import org.apache.spark.sql.functions.col
@@ -471,15 +492,19 @@ private[sources] object WarcCdx {
     val listed = dataFiles.map(f =>
       fs.makeQualified(new Path(f)).toString)
     if (!listed.forall(indexed.contains)) return None
-    val matched = typeFilter.foldLeft(
-        cdx.filter(col("target_uri").isin(uris.toSeq: _*)))(
-        (d, t) => d.filter(col("warc_type").isin(t.toSeq: _*)))
+    // pushed filters are a conjunction: each defined lookup narrows
+    val narrowed = Seq(
+      uris.map(u => col("target_uri").isin(u.toSeq: _*)),
+      digests.map(d => col("payload_digest").isin(d.toSeq: _*)),
+      typeFilter.map(t => col("warc_type").isin(t.toSeq: _*)))
+      .flatten.foldLeft(cdx)((d, p) => d.filter(p))
+    val matched = narrowed
       .select("warc_file", "offset", "length")
       .limit(MaxExtents + 1).collect()
     if (matched.length > MaxExtents) {
-      // pathologically recurring uris: the extent list would not fit
-      // the driver — fall back to the full scan + residual filter
-      // (same rows, just slower) instead of failing a plain query
+      // pathologically recurring uris/digests: the extent list would
+      // not fit the driver — fall back to the full scan + residual
+      // filter (same rows, just slower) instead of failing a plain query
       return None
     }
     Some(matched.groupBy(_.getString(0)).toArray.sortBy(_._1)
@@ -1468,6 +1493,54 @@ object WarcIO {
           else r.getString(3)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     })
+  }
+
+  /** The PINNED graft WAT payload shape — what [[watPayload]] packs
+    * and [[watEntries]] parses back, so a WAT consumer never hand-
+    * writes `from_json` schemas against this writer. Field set follows
+    * what public WAT records actually get queried for: the fetch
+    * status, the served Content-Type, the page `<title>`, and the
+    * RESOLVED outlink array ([[graft.operators.Outlinks.pageLinks]]).
+    * All fields nullable — `to_json` drops nulls and `from_json` reads
+    * absences back as null, so partial producers round-trip. */
+  val WatPayloadSchema: StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("links", ArrayType(StringType, containsNull = false),
+      nullable = true)))
+
+  /** The canonical WAT JSON payload (one codegen'd `to_json`, no
+    * shuffle) — feed it to [[watSave]]'s `metaJson` column. */
+  def watPayload(status: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column,
+      title: org.apache.spark.sql.Column,
+      links: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, to_json}
+    to_json(struct(status.cast("int").as("status"),
+      contentType.cast("string").as("content_type"),
+      title.cast("string").as("title"),
+      links.as("links")))
+  }
+
+  /** Typed read-back of a WAT archive ([[watSave]] + [[watPayload]]):
+    * `metadata` records of a `graft-warc` frame parsed against the
+    * pinned [[WatPayloadSchema]] — one row per WAT record with the
+    * envelope columns (`target_uri`, `warc_date`, `record_id`,
+    * `refers_to`) and the payload fields (`status`, `content_type`,
+    * `title`, `links array<string>`) as top-level columns. Narrow
+    * per-row work (`from_json` is codegen'd); a payload that is not
+    * valid JSON yields null fields, not an error — foreign WAT
+    * archives degrade instead of failing the scan. */
+  def watEntries(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode, from_json}
+    df.filter(col("warc_type") === "metadata")
+      .select(col("target_uri"), col("warc_date"), col("record_id"),
+        col("refers_to"),
+        from_json(decode(col("payload"), "UTF-8"), WatPayloadSchema)
+          .as("_wat"))
+      .select("target_uri", "warc_date", "record_id", "refers_to",
+        "_wat.status", "_wat.content_type", "_wat.title", "_wat.links")
   }
 
   /** One `metadata` record: WARC envelope over a JSON block. */

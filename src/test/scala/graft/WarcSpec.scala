@@ -431,6 +431,71 @@ class WarcSpec extends AnyFunSuite {
       .contains("(cdx-indexed)"))
   }
 
+  test("payload_digest pushdown: CDX point lookup, revisit conjunction, fallback") {
+    val dir = tmp("dgpush")
+    import spark.implicits._
+    // doc 0..29 unique payloads, plus 30..33 all duplicating doc 5's
+    // payload — the dedup writer stores those as revisits of 5's record
+    val docs = ((0 until 30).map(i => (i, s"digest page $i")) ++
+      (30 until 34).map(i => (i, "digest page 5")))
+      .map { case (i, text) =>
+        (s"https://e/d/$i", f"2026-01-01T00:00:${i % 60}%02dZ",
+          s"<urn:d:$i>", "text/html", text.getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload")
+    WarcIO.warcDedupSave(docs.repartition(4), dir.toString)
+    def digestOf(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      "sha1:" + md.digest(text.getBytes(UTF_8))
+        .map("%02X".format(_)).mkString
+    }
+    val wanted = Seq(3, 17).map(i => digestOf(s"digest page $i"))
+    val pushed = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("payload_digest").isin(wanted: _*))
+    assert(pushed.collect().map(r => (r.getAs[String]("target_uri"),
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8))).toSet
+      == Set(("https://e/d/3", "digest page 3"),
+        ("https://e/d/17", "digest page 17")))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedDigests:") && plan.contains("(cdx-indexed)"),
+      s"digest lookup must consult the CDX index:\n$plan")
+    // a digest with revisits: the bare lookup surfaces the canonical
+    // response AND every revisit envelope (all carry that digest in
+    // the index); conjoining warc_type narrows the extents to one
+    val hot = digestOf("digest page 5")
+    val all5 = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("payload_digest") === hot)
+    val types = all5.collect().map(_.getAs[String]("warc_type"))
+    assert(types.count(_ == "response") == 1
+      && types.count(_ == "revisit") == 4, types.mkString(","))
+    assert(all5.queryExecution.executedPlan.toString
+      .contains("(cdx-indexed)"))
+    val canon = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("payload_digest") === hot
+        && col("warc_type") === "response")
+    assert(canon.collect().map(_.getAs[String]("record_id")).toSeq
+      == Seq("<urn:d:5>"))
+    assert(canon.queryExecution.executedPlan.toString
+      .contains("(cdx-indexed)"))
+    // coverage gate: a foreign unindexed file → honest full-scan fallback
+    val foreign = rec("response", Seq(
+      "WARC-Record-ID" -> "<urn:d:foreign>",
+      "WARC-Target-URI" -> "https://e/d/f",
+      "WARC-Payload-Digest" -> wanted.head,
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpBlock("200 OK", Seq("Content-Type" -> "text/html"),
+        "foreign digest copy".getBytes(UTF_8)))
+    java.nio.file.Files.write(dir.resolve("foreign.warc"), foreign)
+    val fb = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("payload_digest").isin(wanted: _*))
+    assert(fb.collect().map(r =>
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toSet
+      .contains("foreign digest copy"),
+      "fallback must see the unindexed record")
+    assert(fb.queryExecution.executedPlan.toString
+      .contains("(no cdx coverage — full scan)"))
+  }
+
   test("WARC-Concurrent-To: request records parse and pair onto responses") {
     val dir = tmp("pair")
     import spark.implicits._
