@@ -93,11 +93,20 @@ object Skew {
     *   2. per-(group, partition) counts cumulated per group in
     *      partition-id order — at most `numPartitions` rows per
     *      group — joined back as each slice's starting offset.
-    * Both pieces derive from the SAME range exchange (one shuffle,
-    * planned once — ReuseExchange), and range boundaries split on the
-    * full (group ++ order) tuple, so every row in an earlier
-    * partition-id slice of a group sorts before every row in a later
-    * one — offset + local rank IS the global rank.
+    * Both pieces MUST observe the identical partition assignment, and
+    * "the same exchange in two plan branches" does not guarantee
+    * that: range boundaries are re-sampled per execution, and AQE may
+    * coalesce the exchange's output differently for each consumer —
+    * either way `spark_partition_id()` diverges between the branches
+    * and offsets misalign (caught by the crawl-loop ScaleProbe on a
+    * 10k-row hot host). So the range-partitioned frame is pinned with
+    * an EAGER `localCheckpoint()`: one materialization of the data
+    * (the price of correctness here — comparable to the shuffle that
+    * precedes it), after which both consumers read the same frozen
+    * partitions. Range boundaries split on the full (group ++ order)
+    * tuple, so every row in an earlier partition-id slice of a group
+    * sorts before every row in a later one — offset + local rank IS
+    * the global rank.
     *
     * @return the input columns plus `outCol` (1-based long rank) */
   def rankWithinKey(
@@ -114,8 +123,11 @@ object Skew {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val rangeCols = (groupCols ++ orderCols).map(col)
+    // eager pin: see scaladoc — both consumers below must agree on
+    // __pid, which only a materialized partition assignment guarantees
     val parted = df.repartitionByRange(n, rangeCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("__lr", row_number().over(
       Window.partitionBy((col("__pid") +: groupCols.map(col)): _*)
         .orderBy(orderCols.map(col): _*)))

@@ -817,6 +817,74 @@ object Streams {
           Seq("frontier_url"), "left_anti"))
   }
 
+  /** Fold the frontier stream's long-lived exactly-once state back
+    * into its static seen table — the maintenance operator behind
+    * [[crawlFrontierStream]]'s documented recipe, now one call instead
+    * of a manual procedure. The stream's `dropDuplicates` state IS its
+    * emitted-URL set and grows for the crawl's lifetime; periodically
+    * folding that set into the static seen side keeps state bounded by
+    * the interval between folds, not the crawl's age.
+    *
+    * Run with the stream STOPPED. Steps, crash-ordered so the seen
+    * table is never less complete than the emissions it replaces:
+    *  1. read the committed frontier output (`_spark_metadata`-aware —
+    *     uncommitted stragglers from a killed batch are ignored, same
+    *     rows a restart would re-emit),
+    *  2. union its `frontier_url`s (distinct) into the seen table at
+    *     `seenDir` (column `seenCol`; created if absent) via
+    *     tmp + rename publish,
+    *  3. archive (as PLAIN parquet — the sink's `_spark_metadata`
+    *     records absolute paths, so the dir cannot just be renamed)
+    *     or delete the folded output directory (`emittedArchive` —
+    *     consumers must have drained it),
+    *  4. delete the checkpoint LAST — a crash before this leaves the
+    *     old lineage intact (restart just carries redundant state);
+    *     deleting it any earlier could re-emit.
+    * Restarting [[crawlFrontierStream]] with the SAME seen table path
+    * and a fresh checkpoint then re-reads the landing directory from
+    * scratch, anti-joins away everything ever emitted, and emits only
+    * URLs the crawl has truly never seen — no re-emission, no loss
+    * (pinned by the WarcSpec fold-restart test).
+    *
+    * @return the folded seen-table row count */
+  def foldFrontierSeen(
+      spark: SparkSession, frontierOut: String, seenDir: String,
+      seenCol: String, checkpoint: String,
+      emittedArchive: Option[String] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val seenPath = new Path(seenDir)
+    val fs = seenPath.getFileSystem(conf)
+    // committed rows only: the read is `_spark_metadata`-aware, so
+    // stragglers from a killed batch are invisible here AND in the
+    // archive copy below (a restart would re-emit those rows)
+    val committed = spark.read.parquet(frontierOut)
+    val emitted = committed.select(col("frontier_url").as(seenCol))
+    // archive FIRST (full frontier columns, plain parquet): a rename
+    // would carry the sink's metadata log whose absolute paths point
+    // at the retired location — a metadata-aware read of the moved dir
+    // would see zero files
+    emittedArchive.foreach(dest =>
+      committed.write.mode("overwrite").parquet(dest))
+    val folded = (if (fs.exists(seenPath))
+        spark.read.parquet(seenDir).select(col(seenCol)).union(emitted)
+      else emitted).distinct()
+    val tmp = new Path(seenPath.getParent,
+      s".${seenPath.getName}.fold.tmp")
+    fs.delete(tmp, true)
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(seenPath.getParent, s".${seenPath.getName}.old")
+    fs.delete(old, true)
+    if (fs.exists(seenPath)) require(fs.rename(seenPath, old),
+      s"foldFrontierSeen: could not retire $seenDir")
+    require(fs.rename(tmp, seenPath),
+      s"foldFrontierSeen: could not publish $seenDir")
+    fs.delete(old, true)
+    fs.delete(new Path(frontierOut), true)
+    fs.delete(new Path(checkpoint), true)
+    spark.read.parquet(seenDir).count()
+  }
+
   /** Continual-crawl ARCHIVAL with cross-batch dedup storage: tail a
     * WARC landing directory and re-archive every `response` capture
     * under `outDir/batch=<id>` in the deduplicated layout

@@ -830,6 +830,86 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(r10 / r1 < 30, s"super-linear expand blowup: $r1 vs $r10")
   }
 
+  test("crawl loop (outlinks → frontier → gate → fetch plan) ~linear at 10x, hot host") {
+    import spark.implicits._
+    import graft.operators.{Outlinks, Robots}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // one page per doc; HALF its links target ONE hot host — the skew
+    // a link farm / CDN produces — the rest spread over 100 site hosts
+    // and 50 external hosts. `prefix` keeps the 10 copies' URL spaces
+    // disjoint so the 10x corpus has 10x the distinct frontier.
+    def pages(prefix: String) = docs.select(
+      concat(lit("https://s"), (col("doc_id") % 100).cast("string"),
+        lit(s".example/$prefix/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      concat(
+        lit(s"""<html><body><a href="https://hot.example/$prefix/"""),
+        col("doc_id").cast("string"), lit("/0\">h</a>"),
+        lit(s"""<a href="https://hot.example/$prefix/"""),
+        col("doc_id").cast("string"), lit("/1\">h</a>"),
+        lit("""<a href="/l/"""), (col("doc_id") % 7).cast("string"),
+        lit("\">r</a>"),
+        lit("""<a href="https://x"""), (col("doc_id") % 50).cast("string"),
+        lit(s".example/$prefix/"), col("doc_id").cast("string"),
+        lit("\">x</a></body></html>")).as("text"))
+    val p1 = pages("a")
+    val p10 = (0 until 10).map(i => pages(s"c$i")).reduce(_ unionByName _)
+    val policies = (Seq(
+      ("hot.example", "User-agent: *\nDisallow: /private\nCrawl-delay: 2")) ++
+      (0 until 100).map(i =>
+        (s"s$i.example", "User-agent: *\nDisallow: /l/5")))
+      .toDF("host", "robots")
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("https://x"), (col("doc_id") % 50).cast("string"),
+        lit(".example/a/"), col("doc_id").cast("string")).as("url"))
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def loop(p: org.apache.spark.sql.DataFrame): Long = {
+      val links = Outlinks.extractOutlinks(p, "text", "target_uri")
+      val gated = Robots.gateByPolicy(
+        Outlinks.crawlFrontier(links, "outlink", seen, "url"),
+        "frontier_url", policies, "host", "robots", "probebot")
+      Outlinks.fetchPlan(gated, "frontier_url", policies,
+        "host", "robots", "probebot", defaultDelay = 1.0).count()
+    }
+    loop(p1.limit(500)) // warm
+    def best(p: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (n1, t1) = timed(loop(p)); val (_, t2) = timed(loop(p))
+      (n1, math.min(t1, t2))
+    }
+    val (n1, t1) = best(p1)
+    val (n10, t10) = best(p10)
+    println(f"crawl loop 5k: $t1%.2f s ($n1 rows), 50k: $t10%.2f s " +
+      f"($n10 rows), ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear crawl-loop blowup: $t1 vs $t10")
+    // the 10x corpus plans ~10x the frontier (disjoint URL spaces,
+    // minus the shared per-site /l/ pool)
+    assert(n10 > n1 * 8, s"10x corpus must plan ~10x URLs: $n1 vs $n10")
+    // hot-host correctness under skew: every hot URL allowed, sequenced
+    // 1..count with the declared 2 s delay honored at the top offset
+    val plan = Outlinks.fetchPlan(
+      Robots.gateByPolicy(
+        Outlinks.crawlFrontier(
+          Outlinks.extractOutlinks(p1, "text", "target_uri"),
+          "outlink", seen, "url"),
+        "frontier_url", policies, "host", "robots", "probebot"),
+      "frontier_url", policies, "host", "robots", "probebot")
+    val hot = plan.filter(col("url_host") === "hot.example")
+      .agg(count(lit(1)), max(col("fetch_seq")), max(col("fetch_offset")),
+        min(col("crawl_delay"))).head()
+    assert(hot.getLong(0) == hot.getLong(1),
+      s"hot host must sequence 1..n: ${hot.getLong(0)} vs ${hot.getLong(1)}")
+    assert(hot.getDouble(2) == (hot.getLong(0) - 1) * 2.0
+      && hot.getDouble(3) == 2.0,
+      s"hot host must honor its 2 s crawl-delay: $hot")
+    // the /l/5 pool is disallowed by every site host's policy
+    assert(plan.filter(col("frontier_url").endsWith("/l/5")).count() == 0,
+      "gate must drop the disallowed /l/5 pool")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)

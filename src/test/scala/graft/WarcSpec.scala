@@ -1044,6 +1044,78 @@ class WarcSpec extends AnyFunSuite {
       "stream frontier diverged from the batch derivation")
   }
 
+  test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
+    import spark.implicits._
+    val root = tmp("fold")
+    val in = s"$root/in"; val chk = s"$root/chk"; val out = s"$root/out"
+    val seenDir = s"$root/seen"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq("https://h.example/l/0").toDF("url").write.parquet(seenDir)
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"foldstage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://h.example/p/$i", "2026-01-01T00:00:00Z",
+          s"<urn:ff:$tag:$i>", "text/html; charset=utf-8",
+          (s"""<html><body><a href="/l/${i % 4}">x</a>""" +
+            s"""<a href="https://ext.example/e/$i">e</a></body></html>""")
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams
+        .crawlFrontierStream(spark, in,
+          spark.read.parquet(seenDir), "url")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("a", 0 until 3); run()
+    val phase1 = spark.read.parquet(out)
+      .select("frontier_url").as[String].collect().toSet
+    assert(phase1 == Set("https://h.example/l/1", "https://h.example/l/2",
+      "https://ext.example/e/0", "https://ext.example/e/1",
+      "https://ext.example/e/2"))
+    val n = graft.streaming.Streams.foldFrontierSeen(
+      spark, out, seenDir, "url", chk)
+    assert(n == 1 + phase1.size, "fold = seed ∪ emitted, distinct")
+    assert(!new java.io.File(out).exists, "folded output must be cleared")
+    assert(!new java.io.File(chk).exists, "checkpoint must rotate")
+    assert(spark.read.parquet(seenDir).as[String].collect().toSet
+      == phase1 + "https://h.example/l/0")
+    // restart with the SAME seen path and a fresh lineage: the stream
+    // re-reads the whole landing dir, yet must re-emit NOTHING folded
+    // and lose NOTHING genuinely new
+    land("b", 2 until 6); run()
+    val phase2 = spark.read.parquet(out)
+      .select("frontier_url").as[String].collect().toSet
+    assert(phase2.intersect(phase1).isEmpty,
+      s"re-emission after fold: ${phase2.intersect(phase1)}")
+    val want = graft.operators.Outlinks.crawlFrontier(
+      graft.operators.Outlinks.extractOutlinks(
+        graft.streaming.Streams.crawlPages(spark, in),
+        "text", "target_uri"),
+      "outlink", spark.read.parquet(seenDir), "url")
+      .select("frontier_url").as[String].collect().toSet
+    assert(phase2 == want,
+      s"fold-restart diverged from the batch twin: $phase2 vs $want")
+    // a second fold is idempotent-shaped: seen absorbs phase2 too
+    val n2 = graft.streaming.Streams.foldFrontierSeen(
+      spark, out, seenDir, "url", chk,
+      emittedArchive = Some(s"$root/arch/epoch0"))
+    assert(n2 == n + phase2.size)
+    assert(spark.read.parquet(s"$root/arch/epoch0")
+      .select("frontier_url").as[String].collect().toSet == phase2,
+      "archived emission must survive the fold verbatim")
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
