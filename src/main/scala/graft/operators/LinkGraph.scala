@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis for crawl prioritization — the rank signal a
+  * frontier scheduler orders its fetch queue by. The crawl tier emits
+  * the edges ([[Outlinks.extractOutlinks]] → per-page resolved links;
+  * host- or domain-level edges via [[TextAnalysis.urlHost]] /
+  * `registeredDomain`); this operator turns them into a stationary
+  * importance score.
+  *
+  * PageRank (Page et al., "The PageRank Citation Ranking", 1998) by
+  * power iteration, expressed as per-iteration DataFrame joins:
+  *
+  *   PR_{i+1}(v) = (1-d)/N + d · Σ_{u→v} PR_i(u)/outdeg(u)
+  *
+  * Pinned semantics (mirrored exactly by the q_g1 oracle):
+  *  - nodes = distinct sources ∪ distinct destinations;
+  *  - PR_0 = 1/N uniform;
+  *  - multi-edges count once each (dedupe upstream if unwanted) and a
+  *    self-loop is an ordinary edge;
+  *  - dangling nodes (no out-edges) leak their mass — the classic
+  *    simplification; totals then sum to < 1 when dangling nodes
+  *    exist. Redistribution would need a per-iteration global scalar
+  *    (an extra job per round) for a correction that does not change
+  *    relative ordering on link-shaped graphs.
+  *
+  * Scale shape: the edge list is augmented with its source's out-degree
+  * ONCE and pinned (`localCheckpoint` — also what each iteration's join
+  * re-reads instead of re-shuffling the raw edges); each iteration is
+  * one equi-join hashing on the source plus one aggregation hashing on
+  * the destination — both high-cardinality keys, AQE skew-split
+  * applies. Rank frames are `localCheckpoint`ed per iteration: the
+  * plan would otherwise double per round and analysis time explodes
+  * (the [[ConnectedComponents]] lesson); blocks are reference-tracked,
+  * so nothing outlives the call. The only driver-side scalar is N.
+  */
+object LinkGraph {
+
+  /** @param edges   frame holding the directed edge list
+    * @param src     source-node column (any orderable type; cast to
+    *                string for rank bookkeeping)
+    * @param dst     destination-node column
+    * @param iterations power-iteration rounds (10–20 is the usual
+    *                plateau for web graphs; the oracle pins 5)
+    * @param damping the d in the update (0.85 canonical)
+    * @return `node` (string), `rank` (double) — one row per node */
+  def pageRank(
+      edges: DataFrame, src: String, dst: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(damping >= 0 && damping <= 1, s"damping must be in [0,1]")
+    val e = edges.select(col(src).cast("string").as("src"),
+      col(dst).cast("string").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    // out-degree rides the edge list from the start: the per-iteration
+    // join then touches ONE static build side, not two
+    val contribEdges = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint()
+    val reset = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val inflow = contribEdges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("__outdeg")).as("__inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) * coalesce(col("__inflow"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

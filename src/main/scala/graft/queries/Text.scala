@@ -2077,6 +2077,64 @@ object Text {
       "robots", "graftbot")
   }
 
+  /** The q_t54 oracle: power iteration UNROLLED as one CTE per round —
+    * no recursion, no engine-specific constructs, each round a
+    * correlated inflow sum per node. Semantics mirror
+    * [[graft.operators.LinkGraph.pageRank]] exactly (uniform 1/N
+    * start, multi-edges deduped upstream, self-loops ordinary,
+    * dangling mass leaks). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s""" r$k AS (SELECT nodes.node,
+         |       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |       + CAST(0.85 AS DOUBLE) * COALESCE((
+         |           SELECT SUM(p.pr / od.outdeg)
+         |           FROM e JOIN r${k - 1} p ON p.node = e.src
+         |                  JOIN od ON od.src = e.src
+         |           WHERE e.dst = nodes.node), CAST(0 AS DOUBLE)) AS pr
+         |     FROM nodes)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+       |           'h' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR) AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
+       |           'h' || CAST(doc_id % 89 AS VARCHAR)
+       |    FROM documents)),
+       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+       |        FROM e GROUP BY src),
+       | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       | r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+       |        FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM r$iters""".stripMargin
+  }
+
+  /** PageRank over a synthetic host graph, HASH-CERTIFIED — the
+    * frontier-prioritization signal ([[graft.operators.LinkGraph
+    * .pageRank]], 5 power-iteration rounds, d = 0.85) on a graph with
+    * genuinely varied in/out-degrees (two residue maps over the
+    * documents table, self-loops included) against the closed-form
+    * unrolled oracle. Certifies the join-shaped update, out-degree
+    * weighting, dangling-leak semantics, and the per-iteration
+    * numerical path end to end. */
+  val qT54PageRank = Q("q_t54_pagerank", pageRankOracleSql(5)) { (s, d) =>
+    val docs = documents(s, d)
+    def m(n: Int, expr: org.apache.spark.sql.Column) =
+      concat(lit("h"), (expr % n).cast("string"))
+    val e = docs.select(m(97, col("doc_id")).as("src"),
+        m(97, col("doc_id") * 7 + 3).as("dst"))
+      .union(docs.select(m(97, col("doc_id")).as("src"),
+        m(89, col("doc_id")).as("dst")))
+      .distinct()
+    graft.operators.LinkGraph.pageRank(e, "src", "dst",
+      iterations = 5, damping = 0.85)
+      .select(col("node"), col("rank").as("pr"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2091,5 +2149,5 @@ object Text {
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
       qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
-      qT52CharsetDecode, qT53FetchPlan)
+      qT52CharsetDecode, qT53FetchPlan, qT54PageRank)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+/** PageRank semantics on closed-form graphs: stationary uniformity on
+  * regular graphs, sink accumulation, dangling leak, self-loops, and
+  * degenerate inputs. The q_t54 oracle certifies the numerical path;
+  * these pin the SEMANTIC contract on graphs small enough to reason
+  * about exactly. */
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int,
+      damping: Double = 0.85): Map[String, Double] =
+    LinkGraph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters, damping)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("directed cycle stays exactly uniform at any iteration count") {
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    for (it <- Seq(0, 1, 7)) {
+      val r = ranks(cycle, it)
+      assert(r.size == 4)
+      r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12,
+        s"cycle must stay uniform at iter $it: $r"))
+    }
+  }
+
+  test("star: the hub out-ranks the leaves; leaves tie") {
+    // leaves l1..l4 all point at hub; hub points back at l1 only
+    val star = Seq("l1" -> "h", "l2" -> "h", "l3" -> "h", "l4" -> "h",
+      "h" -> "l1")
+    val r = ranks(star, 20)
+    assert(r("h") > r("l1"), s"hub must out-rank: $r")
+    assert(r("l1") > r("l2"), s"the hub's one target out-ranks: $r")
+    assert(math.abs(r("l2") - r("l3")) < 1e-12
+      && math.abs(r("l3") - r("l4")) < 1e-12, s"leaves must tie: $r")
+    // no dangling nodes → total mass conserved at 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass: ${r.values.sum}")
+  }
+
+  test("dangling node leaks mass; totals stay below 1") {
+    val r = ranks(Seq("a" -> "b", "b" -> "c"), 10) // c has no out-edge
+    assert(r.size == 3)
+    assert(r.values.sum < 1.0 - 1e-6,
+      s"dangling leak must lower the total: ${r.values.sum}")
+    assert(r("c") > r("b") && r("b") > r("a"),
+      s"chain order must hold: $r")
+  }
+
+  test("self-loop is an ordinary edge") {
+    // a keeps half its rank, sends half to b; b sends all back
+    val r = ranks(Seq("a" -> "a", "a" -> "b", "b" -> "a"), 30)
+    assert(r("a") > r("b"), s"self-retention must favor a: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("iterations=0 returns the uniform start; empty graph is empty") {
+    val r0 = ranks(Seq("a" -> "b", "c" -> "d"), 0)
+    r0.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+    assert(LinkGraph.pageRank(
+      Seq.empty[(String, String)].toDF("src", "dst"), "src", "dst", 3)
+      .count() == 0)
+  }
+
+  test("damping=0 pins every node at 1/N regardless of edges") {
+    val r = ranks(Seq("a" -> "b", "b" -> "b", "c" -> "a"), 5,
+      damping = 0.0)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, s"$r"))
+  }
+}

@@ -910,6 +910,35 @@ class ScaleProbeSpec extends AnyFunSuite {
       "gate must drop the disallowed /l/5 pool")
   }
 
+  test("pageRank scales ~linearly at 10x edges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // 10x corpus = 10 disjoint copies of the residue graph: node and
+    // edge counts both scale 10x, per-iteration join/agg must follow
+    def edges(prefix: String) = docs.select(
+      concat(lit(prefix), (col("doc_id") % 997).cast("string")).as("src"),
+      concat(lit(prefix), ((col("doc_id") * 31 + 7) % 997).cast("string"))
+        .as("dst"))
+      .union(docs.select(
+        concat(lit(prefix), (col("doc_id") % 997).cast("string")).as("src"),
+        concat(lit(prefix), (col("doc_id") % 463).cast("string")).as("dst")))
+      .distinct()
+    val e1 = edges("g")
+    val e10 = (0 until 10).map(i => edges(s"g$i")).reduce(_ unionByName _)
+    def time(e: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.LinkGraph.pageRank(e, "src", "dst", 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(e1.limit(200)) // warm
+    def best(e: => org.apache.spark.sql.DataFrame): Double =
+      math.min(time(e), time(e))
+    val t1 = best(e1)
+    val t10 = best(e10)
+    println(f"pageRank 1x: $t1%.2f s, 10x: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear pagerank blowup: $t1 vs $t10")
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)

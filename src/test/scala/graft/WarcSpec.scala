@@ -1116,6 +1116,73 @@ class WarcSpec extends AnyFunSuite {
       "archived emission must survive the fold verbatim")
   }
 
+  test("crawlWatSink: per-batch WAT metadata, typed read-back, non-HTML rows") {
+    import spark.implicits._
+    val root = tmp("watsink")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, rows: Seq[(String, String, Array[Byte])]): Unit = {
+      val stage = tmp(s"watstage_$tag")
+      WarcIO.warcSave(rows.map { case (uri, ct, payload) =>
+        (uri, "2026-03-01T00:00:00Z", s"<urn:ws:$tag:${uri.hashCode}>",
+          ct, payload)
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlWatSink(spark, in, out, chk)
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("a", Seq(
+      ("https://w.example/p1", "text/html; charset=utf-8",
+        ("""<html><head><title>P&amp;1</title></head><body>""" +
+          """<a href="/n/1">x</a><a href="https://o.example/q">y</a>""" +
+          "</body></html>").getBytes(UTF_8)),
+      ("https://w.example/i.png", "image/png",
+        Array[Byte](0x50, 0x4e, 0x47))))
+    run()
+    land("b", Seq(
+      ("https://w.example/p2", "text/html",
+        """<html><body><a href="/n/2">z</a></body></html>"""
+          .getBytes(UTF_8))))
+    run()
+    val entries = WarcIO.watEntries(
+      spark.read.format("graft-warc").load(s"$out/batch=*"))
+    val got = entries.select("target_uri", "refers_to", "status",
+      "content_type", "title", "links")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3),
+          Option(r.getString(4)),
+          Option(r.getSeq[String](5)).map(_.toList)))).toMap
+    assert(got.size == 3, s"one WAT row per response: ${got.keys}")
+    val (ref1, st1, ct1, ti1, ln1) = got("https://w.example/p1")
+    assert(ref1 == s"<urn:ws:a:${"https://w.example/p1".hashCode}>",
+      "refers_to must name the capture's record")
+    assert(st1 == 200 && ct1 == "text/html; charset=utf-8")
+    assert(ti1.contains("P&1"), s"title with entity decode: $ti1")
+    assert(ln1.contains(List("https://w.example/n/1",
+      "https://o.example/q")), s"resolved links in order: $ln1")
+    val (_, stPng, ctPng, tiPng, lnPng) = got("https://w.example/i.png")
+    assert(stPng == 200 && ctPng == "image/png"
+      && tiPng.isEmpty && lnPng.isEmpty,
+      "non-HTML rows keep status/content-type, null title/links")
+    assert(got("https://w.example/p2")._5
+      .contains(List("https://w.example/n/2")))
+    // capture date passes through; batch layout is per-microbatch
+    assert(entries.select("warc_date").distinct().as[String].collect()
+      .toSeq == Seq("2026-03-01T00:00:00Z"))
+    assert(new java.io.File(out).list().count(_.startsWith("batch=")) == 2)
+    // replay idempotence: re-running with nothing new changes nothing
+    run()
+    assert(WarcIO.watEntries(spark.read.format("graft-warc")
+      .load(s"$out/batch=*")).count() == 3)
+  }
+
   test("readStream graft-warc: exactly-once across restarts, epoch offsets") {
     import spark.implicits._
     val root = tmp("stream")
