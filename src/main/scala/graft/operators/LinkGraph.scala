@@ -80,4 +80,70 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
+    * Environment", JACM 1999) — hubs point at good authorities,
+    * authorities are pointed at by good hubs: the complementary signal
+    * to [[pageRank]] for seed-list curation (a directory page is a
+    * strong hub long before it accrues rank). Per round:
+    *
+    *   a(v) ← Σ_{u→v} h(u), then L1-normalized (Σa = 1);
+    *   h(u) ← Σ_{u→v} a(v), then L1-normalized (Σh = 1).
+    *
+    * Pinned semantics (mirrored by the q_t58 oracle): node set =
+    * sources ∪ destinations; h_0 = 1/N; L1 normalization (Kleinberg's
+    * L2 changes nothing about the ordering, and L1 keeps the oracle's
+    * arithmetic in plain sums); multi-edges count once each; an
+    * edge-less graph returns all-zero scores rather than dividing by
+    * zero.
+    *
+    * Scale shape: per round one join hashing on src + one on dst (each
+    * with its aggregation); normalization sums stay IN the plan as
+    * broadcast one-row frames — no per-round driver action. Frames are
+    * `localCheckpoint`ed per round exactly as in [[pageRank]].
+    *
+    * @return `node`, `hub`, `authority` — one row per node */
+  def hits(
+      edges: DataFrame, src: String, dst: String,
+      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(src).cast("string").as("src"),
+      col(dst).cast("string").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.withColumn("hub", lit(0.0))
+        .withColumn("authority", lit(0.0))
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(col(c)).as("__total"))
+      df.crossJoin(broadcast(total))
+        .select(col("node"),
+          when(col("__total") > 0, col(c) / col("__total"))
+            .otherwise(lit(0.0)).as(c))
+    }
+    var hub = nodes.withColumn("hub", lit(1.0 / n))
+    var auth = nodes.withColumn("authority", lit(0.0))
+    for (_ <- 1 to iterations) {
+      auth = l1(nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub")).as("authority")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("authority"), lit(0.0)).as("authority")),
+        "authority").localCheckpoint()
+      hub = l1(nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("authority")).as("hub")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint()
+    }
+    hub.join(auth, "node")
+  }
 }

@@ -126,6 +126,91 @@ object Outlinks {
       .withColumn(outCol, resolveUri(col(baseUri), col(outCol)))
       .filter(col(outCol).isNotNull)
 
+  /** Outlinks WITH their anchor text — the classic relevance signal a
+    * URL-priority classifier trains on (the linking page describes the
+    * target). One output row per CLOSED `<a href=…>…</a>` element:
+    * every input column plus `outCol` (absolute resolved URL, same
+    * resolution as [[extractOutlinks]]) and `textCol` (the anchor's
+    * inner text: nested tags stripped, entities decoded, whitespace
+    * collapsed; null when empty — an image link). Unterminated anchors
+    * emit nothing here — the inner-text pattern refuses to cross the
+    * NEXT `<a`, so a torn anchor cannot swallow its well-formed
+    * neighbor (they still surface in [[extractOutlinks]], which
+    * matches on the opening tag alone); like the rest of this module,
+    * a curation signal, not a validator.
+    *
+    * Shape: href and inner text come from TWO `regexp_extract_all`
+    * passes over the SAME pattern (one group each — the engine's
+    * multi-group form returns one group per call), zipped positionally;
+    * identical pattern ⇒ identical match sequence, so the zip cannot
+    * misalign. Narrow per-row work, then one explode — no shuffle. */
+  def extractAnchors(
+      df: DataFrame, html: String, baseUri: String,
+      outCol: String = "outlink",
+      textCol: String = "anchor_text"): DataFrame = {
+    val pat =
+      "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>" +
+        "((?:(?!<a\\b).)*?)</a\\s*>"
+    val hrefs = regexp_extract_all(col(html), lit(pat), lit(1))
+    val inners = regexp_extract_all(col(html), lit(pat), lit(2))
+    val cleanedText = {
+      val noTags = regexp_replace(col(textCol), "(?s)<[^>]*>", " ")
+      val decoded = TextAnalysis.decodeHtmlEntities(noTags)
+      val collapsed = trim(regexp_replace(decoded, "\\s+", " "))
+      when(length(collapsed) > 0, collapsed)
+    }
+    df.withColumn("__a", explode(arrays_zip(hrefs, inners)))
+      .withColumn(outCol, resolveUri(col(baseUri),
+        TextAnalysis.decodeHtmlEntities(col("__a.0"))))
+      .withColumn(textCol, col("__a.1"))
+      .filter(col(outCol).isNotNull)
+      .withColumn(textCol, cleanedText)
+      .drop("__a")
+  }
+
+  /** Redirect edges of a crawl frame — the OTHER frontier feed HTTP
+    * itself emits: one row per 3xx response carrying a `Location`
+    * header, with `redirect_from` (the capture URI), `redirect_to`
+    * (the Location value RESOLVED against the capture URI — RFC 7231
+    * §7.1.2 allows relative references), and the `http_status`
+    * (301/302/303/307/308 are permanence signals a canonicalizer
+    * consumes). A crawler that drops these loses every moved page:
+    * union `redirect_to` into [[crawlFrontier]]'s link feed alongside
+    * anchor outlinks and sitemap locs. Narrow per-row work on the
+    * `http_headers` map (keys arrive lowercased from the reader) —
+    * no shuffle. */
+  def redirectEdges(
+      df: DataFrame, uriCol: String = "target_uri"): DataFrame =
+    df.filter(col("http_status").between(300, 399)
+        && col("http_headers").getItem("location").isNotNull)
+      .select(col(uriCol).as("redirect_from"),
+        resolveUri(col(uriCol), col("http_headers").getItem("location"))
+          .as("redirect_to"),
+        col("http_status"))
+      .filter(col("redirect_to").isNotNull)
+
+  /** The HOST graph of a resolved link frame — what [[LinkGraph
+    * .pageRank]] ranks for frontier prioritization: one `src`/`dst`
+    * edge per distinct (linking host, target host) pair, intra-host
+    * edges dropped by default (navigation chrome would otherwise give
+    * every big site a self-vote). `byDomain` aggregates at eTLD+1
+    * instead of the full host. Plan shape: two narrow host
+    * extractions + one distinct — a single hash aggregation on the
+    * edge pair. */
+  def hostGraph(
+      links: DataFrame, pageUriCol: String, linkCol: String,
+      byDomain: Boolean = false, dropSelf: Boolean = true): DataFrame = {
+    def key(c: Column): Column = {
+      val h = TextAnalysis.urlHost(c)
+      if (byDomain) TextAnalysis.registeredDomain(h) else h
+    }
+    val edges = links
+      .select(key(col(pageUriCol)).as("src"), key(col(linkCol)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    (if (dropSelf) edges.filter(col("src") =!= col("dst")) else edges)
+      .distinct()
+  }
+
   /** `<urlset>` sitemap shape: repeated `<url>` children. Values stay
     * strings except priority (the protocol's only numeric). */
   private val UrlsetSchema = org.apache.spark.sql.types.StructType(Seq(

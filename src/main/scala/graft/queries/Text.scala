@@ -2083,32 +2083,37 @@ object Text {
     * [[graft.operators.LinkGraph.pageRank]] exactly (uniform 1/N
     * start, multi-edges deduped upstream, self-loops ordinary,
     * dangling mass leaks). */
-  private def pageRankOracleSql(iters: Int): String = {
+  /** Every CTE is MATERIALIZED and every round is a plain
+    * join + GROUP BY (no correlated subqueries): a chain of inlined
+    * CTEs would otherwise re-expand the whole prior-round tree per
+    * reference and the oracle's cost would grow exponentially with the
+    * iteration count (observed: the correlated form of the q_t58
+    * oracle never finished). */
+  private def pageRankOracleSql(edgeSelect: String, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
-      s""" r$k AS (SELECT nodes.node,
-         |       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |       + CAST(0.85 AS DOUBLE) * COALESCE((
-         |           SELECT SUM(p.pr / od.outdeg)
-         |           FROM e JOIN r${k - 1} p ON p.node = e.src
-         |                  JOIN od ON od.src = e.src
-         |           WHERE e.dst = nodes.node), CAST(0 AS DOUBLE)) AS pr
-         |     FROM nodes)""".stripMargin
+      s""" r$k AS MATERIALIZED (
+         |   SELECT n.node,
+         |          CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |          + CAST(0.85 AS DOUBLE)
+         |            * COALESCE(s.v, CAST(0 AS DOUBLE)) AS pr
+         |   FROM nodes n LEFT JOIN (
+         |     SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS v
+         |     FROM e JOIN r${k - 1} p ON p.node = e.src
+         |            JOIN od ON od.src = e.src
+         |     GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
-       |           'h' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR) AS dst
-       |    FROM documents
-       |    UNION ALL
-       |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
-       |           'h' || CAST(doc_id % 89 AS VARCHAR)
-       |    FROM documents)),
-       | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       | od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
-       |        FROM e GROUP BY src),
-       | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-       | r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
-       |        FROM nodes),
+    s"""WITH e AS MATERIALIZED (
+       |$edgeSelect),
+       | nodes AS MATERIALIZED (
+       |   SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | od AS MATERIALIZED (
+       |   SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+       |   FROM e GROUP BY src),
+       | nn AS MATERIALIZED (
+       |   SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       | r0 AS MATERIALIZED (
+       |   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+       |   FROM nodes),
        |$rounds
        |SELECT node, pr FROM r$iters""".stripMargin
   }
@@ -2121,7 +2126,17 @@ object Text {
     * unrolled oracle. Certifies the join-shaped update, out-degree
     * weighting, dangling-leak semantics, and the per-iteration
     * numerical path end to end. */
-  val qT54PageRank = Q("q_t54_pagerank", pageRankOracleSql(5)) { (s, d) =>
+  val qT54PageRank = Q(
+    "q_t54_pagerank",
+    pageRankOracleSql(
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+        |           'h' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
+        |           'h' || CAST(doc_id % 89 AS VARCHAR)
+        |    FROM documents)""".stripMargin, 5)) { (s, d) =>
     val docs = documents(s, d)
     def m(n: Int, expr: org.apache.spark.sql.Column) =
       concat(lit("h"), (expr % n).cast("string"))
@@ -2133,6 +2148,204 @@ object Text {
     graft.operators.LinkGraph.pageRank(e, "src", "dst",
       iterations = 5, damping = 0.85)
       .select(col("node"), col("rank").as("pr"))
+  }
+
+  /** Anchor-text outlink extraction, HASH-CERTIFIED — one row per
+    * closed `<a>` with the resolved URL AND the cleaned inner text
+    * ([[graft.operators.Outlinks.extractAnchors]]): nested tags
+    * stripped to spaces, entities decoded, whitespace collapsed,
+    * empty (image-only) anchors null. The page markup is constructed
+    * closed-form from doc_id, so the oracle restates the expected
+    * (outlink, anchor_text) rows without replaying the regex. */
+  val qT55AnchorText = Q(
+    "q_t55_anchor_text",
+    """SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR)
+      |         || '.example/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |       'https://h' || CAST(doc_id % 13 AS VARCHAR)
+      |         || '.example/x/' || CAST(doc_id AS VARCHAR) AS outlink,
+      |       'A ' || CAST(doc_id AS VARCHAR) || ' & co' AS anchor_text
+      |FROM documents
+      |UNION ALL
+      |SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR)
+      |         || '.example/p/' || CAST(doc_id AS VARCHAR),
+      |       'https://cdn.example/i.png',
+      |       CAST(NULL AS VARCHAR)
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val uriC = concat(lit("https://h"), (col("doc_id") % 13).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string"))
+    val page = concat(
+      lit("<html><body><a href=\"/x/"), col("doc_id").cast("string"),
+      lit("\"> A  <b>"), col("doc_id").cast("string"),
+      lit("</b> &amp; co </a>"),
+      lit("<a href='https://cdn.example/i.png'><img src=\"i\"></a>"),
+      lit("</body></html>"))
+    Outlinks.extractAnchors(
+      documents(s, d).select(uriC.as("target_uri"), page.as("html")),
+      "html", "target_uri")
+      .select("target_uri", "outlink", "anchor_text")
+  }
+
+  /** Host-level link rank, HASH-CERTIFIED END TO END — the crawl
+    * prioritization composition: page HTML → [[graft.operators
+    * .Outlinks.extractOutlinks]] → [[Outlinks.hostGraph]] (distinct
+    * cross-host edges, self-votes dropped) → [[graft.operators
+    * .LinkGraph.pageRank]] (4 rounds). Pages on 23 source hosts link
+    * to 17+11 target-host families (overlapping namespaces, so the
+    * graph has real in-degree variance). The oracle recomputes the
+    * host edges closed-form from doc_id and unrolls the same 4 power
+    * iterations — certifying extraction, host keying, edge dedup, and
+    * the rank arithmetic as ONE plan. */
+  val qT56HostRank = Q(
+    "q_t56_host_rank",
+    pageRankOracleSql(
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'g' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS src,
+        |           'g' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS dst
+        |    FROM documents WHERE doc_id % 23 <> doc_id % 17
+        |    UNION ALL
+        |    SELECT 'g' || CAST(doc_id % 23 AS VARCHAR) || '.example',
+        |           'g' || CAST(doc_id % 11 AS VARCHAR) || '.example'
+        |    FROM documents WHERE doc_id % 23 <> doc_id % 11)""".stripMargin,
+      4)) { (s, d) =>
+    import graft.operators.{LinkGraph, Outlinks}
+    val uriC = concat(lit("https://g"), (col("doc_id") % 23).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string"))
+    val page = concat(
+      lit("<html><body><a href=\"https://g"),
+      (col("doc_id") % 17).cast("string"), lit(".example/a/"),
+      col("doc_id").cast("string"), lit("\">t</a><a href=\"https://g"),
+      (col("doc_id") % 11).cast("string"), lit(".example/b/"),
+      col("doc_id").cast("string"), lit("\">u</a></body></html>"))
+    val links = Outlinks.extractOutlinks(
+      documents(s, d).select(uriC.as("target_uri"), page.as("html")),
+      "html", "target_uri")
+    LinkGraph.pageRank(
+      Outlinks.hostGraph(links, "target_uri", "outlink"),
+      "src", "dst", iterations = 4, damping = 0.85)
+      .select(col("node"), col("rank").as("pr"))
+  }
+
+  /** Redirect-edge extraction, HASH-CERTIFIED end to end through the
+    * archive: pages write with their real statuses AND captured
+    * response headers ([[graft.sources.WarcIO.warcSave]]'s
+    * `httpHeaders` map — Location rides the stored HTTP head), read
+    * back through `graft-warc`, and [[graft.operators.Outlinks
+    * .redirectEdges]] emits one row per 3xx capture with the Location
+    * RESOLVED against the capture URI (relative for most rows,
+    * absolute cross-host for every 10th — both RFC 7231 forms). The
+    * oracle restates the closed form; 200s with headers but no
+    * redirect must emit nothing. */
+  val qT57Redirects = Q(
+    "q_t57_redirects",
+    """SELECT 'https://r.example/p/' || CAST(doc_id AS VARCHAR)
+      |         AS redirect_from,
+      |       CASE WHEN doc_id % 10 = 0
+      |            THEN 'https://new.example/n/' || CAST(doc_id AS VARCHAR)
+      |            ELSE 'https://r.example/moved/'
+      |                 || CAST(doc_id AS VARCHAR) END AS redirect_to,
+      |       CAST(301 AS INTEGER) AS http_status
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_redir_q")
+      .toString
+    val loc = when(col("doc_id") % 10 === 0,
+      concat(lit("https://new.example/n/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/moved/"), col("doc_id").cast("string")))
+    graft.sources.WarcIO.warcSave(
+      documents(s, d).select(
+        concat(lit("https://r.example/p/"), col("doc_id").cast("string"))
+          .as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:rd:"), col("doc_id").cast("string"), lit(">"))
+          .as("record_id"),
+        lit("text/html").as("http_content_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 5 === 0, 301).otherwise(200).as("status"),
+        when(col("doc_id") % 5 === 0,
+          map(lit("Location"), loc,
+            lit("X-Probe"), col("doc_id").cast("string")))
+          .otherwise(map(lit("X-Probe"), col("doc_id").cast("string")))
+          .as("headers"))
+        .repartition(8),
+      tmp, httpStatus = Some("status"), httpHeaders = Some("headers"))
+    Outlinks.redirectEdges(
+      s.read.format("graft-warc").load(tmp)
+        .filter(col("warc_type") === "response"))
+  }
+
+  /** The q_t58 oracle: HITS unrolled — per round an authority CTE
+    * (inflow of hub mass) and a hub CTE (outflow to authority mass),
+    * each L1-normalized via a scalar-subquery total with the zero-sum
+    * guard [[graft.operators.LinkGraph.hits]] pins. */
+  /** MATERIALIZED + join-form for the same reason as
+    * [[pageRankOracleSql]] — the correlated form re-expanded the
+    * prior-round tree per reference and never finished. */
+  private def hitsOracleSql(edgeSelect: String, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s""" a${k}r AS MATERIALIZED (
+         |   SELECT n.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS ar
+         |   FROM nodes n LEFT JOIN (
+         |     SELECT e.dst AS node, SUM(h.hub) AS v
+         |     FROM e JOIN h${k - 1} h ON h.node = e.src
+         |     GROUP BY e.dst) s ON s.node = n.node),
+         | a$k AS MATERIALIZED (
+         |   SELECT node, CASE WHEN t.s > 0 THEN ar / t.s
+         |                     ELSE CAST(0 AS DOUBLE) END AS authority
+         |   FROM a${k}r, (SELECT SUM(ar) AS s FROM a${k}r) t),
+         | h${k}r AS MATERIALIZED (
+         |   SELECT n.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS hr
+         |   FROM nodes n LEFT JOIN (
+         |     SELECT e.src AS node, SUM(a.authority) AS v
+         |     FROM e JOIN a$k a ON a.node = e.dst
+         |     GROUP BY e.src) s ON s.node = n.node),
+         | h$k AS MATERIALIZED (
+         |   SELECT node, CASE WHEN t.s > 0 THEN hr / t.s
+         |                     ELSE CAST(0 AS DOUBLE) END AS hub
+         |   FROM h${k}r, (SELECT SUM(hr) AS s FROM h${k}r) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |$edgeSelect),
+       | nodes AS MATERIALIZED (
+       |   SELECT src AS node FROM e UNION SELECT dst FROM e),
+       | nn AS MATERIALIZED (
+       |   SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       | h0 AS MATERIALIZED (
+       |   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS hub
+       |   FROM nodes),
+       |$rounds
+       |SELECT h$iters.node, h$iters.hub, a$iters.authority
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node"""
+      .stripMargin
+  }
+
+  /** HITS hubs/authorities, HASH-CERTIFIED — the seed-curation
+    * complement to q_t54's PageRank ([[graft.operators.LinkGraph
+    * .hits]], 3 rounds, L1-normalized) on a residue graph with real
+    * in/out-degree variance, against the closed-form unrolled oracle.
+    * Certifies both mutual-reinforcement joins, the normalization
+    * path, and the zero-inflow coalesce per round. */
+  val qT58Hits = Q(
+    "q_t58_hits",
+    hitsOracleSql(
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || CAST(doc_id % 61 AS VARCHAR) AS src,
+        |           'h' || CAST((doc_id * 5 + 1) % 61 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'h' || CAST(doc_id % 61 AS VARCHAR),
+        |           'h' || CAST(doc_id % 47 AS VARCHAR)
+        |    FROM documents)""".stripMargin, 3)) { (s, d) =>
+    val docs = documents(s, d)
+    def m(n: Int, expr: org.apache.spark.sql.Column) =
+      concat(lit("h"), (expr % n).cast("string"))
+    val e = docs.select(m(61, col("doc_id")).as("src"),
+        m(61, col("doc_id") * 5 + 1).as("dst"))
+      .union(docs.select(m(61, col("doc_id")).as("src"),
+        m(47, col("doc_id")).as("dst")))
+      .distinct()
+    graft.operators.LinkGraph.hits(e, "src", "dst", iterations = 3)
   }
 
   val all: Seq[Q] =
@@ -2149,5 +2362,6 @@ object Text {
       qT42PipelineCorpusDef, qT43HtmlExtract, qT44SourceCard,
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
       qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
-      qT52CharsetDecode, qT53FetchPlan, qT54PageRank)
+      qT52CharsetDecode, qT53FetchPlan, qT54PageRank, qT55AnchorText,
+      qT56HostRank, qT57Redirects, qT58Hits)
 }

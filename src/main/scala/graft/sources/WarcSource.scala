@@ -1121,7 +1121,13 @@ object WarcIO {
     * @param httpStatus optional int column with each capture's real
     *        HTTP status — a crawl archive is full of 301/404/503
     *        captures and their statuses ARE curation signals; null
-    *        values (and an unset param) keep the 200 default. */
+    *        values (and an unset param) keep the 200 default.
+    * @param httpHeaders optional `map<string,string>` column with the
+    *        capture's response headers (redirect Location, caching,
+    *        content negotiation) — re-emitted into the stored HTTP
+    *        head in canonical key order, the writer's Content-Type /
+    *        Content-Length framing pair excluded. Round-trips through
+    *        the reader's `http_headers` map (lowercased keys). */
   def warcSave(
       df: DataFrame, dir: String, codec: String = "gzip",
       uri: String = "target_uri", date: String = "warc_date",
@@ -1130,14 +1136,17 @@ object WarcIO {
       payload: String = "payload",
       infoDate: String = "2026-01-01T00:00:00Z",
       requestHttp: Option[String] = None,
-      httpStatus: Option[String] = None): Long = {
+      httpStatus: Option[String] = None,
+      httpHeaders: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val rows = df.select(
       col(uri).cast("string"), col(date).cast("string"),
       col(recordId).cast("string"), col(httpContentType).cast("string"),
       col(payload).cast("binary"),
       requestHttp.fold(lit(null).cast("string"))(c => col(c).cast("string")),
-      httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int")))
+      httpStatus.fold(lit(null).cast("int"))(c => col(c).cast("int")),
+      httpHeaders.fold(lit(null).cast("map<string,string>"))(c =>
+        col(c).cast("map<string,string>")))
     archiveSave(rows, dir, codec, infoDate, r => {
       val rid = r.getString(2)
       val resp = ("response", rid, null,
@@ -1145,7 +1154,10 @@ object WarcIO {
           r.getString(3),
           if (r.isNullAt(4)) Array.empty[Byte]
           else r.getAs[Array[Byte]](4),
-          status = if (r.isNullAt(6)) 200 else r.getInt(6)))
+          status = if (r.isNullAt(6)) 200 else r.getInt(6),
+          extraHeaders =
+            if (r.isNullAt(7)) Map.empty[String, String]
+            else r.getMap[String, String](7).toMap))
       // record_id is nullable throughout the schema: a null-id row
       // still writes its response (responseRecord tolerates null) but
       // cannot anchor a Concurrent-To pair, so the request record is
@@ -1822,11 +1834,28 @@ object WarcIO {
   private[sources] def responseRecord(
       uri: String, date: String, recordId: String, httpCt: String,
       payload: Array[Byte], status: Int = 200,
-      digest: String = null): Array[Byte] = {
+      digest: String = null,
+      extraHeaders: Map[String, String] = Map.empty): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val phrase = ReasonPhrase.getOrElse(status, "Status")
+    // captured response headers ride between Content-Type and
+    // Content-Length; the framing pair stays writer-owned (skipped
+    // case-insensitively — a stale captured Content-Length would
+    // corrupt the member framing), and header-breaking characters in
+    // values are defanged rather than trusted
+    // sorted by key: a canonical, replay-deterministic order (header
+    // order is not semantic in HTTP; duplicate headers are already a
+    // documented limitation of the map representation)
+    val extras = extraHeaders.toSeq.sortBy(_._1)
+      .filter { case (k, _) =>
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        lk != "content-type" && lk != "content-length"
+      }
+      .map { case (k, v) =>
+        s"$k: ${if (v == null) "" else v.replaceAll("[\\r\\n]+", " ")}\r\n"
+      }.mkString
     val httpHead =
-      (s"HTTP/1.1 $status $phrase\r\nContent-Type: $httpCt\r\n" +
+      (s"HTTP/1.1 $status $phrase\r\nContent-Type: $httpCt\r\n" + extras +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes(utf8)
     val blockLen = httpHead.length + payload.length
     val digestLine =

@@ -796,6 +796,16 @@ object Streams {
     graft.operators.Outlinks.extractOutlinks(
       crawlPageStream(spark, dir), "text", "target_uri")
 
+  /** Streaming redirect targets over a WARC landing directory — the
+    * frontier feed HTTP itself emits ([[graft.operators.Outlinks
+    * .redirectEdges]]): 3xx responses' resolved Location targets.
+    * Reads the RAW response stream (a 301 carries no HTML body for
+    * [[crawlPageStream]] to keep), narrow per-row. */
+  def crawlRedirectStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Outlinks.redirectEdges(
+      spark.readStream.format("graft-warc").load(dir)
+        .filter(col("warc_type") === "response"))
+
   /** The CONTINUAL frontier: canonical fetchable outlinks of the crawl
     * stream, minus a static seen set, each NEW URL emitted exactly once
     * across the stream's lifetime with its politeness keys. The
@@ -803,15 +813,28 @@ object Streams {
     * canonical URL — that state IS the crawler's emitted-frontier set,
     * so its growth is inherent to the problem, not a leak; at crawl
     * scale back it with the RocksDB state store, and fold long-lived
-    * state back into the static `seen` table across restarts (pass the
-    * union, clear the checkpoint). The seen-side anti-join streams
-    * against the static table per micro-batch. */
+    * state back into the static `seen` table across restarts
+    * ([[foldFrontierSeen]] automates the fold). The seen-side
+    * anti-join streams against the static table per micro-batch.
+    *
+    * `includeRedirects` (default on — a crawler that drops them loses
+    * every moved page) unions the 3xx responses' resolved Location
+    * targets ([[crawlRedirectStream]]) into the link feed before the
+    * exactly-once dedup, so a redirect target and an anchor link to
+    * the same canonical URL still emit once. */
   def crawlFrontierStream(
       spark: SparkSession, dir: String,
-      seen: DataFrame, seenCol: String): DataFrame = {
+      seen: DataFrame, seenCol: String,
+      includeRedirects: Boolean = true): DataFrame = {
     import graft.operators.Outlinks
-    Outlinks.politenessKeys(
+    val anchors =
       Outlinks.canonicalLinks(crawlOutlinkStream(spark, dir), "outlink")
+    val links = if (includeRedirects)
+      anchors.unionByName(Outlinks.canonicalLinks(
+        crawlRedirectStream(spark, dir), "redirect_to"))
+    else anchors
+    Outlinks.politenessKeys(
+      links
         .dropDuplicates("frontier_url")
         .join(Outlinks.canonicalSeen(seen, seenCol),
           Seq("frontier_url"), "left_anti"))

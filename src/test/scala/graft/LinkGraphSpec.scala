@@ -67,6 +67,31 @@ class LinkGraphSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("hits: star separates hubs from the authority; L1 mass = 1 each") {
+    val star = Seq("l1" -> "h", "l2" -> "h", "l3" -> "h", "l4" -> "h",
+      "h" -> "l1").toDF("src", "dst")
+    val r = LinkGraph.hits(star, "src", "dst", 10)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    val (hubs, auths) = (r.view.mapValues(_._1), r.view.mapValues(_._2))
+    assert(auths("h") > auths("l1") && auths("l1") > auths("l2"),
+      s"the pointed-at node is the authority: $r")
+    assert(hubs("l2") > hubs("h"), s"leaves are the hubs: $r")
+    assert(math.abs(hubs("l2") - hubs("l3")) < 1e-12
+      && math.abs(hubs("l3") - hubs("l4")) < 1e-12)
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-9
+      && math.abs(auths.values.sum - 1.0) < 1e-9,
+      s"L1 normalization must hold: $r")
+  }
+
+  test("hits: two-node chain converges to the obvious fixed point") {
+    val r = LinkGraph.hits(Seq("a" -> "b").toDF("src", "dst"),
+      "src", "dst", 5)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r("a") == ((1.0, 0.0)) && r("b") == ((0.0, 1.0)), s"$r")
+  }
+
   test("damping=0 pins every node at 1/N regardless of edges") {
     val r = ranks(Seq("a" -> "b", "b" -> "b", "c" -> "a"), 5,
       damping = 0.0)

@@ -56,6 +56,72 @@ class OutlinksSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
   }
 
+  test("extractAnchors: text cleanup, empty→null, unterminated skipped, narrow") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """<a href="/one"> First  <b>link</b>&amp;co </a>""" +
+        """<a href='/img'><img src="x.png"></a>""" +
+        """<a href="/open">never closed""" +
+        """<p>text</p><a href="https://o.example/q">plain</a>""",
+        "https://h.example/d/p.html")
+    ).toDF("id", "html", "base")
+    val got = Outlinks.extractAnchors(df, "html", "base")
+      .select("outlink", "anchor_text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(
+      // inline-tag strip leaves a space (extractText's rule): a
+      // boundary-glued "link&co" would be worse than "link &co"
+      ("https://h.example/one", Some("First link &co")),
+      ("https://h.example/img", None),
+      ("https://o.example/q", Some("plain"))), s"got: $got")
+    val plan = Outlinks.extractAnchors(df, "html", "base")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"anchors must not shuffle:\n$plan")
+  }
+
+  test("hostGraph: host/domain levels, self-edges, distinct") {
+    import spark.implicits._
+    val links = Seq(
+      ("https://a.x.example/p1", "https://b.y.example/q"),
+      ("https://a.x.example/p2", "https://b.y.example/r"), // same host pair
+      ("https://a.x.example/p3", "https://a.x.example/nav"), // self
+      ("https://c.x.example/p", "https://b.y.example/s"),
+      ("https://a.x.example/p4", "not a url")
+    ).toDF("page", "outlink")
+    val hosts = Outlinks.hostGraph(links, "page", "outlink")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hosts == Set(
+      ("a.x.example", "b.y.example"), ("c.x.example", "b.y.example")))
+    val keepSelf = Outlinks.hostGraph(links, "page", "outlink",
+      dropSelf = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keepSelf.contains(("a.x.example", "a.x.example")))
+    val domains = Outlinks.hostGraph(links, "page", "outlink",
+      byDomain = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a.x/c.x collapse into x.example; the self-pair drops at domain level
+    assert(domains == Set(("x.example", "y.example")), s"got: $domains")
+  }
+
+  test("redirectEdges: 3xx+Location only, relative resolution, junk dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://a.example/old", 301, Map("location" -> "/new")),
+      ("https://a.example/x", 302, Map("location" -> "https://b.example/y")),
+      ("https://a.example/ok", 200, Map("location" -> "/ignored")),
+      ("https://a.example/no", 307, Map("server" -> "s")),
+      ("https://a.example/junk", 308, Map("location" -> "mailto:x@y")),
+      ("https://a.example/null", 301,
+        null.asInstanceOf[Map[String, String]]))
+      .toDF("target_uri", "http_status", "http_headers")
+    val got = Outlinks.redirectEdges(rows)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(
+      ("https://a.example/old", "https://a.example/new", 301),
+      ("https://a.example/x", "https://b.example/y", 302)), s"got: $got")
+  }
+
   test("sitemapEntries: both shapes, optional fields, malformed degrades") {
     import spark.implicits._
     val urlset =

@@ -431,6 +431,49 @@ class WarcSpec extends AnyFunSuite {
       .contains("(cdx-indexed)"))
   }
 
+  test("warcSave httpHeaders: captured headers round-trip; framing stays writer-owned") {
+    import spark.implicits._
+    val dir = tmp("hdrs")
+    val rows = Seq(
+      ("https://h/1", Map("Location" -> "/next", "Cache-Control" -> "no-store",
+        "X-Multi" -> "a b\r\ninjected: no")),
+      ("https://h/2", Map("Content-Length" -> "999999",
+        "content-type" -> "text/evil", "Server" -> "probe/1.0")),
+      ("https://h/3", null.asInstanceOf[Map[String, String]]))
+      .toDF("target_uri", "headers")
+      .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
+      .withColumn("record_id", concat(lit("<urn:h:"),
+        element_at(split(col("target_uri"), "/"), -1), lit(">")))
+      .withColumn("http_content_type", lit("text/html"))
+      .withColumn("payload", encode(concat(lit("body "),
+        col("target_uri")), "UTF-8"))
+    WarcIO.warcSave(rows.repartition(1), dir.toString,
+      httpHeaders = Some("headers"))
+    val back = spark.read.format("graft-warc").load(dir.toString)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "http_headers", "http_status",
+        "http_content_type", "payload")
+      .collect().map(r => r.getString(0) ->
+        ((r.getMap[String, String](1), r.getInt(2), r.getString(3),
+          new String(r.getAs[Array[Byte]](4), UTF_8)))).toMap
+    val (h1, st1, ct1, b1) = back("https://h/1")
+    assert(st1 == 200 && ct1 == "text/html" && b1 == "body https://h/1")
+    assert(h1("location") == "/next" && h1("cache-control") == "no-store")
+    // CR/LF in a captured value is defanged, not emitted as a header break
+    assert(h1("x-multi") == "a b injected: no" && !h1.contains("injected"))
+    // the framing pair is writer-owned: a stale captured Content-Length
+    // (or a conflicting content-type) must not corrupt the member
+    val (h2, _, ct2, b2) = back("https://h/2")
+    assert(ct2 == "text/html" && b2 == "body https://h/2")
+    assert(h2("content-length") == b2.length.toString,
+      s"framing must reflect the real payload: $h2")
+    assert(h2("server") == "probe/1.0" && h2("content-type") == "text/html")
+    // null header map degrades to the minimal head
+    val (h3, _, _, b3) = back("https://h/3")
+    assert(b3 == "body https://h/3" && h3.keys.toSet
+      == Set("content-type", "content-length"))
+  }
+
   test("payload_digest pushdown: CDX point lookup, revisit conjunction, fallback") {
     val dir = tmp("dgpush")
     import spark.implicits._
@@ -1042,6 +1085,52 @@ class WarcSpec extends AnyFunSuite {
       == want.collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet,
       "stream frontier diverged from the batch derivation")
+  }
+
+  test("crawlFrontierStream: redirect targets enter the frontier exactly once") {
+    import spark.implicits._
+    val root = tmp("redirfront")
+    val in = s"$root/in"; val chk = s"$root/chk"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val stage = tmp("redirstage")
+    // page A: 200 html linking /l/1 AND the same URL a redirect names;
+    // page B: a bodyless 301 whose Location is that URL — the target
+    // must surface in the frontier ONCE despite arriving twice
+    WarcIO.warcSave(Seq(
+      ("https://h.example/a", 200,
+        ("""<a href="/l/1">x</a>""" +
+          """<a href="https://moved.example/new">y</a>"""),
+        null.asInstanceOf[Map[String, String]]),
+      ("https://h.example/old", 301, "",
+        Map("Location" -> "https://moved.example/new")))
+      .toDF("target_uri", "status", "body", "headers")
+      .select(col("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:rf:"), col("target_uri"), lit(">"))
+          .as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("body"), "UTF-8").as("payload"),
+        col("status"), col("headers"))
+      .repartition(1), stage.toString,
+      httpStatus = Some("status"), httpHeaders = Some("headers"))
+    new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(in, f.getName))
+      }
+    val q = graft.streaming.Streams
+      .crawlFrontierStream(spark, in,
+        Seq.empty[String].toDF("url"), "url")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .format("parquet").option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("frontier_url").as[String].collect().toSeq
+    assert(got.sorted == Seq("https://h.example/l/1",
+      "https://moved.example/new"),
+      s"redirect target must enter the frontier exactly once: $got")
   }
 
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
