@@ -189,6 +189,67 @@ object Outlinks {
         col("http_status"))
       .filter(col("redirect_to").isNotNull)
 
+  /** Resolve redirect CHAINS to their final targets — the
+    * canonicalization step after [[redirectEdges]]: a page that moved
+    * twice (A→B→C) should dedup, join, and frontier under C, not B.
+    * Pointer doubling (the [[ConnectedComponents]] mechanism applied
+    * to a functional graph): each round every source adopts its
+    * target's target, so an L-hop chain resolves in ⌈log2 L⌉ rounds of
+    * one self-equi-join each — `maxIters = 16` covers chains of 65k
+    * hops, far beyond any real redirect depth. No driver state beyond
+    * the loop counter; frames localCheckpoint per round (plan
+    * truncation, as everywhere iterative here).
+    *
+    * Pinned semantics:
+    *  - one edge per source: multiple captured Locations for the same
+    *    URL reduce to the MIN target (deterministic, no fan-out);
+    *  - `final_target` = the first URL along the walk that is not
+    *    itself a redirect source;
+    *  - a walk that never exits (a redirect CYCLE — A→B→A) yields
+    *    `final_target` null and `is_cycle` true: a crawler must not
+    *    fetch into a loop, and a silent self-pick would be a wrong
+    *    canonical.
+    *
+    * @return one row per redirect source: `redirect_from`,
+    *         `final_target`, `is_cycle` */
+  def resolveRedirectChains(
+      redirects: DataFrame, fromCol: String = "redirect_from",
+      toCol: String = "redirect_to", maxIters: Int = 16): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val base = redirects
+      .groupBy(col(fromCol).cast("string").as("__from"))
+      .agg(min(col(toCol).cast("string")).as("__to"))
+      .localCheckpoint()
+    var labels = base
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      // doubling: jump through the CURRENT compressed map, not the
+      // one-hop base — each round squares the stride
+      val hop = labels.select(col("__from").as("__hf"),
+        col("__to").as("__ht"))
+      val next = labels
+        .join(hop, labels("__to") === hop("__hf"), "left")
+        .select(col("__from"), col("__to").as("__prev"),
+          coalesce(col("__ht"), col("__to")).as("__to"))
+        .localCheckpoint()
+      // the frame is already materialized — the existence probe is a
+      // cheap local scan, and converged inputs stop looping early
+      // (cycles never converge: they keep orbiting until maxIters)
+      changed = next.filter(col("__to") =!= col("__prev"))
+        .limit(1).count() > 0
+      labels = next.select("__from", "__to")
+      iter += 1
+    }
+    // a target still in the source domain after ⌈log2 65k⌉ doublings
+    // is walking a cycle, not a long chain
+    val srcs = base.select(col("__from").as("__cyc_from"))
+    labels.join(srcs, labels("__to") === srcs("__cyc_from"), "left")
+      .select(col("__from").as(fromCol),
+        when(col("__cyc_from").isNull, col("__to")).as("final_target"),
+        col("__cyc_from").isNotNull.as("is_cycle"))
+  }
+
   /** The HOST graph of a resolved link frame — what [[LinkGraph
     * .pageRank]] ranks for frontier prioritization: one `src`/`dst`
     * edge per distinct (linking host, target host) pair, intra-host

@@ -2348,6 +2348,50 @@ object Text {
     graft.operators.LinkGraph.hits(e, "src", "dst", iterations = 3)
   }
 
+  /** Redirect-chain resolution, HASH-CERTIFIED — [[graft.operators
+    * .Outlinks.resolveRedirectChains]] (pointer doubling) on per-doc
+    * chains of length doc_id % 4 plus planted 2-cycles on every 31st
+    * doc: every chain source must resolve to its chain's terminal and
+    * every cycle member must flag `is_cycle` with a null final target.
+    * The oracle restates both closed-form. */
+  val qT59RedirectChains = Q(
+    "q_t59_redirect_chains",
+    """WITH r AS (
+      |  SELECT 'https://c.example/' || CAST(doc_id AS VARCHAR) || '/'
+      |           || CAST(t.i AS VARCHAR) AS redirect_from,
+      |         'https://c.example/' || CAST(doc_id AS VARCHAR) || '/'
+      |           || CAST(doc_id % 4 AS VARCHAR) AS final_target
+      |  FROM documents, range(0, 3) t(i)
+      |  WHERE t.i < doc_id % 4)
+      |SELECT redirect_from, final_target, FALSE AS is_cycle FROM r
+      |UNION ALL
+      |SELECT 'https://x.example/' || CAST(doc_id AS VARCHAR),
+      |       CAST(NULL AS VARCHAR), TRUE
+      |FROM documents WHERE doc_id % 31 = 0
+      |UNION ALL
+      |SELECT 'https://y.example/' || CAST(doc_id AS VARCHAR),
+      |       CAST(NULL AS VARCHAR), TRUE
+      |FROM documents WHERE doc_id % 31 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    def u(i: org.apache.spark.sql.Column) =
+      concat(lit("https://c.example/"), col("doc_id").cast("string"),
+        lit("/"), i.cast("string"))
+    val chains = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("i"))
+      .filter(col("i") < col("doc_id") % 4)
+      .select(u(col("i")).as("redirect_from"),
+        u(col("i") + 1).as("redirect_to"))
+    val cyc = docs.filter(col("doc_id") % 31 === 0)
+    def xy(p: String) =
+      concat(lit(s"https://$p.example/"), col("doc_id").cast("string"))
+    val cycEdges = cyc.select(xy("x").as("redirect_from"),
+        xy("y").as("redirect_to"))
+      .union(cyc.select(xy("y").as("redirect_from"),
+        xy("x").as("redirect_to")))
+    Outlinks.resolveRedirectChains(chains.union(cycEdges))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2363,5 +2407,5 @@ object Text {
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
       qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
       qT52CharsetDecode, qT53FetchPlan, qT54PageRank, qT55AnchorText,
-      qT56HostRank, qT57Redirects, qT58Hits)
+      qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains)
 }

@@ -122,6 +122,30 @@ class OutlinksSpec extends AnyFunSuite {
       ("https://a.example/x", "https://b.example/y", 302)), s"got: $got")
   }
 
+  test("resolveRedirectChains: doubling, cycle flagging, min-target dedupe") {
+    import spark.implicits._
+    val edges = Seq(
+      // 5-hop chain: needs 3 doubling rounds, not 5 linear ones
+      "c0" -> "c1", "c1" -> "c2", "c2" -> "c3", "c3" -> "c4", "c4" -> "c5",
+      // a chain that ENTERS a 2-cycle — the walk never exits
+      "x" -> "a", "a" -> "b", "b" -> "a",
+      // self-loop
+      "s" -> "s",
+      // duplicate captures for one source: min target wins
+      "m" -> "t2", "m" -> "t1")
+      .toDF("redirect_from", "redirect_to")
+    val got = Outlinks.resolveRedirectChains(edges)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got("c0") == ((Some("c5"), false)) &&
+      got("c3") == ((Some("c5"), false)), s"$got")
+    assert(got("x") == ((None, true)) && got("a") == ((None, true))
+      && got("b") == ((None, true)), s"cycle members flag: $got")
+    assert(got("s") == ((None, true)), s"self-loop is a cycle: $got")
+    assert(got("m") == ((Some("t1"), false)), s"min target dedupe: $got")
+    assert(got.size == 10)
+  }
+
   test("sitemapEntries: both shapes, optional fields, malformed degrades") {
     import spark.implicits._
     val urlset =
