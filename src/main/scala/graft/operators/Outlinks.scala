@@ -393,14 +393,23 @@ object Outlinks {
     *
     * @param frontier frame with a URL column ([[crawlFrontier]]'s
     *                 output or any URL list)
+    * @param maxPerHost cap a host's plan at this many URLs per cycle
+    *                 (0 = unlimited): a million-page host would
+    *                 otherwise occupy a polite fetcher for 11 days at
+    *                 1 req/s. The cap keeps the FIRST `maxPerHost` in
+    *                 sequence order (deterministic — the rank is
+    *                 already computed, the cap is a filter on it);
+    *                 capped URLs are NOT seen/fetched, so the caller's
+    *                 crawl loop re-derives them next cycle.
     * @return frontier columns (url_host re-derived) plus `crawl_delay`,
     *         `fetch_seq`, `fetch_offset` */
   def fetchPlan(
       frontier: DataFrame, urlCol: String,
       policies: DataFrame, hostCol: String, robotsCol: String,
       agent: String, defaultDelay: Double = 1.0,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, maxPerHost: Int = 0): DataFrame = {
     require(defaultDelay > 0, s"defaultDelay must be > 0: $defaultDelay")
+    require(maxPerHost >= 0, s"maxPerHost must be >= 0: $maxPerHost")
     val pol = policies.select(
       lower(trim(col(hostCol))).as("url_host"),
       col(robotsCol).as("__robots"),
@@ -423,6 +432,9 @@ object Outlinks {
       .drop("__robots", "__host_delay")
       .transform(Skew.rankWithinKey(_, Seq("url_host"), Seq(urlCol),
         "fetch_seq", numPartitions))
+      .transform(df =>
+        if (maxPerHost > 0) df.filter(col("fetch_seq") <= maxPerHost)
+        else df)
       .withColumn("fetch_offset",
         (col("fetch_seq") - 1).cast("double") * col("crawl_delay"))
       .select((inCols.map(col) ++ Seq(col("url_host"),

@@ -840,6 +840,47 @@ object Streams {
           Seq("frontier_url"), "left_anti"))
   }
 
+  /** The crawl loop CLOSED at the scheduling end: tail a WARC landing
+    * directory, derive the continual frontier
+    * ([[crawlFrontierStream]] — anchor links + redirect targets, minus
+    * seen, each new canonical URL once), and per micro-batch emit the
+    * POLITENESS-SEQUENCED fetch schedule ([[graft.operators.Outlinks
+    * .fetchPlan]]: robots gate, per-host crawl-delay with the
+    * `defaultDelay` floor, per-host `fetch_seq`/`fetch_offset`,
+    * optional `maxPerHost` cap) as parquet under `outDir/batch=<id>` —
+    * the work queue a fetcher fleet consumes, one directory per crawl
+    * cycle.
+    *
+    * Sequencing is PER CYCLE by design: each batch is its own
+    * politeness window, so `fetch_offset` restarts at 0 — a fetcher
+    * drains one batch directory at a time. Exactly-once: the frontier
+    * state replays deterministically per batchId and the plan is a
+    * deterministic function of the batch, so a checkpoint-replayed
+    * batch rewrites its own directory (mode overwrite) with the same
+    * rows. The policies frame is static build-side (broadcast when it
+    * fits); the per-batch rank is [[graft.operators.Skew
+    * .rankWithinKey]] — no single-task host sort, however hot the
+    * host. */
+  def crawlFetchPlanSink(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, seen: DataFrame, seenCol: String,
+      policies: DataFrame, hostCol: String, robotsCol: String,
+      agent: String, defaultDelay: Double = 1.0,
+      maxPerHost: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    crawlFrontierStream(spark, inDir, seen, seenCol).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Outlinks.fetchPlan(
+          batch.toDF(), "frontier_url", policies, hostCol, robotsCol,
+          agent, defaultDelay, maxPerHost = maxPerHost)
+          .write.mode("overwrite")
+          .parquet(f"$outDir%s/batch=$batchId%06d")
+        ()
+      }
+      .start()
+
   /** Fold the frontier stream's long-lived exactly-once state back
     * into its static seen table — the maintenance operator behind
     * [[crawlFrontierStream]]'s documented recipe, now one call instead

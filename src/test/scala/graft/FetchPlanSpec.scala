@@ -95,6 +95,25 @@ class FetchPlanSpec extends AnyFunSuite {
       (("c.example", 1.0, 1L, 0.0)))
   }
 
+  test("fetchPlan maxPerHost: keeps the first k in sequence order, per host") {
+    val frontier = ((0 until 100).map(i => f"https://hot.example/p/$i%03d")
+      ++ Seq("https://small.example/a", "https://small.example/b",
+        "https://small.example/c")).toDF("frontier_url")
+    val capped = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", maxPerHost = 10)
+      .collect()
+    val hot = capped.filter(_.getAs[String]("url_host") == "hot.example")
+    assert(hot.length == 10 && capped.length == 13)
+    assert(hot.map(_.getAs[String]("frontier_url")).sorted.toSeq
+      == (0 until 10).map(i => f"https://hot.example/p/$i%03d"),
+      "the cap keeps the lexicographically first k")
+    assert(hot.map(_.getAs[Long]("fetch_seq")).sorted.toSeq
+      == (1L to 10L), "capped sequence stays dense 1..k")
+    assert(capped.filter(_.getAs[String]("url_host") == "small.example")
+      .length == 3, "hosts under the cap are untouched")
+  }
+
   test("fetchPlan composes on crawlFrontier output (url_host rides)") {
     val links = Seq(
       ("https://d.example/x", 1L), ("https://d.example/y", 1L),

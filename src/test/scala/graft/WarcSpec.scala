@@ -1133,6 +1133,72 @@ class WarcSpec extends AnyFunSuite {
       s"redirect target must enter the frontier exactly once: $got")
   }
 
+  test("crawlFetchPlanSink: per-cycle politeness schedule equals the batch twin") {
+    import spark.implicits._
+    val root = tmp("plansink")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"planstage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://src.example/p/$i", "2026-01-01T00:00:00Z",
+          s"<urn:fp:$tag:$i>", "text/html; charset=utf-8",
+          (s"""<a href="https://t${i % 3}.example/u/$i">x</a>""" +
+            s"""<a href="https://t0.example/blocked/$i">b</a>""")
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    val policies = Seq(("t0.example",
+      "User-agent: *\nDisallow: /blocked\nCrawl-delay: 3"))
+      .toDF("host", "robots")
+    val seen = Seq.empty[String].toDF("url")
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlFetchPlanSink(
+        spark, in, out, chk, seen, "url", policies, "host", "robots",
+        "graftbot", defaultDelay = 1.0)
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("a", 0 until 9); run()
+    val plan0 = spark.read.parquet(s"$out/batch=000000")
+    // twin: the batch fetchPlan over the batch frontier
+    val twin = graft.operators.Outlinks.fetchPlan(
+      graft.operators.Outlinks.crawlFrontier(
+        graft.operators.Outlinks.extractOutlinks(
+          graft.streaming.Streams.crawlPages(spark, in),
+          "text", "target_uri"),
+        "outlink", seen, "url"),
+      "frontier_url", policies, "host", "robots", "graftbot",
+      defaultDelay = 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("frontier_url", "url_host", "crawl_delay", "fetch_seq",
+        "fetch_offset")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(plan0) == rows(twin),
+      "sink schedule diverged from the batch twin")
+    // the gate dropped t0's /blocked pool; t0's declared 3 s delay rides
+    assert(plan0.filter(col("frontier_url").contains("/blocked"))
+      .count() == 0)
+    assert(plan0.filter(col("url_host") === "t0.example")
+      .select("crawl_delay").distinct().as[Double].collect().toSeq
+      == Seq(3.0))
+    // a second landing plans ONLY the new URLs, in its own cycle dir
+    land("b", 7 until 12); run()
+    val plan1 = spark.read.parquet(s"$out/batch=000001")
+    val p1Urls = plan1.select("frontier_url").as[String].collect().toSet
+    assert(p1Urls == (9 until 12).map(i =>
+      s"https://t${i % 3}.example/u/$i").toSet,
+      s"cycle 1 must hold only the new URLs: $p1Urls")
+    // per-cycle sequencing restarts at 1
+    assert(plan1.agg(min(col("fetch_seq"))).head().getLong(0) == 1L)
+  }
+
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
     import spark.implicits._
     val root = tmp("fold")
