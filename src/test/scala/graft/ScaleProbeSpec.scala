@@ -939,6 +939,49 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear pagerank blowup: $t1 vs $t10")
   }
 
+  test("resolveRedirectChains equals a plain-Scala walk on random graphs") {
+    import spark.implicits._
+    import graft.operators.Outlinks
+    val rnd = new scala.util.Random(9017L)
+    for (trial <- 0 until 8) {
+      val n = 20 + rnd.nextInt(40)
+      // random functional-ish graph over n nodes: ~70% of nodes
+      // redirect somewhere (possibly to themselves or into cycles);
+      // a few nodes carry DUPLICATE captures to exercise min-dedupe
+      val edges = (0 until n).flatMap { i =>
+        val base = if (rnd.nextDouble() < 0.7)
+          Seq((s"u$i", s"u${rnd.nextInt(n)}")) else Seq.empty
+        val dup = if (rnd.nextDouble() < 0.15)
+          Seq((s"u$i", s"u${rnd.nextInt(n)}")) else Seq.empty
+        base ++ dup
+      }
+      if (edges.nonEmpty) {
+        // reference: min-target map, then walk with a visited set
+        val m = edges.groupBy(_._1).map { case (f, ts) =>
+          f -> ts.map(_._2).min
+        }
+        def walk(s: String): (Option[String], Boolean) = {
+          var cur = s
+          val seen = scala.collection.mutable.Set[String]()
+          while (m.contains(cur)) {
+            if (!seen.add(cur)) return (None, true)
+            cur = m(cur)
+          }
+          (Some(cur), false)
+        }
+        val want = m.keys.map { f =>
+          val (t, c) = walk(m(f))
+          (f, t, c)
+        }.toSet
+        val got = Outlinks.resolveRedirectChains(
+          edges.toDF("redirect_from", "redirect_to"))
+          .collect().map(r => (r.getString(0), Option(r.getString(1)),
+            r.getBoolean(2))).toSet
+        assert(got == want, s"trial $trial diverged:\n got=$got\nwant=$want")
+      }
+    }
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
