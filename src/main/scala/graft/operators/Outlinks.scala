@@ -130,9 +130,12 @@ object Outlinks {
     * URL-priority classifier trains on (the linking page describes the
     * target). One output row per CLOSED `<a href=…>…</a>` element:
     * every input column plus `outCol` (absolute resolved URL, same
-    * resolution as [[extractOutlinks]]) and `textCol` (the anchor's
+    * resolution as [[extractOutlinks]]), `textCol` (the anchor's
     * inner text: nested tags stripped, entities decoded, whitespace
-    * collapsed; null when empty — an image link). Unterminated anchors
+    * collapsed; null when empty — an image link), and `nofollow`
+    * (true when the anchor's rel tokens include `nofollow` — filter
+    * these before feeding [[LinkGraph]], they are links the page
+    * explicitly declined to vouch for). Unterminated anchors
     * emit nothing here — the inner-text pattern refuses to cross the
     * NEXT `<a`, so a torn anchor cannot swallow its well-formed
     * neighbor (they still surface in [[extractOutlinks]], which
@@ -149,23 +152,85 @@ object Outlinks {
       outCol: String = "outlink",
       textCol: String = "anchor_text"): DataFrame = {
     val pat =
-      "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>" +
+      "(?is)<a\\b([^>]*?)\\bhref\\s*=\\s*[\"']([^\"']*)[\"']([^>]*)>" +
         "((?:(?!<a\\b).)*?)</a\\s*>"
-    val hrefs = regexp_extract_all(col(html), lit(pat), lit(1))
-    val inners = regexp_extract_all(col(html), lit(pat), lit(2))
+    def grp(i: Int) = regexp_extract_all(col(html), lit(pat), lit(i))
     val cleanedText = {
       val noTags = regexp_replace(col(textCol), "(?s)<[^>]*>", " ")
       val decoded = TextAnalysis.decodeHtmlEntities(noTags)
       val collapsed = trim(regexp_replace(decoded, "\\s+", " "))
       when(length(collapsed) > 0, collapsed)
     }
-    df.withColumn("__a", explode(arrays_zip(hrefs, inners)))
+    // rel token scan across BOTH attribute slices (href may sit
+    // between rel and the tag end): a nofollow edge must not vote in
+    // LinkGraph.pageRank/hits
+    val attrs = concat(col("__a.0"), lit(" "), col("__a.2"))
+    val noFollow = attrs.rlike(
+      "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow\\b")
+    df.withColumn("__a",
+        explode(arrays_zip(grp(1), grp(2), grp(3), grp(4))))
       .withColumn(outCol, resolveUri(col(baseUri),
-        TextAnalysis.decodeHtmlEntities(col("__a.0"))))
-      .withColumn(textCol, col("__a.1"))
+        TextAnalysis.decodeHtmlEntities(col("__a.1"))))
+      .withColumn(textCol, col("__a.3"))
       .filter(col(outCol).isNotNull)
       .withColumn(textCol, cleanedText)
+      .withColumn("nofollow", noFollow)
       .drop("__a")
+  }
+
+  /** Meta-refresh redirect targets — the in-markup redirect class HTTP
+    * headers never see (`<meta http-equiv="refresh"
+    * content="5;url=/next">`): one row per page whose HTML declares
+    * one, with the delay seconds and the target RESOLVED against the
+    * page URI. Crawlers treat these as soft redirects; a frontier that
+    * ignores them loses the same pages a Location-dropping crawler
+    * would. Narrow per-row regex, no shuffle. */
+  def metaRefreshEdges(
+      df: DataFrame, html: String, uriCol: String): DataFrame = {
+    // per-quote-style captures: a double-quoted content value may
+    // carry single quotes inside (content="0; URL='/x'") and vice versa
+    val metaPrefix =
+      "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*" +
+        "\\bcontent\\s*=\\s*"
+    val content = coalesce(
+      nullif(regexp_extract(col(html), metaPrefix + "\"([^\"]*)\"", 1),
+        lit("")),
+      nullif(regexp_extract(col(html), metaPrefix + "'([^']*)'", 1),
+        lit("")),
+      lit(""))
+    val delay = regexp_extract(content, "^\\s*(\\d+)", 1)
+    val target = regexp_extract(content,
+      "(?i)url\\s*=\\s*['\"]?([^'\"\\s;]+)", 1)
+    df.filter(length(content) > 0 && length(target) > 0)
+      .select(col(uriCol).as("refresh_from"),
+        resolveUri(col(uriCol),
+          TextAnalysis.decodeHtmlEntities(target)).as("refresh_to"),
+        coalesce(nullif(delay, lit("")).cast("int"), lit(0))
+          .as("refresh_delay"))
+      .filter(col("refresh_to").isNotNull)
+  }
+
+  /** `rel=canonical` declarations — the dedup/canonicalization signal
+    * the page itself publishes (`<link rel="canonical" href=…>`): one
+    * row per page declaring one, with the canonical target resolved
+    * against the page URI. A curation pipeline collapses URL variants
+    * onto this target before content dedup ever runs. Both attribute
+    * orders match (rel-then-href and href-then-rel). Narrow per-row
+    * regex, no shuffle. */
+  def canonicalLinkEdges(
+      df: DataFrame, html: String, uriCol: String): DataFrame = {
+    val href = coalesce(
+      nullif(regexp_extract(col(html),
+        "(?is)<link\\b[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+          "\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1), lit("")),
+      nullif(regexp_extract(col(html),
+        "(?is)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']" +
+          "[^>]*rel\\s*=\\s*[\"']?canonical[\"']?", 1), lit("")))
+    df.filter(href.isNotNull)
+      .select(col(uriCol).as("page_uri"),
+        resolveUri(col(uriCol),
+          TextAnalysis.decodeHtmlEntities(href)).as("canonical_uri"))
+      .filter(col("canonical_uri").isNotNull)
   }
 
   /** Redirect edges of a crawl frame — the OTHER frontier feed HTTP

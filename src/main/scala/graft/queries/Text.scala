@@ -2392,6 +2392,68 @@ object Text {
     Outlinks.resolveRedirectChains(chains.union(cycEdges))
   }
 
+  /** Meta-refresh redirect extraction, HASH-CERTIFIED — the in-markup
+    * redirect class HTTP headers never see: every 6th doc declares
+    * `<meta http-equiv=refresh>` (delay = doc_id % 9, relative url for
+    * most, absolute cross-host for every 12th), the rest carry plain
+    * meta tags that must emit nothing. The oracle restates the
+    * resolved closed form. */
+  val qT60MetaRefresh = Q(
+    "q_t60_meta_refresh",
+    """SELECT 'https://m.example/p/' || CAST(doc_id AS VARCHAR)
+      |         AS refresh_from,
+      |       CASE WHEN doc_id % 12 = 0
+      |            THEN 'https://mv.example/n/' || CAST(doc_id AS VARCHAR)
+      |            ELSE 'https://m.example/next/'
+      |                 || CAST(doc_id AS VARCHAR) END AS refresh_to,
+      |       CAST(doc_id % 9 AS INTEGER) AS refresh_delay
+      |FROM documents WHERE doc_id % 6 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val url = when(col("doc_id") % 12 === 0,
+      concat(lit("https://mv.example/n/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/next/"), col("doc_id").cast("string")))
+    val page = when(col("doc_id") % 6 === 0,
+      concat(lit("<html><head><meta http-equiv=\"refresh\" content=\""),
+        (col("doc_id") % 9).cast("string"), lit(";url="), url,
+        lit("\"></head><body>x</body></html>")))
+      .otherwise(lit(
+        "<html><head><meta name=\"viewport\" content=\"w\"></head></html>"))
+    Outlinks.metaRefreshEdges(
+      documents(s, d).select(
+        concat(lit("https://m.example/p/"), col("doc_id").cast("string"))
+          .as("target_uri"),
+        page.as("html")),
+      "html", "target_uri")
+  }
+
+  /** rel=canonical extraction, HASH-CERTIFIED — the page-declared
+    * canonicalization signal: every 4th doc declares a canonical link
+    * (alternating attribute order to pin both forms), others carry
+    * non-canonical `<link>` tags that must emit nothing. */
+  val qT61CanonicalLink = Q(
+    "q_t61_canonical_link",
+    """SELECT 'https://cl.example/v/' || CAST(doc_id AS VARCHAR)
+      |         || '?utm=x' AS page_uri,
+      |       'https://cl.example/c/' || CAST(doc_id AS VARCHAR)
+      |         AS canonical_uri
+      |FROM documents WHERE doc_id % 4 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val canon = concat(lit("/c/"), col("doc_id").cast("string"))
+    val page = when(col("doc_id") % 8 === 0,
+      concat(lit("<head><link rel=\"canonical\" href=\""), canon,
+        lit("\"></head>")))
+      .when(col("doc_id") % 4 === 0,
+        concat(lit("<head><link href=\""), canon,
+          lit("\" rel=\"canonical\"></head>")))
+      .otherwise(lit("<head><link rel=\"stylesheet\" href=\"/s.css\"></head>"))
+    Outlinks.canonicalLinkEdges(
+      documents(s, d).select(
+        concat(lit("https://cl.example/v/"), col("doc_id").cast("string"),
+          lit("?utm=x")).as("target_uri"),
+        page.as("html")),
+      "html", "target_uri")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2407,5 +2469,6 @@ object Text {
       qT45CrawlExtract, qT46StatusGatedExtract, qT47Robots,
       qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
       qT52CharsetDecode, qT53FetchPlan, qT54PageRank, qT55AnchorText,
-      qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains)
+      qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains,
+      qT60MetaRefresh, qT61CanonicalLink)
 }

@@ -79,6 +79,64 @@ class OutlinksSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"anchors must not shuffle:\n$plan")
   }
 
+  test("extractAnchors: nofollow rel tokens, both attribute orders") {
+    import spark.implicits._
+    val df = Seq((1L,
+      """<a rel="nofollow" href="/a">a</a>""" +
+        """<a href="/b" rel="external nofollow ugc">b</a>""" +
+        """<a rel="author" href="/c">c</a>""" +
+        """<a href="/d">d</a>""" +
+        """<a rel=nofollow href="/e">e</a>""",
+      "https://h.example/")).toDF("id", "html", "base")
+    val got = Outlinks.extractAnchors(df, "html", "base")
+      .select("outlink", "nofollow").collect()
+      .map(r => r.getString(0).stripPrefix("https://h.example/")
+        -> r.getBoolean(1)).toMap
+    assert(got == Map("a" -> true, "b" -> true, "c" -> false,
+      "d" -> false, "e" -> true), s"got: $got")
+  }
+
+  test("metaRefreshEdges: delay parsing, quote forms, non-refresh silent") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://m.example/1",
+        """<meta http-equiv="refresh" content="5;url=/next">"""),
+      ("https://m.example/2",
+        """<META HTTP-EQUIV=REFRESH CONTENT="0; URL='https://o.example/x'">"""),
+      ("https://m.example/3",
+        """<meta http-equiv="refresh" content="30">"""), // no url → silent
+      ("https://m.example/4",
+        """<meta name="viewport" content="url=/not-a-redirect">"""),
+      ("https://m.example/5",
+        """<meta http-equiv="refresh" content="url=/now">""") // no delay → 0
+    ).toDF("uri", "html")
+    val got = Outlinks.metaRefreshEdges(df, "html", "uri")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(
+      ("https://m.example/1", "https://m.example/next", 5),
+      ("https://m.example/2", "https://o.example/x", 0),
+      ("https://m.example/5", "https://m.example/now", 0)), s"got: $got")
+  }
+
+  test("canonicalLinkEdges: both attribute orders, junk rels silent") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://c.example/a?ref=1",
+        """<link rel="canonical" href="/a">"""),
+      ("https://c.example/b",
+        """<link href="https://c.example/B" rel=canonical>"""),
+      ("https://c.example/c",
+        """<link rel="stylesheet" href="/s.css">"""),
+      ("https://c.example/d", "<p>no links</p>")
+    ).toDF("uri", "html")
+    val got = Outlinks.canonicalLinkEdges(df, "html", "uri")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("https://c.example/a?ref=1", "https://c.example/a"),
+      ("https://c.example/b", "https://c.example/B")), s"got: $got")
+  }
+
   test("hostGraph: host/domain levels, self-edges, distinct") {
     import spark.implicits._
     val links = Seq(
