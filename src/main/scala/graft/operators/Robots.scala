@@ -242,6 +242,47 @@ object Robots {
 
   /** Column form: struct<allowed boolean, crawl_delay double> for one
     * (robots.txt text, agent token, path) triple per row. */
+  /** `Sitemap:` directives of a robots.txt column (RFC 9309 §2.2.4
+    * treats them as an extension line; sitemaps.org pins the
+    * semantics) — an `array<string>` of the declared absolute sitemap
+    * URLs, in file order. Group-independent per both specs: a Sitemap
+    * line applies regardless of which user-agent group surrounds it,
+    * so this is a flat line scan, codegen'd, no parse state. Feed the
+    * results to [[Outlinks.sitemapEntries]] after fetching — the
+    * robots file is where a crawler DISCOVERS the sitemaps. */
+  def sitemapUrls(robots: Column): Column =
+    org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.regexp_extract_all(robots,
+          org.apache.spark.sql.functions.lit(
+            "(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"),
+          org.apache.spark.sql.functions.lit(1)),
+        u => org.apache.spark.sql.functions.trim(u)),
+      u => u.rlike("^https?://"))
+
+  /** The robots FETCH WORKLIST: frontier hosts with NO stored policy,
+    * as one `/robots.txt` fetch URL per host — what the crawler must
+    * fetch BEFORE it may politely fetch those hosts' pages
+    * ([[gateByPolicy]]/[[Outlinks.fetchPlan]] default-allow unknown
+    * hosts, but a compliant crawler resolves the unknown first). One
+    * distinct + one anti-join, both hashing on the host. */
+  def robotsFetchList(
+      frontier: org.apache.spark.sql.DataFrame, urlCol: String,
+      policies: org.apache.spark.sql.DataFrame, hostCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, lower, trim}
+    frontier
+      .select(TextAnalysis.urlHost(col(urlCol)).as("url_host"))
+      .filter(col("url_host").isNotNull)
+      .distinct()
+      .join(policies.select(lower(trim(col(hostCol))).as("url_host"))
+        .distinct(),
+        Seq("url_host"), "left_anti")
+      .select(col("url_host"),
+        concat(lit("https://"), col("url_host"), lit("/robots.txt"))
+          .as("robots_url"))
+  }
+
   def robotsVerdict(robots: Column, agent: Column, path: Column): Column =
     verdictUdf(robots, agent, path).cast(
       "struct<allowed: boolean, crawl_delay: double>")

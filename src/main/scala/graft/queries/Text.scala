@@ -2454,6 +2454,63 @@ object Text {
       "html", "target_uri")
   }
 
+  /** Robots `Sitemap:` directive discovery, HASH-CERTIFIED — the line
+    * a crawler finds its sitemaps through: every 3rd doc's robots.txt
+    * declares one absolute sitemap (and every 9th a second), plus a
+    * relative junk line that must filter out (the spec requires
+    * absolute URLs). One output row per (host, sitemap_url), file
+    * order preserved through the explode. */
+  val qT62RobotsSitemaps = Q(
+    "q_t62_robots_sitemaps",
+    """SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS url_host,
+      |       'https://h' || CAST(doc_id AS VARCHAR)
+      |         || '.example/sm/main.xml' AS sitemap_url
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example',
+      |       'https://cdn.example/sm/' || CAST(doc_id AS VARCHAR)
+      |         || '.xml'
+      |FROM documents WHERE doc_id % 9 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Robots
+    val robots = when(col("doc_id") % 3 === 0, concat(
+      lit("User-agent: *\nDisallow: /private\nSitemap: https://h"),
+      col("doc_id").cast("string"), lit(".example/sm/main.xml\n"),
+      when(col("doc_id") % 9 === 0,
+        concat(lit("sitemap: https://cdn.example/sm/"),
+          col("doc_id").cast("string"), lit(".xml\n")))
+        .otherwise(lit("")),
+      lit("Sitemap: /relative/ignored.xml\n")))
+      .otherwise(lit("User-agent: *\nAllow: /\n"))
+    documents(s, d)
+      .select(concat(lit("h"), col("doc_id").cast("string"),
+        lit(".example")).as("url_host"),
+        explode(Robots.sitemapUrls(robots)).as("sitemap_url"))
+  }
+
+  /** Robots fetch worklist, HASH-CERTIFIED — frontier hosts with no
+    * stored policy become one `/robots.txt` fetch URL each: hosts
+    * 0–9 hold policies, the frontier spans hosts 0–19, so exactly
+    * hosts 10–19 surface. */
+  val qT63RobotsFetchList = Q(
+    "q_t63_robots_fetch_list",
+    """SELECT DISTINCT
+      |       'rh' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+      |         AS url_host,
+      |       'https://rh' || CAST(doc_id % 20 AS VARCHAR)
+      |         || '.example/robots.txt' AS robots_url
+      |FROM documents WHERE doc_id % 20 >= 10""".stripMargin) { (s, d) =>
+    import graft.operators.Robots
+    val frontier = documents(s, d).select(
+      concat(lit("https://rh"), (col("doc_id") % 20).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"))
+        .as("frontier_url"))
+    val policies = s.range(10).select(
+      concat(lit("rh"), col("id").cast("string"), lit(".example"))
+        .as("host"),
+      lit("User-agent: *\nAllow: /").as("robots"))
+    Robots.robotsFetchList(frontier, "frontier_url", policies, "host")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2470,5 +2527,6 @@ object Text {
       qT48Outlinks, qT49Frontier, qT50Sitemap, qT51RobotsGate,
       qT52CharsetDecode, qT53FetchPlan, qT54PageRank, qT55AnchorText,
       qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains,
-      qT60MetaRefresh, qT61CanonicalLink)
+      qT60MetaRefresh, qT61CanonicalLink, qT62RobotsSitemaps,
+      qT63RobotsFetchList)
 }

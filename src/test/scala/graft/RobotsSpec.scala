@@ -124,6 +124,38 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemapUrls: absolute-only, case/space tolerant, order kept") {
+    val spark = GraftSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val robots = "User-agent: *\r\nSITEMAP: https://a.example/1.xml\r\n" +
+      "Disallow: /x\n  sitemap:\thttp://b.example/2.xml  \n" +
+      "Sitemap: /relative.xml\nSitemap: ftp://c.example/3.xml\n" +
+      "NotASitemap: https://d.example/4.xml"
+    val got = Seq(robots).toDF("r")
+      .select(graft.operators.Robots.sitemapUrls(col("r")))
+      .head().getSeq[String](0)
+    assert(got == Seq("https://a.example/1.xml", "http://b.example/2.xml"),
+      s"got: $got")
+    val none = Seq("User-agent: *\nAllow: /").toDF("r")
+      .select(graft.operators.Robots.sitemapUrls(col("r")))
+      .head().getSeq[String](0)
+    assert(none.isEmpty)
+  }
+
+  test("robotsFetchList: unknown hosts only, case-normalized, distinct") {
+    val spark = GraftSpark.spark
+    import spark.implicits._
+    val frontier = Seq("https://A.Example/p1", "https://a.example/p2",
+      "https://b.example/q", "not a url").toDF("u")
+    val policies = Seq(("A.EXAMPLE ", "User-agent: *")).toDF("h", "r")
+    val got = graft.operators.Robots
+      .robotsFetchList(frontier, "u", policies, "h")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("b.example", "https://b.example/robots.txt")),
+      s"got: $got")
+  }
+
   test("Column surface evaluates over a frame") {
     val spark = GraftSpark.spark
     import spark.implicits._
