@@ -818,10 +818,12 @@ object Streams {
     * anti-join streams against the static table per micro-batch.
     *
     * `includeRedirects` (default on — a crawler that drops them loses
-    * every moved page) unions the 3xx responses' resolved Location
-    * targets ([[crawlRedirectStream]]) into the link feed before the
-    * exactly-once dedup, so a redirect target and an anchor link to
-    * the same canonical URL still emit once. */
+    * every moved page) unions BOTH redirect classes into the link
+    * feed before the exactly-once dedup: the 3xx responses' resolved
+    * Location targets ([[crawlRedirectStream]]) and the in-markup
+    * meta-refresh targets ([[graft.operators.Outlinks
+    * .metaRefreshEdges]] over the page stream). A redirect target and
+    * an anchor link to the same canonical URL still emit once. */
   def crawlFrontierStream(
       spark: SparkSession, dir: String,
       seen: DataFrame, seenCol: String,
@@ -830,8 +832,13 @@ object Streams {
     val anchors =
       Outlinks.canonicalLinks(crawlOutlinkStream(spark, dir), "outlink")
     val links = if (includeRedirects)
-      anchors.unionByName(Outlinks.canonicalLinks(
-        crawlRedirectStream(spark, dir), "redirect_to"))
+      anchors
+        .unionByName(Outlinks.canonicalLinks(
+          crawlRedirectStream(spark, dir), "redirect_to"))
+        .unionByName(Outlinks.canonicalLinks(
+          Outlinks.metaRefreshEdges(
+            crawlPageStream(spark, dir), "text", "target_uri"),
+          "refresh_to"))
     else anchors
     Outlinks.politenessKeys(
       links

@@ -1102,7 +1102,10 @@ class WarcSpec extends AnyFunSuite {
           """<a href="https://moved.example/new">y</a>"""),
         null.asInstanceOf[Map[String, String]]),
       ("https://h.example/old", 301, "",
-        Map("Location" -> "https://moved.example/new")))
+        Map("Location" -> "https://moved.example/new")),
+      ("https://h.example/soft", 200,
+        """<meta http-equiv="refresh" content="0;url=/landed">""",
+        null.asInstanceOf[Map[String, String]]))
       .toDF("target_uri", "status", "body", "headers")
       .select(col("target_uri"),
         lit("2026-01-01T00:00:00Z").as("warc_date"),
@@ -1129,8 +1132,8 @@ class WarcSpec extends AnyFunSuite {
     val got = spark.read.parquet(out)
       .select("frontier_url").as[String].collect().toSeq
     assert(got.sorted == Seq("https://h.example/l/1",
-      "https://moved.example/new"),
-      s"redirect target must enter the frontier exactly once: $got")
+      "https://h.example/landed", "https://moved.example/new"),
+      s"both redirect classes must enter the frontier exactly once: $got")
   }
 
   test("crawlFetchPlanSink: per-cycle politeness schedule equals the batch twin") {
