@@ -1543,6 +1543,49 @@ object Extras {
       .select(col("target_uri"), decode(col("payload"), "UTF-8").as("text"))
   }
 
+  /** WAT archive as a LINK-GRAPH SOURCE, HASH-CERTIFIED — the workflow
+    * public crawls actually run: graph work reads the WAT sidecar, not
+    * the page archive. Pages on 19 source hosts write WAT metadata
+    * (links packed via [[graft.sources.WarcIO.watPayload]]), the
+    * archive reads back typed ([[WarcIO.watEntries]]), links explode,
+    * and [[graft.operators.Outlinks.hostGraph]] emits the distinct
+    * cross-host edges — certified against the closed-form edge set,
+    * self-links (doc_id%19 == doc_id%13 collisions) dropped by the
+    * graph derivation. */
+  val qS29WatHostGraph = Q(
+    "q_s29_wat_host_graph",
+    """SELECT DISTINCT
+      |       'w' || CAST(doc_id % 19 AS VARCHAR) || '.example' AS src,
+      |       'w' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS dst
+      |FROM documents WHERE doc_id % 19 <> doc_id % 13""".stripMargin) {
+    (s, d) =>
+    import graft.operators.Outlinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_watg_q")
+      .toString
+    val uriC = concat(lit("https://w"), (col("doc_id") % 19).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string"))
+    val page = concat(lit("<a href=\"https://w"),
+      (col("doc_id") % 13).cast("string"), lit(".example/t/"),
+      col("doc_id").cast("string"), lit("\">t</a>"))
+    graft.sources.WarcIO.watSave(
+      documents(s, d).select(
+        uriC.as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:watg:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        graft.sources.WarcIO.watPayload(
+          lit(200), lit("text/html"), Outlinks.htmlTitle(page),
+          Outlinks.pageLinks(page, uriC)).as("metadata"))
+        .repartition(8),
+      tmp)
+    val entries = graft.sources.WarcIO.watEntries(
+      s.read.format("graft-warc").load(tmp))
+    Outlinks.hostGraph(
+      entries.select(col("target_uri"),
+        explode(col("links")).as("link")),
+      "target_uri", "link")
+  }
+
   /** `resource` record round trip, HASH-CERTIFIED — the direct-payload
     * record type (ISO 28500 §6.5, no HTTP envelope): fetched assets
     * archive with their own Content-Type at the ENVELOPE level and the
@@ -1585,6 +1628,7 @@ object Extras {
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
     qS23CrossBatchDedup, qS24NotModified, qS25WatMetadata,
     qS26ResourceRoundTrip, qS27DigestPushdown, qS28WatEntries,
+    qS29WatHostGraph,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,
