@@ -939,6 +939,32 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(t10 / t1 < 30, s"super-linear pagerank blowup: $t1 vs $t10")
   }
 
+  test("hits scales ~linearly at 10x edges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    def edges(prefix: String) = docs.select(
+      concat(lit(prefix), (col("doc_id") % 997).cast("string")).as("src"),
+      concat(lit(prefix), ((col("doc_id") * 13 + 5) % 997).cast("string"))
+        .as("dst"))
+      .union(docs.select(
+        concat(lit(prefix), (col("doc_id") % 997).cast("string")).as("src"),
+        concat(lit(prefix), (col("doc_id") % 389).cast("string")).as("dst")))
+      .distinct()
+    def time(e: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.LinkGraph.hits(e, "src", "dst", 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(edges("h").limit(200)) // warm
+    def best(e: => org.apache.spark.sql.DataFrame): Double =
+      math.min(time(e), time(e))
+    val t1 = best(edges("h"))
+    val t10 = best((0 until 10).map(i => edges(s"h$i"))
+      .reduce(_ unionByName _))
+    println(f"hits 1x: $t1%.2f s, 10x: $t10%.2f s, ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear hits blowup: $t1 vs $t10")
+  }
+
   test("resolveRedirectChains equals a plain-Scala walk on random graphs") {
     import spark.implicits._
     import graft.operators.Outlinks
