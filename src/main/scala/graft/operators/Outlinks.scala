@@ -188,15 +188,26 @@ object Outlinks {
   def metaRefreshEdges(
       df: DataFrame, html: String, uriCol: String): DataFrame = {
     // per-quote-style captures: a double-quoted content value may
-    // carry single quotes inside (content="0; URL='/x'") and vice versa
+    // carry single quotes inside (content="0; URL='/x'") and vice
+    // versa. BOTH attribute orders match (http-equiv before content
+    // and content before http-equiv — HTML attribute order is not
+    // semantic, and real markup uses both), as does an unquoted
+    // content value (content=5;url=/x — legal while it carries no
+    // whitespace or quotes).
     val metaPrefix =
       "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*" +
         "\\bcontent\\s*=\\s*"
+    val metaSuffix = "[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?"
+    val revPrefix = "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*"
+    def ext(pat: String) =
+      nullif(regexp_extract(col(html), pat, 1), lit(""))
     val content = coalesce(
-      nullif(regexp_extract(col(html), metaPrefix + "\"([^\"]*)\"", 1),
-        lit("")),
-      nullif(regexp_extract(col(html), metaPrefix + "'([^']*)'", 1),
-        lit("")),
+      ext(metaPrefix + "\"([^\"]*)\""),
+      ext(metaPrefix + "'([^']*)'"),
+      ext(metaPrefix + "([^\\s\"'>]+)"),
+      ext(revPrefix + "\"([^\"]*)\"" + metaSuffix),
+      ext(revPrefix + "'([^']*)'" + metaSuffix),
+      ext(revPrefix + "([^\\s\"'>]+)" + metaSuffix),
       lit(""))
     val delay = regexp_extract(content, "^\\s*(\\d+)", 1)
     val target = regexp_extract(content,

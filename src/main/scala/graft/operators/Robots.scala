@@ -258,7 +258,10 @@ object Robots {
             "(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"),
           org.apache.spark.sql.functions.lit(1)),
         u => org.apache.spark.sql.functions.trim(u)),
-      u => u.rlike("^https?://"))
+      // RFC 3986 §3.1: scheme comparison is case-insensitive — an
+      // uppercase HTTPS:// sitemap is valid (downstream fetch layers
+      // normalize the case)
+      u => u.rlike("(?i)^https?://"))
 
   /** The robots FETCH WORKLIST: frontier hosts with NO stored policy,
     * as one `/robots.txt` fetch URL per host — what the crawler must

@@ -1839,17 +1839,27 @@ object WarcIO {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val phrase = ReasonPhrase.getOrElse(status, "Status")
     // captured response headers ride between Content-Type and
-    // Content-Length; the framing pair stays writer-owned (skipped
+    // Content-Length; the framing trio stays writer-owned (skipped
     // case-insensitively — a stale captured Content-Length would
-    // corrupt the member framing), and header-breaking characters in
-    // values are defanged rather than trusted
+    // corrupt the member framing, and a captured Transfer-Encoding
+    // would tell a reader to dechunk a payload that is stored as
+    // identity bytes), and header-breaking characters are defanged on
+    // BOTH sides: values get CR/LF collapsed, and a KEY that is not a
+    // valid RFC 9110 token is dropped outright — a key like
+    // "X\r\nTransfer-Encoding" would otherwise inject a header line
+    // the filter above never saw
     // sorted by key: a canonical, replay-deterministic order (header
     // order is not semantic in HTTP; duplicate headers are already a
     // documented limitation of the map representation)
     val extras = extraHeaders.toSeq.sortBy(_._1)
       .filter { case (k, _) =>
-        val lk = k.toLowerCase(java.util.Locale.ROOT)
-        lk != "content-type" && lk != "content-length"
+        k != null && k.nonEmpty &&
+          k.forall(c => c < 127 && (c.isLetterOrDigit ||
+            "!#$%&'*+-.^_`|~".indexOf(c) >= 0)) && {
+            val lk = k.toLowerCase(java.util.Locale.ROOT)
+            lk != "content-type" && lk != "content-length" &&
+              lk != "transfer-encoding"
+          }
       }
       .map { case (k, v) =>
         s"$k: ${if (v == null) "" else v.replaceAll("[\\r\\n]+", " ")}\r\n"

@@ -108,7 +108,13 @@ class OutlinksSpec extends AnyFunSuite {
       ("https://m.example/4",
         """<meta name="viewport" content="url=/not-a-redirect">"""),
       ("https://m.example/5",
-        """<meta http-equiv="refresh" content="url=/now">""") // no delay → 0
+        """<meta http-equiv="refresh" content="url=/now">"""), // no delay → 0
+      ("https://m.example/6", // content BEFORE http-equiv — both orders
+        """<meta content="7;url=/rev" http-equiv="refresh">"""),
+      ("https://m.example/7", // unquoted content value
+        """<meta http-equiv=refresh content=3;url=/unq>"""),
+      ("https://m.example/8", // unquoted + reversed order
+        """<meta content=2;url=/ru http-equiv=refresh>""")
     ).toDF("uri", "html")
     val got = Outlinks.metaRefreshEdges(df, "html", "uri")
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
@@ -116,7 +122,10 @@ class OutlinksSpec extends AnyFunSuite {
     assert(got == Set(
       ("https://m.example/1", "https://m.example/next", 5),
       ("https://m.example/2", "https://o.example/x", 0),
-      ("https://m.example/5", "https://m.example/now", 0)), s"got: $got")
+      ("https://m.example/5", "https://m.example/now", 0),
+      ("https://m.example/6", "https://m.example/rev", 7),
+      ("https://m.example/7", "https://m.example/unq", 3),
+      ("https://m.example/8", "https://m.example/ru", 2)), s"got: $got")
   }
 
   test("canonicalLinkEdges: both attribute orders, junk rels silent") {

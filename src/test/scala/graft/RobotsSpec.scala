@@ -131,11 +131,13 @@ class RobotsSpec extends AnyFunSuite {
     val robots = "User-agent: *\r\nSITEMAP: https://a.example/1.xml\r\n" +
       "Disallow: /x\n  sitemap:\thttp://b.example/2.xml  \n" +
       "Sitemap: /relative.xml\nSitemap: ftp://c.example/3.xml\n" +
+      "Sitemap: HTTPS://UP.example/5.xml\n" + // RFC 3986: scheme case-insens
       "NotASitemap: https://d.example/4.xml"
     val got = Seq(robots).toDF("r")
       .select(graft.operators.Robots.sitemapUrls(col("r")))
       .head().getSeq[String](0)
-    assert(got == Seq("https://a.example/1.xml", "http://b.example/2.xml"),
+    assert(got == Seq("https://a.example/1.xml", "http://b.example/2.xml",
+      "HTTPS://UP.example/5.xml"),
       s"got: $got")
     val none = Seq("User-agent: *\nAllow: /").toDF("r")
       .select(graft.operators.Robots.sitemapUrls(col("r")))

@@ -439,7 +439,10 @@ class WarcSpec extends AnyFunSuite {
         "X-Multi" -> "a b\r\ninjected: no")),
       ("https://h/2", Map("Content-Length" -> "999999",
         "content-type" -> "text/evil", "Server" -> "probe/1.0")),
-      ("https://h/3", null.asInstanceOf[Map[String, String]]))
+      ("https://h/3", null.asInstanceOf[Map[String, String]]),
+      ("https://h/4", Map("X\r\nTransfer-Encoding" -> "chunked",
+        "Transfer-Encoding" -> "chunked", "Via" -> "1.1 cache",
+        "Bad Key" -> "v", "Also:Bad" -> "v")))
       .toDF("target_uri", "headers")
       .withColumn("warc_date", lit("2026-01-01T00:00:00Z"))
       .withColumn("record_id", concat(lit("<urn:h:"),
@@ -472,6 +475,15 @@ class WarcSpec extends AnyFunSuite {
     val (h3, _, _, b3) = back("https://h/3")
     assert(b3 == "body https://h/3" && h3.keys.toSet
       == Set("content-type", "content-length"))
+    // a non-token KEY cannot inject header lines (a CRLF-bearing key
+    // would smuggle a Transfer-Encoding the value defang never sees),
+    // and a legitimate captured Transfer-Encoding is writer-owned
+    // framing (the stored payload is identity bytes) — both drop
+    val (h4, _, _, b4) = back("https://h/4")
+    assert(b4 == "body https://h/4", s"payload intact: $b4")
+    assert(h4("via") == "1.1 cache")
+    assert(h4.keys.toSet == Set("content-type", "content-length", "via"),
+      s"injected/invalid keys must drop: ${h4.keys.toSet}")
   }
 
   test("payload_digest pushdown: CDX point lookup, revisit conjunction, fallback") {
