@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   *  - PR_0 = 1/N uniform;
   *  - multi-edges count once each (dedupe upstream if unwanted) and a
   *    self-loop is an ordinary edge;
-  *  - dangling nodes (no out-edges) leak their mass — the classic
-  *    simplification; totals then sum to < 1 when dangling nodes
-  *    exist. Redistribution would need a per-iteration global scalar
-  *    (an extra job per round) for a correction that does not change
-  *    relative ordering on link-shaped graphs.
+  *  - dangling nodes (no out-edges) leak their mass BY DEFAULT — the
+  *    classic simplification; totals then sum to < 1 when dangling
+  *    nodes exist. `redistributeDangling = true` adds each round's
+  *    leaked mass back uniformly (the Page et al. formulation):
+  *    totals then sum to 1.0, which matters to anyone thresholding
+  *    ABSOLUTE ranks; the correction costs one extra in-plan
+  *    aggregation per round (a broadcast one-row frame, the same
+  *    trick [[hits]]' normalization uses — no driver action) and does
+  *    not change relative ordering on link-shaped graphs.
   *
   * Scale shape: the edge list is augmented with its source's out-degree
   * ONCE and pinned (`localCheckpoint` — also what each iteration's join
@@ -45,10 +49,13 @@ object LinkGraph {
     * @param iterations power-iteration rounds (10–20 is the usual
     *                plateau for web graphs; the oracle pins 5)
     * @param damping the d in the update (0.85 canonical)
+    * @param redistributeDangling add each round's dangling-node mass
+    *                back uniformly (Σ rank = 1.0; see object doc)
     * @return `node` (string), `rank` (double) — one row per node */
   def pageRank(
       edges: DataFrame, src: String, dst: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]")
     val e = edges.select(col(src).cast("string").as("src"),
@@ -64,6 +71,12 @@ object LinkGraph {
     val contribEdges = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
       .localCheckpoint()
+    // dangling = never a source; pinned once — the per-round leak is
+    // then one aggregation over (ranks ⋈ this small frame)
+    lazy val dangling = nodes
+      .join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint()
     val reset = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -71,11 +84,20 @@ object LinkGraph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__outdeg")).as("__inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(reset) + lit(damping) * coalesce(col("__inflow"), lit(0.0)))
-            .as("rank"))
+      val contributed = lit(damping) *
+        coalesce(col("__inflow"), lit(0.0))
+      val update =
+        if (!redistributeDangling) lit(reset) + contributed
+        else lit(reset) + contributed +
+          lit(damping / n) * coalesce(col("__leak"), lit(0.0))
+      val base = nodes.join(inflow, Seq("node"), "left")
+      val joined =
+        if (!redistributeDangling) base
+        else base.crossJoin(broadcast(
+          ranks.join(dangling, "node")
+            .agg(sum(col("rank")).as("__leak"))))
+      ranks = joined
+        .select(col("node"), update.as("rank"))
         .localCheckpoint()
     }
     ranks

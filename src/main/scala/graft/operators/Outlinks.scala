@@ -438,6 +438,94 @@ object Outlinks {
       .withColumn("registered_domain",
         TextAnalysis.registeredDomain(col("url_host")))
 
+  /** URL path TEMPLATE — the crawl-trap detection key: the URL's
+    * path + query with the unbounded-cardinality runs collapsed, so a
+    * calendar grid (`/cal/2026/08/16`), a session-id permutation
+    * (`/p?sid=9f86d081a1b2c3d4`), or a faceted-search explosion all
+    * land on ONE template per pattern while structurally distinct
+    * pages keep distinct templates. Collapsing rules (deterministic,
+    * mirrored by the q_t66 oracle):
+    *   - hex runs of 8+ chars → `*` (session ids, digests — an 8+
+    *     digit run is all hex, so long numeric ids collapse here too);
+    *   - remaining digit runs → `#` (dates, page numbers, short ids);
+    *   - query VALUES → `*` (each `k=v` becomes `k=*`; keys are the
+    *     structure, values are the explosion);
+    *   - an empty path is `/`; the fragment never participates
+    *     (frontier URLs carry none).
+    * Pure codegen'd regexp work, narrow per-row. */
+  def urlTemplate(url: Column): Column = {
+    val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val tpl = regexp_replace(
+      regexp_replace(path, "[0-9a-fA-F]{8,}", "*"), "[0-9]+", "#")
+    concat(tpl,
+      when(length(query) > 0,
+        concat(lit("?"), regexp_replace(query, "=[^&]*", "=*")))
+        .otherwise(lit("")))
+  }
+
+  /** Per-(host, template) frontier cardinality — the crawl-trap
+    * SIGNAL: one row per (url_host, [[urlTemplate]]) pair with its
+    * URL count and an `is_trap` flag at `trapThreshold`. A host whose
+    * single template holds a million URLs is exploding a pattern, not
+    * publishing a million pages; feed the flags to monitoring, or let
+    * [[containTraps]] act on them directly. One hash aggregation on
+    * the (host, template) pair — high-cardinality, skew-safe. */
+  def templateStats(
+      frontier: DataFrame, urlCol: String,
+      trapThreshold: Int = 1000): DataFrame = {
+    require(trapThreshold >= 1,
+      s"trapThreshold must be >= 1: $trapThreshold")
+    frontier
+      .select(TextAnalysis.urlHost(col(urlCol)).as("url_host"),
+        urlTemplate(col(urlCol)).as("url_template"))
+      .groupBy("url_host", "url_template")
+      .agg(count(lit(1)).as("n_urls"))
+      .withColumn("is_trap", col("n_urls") > trapThreshold)
+  }
+
+  /** Crawl-trap CONTAINMENT — the frontier filter in front of
+    * [[fetchPlan]]: templates holding more than `maxPerTemplate` URLs
+    * on one host are capped to their lexicographically first
+    * `maxPerTemplate` (deterministic — a re-derived frontier keeps
+    * the same survivors), while every template at-or-under the cap
+    * passes whole. `maxPerHost` alone cannot do this: a calendar trap
+    * fills the per-host budget with near-identical URLs BEFORE the
+    * host cap bites, starving the host's legitimate pages; capping
+    * per (host, template) spends the budget across patterns.
+    *
+    * Input rows are assumed distinct URLs ([[crawlFrontier]]'s
+    * contract — duplicates would make the lexicographic tiebreak
+    * partition-dependent). Scale shape: one hash aggregation for the
+    * per-(host, template) counts, one join back (the counts side is
+    * one row per distinct template — AQE broadcasts it when small),
+    * and the cap runs [[Skew.topKPerGroup]] — salted two-level rank,
+    * so no task ever sorts a whole exploding template.
+    *
+    * @return the input columns plus `url_template` */
+  def containTraps(
+      frontier: DataFrame, urlCol: String, maxPerTemplate: Int,
+      salts: Int = 64): DataFrame = {
+    require(maxPerTemplate >= 1,
+      s"maxPerTemplate must be >= 1: $maxPerTemplate")
+    val inCols = frontier.columns.toSeq
+    val t = frontier
+      .withColumn("url_template", urlTemplate(col(urlCol)))
+      .withColumn("__th", TextAnalysis.urlHost(col(urlCol)))
+    val counts = t.groupBy("__th", "url_template")
+      .agg(count(lit(1)).as("__n"))
+    val joined = t.join(counts, Seq("__th", "url_template"))
+    val pass = joined.filter(col("__n") <= maxPerTemplate).drop("__n")
+    val capped = Skew.topKPerGroup(
+      joined.filter(col("__n") > maxPerTemplate).drop("__n"),
+      Seq("__th", "url_template"), Seq(col(urlCol)), maxPerTemplate,
+      col(urlCol), salts)
+      .drop("rank")
+    pass.unionByName(capped)
+      .select((inCols.map(col) :+ col("url_template")): _*)
+  }
+
   /** Politeness-aware FETCH PLAN — the operator a crawler actually
     * consumes: frontier URLs × per-host robots policies → the allowed
     * URLs, each with its host's effective crawl delay, a per-host
@@ -455,17 +543,35 @@ object Outlinks {
     *     host asking for LESS politeness than the crawler's own
     *     minimum still gets the minimum;
     *   - `fetch_seq` is the 1-based rank of the URL among its host's
-    *     allowed URLs ordered lexicographically — deterministic, so a
-    *     re-derived plan is byte-identical.
+    *     allowed URLs — ordered lexicographically by default, or by
+    *     `(priority desc, url)` when a priority frame is given —
+    *     deterministic either way, so a re-derived plan is
+    *     byte-identical;
+    *   - with a `priorities` frame (e.g. [[LinkGraph.pageRank]] over
+    *     the URL graph), each frontier URL left-joins its score
+    *     (missing URLs score 0.0 — fetched after every scored URL)
+    *     and the per-host sequence fetches the HIGHEST-value pages
+    *     first: the order a budget-bound crawler wants, and what makes
+    *     `maxPerHost` keep the top-priority URLs instead of the
+    *     alphabetically early ones. The output then carries the joined
+    *     `priority` column; URL stays the tiebreak, so the
+    *     no-priorities plan is the priorities-of-all-zero plan;
+    *   - with `fetchedAtCol`/`maxAgeSeconds` ([[Robots.gateByPolicy]]
+    *     semantics), a policy row older than `maxAgeSeconds` at `asOf`
+    *     is treated as ABSENT — RFC 9309 §2.4 caps robots caching at
+    *     ~24 h, so a stale policy must not keep gating; feed the same
+    *     arguments to [[Robots.robotsFetchList]] to surface those
+    *     hosts for refetch.
     *
     * Scale shape: the crawl-delay is per (host, agent), so it is
     * parsed ONCE per host on the policy side (one narrow projection
     * over the small build side) — only the per-path allow/deny runs
     * per URL row. The join hashes on the host (the canonical skew
     * key — broadcast the policy table when it fits; AQE skew-split
-    * covers the shuffle case), and the per-host sequence comes from
-    * [[Skew.rankWithinKey]] — no task ever sorts a whole host's URLs,
-    * no matter how hot the host.
+    * covers the shuffle case); the priority join hashes on the URL
+    * itself (maximally high-cardinality); and the per-host sequence
+    * comes from [[Skew.rankWithinKey]] — no task ever sorts a whole
+    * host's URLs, no matter how hot the host.
     *
     * @param frontier frame with a URL column ([[crawlFrontier]]'s
     *                 output or any URL list)
@@ -477,27 +583,43 @@ object Outlinks {
     *                 already computed, the cap is a filter on it);
     *                 capped URLs are NOT seen/fetched, so the caller's
     *                 crawl loop re-derives them next cycle.
+    * @param priorities optional per-URL score frame (`priorityUrlCol`,
+    *                 `priorityCol`); higher fetches earlier
+    * @param fetchedAtCol optional timestamp column on `policies`
+    *                 recording when each robots.txt was fetched
+    * @param maxAgeSeconds policy freshness horizon (RFC 9309 §2.4's
+    *                 24 h default); only consulted with `fetchedAtCol`
+    * @param asOf     the "now" freshness is judged against (a literal
+    *                 for reproducible plans; None = current_timestamp)
     * @return frontier columns (url_host re-derived) plus `crawl_delay`,
-    *         `fetch_seq`, `fetch_offset` */
+    *         [`priority` when a priority frame is given,] `fetch_seq`,
+    *         `fetch_offset` */
   def fetchPlan(
       frontier: DataFrame, urlCol: String,
       policies: DataFrame, hostCol: String, robotsCol: String,
       agent: String, defaultDelay: Double = 1.0,
-      numPartitions: Int = 0, maxPerHost: Int = 0): DataFrame = {
+      numPartitions: Int = 0, maxPerHost: Int = 0,
+      priorities: Option[DataFrame] = None,
+      priorityUrlCol: String = "node", priorityCol: String = "rank",
+      fetchedAtCol: Option[String] = None,
+      maxAgeSeconds: Long = 86400L,
+      asOf: Option[Column] = None): DataFrame = {
     require(defaultDelay > 0, s"defaultDelay must be > 0: $defaultDelay")
     require(maxPerHost >= 0, s"maxPerHost must be >= 0: $maxPerHost")
-    val pol = policies.select(
-      lower(trim(col(hostCol))).as("url_host"),
-      col(robotsCol).as("__robots"),
-      // delay is path-independent — parse once per host, build-side
-      Robots.robotsVerdict(col(robotsCol), lit(agent), lit("/"))
-        .getField("crawl_delay").as("__host_delay"))
+    val pol = Robots.freshOnly(policies, fetchedAtCol, maxAgeSeconds,
+        asOf)
+      .select(
+        lower(trim(col(hostCol))).as("url_host"),
+        col(robotsCol).as("__robots"),
+        // delay is path-independent — parse once per host, build-side
+        Robots.robotsVerdict(col(robotsCol), lit(agent), lit("/"))
+          .getField("crawl_delay").as("__host_delay"))
     val path = coalesce(
       nullif(regexp_extract(col(urlCol),
         "^[^:/?#]+://[^/?#]*([/?][^#]*)?", 1), lit("")),
       lit("/"))
     val inCols = frontier.columns.toSeq.filterNot(_ == "url_host")
-    frontier
+    val gated = frontier
       .withColumn("url_host", TextAnalysis.urlHost(col(urlCol)))
       .join(pol, Seq("url_host"), "left")
       .filter(col("__robots").isNull
@@ -506,7 +628,21 @@ object Outlinks {
         coalesce(col("__host_delay"), lit(defaultDelay)),
         lit(defaultDelay)))
       .drop("__robots", "__host_delay")
-      .transform(Skew.rankWithinKey(_, Seq("url_host"), Seq(urlCol),
+    val (scored, orderCols, outExtra) = priorities match {
+      case Some(p) =>
+        val pri = p.select(col(priorityUrlCol).cast("string").as(urlCol),
+          col(priorityCol).cast("double").as("priority"))
+        // negated score as the rank key: rankWithinKey orders
+        // ascending, and (-priority, url) ascending IS
+        // (priority desc, url asc)
+        (gated.join(pri, Seq(urlCol), "left")
+          .withColumn("priority", coalesce(col("priority"), lit(0.0)))
+          .withColumn("__prio_ord", -col("priority")),
+          Seq("__prio_ord", urlCol), Seq(col("priority")))
+      case None => (gated, Seq(urlCol), Nil)
+    }
+    scored
+      .transform(Skew.rankWithinKey(_, Seq("url_host"), orderCols,
         "fetch_seq", numPartitions))
       .transform(df =>
         if (maxPerHost > 0) df.filter(col("fetch_seq") <= maxPerHost)
@@ -514,6 +650,7 @@ object Outlinks {
       .withColumn("fetch_offset",
         (col("fetch_seq") - 1).cast("double") * col("crawl_delay"))
       .select((inCols.map(col) ++ Seq(col("url_host"),
-        col("crawl_delay"), col("fetch_seq"), col("fetch_offset"))): _*)
+        col("crawl_delay")) ++ outExtra ++
+        Seq(col("fetch_seq"), col("fetch_offset"))): _*)
   }
 }

@@ -263,22 +263,58 @@ object Robots {
       // normalize the case)
       u => u.rlike("(?i)^https?://"))
 
-  /** The robots FETCH WORKLIST: frontier hosts with NO stored policy,
-    * as one `/robots.txt` fetch URL per host — what the crawler must
-    * fetch BEFORE it may politely fetch those hosts' pages
-    * ([[gateByPolicy]]/[[Outlinks.fetchPlan]] default-allow unknown
-    * hosts, but a compliant crawler resolves the unknown first). One
-    * distinct + one anti-join, both hashing on the host. */
+  /** Drop policy rows whose `fetchedAtCol` timestamp is older than
+    * `maxAgeSeconds` at `asOf` — the RFC 9309 §2.4 freshness gate
+    * shared by [[gateByPolicy]], [[Outlinks.fetchPlan]], and
+    * [[robotsFetchList]]: the RFC allows caching a robots.txt for at
+    * most ~24 h, so a STALE stored policy must behave exactly like an
+    * absent one (default-allow downstream, host surfaced for refetch).
+    * `fetchedAtCol = None` (the historical signature) keeps every row:
+    * the policy table is then treated as eternally fresh. `asOf`
+    * defaults to `current_timestamp()`; pass a literal for
+    * reproducible plans (the same reason WARC writers pin dates).
+    * Narrow build-side filter — no plan-shape change. */
+  private[graft] def freshOnly(
+      policies: org.apache.spark.sql.DataFrame,
+      fetchedAtCol: Option[String], maxAgeSeconds: Long,
+      asOf: Option[Column]): org.apache.spark.sql.DataFrame = {
+    require(maxAgeSeconds > 0, s"maxAgeSeconds must be > 0: $maxAgeSeconds")
+    fetchedAtCol match {
+      case None => policies
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{
+          col, current_timestamp, lit}
+        val now = asOf.getOrElse(current_timestamp())
+        policies.filter(col(c).isNotNull &&
+          col(c).cast("timestamp").cast("long") >=
+            now.cast("timestamp").cast("long") - lit(maxAgeSeconds))
+    }
+  }
+
+  /** The robots FETCH WORKLIST: frontier hosts with NO FRESH stored
+    * policy, as one `/robots.txt` fetch URL per host — what the
+    * crawler must fetch BEFORE it may politely fetch those hosts'
+    * pages ([[gateByPolicy]]/[[Outlinks.fetchPlan]] default-allow
+    * unknown hosts, but a compliant crawler resolves the unknown
+    * first). With `fetchedAtCol`, a policy older than `maxAgeSeconds`
+    * at `asOf` counts as absent ([[freshOnly]]) — so a site that
+    * tightened its robots.txt gets refetched instead of being crawled
+    * forever under the old rules. One distinct + one anti-join, both
+    * hashing on the host. */
   def robotsFetchList(
       frontier: org.apache.spark.sql.DataFrame, urlCol: String,
-      policies: org.apache.spark.sql.DataFrame, hostCol: String)
+      policies: org.apache.spark.sql.DataFrame, hostCol: String,
+      fetchedAtCol: Option[String] = None,
+      maxAgeSeconds: Long = 86400L,
+      asOf: Option[Column] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, lit, lower, trim}
     frontier
       .select(TextAnalysis.urlHost(col(urlCol)).as("url_host"))
       .filter(col("url_host").isNotNull)
       .distinct()
-      .join(policies.select(lower(trim(col(hostCol))).as("url_host"))
+      .join(freshOnly(policies, fetchedAtCol, maxAgeSeconds, asOf)
+        .select(lower(trim(col(hostCol))).as("url_host"))
         .distinct(),
         Seq("url_host"), "left_anti")
       .select(col("url_host"),
@@ -299,8 +335,12 @@ object Robots {
     * lowercased host of their URL, and each page's path+query is
     * evaluated under its host's policy. Pages whose host has NO stored
     * policy pass (the web's default-allow); pages with one pass iff
-    * the merged applicable group allows their path. Returns the
-    * surviving rows unchanged.
+    * the merged applicable group allows their path. With
+    * `fetchedAtCol`, a policy older than `maxAgeSeconds` at `asOf` is
+    * treated as absent ([[freshOnly]] — RFC 9309 §2.4): its pages
+    * default-allow, and [[robotsFetchList]] with the same arguments
+    * surfaces the host for refetch. Returns the surviving rows
+    * unchanged.
     *
     * Plan shape: one equi-join hashing on the host. Host popularity is
     * the canonical skew key (one giant host can dominate a crawl), but
@@ -311,11 +351,15 @@ object Robots {
   def gateByPolicy(
       pages: org.apache.spark.sql.DataFrame, uriCol: String,
       policies: org.apache.spark.sql.DataFrame, hostCol: String,
-      robotsCol: String, agent: String)
+      robotsCol: String, agent: String,
+      fetchedAtCol: Option[String] = None,
+      maxAgeSeconds: Long = 86400L,
+      asOf: Option[Column] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{
       coalesce, col, lit, lower, regexp_extract}
-    val keyed = policies.select(
+    val keyed = freshOnly(policies, fetchedAtCol, maxAgeSeconds, asOf)
+      .select(
       lower(org.apache.spark.sql.functions.trim(col(hostCol)))
         .as("_gate_host"),
       col(robotsCol).as("_gate_robots"))

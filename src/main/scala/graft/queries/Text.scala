@@ -2089,19 +2089,33 @@ object Text {
     * reference and the oracle's cost would grow exponentially with the
     * iteration count (observed: the correlated form of the q_t58
     * oracle never finished). */
-  private def pageRankOracleSql(edgeSelect: String, iters: Int): String = {
+  private def pageRankOracleSql(edgeSelect: String, iters: Int,
+      redistribute: Boolean = false): String = {
     val rounds = (1 to iters).map { k =>
-      s""" r$k AS MATERIALIZED (
+      val leakCte = if (!redistribute) "" else
+        s""" l$k AS MATERIALIZED (
+           |   SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS l
+           |   FROM r${k - 1} p JOIN dang d ON d.node = p.node),
+           |""".stripMargin
+      val leakTerm = if (!redistribute) "" else
+        s"""
+           |          + CAST(0.85 AS DOUBLE) * (SELECT l FROM l$k)
+           |            / (SELECT n FROM nn)""".stripMargin
+      s"""$leakCte r$k AS MATERIALIZED (
          |   SELECT n.node,
          |          CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
          |          + CAST(0.85 AS DOUBLE)
-         |            * COALESCE(s.v, CAST(0 AS DOUBLE)) AS pr
+         |            * COALESCE(s.v, CAST(0 AS DOUBLE))$leakTerm AS pr
          |   FROM nodes n LEFT JOIN (
          |     SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS v
          |     FROM e JOIN r${k - 1} p ON p.node = e.src
          |            JOIN od ON od.src = e.src
          |     GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
+    val dangCte = if (!redistribute) "" else
+      """ dang AS MATERIALIZED (
+        |   SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM e),
+        |""".stripMargin
     s"""WITH e AS MATERIALIZED (
        |$edgeSelect),
        | nodes AS MATERIALIZED (
@@ -2111,7 +2125,7 @@ object Text {
        |   FROM e GROUP BY src),
        | nn AS MATERIALIZED (
        |   SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-       | r0 AS MATERIALIZED (
+       |$dangCte r0 AS MATERIALIZED (
        |   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
        |   FROM nodes),
        |$rounds
@@ -2511,6 +2525,184 @@ object Text {
     Robots.robotsFetchList(frontier, "frontier_url", policies, "host")
   }
 
+  /** Rank-aware fetch plan, HASH-CERTIFIED — the budget-bound
+    * crawler's ordering: frontier URLs join a per-URL priority frame
+    * (the [[graft.operators.LinkGraph.pageRank]] output shape;
+    * every 4th URL deliberately UNSCORED → 0.0, fetched last) and
+    * each host's `fetch_seq` orders by `(priority desc, url)` —
+    * so `maxPerHost = 40` keeps the 40 HIGHEST-value URLs per host,
+    * not the alphabetically early ones. The oracle recomputes the
+    * plan with an independent
+    * `ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC,
+    * url)` window — certifying that [[graft.operators.Skew
+    * .rankWithinKey]] over the negated-score key EQUALS the naive
+    * group-sized descending window, missing-score coalesce included. */
+  val qT64RankedFetchPlan = Q(
+    "q_t64_ranked_fetch_plan",
+    """WITH f AS (
+      |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '.example/u/' || CAST(doc_id AS VARCHAR)
+      |           AS frontier_url,
+      |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      |           AS url_host,
+      |         CASE WHEN doc_id % 4 = 0 THEN CAST(0 AS DOUBLE)
+      |              ELSE CAST((doc_id * 13) % 23 AS DOUBLE) END
+      |           AS priority
+      |  FROM documents),
+      | r AS (
+      |  SELECT frontier_url, url_host,
+      |         CAST(1.0 AS DOUBLE) AS crawl_delay, priority,
+      |         ROW_NUMBER() OVER (PARTITION BY url_host
+      |                            ORDER BY priority DESC, frontier_url)
+      |           AS fetch_seq
+      |  FROM f)
+      |SELECT frontier_url, url_host, crawl_delay, priority, fetch_seq,
+      |       (fetch_seq - 1) * crawl_delay AS fetch_offset
+      |FROM r WHERE fetch_seq <= 40""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val url = concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+      lit(".example/u/"), col("doc_id").cast("string"))
+    val frontier = docs.select(url.as("frontier_url"))
+    val pri = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(url.as("node"),
+        ((col("doc_id") * 13) % 23).cast("double").as("rank"))
+    val policies = s.range(0).select(lit("h").as("host"),
+      lit("User-agent: *\nAllow: /").as("robots"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot", maxPerHost = 40, priorities = Some(pri))
+  }
+
+  /** Robots policy FRESHNESS, HASH-CERTIFIED — RFC 9309 §2.4 caps
+    * robots caching at ~24 h, so [[graft.operators.Robots
+    * .robotsFetchList]] with a `fetched_at` contract must surface
+    * BOTH never-seen hosts and stale-policy hosts: policies exist for
+    * hosts 0–9 but only 0–4 were fetched within the 24 h horizon of
+    * the pinned `asOf`; the frontier spans hosts 0–19, so exactly
+    * hosts 5–19 must surface for refetch. A broken freshness filter
+    * flips rows in either direction (treating stale as fresh hides
+    * 5–9; treating fresh as stale adds 0–4). */
+  val qT65RobotsFreshness = Q(
+    "q_t65_robots_freshness",
+    """SELECT DISTINCT
+      |       'fh' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+      |         AS url_host,
+      |       'https://fh' || CAST(doc_id % 20 AS VARCHAR)
+      |         || '.example/robots.txt' AS robots_url
+      |FROM documents WHERE doc_id % 20 >= 5""".stripMargin) { (s, d) =>
+    import graft.operators.Robots
+    val frontier = documents(s, d).select(
+      concat(lit("https://fh"), (col("doc_id") % 20).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"))
+        .as("frontier_url"))
+    val policies = s.range(10).select(
+      concat(lit("fh"), col("id").cast("string"), lit(".example"))
+        .as("host"),
+      lit("User-agent: *\nAllow: /").as("robots"),
+      when(col("id") < 5, lit("2026-02-01 02:00:00")) // 10 h old: fresh
+        .otherwise(lit("2026-01-30 00:00:00")) // 2.5 d old: stale
+        .cast("timestamp").as("fetched_at"))
+    Robots.robotsFetchList(frontier, "frontier_url", policies, "host",
+      fetchedAtCol = Some("fetched_at"), maxAgeSeconds = 86400L,
+      asOf = Some(lit("2026-02-01 12:00:00").cast("timestamp")))
+  }
+
+  /** Crawl-trap CONTAINMENT, HASH-CERTIFIED — the frontier filter in
+    * front of the fetch plan ([[graft.operators.Outlinks
+    * .containTraps]]): three URL families on two hosts — a legitimate
+    * 20-page section (template `/p/#`, under the 25 cap → passes
+    * whole), a calendar-style explosion (`/cal/#?day=*`, one URL per
+    * doc → capped to its lexicographically first 25), and a
+    * session-id explosion whose 12-hex-digit run collapses to a
+    * single `/s/` + `*` template (capped to 25; spelled indirectly
+    * here because Scala comments nest). The oracle recomputes the
+    * templates closed-form
+    * and the caps with independent ROW_NUMBER windows — certifying
+    * the hex/digit/query collapsing rules, the per-(host, template)
+    * counting, and that [[graft.operators.Skew.topKPerGroup]]'s
+    * salted cap EQUALS the naive window. */
+  val qT66TrapContainment = Q(
+    "q_t66_trap_containment",
+    """WITH legit AS (
+      |  SELECT DISTINCT 'https://site.example/p/'
+      |           || CAST(doc_id % 20 AS VARCHAR) AS frontier_url,
+      |         '/p/#' AS url_template
+      |  FROM documents),
+      | cal AS (
+      |  SELECT DISTINCT 'https://trap.example/cal/'
+      |           || CAST(doc_id AS VARCHAR) || '?day='
+      |           || CAST(doc_id % 366 AS VARCHAR) AS frontier_url
+      |  FROM documents),
+      | calc AS (
+      |  SELECT frontier_url, '/cal/#?day=*' AS url_template,
+      |         ROW_NUMBER() OVER (ORDER BY frontier_url) AS rn
+      |  FROM cal),
+      | sess AS (
+      |  SELECT DISTINCT 'https://trap.example/s/'
+      |           || lpad(hex(doc_id), 12, '0') AS frontier_url
+      |  FROM documents),
+      | sessc AS (
+      |  SELECT frontier_url, '/s/*' AS url_template,
+      |         ROW_NUMBER() OVER (ORDER BY frontier_url) AS rn
+      |  FROM sess)
+      |SELECT frontier_url, url_template FROM legit
+      |UNION ALL
+      |SELECT frontier_url, url_template FROM calc WHERE rn <= 25
+      |UNION ALL
+      |SELECT frontier_url, url_template FROM sessc WHERE rn <= 25"""
+      .stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val legit = docs.select(
+      concat(lit("https://site.example/p/"),
+        (col("doc_id") % 20).cast("string")).as("frontier_url"))
+    val cal = docs.select(
+      concat(lit("https://trap.example/cal/"),
+        col("doc_id").cast("string"), lit("?day="),
+        (col("doc_id") % 366).cast("string")).as("frontier_url"))
+    val sess = docs.select(
+      concat(lit("https://trap.example/s/"),
+        lpad(hex(col("doc_id")), 12, "0")).as("frontier_url"))
+    Outlinks.containTraps(
+      legit.union(cal).union(sess).distinct(),
+      "frontier_url", maxPerTemplate = 25)
+  }
+
+  /** PageRank with dangling-mass REDISTRIBUTION, HASH-CERTIFIED — the
+    * Page et al. formulation ([[graft.operators.LinkGraph.pageRank]]
+    * with `redistributeDangling = true`): 13 planted sink nodes (the
+    * `d` family never links out) would leak their mass under the
+    * default semantics; here each round's leak is added back
+    * uniformly via an in-plan broadcast total, so Σ rank = 1.0 —
+    * the invariant anyone thresholding ABSOLUTE ranks needs. The
+    * oracle unrolls the same 5 rounds with an explicit per-round
+    * leak CTE over the dangling set. q_t54 pins that the DEFAULT
+    * semantics stay byte-identical. */
+  val qT67PagerankRedistribute = Q(
+    "q_t67_pagerank_redistribute",
+    pageRankOracleSql(
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+        |           'h' || CAST((doc_id * 3 + 1) % 31 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'h' || CAST(doc_id % 31 AS VARCHAR),
+        |           'd' || CAST(doc_id % 13 AS VARCHAR)
+        |    FROM documents)""".stripMargin, 5,
+      redistribute = true)) { (s, d) =>
+    val docs = documents(s, d)
+    def m(p: String, n: Int, expr: org.apache.spark.sql.Column) =
+      concat(lit(p), (expr % n).cast("string"))
+    val e = docs.select(m("h", 31, col("doc_id")).as("src"),
+        m("h", 31, col("doc_id") * 3 + 1).as("dst"))
+      .union(docs.select(m("h", 31, col("doc_id")).as("src"),
+        m("d", 13, col("doc_id")).as("dst")))
+      .distinct()
+    graft.operators.LinkGraph.pageRank(e, "src", "dst",
+      iterations = 5, damping = 0.85, redistributeDangling = true)
+      .select(col("node"), col("rank").as("pr"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2528,5 +2720,6 @@ object Text {
       qT52CharsetDecode, qT53FetchPlan, qT54PageRank, qT55AnchorText,
       qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains,
       qT60MetaRefresh, qT61CanonicalLink, qT62RobotsSitemaps,
-      qT63RobotsFetchList)
+      qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
+      qT66TrapContainment, qT67PagerankRedistribute)
 }

@@ -114,6 +114,69 @@ class FetchPlanSpec extends AnyFunSuite {
       .length == 3, "hosts under the cap are untouched")
   }
 
+  test("fetchPlan priorities: (priority desc, url) order, missing scores last") {
+    val frontier = Seq(
+      "https://p.example/a", "https://p.example/b",
+      "https://p.example/c", "https://p.example/d",
+      "https://q.example/z").toDF("frontier_url")
+    // b outranks a; c ties a (url tiebreak); d unscored → 0.0, last
+    val pri = Seq(
+      ("https://p.example/a", 2.0), ("https://p.example/b", 7.0),
+      ("https://p.example/c", 2.0), ("https://q.example/z", 1.0))
+      .toDF("node", "rank")
+    val got = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", priorities = Some(pri))
+    assert(got.columns.toSeq == Seq("frontier_url", "url_host",
+      "crawl_delay", "priority", "fetch_seq", "fetch_offset"))
+    val rows = got.collect().map(r =>
+      r.getAs[String]("frontier_url") ->
+        ((r.getAs[Double]("priority"), r.getAs[Long]("fetch_seq")))).toMap
+    assert(rows("https://p.example/b") == ((7.0, 1L)), s"got $rows")
+    assert(rows("https://p.example/a") == ((2.0, 2L)))
+    assert(rows("https://p.example/c") == ((2.0, 3L)))
+    assert(rows("https://p.example/d") == ((0.0, 4L)))
+    assert(rows("https://q.example/z") == ((1.0, 1L)))
+  }
+
+  test("fetchPlan priorities + maxPerHost: the TOP-priority URLs survive the cap") {
+    // hot host: 200 URLs, scores = reversed url order, so the cap
+    // must keep the lexicographically LAST k — the exact opposite of
+    // the unranked plan
+    val frontier = (0 until 200)
+      .map(i => f"https://hot.example/p/$i%03d").toDF("frontier_url")
+    val pri = (0 until 200)
+      .map(i => (f"https://hot.example/p/$i%03d", i.toDouble))
+      .toDF("node", "rank")
+    val got = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", maxPerHost = 10,
+      priorities = Some(pri), numPartitions = 16)
+      .collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[String]("frontier_url")).sorted.toSeq
+      == (190 until 200).map(i => f"https://hot.example/p/$i%03d"),
+      "the cap must keep the highest-priority URLs")
+    assert(got.map(_.getAs[Long]("fetch_seq")).sorted.toSeq
+      == (1L to 10L), "capped sequence stays dense 1..k")
+    // differential: the full ranked plan equals the naive descending
+    // window, hot host forced across many range partitions
+    val full = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", priorities = Some(pri),
+      numPartitions = 16)
+      .select("frontier_url", "fetch_seq")
+    val naive = frontier
+      .join(pri.withColumnRenamed("node", "frontier_url"), "frontier_url")
+      .withColumn("fetch_seq", row_number().over(
+        Window.partitionBy(lit("hot.example"))
+          .orderBy(col("rank").desc, col("frontier_url")))
+        .cast("long"))
+      .select("frontier_url", "fetch_seq")
+    assert(full.exceptAll(naive).isEmpty && naive.exceptAll(full).isEmpty,
+      "ranked rankWithinKey must EQUAL the naive descending window")
+  }
+
   test("fetchPlan composes on crawlFrontier output (url_host rides)") {
     val links = Seq(
       ("https://d.example/x", 1L), ("https://d.example/y", 1L),

@@ -52,6 +52,31 @@ class LinkGraphSpec extends AnyFunSuite {
       s"chain order must hold: $r")
   }
 
+  test("redistributeDangling: totals sum to 1, ordering kept, no-op without sinks") {
+    def ranksR(edges: Seq[(String, String)], iters: Int)
+        : Map[String, Double] =
+      LinkGraph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters, 0.85, redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // chain with a sink: default leaks (pinned above); redistribution
+    // conserves total mass at EVERY iteration count
+    val chain = Seq("a" -> "b", "b" -> "c")
+    for (it <- Seq(1, 3, 10)) {
+      val r = ranksR(chain, it)
+      assert(math.abs(r.values.sum - 1.0) < 1e-9,
+        s"Σ rank must be 1.0 at iter $it: ${r.values.sum}")
+    }
+    assert({ val r = ranksR(chain, 10)
+      r("c") > r("b") && r("b") > r("a") },
+      "relative ordering must match the default semantics")
+    // dangle-free graph: redistribution must be numerically a no-op
+    val free = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val d = ranks(free, 7)
+    val rr = ranksR(free, 7)
+    d.keys.foreach(k => assert(math.abs(d(k) - rr(k)) < 1e-12,
+      s"no-sink graph must be unchanged at $k: ${d(k)} vs ${rr(k)}"))
+  }
+
   test("self-loop is an ordinary edge") {
     // a keeps half its rank, sends half to b; b sends all back
     val r = ranks(Seq("a" -> "a", "a" -> "b", "b" -> "a"), 30)

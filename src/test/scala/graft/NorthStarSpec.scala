@@ -1993,4 +1993,46 @@ class NorthStarSpec extends AnyFunSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
       "canonical form is not a fixed point")
   }
+
+  test("calendar trap contained before the fetch plan; legit pages survive") {
+    import spark.implicits._
+    import graft.operators.Outlinks
+    // a calendar-trap host: 2000 near-identical date-grid URLs plus 12
+    // genuine articles with letter-distinct slugs, against a clean host
+    // with 30 articles. maxPerHost alone (50) would fill the trap
+    // host's budget with calendar pages; per-template containment must
+    // spend it on the articles first... or rather keep every article
+    // AND a bounded calendar sample.
+    val slugs = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val frontier = (
+      (0 until 2000).map(i =>
+        f"https://trap.example/events/${2020 + i / 366}/day/${i % 366}%03d") ++
+        slugs.map(s => s"https://trap.example/articles/$s") ++
+        (0 until 30).map(i => s"https://clean.example/post/nr$i")
+      ).toDF("frontier_url")
+    val contained = Outlinks.containTraps(frontier, "frontier_url",
+      maxPerTemplate = 40)
+    val plan = Outlinks.fetchPlan(contained, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", maxPerHost = 50)
+    val byHost = plan.collect()
+      .groupBy(_.getAs[String]("url_host"))
+      .view.mapValues(_.map(_.getAs[String]("frontier_url")).toSet).toMap
+    // trap host: all 12 articles survive; calendar capped to 40, so
+    // the 50-URL host budget has room for every article (the
+    // uncontained plan would have filled all 50 slots with
+    // /events/2020/day/0xx — lexicographically before /articles/)
+    val trap = byHost("trap.example")
+    assert(slugs.forall(s => trap.contains(
+      s"https://trap.example/articles/$s")),
+      s"articles must survive containment+cap: $trap")
+    assert(trap.count(_.contains("/events/")) == 40 - 2,
+      "calendar sample bounded by the template cap minus the cross-" +
+        s"template host-cap squeeze: ${trap.size}")
+    assert(trap.size == 50, "host budget fully spent")
+    // clean host: the single /post/nr# template is under the cap —
+    // every page unconditionally survives
+    assert(byHost("clean.example").size == 30)
+  }
 }

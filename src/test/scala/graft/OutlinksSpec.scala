@@ -240,6 +240,61 @@ class OutlinksSpec extends AnyFunSuite {
       s"sitemap rows drifted: $got")
   }
 
+  test("urlTemplate: digit/hex/query collapsing, empty path") {
+    import spark.implicits._
+    val got = Seq(
+      "https://h.example/cal/2026/08/16",
+      "https://h.example/p?sid=9f86d081a1b2&page=3",
+      "https://h.example/s/00000000002a/view",
+      "https://h.example",
+      "https://h.example/about",
+      "https://h.example/a1b2/x" // short mixed run: digits only collapse
+    ).toDF("u").select(col("u"),
+        graft.operators.Outlinks.urlTemplate(col("u")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://h.example/cal/2026/08/16") == "/cal/#/#/#")
+    assert(got("https://h.example/p?sid=9f86d081a1b2&page=3")
+      == "/p?sid=*&page=*")
+    assert(got("https://h.example/s/00000000002a/view") == "/s/*/view")
+    assert(got("https://h.example") == "/")
+    assert(got("https://h.example/about") == "/about")
+    assert(got("https://h.example/a1b2/x") == "/a#b#/x")
+  }
+
+  test("templateStats + containTraps: explosion capped, legit survives") {
+    import spark.implicits._
+    // trap host: 500 calendar URLs on ONE template + 3 real pages;
+    // clean host: 40 pages across 40 distinct templates
+    val frontier = (
+      (0 until 500).map(i => f"https://t.example/cal/2026/$i%03d") ++
+        Seq("https://t.example/about", "https://t.example/contact",
+          "https://t.example/pricing") ++
+        (0 until 40).map(i => s"https://c.example/sec$i/page")
+      ).toDF("frontier_url")
+    val stats = graft.operators.Outlinks.templateStats(
+        frontier, "frontier_url", trapThreshold = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(stats(("t.example", "/cal/#/#")) == ((500L, true)))
+    assert(stats(("t.example", "/about")) == ((1L, false)))
+    // c.example's 40 sections share one digit-collapsed template —
+    // 40 URLs is real site structure, under the 100 threshold
+    assert(stats(("c.example", "/sec#/page")) == ((40L, false)))
+    val contained = graft.operators.Outlinks.containTraps(
+      frontier, "frontier_url", maxPerTemplate = 100)
+    assert(contained.columns.toSeq ==
+      Seq("frontier_url", "url_template"))
+    val rows = contained.collect().map(_.getString(0))
+    assert(rows.length == 100 + 3 + 40, s"got ${rows.length}")
+    // the cap keeps the lexicographically first 100 trap URLs; every
+    // legitimate page on BOTH hosts survives untouched
+    assert(rows.filter(_.contains("/cal/")).sorted.toSeq ==
+      (0 until 100).map(i => f"https://t.example/cal/2026/$i%03d"))
+    assert(rows.count(_.contains("c.example")) == 40)
+    assert(Seq("about", "contact", "pricing").forall(p =>
+      rows.contains(s"https://t.example/$p")))
+  }
+
   test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
     import spark.implicits._
     val links = Seq(

@@ -158,6 +158,61 @@ class RobotsSpec extends AnyFunSuite {
       s"got: $got")
   }
 
+  test("policy freshness: fresh honored, stale default-allows and refetches") {
+    val spark = GraftSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val asOf = Some(lit("2026-03-01 12:00:00")
+      .cast("timestamp").asInstanceOf[org.apache.spark.sql.Column])
+    val pages = Seq(
+      "https://fresh.example/blocked/a", "https://fresh.example/open/b",
+      "https://stale.example/blocked/c", // stale gate must NOT drop this
+      "https://never.example/anything").toDF("uri")
+    val policies = Seq(
+      ("fresh.example", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 3",
+        "2026-03-01 00:00:00"), // 12 h old — inside the 24 h horizon
+      ("stale.example", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 9",
+        "2026-02-20 00:00:00")) // 9.5 d old — stale
+      .toDF("host", "robots", "fat")
+      .withColumn("fat", col("fat").cast("timestamp"))
+    val gated = Robots.gateByPolicy(pages, "uri", policies, "host",
+        "robots", "bot", fetchedAtCol = Some("fat"), asOf = asOf)
+      .collect().map(_.getString(0)).toSet
+    assert(gated == Set("https://fresh.example/open/b",
+      "https://stale.example/blocked/c", "https://never.example/anything"),
+      s"fresh policy enforced, stale treated as absent: $gated")
+    // the historical signature (no fetchedAtCol) still enforces both
+    val eternal = Robots.gateByPolicy(pages, "uri", policies, "host",
+        "robots", "bot")
+      .collect().map(_.getString(0)).toSet
+    assert(eternal == Set("https://fresh.example/open/b",
+      "https://never.example/anything"))
+    // fetchPlan under the same contract: stale host loses its gate AND
+    // its 9 s crawl-delay (floor applies)
+    val plan = graft.operators.Outlinks.fetchPlan(
+      pages.withColumnRenamed("uri", "frontier_url"), "frontier_url",
+      policies, "host", "robots", "bot",
+      fetchedAtCol = Some("fat"), asOf = asOf)
+      .collect().map(r => r.getAs[String]("frontier_url") ->
+        r.getAs[Double]("crawl_delay")).toMap
+    assert(plan == Map(
+      "https://fresh.example/open/b" -> 3.0,
+      "https://stale.example/blocked/c" -> 1.0,
+      "https://never.example/anything" -> 1.0), s"got: $plan")
+    // the worklist surfaces BOTH the never-seen and the stale host
+    val refetch = Robots.robotsFetchList(pages, "uri", policies, "host",
+        fetchedAtCol = Some("fat"), asOf = asOf)
+      .collect().map(_.getString(0)).toSet
+    assert(refetch == Set("stale.example", "never.example"), s"$refetch")
+    // a null fetched_at is stale by definition
+    val nullFat = Robots.robotsFetchList(pages, "uri",
+      policies.withColumn("fat", lit(null).cast("timestamp")), "host",
+      fetchedAtCol = Some("fat"), asOf = asOf)
+      .collect().map(_.getString(0)).toSet
+    assert(nullFat == Set("fresh.example", "stale.example",
+      "never.example"))
+  }
+
   test("Column surface evaluates over a frame") {
     val spark = GraftSpark.spark
     import spark.implicits._

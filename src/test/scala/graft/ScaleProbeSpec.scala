@@ -910,6 +910,50 @@ class ScaleProbeSpec extends AnyFunSuite {
       "gate must drop the disallowed /l/5 pool")
   }
 
+  test("containTraps ~linear at 10x frontier with one exploding template") {
+    import spark.implicits._
+    import graft.operators.Outlinks
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // one host explodes a calendar template (one URL per doc — the
+    // hot (host, template) group), 50 clean hosts publish bounded
+    // sections. `prefix` keeps the 10 copies' URL spaces disjoint —
+    // LETTER-only prefixes, because a digit in the prefix would
+    // template-collapse the copies back together (c0/c1/… → c#).
+    def frontier(prefix: String) = docs.select(
+      concat(lit("https://trap.example/"), lit(prefix), lit("/d/"),
+        col("doc_id").cast("string")).as("frontier_url"))
+      .union(docs.select(
+        concat(lit("https://w"), (col("doc_id") % 50).cast("string"),
+          lit(s".example/$prefix/sec/"),
+          (col("doc_id") % 30).cast("string")).as("frontier_url")))
+      .distinct()
+    val f1 = frontier("qa")
+    val f10 = (0 until 10).map(i => frontier("p" + ('a' + i).toChar))
+      .reduce(_ unionByName _)
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(p: org.apache.spark.sql.DataFrame): Long =
+      Outlinks.containTraps(p, "frontier_url", maxPerTemplate = 100)
+        .count()
+    run(f1.limit(500)) // warm
+    def best(p: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (n1, t1) = timed(run(p)); val (_, t2) = timed(run(p))
+      (n1, math.min(t1, t2))
+    }
+    val (n1, t1) = best(f1)
+    val (n10, t10) = best(f10)
+    println(f"containTraps 1x: $t1%.2f s ($n1 rows), 10x: $t10%.2f s " +
+      f"($n10 rows), ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear containTraps blowup: $t1 vs $t10")
+    // per copy: the trap template caps at 100; the clean side holds
+    // lcm(50, 30) = 150 distinct (host, section) pairs, all passing
+    assert(n1 == 100 + 150, s"1x containment drifted: $n1")
+    assert(n10 == 10 * n1, s"10x must contain per disjoint copy: $n10")
+  }
+
   test("pageRank scales ~linearly at 10x edges") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
