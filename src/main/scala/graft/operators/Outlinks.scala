@@ -185,23 +185,23 @@ object Outlinks {
     * page URI. Crawlers treat these as soft redirects; a frontier that
     * ignores them loses the same pages a Location-dropping crawler
     * would. Narrow per-row regex, no shuffle. */
-  def metaRefreshEdges(
-      df: DataFrame, html: String, uriCol: String): DataFrame = {
-    // per-quote-style captures: a double-quoted content value may
-    // carry single quotes inside (content="0; URL='/x'") and vice
-    // versa. BOTH attribute orders match (http-equiv before content
-    // and content before http-equiv — HTML attribute order is not
-    // semantic, and real markup uses both), as does an unquoted
-    // content value (content=5;url=/x — legal while it carries no
-    // whitespace or quotes).
+  /** The raw `<meta http-equiv=refresh>` content value of an HTML
+    * column, "" when none. Per-quote-style captures: a double-quoted
+    * content value may carry single quotes inside
+    * (content="0; URL='/x'") and vice versa. BOTH attribute orders
+    * match (http-equiv before content and content before http-equiv —
+    * HTML attribute order is not semantic, and real markup uses
+    * both), as does an unquoted content value (content=5;url=/x —
+    * legal while it carries no whitespace or quotes). */
+  private def metaRefreshContent(html: Column): Column = {
     val metaPrefix =
       "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*" +
         "\\bcontent\\s*=\\s*"
     val metaSuffix = "[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?"
     val revPrefix = "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*"
     def ext(pat: String) =
-      nullif(regexp_extract(col(html), pat, 1), lit(""))
-    val content = coalesce(
+      nullif(regexp_extract(html, pat, 1), lit(""))
+    coalesce(
       ext(metaPrefix + "\"([^\"]*)\""),
       ext(metaPrefix + "'([^']*)'"),
       ext(metaPrefix + "([^\\s\"'>]+)"),
@@ -209,6 +209,24 @@ object Outlinks {
       ext(revPrefix + "'([^']*)'" + metaSuffix),
       ext(revPrefix + "([^\\s\"'>]+)" + metaSuffix),
       lit(""))
+  }
+
+  /** The RESOLVED meta-refresh target of one page as a Column (null
+    * when the page declares none) — the scalar form
+    * [[graft.streaming.Streams.crawlFrontierStream]] folds into its
+    * single-scan link projection; [[metaRefreshEdges]] is the
+    * DataFrame form with the delay attached. */
+  def metaRefreshTarget(html: Column, uri: Column): Column = {
+    val content = metaRefreshContent(html)
+    val target = regexp_extract(content,
+      "(?i)url\\s*=\\s*['\"]?([^'\"\\s;]+)", 1)
+    when(length(content) > 0 && length(target) > 0,
+      resolveUri(uri, TextAnalysis.decodeHtmlEntities(target)))
+  }
+
+  def metaRefreshEdges(
+      df: DataFrame, html: String, uriCol: String): DataFrame = {
+    val content = metaRefreshContent(col(html))
     val delay = regexp_extract(content, "^\\s*(\\d+)", 1)
     val target = regexp_extract(content,
       "(?i)url\\s*=\\s*['\"]?([^'\"\\s;]+)", 1)
@@ -264,6 +282,17 @@ object Outlinks {
           .as("redirect_to"),
         col("http_status"))
       .filter(col("redirect_to").isNotNull)
+
+  /** The RESOLVED redirect target of one capture as a Column (null
+    * when not a Location-bearing 3xx) — the scalar form
+    * [[graft.streaming.Streams.crawlFrontierStream]] folds into its
+    * single-scan link projection; [[redirectEdges]] is the DataFrame
+    * form with the status attached. */
+  def redirectTarget(
+      status: Column, headers: Column, uri: Column): Column =
+    when(status.between(300, 399)
+        && headers.getItem("location").isNotNull,
+      resolveUri(uri, headers.getItem("location")))
 
   /** Resolve redirect CHAINS to their final targets — the
     * canonicalization step after [[redirectEdges]]: a page that moved
@@ -582,7 +611,11 @@ object Outlinks {
     *                 sequence order (deterministic — the rank is
     *                 already computed, the cap is a filter on it);
     *                 capped URLs are NOT seen/fetched, so the caller's
-    *                 crawl loop re-derives them next cycle.
+    *                 crawl loop re-derives them next cycle — and the
+    *                 streaming sink ([[graft.streaming.Streams
+    *                 .crawlFetchPlanSink]]), whose frontier emits each
+    *                 URL only once, carries them over explicitly via
+    *                 its `deferred/` directories.
     * @param priorities optional per-URL score frame (`priorityUrlCol`,
     *                 `priorityCol`); higher fetches earlier
     * @param fetchedAtCol optional timestamp column on `policies`

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Revisit scheduling — the freshness half of a continual crawl: given
+  * the observed fetch HISTORY of each URL (when it was fetched and
+  * whether its content changed — the `q_s24` server-not-modified
+  * records are exactly the changed=false signal) plus optional sitemap
+  * HINTS (`changefreq`/`lastmod`, [[Outlinks.sitemapEntries]]'s
+  * columns), compute when each URL is next due. The policy is the one
+  * production crawlers converge on (e.g. the adaptive revisit
+  * literature around Cho & Garcia-Molina, "Effective Page Refresh
+  * Policies for Web Crawlers", TODS 2003): exponential backoff while a
+  * page keeps NOT changing, immediate reset when it changes, and the
+  * site's own declared cadence as the starting interval.
+  *
+  * Pinned semantics (mirrored by the q_t68 oracle):
+  *   - `unchanged_streak` = fetches strictly AFTER the URL's last
+  *     changed fetch (all of them when it never changed; a null
+  *     `changed` counts as unchanged — absence of evidence of change);
+  *   - base interval = the sitemap `changefreq` mapped to seconds
+  *     (hourly/always → 3600, daily → 86400, weekly → 604800,
+  *     monthly → 2 592 000, yearly → 31 536 000, never →
+  *     `maxIntervalSeconds`), else `defaultIntervalSeconds`;
+  *     conflicting hints for one URL take the SHORTEST;
+  *   - `interval_seconds` = min(base · 2^min(streak, maxDoublings),
+  *     `maxIntervalSeconds`);
+  *   - `next_fetch_epoch` = `last_fetch_epoch` + interval — EXCEPT
+  *     when a hint's `lastmod` postdates the last fetch: the site says
+  *     the page already changed, so it is due immediately
+  *     (interval 0). Times are epoch SECONDS as doubles (timestamp
+  *     columns cast transparently): arithmetic stays engine-portable.
+  *
+  * Scale shape: two hash aggregations on the URL (the last-fetch/
+  * last-change pass and the streak count) plus one join between them
+  * and one left join to the per-URL hint aggregate — all keyed by the
+  * URL itself, maximally high-cardinality, no window over a group of
+  * unbounded size, no driver state. */
+object Revisit {
+
+  /** `changefreq` token → seconds, per the pinned mapping. */
+  private def freqSeconds(f: Column, maxIntervalSeconds: Double,
+      defaultIntervalSeconds: Double): Column = {
+    val t = lower(trim(f))
+    when(t === "always" || t === "hourly", 3600.0)
+      .when(t === "daily", 86400.0)
+      .when(t === "weekly", 604800.0)
+      .when(t === "monthly", 2592000.0)
+      .when(t === "yearly", 31536000.0)
+      .when(t === "never", maxIntervalSeconds)
+      .otherwise(defaultIntervalSeconds)
+  }
+
+  /** @param history  fetch-history frame: one row per (URL, fetch)
+    * @param urlCol   URL column
+    * @param timeCol  fetch time (timestamp, or epoch-seconds numeric)
+    * @param changedCol whether THIS fetch observed changed content
+    * @param hints    optional sitemap-entry frame keyed by
+    *                 `hintUrlCol` with `hintFreqCol` (and optionally
+    *                 `hintLastmodCol`, timestamp or epoch numeric)
+    * @return one row per URL: `url`, `last_fetch_epoch`,
+    *         `unchanged_streak`, `interval_seconds`,
+    *         `next_fetch_epoch` */
+  def revisitSchedule(
+      history: DataFrame, urlCol: String, timeCol: String,
+      changedCol: String,
+      hints: Option[DataFrame] = None,
+      hintUrlCol: String = "loc",
+      hintFreqCol: String = "changefreq",
+      hintLastmodCol: Option[String] = None,
+      defaultIntervalSeconds: Double = 86400.0,
+      maxIntervalSeconds: Double = 2592000.0,
+      maxDoublings: Int = 16): DataFrame = {
+    require(defaultIntervalSeconds > 0 && maxIntervalSeconds > 0,
+      "intervals must be > 0")
+    require(maxDoublings >= 0, s"maxDoublings must be >= 0: $maxDoublings")
+    def epoch(c: Column): Column =
+      c.cast("timestamp").cast("double")
+    val h = history.select(col(urlCol).cast("string").as("url"),
+      epoch(col(timeCol)).as("__t"),
+      col(changedCol).cast("boolean").as("__chg"))
+    val lastSeen = h.groupBy("url").agg(
+      max(col("__t")).as("last_fetch_epoch"),
+      max(when(col("__chg"), col("__t"))).as("__last_chg"))
+    val streak = h.join(lastSeen, "url")
+      .filter(col("__last_chg").isNull || col("__t") > col("__last_chg"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("unchanged_streak"))
+    val base = lastSeen
+      .join(streak, Seq("url"), "left")
+      .withColumn("unchanged_streak",
+        coalesce(col("unchanged_streak"), lit(0L)))
+    val hinted = hints match {
+      case None =>
+        base.withColumn("__base", lit(defaultIntervalSeconds))
+          .withColumn("__lastmod", lit(null).cast("double"))
+      case Some(ht) =>
+        val perUrl = ht.groupBy(
+            col(hintUrlCol).cast("string").as("url"))
+          .agg(
+            min(freqSeconds(col(hintFreqCol), maxIntervalSeconds,
+              defaultIntervalSeconds)).as("__base"),
+            hintLastmodCol.map(c => max(epoch(col(c))))
+              .getOrElse(max(lit(null).cast("double")))
+              .as("__lastmod"))
+        base.join(perUrl, Seq("url"), "left")
+          .withColumn("__base",
+            coalesce(col("__base"), lit(defaultIntervalSeconds)))
+    }
+    val backoff = least(
+      col("__base") * pow(lit(2.0),
+        least(col("unchanged_streak"), lit(maxDoublings.toLong))
+          .cast("double")),
+      lit(maxIntervalSeconds))
+    val dueNow = col("__lastmod").isNotNull &&
+      col("__lastmod") > col("last_fetch_epoch")
+    hinted
+      .withColumn("interval_seconds",
+        when(dueNow, lit(0.0)).otherwise(backoff))
+      .withColumn("next_fetch_epoch",
+        col("last_fetch_epoch") + col("interval_seconds"))
+      .select("url", "last_fetch_epoch", "unchanged_streak",
+        "interval_seconds", "next_fetch_epoch")
+  }
+}

@@ -1586,6 +1586,39 @@ object Extras {
       "target_uri", "link")
   }
 
+  /** Typed WET read-back, HASH-CERTIFIED — the symmetric helper to
+    * q_s28's WAT side: q_s17 certifies the `conversion` round trip
+    * through raw `payload` columns; this certifies [[graft.sources
+    * .WarcIO.wetEntries]], the typed surface the text tier consumes
+    * `wetSave` output through with no hand-written parsing. Every
+    * envelope field (uri, date, record id) and the UTF-8 payload
+    * decode (non-ASCII suffix appended to pin the octet path)
+    * round-trips field-for-field. */
+  val qS30WetEntries = Q(
+    "q_s30_wet_entries",
+    """SELECT 'https://example.org/wet/' || CAST(doc_id AS VARCHAR)
+      |         AS target_uri,
+      |       '2026-01-05T06:07:08Z' AS warc_date,
+      |       '<urn:graft:wet30:' || CAST(doc_id AS VARCHAR) || '>'
+      |         AS record_id,
+      |       text || ' — résumé ✓' AS text
+      |FROM documents""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wet30_q")
+      .toString
+    graft.sources.WarcIO.wetSave(
+      documents(s, d).select(
+        concat(lit("https://example.org/wet/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        lit("2026-01-05T06:07:08Z").as("warc_date"),
+        concat(lit("<urn:graft:wet30:"), col("doc_id").cast("string"),
+          lit(">")).as("record_id"),
+        concat(col("text"), lit(" — résumé ✓")).as("text"))
+        .repartition(8),
+      tmp)
+    graft.sources.WarcIO.wetEntries(
+      s.read.format("graft-warc").load(tmp))
+  }
+
   /** `resource` record round trip, HASH-CERTIFIED — the direct-payload
     * record type (ISO 28500 §6.5, no HTTP envelope): fetched assets
     * archive with their own Content-Type at the ENVELOPE level and the
@@ -1628,7 +1661,7 @@ object Extras {
     qS20RequestPairing, qS16zZstdWarc, qS21StatusFidelity, qS22RevisitDedup,
     qS23CrossBatchDedup, qS24NotModified, qS25WatMetadata,
     qS26ResourceRoundTrip, qS27DigestPushdown, qS28WatEntries,
-    qS29WatHostGraph,
+    qS29WatHostGraph, qS30WetEntries,
     qS14Profile, qA11GroupingSets, qA12Histogram,
     qP7MapExplode, qP8Unpivot, qF8ArrayFuncs,
     qJ8NullSafeJoin, qP9ExplodeOuter, qS15ZstdRoundTrip, qO3NullOrdering,

@@ -2703,6 +2703,79 @@ object Text {
       .select(col("node"), col("rank").as("pr"))
   }
 
+  /** Revisit scheduling, HASH-CERTIFIED — the freshness half of a
+    * continual crawl ([[graft.operators.Revisit.revisitSchedule]]):
+    * per URL 4 fetches whose trailing-unchanged run varies closed-form
+    * (doc_id % 5 — including the never-changed and the
+    * changed-on-last-fetch extremes), sitemap `changefreq` hints on
+    * even docs spanning all six tokens, and a `lastmod` postdating the
+    * last fetch on every 11th even doc (due immediately, interval 0).
+    * The oracle recomputes the last-fetch/last-change aggregation, the
+    * streak count, the shortest-hint base, the exponential backoff
+    * with its 30-day cap, and the lastmod override — certifying the
+    * whole schedule arithmetic in epoch seconds. */
+  val qT68RevisitSchedule = Q(
+    "q_t68_revisit_schedule",
+    """WITH h AS (
+      |  SELECT 'https://rv.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |         CAST(1700000000 + doc_id * 10 + t.i AS DOUBLE) AS ft,
+      |         (t.i < doc_id % 5) AS chg
+      |  FROM documents, range(0, 4) t(i)),
+      | a AS (
+      |  SELECT url, MAX(ft) AS lf, MAX(CASE WHEN chg THEN ft END) AS lc
+      |  FROM h GROUP BY url),
+      | s AS (
+      |  SELECT h.url, CAST(COUNT(*) AS BIGINT) AS st
+      |  FROM h JOIN a ON a.url = h.url
+      |  WHERE a.lc IS NULL OR h.ft > a.lc
+      |  GROUP BY h.url),
+      | hint AS (
+      |  SELECT 'https://rv.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |         CASE doc_id % 12 WHEN 0 THEN CAST(3600 AS DOUBLE)
+      |           WHEN 2 THEN 86400 WHEN 4 THEN 604800
+      |           WHEN 6 THEN 2592000 WHEN 8 THEN 31536000
+      |           WHEN 10 THEN 2592000 END AS b,
+      |         (doc_id % 11 = 0) AS due
+      |  FROM documents WHERE doc_id % 2 = 0),
+      | j AS (
+      |  SELECT a.url, a.lf, COALESCE(s.st, 0) AS st,
+      |         COALESCE(hint.b, CAST(86400 AS DOUBLE)) AS b,
+      |         COALESCE(hint.due, FALSE) AS due
+      |  FROM a LEFT JOIN s ON s.url = a.url
+      |         LEFT JOIN hint ON hint.url = a.url),
+      | f AS (
+      |  SELECT url, lf, st,
+      |         CASE WHEN due THEN CAST(0 AS DOUBLE)
+      |              ELSE LEAST(b * POWER(2, LEAST(st, 16)),
+      |                         CAST(2592000 AS DOUBLE)) END AS iv
+      |  FROM j)
+      |SELECT url, lf AS last_fetch_epoch, st AS unchanged_streak,
+      |       iv AS interval_seconds, lf + iv AS next_fetch_epoch
+      |FROM f""".stripMargin) { (s, d) =>
+    import graft.operators.Revisit
+    val docs = documents(s, d)
+    def url = concat(lit("https://rv.example/p/"),
+      col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("i"))
+      .select(url.as("url"),
+        (lit(1700000000L) + col("doc_id") * 10 + col("i"))
+          .cast("double").as("ft"),
+        (col("i") < col("doc_id") % 5).as("chg"))
+    val m12 = col("doc_id") % 12
+    val hints = docs.filter(col("doc_id") % 2 === 0)
+      .select(url.as("loc"),
+        when(m12 === 0, "hourly").when(m12 === 2, "daily")
+          .when(m12 === 4, "weekly").when(m12 === 6, "monthly")
+          .when(m12 === 8, "yearly").otherwise("never")
+          .as("changefreq"),
+        when(col("doc_id") % 11 === 0,
+          (lit(1700000000L) + col("doc_id") * 10 + 8).cast("double"))
+          .as("lastmod"))
+    Revisit.revisitSchedule(hist, "url", "ft", "chg",
+      hints = Some(hints), hintLastmodCol = Some("lastmod"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2721,5 +2794,6 @@ object Text {
       qT56HostRank, qT57Redirects, qT58Hits, qT59RedirectChains,
       qT60MetaRefresh, qT61CanonicalLink, qT62RobotsSitemaps,
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
-      qT66TrapContainment, qT67PagerankRedistribute)
+      qT66TrapContainment, qT67PagerankRedistribute,
+      qT68RevisitSchedule)
 }

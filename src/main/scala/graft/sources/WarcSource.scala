@@ -1555,6 +1555,22 @@ object WarcIO {
         "_wat.status", "_wat.content_type", "_wat.title", "_wat.links")
   }
 
+  /** Typed read-back of a WET archive ([[wetSave]]) — the symmetric
+    * helper to [[watEntries]], so the text tier consumes `conversion`
+    * records without hand-written payload parsing: one row per WET
+    * record with `target_uri`, `warc_date`, `record_id`, and `text`
+    * (the payload decoded as the UTF-8 the writer contractually
+    * emits — foreign archives with other encodings should go through
+    * [[graft.operators.CharsetDecode]] on the raw frame instead).
+    * Narrow per-row decode, no shuffle; `warc_type` equality pushes
+    * into the `graft-warc` scan. */
+  def wetEntries(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode}
+    df.filter(col("warc_type") === "conversion")
+      .select(col("target_uri"), col("warc_date"), col("record_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+  }
+
   /** One `metadata` record: WARC envelope over a JSON block. */
   private[sources] def metadataRecord(
       uri: String, date: String, recordId: String, refersTo: String,

@@ -828,20 +828,35 @@ object Streams {
       spark: SparkSession, dir: String,
       seen: DataFrame, seenCol: String,
       includeRedirects: Boolean = true): DataFrame = {
-    import graft.operators.Outlinks
-    val anchors =
-      Outlinks.canonicalLinks(crawlOutlinkStream(spark, dir), "outlink")
-    val links = if (includeRedirects)
-      anchors
-        .unionByName(Outlinks.canonicalLinks(
-          crawlRedirectStream(spark, dir), "redirect_to"))
-        .unionByName(Outlinks.canonicalLinks(
-          Outlinks.metaRefreshEdges(
-            crawlPageStream(spark, dir), "text", "target_uri"),
-          "refresh_to"))
-    else anchors
+    import graft.operators.{CharsetDecode, Outlinks}
+    // ONE readStream over the landing dir: anchors, redirect targets,
+    // and meta-refresh targets all derive from a single scan — three
+    // independent file sources here would list and read every WARC
+    // batch three times and charset-decode each page's payload twice
+    // per micro-batch. The decode is projected once (null for
+    // non-HTML rows — `If` evaluates lazily, so images never decode),
+    // and each feed becomes one element/array of a single exploded
+    // link column.
+    val raw = spark.readStream.format("graft-warc").load(dir)
+      .filter(col("warc_type") === "response")
+    val isHtml = col("http_status") === 200 &&
+      lower(coalesce(col("http_content_type"), lit("")))
+        .startsWith("text/html")
+    val enriched = raw.withColumn("__text",
+      when(isHtml, CharsetDecode.decodePayload(
+        col("payload"), col("http_content_type"))))
+    val anchors = when(col("__text").isNotNull,
+        Outlinks.pageLinks(col("__text"), col("target_uri")))
+      .otherwise(array().cast("array<string>"))
+    val linkArr = if (!includeRedirects) anchors else concat(
+      anchors,
+      array(Outlinks.redirectTarget(col("http_status"),
+        col("http_headers"), col("target_uri"))),
+      array(Outlinks.metaRefreshTarget(col("__text"),
+        col("target_uri"))))
     Outlinks.politenessKeys(
-      links
+      Outlinks.canonicalLinks(
+        enriched.select(explode(linkArr).as("__link")), "__link")
         .dropDuplicates("frontier_url")
         .join(Outlinks.canonicalSeen(seen, seenCol),
           Seq("frontier_url"), "left_anti"))
@@ -867,23 +882,84 @@ object Streams {
     * rows. The policies frame is static build-side (broadcast when it
     * fits); the per-batch rank is [[graft.operators.Skew
     * .rankWithinKey]] — no single-task host sort, however hot the
-    * host. */
+    * host.
+    *
+    * `maxPerHost > 0` would silently LOSE the capped URLs without
+    * help: the frontier's `dropDuplicates` state emits each canonical
+    * URL exactly once, so nothing re-derives them next cycle (unlike
+    * the batch crawl loop, which re-extracts). The sink therefore
+    * CARRIES THEM OVER: each cycle's over-cap rows are written to
+    * `outDir/deferred/batch=<id>` (the complete pending set — it
+    * already includes everything carried into the cycle), and cycle
+    * N+1 plans over its new frontier rows UNIONED with cycle N's
+    * deferred set. Replay-deterministic: batch N always reads
+    * `deferred/batch=<N-1>` — a committed artifact of the previous
+    * cycle — never "the latest", so a checkpoint-replayed batch
+    * rewrites both its plan and its deferred set byte-identically.
+    * Deferred URLs compete on equal terms each cycle (priority, then
+    * URL), so the backlog drains highest-value-first.
+    *
+    * `priorities` and the robots-freshness contract pass straight
+    * through to [[graft.operators.Outlinks.fetchPlan]]. */
   def crawlFetchPlanSink(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, seen: DataFrame, seenCol: String,
       policies: DataFrame, hostCol: String, robotsCol: String,
       agent: String, defaultDelay: Double = 1.0,
-      maxPerHost: Int = 0)
+      maxPerHost: Int = 0,
+      priorities: Option[DataFrame] = None,
+      priorityUrlCol: String = "node", priorityCol: String = "rank",
+      fetchedAtCol: Option[String] = None,
+      maxAgeSeconds: Long = 86400L,
+      asOf: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     crawlFrontierStream(spark, inDir, seen, seenCol).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Outlinks.fetchPlan(
-          batch.toDF(), "frontier_url", policies, hostCol, robotsCol,
-          agent, defaultDelay, maxPerHost = maxPerHost)
-          .write.mode("overwrite")
-          .parquet(f"$outDir%s/batch=$batchId%06d")
+        import org.apache.hadoop.fs.Path
+        val frontier = batch.toDF()
+        val inCols = frontier.columns.toSeq
+        val input =
+          if (maxPerHost <= 0) frontier
+          else {
+            // previous cycle's pending set — ALWAYS batch N-1 (written
+            // every cycle, possibly empty), so replay is deterministic;
+            // absent only on the first cycle or when a pre-carry-over
+            // checkpoint is adopted (treated as an empty backlog)
+            val prev = f"$outDir%s/deferred/batch=${batchId - 1}%06d"
+            val fs = new Path(outDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val carried =
+              if (batchId > 0 && fs.exists(new Path(prev)))
+                // explicit schema: an all-kept previous cycle leaves a
+                // zero-file directory that schema inference would reject
+                spark.read.schema(frontier.schema).parquet(prev)
+              else frontier.limit(0)
+            frontier.unionByName(carried)
+              .dropDuplicates("frontier_url")
+          }
+        val plan = graft.operators.Outlinks.fetchPlan(
+          input, "frontier_url", policies, hostCol, robotsCol,
+          agent, defaultDelay, maxPerHost = 0,
+          priorities = priorities, priorityUrlCol = priorityUrlCol,
+          priorityCol = priorityCol, fetchedAtCol = fetchedAtCol,
+          maxAgeSeconds = maxAgeSeconds, asOf = asOf)
+        if (maxPerHost <= 0) {
+          plan.write.mode("overwrite")
+            .parquet(f"$outDir%s/batch=$batchId%06d")
+        } else {
+          // fetch_seq is pinned inside rankWithinKey (eager
+          // localCheckpoint), so the two filters below read one frozen
+          // ranking — no divergence between the plan and its deferral
+          plan.filter(col("fetch_seq") <= maxPerHost)
+            .write.mode("overwrite")
+            .parquet(f"$outDir%s/batch=$batchId%06d")
+          plan.filter(col("fetch_seq") > maxPerHost)
+            .select(inCols.map(col): _*)
+            .write.mode("overwrite")
+            .parquet(f"$outDir%s/deferred/batch=$batchId%06d")
+        }
         ()
       }
       .start()

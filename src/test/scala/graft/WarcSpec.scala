@@ -1214,6 +1214,64 @@ class WarcSpec extends AnyFunSuite {
     assert(plan1.agg(min(col("fetch_seq"))).head().getLong(0) == 1L)
   }
 
+  test("crawlFetchPlanSink maxPerHost: capped URLs carry over, none lost") {
+    import spark.implicits._
+    val root = tmp("plancarry")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"carrystage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://src.example/p/$tag$i", "2026-01-01T00:00:00Z",
+          s"<urn:cy:$tag:$i>", "text/html; charset=utf-8",
+          f"""<a href="https://one.example/u/$i%03d-$tag">x</a>"""
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlFetchPlanSink(
+        spark, in, out, chk, Seq.empty[String].toDF("url"), "url",
+        Seq.empty[(String, String)].toDF("host", "robots"),
+        "host", "robots", "graftbot", maxPerHost = 10)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // cycle 0: 30 URLs on one host, cap 10 → 10 planned, 20 deferred
+    land("a", 0 until 30); run()
+    val plan0 = spark.read.parquet(s"$out/batch=000000")
+    assert(plan0.count() == 10)
+    val def0 = spark.read.parquet(s"$out/deferred/batch=000000")
+      .select("frontier_url").as[String].collect().toSet
+    assert(def0.size == 20, s"over-cap rows must defer: ${def0.size}")
+    // cycle 1: 5 new URLs — the plan draws from deferred ∪ new
+    land("b", 0 until 5); run()
+    val plan1 = spark.read.parquet(s"$out/batch=000001")
+    assert(plan1.count() == 10)
+    assert(plan1.agg(min(col("fetch_seq"))).head().getLong(0) == 1L)
+    val def1 = spark.read.parquet(s"$out/deferred/batch=000001")
+      .select("frontier_url").as[String].collect().toSet
+    // NOTHING is lost: every frontier URL ever emitted is either in
+    // some cycle's plan or still pending
+    val planned = spark.read.parquet(s"$out/batch=000000")
+      .select("frontier_url").as[String].collect().toSet ++
+      plan1.select("frontier_url").as[String].collect().toSet
+    assert(planned.size == 20, s"two cycles × cap 10: ${planned.size}")
+    assert((planned ++ def1).size == 35 && (planned & def1).isEmpty,
+      s"deferred ∪ planned must cover all 35 URLs exactly once: " +
+        s"${(planned ++ def1).size}")
+    // deferred backlog drains in order: cycle 1 planned the
+    // lexicographically first 10 of (20 deferred ∪ 5 new)
+    val expected1 = (def0 ++ (0 until 5).map(i =>
+      f"https://one.example/u/$i%03d-b")).toSeq.sorted.take(10).toSet
+    assert(plan1.select("frontier_url").as[String].collect().toSet
+      == expected1, "cycle 1 must plan the first 10 pending URLs")
+  }
+
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
     import spark.implicits._
     val root = tmp("fold")
