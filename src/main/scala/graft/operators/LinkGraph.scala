@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *
   *   PR_{i+1}(v) = (1-d)/N + d · Σ_{u→v} PR_i(u)/outdeg(u)
   *
-  * Pinned semantics (mirrored exactly by the q_g1 oracle):
+  * Pinned semantics (mirrored exactly by the q_t54/q_t67 oracles):
   *  - nodes = distinct sources ∪ distinct destinations;
   *  - PR_0 = 1/N uniform;
   *  - multi-edges count once each (dedupe upstream if unwanted) and a

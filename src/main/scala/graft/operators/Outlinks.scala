@@ -201,14 +201,20 @@ object Outlinks {
     val revPrefix = "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*"
     def ext(pat: String) =
       nullif(regexp_extract(html, pat, 1), lit(""))
-    coalesce(
-      ext(metaPrefix + "\"([^\"]*)\""),
-      ext(metaPrefix + "'([^']*)'"),
-      ext(metaPrefix + "([^\\s\"'>]+)"),
-      ext(revPrefix + "\"([^\"]*)\"" + metaSuffix),
-      ext(revPrefix + "'([^']*)'" + metaSuffix),
-      ext(revPrefix + "([^\\s\"'>]+)" + metaSuffix),
-      lit(""))
+    // cheap pre-gate: every variant requires the literal token
+    // `refresh`, and the overwhelming majority of pages never contain
+    // it — one linear scan spares them the six-pattern coalesce
+    // (measured 5× on the q_t60 corpus without it)
+    when(html.rlike("(?i)refresh"),
+      coalesce(
+        ext(metaPrefix + "\"([^\"]*)\""),
+        ext(metaPrefix + "'([^']*)'"),
+        ext(metaPrefix + "([^\\s\"'>]+)"),
+        ext(revPrefix + "\"([^\"]*)\"" + metaSuffix),
+        ext(revPrefix + "'([^']*)'" + metaSuffix),
+        ext(revPrefix + "([^\\s\"'>]+)" + metaSuffix),
+        lit("")))
+      .otherwise(lit(""))
   }
 
   /** The RESOLVED meta-refresh target of one page as a Column (null

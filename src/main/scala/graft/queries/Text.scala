@@ -2426,10 +2426,23 @@ object Text {
     val url = when(col("doc_id") % 12 === 0,
       concat(lit("https://mv.example/n/"), col("doc_id").cast("string")))
       .otherwise(concat(lit("/next/"), col("doc_id").cast("string")))
-    val page = when(col("doc_id") % 6 === 0,
-      concat(lit("<html><head><meta http-equiv=\"refresh\" content=\""),
-        (col("doc_id") % 9).cast("string"), lit(";url="), url,
-        lit("\"></head><body>x</body></html>")))
+    // three syntactic variants, one semantic form — every 18th doc
+    // uses content-before-http-equiv order, every 18th+12 an unquoted
+    // content value; the oracle is variant-blind, so a regex that
+    // misses either form drops rows
+    val delayC = (col("doc_id") % 9).cast("string")
+    val page = when(col("doc_id") % 18 === 6,
+      concat(lit("<html><head><meta content=\""), delayC,
+        lit(";url="), url,
+        lit("\" http-equiv=\"refresh\"></head><body>x</body></html>")))
+      .when(col("doc_id") % 18 === 12,
+        concat(lit("<html><head><meta http-equiv=refresh content="),
+          delayC, lit(";url="), url,
+          lit("></head><body>x</body></html>")))
+      .when(col("doc_id") % 6 === 0,
+        concat(lit("<html><head><meta http-equiv=\"refresh\" content=\""),
+          delayC, lit(";url="), url,
+          lit("\"></head><body>x</body></html>")))
       .otherwise(lit(
         "<html><head><meta name=\"viewport\" content=\"w\"></head></html>"))
     Outlinks.metaRefreshEdges(
@@ -2776,6 +2789,46 @@ object Text {
       hints = Some(hints), hintLastmodCol = Some("lastmod"))
   }
 
+  /** Crawl-trap SIGNAL, HASH-CERTIFIED — the q_t66 fixture through
+    * [[graft.operators.Outlinks.templateStats]] instead of the cap:
+    * one row per (host, template) with its URL cardinality and the
+    * `is_trap` flag at threshold 25. The counts are data-dependent
+    * (distinct doc_id count for the exploding templates, the residue
+    * count for the legitimate section), so the oracle recomputes them
+    * from the documents table rather than hardcoding — a broken
+    * template kernel, count, or threshold each flips rows. */
+  val qT69TemplateStats = Q(
+    "q_t69_template_stats",
+    """WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c
+      |           FROM documents),
+      |     n20 AS (SELECT CAST(COUNT(DISTINCT doc_id % 20) AS BIGINT)
+      |             AS c FROM documents)
+      |SELECT 'site.example' AS url_host, '/p/#' AS url_template,
+      |       (SELECT c FROM n20) AS n_urls,
+      |       (SELECT c FROM n20) > 25 AS is_trap
+      |UNION ALL
+      |SELECT 'trap.example', '/cal/#?day=*', (SELECT c FROM n),
+      |       (SELECT c FROM n) > 25
+      |UNION ALL
+      |SELECT 'trap.example', '/s/*', (SELECT c FROM n),
+      |       (SELECT c FROM n) > 25""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val legit = docs.select(
+      concat(lit("https://site.example/p/"),
+        (col("doc_id") % 20).cast("string")).as("frontier_url"))
+    val cal = docs.select(
+      concat(lit("https://trap.example/cal/"),
+        col("doc_id").cast("string"), lit("?day="),
+        (col("doc_id") % 366).cast("string")).as("frontier_url"))
+    val sess = docs.select(
+      concat(lit("https://trap.example/s/"),
+        lpad(hex(col("doc_id")), 12, "0")).as("frontier_url"))
+    Outlinks.templateStats(
+      legit.union(cal).union(sess).distinct(),
+      "frontier_url", trapThreshold = 25)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2795,5 +2848,5 @@ object Text {
       qT60MetaRefresh, qT61CanonicalLink, qT62RobotsSitemaps,
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
       qT66TrapContainment, qT67PagerankRedistribute,
-      qT68RevisitSchedule)
+      qT68RevisitSchedule, qT69TemplateStats)
 }

@@ -177,6 +177,38 @@ class FetchPlanSpec extends AnyFunSuite {
       "ranked rankWithinKey must EQUAL the naive descending window")
   }
 
+  test("END TO END: pages → outlinks → URL pageRank → rank-ordered fetch plan") {
+    import graft.operators.{LinkGraph, Outlinks}
+    // a site with one HUB page every other page links to, plus a long
+    // tail of leaf pages: the ranked plan must fetch the hub FIRST
+    // even though its URL sorts lexicographically last
+    val pages = (0 until 40).map { i =>
+      (s"https://s.example/p$i",
+        s"""<a href="https://s.example/zhub">hub</a>""" +
+          s"""<a href="https://s.example/p${(i + 1) % 40}">next</a>""")
+    }.toDF("target_uri", "html")
+    val links = Outlinks.extractOutlinks(pages, "html", "target_uri")
+    val pr = LinkGraph.pageRank(links.select("target_uri", "outlink"),
+      "target_uri", "outlink", iterations = 4)
+    val frontier = links.select(col("outlink").as("frontier_url"))
+      .distinct()
+    val plan = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", maxPerHost = 5,
+      priorities = Some(pr))
+      .orderBy("fetch_seq")
+      .collect()
+    assert(plan.length == 5, "host cap must bound the cycle")
+    assert(plan.head.getAs[String]("frontier_url")
+      == "https://s.example/zhub",
+      s"the hub page must be fetched first: ${plan.toSeq}")
+    assert(plan.head.getAs[Long]("fetch_seq") == 1L
+      && plan.head.getAs[Double]("fetch_offset") == 0.0)
+    // the hub's rank dominates every leaf's
+    val hubPr = plan.head.getAs[Double]("priority")
+    assert(plan.tail.forall(_.getAs[Double]("priority") < hubPr))
+  }
+
   test("fetchPlan composes on crawlFrontier output (url_host rides)") {
     val links = Seq(
       ("https://d.example/x", 1L), ("https://d.example/y", 1L),
