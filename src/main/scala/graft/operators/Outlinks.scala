@@ -436,6 +436,33 @@ object Outlinks {
     urls.unionByName(maps)
   }
 
+  /** The SITEMAP fetch worklist — the discovery loop's middle tier
+    * (robots.txt → sitemaps → sitemap indexes → urlsets → frontier):
+    * sitemap URLs a crawler has DISCOVERED but not yet fetched, from
+    * two feeds — the robots `Sitemap:` directives ([[Robots
+    * .sitemapUrls]], pass the exploded frame) and `<sitemapindex>`
+    * children already parsed from fetched sitemaps
+    * ([[sitemapEntries]]'s `is_index = true` rows; its urlset rows are
+    * pages, not sitemaps, and are ignored here). Non-absolute and
+    * non-http(s) locs drop (the protocol requires absolute URLs). One
+    * distinct + one anti-join, both hashing on the sitemap URL.
+    *
+    * @return one `sitemap_url` per undiscovered sitemap */
+  def sitemapFetchList(
+      discovered: DataFrame, urlCol: String,
+      entries: DataFrame,
+      fetched: DataFrame, fetchedCol: String): DataFrame =
+    discovered.select(col(urlCol).cast("string").as("sitemap_url"))
+      .union(entries.filter(col("is_index"))
+        .select(col("loc").cast("string").as("sitemap_url")))
+      .filter(col("sitemap_url").isNotNull
+        && col("sitemap_url").rlike("(?i)^https?://"))
+      .distinct()
+      .join(fetched
+        .select(col(fetchedCol).cast("string").as("sitemap_url"))
+        .distinct(),
+        Seq("sitemap_url"), "left_anti")
+
   /** Next fetch frontier from extracted outlinks: canonicalize
     * ([[TextAnalysis.canonicalUrl]]), keep http(s), drop everything the
     * crawl has already seen (left-anti join on the canonical form), and

@@ -123,4 +123,38 @@ object Revisit {
       .select("url", "last_fetch_epoch", "unchanged_streak",
         "interval_seconds", "next_fetch_epoch")
   }
+
+  /** Revisit schedule straight from a DEDUP ARCHIVE — no separate
+    * history table: a [[graft.sources.WarcIO.warcDedupSave]] archive
+    * already encodes change detection in its record types. A full
+    * `response` record means the crawl stored NEW bytes (the content
+    * changed — or was seen for the first time); a `revisit` record
+    * (either profile: `identical-payload-digest` from the dedup
+    * writer, `server-not-modified` from a conditional GET — the
+    * q_s24 records) means the content did NOT change. So
+    * (`target_uri`, `warc_date`, warc_type = response) IS the
+    * (url, time, changed) history [[revisitSchedule]] consumes.
+    * Compose: `fromArchive(spark.read.format("graft-warc")
+    * .load(dir), hints)` — the scan prunes to the envelope columns
+    * (no payload read), and everything downstream is the certified
+    * schedule arithmetic (q_t70 pins this composition end to end). */
+  def fromArchive(
+      archive: DataFrame,
+      hints: Option[DataFrame] = None,
+      hintUrlCol: String = "loc",
+      hintFreqCol: String = "changefreq",
+      hintLastmodCol: Option[String] = None,
+      defaultIntervalSeconds: Double = 86400.0,
+      maxIntervalSeconds: Double = 2592000.0,
+      maxDoublings: Int = 16): DataFrame =
+    revisitSchedule(
+      archive
+        .filter(col("warc_type") === "response"
+          || col("warc_type") === "revisit")
+        .select(col("target_uri").as("url"),
+          col("warc_date").as("ft"),
+          (col("warc_type") === "response").as("chg")),
+      "url", "ft", "chg", hints, hintUrlCol, hintFreqCol,
+      hintLastmodCol, defaultIntervalSeconds, maxIntervalSeconds,
+      maxDoublings)
 }

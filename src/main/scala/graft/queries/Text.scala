@@ -2829,6 +2829,107 @@ object Text {
       "frontier_url", trapThreshold = 25)
   }
 
+  /** Archive-driven revisit scheduling, HASH-CERTIFIED END TO END —
+    * the composition that closes the freshness loop with NO separate
+    * history table: cycle 1 archives every page as a full `response`;
+    * cycle 2 re-archives through [[graft.sources.WarcIO
+    * .warcDedupSave]] with cycle 1's `_cdx` as the prior index, so
+    * unchanged pages (2 of 3) land as `identical-payload-digest`
+    * `revisit` records and changed pages as new full responses.
+    * [[graft.operators.Revisit.fromArchive]] reads the record types
+    * back as the change history: changed pages reset to the base
+    * interval, unchanged pages back off to 2×. The oracle restates
+    * the schedule closed-form in epoch seconds — certifying the
+    * dedup writer's revisit decisions AND the schedule arithmetic as
+    * one plan. */
+  val qT70ArchiveRevisit = Q(
+    "q_t70_archive_revisit",
+    """SELECT 'https://ar.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |       CAST(epoch(TIMESTAMP '2026-02-02 00:00:00') AS DOUBLE)
+      |         AS last_fetch_epoch,
+      |       CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE 1 END AS unchanged_streak,
+      |       CASE WHEN doc_id % 3 = 0 THEN CAST(86400 AS DOUBLE)
+      |            ELSE 172800 END AS interval_seconds,
+      |       CAST(epoch(TIMESTAMP '2026-02-02 00:00:00') AS DOUBLE)
+      |         + CASE WHEN doc_id % 3 = 0 THEN 86400
+      |                ELSE 172800 END AS next_fetch_epoch
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Revisit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrv_q")
+      .toString
+    val docs = documents(s, d)
+    def capture(ver: org.apache.spark.sql.Column, date: String,
+        tag: String) = docs.select(
+      concat(lit("https://ar.example/p/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      lit(date).as("warc_date"),
+      concat(lit(s"<urn:ar:$tag:"), col("doc_id").cast("string"),
+        lit(">")).as("record_id"),
+      lit("text/html").as("http_content_type"),
+      // per-doc-unique payloads: a cross-doc text collision would
+      // otherwise dedup WITHIN cycle 1 and corrupt the change signal
+      encode(concat(ver, lit(" doc "), col("doc_id").cast("string"),
+        lit(" "), col("text")), "UTF-8").as("payload"))
+    graft.sources.WarcIO.warcDedupSave(
+      capture(lit("v1"), "2026-02-01T00:00:00Z", "c1").repartition(8),
+      s"$tmp/batch=0")
+    graft.sources.WarcIO.warcDedupSave(
+      capture(when(col("doc_id") % 3 === 0, "v2").otherwise("v1"),
+        "2026-02-02T00:00:00Z", "c2").repartition(8),
+      s"$tmp/batch=1",
+      priorIndex = Some(s.read.parquet(s"$tmp/batch=0/_cdx")))
+    Revisit.fromArchive(
+      s.read.format("graft-warc").load(s"$tmp/batch=*"))
+  }
+
+  /** Sitemap fetch worklist, HASH-CERTIFIED — the discovery loop's
+    * middle tier ([[graft.operators.Outlinks.sitemapFetchList]]):
+    * robots-declared sitemaps (even docs, m0–m8) union sitemapindex
+    * children (i0–i6, with urlset rows planted to prove they are
+    * ignored and a relative loc planted to prove the absolute-only
+    * filter), minus the already-fetched set {m0, m2, i0}. The oracle
+    * recomputes the surviving set closed-form. */
+  val qT71SitemapFetchList = Q(
+    "q_t71_sitemap_fetch_list",
+    """WITH r AS (
+      |  SELECT DISTINCT 'https://sm.example/m'
+      |    || CAST(doc_id % 10 AS VARCHAR) || '.xml' AS u
+      |  FROM documents WHERE doc_id % 2 = 0),
+      | i AS (
+      |  SELECT DISTINCT 'https://sm.example/i'
+      |    || CAST(doc_id % 7 AS VARCHAR) || '.xml' AS u
+      |  FROM documents),
+      | a AS (SELECT u FROM r UNION SELECT u FROM i)
+      |SELECT u AS sitemap_url FROM a
+      |WHERE u NOT IN ('https://sm.example/m0.xml',
+      |                'https://sm.example/m2.xml',
+      |                'https://sm.example/i0.xml')""".stripMargin) {
+    (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val robotsDiscovered = docs.filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("https://sm.example/m"),
+        (col("doc_id") % 10).cast("string"), lit(".xml"))
+        .as("sitemap_url"))
+    val entries = docs.select(
+      concat(lit("https://sm.example/i"),
+        (col("doc_id") % 7).cast("string"), lit(".xml")).as("loc"),
+      lit(true).as("is_index"))
+      .union(docs.select( // urlset rows: pages, must be ignored
+        concat(lit("https://sm.example/page/"),
+          col("doc_id").cast("string")).as("loc"),
+        lit(false).as("is_index")))
+      .union(docs.select( // relative loc: absolute-only filter
+        lit("/i-relative.xml").as("loc"), lit(true).as("is_index")))
+    val fetched = s.createDataset(Seq(
+      "https://sm.example/m0.xml", "https://sm.example/m2.xml",
+      "https://sm.example/i0.xml"))(
+      org.apache.spark.sql.Encoders.STRING).toDF("fetched_url")
+    Outlinks.sitemapFetchList(robotsDiscovered, "sitemap_url",
+      entries, fetched, "fetched_url")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2848,5 +2949,6 @@ object Text {
       qT60MetaRefresh, qT61CanonicalLink, qT62RobotsSitemaps,
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
       qT66TrapContainment, qT67PagerankRedistribute,
-      qT68RevisitSchedule, qT69TemplateStats)
+      qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
+      qT71SitemapFetchList)
 }

@@ -954,6 +954,52 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(n10 == 10 * n1, s"10x must contain per disjoint copy: $n10")
   }
 
+  test("revisitSchedule ~linear at 10x history, hot-URL skew included") {
+    import spark.implicits._
+    import graft.operators.Revisit
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // per URL 4 fetches, plus ONE hot URL carrying half the history
+    // rows (a health-check endpoint fetched constantly) — the skew a
+    // naive per-URL window would choke on
+    def history(prefix: String) = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("i"))
+      .select(
+        concat(lit(s"https://rv.example/$prefix/"),
+          col("doc_id").cast("string")).as("url"),
+        (lit(1.7e9) + col("doc_id") * 10 + col("i")).as("ft"),
+        (col("i") < col("doc_id") % 3).as("chg"))
+      .union(docs
+        .select(lit(s"https://rv.example/$prefix-hot").as("url"),
+          (lit(1.8e9) + col("doc_id")).as("ft"),
+          lit(false).as("chg")))
+    val h1 = history("qa")
+    val h10 = (0 until 10).map(i => history("p" + ('a' + i).toChar))
+      .reduce(_ unionByName _)
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(h: org.apache.spark.sql.DataFrame): Long =
+      Revisit.revisitSchedule(h, "url", "ft", "chg").count()
+    run(h1.limit(500)) // warm
+    def best(h: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (n1, t1) = timed(run(h)); val (_, t2) = timed(run(h))
+      (n1, math.min(t1, t2))
+    }
+    val (n1, t1) = best(h1)
+    val (n10, t10) = best(h10)
+    println(f"revisit 1x: $t1%.2f s ($n1 rows), 10x: $t10%.2f s " +
+      f"($n10 rows), ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear revisit blowup: $t1 vs $t10")
+    assert(n10 == 10 * n1, s"disjoint copies must schedule per copy")
+    // hot-URL correctness under skew: never changed → streak = count
+    val hot = Revisit.revisitSchedule(h1, "url", "ft", "chg")
+      .filter(col("url") === "https://rv.example/qa-hot").head()
+    assert(hot.getLong(2) == docs.count(),
+      s"hot URL streak must count its whole history: ${hot.getLong(2)}")
+  }
+
   test("pageRank scales ~linearly at 10x edges") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
