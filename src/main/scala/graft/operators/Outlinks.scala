@@ -660,6 +660,31 @@ object Outlinks {
     * @return frontier columns (url_host re-derived) plus `crawl_delay`,
     *         [`priority` when a priority frame is given,] `fetch_seq`,
     *         `fetch_offset` */
+  /** Per-host fetch LIMIT as a column (`__limit`): each host's budget
+    * from `hostBudgets` when listed, else the uniform `maxPerHost`
+    * fallback (0 = unlimited). Shared by [[fetchPlan]]'s cap filter
+    * and [[graft.streaming.Streams.crawlFetchPlanSink]]'s
+    * kept/deferred split so the two can never disagree. Defensive min
+    * on duplicate budget rows — a dup must not fan the join out. */
+  private[graft] def withFetchLimit(
+      df: DataFrame, maxPerHost: Int,
+      hostBudgets: Option[DataFrame], budgetHostCol: String,
+      budgetCol: String): DataFrame = {
+    val fallback = if (maxPerHost > 0) lit(maxPerHost.toLong)
+      else lit(Long.MaxValue)
+    hostBudgets match {
+      case None => df.withColumn("__limit", fallback)
+      case Some(hb) =>
+        val b = hb.select(
+            lower(trim(col(budgetHostCol))).as("url_host"),
+            col(budgetCol).cast("long").as("__budget"))
+          .groupBy("url_host").agg(min(col("__budget")).as("__budget"))
+        df.join(b, Seq("url_host"), "left")
+          .withColumn("__limit", coalesce(col("__budget"), fallback))
+          .drop("__budget")
+    }
+  }
+
   def fetchPlan(
       frontier: DataFrame, urlCol: String,
       policies: DataFrame, hostCol: String, robotsCol: String,
@@ -669,7 +694,15 @@ object Outlinks {
       priorityUrlCol: String = "node", priorityCol: String = "rank",
       fetchedAtCol: Option[String] = None,
       maxAgeSeconds: Long = 86400L,
-      asOf: Option[Column] = None): DataFrame = {
+      asOf: Option[Column] = None,
+      /** optional per-HOST budget frame (`budgetHostCol`,
+        * `budgetCol`): a rank-aware scheduler gives its high-value
+        * hosts more slots per cycle than its long tail. A listed
+        * host keeps its top `budget` URLs (`<= 0` excludes the host
+        * this cycle); unlisted hosts fall back to `maxPerHost`. */
+      hostBudgets: Option[DataFrame] = None,
+      budgetHostCol: String = "url_host",
+      budgetCol: String = "budget"): DataFrame = {
     require(defaultDelay > 0, s"defaultDelay must be > 0: $defaultDelay")
     require(maxPerHost >= 0, s"maxPerHost must be >= 0: $maxPerHost")
     val pol = Robots.freshOnly(policies, fetchedAtCol, maxAgeSeconds,
@@ -711,7 +744,11 @@ object Outlinks {
       .transform(Skew.rankWithinKey(_, Seq("url_host"), orderCols,
         "fetch_seq", numPartitions))
       .transform(df =>
-        if (maxPerHost > 0) df.filter(col("fetch_seq") <= maxPerHost)
+        if (maxPerHost > 0 || hostBudgets.isDefined)
+          withFetchLimit(df, maxPerHost, hostBudgets, budgetHostCol,
+            budgetCol)
+            .filter(col("fetch_seq") <= col("__limit"))
+            .drop("__limit")
         else df)
       .withColumn("fetch_offset",
         (col("fetch_seq") - 1).cast("double") * col("crawl_delay"))

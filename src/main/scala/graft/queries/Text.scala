@@ -2930,6 +2930,51 @@ object Text {
       entries, fetched, "fetched_url")
   }
 
+  /** Per-host crawl BUDGETS, HASH-CERTIFIED — the rank-aware
+    * allocation knob on [[graft.operators.Outlinks.fetchPlan]]: listed
+    * hosts keep their top `budget` URLs (h0 → 10, h1 → 20, h2 → 0 —
+    * excluded outright), unlisted hosts (h3, h4) fall back to the
+    * uniform `maxPerHost = 25`. The oracle recomputes the per-host
+    * windows and applies the same limit table closed-form — a broken
+    * budget join, fallback, or exclusion arm each flips rows. */
+  val qT72HostBudgets = Q(
+    "q_t72_host_budgets",
+    """WITH f AS (
+      |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '.example/u/' || CAST(doc_id AS VARCHAR)
+      |           AS frontier_url,
+      |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+      |           AS url_host,
+      |         doc_id % 5 AS h
+      |  FROM documents),
+      | r AS (
+      |  SELECT frontier_url, url_host, h,
+      |         ROW_NUMBER() OVER (PARTITION BY url_host
+      |                            ORDER BY frontier_url) AS rn
+      |  FROM f)
+      |SELECT frontier_url, url_host, CAST(1.0 AS DOUBLE) AS crawl_delay,
+      |       rn AS fetch_seq,
+      |       (rn - 1) * CAST(1.0 AS DOUBLE) AS fetch_offset
+      |FROM r
+      |WHERE (h = 0 AND rn <= 10) OR (h = 1 AND rn <= 20)
+      |   OR (h IN (3, 4) AND rn <= 25)""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val frontier = documents(s, d).select(
+      concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example/u/"), col("doc_id").cast("string"))
+        .as("frontier_url"))
+    val policies = s.range(0).select(lit("h").as("host"),
+      lit("User-agent: *\nAllow: /").as("robots"))
+    val budgets = s.range(3).select(
+      concat(lit("h"), col("id").cast("string"), lit(".example"))
+        .as("url_host"),
+      when(col("id") === 0, 10L).when(col("id") === 1, 20L)
+        .otherwise(0L).as("budget"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot", maxPerHost = 25,
+      hostBudgets = Some(budgets))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2950,5 +2995,5 @@ object Text {
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
-      qT71SitemapFetchList)
+      qT71SitemapFetchList, qT72HostBudgets)
 }

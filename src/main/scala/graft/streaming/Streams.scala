@@ -911,8 +911,11 @@ object Streams {
       priorityUrlCol: String = "node", priorityCol: String = "rank",
       fetchedAtCol: Option[String] = None,
       maxAgeSeconds: Long = 86400L,
-      asOf: Option[org.apache.spark.sql.Column] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      asOf: Option[org.apache.spark.sql.Column] = None,
+      hostBudgets: Option[DataFrame] = None,
+      budgetHostCol: String = "url_host", budgetCol: String = "budget")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val capped = maxPerHost > 0 || hostBudgets.isDefined
     crawlFrontierStream(spark, inDir, seen, seenCol).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -921,7 +924,7 @@ object Streams {
         val frontier = batch.toDF()
         val inCols = frontier.columns.toSeq
         val input =
-          if (maxPerHost <= 0) frontier
+          if (!capped) frontier
           else {
             // previous cycle's pending set — ALWAYS batch N-1 (written
             // every cycle, possibly empty), so replay is deterministic;
@@ -945,17 +948,22 @@ object Streams {
           priorities = priorities, priorityUrlCol = priorityUrlCol,
           priorityCol = priorityCol, fetchedAtCol = fetchedAtCol,
           maxAgeSeconds = maxAgeSeconds, asOf = asOf)
-        if (maxPerHost <= 0) {
+        if (!capped) {
           plan.write.mode("overwrite")
             .parquet(f"$outDir%s/batch=$batchId%06d")
         } else {
+          // the SAME per-host limit column fetchPlan's own cap uses —
+          // kept and deferred can never disagree with the batch form;
           // fetch_seq is pinned inside rankWithinKey (eager
-          // localCheckpoint), so the two filters below read one frozen
-          // ranking — no divergence between the plan and its deferral
-          plan.filter(col("fetch_seq") <= maxPerHost)
+          // localCheckpoint), so the two filters below read one
+          // frozen ranking
+          val limited = graft.operators.Outlinks.withFetchLimit(
+            plan, maxPerHost, hostBudgets, budgetHostCol, budgetCol)
+          limited.filter(col("fetch_seq") <= col("__limit"))
+            .drop("__limit")
             .write.mode("overwrite")
             .parquet(f"$outDir%s/batch=$batchId%06d")
-          plan.filter(col("fetch_seq") > maxPerHost)
+          limited.filter(col("fetch_seq") > col("__limit"))
             .select(inCols.map(col): _*)
             .write.mode("overwrite")
             .parquet(f"$outDir%s/deferred/batch=$batchId%06d")
@@ -963,6 +971,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Fold the frontier stream's long-lived exactly-once state back
     * into its static seen table — the maintenance operator behind

@@ -1234,11 +1234,13 @@ class WarcSpec extends AnyFunSuite {
             java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
         }
     }
-    def run(): Unit = {
+    def run(budgets: Option[org.apache.spark.sql.DataFrame] = None)
+        : Unit = {
       val q = graft.streaming.Streams.crawlFetchPlanSink(
         spark, in, out, chk, Seq.empty[String].toDF("url"), "url",
         Seq.empty[(String, String)].toDF("host", "robots"),
-        "host", "robots", "graftbot", maxPerHost = 10)
+        "host", "robots", "graftbot", maxPerHost = 10,
+        hostBudgets = budgets)
       try q.processAllAvailable() finally q.stop()
     }
     // cycle 0: 30 URLs on one host, cap 10 → 10 planned, 20 deferred
@@ -1270,6 +1272,18 @@ class WarcSpec extends AnyFunSuite {
       f"https://one.example/u/$i%03d-b")).toSeq.sorted.take(10).toSet
     assert(plan1.select("frontier_url").as[String].collect().toSet
       == expected1, "cycle 1 must plan the first 10 pending URLs")
+    // cycle 2 under a per-host BUDGET (3 for the host): kept shrinks
+    // to 3, the rest keeps deferring — budgets and carry-over compose
+    land("c", 0 until 2)
+    run(budgets = Some(Seq(("one.example", 3L)).toDF("url_host", "budget")))
+    val plan2 = spark.read.parquet(s"$out/batch=000002")
+    assert(plan2.count() == 3, "budget must override maxPerHost")
+    val def2 = spark.read.parquet(s"$out/deferred/batch=000002")
+      .select("frontier_url").as[String].collect().toSet
+    val planned2 = planned ++
+      plan2.select("frontier_url").as[String].collect().toSet
+    assert((planned2 ++ def2).size == 37 && (planned2 & def2).isEmpty,
+      s"37 URLs total, still none lost: ${(planned2 ++ def2).size}")
   }
 
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
