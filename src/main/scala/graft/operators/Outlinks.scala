@@ -178,6 +178,43 @@ object Outlinks {
       .drop("__a")
   }
 
+  /** Anchor-text INDEX — the classic IR signal (Brin & Page 1998 §2.2:
+    * the linking pages describe the target better than the target
+    * does): per target URL, the `k` most common anchor texts across
+    * the corpus with their reference counts. Feeds URL-priority
+    * classifiers, query-independent relevance, and seed expansion.
+    * Input is [[extractAnchors]] output (or any (url, text) frame);
+    * null texts (image-only anchors) drop, and `nofollowCol` — pass
+    * `Some("nofollow")` for extractAnchors frames — drops the links
+    * pages explicitly declined to vouch for, exactly as [[LinkGraph]]
+    * consumers should.
+    *
+    * Scale shape: one hash aggregation on the (url, text) pair
+    * (maximally high-cardinality), then [[Skew.topKPerGroup]] for the
+    * per-URL top-k by `(count desc, text)` — salted two-level rank, so
+    * one hugely-referenced target (every site's home page) never pins
+    * a task. `(count, text)` is a total order per URL: deterministic,
+    * re-derivable.
+    *
+    * @return `outCol`, `textCol`, `n_refs`, `text_rank` (1..k) */
+  def anchorTextIndex(
+      anchors: DataFrame, outCol: String = "outlink",
+      textCol: String = "anchor_text", k: Int = 5,
+      nofollowCol: Option[String] = None,
+      salts: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val followed = nofollowCol.fold(anchors)(c =>
+      anchors.filter(!coalesce(col(c), lit(false))))
+    val counts = followed
+      .filter(col(textCol).isNotNull)
+      .groupBy(col(outCol), col(textCol))
+      .agg(count(lit(1)).as("n_refs"))
+    Skew.topKPerGroup(counts, Seq(outCol),
+        Seq(col("n_refs").desc, col(textCol)), k,
+        col(textCol), salts)
+      .withColumnRenamed("rank", "text_rank")
+  }
+
   /** Meta-refresh redirect targets — the in-markup redirect class HTTP
     * headers never see (`<meta http-equiv="refresh"
     * content="5;url=/next">`): one row per page whose HTML declares

@@ -2975,6 +2975,50 @@ object Text {
       hostBudgets = Some(budgets))
   }
 
+  /** Anchor-text index, HASH-CERTIFIED END TO END — page HTML →
+    * [[graft.operators.Outlinks.extractAnchors]] → [[Outlinks
+    * .anchorTextIndex]]: each page anchors its residue target with one
+    * of three labels (counts are data-dependent — one per doc in the
+    * (doc_id % 50, doc_id % 3) class) plus a `rel=nofollow` spam
+    * anchor that must NOT count. Top-2 labels per target by
+    * `(count desc, text)`; the oracle recomputes the counts and the
+    * window from the documents table — certifying extraction, the
+    * nofollow filter, the pair aggregation, and the salted top-k as
+    * one plan. */
+  val qT73AnchorIndex = Q(
+    "q_t73_anchor_index",
+    """WITH a AS (
+      |  SELECT 'https://t.example/p/' || CAST(doc_id % 50 AS VARCHAR)
+      |           AS outlink,
+      |         'label ' || CAST(doc_id % 3 AS VARCHAR) AS anchor_text,
+      |         CAST(COUNT(*) AS BIGINT) AS n_refs
+      |  FROM documents GROUP BY 1, 2),
+      | r AS (
+      |  SELECT outlink, anchor_text, n_refs,
+      |         ROW_NUMBER() OVER (PARTITION BY outlink
+      |                            ORDER BY n_refs DESC, anchor_text)
+      |           AS text_rank
+      |  FROM a)
+      |SELECT outlink, anchor_text, n_refs,
+      |       CAST(text_rank AS BIGINT) AS text_rank
+      |FROM r WHERE text_rank <= 2""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val page = concat(
+      lit("<html><body><a href=\"/p/"),
+      (col("doc_id") % 50).cast("string"), lit("\">label "),
+      (col("doc_id") % 3).cast("string"), lit("</a>"),
+      lit("<a href=\"/p/"), (col("doc_id") % 50).cast("string"),
+      lit("\" rel=\"nofollow\">spam label</a></body></html>"))
+    val anchors = Outlinks.extractAnchors(
+      documents(s, d).select(
+        concat(lit("https://t.example/x/"), col("doc_id").cast("string"))
+          .as("target_uri"),
+        page.as("html")),
+      "html", "target_uri")
+    Outlinks.anchorTextIndex(anchors, k = 2,
+      nofollowCol = Some("nofollow"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -2995,5 +3039,5 @@ object Text {
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
-      qT71SitemapFetchList, qT72HostBudgets)
+      qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex)
 }
