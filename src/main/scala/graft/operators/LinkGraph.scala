@@ -103,6 +103,60 @@ object LinkGraph {
     ranks
   }
 
+  /** BFS distance from a SEED set — the crawl-depth signal: pages few
+    * hops from a curated seed list carry a quality prior (the
+    * observation behind focused crawling and OPIC-style frontier
+    * scoring), and a depth column lets a curation pipeline stratify
+    * or cap by distance. One row per REACHED node with its minimum
+    * hop count (seeds = 0); unreachable nodes are absent, and
+    * expansion stops at `maxDepth` hops (web graphs are shallow from
+    * good seeds — a deep tail is usually trap territory).
+    *
+    * Shape: classic frontier-expansion BFS (what GraphX Pregel would
+    * run), one round per depth level: join the frontier to the
+    * deduped edge list (hashing on src), anti-join away visited
+    * nodes, `localCheckpoint` per round for plan truncation. The only
+    * driver-side action is the per-round emptiness probe on an
+    * already-materialized frame — bounded, like
+    * [[Outlinks.resolveRedirectChains]]'s convergence probe.
+    *
+    * @return `node` (string), `depth` (int, 0..maxDepth) */
+  def seedDistance(
+      edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String,
+      maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    // dedupe: multi-edges multiply the per-round join fan-out but
+    // cannot change a BFS distance
+    val e = edges.select(col(src).cast("string").as("src"),
+        col(dst).cast("string").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("string").as("node"))
+      .distinct()
+      .withColumn("depth", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    var d = 0
+    var exhausted = frontier.isEmpty
+    while (!exhausted && d < maxDepth) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+        .localCheckpoint()
+      exhausted = next.limit(1).count() == 0
+      if (!exhausted) {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+      d += 1
+    }
+    visited
+  }
+
   /** HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
     * Environment", JACM 1999) — hubs point at good authorities,
     * authorities are pointed at by good hubs: the complementary signal

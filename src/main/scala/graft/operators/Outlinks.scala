@@ -231,27 +231,26 @@ object Outlinks {
     * both), as does an unquoted content value (content=5;url=/x —
     * legal while it carries no whitespace or quotes). */
   private def metaRefreshContent(html: Column): Column = {
-    val metaPrefix =
+    // one alternation covers all three value forms per attribute
+    // order (the quotes ride into the capture and are stripped below —
+    // a double-quoted value may carry single quotes inside and vice
+    // versa, so the strip only peels the OUTER pair)
+    val value = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+    val heFirst =
       "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*" +
-        "\\bcontent\\s*=\\s*"
-    val metaSuffix = "[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?"
-    val revPrefix = "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*"
+        "\\bcontent\\s*=\\s*" + value
+    val contentFirst =
+      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*" + value +
+        "[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?"
     def ext(pat: String) =
       nullif(regexp_extract(html, pat, 1), lit(""))
     // cheap pre-gate: every variant requires the literal token
     // `refresh`, and the overwhelming majority of pages never contain
-    // it — one linear scan spares them the six-pattern coalesce
-    // (measured 5× on the q_t60 corpus without it)
-    when(html.rlike("(?i)refresh"),
-      coalesce(
-        ext(metaPrefix + "\"([^\"]*)\""),
-        ext(metaPrefix + "'([^']*)'"),
-        ext(metaPrefix + "([^\\s\"'>]+)"),
-        ext(revPrefix + "\"([^\"]*)\"" + metaSuffix),
-        ext(revPrefix + "'([^']*)'" + metaSuffix),
-        ext(revPrefix + "([^\\s\"'>]+)" + metaSuffix),
-        lit("")))
+    // it — one linear scan spares them the pattern coalesce
+    val raw = when(html.rlike("(?i)refresh"),
+      coalesce(ext(heFirst), ext(contentFirst), lit("")))
       .otherwise(lit(""))
+    regexp_replace(raw, "^[\"']|[\"']$", "")
   }
 
   /** The RESOLVED meta-refresh target of one page as a Column (null

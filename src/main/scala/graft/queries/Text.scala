@@ -3019,6 +3019,46 @@ object Text {
       nofollowCol = Some("nofollow"))
   }
 
+  /** Seed-distance BFS, HASH-CERTIFIED — the crawl-depth prior
+    * ([[graft.operators.LinkGraph.seedDistance]]): hop counts from
+    * seeds {n0, n3} over a residue graph, with a planted disconnected
+    * `m`-cycle that must stay ABSENT (unreachable) and `maxDepth = 6`
+    * bounding the expansion. The oracle is an independent recursive
+    * CTE taking MIN depth per node — a broken frontier join, visited
+    * anti-join, or depth cap each flips rows. */
+  val qT74SeedDistance = Q(
+    "q_t74_seed_distance",
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT 'n' || CAST(doc_id % 40 AS VARCHAR) AS src,
+      |         'n' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) AS dst
+      |  FROM documents
+      |  UNION
+      |  SELECT DISTINCT 'm' || CAST(doc_id % 5 AS VARCHAR),
+      |         'm' || CAST((doc_id + 1) % 5 AS VARCHAR)
+      |  FROM documents),
+      | walk(node, depth) AS (
+      |  SELECT 'n0', 0 UNION SELECT 'n3', 0
+      |  UNION
+      |  SELECT e.dst, w.depth + 1
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.depth < 6)
+      |SELECT node, CAST(MIN(depth) AS INTEGER) AS depth
+      |FROM walk GROUP BY node""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val e = docs.select(
+        concat(lit("n"), (col("doc_id") % 40).cast("string")).as("src"),
+        concat(lit("n"), ((col("doc_id") * 7 + 1) % 40).cast("string"))
+          .as("dst"))
+      .union(docs.select(
+        concat(lit("m"), (col("doc_id") % 5).cast("string")).as("src"),
+        concat(lit("m"), ((col("doc_id") + 1) % 5).cast("string"))
+          .as("dst")))
+    val seeds = s.range(2).select(
+      concat(lit("n"), (col("id") * 3).cast("string")).as("seed"))
+    graft.operators.LinkGraph.seedDistance(e, "src", "dst",
+      seeds, "seed", maxDepth = 6)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3039,5 +3079,6 @@ object Text {
       qT63RobotsFetchList, qT64RankedFetchPlan, qT65RobotsFreshness,
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
-      qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex)
+      qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
+      qT74SeedDistance)
 }

@@ -92,6 +92,34 @@ class LinkGraphSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("seedDistance: min depth, cycles, unreachable absent, maxDepth cap") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", // chain
+      "a" -> "c", // shortcut: c is 1 hop, not 2
+      "d" -> "b", // cycle back: must not re-visit
+      "x" -> "y" // disconnected: unreachable
+    ).toDF("src", "dst")
+    val seeds = Seq("a").toDF("s")
+    val got = LinkGraph.seedDistance(edges, "src", "dst", seeds, "s")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2),
+      s"got: $got")
+    // maxDepth stops the expansion; seeds always survive at 0
+    val capped = LinkGraph.seedDistance(edges, "src", "dst", seeds, "s",
+        maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped == Map("a" -> 0, "b" -> 1, "c" -> 1))
+    val zero = LinkGraph.seedDistance(edges, "src", "dst", seeds, "s",
+        maxDepth = 0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(zero == Map("a" -> 0))
+    // a seed missing from the graph still reports depth 0
+    val lone = LinkGraph.seedDistance(edges, "src", "dst",
+        Seq("zz").toDF("s"), "s")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lone == Map("zz" -> 0))
+  }
+
   test("hits: star separates hubs from the authority; L1 mass = 1 each") {
     val star = Seq("l1" -> "h", "l2" -> "h", "l3" -> "h", "l4" -> "h",
       "h" -> "l1").toDF("src", "dst")

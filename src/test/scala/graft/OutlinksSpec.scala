@@ -295,6 +295,34 @@ class OutlinksSpec extends AnyFunSuite {
       rows.contains(s"https://t.example/$p")))
   }
 
+  test("anchorTextIndex: counts, nofollow filter, null texts, tie order") {
+    import spark.implicits._
+    val anchors = Seq(
+      ("https://t/a", "alpha", false), ("https://t/a", "alpha", false),
+      ("https://t/a", "beta", false), ("https://t/a", "beta", false),
+      ("https://t/a", "gamma", false),
+      ("https://t/a", "spam", true), ("https://t/a", "spam", true),
+      ("https://t/a", "spam", true), // nofollow: never counts
+      ("https://t/a", null, false), // image link: dropped
+      ("https://t/b", "only", false))
+      .toDF("outlink", "anchor_text", "nofollow")
+    val got = Outlinks.anchorTextIndex(anchors, k = 2,
+        nofollowCol = Some("nofollow"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // alpha/beta tie at 2 → text asc breaks it; gamma (1) misses k=2
+    assert(got == Set(
+      ("https://t/a", "alpha", 2L, 1L),
+      ("https://t/a", "beta", 2L, 2L),
+      ("https://t/b", "only", 1L, 1L)), s"got: $got")
+    // without the nofollow column every edge votes
+    val all = Outlinks.anchorTextIndex(anchors, k = 1)
+      .filter(col("outlink") === "https://t/a")
+      .head()
+    assert(all.getString(1) == "spam" && all.getLong(2) == 3L,
+      "unfiltered index must count the nofollow edges")
+  }
+
   test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
     import spark.implicits._
     val links = Seq(

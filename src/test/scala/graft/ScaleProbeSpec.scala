@@ -1000,6 +1000,75 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"hot URL streak must count its whole history: ${hot.getLong(2)}")
   }
 
+  test("COMPOSED scheduling tier (traps → budgets → ranked plan) ~linear at 10x") {
+    import spark.implicits._
+    import graft.operators.Outlinks
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    def frontier(prefix: String) = docs.select(
+      concat(lit("https://trap.example/"), lit(prefix), lit("/d/"),
+        col("doc_id").cast("string")).as("frontier_url"))
+      .union(docs.select(
+        concat(lit("https://w"), (col("doc_id") % 50).cast("string"),
+          lit(s".example/$prefix/sec/"),
+          (col("doc_id") % 30).cast("string")).as("frontier_url")))
+      .distinct()
+    def priorities(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("frontier_url").as("node"),
+        pmod(xxhash64(col("frontier_url")), lit(1000L))
+          .cast("double").as("rank"))
+    val budgets = Seq(("trap.example", 40L)).toDF("url_host", "budget")
+    def run(f: org.apache.spark.sql.DataFrame): Long =
+      Outlinks.fetchPlan(
+        Outlinks.containTraps(f, "frontier_url", maxPerTemplate = 100),
+        "frontier_url",
+        Seq.empty[(String, String)].toDF("host", "robots"),
+        "host", "robots", "probebot", maxPerHost = 50,
+        priorities = Some(priorities(f)), hostBudgets = Some(budgets))
+        .count()
+    val f1 = frontier("qa")
+    val f10 = (0 until 10).map(i => frontier("p" + ('a' + i).toChar))
+      .reduce(_ unionByName _)
+    def timed(g: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = g
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(f1.limit(500)) // warm
+    def best(f: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (n1, t1) = timed(run(f)); val (_, t2) = timed(run(f))
+      (n1, math.min(t1, t2))
+    }
+    val (n1, t1) = best(f1)
+    val (n10, t10) = best(f10)
+    println(f"sched tier 1x: $t1%.2f s ($n1 rows), 10x: $t10%.2f s " +
+      f"($n10 rows), ratio ${t10 / t1}%.1f")
+    assert(t10 / t1 < 30, s"super-linear scheduling blowup: $t1 vs $t10")
+    // 1x: trap template capped 100 → host budget 40; 50 clean hosts
+    // × 3 sections pass whole. 10x: trap.example is ONE host across
+    // the copies, so its 40-URL budget does NOT scale — only the
+    // clean tail does.
+    assert(n1 == 40 + 150, s"1x schedule drifted: $n1")
+    assert(n10 == 40 + 10 * 150, s"10x schedule drifted: $n10")
+    // rank-order correctness under the composition: the 40 kept trap
+    // URLs are EXACTLY the top-40 of the contained set by
+    // (priority desc, url) — the naive window recomputation
+    val contained = Outlinks.containTraps(f1, "frontier_url",
+      maxPerTemplate = 100)
+    val plan = Outlinks.fetchPlan(contained, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "probebot", maxPerHost = 50,
+      priorities = Some(priorities(f1)), hostBudgets = Some(budgets))
+    val gotTrap = plan
+      .filter(col("url_host") === "trap.example")
+      .select("frontier_url").as[String].collect().toSet
+    val wantTrap = contained
+      .filter(col("frontier_url").startsWith("https://trap."))
+      .join(priorities(contained), col("frontier_url") === col("node"))
+      .orderBy(col("rank").desc, col("frontier_url"))
+      .limit(40).select("frontier_url").as[String].collect().toSet
+    assert(gotTrap == wantTrap,
+      "budgeted plan must keep the top-priority trap URLs")
+  }
+
   test("pageRank scales ~linearly at 10x edges") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
