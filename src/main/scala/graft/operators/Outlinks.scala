@@ -50,7 +50,10 @@ object Outlinks {
     try {
       val resolved = new java.net.URI(base.trim).resolve(
         new java.net.URI(cleaned)).normalize()
-      if (!resolved.isAbsolute) null
+      // authority required: an opaque absolute URI (`urn:x`, or a
+      // junk `V:a` ref the fuzzer produced) has no host to fetch
+      // from — a frontier key must be hierarchical
+      if (!resolved.isAbsolute || resolved.getRawAuthority == null) null
       else {
         var s = resolved.toString
         // drop the fragment: a frontier key never includes one

@@ -124,6 +124,57 @@ object Revisit {
         "interval_seconds", "next_fetch_epoch")
   }
 
+  /** Per-URL CHANGE-RATE estimate — the statistical upgrade over
+    * [[revisitSchedule]]'s backoff heuristic: assuming page changes
+    * are Poisson (the standard web-dynamics model), the estimator of
+    * Cho & Garcia-Molina ("Estimating Frequency of Change", TOIT
+    * 2003, §4.2 — the bias-corrected form) recovers the change rate
+    * λ from REVISIT observations:
+    *
+    *   λ̂ = -ln((n̄ - X + 0.5) / (n̄ + 0.5)) / Δ̄
+    *
+    * where n̄ = revisit count (fetches - 1), X = revisits that found
+    * the page changed, Δ̄ = mean revisit interval. A scheduler then
+    * sets each URL's revisit interval ∝ 1/λ̂ instead of doubling
+    * blindly. Pinned semantics (mirrored by the q_t75 oracle): the
+    * FIRST fetch is first-sight, not a change observation, so X
+    * counts `changed` fetches strictly after the earliest fetch;
+    * URLs with one fetch (n̄ = 0) or a zero time span report null.
+    * Output rate is per DAY (per-second λ times 86 400 — web change
+    * rates read naturally in days).
+    *
+    * Scale shape: identical to [[revisitSchedule]]'s two hash
+    * aggregations on the URL plus one join — no windows, no state.
+    *
+    * @return `url`, `n_fetches` (long), `n_changed` (long, the X
+    *         above), `lambda_per_day` (double, null when
+    *         unestimable) */
+  def changeRates(
+      history: DataFrame, urlCol: String, timeCol: String,
+      changedCol: String): DataFrame = {
+    def epoch(c: Column): Column = c.cast("timestamp").cast("double")
+    val h = history.select(col(urlCol).cast("string").as("url"),
+      epoch(col(timeCol)).as("__t"),
+      col(changedCol).cast("boolean").as("__chg"))
+    val spans = h.groupBy("url").agg(
+      count(lit(1)).as("n_fetches"),
+      min(col("__t")).as("__t0"),
+      max(col("__t")).as("__tl"))
+    val x = h.join(spans, "url")
+      .filter(col("__chg") && col("__t") > col("__t0"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_changed"))
+    val n = (col("n_fetches") - 1).cast("double")
+    val xd = col("n_changed").cast("double")
+    val meanGap = (col("__tl") - col("__t0")) / n
+    spans.join(x, Seq("url"), "left")
+      .withColumn("n_changed", coalesce(col("n_changed"), lit(0L)))
+      .withColumn("lambda_per_day",
+        when(n > 0 && col("__tl") > col("__t0"),
+          -log((n - xd + 0.5) / (n + 0.5)) / meanGap * 86400.0))
+      .select("url", "n_fetches", "n_changed", "lambda_per_day")
+  }
+
   /** Revisit schedule straight from a DEDUP ARCHIVE — no separate
     * history table: a [[graft.sources.WarcIO.warcDedupSave]] archive
     * already encodes change detection in its record types. A full

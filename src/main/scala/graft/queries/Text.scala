@@ -3059,6 +3059,56 @@ object Text {
       seeds, "seed", maxDepth = 6)
   }
 
+  /** Poisson change-rate estimation, HASH-CERTIFIED — the Cho &
+    * Garcia-Molina bias-corrected estimator ([[graft.operators
+    * .Revisit.changeRates]]) over per-doc histories whose revisit
+    * count (0–3) and change pattern vary closed-form: single-fetch
+    * URLs must report null, the estimator must exclude the
+    * first-sight fetch from X, and the ln/interval arithmetic must
+    * match the oracle's independent recomputation bit-for-bit at the
+    * 10-significant-digit canon. */
+  val qT75ChangeRates = Q(
+    "q_t75_change_rates",
+    """WITH h AS (
+      |  SELECT 'https://cr.example/p/' || CAST(doc_id AS VARCHAR)
+      |           AS url,
+      |         CAST(1700000000 + doc_id * 100 + t.i * 7 AS DOUBLE)
+      |           AS ft,
+      |         (t.i % 2 = 0) AS chg
+      |  FROM documents, range(0, 4) t(i)
+      |  WHERE t.i <= doc_id % 4),
+      | a AS (
+      |  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+      |         MIN(ft) AS t0, MAX(ft) AS tl
+      |  FROM h GROUP BY url),
+      | x AS (
+      |  SELECT h.url, CAST(COUNT(*) AS BIGINT) AS n_changed
+      |  FROM h JOIN a ON a.url = h.url
+      |  WHERE h.chg AND h.ft > a.t0
+      |  GROUP BY h.url),
+      | j AS (
+      |  SELECT a.url, a.n_fetches, COALESCE(x.n_changed, 0) AS n_changed,
+      |         CAST(a.n_fetches - 1 AS DOUBLE) AS n, a.t0, a.tl
+      |  FROM a LEFT JOIN x ON x.url = a.url)
+      |SELECT url, n_fetches, n_changed,
+      |       CASE WHEN n > 0 AND tl > t0
+      |            THEN -ln((n - n_changed + 0.5) / (n + 0.5))
+      |                 / ((tl - t0) / n) * 86400
+      |            END AS lambda_per_day
+      |FROM j""".stripMargin) { (s, d) =>
+    import graft.operators.Revisit
+    val hist = documents(s, d)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("i"))
+      .filter(col("i") <= col("doc_id") % 4)
+      .select(
+        concat(lit("https://cr.example/p/"), col("doc_id").cast("string"))
+          .as("url"),
+        (lit(1700000000L) + col("doc_id") * 100 + col("i") * 7)
+          .cast("double").as("ft"),
+        (col("i") % 2 === 0).as("chg"))
+    Revisit.changeRates(hist, "url", "ft", "chg")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3080,5 +3130,5 @@ object Text {
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
-      qT74SeedDistance)
+      qT74SeedDistance, qT75ChangeRates)
 }

@@ -62,6 +62,36 @@ class RevisitSpec extends AnyFunSuite {
     assert(withNull.getLong(2) == 1L)
   }
 
+  test("changeRates: CGM estimator, first-sight excluded, null guards") {
+    val t0 = 1.7e9
+    // u: 4 fetches 100 s apart; revisits at +100 (changed), +200
+    // (unchanged), +300 (changed) → n=3, X=2, mean gap 100
+    val hist = Seq(
+      ("u", t0, true), ("u", t0 + 100, true),
+      ("u", t0 + 200, false), ("u", t0 + 300, true),
+      ("once", t0 + 5, true), // single fetch: null
+      ("same", t0, true), ("same", t0, false)) // zero span: null
+      .toDF("url", "ft", "chg")
+    val got = Revisit.changeRates(hist, "url", "ft", "chg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val expected = -math.log((3 - 2 + 0.5) / (3 + 0.5)) / 100.0 * 86400
+    assert(got("u")._1 == 4L && got("u")._2 == 2L)
+    assert(math.abs(got("u")._3.get - expected) < 1e-9,
+      s"λ̂ must match the closed form: ${got("u")._3} vs $expected")
+    assert(got("once") == ((1L, 0L, None)))
+    assert(got("same")._3.isEmpty, "zero time span cannot estimate")
+    // more changes → higher rate (monotonicity sanity)
+    val calm = Seq(("c", t0, true), ("c", t0 + 100, false),
+      ("c", t0 + 200, false), ("c", t0 + 300, true))
+      .toDF("url", "ft", "chg")
+    val calmRate = Revisit.changeRates(calm, "url", "ft", "chg")
+      .head().getDouble(3)
+    assert(calmRate < got("u")._3.get,
+      s"fewer observed changes must estimate a lower rate: $calmRate")
+  }
+
   test("hints: token mapping, shortest conflict wins, lastmod forces due-now") {
     val t0 = 1.7e9
     val hist = Seq(("a", t0, false), ("b", t0, false), ("c", t0, false),
