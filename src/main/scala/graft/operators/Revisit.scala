@@ -175,6 +175,55 @@ object Revisit {
       .select("url", "n_fetches", "n_changed", "lambda_per_day")
   }
 
+  /** Poisson-optimal revisit schedule from the [[changeRates]]
+    * estimates — the statistical alternative to [[revisitSchedule]]'s
+    * doubling: under the Poisson change model, fetching a page
+    * `interval` after its last fetch leaves it stale with probability
+    * 1 - e^(-λ·interval), so holding staleness risk at `staleRisk`
+    * means `interval = -ln(1 - staleRisk) / λ̂`. URLs whose rate is
+    * unestimable (single fetch, zero span, or X = 0 — nothing ever
+    * changed, λ̂ = 0) fall back to `defaultIntervalSeconds`; all
+    * intervals clamp into [`minIntervalSeconds`,
+    * `maxIntervalSeconds`] (a hyperactive page must not starve the
+    * crawler, a dead one must still be re-checked eventually).
+    *
+    * Same two-aggregation scale shape as [[changeRates]] plus one
+    * narrow projection.
+    *
+    * @return `url`, `n_fetches`, `n_changed`, `lambda_per_day`,
+    *         `interval_seconds`, `next_fetch_epoch` */
+  def rateSchedule(
+      history: DataFrame, urlCol: String, timeCol: String,
+      changedCol: String,
+      staleRisk: Double = 0.5,
+      defaultIntervalSeconds: Double = 86400.0,
+      minIntervalSeconds: Double = 3600.0,
+      maxIntervalSeconds: Double = 2592000.0): DataFrame = {
+    require(staleRisk > 0 && staleRisk < 1,
+      s"staleRisk must be in (0,1): $staleRisk")
+    require(minIntervalSeconds > 0
+      && minIntervalSeconds <= maxIntervalSeconds,
+      "need 0 < minIntervalSeconds <= maxIntervalSeconds")
+    def epoch(c: Column): Column = c.cast("timestamp").cast("double")
+    val lastFetch = history
+      .groupBy(col(urlCol).cast("string").as("url"))
+      .agg(max(epoch(col(timeCol))).as("last_fetch_epoch"))
+    val lambdaSec = col("lambda_per_day") / 86400.0
+    val raw = when(
+      col("lambda_per_day").isNotNull && col("lambda_per_day") > 0,
+      lit(-math.log1p(-staleRisk)) / lambdaSec)
+      .otherwise(defaultIntervalSeconds)
+    changeRates(history, urlCol, timeCol, changedCol)
+      .join(lastFetch, "url")
+      .withColumn("interval_seconds",
+        least(greatest(raw, lit(minIntervalSeconds)),
+          lit(maxIntervalSeconds)))
+      .withColumn("next_fetch_epoch",
+        col("last_fetch_epoch") + col("interval_seconds"))
+      .select("url", "n_fetches", "n_changed", "lambda_per_day",
+        "interval_seconds", "next_fetch_epoch")
+  }
+
   /** Revisit schedule straight from a DEDUP ARCHIVE — no separate
     * history table: a [[graft.sources.WarcIO.warcDedupSave]] archive
     * already encodes change detection in its record types. A full

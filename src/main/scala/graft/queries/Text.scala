@@ -3109,6 +3109,69 @@ object Text {
     Revisit.changeRates(hist, "url", "ft", "chg")
   }
 
+  /** Poisson-optimal revisit schedule, HASH-CERTIFIED — the
+    * [[graft.operators.Revisit.rateSchedule]] composition over the
+    * q_t75 history: interval = -ln(1 - staleRisk)/λ̂ clamped into
+    * [1 h, 30 d], default for unestimable-or-zero rates (X = 0 yields
+    * λ̂ = 0 exactly — the never-changed arm), `next_fetch` anchored at
+    * the last fetch. The oracle recomputes the estimator AND the
+    * schedule arithmetic independently. */
+  val qT76RateSchedule = Q(
+    "q_t76_rate_schedule",
+    """WITH h AS (
+      |  SELECT 'https://cr.example/p/' || CAST(doc_id AS VARCHAR)
+      |           AS url,
+      |         CAST(1700000000 + doc_id * 100 + t.i * 7 AS DOUBLE)
+      |           AS ft,
+      |         (t.i % 2 = 0) AS chg
+      |  FROM documents, range(0, 4) t(i)
+      |  WHERE t.i <= doc_id % 4),
+      | a AS (
+      |  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+      |         MIN(ft) AS t0, MAX(ft) AS tl
+      |  FROM h GROUP BY url),
+      | x AS (
+      |  SELECT h.url, CAST(COUNT(*) AS BIGINT) AS n_changed
+      |  FROM h JOIN a ON a.url = h.url
+      |  WHERE h.chg AND h.ft > a.t0
+      |  GROUP BY h.url),
+      | j AS (
+      |  SELECT a.url, a.n_fetches, COALESCE(x.n_changed, 0) AS n_changed,
+      |         CAST(a.n_fetches - 1 AS DOUBLE) AS n, a.t0, a.tl
+      |  FROM a LEFT JOIN x ON x.url = a.url),
+      | f AS (
+      |  SELECT url, n_fetches, n_changed, tl,
+      |         CASE WHEN n > 0 AND tl > t0
+      |              THEN -ln((n - n_changed + 0.5) / (n + 0.5))
+      |                   / ((tl - t0) / n) * 86400
+      |              END AS lambda_per_day
+      |  FROM j),
+      | g AS (
+      |  SELECT url, n_fetches, n_changed, tl, lambda_per_day,
+      |         CASE WHEN lambda_per_day IS NOT NULL
+      |                   AND lambda_per_day > 0
+      |              THEN LEAST(GREATEST(
+      |                     -ln(0.5) / (lambda_per_day / 86400),
+      |                     CAST(3600 AS DOUBLE)),
+      |                   CAST(2592000 AS DOUBLE))
+      |              ELSE CAST(86400 AS DOUBLE) END AS interval_seconds
+      |  FROM f)
+      |SELECT url, n_fetches, n_changed, lambda_per_day,
+      |       interval_seconds, tl + interval_seconds AS next_fetch_epoch
+      |FROM g""".stripMargin) { (s, d) =>
+    import graft.operators.Revisit
+    val hist = documents(s, d)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("i"))
+      .filter(col("i") <= col("doc_id") % 4)
+      .select(
+        concat(lit("https://cr.example/p/"), col("doc_id").cast("string"))
+          .as("url"),
+        (lit(1700000000L) + col("doc_id") * 100 + col("i") * 7)
+          .cast("double").as("ft"),
+        (col("i") % 2 === 0).as("chg"))
+    Revisit.rateSchedule(hist, "url", "ft", "chg")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3130,5 +3193,5 @@ object Text {
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
-      qT74SeedDistance, qT75ChangeRates)
+      qT74SeedDistance, qT75ChangeRates, qT76RateSchedule)
 }

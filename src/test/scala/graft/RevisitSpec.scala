@@ -92,6 +92,43 @@ class RevisitSpec extends AnyFunSuite {
       s"fewer observed changes must estimate a lower rate: $calmRate")
   }
 
+  test("rateSchedule: risk knob, clamps, zero-rate and unestimable defaults") {
+    val t0 = 1.7e9
+    val hist = Seq(
+      // hot: 3 revisits, all changed, 100 s apart → λ̂ high → min clamp
+      ("hot", t0, true), ("hot", t0 + 100, true),
+      ("hot", t0 + 200, true), ("hot", t0 + 300, true),
+      // mild: one change in 3 revisits, day-scale gaps
+      ("mild", t0, true), ("mild", t0 + 86400.0, false),
+      ("mild", t0 + 2 * 86400.0, true), ("mild", t0 + 3 * 86400.0, false),
+      // frozen: never changed after first sight → λ̂ = 0 → default
+      ("frozen", t0, true), ("frozen", t0 + 86400.0, false),
+      ("frozen", t0 + 2 * 86400.0, false),
+      // lone: single fetch → unestimable → default
+      ("lone", t0, true))
+      .toDF("url", "ft", "chg")
+    val got = Revisit.rateSchedule(hist, "url", "ft", "chg")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("hot")._2 == 3600.0, s"hot page clamps to min: ${got("hot")}")
+    val lam = got("mild")._1.get / 86400.0 // per second
+    val want = math.min(math.max(math.log(2) / lam, 3600.0), 2592000.0)
+    assert(math.abs(got("mild")._2 - want) < 1e-6,
+      s"mild interval must follow -ln(.5)/λ: ${got("mild")._2} vs $want")
+    assert(got("mild")._3 == t0 + 3 * 86400.0 + got("mild")._2)
+    assert(got("frozen")._1.contains(0.0) // -ln(1) is exactly ±0
+      || got("frozen")._1.exists(_ == -0.0))
+    assert(got("frozen")._2 == 86400.0, "zero rate falls to the default")
+    assert(got("lone")._1.isEmpty && got("lone")._2 == 86400.0)
+    // a tighter staleness target fetches more often
+    val strict = Revisit.rateSchedule(hist, "url", "ft", "chg",
+        staleRisk = 0.1)
+      .filter(col("url") === "mild").head().getDouble(4)
+    assert(strict < got("mild")._2,
+      s"lower staleRisk must shorten the interval: $strict")
+  }
+
   test("hints: token mapping, shortest conflict wins, lastmod forces due-now") {
     val t0 = 1.7e9
     val hist = Seq(("a", t0, false), ("b", t0, false), ("c", t0, false),
