@@ -1214,6 +1214,48 @@ class WarcSpec extends AnyFunSuite {
     assert(plan1.agg(min(col("fetch_seq"))).head().getLong(0) == 1L)
   }
 
+  test("revisit schedule ADVANCES across archive cycles (fromArchive)") {
+    import spark.implicits._
+    val dir = tmp("revcycles").toString
+    def capture(cycle: Int, date: String, changedIds: Set[Int]) = {
+      val rows = (0 until 6).map { i =>
+        val version = if (changedIds.contains(i)) s"c$cycle" else "c0"
+        (s"https://rv.example/p/$i", date, s"<urn:rv:$cycle:$i>",
+          "text/html", s"$version body of page $i".getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload")
+      val prior = if (cycle == 0) None
+        else Some((0 until cycle).map(c =>
+          spark.read.parquet(s"$dir/batch=$c/_cdx"))
+          .reduce(_ unionByName _))
+      WarcIO.warcDedupSave(rows.repartition(2), s"$dir/batch=$cycle",
+        priorIndex = prior)
+    }
+    def schedule(): Map[String, (Long, Double)] =
+      graft.operators.Revisit.fromArchive(
+        spark.read.format("graft-warc").load(s"$dir/batch=*"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    // cycle 0: first sight of everything → streak 0, base interval
+    capture(0, "2026-03-01T00:00:00Z", (0 until 6).toSet)
+    assert(schedule().values.forall(_ == ((0L, 86400.0))))
+    // cycle 1: pages 0,1 changed; 2-5 unchanged (revisit records) —
+    // unchanged pages back off to 2x, changed stay at base
+    capture(1, "2026-03-02T00:00:00Z", Set(0, 1))
+    val s1 = schedule()
+    assert(s1("https://rv.example/p/0") == ((0L, 86400.0)))
+    assert(s1("https://rv.example/p/3") == ((1L, 172800.0)))
+    // cycle 2: only page 3 changes — its backoff RESETS while page 4
+    // keeps doubling and page 0 starts its own streak
+    capture(2, "2026-03-04T00:00:00Z", Set(3))
+    val s2 = schedule()
+    assert(s2("https://rv.example/p/3") == ((0L, 86400.0)),
+      s"change must reset the backoff: ${s2("https://rv.example/p/3")}")
+    assert(s2("https://rv.example/p/4") == ((2L, 345600.0)),
+      s"unchanged streak must keep doubling: ${s2("https://rv.example/p/4")}")
+    assert(s2("https://rv.example/p/0") == ((1L, 172800.0)))
+  }
+
   test("crawlFetchPlanSink maxPerHost: capped URLs carry over, none lost") {
     import spark.implicits._
     val root = tmp("plancarry")
