@@ -400,6 +400,37 @@ object Outlinks {
         col("__cyc_from").isNotNull.as("is_cycle"))
   }
 
+  /** REWRITE a URL column through a canonicalization mapping — the
+    * consumer side of the signals this module extracts: redirect
+    * chains ([[resolveRedirectChains]]'s `redirect_from →
+    * final_target`) and page-declared canonicals
+    * ([[canonicalLinkEdges]]'s `page_uri → canonical_uri`). One left
+    * equi-join on the URL; unmapped URLs — and mapped rows whose
+    * target is NULL, i.e. redirect CYCLES — keep their original value
+    * (a crawler must not canonicalize into a loop). Chain one call
+    * per signal class (redirect finals first, then declared
+    * canonicals — the declaration lives on the page the redirect
+    * lands on). Duplicate mapping keys reduce to the MIN non-null
+    * target (deterministic; a well-formed mapping has one). Rows are
+    * NOT deduplicated — two URLs collapsing onto one canonical is
+    * exactly what downstream `distinct`/dedup keys on.
+    *
+    * Scale shape: one join hashing on the URL (maximally
+    * high-cardinality; broadcast when the mapping is small) plus a
+    * narrow coalesce. */
+  def applyCanonical(
+      df: DataFrame, urlCol: String,
+      mapping: DataFrame, fromCol: String, toCol: String): DataFrame = {
+    val inCols = df.columns.toSeq
+    val m = mapping
+      .filter(col(toCol).isNotNull)
+      .groupBy(col(fromCol).cast("string").as(urlCol))
+      .agg(min(col(toCol).cast("string")).as("__canon"))
+    df.join(m, Seq(urlCol), "left")
+      .withColumn(urlCol, coalesce(col("__canon"), col(urlCol)))
+      .select(inCols.map(col): _*)
+  }
+
   /** The HOST graph of a resolved link frame — what [[LinkGraph
     * .pageRank]] ranks for frontier prioritization: one `src`/`dst`
     * edge per distinct (linking host, target host) pair, intra-host

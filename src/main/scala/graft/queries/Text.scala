@@ -3172,6 +3172,51 @@ object Text {
     Revisit.rateSchedule(hist, "url", "ft", "chg")
   }
 
+  /** Canonical-mapping APPLICATION, HASH-CERTIFIED — the consumer
+    * side of the redirect/canonical signals ([[graft.operators
+    * .Outlinks.applyCanonical]] chained twice): every 5th URL has a
+    * resolved redirect final (null — a CYCLE — on every 35th, which
+    * must keep its original), every 10th redirect TARGET declares a
+    * rel=canonical, and every 3rd ORIGINAL URL declares one that only
+    * applies when no redirect rewrote the URL first. The oracle
+    * restates the two-stage rewrite closed-form — join order,
+    * null-target guard, and pass-through each flip rows. */
+  val qT77ApplyCanonical = Q(
+    "q_t77_apply_canonical",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 AND doc_id % 35 <> 0 THEN
+      |         CASE WHEN doc_id % 10 = 0
+      |              THEN 'https://cn.example/c/' || CAST(doc_id AS VARCHAR)
+      |              ELSE 'https://cn.example/m/' || CAST(doc_id AS VARCHAR)
+      |              END
+      |       WHEN doc_id % 3 = 0
+      |       THEN 'https://cn.example/cv/' || CAST(doc_id AS VARCHAR)
+      |       ELSE 'https://cn.example/v/' || CAST(doc_id AS VARCHAR)
+      |            || '?x=1' END AS url
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val idStr = col("doc_id").cast("string")
+    val orig = concat(lit("https://cn.example/v/"), idStr, lit("?x=1"))
+    val frontier = docs.select(col("doc_id"), orig.as("url"))
+    val redirects = docs.filter(col("doc_id") % 5 === 0)
+      .select(orig.as("redirect_from"),
+        when(col("doc_id") % 35 =!= 0,
+          concat(lit("https://cn.example/m/"), idStr))
+          .as("final_target"))
+    val canon = docs.filter(col("doc_id") % 10 === 0)
+      .select(concat(lit("https://cn.example/m/"), idStr).as("page_uri"),
+        concat(lit("https://cn.example/c/"), idStr).as("canonical_uri"))
+      .union(docs.filter(col("doc_id") % 3 === 0)
+        .select(orig.as("page_uri"),
+          concat(lit("https://cn.example/cv/"), idStr)
+            .as("canonical_uri")))
+    Outlinks.applyCanonical(
+      Outlinks.applyCanonical(frontier, "url",
+        redirects, "redirect_from", "final_target"),
+      "url", canon, "page_uri", "canonical_uri")
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3193,5 +3238,6 @@ object Text {
       qT66TrapContainment, qT67PagerankRedistribute,
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
-      qT74SeedDistance, qT75ChangeRates, qT76RateSchedule)
+      qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
+      qT77ApplyCanonical)
 }
