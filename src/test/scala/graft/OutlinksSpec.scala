@@ -323,6 +323,23 @@ class OutlinksSpec extends AnyFunSuite {
       "unfiltered index must count the nofollow edges")
   }
 
+  test("applyCanonical: pass-through, null-target cycles, dup keys, columns kept") {
+    import spark.implicits._
+    val df = Seq((1, "https://a/x"), (2, "https://a/y"),
+      (3, "https://a/z")).toDF("id", "url")
+    val mapping = Seq(
+      ("https://a/x", "https://a/X1"),
+      ("https://a/x", "https://a/X0"), // dup key → min target
+      ("https://a/y", null.asInstanceOf[String])) // cycle → keep
+      .toDF("from", "to")
+    val got = Outlinks.applyCanonical(df, "url", mapping, "from", "to")
+    assert(got.columns.toSeq == Seq("id", "url"),
+      "input column shape must be preserved")
+    val rows = got.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows == Map(1 -> "https://a/X0", 2 -> "https://a/y",
+      3 -> "https://a/z"), s"got: $rows")
+  }
+
   test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
     import spark.implicits._
     val links = Seq(
