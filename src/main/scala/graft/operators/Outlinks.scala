@@ -687,13 +687,16 @@ object Outlinks {
     *     `maxPerHost` keep the top-priority URLs instead of the
     *     alphabetically early ones. The output then carries the joined
     *     `priority` column; URL stays the tiebreak, so the
-    *     no-priorities plan is the priorities-of-all-zero plan;
+    *     no-priorities plan is the priorities-of-all-zero plan.
+    *     Duplicate URL rows in the frame reduce to their MAX score
+    *     before the join (a dup must not duplicate a frontier row);
     *   - with `fetchedAtCol`/`maxAgeSeconds` ([[Robots.gateByPolicy]]
     *     semantics), a policy row older than `maxAgeSeconds` at `asOf`
-    *     is treated as ABSENT — RFC 9309 §2.4 caps robots caching at
-    *     ~24 h, so a stale policy must not keep gating; feed the same
-    *     arguments to [[Robots.robotsFetchList]] to surface those
-    *     hosts for refetch.
+    *     — or with a NULL timestamp, which cannot demonstrate
+    *     freshness — is treated as ABSENT: RFC 9309 §2.4 caps robots
+    *     caching at ~24 h, so a stale policy must not keep gating;
+    *     feed the same arguments to [[Robots.robotsFetchList]] to
+    *     surface those hosts for refetch.
     *
     * Scale shape: the crawl-delay is per (host, agent), so it is
     * parsed ONCE per host on the policy side (one narrow projection
@@ -718,7 +721,7 @@ object Outlinks {
     *                 streaming sink ([[graft.streaming.Streams
     *                 .crawlFetchPlanSink]]), whose frontier emits each
     *                 URL only once, carries them over explicitly via
-    *                 its `deferred/` directories.
+    *                 its sibling `-deferred/` directories.
     * @param priorities optional per-URL score frame (`priorityUrlCol`,
     *                 `priorityCol`); higher fetches earlier
     * @param fetchedAtCol optional timestamp column on `policies`
@@ -799,8 +802,15 @@ object Outlinks {
       .drop("__robots", "__host_delay")
     val (scored, orderCols, outExtra) = priorities match {
       case Some(p) =>
+        // defensive max on duplicate URL rows — the same reason
+        // withFetchLimit min-aggregates budgets: a dup key must not fan
+        // the frontier join out (a duplicated frontier row would break
+        // rankWithinKey's total-order contract and make fetch_seq
+        // partition-dependent). Max, not min: of two scores for one
+        // URL, the stronger claim schedules it.
         val pri = p.select(col(priorityUrlCol).cast("string").as(urlCol),
-          col(priorityCol).cast("double").as("priority"))
+            col(priorityCol).cast("double").as("priority"))
+          .groupBy(urlCol).agg(max(col("priority")).as("priority"))
         // negated score as the rank key: rankWithinKey orders
         // ascending, and (-priority, url) ascending IS
         // (priority desc, url asc)

@@ -270,7 +270,12 @@ object Robots {
     * most ~24 h, so a STALE stored policy must behave exactly like an
     * absent one (default-allow downstream, host surfaced for refetch).
     * `fetchedAtCol = None` (the historical signature) keeps every row:
-    * the policy table is then treated as eternally fresh. `asOf`
+    * the policy table is then treated as eternally fresh. A NULL
+    * `fetchedAtCol` value also counts as stale/absent — a policy row
+    * with no fetch timestamp cannot demonstrate freshness, so its host
+    * default-allows downstream and [[robotsFetchList]] surfaces it for
+    * refetch (the conservative-for-politeness direction: refetch the
+    * policy rather than trust an unstamped one forever). `asOf`
     * defaults to `current_timestamp()`; pass a literal for
     * reproducible plans (the same reason WARC writers pin dates).
     * Narrow build-side filter — no plan-shape change. */
@@ -336,11 +341,12 @@ object Robots {
     * evaluated under its host's policy. Pages whose host has NO stored
     * policy pass (the web's default-allow); pages with one pass iff
     * the merged applicable group allows their path. With
-    * `fetchedAtCol`, a policy older than `maxAgeSeconds` at `asOf` is
-    * treated as absent ([[freshOnly]] — RFC 9309 §2.4): its pages
-    * default-allow, and [[robotsFetchList]] with the same arguments
-    * surfaces the host for refetch. Returns the surviving rows
-    * unchanged.
+    * `fetchedAtCol`, a policy older than `maxAgeSeconds` at `asOf` —
+    * or carrying a NULL timestamp, which cannot demonstrate
+    * freshness — is treated as absent ([[freshOnly]] — RFC 9309
+    * §2.4): its pages default-allow, and [[robotsFetchList]] with the
+    * same arguments surfaces the host for refetch. Returns the
+    * surviving rows unchanged.
     *
     * Plan shape: one equi-join hashing on the host. Host popularity is
     * the canonical skew key (one giant host can dominate a crawl), but

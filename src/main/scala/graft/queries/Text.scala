@@ -2097,10 +2097,15 @@ object Text {
            |   SELECT COALESCE(SUM(p.pr), CAST(0 AS DOUBLE)) AS l
            |   FROM r${k - 1} p JOIN dang d ON d.node = p.node),
            |""".stripMargin
+      // association matches the engine exactly: LinkGraph.scala computes
+      // lit(damping / n) * leak, i.e. (0.85 / n) first — SQL's
+      // left-assoc `0.85 / n * l` is the same IEEE sequence, so the two
+      // sides agree bit-for-bit instead of leaning on the hash canon to
+      // absorb an ulp drift
       val leakTerm = if (!redistribute) "" else
         s"""
-           |          + CAST(0.85 AS DOUBLE) * (SELECT l FROM l$k)
-           |            / (SELECT n FROM nn)""".stripMargin
+           |          + CAST(0.85 AS DOUBLE) / (SELECT n FROM nn)
+           |            * (SELECT l FROM l$k)""".stripMargin
       s"""$leakCte r$k AS MATERIALIZED (
          |   SELECT n.node,
          |          CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)

@@ -889,15 +889,20 @@ object Streams {
     * URL exactly once, so nothing re-derives them next cycle (unlike
     * the batch crawl loop, which re-extracts). The sink therefore
     * CARRIES THEM OVER: each cycle's over-cap rows are written to
-    * `outDir/deferred/batch=<id>` (the complete pending set — it
+    * `<outDir>-deferred/batch=<id>` (the complete pending set — it
     * already includes everything carried into the cycle), and cycle
     * N+1 plans over its new frontier rows UNIONED with cycle N's
-    * deferred set. Replay-deterministic: batch N always reads
-    * `deferred/batch=<N-1>` — a committed artifact of the previous
-    * cycle — never "the latest", so a checkpoint-replayed batch
-    * rewrites both its plan and its deferred set byte-identically.
-    * Deferred URLs compete on equal terms each cycle (priority, then
-    * URL), so the backlog drains highest-value-first.
+    * deferred set. The pending set lives in a SIBLING directory, not
+    * under `outDir` — nesting it there would mix `batch=*` leaves and
+    * a subtree at different depths and break whole-directory
+    * `spark.read.parquet(outDir)` partition discovery for exactly the
+    * capped sinks that used to read cleanly. Replay-deterministic:
+    * batch N always reads `-deferred/batch=<N-1>` — a committed
+    * artifact of the previous cycle — never "the latest", so a
+    * checkpoint-replayed batch rewrites both its plan and its deferred
+    * set byte-identically. Deferred URLs compete on equal terms each
+    * cycle (priority, then URL), so the backlog drains
+    * highest-value-first.
     *
     * `priorities` and the robots-freshness contract pass straight
     * through to [[graft.operators.Outlinks.fetchPlan]]. */
@@ -930,7 +935,7 @@ object Streams {
             // every cycle, possibly empty), so replay is deterministic;
             // absent only on the first cycle or when a pre-carry-over
             // checkpoint is adopted (treated as an empty backlog)
-            val prev = f"$outDir%s/deferred/batch=${batchId - 1}%06d"
+            val prev = f"$outDir%s-deferred/batch=${batchId - 1}%06d"
             val fs = new Path(outDir)
               .getFileSystem(spark.sessionState.newHadoopConf())
             val carried =
@@ -966,7 +971,7 @@ object Streams {
           limited.filter(col("fetch_seq") > col("__limit"))
             .select(inCols.map(col): _*)
             .write.mode("overwrite")
-            .parquet(f"$outDir%s/deferred/batch=$batchId%06d")
+            .parquet(f"$outDir%s-deferred/batch=$batchId%06d")
         }
         ()
       }

@@ -1289,7 +1289,7 @@ class WarcSpec extends AnyFunSuite {
     land("a", 0 until 30); run()
     val plan0 = spark.read.parquet(s"$out/batch=000000")
     assert(plan0.count() == 10)
-    val def0 = spark.read.parquet(s"$out/deferred/batch=000000")
+    val def0 = spark.read.parquet(s"$out-deferred/batch=000000")
       .select("frontier_url").as[String].collect().toSet
     assert(def0.size == 20, s"over-cap rows must defer: ${def0.size}")
     // cycle 1: 5 new URLs — the plan draws from deferred ∪ new
@@ -1297,7 +1297,7 @@ class WarcSpec extends AnyFunSuite {
     val plan1 = spark.read.parquet(s"$out/batch=000001")
     assert(plan1.count() == 10)
     assert(plan1.agg(min(col("fetch_seq"))).head().getLong(0) == 1L)
-    val def1 = spark.read.parquet(s"$out/deferred/batch=000001")
+    val def1 = spark.read.parquet(s"$out-deferred/batch=000001")
       .select("frontier_url").as[String].collect().toSet
     // NOTHING is lost: every frontier URL ever emitted is either in
     // some cycle's plan or still pending
@@ -1320,12 +1320,17 @@ class WarcSpec extends AnyFunSuite {
     run(budgets = Some(Seq(("one.example", 3L)).toDF("url_host", "budget")))
     val plan2 = spark.read.parquet(s"$out/batch=000002")
     assert(plan2.count() == 3, "budget must override maxPerHost")
-    val def2 = spark.read.parquet(s"$out/deferred/batch=000002")
+    val def2 = spark.read.parquet(s"$out-deferred/batch=000002")
       .select("frontier_url").as[String].collect().toSet
     val planned2 = planned ++
       plan2.select("frontier_url").as[String].collect().toSet
     assert((planned2 ++ def2).size == 37 && (planned2 & def2).isEmpty,
       s"37 URLs total, still none lost: ${(planned2 ++ def2).size}")
+    // the pending set lives in a SIBLING dir: a whole-directory read of
+    // the plan output must keep working for capped sinks (a nested
+    // deferred/ subtree used to break partition discovery)
+    assert(spark.read.parquet(out).count() == 23,
+      "spark.read.parquet(outDir) must see exactly the planned rows")
   }
 
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
