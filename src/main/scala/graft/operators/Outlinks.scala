@@ -431,6 +431,100 @@ object Outlinks {
       .select(inCols.map(col): _*)
   }
 
+  /** ONE alias→canonical mapping from the crawl loop's OWN signals —
+    * the frame [[applyCanonical]]/[[collapseEdges]]/
+    * [[graft.streaming.Streams.crawlFrontierStream]] consume, built
+    * from resolved redirect chains ([[resolveRedirectChains]] output:
+    * `redirect_from → final_target`, null on cycles) and page-declared
+    * canonicals ([[canonicalLinkEdges]] output: `page_uri →
+    * canonical_uri`). Without it the two signal classes are dead code
+    * from the loop's perspective: URL aliases split rank mass in the
+    * link graph and double-fetch in the frontier.
+    *
+    * PRECEDENCE (pinned by OutlinksSpec and q_t78): the mapping is
+    * defined to equal chaining [[applyCanonical]] twice — redirect
+    * finals FIRST, then declared canonicals:
+    *  - a redirect source maps to its chain's final target, and when
+    *    that LANDING page itself declares a canonical, composes one
+    *    step further onto it (the declaration lives on the page the
+    *    redirect lands on);
+    *  - a page that both redirects AND declares a canonical maps by
+    *    the REDIRECT: a 3xx means the declaring markup was never
+    *    served from that URL, so the server-level signal wins;
+    *  - a redirect-CYCLE source falls back to its own declared
+    *    canonical when it has one (the chain gave no answer), else
+    *    stays unmapped — never canonicalize into a loop;
+    *  - a non-redirecting page with a declaration maps onto it.
+    * Declared-canonical chains (A declares B, B declares C) resolve
+    * ONE level per crawl cycle by design — a page declaring a
+    * canonical that itself declares another is self-inconsistent
+    * markup, and the next cycle's mapping picks up the rest. Identity
+    * rows (a page declaring itself canonical — the common case) are
+    * dropped: they are no-ops under [[applyCanonical]] and would only
+    * bloat the mapping's build side. Duplicate keys reduce to the MIN
+    * target within each signal class (deterministic).
+    *
+    * Scale shape: two hash aggregations (one per signal class), two
+    * equi-joins + one anti-join, all hashing on the URL — maximally
+    * high-cardinality keys, broadcast when the declaration side is
+    * small.
+    *
+    * @return `alias_url`, `canonical_url` — one row per alias */
+  def canonicalMapping(
+      chains: DataFrame, canonicals: DataFrame,
+      fromCol: String = "redirect_from", toCol: String = "final_target",
+      pageCol: String = "page_uri", canonCol: String = "canonical_uri")
+      : DataFrame = {
+    val c = canonicals
+      .filter(col(canonCol).isNotNull)
+      .groupBy(col(pageCol).cast("string").as("__cp"))
+      .agg(min(col(canonCol).cast("string")).as("__cc"))
+    // min skips nulls: a duplicated source with one cycle row and one
+    // resolved row keeps the resolved target
+    val r = chains
+      .select(col(fromCol).cast("string").as("alias_url"),
+        col(toCol).cast("string").as("__rt"))
+      .groupBy("alias_url")
+      .agg(min(col("__rt")).as("__rt"))
+    val landing = c.select(col("__cp").as("__lp"), col("__cc").as("__lc"))
+    val self = c.select(col("__cp").as("__sp"), col("__cc").as("__sc"))
+    val viaRedirect = r
+      .join(landing, r("__rt") === col("__lp"), "left")
+      .join(self, r("alias_url") === col("__sp"), "left")
+      .select(col("alias_url"),
+        when(col("__rt").isNotNull, coalesce(col("__lc"), col("__rt")))
+          .otherwise(col("__sc")).as("canonical_url"))
+    val declOnly = c
+      .join(r.select("alias_url"), c("__cp") === col("alias_url"),
+        "left_anti")
+      .select(col("__cp").as("alias_url"), col("__cc").as("canonical_url"))
+    viaRedirect.unionByName(declOnly)
+      .filter(col("canonical_url").isNotNull
+        && col("canonical_url") =!= col("alias_url"))
+  }
+
+  /** Collapse a link-graph EDGE list through a canonical mapping —
+    * what [[LinkGraph.pageRank]]/[[hostGraph]] consumers run before
+    * ranking, so URL aliases stop splitting rank mass: both endpoints
+    * rewrite through [[applyCanonical]], self-edges the collapse
+    * CREATES (a page linking to an alias of itself) drop by default
+    * (they would be a navigation self-vote, the same reason
+    * [[hostGraph]] drops intra-host edges), and multi-aliases
+    * collapsing onto one edge dedupe to a single vote. Two URL-hashed
+    * joins + one distinct; no new shuffle keys beyond what ranking
+    * itself needs. */
+  def collapseEdges(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      mapping: DataFrame,
+      fromCol: String = "alias_url", toCol: String = "canonical_url",
+      dropSelf: Boolean = true, dedupe: Boolean = true): DataFrame = {
+    val a = applyCanonical(
+      applyCanonical(edges, srcCol, mapping, fromCol, toCol),
+      dstCol, mapping, fromCol, toCol)
+    val b = if (dropSelf) a.filter(col(srcCol) =!= col(dstCol)) else a
+    if (dedupe) b.distinct() else b
+  }
+
   /** The HOST graph of a resolved link frame — what [[LinkGraph
     * .pageRank]] ranks for frontier prioritization: one `src`/`dst`
     * edge per distinct (linking host, target host) pair, intra-host

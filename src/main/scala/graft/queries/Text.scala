@@ -2090,7 +2090,10 @@ object Text {
     * iteration count (observed: the correlated form of the q_t58
     * oracle never finished). */
   private def pageRankOracleSql(edgeSelect: String, iters: Int,
-      redistribute: Boolean = false): String = {
+      redistribute: Boolean = false,
+      /** final projection over the CTE chain (sees `e` and `r<iters>`);
+        * None = the plain per-node rank dump */
+      finalSelect: Option[String] = None): String = {
     val rounds = (1 to iters).map { k =>
       val leakCte = if (!redistribute) "" else
         s""" l$k AS MATERIALIZED (
@@ -2134,7 +2137,7 @@ object Text {
        |   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
        |   FROM nodes),
        |$rounds
-       |SELECT node, pr FROM r$iters""".stripMargin
+       |${finalSelect.getOrElse(s"SELECT node, pr FROM r$iters")}""".stripMargin
   }
 
   /** PageRank over a synthetic host graph, HASH-CERTIFIED — the
@@ -3222,6 +3225,93 @@ object Text {
       "url", canon, "page_uri", "canonical_uri")
   }
 
+  /** Canonical collapse COMPOSED INTO THE RANKING LOOP,
+    * HASH-CERTIFIED — the full alias-collapse signal path run end to
+    * end: raw redirect edges (2-hop chains r1→r2→p plus a planted
+    * cycle) resolve through [[graft.operators.Outlinks
+    * .resolveRedirectChains]], merge with page-declared canonicals
+    * (including a redirect source that ALSO declares a bogus
+    * canonical — the redirect must win) into ONE mapping
+    * ([[graft.operators.Outlinks.canonicalMapping]]), the aliased
+    * link graph collapses through it ([[collapseEdges]] — three alias
+    * classes of the same target dedupe to one edge, so rank mass
+    * stops splitting), PageRank runs on the collapsed graph, and the
+    * output is the COLLAPSED FRONTIER with each URL's rank — frontier
+    * and rank parity in one certified frame. The cycle node rides
+    * through unmapped (a crawler must not canonicalize into a loop)
+    * and ranks as an ordinary dangling node. The oracle restates the
+    * collapsed graph closed-form (every alias class lands on
+    * `p/<t>`) and unrolls the same 5 power-iteration rounds. */
+  val qT78CanonicalRank = Q(
+    "q_t78_canonical_rank",
+    pageRankOracleSql(
+      // NOTE: interpolated into pageRankOracleSql's own stripMargin
+      // template — no line here may BEGIN with `|` (a leading || would
+      // lose a pipe to the second strip)
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'https://cs.example/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |             AS src,
+        |           'https://cs.example/p/' ||
+        |             CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'https://cs.example/p/' || CAST(doc_id % 40 AS VARCHAR),
+        |           'https://cs.example/p/' ||
+        |             CAST((doc_id * 3 + 1) % 40 AS VARCHAR)
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'https://cs.example/p/0', 'https://cs.example/cy/a')""".stripMargin,
+      5,
+      finalSelect = Some(
+        """SELECT f.node AS frontier_url, r.pr
+          |FROM (SELECT DISTINCT dst AS node FROM e) f
+          |JOIN r5 r ON r.node = f.node""".stripMargin))) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    def u(p: String, e: org.apache.spark.sql.Column) =
+      concat(lit(s"https://cs.example/$p/"), e.cast("string"))
+    val m = col("doc_id") % 40
+    val t = (col("doc_id") * 7 + 3) % 40
+    val t2 = (col("doc_id") * 3 + 1) % 40
+    // three alias classes for family 1, two for family 2 — direct,
+    // via a 2-hop redirect chain, via a declared-canonical variant URL
+    val alias1 = when(col("doc_id") % 3 === 0, u("p", t))
+      .when(col("doc_id") % 3 === 1, u("r1", t))
+      .otherwise(concat(u("c", t), lit("?sid=1")))
+    val alias2 = when(col("doc_id") % 2 === 0, u("p", t2))
+      .otherwise(concat(u("c", t2), lit("?sid=1")))
+    val one = s.range(1)
+    val edges = docs.select(u("p", m).as("src"), alias1.as("dst"))
+      .union(docs.select(u("p", m).as("src"), alias2.as("dst")))
+      .union(one.select(lit("https://cs.example/p/0").as("src"),
+        lit("https://cs.example/cy/a").as("dst")))
+    val redirects = docs
+      .select(u("r1", m).as("redirect_from"), u("r2", m).as("redirect_to"))
+      .union(docs.select(u("r2", m), u("p", m)))
+      .union(one.select(lit("https://cs.example/cy/a"),
+        lit("https://cs.example/cy/b")))
+      .union(one.select(lit("https://cs.example/cy/b"),
+        lit("https://cs.example/cy/a")))
+    val canon = docs
+      .select(concat(u("c", m), lit("?sid=1")).as("page_uri"),
+        u("p", m).as("canonical_uri"))
+      // a redirect source declaring its own canonical: the 3xx means
+      // this markup was never served from r1 — the redirect must win
+      .union(docs.select(u("r1", m), u("bogus", m)))
+    val mapping = Outlinks.canonicalMapping(
+      Outlinks.resolveRedirectChains(redirects), canon)
+    val collapsed = Outlinks.collapseEdges(edges, "src", "dst", mapping)
+    val ranks = graft.operators.LinkGraph.pageRank(
+      collapsed, "src", "dst", iterations = 5, damping = 0.85)
+    Outlinks.applyCanonical(
+        edges.select(col("dst").as("frontier_url")), "frontier_url",
+        mapping, "alias_url", "canonical_url")
+      .distinct()
+      .join(ranks.withColumnRenamed("node", "frontier_url"),
+        "frontier_url")
+      .select(col("frontier_url"), col("rank").as("pr"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3244,5 +3334,5 @@ object Text {
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
-      qT77ApplyCanonical)
+      qT77ApplyCanonical, qT78CanonicalRank)
 }

@@ -823,11 +823,23 @@ object Streams {
     * Location targets ([[crawlRedirectStream]]) and the in-markup
     * meta-refresh targets ([[graft.operators.Outlinks
     * .metaRefreshEdges]] over the page stream). A redirect target and
-    * an anchor link to the same canonical URL still emit once. */
+    * an anchor link to the same canonical URL still emit once.
+    *
+    * `canonicalMap` (an [[graft.operators.Outlinks.canonicalMapping]]
+    * frame — resolved redirect chains + page-declared canonicals)
+    * rewrites every link through the alias→canonical mapping BEFORE
+    * the exactly-once dedup and the seen anti-join, so URL aliases of
+    * a page the crawl knows stop re-entering the frontier and
+    * double-fetching: the dedup state keys on the COLLAPSED URL, and
+    * the politeness keys derive from it. A stream-static left join on
+    * the URL — broadcast when the mapping fits. */
   def crawlFrontierStream(
       spark: SparkSession, dir: String,
       seen: DataFrame, seenCol: String,
-      includeRedirects: Boolean = true): DataFrame = {
+      includeRedirects: Boolean = true,
+      canonicalMap: Option[DataFrame] = None,
+      mapFromCol: String = "alias_url",
+      mapToCol: String = "canonical_url"): DataFrame = {
     import graft.operators.{CharsetDecode, Outlinks}
     // ONE readStream over the landing dir: anchors, redirect targets,
     // and meta-refresh targets all derive from a single scan — three
@@ -854,9 +866,13 @@ object Streams {
         col("http_headers"), col("target_uri"))),
       array(Outlinks.metaRefreshTarget(col("__text"),
         col("target_uri"))))
+    val links = Outlinks.canonicalLinks(
+      enriched.select(explode(linkArr).as("__link")), "__link")
+    val collapsed = canonicalMap.fold(links)(m =>
+      Outlinks.applyCanonical(links, "frontier_url", m,
+        mapFromCol, mapToCol))
     Outlinks.politenessKeys(
-      Outlinks.canonicalLinks(
-        enriched.select(explode(linkArr).as("__link")), "__link")
+      collapsed
         .dropDuplicates("frontier_url")
         .join(Outlinks.canonicalSeen(seen, seenCol),
           Seq("frontier_url"), "left_anti"))
@@ -918,10 +934,19 @@ object Streams {
       maxAgeSeconds: Long = 86400L,
       asOf: Option[org.apache.spark.sql.Column] = None,
       hostBudgets: Option[DataFrame] = None,
-      budgetHostCol: String = "url_host", budgetCol: String = "budget")
+      budgetHostCol: String = "url_host", budgetCol: String = "budget",
+      /** alias→canonical mapping applied to the frontier before the
+        * exactly-once dedup ([[crawlFrontierStream]]'s contract) —
+        * pass [[graft.operators.Outlinks.canonicalMapping]] output so
+        * aliases stop double-scheduling fetches. */
+      canonicalMap: Option[DataFrame] = None,
+      mapFromCol: String = "alias_url",
+      mapToCol: String = "canonical_url")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val capped = maxPerHost > 0 || hostBudgets.isDefined
-    crawlFrontierStream(spark, inDir, seen, seenCol).writeStream
+    crawlFrontierStream(spark, inDir, seen, seenCol,
+      canonicalMap = canonicalMap, mapFromCol = mapFromCol,
+      mapToCol = mapToCol).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>

@@ -340,6 +340,77 @@ class OutlinksSpec extends AnyFunSuite {
       3 -> "https://a/z"), s"got: $rows")
   }
 
+  test("canonicalMapping: precedence arms + equality with the chained recipe") {
+    import spark.implicits._
+    // resolved chains: a 2-hop final, a cycle, and a cycle WITH its own
+    // declaration; declarations: the landing page composes one step,
+    // a redirect source's own declaration loses to the redirect, a
+    // self-declaration is an identity no-op, dup keys take min
+    val chains = Seq(
+      ("https://s/r1", "https://s/p1"),            // plain redirect final
+      ("https://s/r2", "https://s/land"),          // lands on a declaring page
+      ("https://s/cyA", null.asInstanceOf[String]), // cycle, own declaration
+      ("https://s/cyB", null.asInstanceOf[String])) // cycle, no declaration
+      .toDF("redirect_from", "final_target")
+    val canon = Seq(
+      ("https://s/land", "https://s/K"),   // landing-page declaration
+      ("https://s/r1", "https://s/bogus"), // redirect source declares: loses
+      ("https://s/cyA", "https://s/ck"),   // cycle source's fallback
+      ("https://s/d1", "https://s/D"),     // plain declaration
+      ("https://s/d1", "https://s/C"),     // dup key → min target
+      ("https://s/self", "https://s/self")) // identity: dropped
+      .toDF("page_uri", "canonical_uri")
+    val m = Outlinks.canonicalMapping(chains, canon)
+    val got = m.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "https://s/r1" -> "https://s/p1",
+      "https://s/r2" -> "https://s/K",
+      "https://s/cyA" -> "https://s/ck",
+      "https://s/land" -> "https://s/K",
+      "https://s/d1" -> "https://s/C"), s"got: $got")
+    assert(m.count() == 5, "identity and unmapped-cycle rows must drop")
+    // the mapping IS the chained recipe: applying it once equals
+    // applyCanonical through redirects, then through declarations
+    val urls = Seq("https://s/r1", "https://s/r2", "https://s/cyA",
+      "https://s/cyB", "https://s/d1", "https://s/self", "https://s/other")
+      .toDF("url")
+    val once = Outlinks.applyCanonical(urls, "url", m,
+      "alias_url", "canonical_url").as[String].collect().sorted.toSeq
+    val chained = Outlinks.applyCanonical(
+      Outlinks.applyCanonical(urls, "url",
+        chains, "redirect_from", "final_target"),
+      "url", canon, "page_uri", "canonical_uri")
+      .as[String].collect().sorted.toSeq
+    assert(once == chained,
+      s"one-mapping application diverged from the chained recipe:\n" +
+        s"  once=$once\n  chained=$chained")
+  }
+
+  test("collapseEdges: alias votes merge, created self-edges drop") {
+    import spark.implicits._
+    val mapping = Seq(("https://s/alias", "https://s/P"),
+      ("https://s/me2", "https://s/me"))
+      .toDF("alias_url", "canonical_url")
+    val edges = Seq(
+      ("https://s/a", "https://s/alias"), // collapses onto the next row
+      ("https://s/a", "https://s/P"),     //   → ONE vote after dedupe
+      ("https://s/me", "https://s/me2"),  // alias of self → self-edge: drop
+      ("https://s/b", "https://s/alias")) // distinct src: kept
+      .toDF("src", "dst")
+    val got = Outlinks.collapseEdges(edges, "src", "dst", mapping)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("https://s/a", "https://s/P"),
+      ("https://s/b", "https://s/P")), s"got: $got")
+    // dropSelf=false keeps the collapsed self-vote; dedupe=false keeps
+    // the doubled edge — both arms for consumers with other semantics
+    assert(Outlinks.collapseEdges(edges, "src", "dst", mapping,
+      dropSelf = false).count() == 3)
+    assert(Outlinks.collapseEdges(edges, "src", "dst", mapping,
+      dedupe = false).count() == 3)
+  }
+
   test("crawlFrontier: canonical anti-join, scheme filter, domain keys") {
     import spark.implicits._
     val links = Seq(

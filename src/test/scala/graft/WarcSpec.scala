@@ -1148,6 +1148,64 @@ class WarcSpec extends AnyFunSuite {
       s"both redirect classes must enter the frontier exactly once: $got")
   }
 
+  test("crawlFrontierStream canonicalMap: aliases collapse before dedup and seen") {
+    import spark.implicits._
+    val root = tmp("canonfront")
+    val in = s"$root/in"; val chk = s"$root/chk"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val stage = tmp("canonfrontstage")
+    // page A links an alias AND its canonical; page B links an alias of
+    // a SEEN page — the collapsed frontier must emit the canonical once
+    // and suppress the seen alias entirely
+    WarcIO.warcSave(Seq(
+      ("https://h.example/a",
+        """<a href="/old">x</a><a href="/new">y</a><a href="/other">z</a>"""),
+      ("https://h.example/b", """<a href="/dup">w</a>"""))
+      .toDF("target_uri", "body")
+      .select(col("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("<urn:cf:"), col("target_uri"), lit(">"))
+          .as("record_id"),
+        lit("text/html; charset=utf-8").as("http_content_type"),
+        encode(col("body"), "UTF-8").as("payload"))
+      .repartition(1), stage.toString)
+    new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(in, f.getName))
+      }
+    val mapping = Seq(
+      ("https://h.example/old", "https://h.example/new"),
+      ("https://h.example/dup", "https://h.example/seen"))
+      .toDF("alias_url", "canonical_url")
+    val seen = Seq("https://h.example/seen").toDF("url")
+    val q = graft.streaming.Streams
+      .crawlFrontierStream(spark, in, seen, "url",
+        canonicalMap = Some(mapping))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .format("parquet").option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("frontier_url").as[String].collect().toSeq.sorted
+    assert(got == Seq("https://h.example/new", "https://h.example/other"),
+      s"collapse must precede dedup and the seen anti-join: $got")
+    // batch twin: the stream equals applyCanonical over the batch links
+    val want = graft.operators.Outlinks.applyCanonical(
+        graft.operators.Outlinks.canonicalLinks(
+          graft.operators.Outlinks.extractOutlinks(
+            graft.streaming.Streams.crawlPages(spark, in),
+            "text", "target_uri"),
+          "outlink"),
+        "frontier_url", mapping, "alias_url", "canonical_url")
+      .distinct()
+      .join(seen.select(col("url").as("frontier_url")),
+        Seq("frontier_url"), "left_anti")
+      .as[String].collect().toSeq.sorted
+    assert(got == want, s"stream diverged from the batch twin: $want")
+  }
+
   test("crawlFetchPlanSink: per-cycle politeness schedule equals the batch twin") {
     import spark.implicits._
     val root = tmp("plansink")
