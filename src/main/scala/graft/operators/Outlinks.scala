@@ -627,6 +627,56 @@ object Outlinks {
         .distinct(),
         Seq("sitemap_url"), "left_anti")
 
+  /** Link-graph ranks UNIONED with sitemap-declared priorities into
+    * the ONE `priorities` frame [[fetchPlan]] takes — the composition
+    * that lets a sitemap bootstrap URLs the crawl has never linked
+    * without ever overriding the crawl's own evidence.
+    *
+    * Combination rule (pinned by q_t79 + FetchPlanSpec):
+    *  - a URL WITH a link-graph rank keeps it unchanged — the
+    *    observed graph outranks the site's self-assessment, so a
+    *    sitemap priority on an already-ranked URL is ignored;
+    *  - a sitemap URL the graph never ranked BOOTSTRAPS at
+    *    `coalesce(priority, 0.5) × max(rank)`: the sitemaps.org
+    *    default 0.5 lands mid-scale, a priority-1.0 never-linked URL
+    *    ties the best-ranked known page (URL tiebreak — so it
+    *    schedules ahead of every lower-ranked linked URL, which is
+    *    the point of trusting a sitemap at all), and declared
+    *    priorities order the bootstrap tier among themselves;
+    *  - an empty rank frame scales by 1.0 — sitemap priorities then
+    *    stand alone (the cold-start crawl);
+    *  - duplicate rank rows per URL reduce to MAX, duplicate sitemap
+    *    locs (the same URL in several sitemaps) to their MAX declared
+    *    priority (an all-null dup set still defaults to 0.5).
+    * Feed [[sitemapEntries]]' `is_index = false` rows — index rows
+    * are sitemaps to fetch, not pages to score.
+    *
+    * Scale shape: two hash aggregations + one anti-join, all on the
+    * URL; the rank maximum rides in-plan as a broadcast one-row frame
+    * (no driver action).
+    *
+    * @return `node`, `rank` — [[fetchPlan]]'s default priority shape */
+  def sitemapBoostedPriorities(
+      ranks: DataFrame, entries: DataFrame,
+      nodeCol: String = "node", rankCol: String = "rank",
+      locCol: String = "loc", priCol: String = "priority"): DataFrame = {
+    val r = ranks
+      .select(col(nodeCol).cast("string").as("node"),
+        col(rankCol).cast("double").as("rank"))
+      .groupBy("node").agg(max(col("rank")).as("rank"))
+    val scale = r.agg(coalesce(max(col("rank")), lit(1.0)).as("__scale"))
+    val boot = entries
+      .select(col(locCol).cast("string").as("node"),
+        col(priCol).cast("double").as("__sp"))
+      .filter(col("node").isNotNull)
+      .groupBy("node").agg(max(col("__sp")).as("__sp"))
+      .join(r.select("node"), Seq("node"), "left_anti")
+      .crossJoin(broadcast(scale))
+      .select(col("node"),
+        (coalesce(col("__sp"), lit(0.5)) * col("__scale")).as("rank"))
+    r.unionByName(boot)
+  }
+
   /** Next fetch frontier from extracted outlinks: canonicalize
     * ([[TextAnalysis.canonicalUrl]]), keep http(s), drop everything the
     * crawl has already seen (left-anti join on the canonical form), and

@@ -3312,6 +3312,74 @@ object Text {
       .select(col("frontier_url"), col("rank").as("pr"))
   }
 
+  /** Sitemap-priority BOOTSTRAP composed into the fetch plan,
+    * HASH-CERTIFIED — [[graft.operators.Outlinks
+    * .sitemapBoostedPriorities]] feeding [[graft.operators.Outlinks
+    * .fetchPlan]]: ranked URLs keep their link-graph rank even when a
+    * sitemap also lists them (rank wins — every 8th URL exercises the
+    * overlap), never-ranked sitemap URLs bootstrap at
+    * `coalesce(priority, 0.5) × max(rank)` (every 20th sitemap row
+    * declares NO priority and must default to 0.5), and URLs with
+    * neither signal fetch last at 0. The oracle restates the
+    * combination rule with plain CTEs and recomputes the per-host
+    * sequence with an independent ROW_NUMBER window. */
+  val qT79SitemapBoostedPlan = Q(
+    "q_t79_sitemap_boosted_plan",
+    """WITH f AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/u/'
+      |      || CAST(doc_id AS VARCHAR) AS url,
+      |    'h' || CAST(doc_id % 2 AS VARCHAR) || '.example' AS url_host,
+      |    doc_id AS id
+      |  FROM documents),
+      | r AS MATERIALIZED (
+      |  SELECT url, CAST(id % 10 + 1 AS DOUBLE) / 1000 AS rank
+      |  FROM f WHERE id % 4 = 0),
+      | sm AS MATERIALIZED (
+      |  SELECT url,
+      |         CASE WHEN id % 20 = 1 THEN NULL
+      |              ELSE CAST(id % 5 AS DOUBLE) / 4 END AS sp
+      |  FROM f WHERE id % 4 = 1 OR id % 8 = 0),
+      | mx AS MATERIALIZED (SELECT MAX(rank) AS m FROM r),
+      | pri AS MATERIALIZED (
+      |  SELECT f.url, f.url_host,
+      |         COALESCE(r.rank,
+      |           CASE WHEN sm.url IS NOT NULL
+      |                THEN COALESCE(sm.sp, CAST(0.5 AS DOUBLE))
+      |                     * (SELECT m FROM mx) END,
+      |           CAST(0 AS DOUBLE)) AS priority
+      |  FROM f LEFT JOIN r ON r.url = f.url
+      |         LEFT JOIN sm ON sm.url = f.url)
+      |SELECT url AS frontier_url, url_host,
+      |       CAST(1.0 AS DOUBLE) AS crawl_delay, priority,
+      |       ROW_NUMBER() OVER (PARTITION BY url_host
+      |                          ORDER BY priority DESC, url) AS fetch_seq,
+      |       (ROW_NUMBER() OVER (PARTITION BY url_host
+      |                           ORDER BY priority DESC, url) - 1)
+      |         * CAST(1.0 AS DOUBLE) AS fetch_offset
+      |FROM pri""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val url = concat(lit("https://h"), (col("doc_id") % 2).cast("string"),
+      lit(".example/u/"), col("doc_id").cast("string"))
+    val frontier = docs.select(url.as("frontier_url"))
+    val ranks = docs.filter(col("doc_id") % 4 === 0)
+      .select(url.as("node"),
+        ((col("doc_id") % 10 + 1).cast("double") / 1000).as("rank"))
+    val entries = docs
+      .filter(col("doc_id") % 4 === 1 || col("doc_id") % 8 === 0)
+      .select(url.as("loc"),
+        when(col("doc_id") % 20 === 1, lit(null).cast("double"))
+          .otherwise((col("doc_id") % 5).cast("double") / 4)
+          .as("priority"))
+    val policies = s.range(0)
+      .select(lit("x").as("host"), lit("").as("robots"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot",
+      priorities = Some(
+        Outlinks.sitemapBoostedPriorities(ranks, entries)))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3334,5 +3402,5 @@ object Text {
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
-      qT77ApplyCanonical, qT78CanonicalRank)
+      qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan)
 }

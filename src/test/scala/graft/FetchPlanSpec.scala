@@ -227,4 +227,76 @@ class FetchPlanSpec extends AnyFunSuite {
     assert(d.map(_.getAs[Double]("fetch_offset")).toSeq ==
       Seq(0.0, 2.0))
   }
+
+  test("fetchPlan priorities: duplicate URL rows reduce to max, no row fan-out") {
+    val frontier = Seq("https://dp.example/a", "https://dp.example/b")
+      .toDF("frontier_url")
+    // two rows for /a — the join must neither duplicate the frontier
+    // row nor pick the weaker score
+    val pri = Seq(
+      ("https://dp.example/a", 1.0), ("https://dp.example/a", 5.0),
+      ("https://dp.example/b", 3.0)).toDF("node", "rank")
+    val got = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot", priorities = Some(pri))
+    assert(got.count() == 2, "a dup priority key must not fan the plan out")
+    val rows = got.collect().map(r =>
+      r.getAs[String]("frontier_url") ->
+        ((r.getAs[Double]("priority"), r.getAs[Long]("fetch_seq")))).toMap
+    assert(rows("https://dp.example/a") == ((5.0, 1L)), s"got $rows")
+    assert(rows("https://dp.example/b") == ((3.0, 2L)))
+  }
+
+  test("sitemapBoostedPriorities: never-linked sitemap URL outranks a low-rank linked one") {
+    val ranks = Seq(
+      ("https://sb.example/top", 0.04),   // the best-ranked known page
+      ("https://sb.example/low", 0.001),  // a weakly-linked page
+      ("https://sb.example/mid", 0.02))
+      .toDF("node", "rank")
+    val entries = Seq(
+      // never linked, priority 1.0 → bootstraps at 1.0 × max(rank)
+      ("https://sb.example/fresh", Some(1.0)),
+      // never linked, no declared priority → 0.5 × max(rank)
+      ("https://sb.example/plain", None),
+      // ALSO ranked: the sitemap's self-assessment must be ignored
+      ("https://sb.example/low", Some(1.0)))
+      .toDF("loc", "priority")
+    val pri = Outlinks.sitemapBoostedPriorities(ranks, entries)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pri == Map(
+      "https://sb.example/top" -> 0.04,
+      "https://sb.example/low" -> 0.001,
+      "https://sb.example/mid" -> 0.02,
+      "https://sb.example/fresh" -> 0.04,  // 1.0 × 0.04
+      "https://sb.example/plain" -> 0.02), s"got: $pri") // 0.5 × 0.04
+    // through the plan: the never-linked high-priority sitemap URL
+    // schedules AHEAD of every lower-ranked linked URL (url tiebreak
+    // puts it after the 0.04 it ties)
+    val frontier = pri.keys.toSeq.toDF("frontier_url")
+    val seq = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot",
+      priorities =
+        Some(Outlinks.sitemapBoostedPriorities(ranks, entries)))
+      .collect().map(r => r.getAs[String]("frontier_url") ->
+        r.getAs[Long]("fetch_seq")).toMap
+    assert(seq("https://sb.example/fresh") == 1L
+      && seq("https://sb.example/top") == 2L
+      && seq("https://sb.example/mid") == 3L
+      && seq("https://sb.example/plain") == 4L
+      && seq("https://sb.example/low") == 5L, s"got: $seq")
+  }
+
+  test("sitemapBoostedPriorities: empty rank frame scales by 1.0; dup locs take max") {
+    val ranks = Seq.empty[(String, Double)].toDF("node", "rank")
+    val entries = Seq(
+      ("https://cold.example/a", Some(0.8)),
+      ("https://cold.example/a", Some(0.3)),  // dup loc → max
+      ("https://cold.example/b", None))
+      .toDF("loc", "priority")
+    val pri = Outlinks.sitemapBoostedPriorities(ranks, entries)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pri == Map("https://cold.example/a" -> 0.8,
+      "https://cold.example/b" -> 0.5), s"got: $pri")
+  }
 }
