@@ -218,6 +218,73 @@ object Outlinks {
       .withColumnRenamed("rank", "text_rank")
   }
 
+  /** FOCUSED-CRAWL frontier priorities — the classic recipe
+    * (Chakrabarti et al., "Focused crawling", WWW 1999): what the
+    * crawl's own signals say a URL is ABOUT ([[anchorTextIndex]] —
+    * the linking pages describe the target) crossed with how far it
+    * sits from a curated seed set ([[LinkGraph.seedDistance]] — depth
+    * is a quality prior). Feed the result straight to [[fetchPlan]]'s
+    * `priorities` (or through [[sitemapBoostedPriorities]]).
+    *
+    * Pinned semantics (q_t80 + FetchPlanSpec):
+    *  - anchor texts tokenize by lowercasing and splitting on
+    *    non-alphanumeric runs (the [[TextAnalysis]] word convention);
+    *    a text MATCHES when any token equals a topic term
+    *    (terms compared lowercased/trimmed);
+    *  - topic score per URL = Σ weight over matching texts ÷ Σ weight
+    *    over all its texts — the fraction of references that vouch
+    *    for the topic, in [0, 1];
+    *  - `priority = score × decay^depth`: depth 0 (a seed) keeps its
+    *    full score, each hop multiplies by `decay`;
+    *  - the distance join is INNER: a URL the seed BFS never reached
+    *    gets NO row — downstream [[fetchPlan]] scores it 0.0, after
+    *    every topic-scored URL (deep-tail territory is where traps
+    *    live). Duplicate distance rows reduce to MIN depth.
+    * Input contract: one row per (url, text) pair, exactly what
+    * [[anchorTextIndex]] emits.
+    *
+    * Scale shape: the token explode is bounded by anchor-text length
+    * (short by construction); topic terms broadcast into a semi-join
+    * on the token; then one URL-hashed aggregation and one URL-hashed
+    * join — no window, no driver action.
+    *
+    * @return `node`, `priority` — [[fetchPlan]]'s priority shape */
+  def focusedPriorities(
+      anchorIndex: DataFrame, topics: DataFrame, distances: DataFrame,
+      urlCol: String = "outlink", textCol: String = "anchor_text",
+      weightCol: String = "n_refs", termCol: String = "term",
+      nodeCol: String = "node", depthCol: String = "depth",
+      decay: Double = 0.5): DataFrame = {
+    require(decay > 0 && decay <= 1, s"decay must be in (0,1]: $decay")
+    val a = anchorIndex
+      .select(col(urlCol).cast("string").as("__u"),
+        col(textCol).cast("string").as("__t"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__t").isNotNull)
+    val toks = a.select(col("__u"), col("__t"),
+      explode(array_distinct(org.apache.spark.sql.functions.filter(
+        split(lower(col("__t")), "[^\\p{L}\\p{Nd}]+"),
+        t => length(t) > 0))).as("__tok"))
+    val terms = topics
+      .select(lower(trim(col(termCol))).as("__tok"))
+      .filter(col("__tok").isNotNull).distinct()
+    val matched = toks
+      .join(broadcast(terms), Seq("__tok"), "left_semi")
+      .select("__u", "__t").distinct()
+      .withColumn("__m", lit(true))
+    val scored = a.join(matched, Seq("__u", "__t"), "left")
+      .groupBy(col("__u"))
+      .agg((sum(when(col("__m"), col("__w")).otherwise(lit(0.0)))
+        / sum(col("__w"))).as("__score"))
+    val dist = distances
+      .select(col(nodeCol).cast("string").as("__u"),
+        col(depthCol).cast("int").as("__d"))
+      .groupBy("__u").agg(min(col("__d")).as("__d"))
+    scored.join(dist, Seq("__u"))
+      .select(col("__u").as("node"),
+        (col("__score") * pow(lit(decay), col("__d"))).as("priority"))
+  }
+
   /** Meta-refresh redirect targets — the in-markup redirect class HTTP
     * headers never see (`<meta http-equiv="refresh"
     * content="5;url=/next">`): one row per page whose HTML declares

@@ -3380,6 +3380,52 @@ object Text {
         Outlinks.sitemapBoostedPriorities(ranks, entries)))
   }
 
+  /** Focused-crawl priority, HASH-CERTIFIED — [[graft.operators
+    * .Outlinks.focusedPriorities]]: anchor-text topic matching (real
+    * tokenization engine-side; the corpus is constructed so the match
+    * set is closed-form: texts `topic<k> guide <id>` match the seed
+    * terms {topic0, topic1, topic2} iff k < 3) crossed with BFS seed
+    * depth via `score × 0.5^depth`. Reference weights vary per
+    * anchor, so the score is a genuine weighted fraction; every 5th
+    * target is absent from the distance frame and must DROP (the
+    * inner-join contract — unreached URLs score 0.0 downstream). */
+  val qT80FocusedPriority = Q(
+    "q_t80_focused_priority",
+    """WITH a AS MATERIALIZED (
+      |  SELECT 'https://f.example/p/' || CAST(doc_id % 60 AS VARCHAR)
+      |           AS url,
+      |         doc_id % 7 AS k,
+      |         CAST(doc_id % 3 + 1 AS DOUBLE) AS w
+      |  FROM documents),
+      | s AS MATERIALIZED (
+      |  SELECT url,
+      |         SUM(CASE WHEN k < 3 THEN w ELSE CAST(0 AS DOUBLE) END)
+      |           / SUM(w) AS score
+      |  FROM a GROUP BY url),
+      | d AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://f.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url,
+      |    (doc_id % 60) % 4 AS depth
+      |  FROM documents WHERE (doc_id % 60) % 5 <> 0)
+      |SELECT s.url AS node,
+      |       s.score * POWER(CAST(0.5 AS DOUBLE), d.depth) AS priority
+      |FROM s JOIN d ON d.url = s.url""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val m = col("doc_id") % 60
+    val url = concat(lit("https://f.example/p/"), m.cast("string"))
+    val anchors = docs.select(url.as("outlink"),
+      concat(lit("topic"), (col("doc_id") % 7).cast("string"),
+        lit(" guide "), col("doc_id").cast("string")).as("anchor_text"),
+      (col("doc_id") % 3 + 1).cast("long").as("n_refs"))
+    val topics = s.range(3)
+      .select(concat(lit("topic"), col("id").cast("string")).as("term"))
+    val dists = docs.filter(m % 5 =!= 0)
+      .select(url.as("node"), (m % 4).cast("int").as("depth"))
+      .distinct()
+    Outlinks.focusedPriorities(anchors, topics, dists)
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3402,5 +3448,6 @@ object Text {
       qT68RevisitSchedule, qT69TemplateStats, qT70ArchiveRevisit,
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
-      qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan)
+      qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan,
+      qT80FocusedPriority)
 }

@@ -287,6 +287,50 @@ class FetchPlanSpec extends AnyFunSuite {
       && seq("https://sb.example/low") == 5L, s"got: $seq")
   }
 
+  test("focusedPriorities: topic-matched URLs schedule first, depth decays, unreached drop") {
+    // anchor index: /ml is all about the topic at depth 1; /mix is
+    // half-vouched at depth 0; /cooking never matches; /far matches
+    // but was never reached by the seed BFS
+    val anchors = Seq(
+      ("https://fc.example/ml", "Machine-Learning notes!", 3L),
+      ("https://fc.example/mix", "machine learning", 1L),
+      ("https://fc.example/mix", "holiday photos", 1L),
+      ("https://fc.example/cooking", "pasta recipes", 9L),
+      ("https://fc.example/far", "learning resources", 2L))
+      .toDF("outlink", "anchor_text", "n_refs")
+    val topics = Seq("Learning", "machine").toDF("term")
+    val dists = Seq(
+      ("https://fc.example/ml", 1),
+      ("https://fc.example/mix", 0),
+      ("https://fc.example/cooking", 0)).toDF("node", "depth")
+    val pri = Outlinks.focusedPriorities(anchors, topics, dists)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // tokenization: "Machine-Learning notes!" → {machine, learning,
+    // notes} — case-folded, punctuation-split — matches both terms
+    assert(pri == Map(
+      "https://fc.example/ml" -> 0.5,       // 1.0 score × 0.5^1
+      "https://fc.example/mix" -> 0.5,      // (1/2 weight) × 0.5^0
+      "https://fc.example/cooking" -> 0.0), // no token matches
+      s"unreached /far must drop: $pri")
+    // through the plan: topic-vouched URLs fetch before the
+    // zero-score one; the unreached URL defaults to 0.0 and ties it
+    // (url tiebreak)
+    val frontier = Seq("https://fc.example/ml", "https://fc.example/mix",
+      "https://fc.example/cooking", "https://fc.example/far")
+      .toDF("frontier_url")
+    val seq = Outlinks.fetchPlan(frontier, "frontier_url",
+      Seq.empty[(String, String)].toDF("host", "robots"),
+      "host", "robots", "bot",
+      priorities = Some(Outlinks.focusedPriorities(anchors, topics, dists)),
+      priorityCol = "priority")
+      .collect().map(r => r.getAs[String]("frontier_url") ->
+        r.getAs[Long]("fetch_seq")).toMap
+    assert(seq("https://fc.example/mix") == 1L    // 0.5, "mix" < "ml"
+      && seq("https://fc.example/ml") == 2L
+      && seq("https://fc.example/cooking") == 3L  // 0.0, url < /far
+      && seq("https://fc.example/far") == 4L, s"got: $seq")
+  }
+
   test("sitemapBoostedPriorities: empty rank frame scales by 1.0; dup locs take max") {
     val ranks = Seq.empty[(String, Double)].toDF("node", "rank")
     val entries = Seq(
