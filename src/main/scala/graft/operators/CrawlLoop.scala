@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MULTI-CYCLE batch crawl driver — every certified crawl operator
+  * composed into one closed loop, the batch twin of the streaming
+  * recipe ([[graft.streaming.Streams.crawlFetchPlanSink]] +
+  * `crawlDedupArchiveSink`) for crawls that run as discrete cycles
+  * (the Common Crawl shape) rather than a continuous tail. Reference
+  * behavior: the fetch/parse/schedule loop of
+  * /root/reference/01_dbignite_sample.py's ingest stage generalized to
+  * a full crawl scheduler; every stage here is the already-certified
+  * operator, only the composition is new (pinned by NorthStarSpec's
+  * multi-cycle synthetic web).
+  *
+  * Per cycle:
+  *  1. '''Canonical collapse''' — [[Outlinks.canonicalMapping]] from
+  *     ALL redirect chains + rel=canonical declarations observed so
+  *     far rewrites the pending frontier, so URL aliases stop
+  *     double-fetching and rank mass stops splitting (q_t78's
+  *     semantics, applied per cycle with the freshest mapping).
+  *  2. '''Revisit feed''' — with a `clock`, URLs whose
+  *     [[Revisit.fromArchive]] `next_fetch_epoch` has passed re-enter
+  *     the frontier as deliberate refetches (they bypass the seen
+  *     filter); sitemap `changefreq`/`lastmod` hints apply.
+  *  3. '''Trap containment''' — [[Outlinks.containTraps]] caps each
+  *     (host, URL-template) pattern at `maxPerTemplate`.
+  *  4. '''Ranked, polite, budgeted plan''' — [[LinkGraph.pageRank]]
+  *     over the canonical-collapsed accumulated link graph, sitemap
+  *     priorities bootstrapping never-linked URLs
+  *     ([[Outlinks.sitemapBoostedPriorities]]), then
+  *     [[Outlinks.fetchPlan]] (robots gate + freshness, crawl-delay
+  *     floor, per-host sequence, `maxPerHost`/`hostBudgets` caps).
+  *  5. '''Fetch''' — the caller's `fetch(plan, cycle)` callback (a
+  *     real fleet in production, a synthetic web in tests) returns
+  *     captured pages.
+  *  6. '''Dedup archive''' — status-200 pages land via
+  *     [[graft.sources.WarcIO.warcDedupSave]] under
+  *     `archiveDir/batch=<cycle>` with the prior cycles' `_cdx` as
+  *     the cross-batch index: unchanged content archives as `revisit`
+  *     records, which IS the change history step 2 reads back.
+  *  7. '''Signal extraction''' — outlinks, redirect edges (header and
+  *     meta-refresh), and rel=canonical declarations accumulate;
+  *     redirect targets join the link feed (a moved page must not be
+  *     lost).
+  *  8. '''Carry-over''' — planned URLs become seen; frontier rows the
+  *     plan did NOT emit (budget-capped, trap-capped, or
+  *     robots-disallowed) remain pending and re-derive next cycle —
+  *     deliberately including disallowed URLs, because under robots
+  *     FRESHNESS a refreshed policy may admit them later (they
+  *     re-gate each cycle; nothing is silently lost).
+  *
+  * Scale shape: every stage is the certified operator's plan (no new
+  * shuffle keys); cross-cycle state (seen, pending, accumulated
+  * edges/signals) is `localCheckpoint`ed per cycle for plan
+  * truncation — at production scale these become tables, and the
+  * driver-side actions are the per-cycle counts in [[CycleResult]],
+  * bounded by the cycle count.
+  */
+object CrawlLoop {
+
+  /** One cycle's outcome. `plan` is pinned (localCheckpoint) — safe
+    * to inspect after the loop returns. */
+  final case class CycleResult(
+      cycle: Int,
+      frontierSize: Long,
+      plannedCount: Long,
+      dueRevisits: Long,
+      archivedRecords: Long,
+      plan: DataFrame)
+
+  /** @param seeds    seed-URL frame (column `seedCol`)
+    * @param fetch    `(plan, cycle) => pages`: pages MUST carry
+    *                 `target_uri`, `warc_date` (ISO string),
+    *                 `record_id`, `http_content_type`, `payload`
+    *                 (binary), `http_status` (int), and `http_headers`
+    *                 (map with LOWERCASE keys, as the graft-warc
+    *                 reader emits — nullable). A fetcher may return
+    *                 fewer rows than planned (timeouts); unreturned
+    *                 URLs are still seen (they were attempted).
+    * @param archiveDir dedup-archive root; cycle N lands under
+    *                 `batch=N` and is read back with a `batch=*` glob
+    * @param clock    cycle → epoch seconds; enables the revisit feed
+    *                 (None = no refetching, every URL fetched once)
+    * @param sitemaps optional [[Outlinks.sitemapEntries]]-shaped frame:
+    *                 urlset locs bootstrap the cycle-0 frontier and
+    *                 the priority scale; `changefreq`/`lastmod` feed
+    *                 the revisit schedule as hints
+    * @return one [[CycleResult]] per cycle, in order */
+  def crawlCycles(
+      spark: SparkSession,
+      seeds: DataFrame, seedCol: String,
+      fetch: (DataFrame, Int) => DataFrame,
+      archiveDir: String,
+      policies: DataFrame, hostCol: String, robotsCol: String,
+      agent: String,
+      cycles: Int,
+      defaultDelay: Double = 1.0,
+      maxPerTemplate: Int = 1000,
+      maxPerHost: Int = 0,
+      hostBudgets: Option[DataFrame] = None,
+      budgetHostCol: String = "url_host", budgetCol: String = "budget",
+      fetchedAtCol: Option[String] = None,
+      maxAgeSeconds: Long = 86400L,
+      asOf: Option[org.apache.spark.sql.Column] = None,
+      sitemaps: Option[DataFrame] = None,
+      clock: Option[Int => Double] = None,
+      rankIterations: Int = 5): Seq[CycleResult] = {
+    require(cycles >= 1, s"cycles must be >= 1: $cycles")
+    def emptyPairs(c1: String, c2: String): DataFrame =
+      spark.range(0).select(lit("").as(c1), lit("").as(c2))
+    val smPages = sitemaps.map(
+      _.filter(!coalesce(col("is_index"), lit(false)))
+        .filter(col("loc").isNotNull))
+
+    val seedFeed = smPages.fold(
+      seeds.select(col(seedCol).cast("string").as("__l")))(sm =>
+      seeds.select(col(seedCol).cast("string").as("__l"))
+        .unionByName(sm.select(col("loc").cast("string").as("__l"))))
+    var pending = Outlinks.canonicalLinks(seedFeed, "__l")
+      .distinct().localCheckpoint()
+    var seen = spark.range(0).select(lit("").as("url")).localCheckpoint()
+    var redirAcc =
+      emptyPairs("redirect_from", "redirect_to").localCheckpoint()
+    var canonAcc =
+      emptyPairs("page_uri", "canonical_uri").localCheckpoint()
+    var edgesAcc = emptyPairs("src", "dst").localCheckpoint()
+    val results = Seq.newBuilder[CycleResult]
+
+    for (c <- 0 until cycles) {
+      val mapping = Outlinks.canonicalMapping(
+        Outlinks.resolveRedirectChains(redirAcc), canonAcc)
+        .localCheckpoint()
+      def collapse(df: DataFrame): DataFrame =
+        Outlinks.applyCanonical(df, "frontier_url", mapping,
+          "alias_url", "canonical_url")
+      // deliberate refetches bypass the seen filter; everything else
+      // collapses first (an alias may land on an already-seen URL)
+      val due = clock match {
+        case Some(ep) if c > 0 =>
+          collapse(Revisit.fromArchive(
+              spark.read.format("graft-warc").load(s"$archiveDir/batch=*"),
+              hints = sitemaps,
+              hintLastmodCol = sitemaps.map(_ => "lastmod"))
+            .filter(col("next_fetch_epoch") <= lit(ep(c)))
+            .select(col("url").as("frontier_url"))).distinct()
+        case _ => pending.limit(0)
+      }
+      val frontier = collapse(pending).distinct()
+        .join(seen.select(col("url").as("frontier_url")),
+          Seq("frontier_url"), "left_anti")
+        .unionByName(due)
+        .distinct().localCheckpoint()
+      val frontierSize = frontier.count()
+      val dueCount = if (c > 0 && clock.isDefined) due.count() else 0L
+
+      val contained = Outlinks.containTraps(
+        frontier, "frontier_url", maxPerTemplate).drop("url_template")
+      val ranks = LinkGraph.pageRank(
+        Outlinks.collapseEdges(edgesAcc, "src", "dst", mapping),
+        "src", "dst", iterations = rankIterations)
+      val priorities = smPages.fold(ranks)(sm =>
+        Outlinks.sitemapBoostedPriorities(ranks, sm))
+      val plan = Outlinks.fetchPlan(contained, "frontier_url",
+          policies, hostCol, robotsCol, agent, defaultDelay,
+          maxPerHost = maxPerHost, priorities = Some(priorities),
+          fetchedAtCol = fetchedAtCol, maxAgeSeconds = maxAgeSeconds,
+          asOf = asOf, hostBudgets = hostBudgets,
+          budgetHostCol = budgetHostCol, budgetCol = budgetCol)
+        .localCheckpoint()
+      val plannedCount = plan.count()
+
+      val pages = fetch(plan, c).localCheckpoint()
+      val content = pages.filter(col("http_status") === 200)
+      val prior = if (c == 0) None
+        else Some((0 until c).map(i =>
+          spark.read.parquet(s"$archiveDir/batch=$i/_cdx"))
+          .reduce(_ unionByName _))
+      val archived = graft.sources.WarcIO.warcDedupSave(
+        content, s"$archiveDir/batch=$c", priorIndex = prior)
+
+      seen = seen
+        .unionByName(plan.select(col("frontier_url").as("url")))
+        .distinct().localCheckpoint()
+
+      val html = content
+        .filter(lower(coalesce(col("http_content_type"), lit("")))
+          .startsWith("text/html"))
+        .select(col("target_uri"),
+          CharsetDecode.decodePayload(
+            col("payload"), col("http_content_type")).as("text"))
+      val anchorLinks = Outlinks.extractOutlinks(
+          html, "text", "target_uri")
+        .select(col("target_uri").as("src"), col("outlink").as("dst"))
+      val redirE = Outlinks.redirectEdges(pages)
+        .select(col("redirect_from").cast("string"),
+          col("redirect_to").cast("string"))
+      val refreshE = Outlinks.metaRefreshEdges(html, "text", "target_uri")
+        .select(col("refresh_from").cast("string").as("redirect_from"),
+          col("refresh_to").cast("string").as("redirect_to"))
+      val canonE = Outlinks.canonicalLinkEdges(html, "text", "target_uri")
+        .select(col("page_uri").cast("string"),
+          col("canonical_uri").cast("string"))
+      redirAcc = redirAcc.unionByName(redirE).unionByName(refreshE)
+        .distinct().localCheckpoint()
+      canonAcc = canonAcc.unionByName(canonE)
+        .distinct().localCheckpoint()
+      // anchor links only vote in the graph — redirects are aliases
+      // (the mapping collapses them), and double-counting them as
+      // edges would let every moved page vote twice
+      edgesAcc = edgesAcc.unionByName(anchorLinks)
+        .distinct().localCheckpoint()
+
+      // redirect targets AND declared canonical URIs join the feed: a
+      // moved page's destination and a variant's canonical form are
+      // both pages the crawl should hold under their true URL
+      val linkFeed = anchorLinks.select(col("dst").as("__l"))
+        .unionByName(redirE.select(col("redirect_to").as("__l")))
+        .unionByName(refreshE.select(col("redirect_to").as("__l")))
+        .unionByName(canonE.select(col("canonical_uri").as("__l")))
+      pending = frontier
+        .join(plan.select("frontier_url"), Seq("frontier_url"),
+          "left_anti")
+        .unionByName(Outlinks.canonicalLinks(linkFeed, "__l")
+          .join(seen.select(col("url").as("frontier_url")),
+            Seq("frontier_url"), "left_anti"))
+        .distinct().localCheckpoint()
+
+      results += CycleResult(c, frontierSize, plannedCount, dueCount,
+        archived, plan)
+    }
+    results.result()
+  }
+}

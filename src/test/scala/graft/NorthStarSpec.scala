@@ -2035,4 +2035,136 @@ class NorthStarSpec extends AnyFunSuite {
     // every page unconditionally survives
     assert(byHost("clean.example").size == 30)
   }
+
+  test("crawlCycles: 5-cycle synthetic web — traps contained, budgets held, revisits refetch the fast page") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val archiveDir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_cycles").toString + "/arc"
+    val W = "https://w.example"
+    val trapLinks = (0 until 12)
+      .map(i => s"""<a href="/trap?p=$i">t</a>""").mkString
+    val zLinks = (0 until 6)
+      .map(i => s"""<a href="https://z.example/p/$i">z</a>""").mkString
+    // the synthetic web: a trap template, a robots-blocked path, a
+    // redirect, two canonical-declaring variants, a page that changes
+    // every cycle, and a budget-capped second host
+    def page(url: String, cycle: Int): (Int, String, String) = {
+      val path = url.stripPrefix(W)
+      if (url.startsWith("https://z.example/"))
+        (200, s"stable z page $url", null)
+      else if (path.startsWith("/trap")) (200, s"trap page $path", null)
+      else if (path.startsWith("/v?"))
+        (200, s"""<link rel="canonical" href="/v">variant $path""", null)
+      else path match {
+        case "/" => (200,
+          """<a href="/a">a</a><a href="/b">b</a><a href="/old">o</a>""" +
+            s"""<a href="/secret">s</a>$trapLinks$zLinks""", null)
+        case "/a" => (200, """page a <a href="/fast">f</a>""", null)
+        case "/b" => (200,
+          """<a href="/v?x=1">v1</a><a href="/v?x=2">v2</a>""", null)
+        case "/old" => (301, "", "/c")
+        case "/c" => (200, """page c <a href="/d">d</a>""", null)
+        case "/d" => (200, "leaf d", null)
+        case "/fast" => (200, s"fast content, version $cycle", null)
+        case "/sm" => (200, "sitemap-discovered page", null)
+        case "/v" => (200, "canonical v", null)
+        case _ => (404, "not found", null)
+      }
+    }
+    val day0 = java.time.Instant.parse("2026-03-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    def dateOf(c: Int) = f"2026-03-${c + 1}%02dT00:00:00Z"
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val urls = plan.select("frontier_url").as[String].collect().toSeq
+      urls.map { u =>
+        val (st, body, loc) = page(u, cycle)
+        (u, dateOf(cycle), s"<urn:cc:$cycle:$u>",
+          "text/html; charset=utf-8", body.getBytes("UTF-8"), st,
+          if (loc == null) null else Map("location" -> loc))
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    }
+    val results = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = archiveDir,
+      policies = Seq(("w.example", "User-agent: *\nDisallow: /secret"))
+        .toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 5, maxPerTemplate = 3,
+      hostBudgets = Some(Seq(("z.example", 2L)).toDF("url_host", "budget")),
+      sitemaps = Some(Seq((s"$W/sm", Option.empty[String],
+          Option.empty[String], Some(1.0), false))
+        .toDF("loc", "lastmod", "changefreq", "priority", "is_index")),
+      clock = Some(c => day0 + c * 86400.0))
+    assert(results.size == 5)
+    val plans = results.map(_.plan.select("frontier_url")
+      .as[String].collect().toSeq)
+    // budget adherence (z.example capped at 2/cycle) and trap
+    // containment (template capped at 3/cycle) hold EVERY cycle
+    results.zip(plans).foreach { case (r, p) =>
+      assert(r.frontierSize >= r.plannedCount && r.plannedCount > 0,
+        s"cycle ${r.cycle}: ${r.frontierSize} < ${r.plannedCount}")
+      assert(p.count(_.startsWith("https://z.example/")) <= 2,
+        s"cycle ${r.cycle} broke the z budget: $p")
+      assert(p.count(_.contains("/trap")) <= 3,
+        s"cycle ${r.cycle} broke trap containment: $p")
+    }
+    // robots gate: the disallowed path never schedules
+    assert(plans.flatten.forall(!_.contains("/secret")),
+      "robots-disallowed URL must never be planned")
+    // cycle 0: seed + the sitemap-bootstrapped URL, sitemap first
+    // (priority 1.0 × cold-start scale outranks the unscored seed)
+    assert(plans.head.toSet == Set(s"$W/", s"$W/sm"))
+    assert(results.head.plan.filter(col("fetch_seq") === 1)
+      .select("frontier_url").as[String].head() == s"$W/sm")
+    // frontier monotonicity: the crawl keeps discovering while there
+    // is anything legitimate left — strictly growing through cycle 3
+    // (by cycle 4 only the contained trap tail and revisit-due pages
+    // remain, and containment deliberately counts due-again trap URLs
+    // against the template cap, so the trap tail drains slowly)
+    val cumulative = plans.scanLeft(Set.empty[String])(_ ++ _).tail
+    cumulative.take(4).sliding(2).foreach { w =>
+      assert(w(0).size < w(1).size, s"discovery stalled early: $w")
+    }
+    // full coverage of the legitimate web by the end
+    val everPlanned = cumulative.last
+    Seq("/", "/a", "/b", "/old", "/c", "/d", "/fast", "/sm", "/v",
+      "/v?x=1", "/v?x=2").foreach { p =>
+      assert(everPlanned.contains(s"$W$p"), s"never planned: $p")
+    }
+    val planCounts = plans.flatten.groupBy(identity).map {
+      case (u, l) => u -> l.size
+    }
+    // canonical collapse: each variant fetches ONCE — its revisit-due
+    // rows rewrite onto /v through the learned mapping; the redirect
+    // source (3xx, never archived, never due) also fetches once
+    assert(planCounts(s"$W/v?x=1") == 1 && planCounts(s"$W/v?x=2") == 1,
+      s"variant aliases must not refetch: $planCounts")
+    assert(planCounts(s"$W/old") == 1)
+    // revisit-driven refetch: the fast-changing page re-archives as a
+    // fresh response EVERY revisit; the stable page backs off after
+    // one revisit record
+    val archive = spark.read.format("graft-warc").load(s"$archiveDir/batch=*")
+      .filter(col("warc_type") === "response"
+        || col("warc_type") === "revisit")
+      .select(col("target_uri"), col("warc_type"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val fastCaps = archive.filter(_._1 == s"$W/fast").map(_._2)
+    assert(fastCaps.size >= 2 && fastCaps.forall(_ == "response"),
+      s"fast page must refetch as fresh responses: $fastCaps")
+    val aCaps = archive.filter(_._1 == s"$W/a").map(_._2)
+    assert(aCaps.count(_ == "response") == 1
+      && aCaps.count(_ == "revisit") >= 1,
+      s"stable page must dedup its refetches: $aCaps")
+    // every planned 200-URL was captured exactly once per plan row —
+    // nothing double-archives, nothing is lost
+    val capCounts = archive.groupBy(_._1).map { case (u, l) => u -> l.size }
+    planCounts.foreach { case (u, n) =>
+      val expected = if (u == s"$W/old") 0 else n
+      assert(capCounts.getOrElse(u, 0) == expected,
+        s"$u: planned $n, captured ${capCounts.getOrElse(u, 0)}")
+    }
+  }
 }
