@@ -83,6 +83,9 @@ object CrawlLoop {
     *                 `batch=N` and is read back with a `batch=*` glob
     * @param clock    cycle → epoch seconds; enables the revisit feed
     *                 (None = no refetching, every URL fetched once)
+    *                 and, with `fetchedAtCol` and no explicit `asOf`,
+    *                 drives robots-policy freshness — each cycle
+    *                 judges policy age at its own clock
     * @param sitemaps optional [[Outlinks.sitemapEntries]]-shaped frame:
     *                 urlset locs bootstrap the cycle-0 frontier and
     *                 the priority scale; `changefreq`/`lastmod` feed
@@ -162,11 +165,17 @@ object CrawlLoop {
         "src", "dst", iterations = rankIterations)
       val priorities = smPages.fold(ranks)(sm =>
         Outlinks.sitemapBoostedPriorities(ranks, sm))
+      // robots freshness advances with the crawl's own clock: absent
+      // an explicit asOf, cycle c judges policy age at clock(c) — so a
+      // policy that was fresh in cycle 0 goes stale mid-crawl and its
+      // paths default-allow exactly when RFC 9309 says they must
+      val asOfC = asOf.orElse(
+        clock.map(ep => lit(ep(c)).cast("timestamp")))
       val plan = Outlinks.fetchPlan(contained, "frontier_url",
           policies, hostCol, robotsCol, agent, defaultDelay,
           maxPerHost = maxPerHost, priorities = Some(priorities),
           fetchedAtCol = fetchedAtCol, maxAgeSeconds = maxAgeSeconds,
-          asOf = asOf, hostBudgets = hostBudgets,
+          asOf = asOfC, hostBudgets = hostBudgets,
           budgetHostCol = budgetHostCol, budgetCol = budgetCol)
         .localCheckpoint()
       val plannedCount = plan.count()

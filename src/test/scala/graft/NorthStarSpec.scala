@@ -2089,10 +2089,15 @@ class NorthStarSpec extends AnyFunSuite {
     val results = CrawlLoop.crawlCycles(spark,
       seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
       fetch = fetchFn, archiveDir = archiveDir,
-      policies = Seq(("w.example", "User-agent: *\nDisallow: /secret"))
-        .toDF("host", "robots"),
+      // the policy is stamped at day 0 with a 2-day freshness horizon:
+      // cycles 0-2 enforce it, from cycle 3 it is STALE and must
+      // behave as absent (RFC 9309 §2.4) — the blocked path opens up
+      policies = Seq(("w.example", "User-agent: *\nDisallow: /secret",
+          "2026-03-01T00:00:00Z"))
+        .toDF("host", "robots", "fat"),
       hostCol = "host", robotsCol = "robots", agent = "graftbot",
       cycles = 5, maxPerTemplate = 3,
+      fetchedAtCol = Some("fat"), maxAgeSeconds = 2L * 86400L,
       hostBudgets = Some(Seq(("z.example", 2L)).toDF("url_host", "budget")),
       sitemaps = Some(Seq((s"$W/sm", Option.empty[String],
           Option.empty[String], Some(1.0), false))
@@ -2111,9 +2116,17 @@ class NorthStarSpec extends AnyFunSuite {
       assert(p.count(_.contains("/trap")) <= 3,
         s"cycle ${r.cycle} broke trap containment: $p")
     }
-    // robots gate: the disallowed path never schedules
-    assert(plans.flatten.forall(!_.contains("/secret")),
-      "robots-disallowed URL must never be planned")
+    // robots gate WITH freshness: the disallowed path never schedules
+    // while the policy is fresh (cycles 0-2) — the loop re-gates it
+    // every cycle instead of dropping it — and first schedules once
+    // the policy goes stale at cycle 3 (default-allow under RFC 9309)
+    plans.take(3).foreach(p => assert(p.forall(!_.contains("/secret")),
+      s"fresh policy must keep gating: $p"))
+    val secretCycles = plans.zipWithIndex.collect {
+      case (p, i) if p.exists(_.contains("/secret")) => i
+    }
+    assert(secretCycles.nonEmpty && secretCycles.head >= 3,
+      s"stale policy must open the gate at cycle >= 3: $secretCycles")
     // cycle 0: seed + the sitemap-bootstrapped URL, sitemap first
     // (priority 1.0 × cold-start scale outranks the unscored seed)
     assert(plans.head.toSet == Set(s"$W/", s"$W/sm"))
@@ -2162,7 +2175,10 @@ class NorthStarSpec extends AnyFunSuite {
     // nothing double-archives, nothing is lost
     val capCounts = archive.groupBy(_._1).map { case (u, l) => u -> l.size }
     planCounts.foreach { case (u, n) =>
-      val expected = if (u == s"$W/old") 0 else n
+      // the 301 and the 404 are planned but never archive (only 200s
+      // carry revisit semantics)
+      val expected =
+        if (u == s"$W/old" || u == s"$W/secret") 0 else n
       assert(capCounts.getOrElse(u, 0) == expected,
         s"$u: planned $n, captured ${capCounts.getOrElse(u, 0)}")
     }
