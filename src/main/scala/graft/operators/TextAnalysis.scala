@@ -184,6 +184,26 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "des", "et", "est"))
 
+  /** ONE flat CaseWhen over ordered (condition, value) branches — the
+    * required shape for every branch table built from a caller map.
+    * The nested alternative (`foldRight` of `when(c, v)
+    * .otherwise(nested)`) builds N CaseWhen LEVELS, and Catalyst's
+    * optimizer flattens only one level per fixpoint pass — a
+    * ~100-source mixture map exhausted the optimizer's 100-iteration
+    * budget (the r18 test-log "Max iterations (100) reached"
+    * warnings, reproduced and pinned by PlanSpec's fixpoint-budget
+    * guard). Branch order is evaluation order, exactly like the
+    * nested form, so results are identical. */
+  private def flatCases(
+      branches: Seq[(Column, Column)], default: Column): Column =
+    branches match {
+      case Seq() => default
+      case (c0, v0) +: rest =>
+        rest.foldLeft(when(c0, v0)) { case (acc, (c, v)) =>
+          acc.when(c, v)
+        }.otherwise(default)
+    }
+
   /** Marker-vote language ID: the language with the most stopword hits wins;
     * ties resolve in LangMarkers order; no hits → "und". */
   def langId(text: Column): Column = {
@@ -194,11 +214,9 @@ object TextAnalysis {
       val laterGE = counts.drop(i + 1)
         .map { case (_, c2) => c >= c2 }
         .foldLeft(lit(true))(_ && _)
-      (lang, c > 0 && laterGE)
+      (c > 0 && laterGE, lit(lang))
     }
-    cases.foldRight(lit("und")) { case ((lang, cond), els) =>
-      when(cond, lit(lang)).otherwise(els)
-    }
+    flatCases(cases, lit("und"))
   }
 
   /** Deterministic train/val/test assignment from the md5 of the id —
@@ -650,10 +668,11 @@ object TextAnalysis {
       if (rate >= 1.0) "g000"
       else f"${math.min(65535L, math.max(0L, (rate * 65536).toLong))}%04x"
     val prefix = substring(md5(id.cast("string").cast("binary")), 1, 4)
-    val byStratum = rates.toSeq.sortBy(_._1).foldRight(
-      lit(hexThreshold(defaultRate))) { case ((s, r), els) =>
-      when(stratum === s, lit(hexThreshold(r))).otherwise(els)
-    }
+    val byStratum = flatCases(
+      rates.toSeq.sortBy(_._1).map { case (s, r) =>
+        (stratum === s, lit(hexThreshold(r)))
+      },
+      lit(hexThreshold(defaultRate)))
     prefix < byStratum
   }
 
@@ -690,10 +709,11 @@ object TextAnalysis {
     val t = docs.select(col(id), col(sourceCol),
       counter(col(text)).cast("long").as("n_tokens"))
     val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
-    val wCol = weights.toSeq.sortBy(_._1)
-      .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>
-        when(col(sourceCol) === s0, lit(w)).otherwise(els)
-      }
+    val wCol = flatCases(
+      weights.toSeq.sortBy(_._1).map { case (s0, w) =>
+        (col(sourceCol) === s0, lit(w))
+      },
+      lit(null).cast("double"))
     val weighted = totals.withColumn("w", wCol).filter(col("w").isNotNull)
     val budget = weighted
       .agg(min(col("src_tokens").cast("double") / col("w")).as("budget"))
@@ -749,10 +769,11 @@ object TextAnalysis {
     val t = docs.select(col(id), col(sourceCol),
       counter(col(text)).cast("long").as("n_tokens"))
     val totals = t.groupBy(sourceCol).agg(sum("n_tokens").as("src_tokens"))
-    val wCol = weights.toSeq.sortBy(_._1)
-      .foldRight(lit(null).cast("double")) { case ((s0, w), els) =>
-        when(col(sourceCol) === s0, lit(w)).otherwise(els)
-      }
+    val wCol = flatCases(
+      weights.toSeq.sortBy(_._1).map { case (s0, w) =>
+        (col(sourceCol) === s0, lit(w))
+      },
+      lit(null).cast("double"))
     val weighted = totals.withColumn("w", wCol).filter(col("w").isNotNull)
     val target = weighted
       .agg((sum(col("src_tokens")) * lit(totalMultiple)).as("target"))

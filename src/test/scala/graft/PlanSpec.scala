@@ -391,4 +391,70 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(query_id"),
       s"$tag level-2 rank must partition by query_id:\n$p")
   }
+
+  /** Run `f`, returning its value plus every WARN+ log line matching
+    * `needle` emitted while it ran — the only way to observe Catalyst's
+    * "Max iterations (100) reached" fixpoint warning (RuleExecutor logs
+    * it but exposes nothing via API outside spark.testing mode). */
+  private def withCapturedWarnings[A](needle: String)(f: => A)
+      : (A, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    import org.apache.logging.log4j.core.layout.PatternLayout
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender("graft-fixpoint-cap", null,
+        PatternLayout.createDefaultLayout(), false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent)
+          : Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains(needle)) hits.add(m)
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try (f, hits.toArray(Array.empty[String]).toSeq)
+    finally {
+      cfg.getRootLogger.removeAppender("graft-fixpoint-cap")
+      ctx.updateLoggers(); app.stop()
+    }
+  }
+
+  test("wide mixture maps stay inside the optimizer's fixpoint budget") {
+    // The r18 test log's two "Max iterations (100) reached" warnings
+    // traced to the 10x composed-pipeline probe: mixtureResample over
+    // ~100 distinct sources built its share map as a foldRight of
+    // when(...).otherwise(nested) — N NESTED CaseWhen levels that the
+    // optimizer flattens one per fixpoint pass, so ~100 sources
+    // exhausted the 100-iteration budget. The share map is now ONE
+    // flat CaseWhen (when().when()... chain) and must optimize in a
+    // handful of passes no matter how many sources the mixture names.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 150 // comfortably past the 100-iteration budget if nested
+    val docs = spark.range(0, 600, 1, 4)
+      .select(col("id").as("doc_id"),
+        concat(lit("text of doc "), col("id")).as("text"),
+        concat(lit("src"), (col("id") % n).cast("string")).as("source"))
+    val weights = (0 until n).map(i => s"src$i" -> 1.0 / n).toMap
+    val ((), warnings) = withCapturedWarnings("Max iterations") {
+      graft.operators.TextAnalysis
+        .mixtureResample(docs, "doc_id", "text", "source", weights,
+          totalMultiple = 0.5)
+        .collect()
+      graft.operators.TextAnalysis
+        .mixtureSample(docs, "doc_id", "text", "source", weights)
+        .collect()
+      val rates = (0 until n).map(i => s"src$i" -> 0.5).toMap
+      docs.filter(graft.operators.TextAnalysis.stratifiedKeep(
+        col("doc_id"), col("source"), rates, defaultRate = 1.0)).collect()
+      ()
+    }
+    assert(warnings.isEmpty,
+      s"optimizer fixpoint budget exhausted:\n${warnings.mkString("\n")}")
+  }
 }
