@@ -24,27 +24,32 @@ import org.apache.spark.sql.functions._
   *     [[Revisit.fromArchive]] `next_fetch_epoch` has passed re-enter
   *     the frontier as deliberate refetches (they bypass the seen
   *     filter); sitemap `changefreq`/`lastmod` hints apply.
-  *  3. '''Trap containment''' — [[Outlinks.containTraps]] caps each
+  *  3. '''Robots resolution''' (`fetchRobots`) — frontier hosts with
+  *     no fresh policy attempt get `/robots.txt` fetched through the
+  *     same callback BEFORE the plan; 200s fold into the policy table
+  *     and gate this very cycle, non-200 attempts record as
+  *     default-allow until the freshness horizon.
+  *  4. '''Trap containment''' — [[Outlinks.containTraps]] caps each
   *     (host, URL-template) pattern at `maxPerTemplate`.
-  *  4. '''Ranked, polite, budgeted plan''' — [[LinkGraph.pageRank]]
+  *  5. '''Ranked, polite, budgeted plan''' — [[LinkGraph.pageRank]]
   *     over the canonical-collapsed accumulated link graph, sitemap
   *     priorities bootstrapping never-linked URLs
   *     ([[Outlinks.sitemapBoostedPriorities]]), then
   *     [[Outlinks.fetchPlan]] (robots gate + freshness, crawl-delay
   *     floor, per-host sequence, `maxPerHost`/`hostBudgets` caps).
-  *  5. '''Fetch''' — the caller's `fetch(plan, cycle)` callback (a
+  *  6. '''Fetch''' — the caller's `fetch(plan, cycle)` callback (a
   *     real fleet in production, a synthetic web in tests) returns
   *     captured pages.
-  *  6. '''Dedup archive''' — status-200 pages land via
+  *  7. '''Dedup archive''' — status-200 pages land via
   *     [[graft.sources.WarcIO.warcDedupSave]] under
   *     `archiveDir/batch=<cycle>` with the prior cycles' `_cdx` as
   *     the cross-batch index: unchanged content archives as `revisit`
   *     records, which IS the change history step 2 reads back.
-  *  7. '''Signal extraction''' — outlinks, redirect edges (header and
+  *  8. '''Signal extraction''' — outlinks, redirect edges (header and
   *     meta-refresh), and rel=canonical declarations accumulate;
   *     redirect targets join the link feed (a moved page must not be
   *     lost).
-  *  8. '''Carry-over''' — planned URLs become seen; frontier rows the
+  *  9. '''Carry-over''' — planned URLs become seen; frontier rows the
   *     plan did NOT emit (budget-capped, trap-capped, or
   *     robots-disallowed) remain pending and re-derive next cycle —
   *     deliberately including disallowed URLs, because under robots
@@ -61,14 +66,16 @@ import org.apache.spark.sql.functions._
 object CrawlLoop {
 
   /** One cycle's outcome. `plan` is pinned (localCheckpoint) — safe
-    * to inspect after the loop returns. */
+    * to inspect after the loop returns. `robotsFetched` counts the
+    * cycle's `/robots.txt` fetches (0 unless `fetchRobots` is on). */
   final case class CycleResult(
       cycle: Int,
       frontierSize: Long,
       plannedCount: Long,
       dueRevisits: Long,
       archivedRecords: Long,
-      plan: DataFrame)
+      plan: DataFrame,
+      robotsFetched: Long = 0L)
 
   /** @param seeds    seed-URL frame (column `seedCol`)
     * @param fetch    `(plan, cycle) => pages`: pages MUST carry
@@ -109,8 +116,24 @@ object CrawlLoop {
       asOf: Option[org.apache.spark.sql.Column] = None,
       sitemaps: Option[DataFrame] = None,
       clock: Option[Int => Double] = None,
-      rankIterations: Int = 5): Seq[CycleResult] = {
+      rankIterations: Int = 5,
+      /** Close the robots FETCH loop inside the crawl: before each
+        * cycle's plan, frontier hosts with no FRESH policy attempt
+        * ([[Robots.robotsFetchList]] semantics at the cycle clock) get
+        * their `/robots.txt` fetched through the SAME `fetch`
+        * callback (the URLs are distinguishable by path); 200
+        * responses fold into the policy table (latest fetch per host
+        * wins) and gate THIS cycle's plan, non-200 attempts record as
+        * default-allow until the freshness horizon re-surfaces the
+        * host. The `policies` parameter then only SEEDS the table —
+        * seed rows should carry `fetchedAtCol` stamps (an unstamped
+        * row is stale-by-definition and simply refetches through the
+        * loop). Requires `clock` (freshness needs a deterministic
+        * now). */
+      fetchRobots: Boolean = false): Seq[CycleResult] = {
     require(cycles >= 1, s"cycles must be >= 1: $cycles")
+    require(!fetchRobots || clock.isDefined,
+      "fetchRobots needs clock: robots freshness requires the cycle time")
     def emptyPairs(c1: String, c2: String): DataFrame =
       spark.range(0).select(lit("").as(c1), lit("").as(c2))
     val smPages = sitemaps.map(
@@ -129,6 +152,27 @@ object CrawlLoop {
     var canonAcc =
       emptyPairs("page_uri", "canonical_uri").localCheckpoint()
     var edgesAcc = emptyPairs("src", "dst").localCheckpoint()
+    // normalized policy table: under fetchRobots it ACCUMULATES the
+    // loop's own fetched policies (latest per host); otherwise it is
+    // the caller's static frame passed through unchanged
+    var policiesAcc =
+      if (!fetchRobots) policies
+      else policies.select(
+          lower(trim(col(hostCol))).as("__ph"),
+          col(robotsCol).cast("string").as("__pr"),
+          fetchedAtCol.map(cn => col(cn).cast("timestamp"))
+            .getOrElse(lit(null).cast("timestamp")).as("__pf"))
+        .localCheckpoint()
+    // fetch ATTEMPTS per host, status-independent: a host whose
+    // robots.txt 404ed is default-allow and must not re-surface on the
+    // worklist until the freshness horizon passes
+    var robotsAttempts =
+      if (!fetchRobots)
+        spark.range(0).select(lit("").as("__ah"),
+          lit(null).cast("timestamp").as("__af"))
+      else policiesAcc.filter(col("__pf").isNotNull)
+        .select(col("__ph").as("__ah"), col("__pf").as("__af"))
+        .localCheckpoint()
     val results = Seq.newBuilder[CycleResult]
 
     for (c <- 0 until cycles) {
@@ -158,6 +202,56 @@ object CrawlLoop {
       val frontierSize = frontier.count()
       val dueCount = if (c > 0 && clock.isDefined) due.count() else 0L
 
+      // robots freshness advances with the crawl's own clock: absent
+      // an explicit asOf, cycle c judges policy age at clock(c) — so a
+      // policy that was fresh in cycle 0 goes stale mid-crawl and its
+      // paths default-allow exactly when RFC 9309 says they must
+      val asOfC = asOf.orElse(
+        clock.map(ep => lit(ep(c)).cast("timestamp")))
+
+      // the robots FETCH loop: resolve unknown/stale hosts BEFORE this
+      // cycle's plan, so a compliant crawler never fetches a host's
+      // pages ahead of its policy
+      val robotsFetched = if (!fetchRobots) 0L else {
+        val worklist = Robots.robotsFetchList(frontier, "frontier_url",
+          robotsAttempts, "__ah", fetchedAtCol = Some("__af"),
+          maxAgeSeconds = maxAgeSeconds, asOf = asOfC)
+        val rplan = Outlinks.fetchPlan(
+            worklist.select(col("robots_url").as("frontier_url")),
+            "frontier_url", emptyPairs("__h", "__r"), "__h", "__r",
+            agent, defaultDelay)
+          .localCheckpoint()
+        val n = rplan.count()
+        if (n > 0) {
+          val rpages = fetch(rplan, c).localCheckpoint()
+          robotsAttempts = robotsAttempts.unionByName(
+              rpages.select(
+                TextAnalysis.urlHost(col("target_uri")).as("__ah"),
+                col("warc_date").cast("timestamp").as("__af")))
+            .groupBy("__ah").agg(max(col("__af")).as("__af"))
+            .localCheckpoint()
+          policiesAcc = policiesAcc.unionByName(
+              rpages.filter(col("http_status") === 200)
+                .select(
+                  TextAnalysis.urlHost(col("target_uri")).as("__ph"),
+                  col("payload").cast("string").as("__pr"),
+                  col("warc_date").cast("timestamp").as("__pf")))
+            // latest fetch per host wins (a stamped row beats an
+            // unstamped seed — nulls sort first in struct ordering);
+            // the dedup also keeps the policy join fan-out-free
+            .groupBy("__ph")
+            .agg(max(struct(col("__pf"), col("__pr"))).as("__s"))
+            .select(col("__ph"),
+              col("__s").getField("__pr").as("__pr"),
+              col("__s").getField("__pf").as("__pf"))
+            .localCheckpoint()
+        }
+        n
+      }
+      val (polFrame, polHost, polRobots, polFat) =
+        if (fetchRobots) (policiesAcc, "__ph", "__pr", Some("__pf"))
+        else (policies, hostCol, robotsCol, fetchedAtCol)
+
       val contained = Outlinks.containTraps(
         frontier, "frontier_url", maxPerTemplate).drop("url_template")
       val ranks = LinkGraph.pageRank(
@@ -165,16 +259,10 @@ object CrawlLoop {
         "src", "dst", iterations = rankIterations)
       val priorities = smPages.fold(ranks)(sm =>
         Outlinks.sitemapBoostedPriorities(ranks, sm))
-      // robots freshness advances with the crawl's own clock: absent
-      // an explicit asOf, cycle c judges policy age at clock(c) — so a
-      // policy that was fresh in cycle 0 goes stale mid-crawl and its
-      // paths default-allow exactly when RFC 9309 says they must
-      val asOfC = asOf.orElse(
-        clock.map(ep => lit(ep(c)).cast("timestamp")))
       val plan = Outlinks.fetchPlan(contained, "frontier_url",
-          policies, hostCol, robotsCol, agent, defaultDelay,
+          polFrame, polHost, polRobots, agent, defaultDelay,
           maxPerHost = maxPerHost, priorities = Some(priorities),
-          fetchedAtCol = fetchedAtCol, maxAgeSeconds = maxAgeSeconds,
+          fetchedAtCol = polFat, maxAgeSeconds = maxAgeSeconds,
           asOf = asOfC, hostBudgets = hostBudgets,
           budgetHostCol = budgetHostCol, budgetCol = budgetCol)
         .localCheckpoint()
@@ -237,7 +325,7 @@ object CrawlLoop {
         .distinct().localCheckpoint()
 
       results += CycleResult(c, frontierSize, plannedCount, dueCount,
-        archived, plan)
+        archived, plan, robotsFetched)
     }
     results.result()
   }

@@ -2183,4 +2183,64 @@ class NorthStarSpec extends AnyFunSuite {
         s"$u: planned $n, captured ${capCounts.getOrElse(u, 0)}")
     }
   }
+
+  test("crawlCycles fetchRobots: policies fetch in-loop, 404 hosts default-allow once") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val archiveDir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_robots").toString + "/arc"
+    val W = "https://rw.example"
+    def page(url: String): (Int, String) =
+      if (url == s"$W/robots.txt")
+        (200, "User-agent: *\nDisallow: /secret")
+      else if (url == "https://rz.example/robots.txt") (404, "nope")
+      else if (url.startsWith("https://rz.example/"))
+        (200, s"z page $url")
+      else url.stripPrefix(W) match {
+        case "/" => (200,
+          """<a href="/a">a</a><a href="/secret">s</a>""" +
+            """<a href="https://rz.example/p/0">z0</a>""" +
+            """<a href="https://rz.example/p/1">z1</a>""")
+        case "/a" => (200, "leaf a")
+        case "/secret" => (200, "must never be fetched")
+        case _ => (404, "nope")
+      }
+    val day0 = java.time.Instant.parse("2026-04-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    def dateOf(c: Int) = f"2026-04-${c + 1}%02dT00:00:00Z"
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        val (st, body) = page(u)
+        (u, dateOf(cycle), s"<urn:rb:$cycle:$u>",
+          "text/html; charset=utf-8", body.getBytes("UTF-8"), st,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    val results = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = archiveDir,
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 3,
+      maxAgeSeconds = 30L * 86400L, // policies stay fresh all run
+      clock = Some(c => day0 + c * 86400.0),
+      fetchRobots = true)
+    val plans = results.map(_.plan.select("frontier_url")
+      .as[String].collect().toSeq)
+    // cycle 0 resolves the seed host's robots, cycle 1 the newly
+    // discovered host's (a 404 — default-allow), cycle 2 nothing: both
+    // attempts are fresh, INCLUDING the 404 one
+    assert(results.map(_.robotsFetched) == Seq(1L, 1L, 0L),
+      s"got: ${results.map(_.robotsFetched)}")
+    // the policy fetched IN cycle 0 gates /secret from cycle 1 on (it
+    // is carried, re-gated, never planned)
+    assert(plans.flatten.forall(!_.contains("/secret")),
+      s"in-loop policy must gate the disallowed path: $plans")
+    // the 404-robots host default-allows: its pages plan in cycle 1
+    assert(plans(1).count(_.startsWith("https://rz.example/")) == 2,
+      s"404 robots must default-allow: ${plans(1)}")
+    // robots URLs are infrastructure — never in the page plan
+    assert(plans.flatten.forall(!_.contains("robots.txt")))
+  }
 }
