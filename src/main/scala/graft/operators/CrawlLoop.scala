@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *     no fresh policy attempt get `/robots.txt` fetched through the
   *     same callback BEFORE the plan; 200s fold into the policy table
   *     and gate this very cycle, non-200 attempts record as
-  *     default-allow until the freshness horizon.
+  *     default-allow until the freshness horizon. With
+  *     `fetchSitemaps`, policy-declared sitemaps and index children
+  *     fetch next (once each), their urlsets feeding the NEXT cycle's
+  *     frontier plus the priority/revisit knowledge below.
   *  4. '''Trap containment''' — [[Outlinks.containTraps]] caps each
   *     (host, URL-template) pattern at `maxPerTemplate`.
   *  5. '''Ranked, polite, budgeted plan''' — [[LinkGraph.pageRank]]
@@ -66,8 +69,9 @@ import org.apache.spark.sql.functions._
 object CrawlLoop {
 
   /** One cycle's outcome. `plan` is pinned (localCheckpoint) — safe
-    * to inspect after the loop returns. `robotsFetched` counts the
-    * cycle's `/robots.txt` fetches (0 unless `fetchRobots` is on). */
+    * to inspect after the loop returns. `robotsFetched` /
+    * `sitemapsFetched` count the cycle's infrastructure fetches
+    * (0 unless `fetchRobots` / `fetchSitemaps` are on). */
   final case class CycleResult(
       cycle: Int,
       frontierSize: Long,
@@ -75,7 +79,8 @@ object CrawlLoop {
       dueRevisits: Long,
       archivedRecords: Long,
       plan: DataFrame,
-      robotsFetched: Long = 0L)
+      robotsFetched: Long = 0L,
+      sitemapsFetched: Long = 0L)
 
   /** @param seeds    seed-URL frame (column `seedCol`)
     * @param fetch    `(plan, cycle) => pages`: pages MUST carry
@@ -130,7 +135,20 @@ object CrawlLoop {
         * row is stale-by-definition and simply refetches through the
         * loop). Requires `clock` (freshness needs a deterministic
         * now). */
-      fetchRobots: Boolean = false): Seq[CycleResult] = {
+      fetchRobots: Boolean = false,
+      /** Close the sitemap DISCOVERY loop too (the middle tier:
+        * robots.txt → sitemaps → sitemap indexes → urlsets →
+        * frontier): each cycle, sitemap URLs declared by the policy
+        * table's `Sitemap:` lines or by fetched `<sitemapindex>`
+        * children — minus everything already attempted
+        * ([[Outlinks.sitemapFetchList]]) — fetch through the same
+        * callback; parsed `<urlset>` entries then feed the NEXT
+        * cycle's frontier (one-cycle discovery latency, the discrete-
+        * cycle analogue of a continuous sitemap tail), the priority
+        * bootstrap, and the revisit `changefreq`/`lastmod` hints,
+        * exactly like a caller-supplied `sitemaps` frame (the two
+        * sources union). Sitemaps fetch once per crawl. */
+      fetchSitemaps: Boolean = false): Seq[CycleResult] = {
     require(cycles >= 1, s"cycles must be >= 1: $cycles")
     require(!fetchRobots || clock.isDefined,
       "fetchRobots needs clock: robots freshness requires the cycle time")
@@ -173,6 +191,19 @@ object CrawlLoop {
       else policiesAcc.filter(col("__pf").isNotNull)
         .select(col("__ph").as("__ah"), col("__pf").as("__af"))
         .localCheckpoint()
+    def normEntries(df: DataFrame): DataFrame = df.select(
+      col("loc").cast("string").as("loc"),
+      col("lastmod").cast("string").as("lastmod"),
+      col("changefreq").cast("string").as("changefreq"),
+      col("priority").cast("double").as("priority"),
+      col("is_index").cast("boolean").as("is_index"))
+    // fetched-and-parsed sitemap entries + attempted sitemap URLs
+    var smEntriesAcc = spark.range(0).select(lit("").as("loc"),
+        lit("").as("lastmod"), lit("").as("changefreq"),
+        lit(0.0).as("priority"), lit(false).as("is_index"))
+      .localCheckpoint()
+    var smAttempts = spark.range(0)
+      .select(lit("").as("sitemap_url")).localCheckpoint()
     val results = Seq.newBuilder[CycleResult]
 
     for (c <- 0 until cycles) {
@@ -182,14 +213,23 @@ object CrawlLoop {
       def collapse(df: DataFrame): DataFrame =
         Outlinks.applyCanonical(df, "frontier_url", mapping,
           "alias_url", "canonical_url")
+      // the cycle's effective sitemap knowledge: the caller's frame
+      // unioned with everything the loop itself has fetched so far
+      val entriesNow: Option[DataFrame] =
+        if (!fetchSitemaps) sitemaps
+        else Some(sitemaps.fold(smEntriesAcc)(s0 =>
+          normEntries(s0).unionByName(smEntriesAcc)))
+      val smPagesNow = entriesNow.map(
+        _.filter(!coalesce(col("is_index"), lit(false)))
+          .filter(col("loc").isNotNull))
       // deliberate refetches bypass the seen filter; everything else
       // collapses first (an alias may land on an already-seen URL)
       val due = clock match {
         case Some(ep) if c > 0 =>
           collapse(Revisit.fromArchive(
               spark.read.format("graft-warc").load(s"$archiveDir/batch=*"),
-              hints = sitemaps,
-              hintLastmodCol = sitemaps.map(_ => "lastmod"))
+              hints = entriesNow,
+              hintLastmodCol = entriesNow.map(_ => "lastmod"))
             .filter(col("next_fetch_epoch") <= lit(ep(c)))
             .select(col("url").as("frontier_url"))).distinct()
         case _ => pending.limit(0)
@@ -252,12 +292,50 @@ object CrawlLoop {
         if (fetchRobots) (policiesAcc, "__ph", "__pr", Some("__pf"))
         else (policies, hostCol, robotsCol, fetchedAtCol)
 
+      // the sitemap DISCOVERY loop: policy-declared sitemaps and
+      // index children not yet attempted fetch now; their urlset
+      // entries feed the NEXT cycle's frontier and this loop's
+      // priority/revisit knowledge
+      var smNewLocs = pending.limit(0)
+      val sitemapsFetched = if (!fetchSitemaps) 0L else {
+        val declared = polFrame.select(
+          explode(Robots.sitemapUrls(col(polRobots))).as("sitemap_url"))
+        val worklist = Outlinks.sitemapFetchList(
+          declared, "sitemap_url", smEntriesAcc,
+          smAttempts, "sitemap_url")
+        val splan = Outlinks.fetchPlan(
+            worklist.select(col("sitemap_url").as("frontier_url")),
+            "frontier_url", emptyPairs("__h", "__r"), "__h", "__r",
+            agent, defaultDelay)
+          .localCheckpoint()
+        val n = splan.count()
+        if (n > 0) {
+          val spages = fetch(splan, c).localCheckpoint()
+          // every ATTEMPT records, status-independent: a 404 sitemap
+          // must not refetch forever
+          smAttempts = smAttempts.unionByName(
+              spages.select(col("target_uri").as("sitemap_url")))
+            .distinct().localCheckpoint()
+          val parsed = Outlinks.sitemapEntries(
+            spages.filter(col("http_status") === 200)
+              .select(col("payload").cast("string").as("__xml")),
+            "__xml")
+          smEntriesAcc = smEntriesAcc
+            .unionByName(normEntries(parsed))
+            .distinct().localCheckpoint()
+          smNewLocs = Outlinks.canonicalLinks(
+            parsed.filter(!col("is_index"))
+              .select(col("loc").as("__l")), "__l").distinct()
+        }
+        n
+      }
+
       val contained = Outlinks.containTraps(
         frontier, "frontier_url", maxPerTemplate).drop("url_template")
       val ranks = LinkGraph.pageRank(
         Outlinks.collapseEdges(edgesAcc, "src", "dst", mapping),
         "src", "dst", iterations = rankIterations)
-      val priorities = smPages.fold(ranks)(sm =>
+      val priorities = smPagesNow.fold(ranks)(sm =>
         Outlinks.sitemapBoostedPriorities(ranks, sm))
       val plan = Outlinks.fetchPlan(contained, "frontier_url",
           polFrame, polHost, polRobots, agent, defaultDelay,
@@ -320,12 +398,13 @@ object CrawlLoop {
         .join(plan.select("frontier_url"), Seq("frontier_url"),
           "left_anti")
         .unionByName(Outlinks.canonicalLinks(linkFeed, "__l")
+          .unionByName(smNewLocs)
           .join(seen.select(col("url").as("frontier_url")),
             Seq("frontier_url"), "left_anti"))
         .distinct().localCheckpoint()
 
       results += CycleResult(c, frontierSize, plannedCount, dueCount,
-        archived, plan, robotsFetched)
+        archived, plan, robotsFetched, sitemapsFetched)
     }
     results.result()
   }

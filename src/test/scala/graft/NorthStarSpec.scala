@@ -2243,4 +2243,74 @@ class NorthStarSpec extends AnyFunSuite {
     // robots URLs are infrastructure — never in the page plan
     assert(plans.flatten.forall(!_.contains("robots.txt")))
   }
+
+  test("crawlCycles fetchSitemaps: robots-declared index -> urlset -> orphan planned") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val archiveDir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_sitemaps").toString + "/arc"
+    val W = "https://sw.example"
+    def page(url: String): (Int, String) =
+      url.stripPrefix(W) match {
+        case "/robots.txt" => (200,
+          s"User-agent: *\nAllow: /\nSitemap: $W/sitemap.xml")
+        case "/sitemap.xml" => (200,
+          s"""<sitemapindex><sitemap><loc>$W/child.xml</loc>""" +
+            "</sitemap></sitemapindex>")
+        case "/child.xml" => (200,
+          s"""<urlset><url><loc>$W/orphan</loc>""" +
+            "<priority>1.0</priority><changefreq>daily</changefreq>" +
+            "</url></urlset>")
+        case "/" => (200, """<a href="/a">a</a>""")
+        case "/a" => (200, "leaf a")
+        case "/orphan" => (200, "the page nothing links to")
+        case _ => (404, "nope")
+      }
+    val day0 = java.time.Instant.parse("2026-05-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    def dateOf(c: Int) = f"2026-05-${c + 1}%02dT00:00:00Z"
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        val (st, body) = page(u)
+        (u, dateOf(cycle), s"<urn:sm:$cycle:$u>",
+          "text/html; charset=utf-8", body.getBytes("UTF-8"), st,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    val results = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = archiveDir,
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 4,
+      maxAgeSeconds = 30L * 86400L,
+      clock = Some(c => day0 + c * 86400.0),
+      fetchRobots = true, fetchSitemaps = true)
+    val plans = results.map(_.plan.select("frontier_url")
+      .as[String].collect().toSeq)
+    // discovery cascade: cycle 0 fetches the robots-declared index,
+    // cycle 1 its child urlset, then the worklist goes quiet
+    assert(results.map(_.robotsFetched) == Seq(1L, 0L, 0L, 0L))
+    assert(results.map(_.sitemapsFetched) == Seq(1L, 1L, 0L, 0L),
+      s"got: ${results.map(_.sitemapsFetched)}")
+    // the urlset's orphan (linked by NOTHING) enters the frontier the
+    // cycle after its urlset parses, and its declared priority 1.0
+    // bootstraps it to the head of that cycle's per-host sequence
+    assert(!plans.take(2).flatten.exists(_.contains("/orphan")),
+      "urlset entries feed the NEXT cycle's frontier")
+    assert(plans(2).contains(s"$W/orphan"),
+      s"sitemap-discovered orphan must be planned: ${plans(2)}")
+    // priority 1.0 bootstraps the orphan to max(rank) — it TIES the
+    // best-ranked page (/a, which wins the URL tiebreak) and schedules
+    // ahead of the rank-poor due home page
+    val seq2 = results(2).plan
+      .select("frontier_url", "fetch_seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seq2(s"$W/a") == 1L && seq2(s"$W/orphan") == 2L,
+      s"priority-1.0 bootstrap must tie the best rank: $seq2")
+    // sitemap XML URLs are infrastructure — never in the page plan
+    assert(plans.flatten.forall(u =>
+      !u.contains("sitemap.xml") && !u.contains("child.xml")))
+  }
 }
