@@ -148,7 +148,18 @@ object CrawlLoop {
         * bootstrap, and the revisit `changefreq`/`lastmod` hints,
         * exactly like a caller-supplied `sitemaps` frame (the two
         * sources union). Sitemaps fetch once per crawl. */
-      fetchSitemaps: Boolean = false): Seq[CycleResult] = {
+      fetchSitemaps: Boolean = false,
+      /** Warm-start each cycle's PageRank from the PREVIOUS cycle's
+        * ranks ([[LinkGraph.pageRank]]'s `initial`): the graph grows
+        * incrementally, so last cycle's vector is already near the
+        * answer and `rankIterations` buys convergence instead of
+        * re-deriving it from uniform — the knob that matters when the
+        * accumulated graph is billions of edges. New nodes enter at
+        * the uniform prior. Off by default: mid-convergence rank
+        * VALUES differ slightly from a cold run's (coverage does not —
+        * spec-pinned), so deterministic-replay consumers should opt
+        * in deliberately. */
+      warmStartRanks: Boolean = false): Seq[CycleResult] = {
     require(cycles >= 1, s"cycles must be >= 1: $cycles")
     require(!fetchRobots || clock.isDefined,
       "fetchRobots needs clock: robots freshness requires the cycle time")
@@ -204,6 +215,7 @@ object CrawlLoop {
       .localCheckpoint()
     var smAttempts = spark.range(0)
       .select(lit("").as("sitemap_url")).localCheckpoint()
+    var ranksPrev: Option[DataFrame] = None
     val results = Seq.newBuilder[CycleResult]
 
     for (c <- 0 until cycles) {
@@ -334,7 +346,9 @@ object CrawlLoop {
         frontier, "frontier_url", maxPerTemplate).drop("url_template")
       val ranks = LinkGraph.pageRank(
         Outlinks.collapseEdges(edgesAcc, "src", "dst", mapping),
-        "src", "dst", iterations = rankIterations)
+        "src", "dst", iterations = rankIterations,
+        initial = if (warmStartRanks) ranksPrev else None)
+      if (warmStartRanks) ranksPrev = Some(ranks.localCheckpoint())
       val priorities = smPagesNow.fold(ranks)(sm =>
         Outlinks.sitemapBoostedPriorities(ranks, sm))
       val plan = Outlinks.fetchPlan(contained, "frontier_url",

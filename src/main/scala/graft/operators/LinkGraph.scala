@@ -51,11 +51,27 @@ object LinkGraph {
     * @param damping the d in the update (0.85 canonical)
     * @param redistributeDangling add each round's dangling-node mass
     *                back uniformly (Σ rank = 1.0; see object doc)
+    * @param initial optional WARM-START vector (`initNodeCol`,
+    *                `initRankCol`) — a cyclical crawler re-ranking a
+    *                grown graph each cycle should not re-converge
+    *                from uniform: power iteration converges from any
+    *                start, and last cycle's ranks are already near
+    *                the answer, so the same accuracy costs fewer
+    *                rounds. PR_0(v) = the given rank where present,
+    *                else 1/N (new nodes enter at the uniform prior);
+    *                duplicate node rows reduce to MAX. With no
+    *                iterations the start vector echoes back — so a
+    *                FIXED POINT rides through unchanged (spec-pinned),
+    *                and q_t81 certifies the warm-started update
+    *                end to end.
     * @return `node` (string), `rank` (double) — one row per node */
   def pageRank(
       edges: DataFrame, src: String, dst: String,
       iterations: Int = 10, damping: Double = 0.85,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      initial: Option[DataFrame] = None,
+      initNodeCol: String = "node", initRankCol: String = "rank")
+      : DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]")
     val e = edges.select(col(src).cast("string").as("src"),
@@ -78,7 +94,18 @@ object LinkGraph {
         Seq("node"), "left_anti")
       .localCheckpoint()
     val reset = (1.0 - damping) / n
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = initial match {
+      case None => nodes.withColumn("rank", lit(1.0 / n))
+      case Some(init) =>
+        val i0 = init
+          .select(col(initNodeCol).cast("string").as("node"),
+            col(initRankCol).cast("double").as("__r0"))
+          .groupBy("node").agg(max(col("__r0")).as("__r0"))
+        nodes.join(i0, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__r0"), lit(1.0 / n)).as("rank"))
+          .localCheckpoint()
+    }
     for (_ <- 1 to iterations) {
       val inflow = contribEdges
         .join(ranks.withColumnRenamed("node", "src"), "src")

@@ -2093,7 +2093,11 @@ object Text {
       redistribute: Boolean = false,
       /** final projection over the CTE chain (sees `e` and `r<iters>`);
         * None = the plain per-node rank dump */
-      finalSelect: Option[String] = None): String = {
+      finalSelect: Option[String] = None,
+      /** r0 body (sees `nodes` and `nn`; must emit node, pr) for
+        * warm-started runs; None = the uniform 1/N start. Like
+        * edgeSelect, no line may BEGIN with `|`. */
+      r0Select: Option[String] = None): String = {
     val rounds = (1 to iters).map { k =>
       val leakCte = if (!redistribute) "" else
         s""" l$k AS MATERIALIZED (
@@ -2134,8 +2138,9 @@ object Text {
        | nn AS MATERIALIZED (
        |   SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |$dangCte r0 AS MATERIALIZED (
-       |   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
-       |   FROM nodes),
+       |   ${r0Select.getOrElse(
+             "SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr" +
+               "\n   FROM nodes")}),
        |$rounds
        |${finalSelect.getOrElse(s"SELECT node, pr FROM r$iters")}""".stripMargin
   }
@@ -3426,6 +3431,50 @@ object Text {
     Outlinks.focusedPriorities(anchors, topics, dists)
   }
 
+  /** WARM-STARTED PageRank, HASH-CERTIFIED — [[graft.operators
+    * .LinkGraph.pageRank]]'s `initial` vector: every 3rd node starts
+    * at a closed-form prior, the rest at the uniform 1/N a new node
+    * gets, and TWO power-iteration rounds run from that start (a
+    * cyclical crawler warm-starts each cycle from last cycle's ranks
+    * instead of re-converging from uniform). The oracle unrolls the
+    * same two rounds from an r0 CTE that restates the start vector
+    * per node — certifying the warm-start seeding (coalesce onto 1/N)
+    * and that the iteration arithmetic is start-independent. */
+  val qT81WarmPagerank = Q(
+    "q_t81_warm_pagerank",
+    pageRankOracleSql(
+      """  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'h' || CAST(doc_id % 83 AS VARCHAR) AS src,
+        |           'h' || CAST((doc_id * 5 + 2) % 83 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'h' || CAST(doc_id % 83 AS VARCHAR),
+        |           'h' || CAST(doc_id % 79 AS VARCHAR)
+        |    FROM documents)""".stripMargin,
+      2,
+      r0Select = Some(
+        """SELECT node,
+          |     CASE WHEN CAST(SUBSTRING(node, 2) AS INT) % 3 = 0
+          |          THEN CAST(CAST(SUBSTRING(node, 2) AS INT) % 10 + 1
+          |                 AS DOUBLE) / 100
+          |          ELSE CAST(1 AS DOUBLE) / (SELECT n FROM nn) END AS pr
+          |   FROM nodes""".stripMargin))) { (s, d) =>
+    val docs = documents(s, d)
+    def m(n: Int, expr: org.apache.spark.sql.Column) =
+      concat(lit("h"), (expr % n).cast("string"))
+    val e = docs.select(m(83, col("doc_id")).as("src"),
+        m(83, col("doc_id") * 5 + 2).as("dst"))
+      .union(docs.select(m(83, col("doc_id")).as("src"),
+        m(79, col("doc_id")).as("dst")))
+      .distinct()
+    val init = s.range(83).filter(col("id") % 3 === 0)
+      .select(concat(lit("h"), col("id").cast("string")).as("node"),
+        ((col("id") % 10 + 1).cast("double") / 100).as("rank"))
+    graft.operators.LinkGraph.pageRank(e, "src", "dst",
+        iterations = 2, damping = 0.85, initial = Some(init))
+      .select(col("node"), col("rank").as("pr"))
+  }
+
   val all: Seq[Q] =
     Seq(qT1Stats, qT2Quality, qT3LangId, qT4Fingerprint, qT5Chunks,
       qT6Curation, qT7Split, qT8Decontam, qT9Redact, qT10Repetition,
@@ -3449,5 +3498,5 @@ object Text {
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
       qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan,
-      qT80FocusedPriority)
+      qT80FocusedPriority, qT81WarmPagerank)
 }

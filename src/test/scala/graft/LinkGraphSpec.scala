@@ -150,4 +150,43 @@ class LinkGraphSpec extends AnyFunSuite {
       damping = 0.0)
     r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, s"$r"))
   }
+
+  test("warm start: echo at 0 iterations, new nodes at 1/N, dup max, fixed point stays put") {
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    // iterations=0 echoes the seed vector: present nodes keep their
+    // given rank (dup rows reduce to MAX), absent ones get 1/N
+    val init = Seq(("a", 0.5), ("a", 0.2), ("b", 0.3)).toDF("node", "rank")
+    val echoed = LinkGraph.pageRank(cycle, "src", "dst",
+        iterations = 0, initial = Some(init))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(echoed("a") == 0.5 && echoed("b") == 0.3, s"$echoed")
+    assert(math.abs(echoed("c") - 1.0 / 3) < 1e-15,
+      s"a node the seed does not know starts at the uniform prior: $echoed")
+    // a ring's exact fixed point is uniform: warm-starting FROM it
+    // must stay put through further iterations (up to fp rounding)
+    val uniform = Seq(("a", 1.0 / 3), ("b", 1.0 / 3), ("c", 1.0 / 3))
+      .toDF("node", "rank")
+    val stayed = LinkGraph.pageRank(cycle, "src", "dst",
+        iterations = 4, initial = Some(uniform))
+      .collect().map(r => r.getDouble(1))
+    stayed.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-14,
+      s"fixed point must ride through warm-started iterations: $v"))
+    // warm-started and cold runs converge to the same place: enough
+    // iterations from a LOPSIDED seed equals the cold run
+    val cold = ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "a" -> "c"), 40)
+    val lopsided = Seq(("a", 0.9), ("b", 0.05), ("c", 0.05))
+      .toDF("node", "rank")
+    val warm = LinkGraph.pageRank(
+        Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+          .toDF("src", "dst"), "src", "dst",
+        iterations = 40, initial = Some(lopsided))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cold.foreach { case (k, v) =>
+      // asymptotic, not exact: 40 rounds leave ~4e-10 of start-
+      // dependent residual on this graph (contraction ~d per round)
+      assert(math.abs(warm(k) - v) < 1e-8,
+        s"start independence: $k warm=${warm(k)} cold=$v")
+    }
+  }
 }

@@ -2242,6 +2242,24 @@ class NorthStarSpec extends AnyFunSuite {
       s"404 robots must default-allow: ${plans(1)}")
     // robots URLs are infrastructure — never in the page plan
     assert(plans.flatten.forall(!_.contains("robots.txt")))
+    // warm-started ranking (last cycle's vector seeds this cycle's
+    // PageRank) changes mid-convergence VALUES, never coverage: the
+    // same crawl re-run warm plans exactly the same URL set per cycle
+    val warm = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn,
+      archiveDir = archiveDir + "_warm",
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 3,
+      maxAgeSeconds = 30L * 86400L,
+      clock = Some(c => day0 + c * 86400.0),
+      fetchRobots = true, warmStartRanks = true)
+    val warmPlans = warm.map(_.plan.select("frontier_url")
+      .as[String].collect().toSet)
+    assert(warmPlans == plans.map(_.toSet),
+      s"warm-start must not change per-cycle coverage:\n" +
+        s"  cold=$plans\n  warm=$warmPlans")
   }
 
   test("crawlCycles fetchSitemaps: robots-declared index -> urlset -> orphan planned") {
