@@ -1167,6 +1167,52 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalMapping equals the chained applyCanonical recipe on random graphs") {
+    // the ONE-mapping contract (canonicalMapping's defining property,
+    // pinned case-by-case in OutlinksSpec) holds over arbitrary
+    // redirect graphs + declaration maps: applying the merged mapping
+    // once ≡ applyCanonical through raw chains, then declarations —
+    // including cycles, redirect sources that also declare,
+    // self-declarations, dup keys, and URLs neither signal knows
+    import spark.implicits._
+    import graft.operators.Outlinks
+    val rnd = new scala.util.Random(40417L)
+    for (trial <- 0 until 6) {
+      val n = 15 + rnd.nextInt(25)
+      val redirects = (0 until n).flatMap { i =>
+        if (rnd.nextDouble() < 0.5)
+          Seq((s"u$i", s"u${rnd.nextInt(n)}")) else Seq.empty
+      }
+      val canon = (0 until n).flatMap { i =>
+        val base = if (rnd.nextDouble() < 0.4)
+          // ~1 in 8 declarations are self-identities
+          Seq((s"u$i", if (rnd.nextDouble() < 0.125) s"u$i"
+            else s"u${rnd.nextInt(n)}")) else Seq.empty
+        val dup = if (rnd.nextDouble() < 0.1)
+          Seq((s"u$i", s"u${rnd.nextInt(n)}")) else Seq.empty
+        base ++ dup
+      }
+      if (redirects.nonEmpty && canon.nonEmpty) {
+        val chains = Outlinks.resolveRedirectChains(
+          redirects.toDF("redirect_from", "redirect_to"))
+        val canonDf = canon.toDF("page_uri", "canonical_uri")
+        val mapping = Outlinks.canonicalMapping(chains, canonDf)
+        val urls = ((0 until n).map(i => s"u$i") ++
+          Seq("unknown_a", "unknown_b")).toDF("url")
+        val once = Outlinks.applyCanonical(urls, "url",
+            mapping, "alias_url", "canonical_url")
+          .as[String].collect().sorted.toSeq
+        val chained = Outlinks.applyCanonical(
+            Outlinks.applyCanonical(urls, "url",
+              chains, "redirect_from", "final_target"),
+            "url", canonDf, "page_uri", "canonical_uri")
+          .as[String].collect().sorted.toSeq
+        assert(once == chained,
+          s"trial $trial diverged:\n once=$once\n chained=$chained")
+      }
+    }
+  }
+
   test("bandsFor picks the widest exhaustive banding") {
     assert(Dedup.bandsFor(0) == 1)
     assert(Dedup.bandsFor(1) == 2)
