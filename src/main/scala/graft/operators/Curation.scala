@@ -90,6 +90,18 @@ object Curation {
       gopherScreen: Boolean = false,
       maxPerSource: Option[(String, Int)] = None,
       urlDedup: Option[String] = None,
+      /** Alias→canonical URL mapping ([[Outlinks.canonicalMapping]]
+        * output: `alias_url`, `canonical_url`) applied to the
+        * url-dedup KEY — only meaningful with `urlDedup`. The crawl's
+        * own redirect-chain + rel=canonical signals then collapse a
+        * page's alias spellings onto one dedup key, so a document
+        * captured under `/old` and its redirect target enters the
+        * corpus ONCE (q_t78's frontier semantics applied to corpus
+        * definition). Matching follows the frontier convention: the
+        * URL is [[TextAnalysis.canonicalUrl]]-normalized first, then
+        * rewritten through the mapping; the visible url column is NOT
+        * modified — only the dedup key. */
+      urlCanonicalMap: Option[org.apache.spark.sql.DataFrame] = None,
       /** Trained [[TextAnalysis.NbQualityModel]] screen: keep documents
         * whose NB score ≥ the threshold (0.0 = the classifier's own
         * decision boundary). Train with [[TextAnalysis.trainQualityNb]]
@@ -179,9 +191,20 @@ object Curation {
     // with no canonicalizable URL all survive)
     val defined = cfg.urlDedup match {
       case Some(urlCol) =>
-        val canonH = md5(TextAnalysis.canonicalUrl(col(urlCol))
-          .cast("binary"))
-        val keyed = capped.select(col(id), canonH.as("__graft_canon_h"))
+        // frontier convention: canonicalUrl normalization FIRST, then
+        // the alias→canonical mapping (its keys are canonical forms),
+        // and only the dedup KEY sees either — output columns keep
+        // the original url value
+        val urlRows0 = capped.select(col(id),
+          TextAnalysis.canonicalUrl(col(urlCol)).as("__graft_canon_u"))
+        val urlRows = cfg.urlCanonicalMap match {
+          case Some(m) => Outlinks.applyCanonical(urlRows0,
+            "__graft_canon_u", m, "alias_url", "canonical_url")
+          case None => urlRows0
+        }
+        val keyed = urlRows.select(col(id),
+          md5(col("__graft_canon_u").cast("binary"))
+            .as("__graft_canon_h"))
         val keepers = keyed.filter(col("__graft_canon_h").isNotNull)
           .groupBy("__graft_canon_h").agg(min(col(id)).as(id))
           .select(col(id))

@@ -1983,6 +1983,18 @@ class NorthStarSpec extends AnyFunSuite {
     // every other survivor of the base pipeline are untouched
     assert(gotIds == baseIds -- Set(11L, 13L),
       s"urlDedup diverged: base=$baseIds got=$gotIds")
+    // with a crawl-derived alias mapping (site.com/a is a redirect
+    // alias of other.org/p), all four spellings collapse onto ONE
+    // dedup key — min id 10 survives; matching is against the
+    // canonicalUrl form, the frontier convention
+    val mapping = Seq(("http://site.com/a?a=1&b=2", "https://other.org/p"))
+      .toDF("alias_url", "canonical_url")
+    val collapsed = Curation.pipeline(withUrl, "doc_id", "text",
+      Curation.Config(urlDedup = Some("url"),
+        urlCanonicalMap = Some(mapping)))
+    val colIds = collapsed.df.select("doc_id").as[Long].collect().toSet
+    assert(colIds == baseIds -- Set(11L, 12L, 13L),
+      s"alias collapse diverged: base=$baseIds got=$colIds")
   }
 
   test("canonicalUrl is idempotent on the q_t40 corpus") {
