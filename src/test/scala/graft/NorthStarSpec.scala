@@ -2274,6 +2274,35 @@ class NorthStarSpec extends AnyFunSuite {
         s"  cold=$plans\n  warm=$warmPlans")
   }
 
+  test("crawlCycles survives a drained crawl: empty cycles are no-ops") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val archiveDir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_drained").toString + "/arc"
+    // one linkless leaf and no clock: cycle 0 fetches it, cycles 1-2
+    // have an EMPTY frontier, an empty plan, and an empty archive
+    // batch — the loop must ride through, not crash on empty frames
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        (u, "2026-06-01T00:00:00Z", s"<urn:dr:$cycle:$u>",
+          "text/html; charset=utf-8",
+          "a linkless leaf".getBytes("UTF-8"), 200,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    val results = CrawlLoop.crawlCycles(spark,
+      seeds = Seq("https://dr.example/only").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = archiveDir,
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 3)
+    assert(results.map(_.plannedCount) == Seq(1L, 0L, 0L),
+      s"got: ${results.map(_.plannedCount)}")
+    assert(results.map(_.archivedRecords) == Seq(1L, 0L, 0L))
+    assert(results.map(_.frontierSize) == Seq(1L, 0L, 0L))
+  }
+
   test("crawlCycles fetchSitemaps: robots-declared index -> urlset -> orphan planned") {
     import spark.implicits._
     import graft.operators.CrawlLoop
