@@ -159,10 +159,30 @@ object CrawlLoop {
         * VALUES differ slightly from a cold run's (coverage does not —
         * spec-pinned), so deterministic-replay consumers should opt
         * in deliberately. */
-      warmStartRanks: Boolean = false): Seq[CycleResult] = {
+      warmStartRanks: Boolean = false,
+      /** Persist the loop's cross-cycle state (seen, pending,
+        * accumulated signals, fetched policies/sitemaps, warm ranks)
+        * as parquet under `<stateDir>/cycle=<N>` at the end of every
+        * cycle, a commit marker written LAST — a 30-cycle crawl that
+        * dies at cycle 20 then resumes from durable state instead of
+        * refetching the web. Static inputs (`seeds`, `policies`,
+        * `sitemaps`, every knob) are NOT persisted: re-supply the
+        * same configuration on resume. */
+      stateDir: Option[String] = None,
+      /** Resume from the state `stateDir/cycle=<startCycle-1>`
+        * committed by a previous run (same `archiveDir` — the dedup
+        * archive's earlier batches are part of the state). 0 = fresh
+        * crawl. Every operator in the loop is deterministic, so a
+        * resumed run's cycles equal the uninterrupted run's
+        * (spec-pinned). */
+      startCycle: Int = 0): Seq[CycleResult] = {
     require(cycles >= 1, s"cycles must be >= 1: $cycles")
     require(!fetchRobots || clock.isDefined,
       "fetchRobots needs clock: robots freshness requires the cycle time")
+    require(startCycle >= 0 && startCycle < cycles,
+      s"startCycle must be in [0, cycles): $startCycle")
+    require(startCycle == 0 || stateDir.isDefined,
+      "resuming (startCycle > 0) requires stateDir")
     def emptyPairs(c1: String, c2: String): DataFrame =
       spark.range(0).select(lit("").as(c1), lit("").as(c2))
     val smPages = sitemaps.map(
@@ -216,9 +236,63 @@ object CrawlLoop {
     var smAttempts = spark.range(0)
       .select(lit("").as("sitemap_url")).localCheckpoint()
     var ranksPrev: Option[DataFrame] = None
+
+    // ---- durable state (stateDir): fixed frame schemas, committed
+    // with a marker written last so a torn cycle dir never resumes ----
+    val stateSchemas: Seq[(String, String)] = Seq(
+      "seen" -> "url string",
+      "pending" -> "frontier_url string",
+      "redir" -> "redirect_from string, redirect_to string",
+      "canon" -> "page_uri string, canonical_uri string",
+      "edges" -> "src string, dst string",
+      "policies" -> "__ph string, __pr string, __pf timestamp",
+      "robots_attempts" -> "__ah string, __af timestamp",
+      "sm_entries" -> ("loc string, lastmod string, changefreq string, "
+        + "priority double, is_index boolean"),
+      "sm_attempts" -> "sitemap_url string",
+      "ranks" -> "node string, rank double")
+    def marker(c: Int) = new org.apache.hadoop.fs.Path(
+      s"${stateDir.get}/cycle=$c/_graft_state_committed")
+    def stateFs() = new org.apache.hadoop.fs.Path(stateDir.get)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def saveState(c: Int, frames: Map[String, DataFrame]): Unit = {
+      frames.foreach { case (name, df) =>
+        df.write.mode("overwrite")
+          .parquet(s"${stateDir.get}/cycle=$c/$name")
+      }
+      val fs = stateFs()
+      fs.delete(marker(c), false)
+      fs.create(marker(c), true).close()
+    }
+    def loadState(c: Int): Map[String, DataFrame] = {
+      require(stateFs().exists(marker(c)),
+        s"no committed crawl state at ${stateDir.get}/cycle=$c " +
+          "(crashed mid-save, or never ran) — resume from an earlier " +
+          "cycle or start fresh")
+      stateSchemas.map { case (name, ddl) =>
+        name -> spark.read.schema(ddl)
+          .parquet(s"${stateDir.get}/cycle=$c/$name")
+          .localCheckpoint()
+      }.toMap
+    }
+    if (startCycle > 0) {
+      val st = loadState(startCycle - 1)
+      seen = st("seen"); pending = st("pending")
+      redirAcc = st("redir"); canonAcc = st("canon")
+      edgesAcc = st("edges")
+      if (fetchRobots) {
+        policiesAcc = st("policies")
+        robotsAttempts = st("robots_attempts")
+      }
+      smEntriesAcc = st("sm_entries"); smAttempts = st("sm_attempts")
+      if (warmStartRanks) {
+        val r = st("ranks")
+        ranksPrev = if (r.isEmpty) None else Some(r)
+      }
+    }
     val results = Seq.newBuilder[CycleResult]
 
-    for (c <- 0 until cycles) {
+    for (c <- startCycle until cycles) {
       val mapping = Outlinks.canonicalMapping(
         Outlinks.resolveRedirectChains(redirAcc), canonAcc)
         .localCheckpoint()
@@ -416,6 +490,21 @@ object CrawlLoop {
           .join(seen.select(col("url").as("frontier_url")),
             Seq("frontier_url"), "left_anti"))
         .distinct().localCheckpoint()
+
+      stateDir.foreach { _ =>
+        saveState(c, Map(
+          "seen" -> seen, "pending" -> pending, "redir" -> redirAcc,
+          "canon" -> canonAcc, "edges" -> edgesAcc,
+          "policies" -> (if (fetchRobots) policiesAcc
+            else spark.range(0).select(lit("").as("__ph"),
+              lit("").as("__pr"),
+              lit(null).cast("timestamp").as("__pf"))),
+          "robots_attempts" -> robotsAttempts,
+          "sm_entries" -> smEntriesAcc, "sm_attempts" -> smAttempts,
+          "ranks" -> ranksPrev.getOrElse(
+            spark.range(0).select(lit("").as("node"),
+              lit(0.0).as("rank")))))
+      }
 
       results += CycleResult(c, frontierSize, plannedCount, dueCount,
         archived, plan, robotsFetched, sitemapsFetched)

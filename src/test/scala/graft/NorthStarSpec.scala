@@ -2254,6 +2254,36 @@ class NorthStarSpec extends AnyFunSuite {
       s"404 robots must default-allow: ${plans(1)}")
     // robots URLs are infrastructure — never in the page plan
     assert(plans.flatten.forall(!_.contains("robots.txt")))
+    // DURABLE STATE: an interrupted 2-cycle run resumed at cycle 2
+    // produces BYTE-identical cycle-2 results to the uninterrupted
+    // 3-cycle run — every loop operator is deterministic, and the
+    // persisted state (seen/pending/signals/policies/attempts) plus
+    // the shared archive are the complete cross-cycle inputs
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crawl_resume").toString
+    def run(arc: String, state: String, n: Int, from: Int = 0) =
+      CrawlLoop.crawlCycles(spark,
+        seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+        fetch = fetchFn, archiveDir = arc,
+        policies = Seq.empty[(String, String)].toDF("host", "robots"),
+        hostCol = "host", robotsCol = "robots", agent = "graftbot",
+        cycles = n, maxAgeSeconds = 30L * 86400L,
+        clock = Some(c => day0 + c * 86400.0),
+        fetchRobots = true,
+        stateDir = Some(state), startCycle = from)
+    val unbroken = run(s"$base/arcA", s"$base/stA", 3)
+    run(s"$base/arcB", s"$base/stB", 2) // "dies" after cycle 1
+    val resumed = run(s"$base/arcB", s"$base/stB", 3, from = 2)
+    assert(resumed.size == 1 && resumed.head.cycle == 2)
+    val wantRows = unbroken(2).plan.collect().map(_.toString).toSet
+    val gotRows = resumed.head.plan.collect().map(_.toString).toSet
+    assert(gotRows == wantRows,
+      s"resumed cycle diverged from the unbroken run:\n" +
+        s" want=$wantRows\n got=$gotRows")
+    assert((resumed.head.frontierSize, resumed.head.dueRevisits,
+      resumed.head.robotsFetched) ==
+      ((unbroken(2).frontierSize, unbroken(2).dueRevisits,
+        unbroken(2).robotsFetched)))
     // warm-started ranking (last cycle's vector seeds this cycle's
     // PageRank) changes mid-convergence VALUES, never coverage: the
     // same crawl re-run warm plans exactly the same URL set per cycle
