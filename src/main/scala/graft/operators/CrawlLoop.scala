@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
   *     priorities bootstrapping never-linked URLs
   *     ([[Outlinks.sitemapBoostedPriorities]]), then
   *     [[Outlinks.fetchPlan]] (robots gate + freshness, crawl-delay
-  *     floor, per-host sequence, `maxPerHost`/`hostBudgets` caps).
+  *     floor, per-host sequence, `maxPerHost`/`hostBudgets` caps —
+  *     all caps apply PER CYCLE: each cycle's plan re-derives them,
+  *     so a whole-crawl budget divides by the cycle count).
   *  6. '''Fetch''' — the caller's `fetch(plan, cycle)` callback (a
   *     real fleet in production, a synthetic web in tests) returns
   *     captured pages.
@@ -113,7 +115,17 @@ object CrawlLoop {
       cycles: Int,
       defaultDelay: Double = 1.0,
       maxPerTemplate: Int = 1000,
+      /** Cap on planned URLs per host, applied PER CYCLE (0 = off):
+        * a cap of k over n cycles admits up to k×n fetches of one
+        * host — size a whole-crawl budget by dividing by the cycle
+        * count. URLs squeezed out stay pending and re-derive next
+        * cycle. ([[Outlinks.fetchPlan]]'s `maxPerHost`, re-applied on
+        * each cycle's plan; `maxPerTemplate` is per-cycle the same
+        * way.) */
       maxPerHost: Int = 0,
+      /** Per-host overrides of `maxPerHost` (columns `budgetHostCol`,
+        * `budgetCol`) — the same PER-CYCLE semantics: each cycle's
+        * plan re-applies the budget afresh. */
       hostBudgets: Option[DataFrame] = None,
       budgetHostCol: String = "url_host", budgetCol: String = "budget",
       fetchedAtCol: Option[String] = None,
@@ -312,8 +324,16 @@ object CrawlLoop {
       // collapses first (an alias may land on an already-seen URL)
       val due = clock match {
         case Some(ep) if c > 0 =>
+          // explicit batch list 0..c-1, NOT a batch=* glob: on a resume
+          // the glob would also match a TORN batch >= startCycle left by
+          // a crash after the archive write but before the state commit
+          // marker — cycle c rewrites batch=c (the writer deletes stale
+          // parts and overwrites _cdx), and the committed prefix is the
+          // only archive state a deterministic resume may read
           collapse(Revisit.fromArchive(
-              spark.read.format("graft-warc").load(s"$archiveDir/batch=*"),
+              (0 until c).map(i => spark.read.format("graft-warc")
+                  .load(s"$archiveDir/batch=$i"))
+                .reduce(_ unionByName _),
               hints = entriesNow,
               hintLastmodCol = entriesNow.map(_ => "lastmod"))
             .filter(col("next_fetch_epoch") <= lit(ep(c)))
@@ -349,13 +369,19 @@ object CrawlLoop {
           .localCheckpoint()
         val n = rplan.count()
         if (n > 0) {
-          val rpages = fetch(rplan, c).localCheckpoint()
+          // PLANNED means ATTEMPTED, stamped with the cycle clock —
+          // matching the page semantics (planned URLs become seen even
+          // when the fetcher returns no row): a host whose robots.txt
+          // fetch times out must not re-enter this worklist every cycle
+          // forever; it default-allows until the freshness horizon
+          // passes and only then resurfaces
           robotsAttempts = robotsAttempts.unionByName(
-              rpages.select(
-                TextAnalysis.urlHost(col("target_uri")).as("__ah"),
-                col("warc_date").cast("timestamp").as("__af")))
+              rplan.select(
+                TextAnalysis.urlHost(col("frontier_url")).as("__ah"),
+                lit(clock.get(c)).cast("timestamp").as("__af")))
             .groupBy("__ah").agg(max(col("__af")).as("__af"))
             .localCheckpoint()
+          val rpages = fetch(rplan, c).localCheckpoint()
           policiesAcc = policiesAcc.unionByName(
               rpages.filter(col("http_status") === 200)
                 .select(
@@ -396,12 +422,14 @@ object CrawlLoop {
           .localCheckpoint()
         val n = splan.count()
         if (n > 0) {
-          val spages = fetch(splan, c).localCheckpoint()
-          // every ATTEMPT records, status-independent: a 404 sitemap
-          // must not refetch forever
+          // every PLANNED sitemap records as attempted, status- and
+          // return-independent: a 404 sitemap — or one whose fetch
+          // times out and returns no row at all — must not refetch
+          // forever (sitemaps fetch once per crawl)
           smAttempts = smAttempts.unionByName(
-              spages.select(col("target_uri").as("sitemap_url")))
+              splan.select(col("frontier_url").as("sitemap_url")))
             .distinct().localCheckpoint()
+          val spages = fetch(splan, c).localCheckpoint()
           val parsed = Outlinks.sitemapEntries(
             spages.filter(col("http_status") === 200)
               .select(col("payload").cast("string").as("__xml")),

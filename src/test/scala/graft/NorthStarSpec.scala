@@ -2304,6 +2304,48 @@ class NorthStarSpec extends AnyFunSuite {
         s"  cold=$plans\n  warm=$warmPlans")
   }
 
+  test("crawlCycles fetchRobots: a timed-out robots fetch counts as attempted — no eternal re-plan") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val archiveDir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_robots_to").toString + "/arc"
+    val W = "https://to.example"
+    val day0 = java.time.Instant.parse("2026-04-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    // the fetcher DROPS robots.txt rows entirely (a timeout returns no
+    // row at all) — planned-means-attempted must still stamp the host,
+    // so it default-allows until the freshness horizon instead of
+    // re-entering the robots worklist every cycle forever
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq
+        .filterNot(_.contains("robots.txt"))
+        .map { u =>
+          val body = if (u == s"$W/") """<a href="/a">a</a>""" else "leaf"
+          (u, f"2026-04-${cycle + 1}%02dT00:00:00Z",
+            s"<urn:to:$cycle:$u>", "text/html; charset=utf-8",
+            body.getBytes("UTF-8"), 200,
+            null.asInstanceOf[Map[String, String]])
+        }.toDF("target_uri", "warc_date", "record_id",
+          "http_content_type", "payload", "http_status", "http_headers")
+    val results = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = archiveDir,
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 3, maxAgeSeconds = 30L * 86400L,
+      clock = Some(c => day0 + c * 86400.0),
+      fetchRobots = true)
+    // cycle 0 plans the ONE robots fetch; cycles 1-2 must not re-plan
+    // it — the attempt recorded from the PLAN, not the returned rows
+    assert(results.map(_.robotsFetched) == Seq(1L, 0L, 0L),
+      s"got: ${results.map(_.robotsFetched)}")
+    // with no policy row the host default-allows: pages still crawl
+    val planned = results.flatMap(_.plan.select("frontier_url")
+      .as[String].collect()).toSet
+    assert(planned == Set(s"$W/", s"$W/a"), s"got: $planned")
+  }
+
   test("crawlCycles survives a drained crawl: empty cycles are no-ops") {
     import spark.implicits._
     import graft.operators.CrawlLoop
