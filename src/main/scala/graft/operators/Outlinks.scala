@@ -477,25 +477,51 @@ object Outlinks {
     * (a crawler must not canonicalize into a loop). Chain one call
     * per signal class (redirect finals first, then declared
     * canonicals — the declaration lives on the page the redirect
-    * lands on). Duplicate mapping keys reduce to the MIN non-null
-    * target (deterministic; a well-formed mapping has one). Rows are
+    * lands on). Duplicate mapping keys reduce to the MOST-REFERENCED
+    * non-null target (count desc, then min target — deterministic):
+    * when a key's observations disagree — one capture declared B,
+    * three declared C — the weight of evidence wins, as a crawler
+    * resolves conflicting declarations in practice; a well-formed
+    * mapping has one target per key and is unaffected. Rows are
     * NOT deduplicated — two URLs collapsing onto one canonical is
     * exactly what downstream `distinct`/dedup keys on.
     *
     * Scale shape: one join hashing on the URL (maximally
     * high-cardinality; broadcast when the mapping is small) plus a
-    * narrow coalesce. */
+    * narrow coalesce; the conflict reduction
+    * ([[mostReferencedTarget]]) is mapping-side only. */
   def applyCanonical(
       df: DataFrame, urlCol: String,
       mapping: DataFrame, fromCol: String, toCol: String): DataFrame = {
     val inCols = df.columns.toSeq
-    val m = mapping
-      .filter(col(toCol).isNotNull)
-      .groupBy(col(fromCol).cast("string").as(urlCol))
-      .agg(min(col(toCol).cast("string")).as("__canon"))
+    val m = mostReferencedTarget(
+      mapping, col(fromCol), col(toCol), urlCol, "__canon")
     df.join(m, Seq(urlCol), "left")
       .withColumn(urlCol, coalesce(col("__canon"), col(urlCol)))
       .select(inCols.map(col): _*)
+  }
+
+  /** One row per key holding its most-REFERENCED non-null target
+    * (count desc, then min target — a deterministic total order): the
+    * conflict-resolution rule shared by [[applyCanonical]] and
+    * [[canonicalMapping]]. Feed UNREDUCED observation rows (one per
+    * capture/declaration) and the weight of evidence decides; a
+    * pre-deduplicated frame degrades gracefully to the min-target
+    * tiebreak. Keys with no non-null target are ABSENT (callers
+    * needing them — cycle fallbacks — left-join back on the key set).
+    * Two hash aggregations + one equi-join, all keyed by the URL
+    * (+target) — mapping-side work, broadcastable when small. */
+  private def mostReferencedTarget(
+      df: DataFrame, key: Column, target: Column,
+      keyName: String, valName: String): DataFrame = {
+    val w = df
+      .select(key.cast("string").as(keyName),
+        target.cast("string").as(valName))
+      .filter(col(valName).isNotNull)
+      .groupBy(keyName, valName).agg(count(lit(1)).as("__n"))
+    val mx = w.groupBy(keyName).agg(max(col("__n")).as("__n"))
+    w.join(mx, Seq(keyName, "__n"))
+      .groupBy(keyName).agg(min(col(valName)).as(valName))
   }
 
   /** ONE alias→canonical mapping from the crawl loop's OWN signals —
@@ -528,8 +554,10 @@ object Outlinks {
     * markup, and the next cycle's mapping picks up the rest. Identity
     * rows (a page declaring itself canonical — the common case) are
     * dropped: they are no-ops under [[applyCanonical]] and would only
-    * bloat the mapping's build side. Duplicate keys reduce to the MIN
-    * target within each signal class (deterministic).
+    * bloat the mapping's build side. Duplicate keys reduce to the
+    * MOST-REFERENCED non-null target within each signal class (count
+    * desc, then min — deterministic; feed unreduced observation rows
+    * and the weight of evidence resolves conflicting declarations).
     *
     * Scale shape: two hash aggregations (one per signal class), two
     * equi-joins + one anti-join, all hashing on the URL — maximally
@@ -542,17 +570,19 @@ object Outlinks {
       fromCol: String = "redirect_from", toCol: String = "final_target",
       pageCol: String = "page_uri", canonCol: String = "canonical_uri")
       : DataFrame = {
-    val c = canonicals
-      .filter(col(canonCol).isNotNull)
-      .groupBy(col(pageCol).cast("string").as("__cp"))
-      .agg(min(col(canonCol).cast("string")).as("__cc"))
-    // min skips nulls: a duplicated source with one cycle row and one
-    // resolved row keeps the resolved target
-    val r = chains
-      .select(col(fromCol).cast("string").as("alias_url"),
-        col(toCol).cast("string").as("__rt"))
-      .groupBy("alias_url")
-      .agg(min(col("__rt")).as("__rt"))
+    val c = mostReferencedTarget(
+      canonicals, col(pageCol), col(canonCol), "__cp", "__cc")
+    // the weighted reduce skips nulls, so a duplicated source with one
+    // cycle row and one resolved row keeps the resolved target; the
+    // left join back onto the key set retains all-null (pure-cycle)
+    // sources with a null __rt — they fall through to their own
+    // declared canonical below
+    val rKeys = chains
+      .select(col(fromCol).cast("string").as("alias_url")).distinct()
+    val r = rKeys.join(
+      mostReferencedTarget(chains, col(fromCol), col(toCol),
+        "alias_url", "__rt"),
+      Seq("alias_url"), "left")
     val landing = c.select(col("__cp").as("__lp"), col("__cc").as("__lc"))
     val self = c.select(col("__cp").as("__sp"), col("__cc").as("__sc"))
     val viaRedirect = r

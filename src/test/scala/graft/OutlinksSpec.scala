@@ -326,18 +326,23 @@ class OutlinksSpec extends AnyFunSuite {
   test("applyCanonical: pass-through, null-target cycles, dup keys, columns kept") {
     import spark.implicits._
     val df = Seq((1, "https://a/x"), (2, "https://a/y"),
-      (3, "https://a/z")).toDF("id", "url")
+      (3, "https://a/z"), (4, "https://a/w")).toDF("id", "url")
     val mapping = Seq(
       ("https://a/x", "https://a/X1"),
-      ("https://a/x", "https://a/X0"), // dup key → min target
-      ("https://a/y", null.asInstanceOf[String])) // cycle → keep
+      ("https://a/x", "https://a/X0"), // dup key, 1-1 tie → min target
+      ("https://a/y", null.asInstanceOf[String]), // cycle → keep
+      // conflicting declarations 2-vs-1: the MOST-REFERENCED target
+      // wins even though the loser sorts first lexicographically
+      ("https://a/w", "https://a/W9"),
+      ("https://a/w", "https://a/W9"),
+      ("https://a/w", "https://a/W1"))
       .toDF("from", "to")
     val got = Outlinks.applyCanonical(df, "url", mapping, "from", "to")
     assert(got.columns.toSeq == Seq("id", "url"),
       "input column shape must be preserved")
     val rows = got.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(rows == Map(1 -> "https://a/X0", 2 -> "https://a/y",
-      3 -> "https://a/z"), s"got: $rows")
+      3 -> "https://a/z", 4 -> "https://a/W9"), s"got: $rows")
   }
 
   test("canonicalMapping: precedence arms + equality with the chained recipe") {
@@ -345,19 +350,29 @@ class OutlinksSpec extends AnyFunSuite {
     // resolved chains: a 2-hop final, a cycle, and a cycle WITH its own
     // declaration; declarations: the landing page composes one step,
     // a redirect source's own declaration loses to the redirect, a
-    // self-declaration is an identity no-op, dup keys take min
+    // self-declaration is an identity no-op, dup keys resolve by
+    // reference count (ties take min)
     val chains = Seq(
       ("https://s/r1", "https://s/p1"),            // plain redirect final
       ("https://s/r2", "https://s/land"),          // lands on a declaring page
       ("https://s/cyA", null.asInstanceOf[String]), // cycle, own declaration
-      ("https://s/cyB", null.asInstanceOf[String])) // cycle, no declaration
+      ("https://s/cyB", null.asInstanceOf[String]), // cycle, no declaration
+      // duplicated source 2-vs-1: most-referenced final wins over the
+      // lexicographically smaller one
+      ("https://s/rdup", "https://s/z9"),
+      ("https://s/rdup", "https://s/z9"),
+      ("https://s/rdup", "https://s/z1"))
       .toDF("redirect_from", "final_target")
     val canon = Seq(
       ("https://s/land", "https://s/K"),   // landing-page declaration
       ("https://s/r1", "https://s/bogus"), // redirect source declares: loses
       ("https://s/cyA", "https://s/ck"),   // cycle source's fallback
       ("https://s/d1", "https://s/D"),     // plain declaration
-      ("https://s/d1", "https://s/C"),     // dup key → min target
+      ("https://s/d1", "https://s/C"),     // dup key, 1-1 tie → min target
+      // conflicting declarations 2-vs-1: count beats lexicographic
+      ("https://s/d2", "https://s/B9"),
+      ("https://s/d2", "https://s/B9"),
+      ("https://s/d2", "https://s/A1"),
       ("https://s/self", "https://s/self")) // identity: dropped
       .toDF("page_uri", "canonical_uri")
     val m = Outlinks.canonicalMapping(chains, canon)
@@ -368,12 +383,15 @@ class OutlinksSpec extends AnyFunSuite {
       "https://s/r2" -> "https://s/K",
       "https://s/cyA" -> "https://s/ck",
       "https://s/land" -> "https://s/K",
-      "https://s/d1" -> "https://s/C"), s"got: $got")
-    assert(m.count() == 5, "identity and unmapped-cycle rows must drop")
+      "https://s/d1" -> "https://s/C",
+      "https://s/d2" -> "https://s/B9",
+      "https://s/rdup" -> "https://s/z9"), s"got: $got")
+    assert(m.count() == 7, "identity and unmapped-cycle rows must drop")
     // the mapping IS the chained recipe: applying it once equals
     // applyCanonical through redirects, then through declarations
     val urls = Seq("https://s/r1", "https://s/r2", "https://s/cyA",
-      "https://s/cyB", "https://s/d1", "https://s/self", "https://s/other")
+      "https://s/cyB", "https://s/d1", "https://s/d2", "https://s/rdup",
+      "https://s/self", "https://s/other")
       .toDF("url")
     val once = Outlinks.applyCanonical(urls, "url", m,
       "alias_url", "canonical_url").as[String].collect().sorted.toSeq
