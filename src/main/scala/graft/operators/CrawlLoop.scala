@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   *  4. '''Trap containment''' — [[Outlinks.containTraps]] caps each
   *     (host, URL-template) pattern at `maxPerTemplate`.
   *  5. '''Ranked, polite, budgeted plan''' — [[LinkGraph.pageRank]]
-  *     over the canonical-collapsed accumulated link graph, sitemap
-  *     priorities bootstrapping never-linked URLs
+  *     over the canonical-collapsed accumulated link graph (with
+  *     `topics`, relevance × authority instead — the FOCUSED-crawl
+  *     mode, see the param doc), sitemap priorities bootstrapping
+  *     never-linked URLs
   *     ([[Outlinks.sitemapBoostedPriorities]]), then
   *     [[Outlinks.fetchPlan]] (robots gate + freshness, crawl-delay
   *     floor, per-host sequence, `maxPerHost`/`hostBudgets` caps —
@@ -134,6 +136,32 @@ object CrawlLoop {
       sitemaps: Option[DataFrame] = None,
       clock: Option[Int => Double] = None,
       rankIterations: Int = 5,
+      /** Make the crawl FOCUSED (Chakrabarti et al., WWW 1999): a
+        * topic-term frame (column `topicTermCol`) switches the plan's
+        * priority base from raw PageRank to RELEVANCE × AUTHORITY —
+        * [[Outlinks.focusedPriorities]] over the accumulated anchor
+        * texts ([[Outlinks.anchorTextIndex]], aliases collapsed
+        * through the cycle's canonical mapping) and the seed BFS
+        * depth ([[LinkGraph.seedDistance]] over the collapsed graph,
+        * rooted at the caller's `seeds`), multiplied into the cycle's
+        * PageRank by [[Outlinks.focusedRankPriorities]]. Topic-matched
+        * URLs then schedule ahead of EVERY off-topic one regardless of
+        * raw rank (off-topic and seed-unreached URLs score 0.0);
+        * authority orders the topical tier; the sitemap bootstrap
+        * ([[Outlinks.sitemapBoostedPriorities]]) rides on the combined
+        * frame. Coverage is unchanged — focus reorders the queue, it
+        * never drops a URL. Anchor texts (nofollow-filtered, one vote
+        * per (page, target, text)) accumulate only while `topics` is
+        * supplied — a focused crawl declares itself up front; on
+        * resume, re-supply the same frame like every static input. */
+      topics: Option[DataFrame] = None,
+      topicTermCol: String = "term",
+      /** Per-hop decay of the focus score with seed distance
+        * ([[Outlinks.focusedPriorities]]' `decay`). */
+      focusDecay: Double = 0.5,
+      /** Seed-BFS horizon for the depth signal — URLs deeper than
+        * this (or unreached) carry no focus row and fetch last. */
+      focusMaxDepth: Int = 16,
       /** Close the robots FETCH loop inside the crawl: before each
         * cycle's plan, frontier hosts with no FRESH policy attempt
         * ([[Robots.robotsFetchList]] semantics at the cycle clock) get
@@ -213,6 +241,12 @@ object CrawlLoop {
     var canonAcc =
       emptyPairs("page_uri", "canonical_uri").localCheckpoint()
     var edgesAcc = emptyPairs("src", "dst").localCheckpoint()
+    // focused-crawl evidence: one row per (linking page, canonical
+    // target, anchor text) — accumulated only when `topics` is given
+    var anchorsAcc = spark.range(0)
+      .select(lit("").as("page_uri"), lit("").as("outlink"),
+        lit("").as("anchor_text"))
+      .localCheckpoint()
     // normalized policy table: under fetchRobots it ACCUMULATES the
     // loop's own fetched policies (latest per host); otherwise it is
     // the caller's static frame passed through unchanged
@@ -257,6 +291,7 @@ object CrawlLoop {
       "redir" -> "redirect_from string, redirect_to string",
       "canon" -> "page_uri string, canonical_uri string",
       "edges" -> "src string, dst string",
+      "anchors" -> "page_uri string, outlink string, anchor_text string",
       "policies" -> "__ph string, __pr string, __pf timestamp",
       "robots_attempts" -> "__ah string, __af timestamp",
       "sm_entries" -> ("loc string, lastmod string, changefreq string, "
@@ -291,7 +326,7 @@ object CrawlLoop {
       val st = loadState(startCycle - 1)
       seen = st("seen"); pending = st("pending")
       redirAcc = st("redir"); canonAcc = st("canon")
-      edgesAcc = st("edges")
+      edgesAcc = st("edges"); anchorsAcc = st("anchors")
       if (fetchRobots) {
         policiesAcc = st("policies")
         robotsAttempts = st("robots_attempts")
@@ -446,13 +481,32 @@ object CrawlLoop {
 
       val contained = Outlinks.containTraps(
         frontier, "frontier_url", maxPerTemplate).drop("url_template")
+      val collapsedE =
+        Outlinks.collapseEdges(edgesAcc, "src", "dst", mapping)
       val ranks = LinkGraph.pageRank(
-        Outlinks.collapseEdges(edgesAcc, "src", "dst", mapping),
-        "src", "dst", iterations = rankIterations,
+        collapsedE, "src", "dst", iterations = rankIterations,
         initial = if (warmStartRanks) ranksPrev else None)
       if (warmStartRanks) ranksPrev = Some(ranks.localCheckpoint())
-      val priorities = smPagesNow.fold(ranks)(sm =>
-        Outlinks.sitemapBoostedPriorities(ranks, sm))
+      // with topics the priority base becomes relevance × authority
+      // (see the `topics` param doc); every frame in the product keys
+      // on CANONICAL urls — the anchor index rewrites through the
+      // mapping, the BFS runs on the collapsed graph from collapsed
+      // seed roots, and the frontier was collapsed above
+      val baseRanks = topics.fold(ranks) { t =>
+        val idx = Outlinks.anchorTextIndex(
+          Outlinks.applyCanonical(anchorsAcc, "outlink", mapping,
+            "alias_url", "canonical_url"))
+        val seedRoots = collapse(Outlinks.canonicalLinks(
+          seeds.select(col(seedCol).cast("string").as("__l")), "__l"))
+          .distinct()
+        val dist = LinkGraph.seedDistance(collapsedE, "src", "dst",
+          seedRoots, "frontier_url", maxDepth = focusMaxDepth)
+        Outlinks.focusedRankPriorities(ranks,
+          Outlinks.focusedPriorities(idx, t, dist,
+            termCol = topicTermCol, decay = focusDecay))
+      }
+      val priorities = smPagesNow.fold(baseRanks)(sm =>
+        Outlinks.sitemapBoostedPriorities(baseRanks, sm))
       val plan = Outlinks.fetchPlan(contained, "frontier_url",
           polFrame, polHost, polRobots, agent, defaultDelay,
           maxPerHost = maxPerHost, priorities = Some(priorities),
@@ -484,6 +538,21 @@ object CrawlLoop {
       val anchorLinks = Outlinks.extractOutlinks(
           html, "text", "target_uri")
         .select(col("target_uri").as("src"), col("outlink").as("dst"))
+      // focused evidence: nofollow-filtered anchor texts, target in
+      // the frontier's canonical form, ONE vote per (page, target,
+      // text) — stable under refetch (the distinct absorbs revisits)
+      topics.foreach { _ =>
+        val a = Outlinks.extractAnchors(html, "text", "target_uri")
+          .filter(!coalesce(col("nofollow"), lit(false)))
+          .filter(col("anchor_text").isNotNull)
+          .select(col("target_uri").as("page_uri"),
+            TextAnalysis.canonicalUrl(col("outlink")).as("outlink"),
+            col("anchor_text"))
+          .filter(col("outlink").isNotNull
+            && col("outlink").rlike("^https?://"))
+        anchorsAcc = anchorsAcc.unionByName(a)
+          .distinct().localCheckpoint()
+      }
       val redirE = Outlinks.redirectEdges(pages)
         .select(col("redirect_from").cast("string"),
           col("redirect_to").cast("string"))
@@ -523,6 +592,7 @@ object CrawlLoop {
         saveState(c, Map(
           "seen" -> seen, "pending" -> pending, "redir" -> redirAcc,
           "canon" -> canonAcc, "edges" -> edgesAcc,
+          "anchors" -> anchorsAcc,
           "policies" -> (if (fetchRobots) policiesAcc
             else spark.range(0).select(lit("").as("__ph"),
               lit("").as("__pr"),

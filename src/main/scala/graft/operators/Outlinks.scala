@@ -285,6 +285,45 @@ object Outlinks {
         (col("__score") * pow(lit(decay), col("__d"))).as("priority"))
   }
 
+  /** RELEVANCE × AUTHORITY — the pinned combination rule that turns a
+    * ranked crawl into a FOCUSED crawl: [[focusedPriorities]]' topical
+    * score (what the linking pages say a URL is about, seed-depth
+    * decayed) multiplied into [[LinkGraph.pageRank]]'s authority, as
+    * one `node`/`rank` frame ready for [[fetchPlan]]'s `priorities`
+    * (or [[sitemapBoostedPriorities]] on the way there — the sitemap
+    * bootstrap then scales by the best COMBINED score).
+    *
+    * Pinned semantics (q_t82 + NorthStarSpec's focused cycle test):
+    *  - `rank = pagerank × focus` via an INNER join on the node: a
+    *    URL missing from EITHER side gets NO row, so downstream
+    *    [[fetchPlan]] scores it 0.0 — off-topic URLs (focus 0) and
+    *    seed-unreached URLs (no focus row) fetch after every
+    *    topic-matched one REGARDLESS of raw rank, which is the whole
+    *    point of focusing; among the topical, authority still orders
+    *    the queue;
+    *  - duplicate rows per node on either side reduce to MAX first
+    *    (defensive, same as [[sitemapBoostedPriorities]]).
+    * Scale shape: two hash aggregations + one equi-join, all on the
+    * URL — no window, no driver action.
+    *
+    * @return `node`, `rank` — [[fetchPlan]]'s default priority shape */
+  def focusedRankPriorities(
+      ranks: DataFrame, focused: DataFrame,
+      nodeCol: String = "node", rankCol: String = "rank",
+      focusNodeCol: String = "node", focusCol: String = "priority")
+      : DataFrame = {
+    val r = ranks
+      .select(col(nodeCol).cast("string").as("node"),
+        col(rankCol).cast("double").as("__r"))
+      .groupBy("node").agg(max(col("__r")).as("__r"))
+    val f = focused
+      .select(col(focusNodeCol).cast("string").as("node"),
+        col(focusCol).cast("double").as("__f"))
+      .groupBy("node").agg(max(col("__f")).as("__f"))
+    r.join(f, Seq("node"))
+      .select(col("node"), (col("__r") * col("__f")).as("rank"))
+  }
+
   /** Meta-refresh redirect targets — the in-markup redirect class HTTP
     * headers never see (`<meta http-equiv="refresh"
     * content="5;url=/next">`): one row per page whose HTML declares

@@ -3431,6 +3431,85 @@ object Text {
     Outlinks.focusedPriorities(anchors, topics, dists)
   }
 
+  /** FOCUSED-RANK fetch plan, HASH-CERTIFIED — the full focused-crawl
+    * priority path [[graft.operators.CrawlLoop.crawlCycles]] runs when
+    * `topics` is given: [[graft.operators.Outlinks.focusedPriorities]]
+    * (q_t80's corpus — topical score × 0.5^depth, unreached URLs
+    * dropped) multiplied into a link-graph rank frame by
+    * [[graft.operators.Outlinks.focusedRankPriorities]] (relevance ×
+    * authority, inner join), feeding [[graft.operators.Outlinks
+    * .fetchPlan]]: topic-matched URLs schedule ahead of every
+    * off-topic one regardless of raw rank (they score 0), authority
+    * orders the topical tier, and the oracle recomputes the whole
+    * chain closed-form with an independent ROW_NUMBER window. */
+  val qT82FocusedRankPlan = Q(
+    "q_t82_focused_rank_plan",
+    """WITH a AS MATERIALIZED (
+      |  SELECT 'https://fr.example/p/' || CAST(doc_id % 60 AS VARCHAR)
+      |           AS url,
+      |         doc_id % 7 AS k,
+      |         CAST(doc_id % 3 + 1 AS DOUBLE) AS w
+      |  FROM documents),
+      | s AS MATERIALIZED (
+      |  SELECT url,
+      |         SUM(CASE WHEN k < 3 THEN w ELSE CAST(0 AS DOUBLE) END)
+      |           / SUM(w) AS score
+      |  FROM a GROUP BY url),
+      | d AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fr.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url,
+      |    (doc_id % 60) % 4 AS depth
+      |  FROM documents WHERE (doc_id % 60) % 5 <> 0),
+      | f AS MATERIALIZED (
+      |  SELECT s.url, s.score * POWER(CAST(0.5 AS DOUBLE), d.depth) AS fp
+      |  FROM s JOIN d ON d.url = s.url),
+      | r AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fr.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url,
+      |    CAST((doc_id % 60) % 9 + 1 AS DOUBLE) / 100 AS rank
+      |  FROM documents),
+      | u AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fr.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url
+      |  FROM documents),
+      | pri AS MATERIALIZED (
+      |  SELECT u.url, COALESCE(r.rank * f.fp, CAST(0 AS DOUBLE))
+      |           AS priority
+      |  FROM u LEFT JOIN r ON r.url = u.url
+      |         LEFT JOIN f ON f.url = u.url)
+      |SELECT url AS frontier_url, 'fr.example' AS url_host,
+      |       CAST(1.0 AS DOUBLE) AS crawl_delay, priority,
+      |       ROW_NUMBER() OVER (PARTITION BY 'fr.example'
+      |                          ORDER BY priority DESC, url) AS fetch_seq,
+      |       (ROW_NUMBER() OVER (PARTITION BY 'fr.example'
+      |                           ORDER BY priority DESC, url) - 1)
+      |         * CAST(1.0 AS DOUBLE) AS fetch_offset
+      |FROM pri""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val m = col("doc_id") % 60
+    val url = concat(lit("https://fr.example/p/"), m.cast("string"))
+    val anchors = docs.select(url.as("outlink"),
+      concat(lit("topic"), (col("doc_id") % 7).cast("string"),
+        lit(" guide "), col("doc_id").cast("string")).as("anchor_text"),
+      (col("doc_id") % 3 + 1).cast("long").as("n_refs"))
+    val topics = s.range(3)
+      .select(concat(lit("topic"), col("id").cast("string")).as("term"))
+    val dists = docs.filter(m % 5 =!= 0)
+      .select(url.as("node"), (m % 4).cast("int").as("depth"))
+      .distinct()
+    val ranks = docs
+      .select(url.as("node"), ((m % 9 + 1).cast("double") / 100).as("rank"))
+      .distinct()
+    val frontier = docs.select(url.as("frontier_url")).distinct()
+    val policies = s.range(0)
+      .select(lit("x").as("host"), lit("").as("robots"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot",
+      priorities = Some(Outlinks.focusedRankPriorities(ranks,
+        Outlinks.focusedPriorities(anchors, topics, dists))))
+  }
+
   /** WARM-STARTED PageRank, HASH-CERTIFIED — [[graft.operators
     * .LinkGraph.pageRank]]'s `initial` vector: every 3rd node starts
     * at a closed-form prior, the rest at the uniform 1/N a new node
@@ -3498,5 +3577,5 @@ object Text {
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
       qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan,
-      qT80FocusedPriority, qT81WarmPagerank)
+      qT80FocusedPriority, qT81WarmPagerank, qT82FocusedRankPlan)
 }

@@ -2304,6 +2304,66 @@ class NorthStarSpec extends AnyFunSuite {
         s"  cold=$plans\n  warm=$warmPlans")
   }
 
+  test("crawlCycles topics: topic-matched URLs plan ahead of higher-rank off-topic ones") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crawl_focus").toString
+    val W = "https://fo.example"
+    // /e gets TWO in-links (higher PageRank), /d one topical in-link:
+    // an unfocused crawl schedules /e first, the focused crawl must
+    // flip the order — relevance beats raw authority
+    def page(url: String): (Int, String) = url.stripPrefix(W) match {
+      case "/" => (200,
+        """<a href="/a">quantum physics intro</a>""" +
+          """<a href="/b">cat pictures</a>""" +
+          """<a href="/c">more cats</a>""")
+      case "/a" => (200, """<a href="/d">quantum guide</a>""")
+      case "/b" => (200, """<a href="/e">celebrity gossip</a>""")
+      case "/c" => (200, """<a href="/e">celebrity gossip</a>""")
+      case _ => (200, "leaf")
+    }
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        val (st, body) = page(u)
+        (u, f"2026-07-${cycle + 1}%02dT00:00:00Z", s"<urn:fo:$cycle:$u>",
+          "text/html; charset=utf-8", body.getBytes("UTF-8"), st,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    def run(tag: String, t: Option[org.apache.spark.sql.DataFrame]) =
+      CrawlLoop.crawlCycles(spark,
+        seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+        fetch = fetchFn, archiveDir = s"$base/$tag",
+        policies = Seq.empty[(String, String)].toDF("host", "robots"),
+        hostCol = "host", robotsCol = "robots", agent = "graftbot",
+        cycles = 3, topics = t)
+    val focused = run("focused", Some(Seq("quantum").toDF("term")))
+    val control = run("control", None)
+    def seqOf(r: graft.operators.CrawlLoop.CycleResult) = r.plan
+      .selectExpr("frontier_url", "cast(fetch_seq as long)")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // cycle 1 plans {a,b,c}: only /a's anchor matches the topic
+    val f1 = seqOf(focused(1))
+    assert(f1.keySet == Set(s"$W/a", s"$W/b", s"$W/c"), s"got: $f1")
+    assert(f1(s"$W/a") == 1, s"topical /a must lead cycle 1: $f1")
+    // cycle 2 plans {d,e}: /e outranks /d (two in-links vs one) — the
+    // CONTROL proves it by scheduling /e first; the FOCUSED run must
+    // schedule topical /d ahead of it anyway
+    val f2 = seqOf(focused(2))
+    val c2 = seqOf(control(2))
+    assert(c2(s"$W/e") < c2(s"$W/d"),
+      s"control must order by raw rank (e first): $c2")
+    assert(f2(s"$W/d") < f2(s"$W/e"),
+      s"focus must beat raw rank (d first): $f2")
+    // focus reorders, never drops: per-cycle coverage identical
+    focused.zip(control).foreach { case (f, c) =>
+      assert(seqOf(f).keySet == seqOf(c).keySet,
+        s"cycle ${f.cycle} coverage diverged")
+    }
+  }
+
   test("crawlCycles fetchRobots: a timed-out robots fetch counts as attempted — no eternal re-plan") {
     import spark.implicits._
     import graft.operators.CrawlLoop
