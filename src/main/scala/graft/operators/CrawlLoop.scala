@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *     double-fetching and rank mass stops splitting (q_t78's
   *     semantics, applied per cycle with the freshest mapping).
   *  2. '''Revisit feed''' — with a `clock`, URLs whose
-  *     [[Revisit.fromArchive]] `next_fetch_epoch` has passed re-enter
-  *     the frontier as deliberate refetches (they bypass the seen
-  *     filter); sitemap `changefreq`/`lastmod` hints apply.
+  *     `next_fetch_epoch` has passed re-enter the frontier as
+  *     deliberate refetches (they bypass the seen filter). The
+  *     schedule is [[Revisit.fromArchive]] backoff by default
+  *     (sitemap `changefreq`/`lastmod` hints apply) or
+  *     [[Revisit.rateFromArchive]]'s Poisson-optimal intervals under
+  *     `revisitMode = "rate"`; both read the committed archive
+  *     batches 0..c-1.
   *  3. '''Robots resolution''' (`fetchRobots`) — frontier hosts with
   *     no fresh policy attempt get `/robots.txt` fetched through the
   *     same callback BEFORE the plan; 200s fold into the policy table
@@ -154,6 +158,23 @@ object CrawlLoop {
         * per (page, target, text)) accumulate only while `topics` is
         * supplied — a focused crawl declares itself up front; on
         * resume, re-supply the same frame like every static input. */
+      /** Revisit scheduling policy (needs `clock`): `"backoff"` —
+        * [[Revisit.fromArchive]]'s exponential backoff on unchanged
+        * streaks, sitemap `changefreq`/`lastmod` hints apply — or
+        * `"rate"` — [[Revisit.rateFromArchive]]'s Poisson-optimal
+        * interval from each URL's ESTIMATED change rate
+        * (`revisitStaleRisk`, `revisitMinIntervalSeconds`), so a
+        * fast-changing page refetches more often than backoff would
+        * and hints don't apply (the estimate IS the cadence signal).
+        * Both read the same archive record types: `response` =
+        * changed, `revisit` = unchanged. */
+      revisitMode: String = "backoff",
+      /** Rate mode only: per-fetch staleness risk held — smaller =
+        * fetch more eagerly (interval = -ln(1-risk)/λ̂). */
+      revisitStaleRisk: Double = 0.5,
+      /** Rate mode only: floor on the scheduled interval — a
+        * hyperactive page must not starve the crawler. */
+      revisitMinIntervalSeconds: Double = 3600.0,
       topics: Option[DataFrame] = None,
       topicTermCol: String = "term",
       /** Per-hop decay of the focus score with seed distance
@@ -223,6 +244,8 @@ object CrawlLoop {
       s"startCycle must be in [0, cycles): $startCycle")
     require(startCycle == 0 || stateDir.isDefined,
       "resuming (startCycle > 0) requires stateDir")
+    require(revisitMode == "backoff" || revisitMode == "rate",
+      s"revisitMode must be backoff|rate: $revisitMode")
     def emptyPairs(c1: String, c2: String): DataFrame =
       spark.range(0).select(lit("").as(c1), lit("").as(c2))
     val smPages = sitemaps.map(
@@ -365,12 +388,19 @@ object CrawlLoop {
           // marker — cycle c rewrites batch=c (the writer deletes stale
           // parts and overwrites _cdx), and the committed prefix is the
           // only archive state a deterministic resume may read
-          collapse(Revisit.fromArchive(
-              (0 until c).map(i => spark.read.format("graft-warc")
-                  .load(s"$archiveDir/batch=$i"))
-                .reduce(_ unionByName _),
+          val arch = (0 until c).map(i =>
+              spark.read.format("graft-warc")
+                .load(s"$archiveDir/batch=$i"))
+            .reduce(_ unionByName _)
+          val sched =
+            if (revisitMode == "rate")
+              Revisit.rateFromArchive(arch,
+                staleRisk = revisitStaleRisk,
+                minIntervalSeconds = revisitMinIntervalSeconds)
+            else Revisit.fromArchive(arch,
               hints = entriesNow,
               hintLastmodCol = entriesNow.map(_ => "lastmod"))
+          collapse(sched
             .filter(col("next_fetch_epoch") <= lit(ep(c)))
             .select(col("url").as("frontier_url"))).distinct()
         case _ => pending.limit(0)

@@ -238,6 +238,31 @@ object Revisit {
     * .load(dir), hints)` — the scan prunes to the envelope columns
     * (no payload read), and everything downstream is the certified
     * schedule arithmetic (q_t70 pins this composition end to end). */
+  /** [[rateSchedule]] straight from a DEDUP ARCHIVE — the
+    * Poisson-optimal twin of [[fromArchive]], reading the same change
+    * signal from the record types (`response` = new bytes = changed,
+    * `revisit` = unchanged, either profile): compose
+    * `rateFromArchive(spark.read.format("graft-warc").load(dir))` and
+    * each URL's revisit interval follows its ESTIMATED change rate
+    * instead of doubling blindly. Sitemap hints do not apply — the
+    * rate estimate IS the cadence signal. Same envelope-only pruned
+    * scan; q_t83 pins this composition end to end. */
+  def rateFromArchive(
+      archive: DataFrame,
+      staleRisk: Double = 0.5,
+      defaultIntervalSeconds: Double = 86400.0,
+      minIntervalSeconds: Double = 3600.0,
+      maxIntervalSeconds: Double = 2592000.0): DataFrame =
+    rateSchedule(
+      archive
+        .filter(col("warc_type") === "response"
+          || col("warc_type") === "revisit")
+        .select(col("target_uri").as("url"),
+          col("warc_date").as("ft"),
+          (col("warc_type") === "response").as("chg")),
+      "url", "ft", "chg", staleRisk, defaultIntervalSeconds,
+      minIntervalSeconds, maxIntervalSeconds)
+
   def fromArchive(
       archive: DataFrame,
       hints: Option[DataFrame] = None,

@@ -3510,6 +3510,78 @@ object Text {
         Outlinks.focusedPriorities(anchors, topics, dists))))
   }
 
+  /** ARCHIVE-driven RATE schedule, HASH-CERTIFIED — [[graft.operators
+    * .Revisit.rateFromArchive]]: a three-capture dedup archive (day 1
+    * full, day 2 changed only for doc_id%3=0, day 3 changed only for
+    * doc_id%2=0 — every other capture archives as a `revisit` record
+    * against the prior batches' _cdx index) feeds the Poisson
+    * estimator, so X ∈ {0,1,2} change observations per URL are read
+    * straight from the record types. The oracle recomputes n̄=2,
+    * mean-gap-one-day λ̂ and the stale-risk-0.5 interval closed-form
+    * from doc_id (X=0 → λ̂=0 → the 86 400 s default; estimable rates
+    * clamp into [3600, 2 592 000]). */
+  val qT83ArchiveRateSchedule = Q(
+    "q_t83_archive_rate_schedule",
+    """WITH x AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+      |                   WHEN doc_id % 3 = 0 OR doc_id % 2 = 0 THEN 1
+      |                   ELSE 0 END AS DOUBLE) AS xc
+      |  FROM documents),
+      | f AS MATERIALIZED (
+      |  SELECT doc_id, xc,
+      |         -ln((2 - xc + 0.5) / 2.5) / 86400 * 86400 AS lam
+      |  FROM x),
+      | g AS MATERIALIZED (
+      |  SELECT doc_id, xc, lam,
+      |         CASE WHEN lam > 0
+      |              THEN LEAST(GREATEST(-ln(0.5) / (lam / 86400),
+      |                     CAST(3600 AS DOUBLE)),
+      |                   CAST(2592000 AS DOUBLE))
+      |              ELSE CAST(86400 AS DOUBLE) END AS iv
+      |  FROM f)
+      |SELECT 'https://rr.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |       CAST(3 AS BIGINT) AS n_fetches,
+      |       CAST(xc AS BIGINT) AS n_changed,
+      |       lam AS lambda_per_day,
+      |       iv AS interval_seconds,
+      |       CAST(epoch(TIMESTAMP '2026-02-03 00:00:00') AS DOUBLE)
+      |         + iv AS next_fetch_epoch
+      |FROM g""".stripMargin) { (s, d) =>
+    import graft.operators.Revisit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rr_q")
+      .toString
+    val docs = documents(s, d)
+    def capture(ver: org.apache.spark.sql.Column, date: String,
+        tag: String) = docs.select(
+      concat(lit("https://rr.example/p/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      lit(date).as("warc_date"),
+      concat(lit(s"<urn:rr:$tag:"), col("doc_id").cast("string"),
+        lit(">")).as("record_id"),
+      lit("text/html").as("http_content_type"),
+      // per-doc-unique payloads: a cross-doc text collision would
+      // otherwise dedup WITHIN a cycle and corrupt the change signal
+      encode(concat(ver, lit(" doc "), col("doc_id").cast("string"),
+        lit(" "), col("text")), "UTF-8").as("payload"))
+    val v2 = when(col("doc_id") % 3 === 0, "v2").otherwise("v1")
+    val v3 = when(col("doc_id") % 2 === 0, "v3").otherwise(v2)
+    graft.sources.WarcIO.warcDedupSave(
+      capture(lit("v1"), "2026-02-01T00:00:00Z", "c1").repartition(8),
+      s"$tmp/batch=0")
+    graft.sources.WarcIO.warcDedupSave(
+      capture(v2, "2026-02-02T00:00:00Z", "c2").repartition(8),
+      s"$tmp/batch=1",
+      priorIndex = Some(s.read.parquet(s"$tmp/batch=0/_cdx")))
+    graft.sources.WarcIO.warcDedupSave(
+      capture(v3, "2026-02-03T00:00:00Z", "c3").repartition(8),
+      s"$tmp/batch=2",
+      priorIndex = Some(s.read.parquet(s"$tmp/batch=0/_cdx")
+        .unionByName(s.read.parquet(s"$tmp/batch=1/_cdx"))))
+    Revisit.rateFromArchive(
+      s.read.format("graft-warc").load(s"$tmp/batch=*"))
+  }
+
   /** WARM-STARTED PageRank, HASH-CERTIFIED — [[graft.operators
     * .LinkGraph.pageRank]]'s `initial` vector: every 3rd node starts
     * at a closed-form prior, the rest at the uniform 1/N a new node
@@ -3577,5 +3649,6 @@ object Text {
       qT71SitemapFetchList, qT72HostBudgets, qT73AnchorIndex,
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
       qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan,
-      qT80FocusedPriority, qT81WarmPagerank, qT82FocusedRankPlan)
+      qT80FocusedPriority, qT81WarmPagerank, qT82FocusedRankPlan,
+      qT83ArchiveRateSchedule)
 }

@@ -2364,6 +2364,59 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlCycles revisitMode=rate: a fast-changing page refetches more often than under backoff") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crawl_rate").toString
+    val W = "https://rt.example"
+    // /hot rewrites EVERY cycle, /calm never: on the same synthetic
+    // web, the Poisson scheduler must learn /hot's rate and refetch it
+    // more often than backoff's blind doubling does
+    def page(url: String, cycle: Int): (Int, String) =
+      url.stripPrefix(W) match {
+        case "/" => (200,
+          """<a href="/hot">h</a><a href="/calm">c</a>""")
+        case "/hot" => (200, s"hot content, version $cycle")
+        case "/calm" => (200, "calm forever")
+        case _ => (404, "nope")
+      }
+    val day0 = java.time.Instant.parse("2026-08-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        val (st, body) = page(u, cycle)
+        (u, java.time.Instant.ofEpochSecond(
+            (day0 + cycle * 43200.0).toLong).toString,
+          s"<urn:rt:$cycle:$u>", "text/html; charset=utf-8",
+          body.getBytes("UTF-8"), st,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    def run(tag: String, mode: String) = CrawlLoop.crawlCycles(spark,
+      seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+      fetch = fetchFn, archiveDir = s"$base/$tag",
+      policies = Seq.empty[(String, String)].toDF("host", "robots"),
+      hostCol = "host", robotsCol = "robots", agent = "graftbot",
+      cycles = 8,
+      clock = Some(c => day0 + c * 43200.0), // 12 h ticks
+      revisitMode = mode, revisitStaleRisk = 0.1)
+    def hotFetches(rs: Seq[graft.operators.CrawlLoop.CycleResult]) =
+      rs.map(_.plan.select("frontier_url").as[String].collect()
+        .count(_ == s"$W/hot")).sum
+    val rateHot = hotFetches(run("rate", "rate"))
+    val backoffHot = hotFetches(run("backoff", "backoff"))
+    // both modes fetch /hot at least twice (discovery + one revisit);
+    // the rate scheduler, having OBSERVED the page change on every
+    // revisit, converges to near-every-cycle refetching while backoff
+    // stays pinned at its base interval (one day = every other tick)
+    assert(backoffHot >= 2, s"backoff must revisit at all: $backoffHot")
+    assert(rateHot > backoffHot,
+      s"rate mode must refetch the fast page more often: " +
+        s"rate=$rateHot backoff=$backoffHot")
+  }
+
   test("crawlCycles fetchRobots: a timed-out robots fetch counts as attempted — no eternal re-plan") {
     import spark.implicits._
     import graft.operators.CrawlLoop
