@@ -221,14 +221,21 @@ object CrawlLoop {
         * spec-pinned), so deterministic-replay consumers should opt
         * in deliberately. */
       warmStartRanks: Boolean = false,
-      /** Persist the loop's cross-cycle state (seen, pending,
-        * accumulated signals, fetched policies/sitemaps, warm ranks)
-        * as parquet under `<stateDir>/cycle=<N>` at the end of every
-        * cycle, a commit marker written LAST — a 30-cycle crawl that
-        * dies at cycle 20 then resumes from durable state instead of
-        * refetching the web. Static inputs (`seeds`, `policies`,
-        * `sitemaps`, every knob) are NOT persisted: re-supply the
-        * same configuration on resume. */
+      /** Persist the loop's cross-cycle state as parquet under
+        * `<stateDir>/cycle=<N>` at the end of every cycle, a commit
+        * marker written LAST — a 30-cycle crawl that dies at cycle 20
+        * then resumes from durable state instead of refetching the
+        * web. Cycle N writes only its DELTAS for the cumulative
+        * frames (that cycle's planned URLs, new edges/signals,
+        * fetched policies) plus frontier-sized snapshots of
+        * `pending`/`ranks`, so state I/O per cycle is O(that cycle's
+        * discoveries) and total state size is O(crawl), not
+        * O(cycles × crawl); resume re-reduces the committed delta
+        * prefix (union+distinct / union+max-per-key — associative, so
+        * the reconstruction equals the in-memory accumulation).
+        * Static inputs (`seeds`, `policies`, `sitemaps`, every knob)
+        * are NOT persisted: re-supply the same configuration on
+        * resume. */
       stateDir: Option[String] = None,
       /** Resume from the state `stateDir/cycle=<startCycle-1>`
         * committed by a previous run (same `archiveDir` — the dedup
@@ -306,8 +313,16 @@ object CrawlLoop {
       .select(lit("").as("sitemap_url")).localCheckpoint()
     var ranksPrev: Option[DataFrame] = None
 
-    // ---- durable state (stateDir): fixed frame schemas, committed
-    // with a marker written last so a torn cycle dir never resumes ----
+    // ---- durable state (stateDir): per-cycle DELTAS for the
+    // cumulative frames (cycle N writes only cycle N's new rows, so
+    // total state I/O is O(crawl size), not O(cycles × crawl size)),
+    // full snapshots for the working-set frames (pending, ranks —
+    // frontier-sized, not crawl-sized), each cycle committed with a
+    // marker written last so a torn cycle dir never resumes. Resume
+    // reads the committed delta prefix back and re-reduces: union +
+    // distinct for the append-only frames, union + max-per-key for
+    // the policy/attempt tables (both reductions associative, so the
+    // reconstruction equals the in-memory accumulation). ----
     val stateSchemas: Seq[(String, String)] = Seq(
       "seen" -> "url string",
       "pending" -> "frontier_url string",
@@ -321,6 +336,10 @@ object CrawlLoop {
         + "priority double, is_index boolean"),
       "sm_attempts" -> "sitemap_url string",
       "ranks" -> "node string, rank double")
+    val stateDdl = stateSchemas.toMap
+    def emptyState(name: String): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(stateDdl(name)))
     def marker(c: Int) = new org.apache.hadoop.fs.Path(
       s"${stateDir.get}/cycle=$c/_graft_state_committed")
     def stateFs() = new org.apache.hadoop.fs.Path(stateDir.get)
@@ -334,35 +353,58 @@ object CrawlLoop {
       fs.delete(marker(c), false)
       fs.create(marker(c), true).close()
     }
-    def loadState(c: Int): Map[String, DataFrame] = {
-      require(stateFs().exists(marker(c)),
-        s"no committed crawl state at ${stateDir.get}/cycle=$c " +
-          "(crashed mid-save, or never ran) — resume from an earlier " +
-          "cycle or start fresh")
-      stateSchemas.map { case (name, ddl) =>
-        name -> spark.read.schema(ddl)
-          .parquet(s"${stateDir.get}/cycle=$c/$name")
-          .localCheckpoint()
-      }.toMap
-    }
     if (startCycle > 0) {
-      val st = loadState(startCycle - 1)
-      seen = st("seen"); pending = st("pending")
-      redirAcc = st("redir"); canonAcc = st("canon")
-      edgesAcc = st("edges"); anchorsAcc = st("anchors")
-      if (fetchRobots) {
-        policiesAcc = st("policies")
-        robotsAttempts = st("robots_attempts")
+      val fs = stateFs()
+      (0 until startCycle).foreach { k =>
+        require(fs.exists(marker(k)),
+          s"no committed crawl state at ${stateDir.get}/cycle=$k " +
+            "(crashed mid-save, or never ran) — resume from an " +
+            "earlier cycle or start fresh")
       }
-      smEntriesAcc = st("sm_entries"); smAttempts = st("sm_attempts")
+      // cumulative frames reconstruct from the committed delta
+      // prefix; working-set frames read the LAST cycle's snapshot
+      def deltas(name: String): DataFrame =
+        (0 until startCycle).map(k => spark.read.schema(stateDdl(name))
+            .parquet(s"${stateDir.get}/cycle=$k/$name"))
+          .reduce(_ unionByName _)
+      def snapshot(name: String): DataFrame =
+        spark.read.schema(stateDdl(name))
+          .parquet(s"${stateDir.get}/cycle=${startCycle - 1}/$name")
+      seen = deltas("seen").distinct().localCheckpoint()
+      pending = snapshot("pending").localCheckpoint()
+      redirAcc = deltas("redir").distinct().localCheckpoint()
+      canonAcc = deltas("canon").distinct().localCheckpoint()
+      edgesAcc = deltas("edges").distinct().localCheckpoint()
+      anchorsAcc = deltas("anchors").distinct().localCheckpoint()
+      if (fetchRobots) {
+        policiesAcc = policiesAcc.unionByName(deltas("policies"))
+          .groupBy("__ph")
+          .agg(max(struct(col("__pf"), col("__pr"))).as("__s"))
+          .select(col("__ph"),
+            col("__s").getField("__pr").as("__pr"),
+            col("__s").getField("__pf").as("__pf"))
+          .localCheckpoint()
+        robotsAttempts = robotsAttempts
+          .unionByName(deltas("robots_attempts"))
+          .groupBy("__ah").agg(max(col("__af")).as("__af"))
+          .localCheckpoint()
+      }
+      smEntriesAcc = deltas("sm_entries").distinct().localCheckpoint()
+      smAttempts = deltas("sm_attempts").distinct().localCheckpoint()
       if (warmStartRanks) {
-        val r = st("ranks")
-        ranksPrev = if (r.isEmpty) None else Some(r)
+        val r = snapshot("ranks")
+        ranksPrev = if (r.isEmpty) None else Some(r.localCheckpoint())
       }
     }
     val results = Seq.newBuilder[CycleResult]
 
     for (c <- startCycle until cycles) {
+      // durable-state deltas: only the rows THIS cycle adds (the
+      // append-only accumulators re-derive from the delta prefix)
+      var robotsDelta = emptyState("robots_attempts")
+      var policiesDelta = emptyState("policies")
+      var smEntriesDelta = emptyState("sm_entries")
+      var smAttemptsDelta = emptyState("sm_attempts")
       val mapping = Outlinks.canonicalMapping(
         Outlinks.resolveRedirectChains(redirAcc), canonAcc)
         .localCheckpoint()
@@ -440,19 +482,19 @@ object CrawlLoop {
           // fetch times out must not re-enter this worklist every cycle
           // forever; it default-allows until the freshness horizon
           // passes and only then resurfaces
-          robotsAttempts = robotsAttempts.unionByName(
-              rplan.select(
-                TextAnalysis.urlHost(col("frontier_url")).as("__ah"),
-                lit(clock.get(c)).cast("timestamp").as("__af")))
+          robotsDelta = rplan.select(
+            TextAnalysis.urlHost(col("frontier_url")).as("__ah"),
+            lit(clock.get(c)).cast("timestamp").as("__af"))
+          robotsAttempts = robotsAttempts.unionByName(robotsDelta)
             .groupBy("__ah").agg(max(col("__af")).as("__af"))
             .localCheckpoint()
           val rpages = fetch(rplan, c).localCheckpoint()
-          policiesAcc = policiesAcc.unionByName(
-              rpages.filter(col("http_status") === 200)
-                .select(
-                  TextAnalysis.urlHost(col("target_uri")).as("__ph"),
-                  col("payload").cast("string").as("__pr"),
-                  col("warc_date").cast("timestamp").as("__pf")))
+          policiesDelta = rpages.filter(col("http_status") === 200)
+            .select(
+              TextAnalysis.urlHost(col("target_uri")).as("__ph"),
+              col("payload").cast("string").as("__pr"),
+              col("warc_date").cast("timestamp").as("__pf"))
+          policiesAcc = policiesAcc.unionByName(policiesDelta)
             // latest fetch per host wins (a stamped row beats an
             // unstamped seed — nulls sort first in struct ordering);
             // the dedup also keeps the policy join fan-out-free
@@ -491,16 +533,18 @@ object CrawlLoop {
           // return-independent: a 404 sitemap — or one whose fetch
           // times out and returns no row at all — must not refetch
           // forever (sitemaps fetch once per crawl)
-          smAttempts = smAttempts.unionByName(
-              splan.select(col("frontier_url").as("sitemap_url")))
+          smAttemptsDelta =
+            splan.select(col("frontier_url").as("sitemap_url"))
+          smAttempts = smAttempts.unionByName(smAttemptsDelta)
             .distinct().localCheckpoint()
           val spages = fetch(splan, c).localCheckpoint()
           val parsed = Outlinks.sitemapEntries(
             spages.filter(col("http_status") === 200)
               .select(col("payload").cast("string").as("__xml")),
             "__xml")
+          smEntriesDelta = normEntries(parsed)
           smEntriesAcc = smEntriesAcc
-            .unionByName(normEntries(parsed))
+            .unionByName(smEntriesDelta)
             .distinct().localCheckpoint()
           smNewLocs = Outlinks.canonicalLinks(
             parsed.filter(!col("is_index"))
@@ -571,8 +615,8 @@ object CrawlLoop {
       // focused evidence: nofollow-filtered anchor texts, target in
       // the frontier's canonical form, ONE vote per (page, target,
       // text) — stable under refetch (the distinct absorbs revisits)
-      topics.foreach { _ =>
-        val a = Outlinks.extractAnchors(html, "text", "target_uri")
+      val anchorsDelta = topics.fold(emptyState("anchors")) { _ =>
+        Outlinks.extractAnchors(html, "text", "target_uri")
           .filter(!coalesce(col("nofollow"), lit(false)))
           .filter(col("anchor_text").isNotNull)
           .select(col("target_uri").as("page_uri"),
@@ -580,9 +624,10 @@ object CrawlLoop {
             col("anchor_text"))
           .filter(col("outlink").isNotNull
             && col("outlink").rlike("^https?://"))
-        anchorsAcc = anchorsAcc.unionByName(a)
-          .distinct().localCheckpoint()
       }
+      if (topics.isDefined)
+        anchorsAcc = anchorsAcc.unionByName(anchorsDelta)
+          .distinct().localCheckpoint()
       val redirE = Outlinks.redirectEdges(pages)
         .select(col("redirect_from").cast("string"),
           col("redirect_to").cast("string"))
@@ -620,18 +665,19 @@ object CrawlLoop {
 
       stateDir.foreach { _ =>
         saveState(c, Map(
-          "seen" -> seen, "pending" -> pending, "redir" -> redirAcc,
-          "canon" -> canonAcc, "edges" -> edgesAcc,
-          "anchors" -> anchorsAcc,
-          "policies" -> (if (fetchRobots) policiesAcc
-            else spark.range(0).select(lit("").as("__ph"),
-              lit("").as("__pr"),
-              lit(null).cast("timestamp").as("__pf"))),
-          "robots_attempts" -> robotsAttempts,
-          "sm_entries" -> smEntriesAcc, "sm_attempts" -> smAttempts,
-          "ranks" -> ranksPrev.getOrElse(
-            spark.range(0).select(lit("").as("node"),
-              lit(0.0).as("rank")))))
+          // deltas: only this cycle's new rows (O(cycle), not O(crawl))
+          "seen" -> plan.select(col("frontier_url").as("url")),
+          "redir" -> redirE.unionByName(refreshE),
+          "canon" -> canonE,
+          "edges" -> anchorLinks,
+          "anchors" -> anchorsDelta,
+          "policies" -> policiesDelta,
+          "robots_attempts" -> robotsDelta,
+          "sm_entries" -> smEntriesDelta,
+          "sm_attempts" -> smAttemptsDelta,
+          // working-set snapshots: frontier-sized, rewritten per cycle
+          "pending" -> pending,
+          "ranks" -> ranksPrev.getOrElse(emptyState("ranks"))))
       }
 
       results += CycleResult(c, frontierSize, plannedCount, dueCount,

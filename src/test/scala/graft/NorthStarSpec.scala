@@ -2284,6 +2284,14 @@ class NorthStarSpec extends AnyFunSuite {
       resumed.head.robotsFetched) ==
       ((unbroken(2).frontierSize, unbroken(2).dueRevisits,
         unbroken(2).robotsFetched)))
+    // INCREMENTAL state: cycle N's `seen` delta holds exactly cycle
+    // N's planned URLs, not the cumulative set — total state I/O is
+    // O(crawl), not O(cycles × crawl)
+    val seenDeltas = (0 to 1).map(k =>
+      spark.read.parquet(s"$base/stB/cycle=$k/seen").count())
+    assert(seenDeltas == (0 to 1).map(k => unbroken(k).plannedCount),
+      s"state must persist per-cycle deltas: $seenDeltas vs " +
+        s"${(0 to 1).map(k => unbroken(k).plannedCount)}")
     // warm-started ranking (last cycle's vector seeds this cycle's
     // PageRank) changes mid-convergence VALUES, never coverage: the
     // same crawl re-run warm plans exactly the same URL set per cycle
