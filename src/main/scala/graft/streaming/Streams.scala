@@ -920,8 +920,30 @@ object Streams {
     * cycle (priority, then URL), so the backlog drains
     * highest-value-first.
     *
+    * Checkpoints from before the sibling move (deferred set under
+    * `outDir/deferred/`) adopt transparently: the first resumed batch
+    * falls back to the legacy location when the sibling path is
+    * absent, then writes the sibling layout from that batch on.
+    *
     * `priorities` and the robots-freshness contract pass straight
-    * through to [[graft.operators.Outlinks.fetchPlan]]. */
+    * through to [[graft.operators.Outlinks.fetchPlan]].
+    *
+    * POLICY REFRESH CONTRACT (the asymmetry with the batch twin,
+    * pinned here deliberately): [[graft.operators.CrawlLoop
+    * .crawlCycles]] closes the robots/sitemap discovery loop INSIDE
+    * the loop (`fetchRobots`/`fetchSitemaps`); this sink does not —
+    * `policies` is a static frame the CALLER refreshes out-of-band
+    * (re-read per batch only through the frames it already holds;
+    * a continuously-updated policy table belongs to the fetcher
+    * fleet that tails the plan directories, which is also the thing
+    * actually fetching robots.txt). The freshness semantics make the
+    * contract safe: with `fetchedAtCol`/`maxAgeSeconds`/`asOf`, a
+    * policy row older than the horizon gates as ABSENT (RFC 9309
+    * default-allow, the q_t65 semantics), so a stale table degrades
+    * to default-allow instead of enforcing dead rules, and hosts
+    * resurface to the caller's own robots worklist
+    * ([[graft.operators.Robots.robotsFetchList]]) rather than being
+    * silently dropped — StreamingSpec pins this on the stream. */
   def crawlFetchPlanSink(
       spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, seen: DataFrame, seenCol: String,
@@ -961,6 +983,14 @@ object Streams {
             // absent only on the first cycle or when a pre-carry-over
             // checkpoint is adopted (treated as an empty backlog)
             val prev = f"$outDir%s-deferred/batch=${batchId - 1}%06d"
+            // pre-sibling layout (the deferred set once lived UNDER
+            // outDir): a checkpoint created before the move resumes
+            // here exactly once — its first batch reads the legacy
+            // location, writes the sibling one, and every later batch
+            // finds the sibling; without the fallback the old backlog
+            // would silently read as empty and every carried-over
+            // pending URL would be dropped
+            val legacy = f"$outDir%s/deferred/batch=${batchId - 1}%06d"
             val fs = new Path(outDir)
               .getFileSystem(spark.sessionState.newHadoopConf())
             val carried =
@@ -968,6 +998,8 @@ object Streams {
                 // explicit schema: an all-kept previous cycle leaves a
                 // zero-file directory that schema inference would reject
                 spark.read.schema(frontier.schema).parquet(prev)
+              else if (batchId > 0 && fs.exists(new Path(legacy)))
+                spark.read.schema(frontier.schema).parquet(legacy)
               else frontier.limit(0)
             frontier.unionByName(carried)
               .dropDuplicates("frontier_url")

@@ -1391,6 +1391,123 @@ class WarcSpec extends AnyFunSuite {
       "spark.read.parquet(outDir) must see exactly the planned rows")
   }
 
+  test("crawlFetchPlanSink: a pre-sibling checkpoint's legacy deferred backlog is not dropped") {
+    import spark.implicits._
+    val root = tmp("planlegacy")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"legacystage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://src.example/p/$tag$i", "2026-01-01T00:00:00Z",
+          s"<urn:lg:$tag:$i>", "text/html; charset=utf-8",
+          f"""<a href="https://one.example/u/$i%03d-$tag">x</a>"""
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlFetchPlanSink(
+        spark, in, out, chk, Seq.empty[String].toDF("url"), "url",
+        Seq.empty[(String, String)].toDF("host", "robots"),
+        "host", "robots", "graftbot", maxPerHost = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // cycle 0: 10 URLs, cap 4 → 6 defer (written to the sibling tree)
+    land("a", 0 until 10); run()
+    val def0 = spark.read.parquet(s"$out-deferred/batch=000000")
+      .select("frontier_url").as[String].collect().toSet
+    assert(def0.size == 6)
+    // simulate a checkpoint created by the PRE-SIBLING layout: the
+    // backlog lives under outDir/deferred/, the sibling tree is gone
+    val legacyDir = java.nio.file.Paths.get(out, "deferred")
+    java.nio.file.Files.createDirectories(legacyDir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$out-deferred/batch=000000"),
+      legacyDir.resolve("batch=000000"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out-deferred"))
+    // cycle 1 must fall back to the legacy location — and write the
+    // sibling layout from here on
+    land("b", 0 until 2); run()
+    val plan1 = spark.read.parquet(s"$out/batch=000001")
+      .select("frontier_url").as[String].collect().toSet
+    assert(plan1.size == 4)
+    assert(plan1.subsetOf(def0 ++ (0 until 2).map(i =>
+        f"https://one.example/u/$i%03d-b")),
+      s"cycle 1 must draw from the legacy backlog: $plan1")
+    assert((def0 & plan1).nonEmpty,
+      s"legacy deferred URLs must actually be planned: $plan1")
+    val def1 = spark.read.parquet(s"$out-deferred/batch=000001")
+      .select("frontier_url").as[String].collect().toSet
+    // nothing lost across the layout migration: 12 URLs total = 4
+    // planned in cycle 0 + 4 in cycle 1 + 4 still pending
+    val plan0 = spark.read.parquet(s"$out/batch=000000")
+      .select("frontier_url").as[String].collect().toSet
+    assert((plan0 ++ plan1 ++ def1).size == 12
+      && (plan1 & def1).isEmpty,
+      s"migration must not drop the backlog: " +
+        s"${(plan0 ++ plan1 ++ def1).size}")
+  }
+
+  test("crawlFetchPlanSink: a STALE policy row gates as absent — default-allow, host resurfaces") {
+    import spark.implicits._
+    val root = tmp("planstale")
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val stage = tmp("stalestage")
+    WarcIO.warcSave((0 until 4).map { i =>
+      (s"https://src.example/p/$i", "2026-01-01T00:00:00Z",
+        s"<urn:st:$i>", "text/html; charset=utf-8",
+        s"""<a href="https://t0.example/blocked/$i">b</a>"""
+          .getBytes(UTF_8))
+    }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+      "payload").repartition(1), stage.toString)
+    new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(in, f.getName))
+      }
+    // the caller-supplied policy table was fetched on Jan 1 and the
+    // freshness horizon is 2 days — the streaming sink has no in-loop
+    // robots fetch (the pinned asymmetry with crawlCycles), so the
+    // q_t65 semantics are the safety net: a fresh row enforces, a
+    // stale row behaves as ABSENT (RFC 9309 default-allow)
+    val policies = Seq(("t0.example",
+      "User-agent: *\nDisallow: /blocked", "2026-01-01T00:00:00Z"))
+      .toDF("host", "robots", "fat")
+    def run(tag: String, asOf: String): Set[String] = {
+      val q = graft.streaming.Streams.crawlFetchPlanSink(
+        spark, in, s"$root/out_$tag", s"$root/chk_$tag",
+        Seq.empty[String].toDF("url"), "url",
+        policies, "host", "robots", "graftbot",
+        fetchedAtCol = Some("fat"), maxAgeSeconds = 2L * 86400L,
+        asOf = Some(lit(asOf).cast("timestamp")))
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$root/out_$tag/batch=000000")
+        .select("frontier_url").as[String].collect().toSet
+    }
+    val fresh = run("fresh", "2026-01-02T00:00:00Z")
+    assert(fresh.isEmpty, s"a fresh policy must gate /blocked: $fresh")
+    val stale = run("stale", "2026-01-10T00:00:00Z")
+    assert(stale.size == 4,
+      s"a stale policy must default-allow on the stream: $stale")
+    // and the host RESURFACES on the caller's robots worklist — the
+    // documented out-of-band refresh path
+    val worklist = graft.operators.Robots.robotsFetchList(
+        stale.toSeq.toDF("frontier_url"), "frontier_url",
+        policies, "host", fetchedAtCol = Some("fat"),
+        maxAgeSeconds = 2L * 86400L,
+        asOf = Some(lit("2026-01-10T00:00:00Z").cast("timestamp")))
+      .select("robots_url").as[String].collect().toSet
+    assert(worklist == Set("https://t0.example/robots.txt"),
+      s"the stale host must re-enter the worklist: $worklist")
+  }
+
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
     import spark.implicits._
     val root = tmp("fold")
