@@ -951,6 +951,19 @@ object Streams {
       agent: String, defaultDelay: Double = 1.0,
       maxPerHost: Int = 0,
       priorities: Option[DataFrame] = None,
+      /** Per-batch PRIORITY refresh — the streaming analogue of the
+        * batch loop recomputing its rank frame every cycle: when set,
+        * batch N's plan scores with `prioritiesRefresh(N)` (e.g.
+        * [[graft.operators.LinkGraph.pageRank]] re-run over the
+        * accumulated archive, or [[graft.operators.Outlinks
+        * .focusedRankPriorities]] for a focused stream) instead of
+        * the static `priorities` frame. Exactly-once replay requires
+        * the function to be DETERMINISTIC per batch id: derive the
+        * frame from committed artifacts of batches < N (the archive,
+        * a ranks table the caller snapshots per cycle), never from
+        * "the latest" mutable state — same contract as the deferred
+        * set's batch-(N-1) read. */
+      prioritiesRefresh: Option[Long => DataFrame] = None,
       priorityUrlCol: String = "node", priorityCol: String = "rank",
       fetchedAtCol: Option[String] = None,
       maxAgeSeconds: Long = 86400L,
@@ -1007,7 +1020,9 @@ object Streams {
         val plan = graft.operators.Outlinks.fetchPlan(
           input, "frontier_url", policies, hostCol, robotsCol,
           agent, defaultDelay, maxPerHost = 0,
-          priorities = priorities, priorityUrlCol = priorityUrlCol,
+          priorities = prioritiesRefresh.map(_(batchId))
+            .orElse(priorities),
+          priorityUrlCol = priorityUrlCol,
           priorityCol = priorityCol, fetchedAtCol = fetchedAtCol,
           maxAgeSeconds = maxAgeSeconds, asOf = asOf)
         if (!capped) {

@@ -1508,6 +1508,56 @@ class WarcSpec extends AnyFunSuite {
       s"the stale host must re-enter the worklist: $worklist")
   }
 
+  test("crawlFetchPlanSink prioritiesRefresh: each cycle plans with its own rank frame") {
+    import spark.implicits._
+    val root = tmp("planrefresh")
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(tag: String, ids: Seq[Int]): Unit = {
+      val stage = tmp(s"refreshstage_$tag")
+      WarcIO.warcSave(ids.map { i =>
+        (s"https://src.example/p/$tag$i", "2026-01-01T00:00:00Z",
+          s"<urn:pr:$tag:$i>", "text/html; charset=utf-8",
+          s"""<a href="https://one.example/u/$tag-$i">x</a>"""
+            .getBytes(UTF_8))
+      }.toDF("target_uri", "warc_date", "record_id", "http_content_type",
+        "payload").repartition(1), stage.toString)
+      new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(in, s"$tag-${f.getName}"))
+        }
+    }
+    // batch 0 ranks the LAST url of its cycle highest, batch 1 the
+    // first — a deterministic function of the batch id, the hook's
+    // replay contract (a real caller derives it from batch<N
+    // artifacts: re-ranked archive, focused priorities, …)
+    def refresh(batchId: Long): org.apache.spark.sql.DataFrame = {
+      val tag = if (batchId == 0) "a" else "b"
+      val top = if (batchId == 0) 2 else 0
+      Seq((s"https://one.example/u/$tag-$top", 1.0)).toDF("node", "rank")
+    }
+    def run(): Unit = {
+      val q = graft.streaming.Streams.crawlFetchPlanSink(
+        spark, in, out, chk, Seq.empty[String].toDF("url"), "url",
+        Seq.empty[(String, String)].toDF("host", "robots"),
+        "host", "robots", "graftbot",
+        prioritiesRefresh = Some(refresh))
+      try q.processAllAvailable() finally q.stop()
+    }
+    land("a", 0 until 3); run()
+    land("b", 0 until 3); run()
+    def first(batch: String): String =
+      spark.read.parquet(s"$out/batch=$batch")
+        .filter(col("fetch_seq") === 1)
+        .select("frontier_url").as[String].head()
+    // each cycle's schedule follows THAT cycle's rank frame
+    assert(first("000000") == "https://one.example/u/a-2",
+      "batch 0 must lead with batch 0's top-ranked URL")
+    assert(first("000001") == "https://one.example/u/b-0",
+      "batch 1 must lead with batch 1's top-ranked URL")
+  }
+
   test("foldFrontierSeen: state folds into seen; restart re-emits nothing, loses nothing") {
     import spark.implicits._
     val root = tmp("fold")
