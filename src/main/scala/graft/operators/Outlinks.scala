@@ -548,8 +548,10 @@ object Outlinks {
     * pre-deduplicated frame degrades gracefully to the min-target
     * tiebreak. Keys with no non-null target are ABSENT (callers
     * needing them — cycle fallbacks — left-join back on the key set).
-    * Two hash aggregations + one equi-join, all keyed by the URL
-    * (+target) — mapping-side work, broadcastable when small. */
+    * Two hash aggregations, no join: the second pass takes
+    * `min(struct(-count, target))`, whose field-ordered struct
+    * comparison IS "count desc, then target asc" in one reduction —
+    * mapping-side work, broadcastable when small. */
   private def mostReferencedTarget(
       df: DataFrame, key: Column, target: Column,
       keyName: String, valName: String): DataFrame = {
@@ -558,9 +560,10 @@ object Outlinks {
         target.cast("string").as(valName))
       .filter(col(valName).isNotNull)
       .groupBy(keyName, valName).agg(count(lit(1)).as("__n"))
-    val mx = w.groupBy(keyName).agg(max(col("__n")).as("__n"))
-    w.join(mx, Seq(keyName, "__n"))
-      .groupBy(keyName).agg(min(col(valName)).as(valName))
+    w.groupBy(keyName)
+      .agg(min(struct((-col("__n")).as("__negn"),
+        col(valName).as("__v"))).as("__s"))
+      .select(col(keyName), col("__s").getField("__v").as(valName))
   }
 
   /** ONE alias→canonical mapping from the crawl loop's OWN signals —
@@ -611,17 +614,20 @@ object Outlinks {
       : DataFrame = {
     val c = mostReferencedTarget(
       canonicals, col(pageCol), col(canonCol), "__cp", "__cc")
-    // the weighted reduce skips nulls, so a duplicated source with one
-    // cycle row and one resolved row keeps the resolved target; the
-    // left join back onto the key set retains all-null (pure-cycle)
-    // sources with a null __rt — they fall through to their own
-    // declared canonical below
-    val rKeys = chains
-      .select(col(fromCol).cast("string").as("alias_url")).distinct()
-    val r = rKeys.join(
-      mostReferencedTarget(chains, col(fromCol), col(toCol),
-        "alias_url", "__rt"),
-      Seq("alias_url"), "left")
+    // the same count-desc-then-min struct reduction, with a
+    // nulls-last flag leading the struct: a duplicated source with
+    // one cycle row and one resolved row keeps the resolved target
+    // (any non-null beats every null), while an all-null (pure-cycle)
+    // source KEEPS its null __rt row — it falls through to its own
+    // declared canonical below. Two hash aggs, no join.
+    val rw = chains
+      .select(col(fromCol).cast("string").as("alias_url"),
+        col(toCol).cast("string").as("__rt"))
+      .groupBy("alias_url", "__rt").agg(count(lit(1)).as("__n"))
+    val r = rw.groupBy("alias_url")
+      .agg(min(struct(col("__rt").isNull.as("__nl"),
+        (-col("__n")).as("__negn"), col("__rt").as("__v"))).as("__s"))
+      .select(col("alias_url"), col("__s").getField("__v").as("__rt"))
     val landing = c.select(col("__cp").as("__lp"), col("__cc").as("__lc"))
     val self = c.select(col("__cp").as("__sp"), col("__cc").as("__sc"))
     val viaRedirect = r

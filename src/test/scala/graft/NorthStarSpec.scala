@@ -2467,6 +2467,95 @@ class NorthStarSpec extends AnyFunSuite {
     assert(planned == Set(s"$W/", s"$W/a"), s"got: $planned")
   }
 
+  test("crawlCycles capstone: focused + robots + sitemaps + rate revisits + warm ranks + durable resume COMPOSE") {
+    import spark.implicits._
+    import graft.operators.CrawlLoop
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crawl_all").toString
+    val W = "https://all.example"
+    // one web, every subsystem exercised: in-loop robots (gating
+    // /secret, declaring the sitemap), an urlset orphan, topical vs
+    // popular link structure, and a page that rewrites every cycle
+    def page(url: String, cycle: Int): (Int, String) =
+      url.stripPrefix(W) match {
+        case "/robots.txt" => (200,
+          s"User-agent: *\nDisallow: /secret\nSitemap: $W/sitemap.xml")
+        case "/sitemap.xml" => (200,
+          s"""<urlset><url><loc>$W/orphan</loc>""" +
+            "<priority>1.0</priority></url></urlset>")
+        case "/" => (200,
+          """<a href="/t">quantum physics guide</a>""" +
+            """<a href="/x">boring link</a>""" +
+            """<a href="/y">boring link</a>""" +
+            """<a href="/hot">hot stuff</a>""" +
+            """<a href="/secret">secret</a>""")
+        case "/t" => (200, """<a href="/deep">quantum theory notes</a>""")
+        case "/x" => (200, """<a href="/pop">celebrity news</a>""")
+        case "/y" => (200, """<a href="/pop">celebrity news</a>""")
+        case "/hot" => (200, s"hot content, version $cycle")
+        case "/secret" => (200, "must never be fetched")
+        case _ => (200, "leaf")
+      }
+    val day0 = java.time.Instant.parse("2026-09-01T00:00:00Z")
+      .getEpochSecond.toDouble
+    def fetchFn(plan: org.apache.spark.sql.DataFrame, cycle: Int)
+        : org.apache.spark.sql.DataFrame =
+      plan.select("frontier_url").as[String].collect().toSeq.map { u =>
+        val (st, body) = page(u, cycle)
+        (u, java.time.Instant.ofEpochSecond(
+            (day0 + cycle * 43200.0).toLong).toString,
+          s"<urn:all:$cycle:$u>", "text/html; charset=utf-8",
+          body.getBytes("UTF-8"), st,
+          null.asInstanceOf[Map[String, String]])
+      }.toDF("target_uri", "warc_date", "record_id",
+        "http_content_type", "payload", "http_status", "http_headers")
+    def run(tag: String, n: Int, from: Int = 0) =
+      CrawlLoop.crawlCycles(spark,
+        seeds = Seq(s"$W/").toDF("url"), seedCol = "url",
+        fetch = fetchFn, archiveDir = s"$base/$tag/arc",
+        policies = Seq.empty[(String, String)].toDF("host", "robots"),
+        hostCol = "host", robotsCol = "robots", agent = "graftbot",
+        cycles = n, maxAgeSeconds = 30L * 86400L,
+        clock = Some(c => day0 + c * 43200.0), // 12 h ticks
+        fetchRobots = true, fetchSitemaps = true,
+        warmStartRanks = true,
+        topics = Some(Seq("quantum").toDF("term")),
+        revisitMode = "rate", revisitStaleRisk = 0.1,
+        stateDir = Some(s"$base/$tag/state"), startCycle = from)
+    val full = run("a", 5)
+    def planOf(r: graft.operators.CrawlLoop.CycleResult) = r.plan
+      .selectExpr("frontier_url", "cast(fetch_seq as long)")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val plans = full.map(planOf)
+    // robots fetched in-loop and enforced for the whole run
+    assert(full.head.robotsFetched == 1L
+      && full.head.sitemapsFetched == 1L)
+    assert(plans.flatMap(_.keys).forall(!_.contains("/secret")),
+      "in-loop policy must gate /secret throughout")
+    // cycle 1: the sitemap orphan (priority-1.0 bootstrap) and the
+    // topical /t lead the schedule, ahead of the off-topic pool
+    val p1 = plans(1)
+    assert(p1.keySet == Set(s"$W/t", s"$W/x", s"$W/y", s"$W/hot",
+      s"$W/orphan"), s"got: ${p1.keySet}")
+    assert(Set(p1(s"$W/orphan"), p1(s"$W/t")) == Set(1L, 2L),
+      s"sitemap bootstrap + topical focus must lead: $p1")
+    // cycle 2: topical /deep (one in-link) beats popular /pop (two)
+    val p2 = plans(2)
+    assert(p2(s"$W/deep") < p2(s"$W/pop"),
+      s"relevance must beat raw authority: $p2")
+    // rate revisits: the every-cycle-rewriting /hot refetches at
+    // least twice after discovery within 5 cycles
+    assert(plans.count(_.contains(s"$W/hot")) >= 3,
+      s"rate mode must chase the fast page: " +
+        s"${plans.map(_.contains(s"$W/hot"))}")
+    // durable resume with EVERYTHING on: a run killed after cycle 3
+    // resumes into cycles 3-4 byte-identical to the unbroken run
+    run("b", 3)
+    val resumed = run("b", 5, from = 3)
+    assert(resumed.map(planOf) == plans.drop(3),
+      "all-features resume must replay the unbroken run's cycles")
+  }
+
   test("crawlCycles survives a drained crawl: empty cycles are no-ops") {
     import spark.implicits._
     import graft.operators.CrawlLoop
