@@ -3510,6 +3510,113 @@ object Text {
         Outlinks.focusedPriorities(anchors, topics, dists))))
   }
 
+  /** The FULL focused-cycle priority frame, HASH-CERTIFIED — exactly
+    * what [[graft.operators.CrawlLoop.crawlCycles]] hands
+    * [[graft.operators.Outlinks.fetchPlan]] when `topics` AND a
+    * sitemap are both live: relevance × authority
+    * ([[graft.operators.Outlinks.focusedRankPriorities]] over the
+    * q_t82 corpus) with never-linked sitemap orphans bootstrapped
+    * through [[graft.operators.Outlinks.sitemapBoostedPriorities]] at
+    * `coalesce(priority, 0.5) × max(combined)` — the bootstrap scale
+    * is the best COMBINED score, so a priority-1.0 orphan ties the
+    * most-valuable focused URL, a declared-priority-free orphan
+    * (every loc-7 row is null) defaults to 0.5, and unfocused/
+    * unreached URLs still fetch last at 0. The oracle restates the
+    * whole frame closed-form with an independent window. */
+  val qT84FocusedBoostPlan = Q(
+    "q_t84_focused_boost_plan",
+    """WITH a AS MATERIALIZED (
+      |  SELECT 'https://fc.example/p/' || CAST(doc_id % 60 AS VARCHAR)
+      |           AS url,
+      |         doc_id % 7 AS k,
+      |         CAST(doc_id % 3 + 1 AS DOUBLE) AS w
+      |  FROM documents),
+      | s AS MATERIALIZED (
+      |  SELECT url,
+      |         SUM(CASE WHEN k < 3 THEN w ELSE CAST(0 AS DOUBLE) END)
+      |           / SUM(w) AS score
+      |  FROM a GROUP BY url),
+      | d AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fc.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url,
+      |    (doc_id % 60) % 4 AS depth
+      |  FROM documents WHERE (doc_id % 60) % 5 <> 0),
+      | f AS MATERIALIZED (
+      |  SELECT s.url, s.score * POWER(CAST(0.5 AS DOUBLE), d.depth) AS fp
+      |  FROM s JOIN d ON d.url = s.url),
+      | r AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fc.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url,
+      |    CAST((doc_id % 60) % 9 + 1 AS DOUBLE) / 100 AS rank
+      |  FROM documents),
+      | cmb AS MATERIALIZED (
+      |  SELECT r.url, r.rank * f.fp AS pri
+      |  FROM r JOIN f ON f.url = r.url),
+      | mx AS MATERIALIZED (SELECT MAX(pri) AS m FROM cmb),
+      | o AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fc.example/o/' || CAST(doc_id % 10 AS VARCHAR) AS url,
+      |    doc_id % 10 AS k
+      |  FROM documents),
+      | osp AS MATERIALIZED (
+      |  SELECT url, CASE WHEN k = 7 THEN NULL
+      |                   ELSE CAST(k % 5 AS DOUBLE) / 4 END AS sp
+      |  FROM o),
+      | u AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://fc.example/p/' || CAST(doc_id % 60 AS VARCHAR) AS url
+      |  FROM documents
+      |  UNION SELECT url FROM o),
+      | pri AS MATERIALIZED (
+      |  SELECT u.url,
+      |         COALESCE(cmb.pri,
+      |           CASE WHEN osp.url IS NOT NULL
+      |                THEN COALESCE(osp.sp, CAST(0.5 AS DOUBLE))
+      |                     * (SELECT m FROM mx) END,
+      |           CAST(0 AS DOUBLE)) AS priority
+      |  FROM u LEFT JOIN cmb ON cmb.url = u.url
+      |         LEFT JOIN osp ON osp.url = u.url)
+      |SELECT url AS frontier_url, 'fc.example' AS url_host,
+      |       CAST(1.0 AS DOUBLE) AS crawl_delay, priority,
+      |       ROW_NUMBER() OVER (PARTITION BY 'fc.example'
+      |                          ORDER BY priority DESC, url) AS fetch_seq,
+      |       (ROW_NUMBER() OVER (PARTITION BY 'fc.example'
+      |                           ORDER BY priority DESC, url) - 1)
+      |         * CAST(1.0 AS DOUBLE) AS fetch_offset
+      |FROM pri""".stripMargin) { (s, d) =>
+    import graft.operators.Outlinks
+    val docs = documents(s, d)
+    val m = col("doc_id") % 60
+    val url = concat(lit("https://fc.example/p/"), m.cast("string"))
+    val anchors = docs.select(url.as("outlink"),
+      concat(lit("topic"), (col("doc_id") % 7).cast("string"),
+        lit(" guide "), col("doc_id").cast("string")).as("anchor_text"),
+      (col("doc_id") % 3 + 1).cast("long").as("n_refs"))
+    val topics = s.range(3)
+      .select(concat(lit("topic"), col("id").cast("string")).as("term"))
+    val dists = docs.filter(m % 5 =!= 0)
+      .select(url.as("node"), (m % 4).cast("int").as("depth"))
+      .distinct()
+    val ranks = docs
+      .select(url.as("node"), ((m % 9 + 1).cast("double") / 100).as("rank"))
+      .distinct()
+    val k10 = col("doc_id") % 10
+    val orphan = concat(lit("https://fc.example/o/"), k10.cast("string"))
+    val entries = docs.select(orphan.as("loc"),
+      when(k10 === 7, lit(null).cast("double"))
+        .otherwise((k10 % 5).cast("double") / 4).as("priority"))
+    val frontier = docs.select(url.as("frontier_url"))
+      .union(docs.select(orphan.as("frontier_url"))).distinct()
+    val policies = s.range(0)
+      .select(lit("x").as("host"), lit("").as("robots"))
+    Outlinks.fetchPlan(frontier, "frontier_url", policies, "host",
+      "robots", "graftbot",
+      priorities = Some(Outlinks.sitemapBoostedPriorities(
+        Outlinks.focusedRankPriorities(ranks,
+          Outlinks.focusedPriorities(anchors, topics, dists)),
+        entries)))
+  }
+
   /** ARCHIVE-driven RATE schedule, HASH-CERTIFIED — [[graft.operators
     * .Revisit.rateFromArchive]]: a three-capture dedup archive (day 1
     * full, day 2 changed only for doc_id%3=0, day 3 changed only for
@@ -3650,5 +3757,5 @@ object Text {
       qT74SeedDistance, qT75ChangeRates, qT76RateSchedule,
       qT77ApplyCanonical, qT78CanonicalRank, qT79SitemapBoostedPlan,
       qT80FocusedPriority, qT81WarmPagerank, qT82FocusedRankPlan,
-      qT83ArchiveRateSchedule)
+      qT83ArchiveRateSchedule, qT84FocusedBoostPlan)
 }
