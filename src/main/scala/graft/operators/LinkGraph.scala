@@ -106,7 +106,7 @@ object LinkGraph {
             coalesce(col("__r0"), lit(1.0 / n)).as("rank"))
           .localCheckpoint()
     }
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inflow = contribEdges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -123,9 +123,15 @@ object LinkGraph {
         else base.crossJoin(broadcast(
           ranks.join(dangling, "node")
             .agg(sum(col("rank")).as("__leak"))))
-      ranks = joined
-        .select(col("node"), update.as("rank"))
-        .localCheckpoint()
+      val next = joined.select(col("node"), update.as("rank"))
+      // checkpoint every SECOND round (and the last): truncation only
+      // exists to stop the plan doubling per round, and a two-round-deep
+      // plan (join+agg+join, twice) analyzes fine — half the
+      // materialization jobs of the one-per-round cadence for the same
+      // bounded-lineage guarantee.
+      ranks =
+        if (i % 2 == 0 || i == iterations) next.localCheckpoint()
+        else next
     }
     ranks
   }
@@ -230,22 +236,29 @@ object LinkGraph {
     }
     var hub = nodes.withColumn("hub", lit(1.0 / n))
     var auth = nodes.withColumn("authority", lit(0.0))
-    for (_ <- 1 to iterations) {
-      auth = l1(nodes.join(
+    for (i <- 1 to iterations) {
+      // same every-second-round checkpoint cadence as [[pageRank]]: the
+      // two-round-deep plan analyzes fine, and the materialization jobs
+      // halve. `auth` must pin whenever `hub` does — the final join
+      // reads both.
+      val pin = i % 2 == 0 || i == iterations
+      val nextAuth = l1(nodes.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub")).as("authority")),
           Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0.0)).as("authority")),
-        "authority").localCheckpoint()
-      hub = l1(nodes.join(
+        "authority")
+      auth = if (pin) nextAuth.localCheckpoint() else nextAuth
+      val nextHub = l1(nodes.join(
           e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node"))
             .agg(sum(col("authority")).as("hub")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub").localCheckpoint()
+        "hub")
+      hub = if (pin) nextHub.localCheckpoint() else nextHub
     }
     hub.join(auth, "node")
   }

@@ -476,10 +476,21 @@ object Outlinks {
       .groupBy(col(fromCol).cast("string").as("__from"))
       .agg(min(col(toCol).cast("string")).as("__to"))
       .localCheckpoint()
+    // a redirect CYCLE never converges under the `changed` probe (its
+    // targets orbit every round), so without a data-derived cap every
+    // cycle-bearing input pays all `maxIters` rounds. A non-cycle walk
+    // visits distinct sources, so its hop distance is < n and pointer
+    // doubling resolves it within ceil(log2 n) rounds — everything
+    // still moving after that is provably orbiting a cycle. `base` is
+    // already materialized, so the count is a cheap local scan.
+    val n = base.count()
+    val enough = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n)))
+    val rounds = math.min(maxIters, enough)
     var labels = base
     var iter = 0
-    var changed = true
-    while (changed && iter < maxIters) {
+    var changed = n > 0
+    while (changed && iter < rounds) {
       // doubling: jump through the CURRENT compressed map, not the
       // one-hop base — each round squares the stride
       val hop = labels.select(col("__from").as("__hf"),

@@ -151,6 +151,16 @@ object Revisit {
     *         unestimable) */
   def changeRates(
       history: DataFrame, urlCol: String, timeCol: String,
+      changedCol: String): DataFrame =
+    changeRatesSpanned(history, urlCol, timeCol, changedCol)
+      .select("url", "n_fetches", "n_changed", "lambda_per_day")
+
+  /** [[changeRates]] KEEPING the span bounds (`__t0`/`__tl`) in the
+    * output — `__tl` IS each URL's last-fetch epoch (max over the same
+    * doubles), so [[rateSchedule]] reuses it instead of re-scanning the
+    * history a third time for a separate last-fetch aggregation. */
+  private def changeRatesSpanned(
+      history: DataFrame, urlCol: String, timeCol: String,
       changedCol: String): DataFrame = {
     def epoch(c: Column): Column = c.cast("timestamp").cast("double")
     val h = history.select(col(urlCol).cast("string").as("url"),
@@ -172,7 +182,8 @@ object Revisit {
       .withColumn("lambda_per_day",
         when(n > 0 && col("__tl") > col("__t0"),
           -log((n - xd + 0.5) / (n + 0.5)) / meanGap * 86400.0))
-      .select("url", "n_fetches", "n_changed", "lambda_per_day")
+      .select("url", "n_fetches", "n_changed", "lambda_per_day",
+        "__t0", "__tl")
   }
 
   /** Poisson-optimal revisit schedule from the [[changeRates]]
@@ -204,17 +215,17 @@ object Revisit {
     require(minIntervalSeconds > 0
       && minIntervalSeconds <= maxIntervalSeconds,
       "need 0 < minIntervalSeconds <= maxIntervalSeconds")
-    def epoch(c: Column): Column = c.cast("timestamp").cast("double")
-    val lastFetch = history
-      .groupBy(col(urlCol).cast("string").as("url"))
-      .agg(max(epoch(col(timeCol))).as("last_fetch_epoch"))
     val lambdaSec = col("lambda_per_day") / 86400.0
     val raw = when(
       col("lambda_per_day").isNotNull && col("lambda_per_day") > 0,
       lit(-math.log1p(-staleRisk)) / lambdaSec)
       .otherwise(defaultIntervalSeconds)
-    changeRates(history, urlCol, timeCol, changedCol)
-      .join(lastFetch, "url")
+    // last_fetch_epoch = the span aggregate's max(__t) — same column,
+    // same doubles; a separate last-fetch aggregation would scan the
+    // history a third time and pay one more join for a value the
+    // change-rate pass already computed.
+    changeRatesSpanned(history, urlCol, timeCol, changedCol)
+      .withColumn("last_fetch_epoch", col("__tl"))
       .withColumn("interval_seconds",
         least(greatest(raw, lit(minIntervalSeconds)),
           lit(maxIntervalSeconds)))
