@@ -177,6 +177,39 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col(score))
   }
 
+  /** Duplicate-pair reduction (min score per (query, candidate)) FUSED
+    * with the exact salted two-level top-k, sharing ONE exchange: the
+    * raw pair rows repartition by (query, salt-of-candidate) once, the
+    * dedup aggregation and the level-1 window both run inside that
+    * partitioning, and only the level-2 rank re-shuffles (by query).
+    * The unfused form — groupBy(query, cand) + [[saltedTopK]] — pays a
+    * separate exchange for the dedup keyed on (query, cand), i.e. the
+    * full candidate set crosses the network once more for no
+    * row-level reduction (duplicate pairs are ≤ the soft-assign factor,
+    * ~1.2×). Trade-off, documented: the shared exchange carries the
+    * raw pre-dedup pairs instead of map-side-combined ones — bounded by
+    * that same soft-assign factor — in return for dropping a whole
+    * candidate-set exchange. Result rows are identical: dedup still
+    * precedes ranking, same order columns, same salt hash. */
+  private def dedupSaltedTopK(pairs: DataFrame, k: Int, salts: Int,
+      order: Seq[Column], score: String): DataFrame = {
+    require(salts >= 1, s"bad salts: $salts")
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    pairs
+      .withColumn("__salt",
+        pmod(xxhash64(col("cand_id").cast("string")), lit(salts.toLong)))
+      .repartition(col("query_id"), col("__salt"))
+      .groupBy(col("query_id"), col("__salt"), col("cand_id"))
+      .agg(min(col(score)).as(score))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col(score))
+  }
+
   /** Scalar quantizer (SQ8): one byte per DIMENSION — per-dim [min, max]
     * over the unit corpus, 256 uniform levels inside each range. The
     * third classic compression point next to PQ (one byte per SUBSPACE
@@ -459,13 +492,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"), unitCol.as("qu"),
         explode(topLists(index.centroids, probes)).as("list_id"))
     val rv = sq8ReconCol(col("code"), index.quantizer)
-    val scored = broadcast(queryLists)
+    val pairs = broadcast(queryLists)
       .join(index.codedLists, Seq("list_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         ((lit(1d) - lit(2d) * dot(col("qu"), rv)) + dot(rv, rv)).as("d2"))
-      .groupBy("query_id", "cand_id")
-      .agg(min(col("d2")).as("d2"))
-    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+    dedupSaltedTopK(pairs, k, salts, Seq(col("d2"), col("cand_id")), "d2")
   }
 
   def ivfSq8TopK(index: IvfSq8Index, queries: DataFrame, id: String,
@@ -480,15 +511,13 @@ object Similarity {
       .select(col("vec_id").as("q_id"), unitCol.as("qu"),
         explode(topLists(index.centroids, IvfProbes)).as("list_id"))
     val rv = sq8ReconCol(col("code"), index.quantizer)
-    val scored = broadcast(queryLists)
+    val pairs = broadcast(queryLists)
       .join(index.codedLists,
         queryLists("list_id") === index.codedLists("list_id")
           && col("q_id") =!= col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         ((lit(1d) - lit(2d) * dot(col("qu"), rv)) + dot(rv, rv)).as("d2"))
-      .groupBy("query_id", "cand_id")
-      .agg(min(col("d2")).as("d2"))
-    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+    dedupSaltedTopK(pairs, k, salts, Seq(col("d2"), col("cand_id")), "d2")
   }
 
   /** The DISTRIBUTED large-batch external-query IVF-SQ8 path — the
@@ -527,13 +556,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"),
         packUnit(col("v"), col("nrm")).as("qu"),
         explode(topLists(cents, probes, col("v"))).as("list_id"))
-    val scored = queryLists
+    val pairs = queryLists
       .join(index.codedLists, Seq("list_id"))
       .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
         sq8Adc(col("qu"), col("code")).as("d2"))
-      .groupBy("query_id", "cand_id")
-      .agg(min(col("d2")).as("d2"))
-    saltedTopK(scored, k, salts, Seq(col("d2"), col("cand_id")), "d2")
+    dedupSaltedTopK(pairs, k, salts, Seq(col("d2"), col("cand_id")), "d2")
   }
 
   /** Hyperplane-LSH layout: `Planes` sign bits per table × `LshTables`
@@ -1675,28 +1702,20 @@ object Similarity {
       .select(col("q_id"), packUnit(col("qv"), col("qnrm")).as("qu"),
         explode(topLists(cents, probes, col("qv"))).as("list_id"))
     // soft assignment can pair (query, vector) in ≤ IvfAssign lists with
-    // the SAME adist — dedup before ranking. groupBy+min instead of
-    // distinct: identical result (duplicates carry equal distances) but
-    // map-side partial aggregation collapses them before the exchange.
-    val cand = queryLists
-      .join(index.codedLists, Seq("list_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        adc(col("qu"), col("code")).as("adist"))
-      .groupBy(col("q_id"), col("cand_id"))
-      .agg(min(col("adist")).as("adist"))
-    val w1 = Window
-      .partitionBy(col("q_id"), col("__salt"))
-      .orderBy(col("adist"), col("cand_id").cast("string"))
-    val w2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist"), col("cand_id").cast("string"))
-    val short = cand
-      .withColumn("__salt",
-        pmod(xxhash64(col("cand_id").cast("string")), lit(salts.toLong)))
-      .withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= shortlist)
-      .withColumn("__r2", row_number().over(w2))
-      .filter(col("__r2") <= shortlist)
-      .select(col("q_id").as("query_id"), col("cand_id"))
+    // the SAME adist — dedup before ranking (groupBy+min: identical
+    // result, duplicates carry equal distances). The dedup is FUSED
+    // with the salted two-level shortlist through one (q_id, __salt)
+    // repartition — the [[dedupSaltedTopK]] shape: the unfused form
+    // paid a separate (q_id, cand_id)-keyed exchange of the whole
+    // candidate set for a ≤ IvfAssign-factor row reduction.
+    val short = dedupSaltedTopK(
+      queryLists
+        .join(index.codedLists, Seq("list_id"))
+        .select(col("q_id").as("query_id"), col("vec_id").as("cand_id"),
+          adc(col("qu"), col("code")).as("adist")),
+      shortlist, salts,
+      Seq(col("adist"), col("cand_id").cast("string")), "adist")
+      .select(col("query_id"), col("cand_id"))
     val rescored = short
       .join(q.select(col("q_id").as("query_id"), col("qv"), col("qnrm")),
         Seq("query_id"))
