@@ -365,6 +365,8 @@ object Multimodal {
     keys
       .select(col("media_id").cast("long"), col("content_id").cast("long"),
         col("mirror").cast("int"))
+      // spread the NARROW key rows before the heavy per-row encode
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
         it.map { case (mid, c, mirror) =>
@@ -727,6 +729,8 @@ object Multimodal {
     keys
       .select(col("media_id").cast("long"), col("content_id").cast("long"),
         col("reverse").cast("int"))
+      // spread the NARROW key rows before the heavy per-row encode
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
         it.map { case (mid, c, reverse) =>
@@ -2493,7 +2497,12 @@ object Multimodal {
   def syntheticGifs(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val nFrames = (2 + mid % 6).toInt
@@ -2784,7 +2793,12 @@ object Multimodal {
   def syntheticAvis(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val nFrames = (2 + mid % 6).toInt
@@ -2875,7 +2889,12 @@ object Multimodal {
   def syntheticAudio(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val frames = 800 + (mid % 32).toInt * 80
@@ -2912,7 +2931,12 @@ object Multimodal {
   def syntheticVideos(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val w = 8 + (mid % 8).toInt * 2
@@ -2968,7 +2992,12 @@ object Multimodal {
     val spark = ids.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100, 48000)
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val sr = rates((mid % 5).toInt)
@@ -3207,7 +3236,12 @@ object Multimodal {
     val spark = ids.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100, 48000)
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val sr = rates((mid % 5).toInt)
@@ -3298,7 +3332,12 @@ object Multimodal {
   def syntheticMp3s(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val srIdx = (mid % 3).toInt
@@ -3334,7 +3373,12 @@ object Multimodal {
   def syntheticWebms(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val w = 320 + (mid % 16).toInt * 16
@@ -3408,7 +3452,12 @@ object Multimodal {
   def syntheticMp4s(ids: DataFrame, id: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val w = 160 + (mid % 16).toInt * 8
@@ -3720,7 +3769,12 @@ object Multimodal {
       s"unsupported image format: $format")
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(id).cast("long").as("media_id")).as[Long]
+    ids.select(col(id).cast("long").as("media_id"))
+      // spread the NARROW id rows before the heavy per-row encode:
+      // the upstream scan is often a single split, and shuffling
+      // 8-byte ids is free next to shuffling the built payloads
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
         it.map { mid =>
           val w = 8 + (mid % 16).toInt
@@ -4162,6 +4216,8 @@ object Multimodal {
     keys
       .select(col("media_id").cast("long"), col("content_id").cast("long"),
         col("scale").cast("double"), col("trim").cast("int"))
+      // spread the NARROW key rows before the heavy per-row encode
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, Double, Int)]
       .mapPartitions { it =>
         it.map { case (mid, c, scale, trim) =>
