@@ -28,6 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Provable partition width of an analyzed plan: defined iff every
+    * leaf-to-root path passes only through partition-count-preserving
+    * narrow ops (or Union, which sums its children) down to an explicit
+    * shuffling `Repartition` — exactly the synthetic-builder signature.
+    * Anything else (scans, joins, aggregates, AQE-coalescible
+    * exchanges) returns None: width unknown. A plan walk only — never
+    * plans physically, never runs a job (`df.rdd.getNumPartitions`
+    * would EXECUTE the upstream stages under AQE). */
+  private def plannedWidth(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case r: Repartition if r.shuffle => Some(r.numPartitions)
+      case u: Union =>
+        val ws = u.children.map(plannedWidth)
+        if (ws.forall(_.isDefined)) Some(ws.flatten.sum) else None
+      case _: Project | _: Filter | _: SerializeFromObject |
+          _: DeserializeToObject | _: MapPartitions | _: TypedFilter |
+          _: SubqueryAlias =>
+        plannedWidth(p.children.head)
+      case _ => None
+    }
+  }
+
+  /** Spread a media frame across the session's cores before a heavy
+    * per-row decode — but only when it may arrive NARROWER than that
+    * (the real-table case: a compact parquet scan is typically one
+    * split). The synthetic-builder outputs are provably already
+    * encode-spread over `defaultParallelism` partitions
+    * ([[plannedWidth]]), and an unconditional round-robin there
+    * shuffles the full payload bytes to buy nothing; skipping it fuses
+    * the decode into the encode stage, so the payload never crosses
+    * the network at all. Unknown width (scans, joins, streaming
+    * frames) keeps the previous unconditional spread. */
+  private def spreadForDecode(media: DataFrame): DataFrame = {
+    val p = media.sparkSession.sparkContext.defaultParallelism
+    val wide = !media.isStreaming &&
+      plannedWidth(media.queryExecution.analyzed).exists(_ >= p)
+    if (wide) media else media.repartition(p)
+  }
+
   /** Typed per-media feature row (the post-decode schema). */
   final case class MediaFeatures(
       media_id: Long,
@@ -340,7 +382,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -495,7 +537,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -555,7 +597,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -701,7 +743,7 @@ object Multimodal {
     import spark.implicits._
     val decoders = SampleDecoders.snapshot()
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -794,7 +836,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -846,7 +888,7 @@ object Multimodal {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = media.sparkSession
     val prepped = media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select((Seq(col("media_id"), col("kind"), col("bytes"))
         ++ carry.map(col)): _*)
     val outSchema = StructType(
@@ -888,7 +930,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1702,7 +1744,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1719,7 +1761,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1775,7 +1817,7 @@ object Multimodal {
     val audioDecoders = AudioSampleDecoders.snapshot()
     media
       // decode is per-row heavy: spread a compact source across all cores
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -2139,7 +2181,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -2206,7 +2248,7 @@ object Multimodal {
     val decoders = SampleDecoders.snapshot()
     media
       .filter(col("kind") === "video")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -4065,7 +4107,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -4101,7 +4143,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -4186,7 +4228,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(spreadForDecode)
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
