@@ -74,8 +74,15 @@ object LinkGraph {
       : DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1]")
+    // pin the projected edge list FIRST: nodes, contribEdges and (when
+    // redistributing) dangling each materialize it, and an expensive
+    // upstream — a corpus-sized host-edge extraction, a WAT parse —
+    // would otherwise be recomputed per consumer ([[hits]] and
+    // [[seedDistance]] already pin theirs; q_t56 profiled the edge
+    // aggregate running twice before this)
     val e = edges.select(col(src).cast("string").as("src"),
       col(dst).cast("string").as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
