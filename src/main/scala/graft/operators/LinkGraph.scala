@@ -135,9 +135,13 @@ object LinkGraph {
       // exists to stop the plan doubling per round, and a two-round-deep
       // plan (join+agg+join, twice) analyzes fine — half the
       // materialization jobs of the one-per-round cadence for the same
-      // bounded-lineage guarantee.
+      // bounded-lineage guarantee. EXCEPT when redistributing: the leak
+      // aggregate reads the previous round's ranks a SECOND time (inflow
+      // join + leak broadcast), so an un-pinned round would be
+      // recomputed inside the broadcast side — pin every round there.
       ranks =
-        if (i % 2 == 0 || i == iterations) next.localCheckpoint()
+        if (redistributeDangling || i % 2 == 0 || i == iterations)
+          next.localCheckpoint()
         else next
     }
     ranks
@@ -244,28 +248,29 @@ object LinkGraph {
     var hub = nodes.withColumn("hub", lit(1.0 / n))
     var auth = nodes.withColumn("authority", lit(0.0))
     for (i <- 1 to iterations) {
-      // same every-second-round checkpoint cadence as [[pageRank]]: the
-      // two-round-deep plan analyzes fine, and the materialization jobs
-      // halve. `auth` must pin whenever `hub` does — the final join
-      // reads both.
-      val pin = i % 2 == 0 || i == iterations
-      val nextAuth = l1(nodes.join(
+      // checkpoint every round, AFTER normalization: l1's in-plan
+      // broadcast total reads its input twice, so an un-pinned round
+      // is recomputed inside the next round's broadcast side — the
+      // every-second-round cadence [[pageRank]] uses measured SLOWER
+      // here (q_t58 solo 1.5 → 2.5-4 s), and pinning the raw sums
+      // before l1 instead measured slower still (9 s: one more
+      // broadcast materialization per half-round). This is the r20
+      // form, kept on measurement.
+      auth = l1(nodes.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub")).as("authority")),
           Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0.0)).as("authority")),
-        "authority")
-      auth = if (pin) nextAuth.localCheckpoint() else nextAuth
-      val nextHub = l1(nodes.join(
+        "authority").localCheckpoint()
+      hub = l1(nodes.join(
           e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node"))
             .agg(sum(col("authority")).as("hub")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub")
-      hub = if (pin) nextHub.localCheckpoint() else nextHub
+        "hub").localCheckpoint()
     }
     hub.join(auth, "node")
   }
