@@ -101,7 +101,12 @@ class Mp4SamplesSpec extends AnyFunSuite {
       .filter(col("doc_id") % 64 === 3)
     val df = Multimodal.mp4SampleTable(Multimodal.syntheticMp4s(
       docs, "doc_id"))
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the synthetic builder's narrow-id
+    // round-robin spread (r21 encode parallelization); the walk itself
+    // must not shuffle — no hash/range exchange anywhere
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
       "the sample walk must stay a narrow map")
     val rows = df.collect()
     assert(rows.nonEmpty)

@@ -358,9 +358,12 @@ class PlanSpec extends AnyFunSuite {
       "probed lists must candidate via a broadcast equi-join:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "IVF-SQ8 must not fall back to a nested-loop scan:\n" + p)
-    // 3 shuffles: the (query, cand) shared-list dedup agg + the two
-    // pruned rank levels
-    assertSaltedExactRank(p, "IVF-SQ8", expectShuffles = 3)
+    // 2 shuffles since the r21 fusion: ONE (query, salt) repartition
+    // shared by the shared-list dedup agg and rank level 1 (the salt is
+    // a pure function of the candidate id, so both are clustered by
+    // it), + the level-2 per-query rank. Was 3 when the dedup agg
+    // exchanged separately on (query, cand).
+    assertSaltedExactRank(p, "IVF-SQ8", expectShuffles = 2)
   }
 
   /** The exact top-k paths must never sort one query's whole scored

@@ -254,7 +254,12 @@ class SampleDecoderSpec extends AnyFunSuite {
       Tables.documents(spark, GraftSpark.sf)
         .filter(col("doc_id") % 64 === 5), "doc_id")
     val df = Multimodal.mp3FrameTable(mp3s)
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the synthetic builder's narrow-id
+    // round-robin spread (r21 encode parallelization); the walk itself
+    // must not shuffle — no hash/range exchange anywhere
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
       "the frame walk must stay a narrow map")
     assert(df.count() > 0)
   }

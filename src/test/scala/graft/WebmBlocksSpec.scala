@@ -113,7 +113,12 @@ class WebmBlocksSpec extends AnyFunSuite {
       .filter(col("doc_id") % 64 === 6)
     val df = Multimodal.webmBlockTable(Multimodal.syntheticWebms(
       docs, "doc_id"))
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the synthetic builder's narrow-id
+    // round-robin spread (r21 encode parallelization); the walk itself
+    // must not shuffle — no hash/range exchange anywhere
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
       "the block walk must stay a narrow map")
     assert(df.count() > 0)
   }
