@@ -19,8 +19,16 @@ import org.apache.spark.sql.SparkSession
   *     every output column is materialised into `InternalRow`s, nothing
   *     is pruned, and nothing is collected to the driver.
   *   - '''Machine-readable output.''' The JSON line is written to the
-  *     file named by `SPARK_GRAFT_BENCH_OUT` when set (and always echoed
-  *     to stdout), so sbt's log framing can no longer corrupt the record.
+  *     file named by `SPARK_GRAFT_BENCH_OUT` when set — and since r22
+  *     ALWAYS to `bench_out.json` in the working directory as well — so
+  *     sbt's log framing can no longer corrupt the record. The full
+  *     per-query line is ~16 KB, which outlives any bounded stdout tail
+  *     a harness keeps (PERF_r17-r21 all record `parsed: null` for this
+  *     reason), so the LAST stdout line is a compact summary —
+  *     `{"total_sec":…,"n":…,"n_errors":…,"calibration":…,
+  *     "bench_out":…}` — that fits any tail and names the file holding
+  *     the full record. The timing methodology is unchanged; the full
+  *     line is still printed first.
   *   - '''Cross-query isolation.''' Between queries we clear the Spark
   *     cache and run an explicit GC pause, so one query's leftover heap /
   *     cached blocks can't masquerade as another query's regression.
@@ -145,14 +153,33 @@ object Bench {
     // Paths.get itself throws InvalidPathException (a RuntimeException)
     // on malformed paths.
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      try Files.write(Paths.get(path),
-        (line + "\n").getBytes(StandardCharsets.UTF_8))
-      catch {
+    def writeRecord(path: String): Boolean =
+      try {
+        Files.write(Paths.get(path),
+          (line + "\n").getBytes(StandardCharsets.UTF_8))
+        true
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] cannot write $path: ${e.getMessage}")
+          false
       }
-    }
+    // the full record always lands in a file: the env-named one when
+    // set, and unconditionally bench_out.json in cwd — a tail-bounded
+    // stdout capture then still leads (via the summary line below) to
+    // the complete per-query map.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeRecord)
+    val defaultOut = "bench_out.json"
+    val defaultOk = writeRecord(defaultOut)
+    // LAST stdout line: a compact, always-parseable summary. It
+    // deliberately carries NO "queries" map — a tail parser that reads
+    // per-query maps must use the full record (first stdout line or the
+    // out-file), never a truncated subset that would misread as dropped
+    // queries.
+    println(
+      s"""{"graft_bench_summary":1,"total_sec":${fmt(total)},""" +
+        s""""n":${best.size},"n_errors":${failed.size},$calib,""" +
+        s""""sf":"$sfDir","cpus":$cpus,""" +
+        s""""bench_out":"${if (defaultOk) defaultOut else ""}"}""")
     spark.stop()
   }
 }

@@ -60,9 +60,16 @@ object QueryProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // warm the read path like Bench does
+    // warm the read path like Bench does — and SAY when the warm-up
+    // did not happen, so a cold run-1 is flagged instead of silently
+    // skewing the printed numbers (media/web queries additionally pay
+    // their own first-table cold scan either way; trust run 2+)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        println(s"[profile] warm-up read failed (${e.getMessage}); " +
+          "run-1 numbers are cold")
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.exists(n.contains))
@@ -75,6 +82,10 @@ object QueryProfile {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // the listener bus is asynchronous: give it a moment to drain
+        // before the table is printed and cleared, or a late event from
+        // this run would be dropped or charged to the next one
+        Thread.sleep(300)
         println(f"== $name run $r: $sec%.3f s, ${jobs.size} events")
         jobs.forEach(l => println(l))
       }

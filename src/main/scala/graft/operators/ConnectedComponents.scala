@@ -52,6 +52,10 @@ object ConnectedComponents {
     var labels = bidir.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    // tiny-loop gate ([[TinyLoop]]): the bidirectional edge list bounds
+    // every round frame (labels = its distinct sources), and each round
+    // re-joins it anyway, so one cached-scan count covers the loop
+    val tiny = TinyLoop.isTiny(edges.sparkSession, bidir.count())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -72,7 +76,7 @@ object ConnectedComponents {
       // label is already on the propagate join, so comparing it there is
       // free, and rounds cost 2 jobs (propagate, shortcut), not 3.
       val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$iter")
-      val prop = labels.as("l")
+      val prop = TinyLoop.pin(labels.as("l")
         .join(neighborMin.as("n"), Seq("node"), "left_outer")
         .select(col("node"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
@@ -80,8 +84,8 @@ object ConnectedComponents {
         .observe(obs,
           sum(when(col("__next") =!= col("__prev"), 1L).otherwise(0L))
             .as("changed"))
-        .select(col("node"), col("__next").as("component"))
-        .localCheckpoint()
+        .select(col("node"), col("__next").as("component")),
+        tiny)
       val changed = obs.get.get("changed") match {
         case None | Some(null) => 0L // empty graph: sum over zero rows
         case Some(n) => n.asInstanceOf[java.lang.Number].longValue()
@@ -94,14 +98,14 @@ object ConnectedComponents {
         // id present in `prop` (labels only ever take values from the node
         // set), so the lookup always matches; left_outer + coalesce is belt
         // and braces. label(m) ≤ m ⇒ the jump never increases a label.
-        labels = prop.as("a")
+        labels = TinyLoop.pin(prop.as("a")
           .join(prop
               .select(col("node").as("pnode"), col("component").as("pcomp"))
               .as("b"),
             col("a.component") === col("pnode"), "left_outer")
           .select(col("node"),
-            coalesce(col("pcomp"), col("a.component")).as("component"))
-          .localCheckpoint()
+            coalesce(col("pcomp"), col("a.component")).as("component")),
+          tiny)
       }
       iter += 1
     }

@@ -265,6 +265,19 @@ object CrawlLoop {
         .unionByName(sm.select(col("loc").cast("string").as("__l"))))
     var pending = Outlinks.canonicalLinks(seedFeed, "__l")
       .distinct().localCheckpoint()
+    // tiny-loop gate ([[TinyLoop]]): a cycle's frames are bounded by
+    // the frontier it plans and the link fan-out of the pages it
+    // fetches — all row counts the loop measures anyway (frontierSize,
+    // plannedCount) or can count for one cheap cached scan WHILE the
+    // crawl is still tiny. The gate starts from the seed count, only
+    // ever turns OFF (monotone — a crawl that has grown large never
+    // pays accumulator counts again), and payload-bearing frames
+    // (fetched pages) are never pinned compacted: rows bound poorly
+    // when each row carries a document body.
+    var loopTiny = TinyLoop.isTiny(spark, pending.count())
+    def gate(counts: Long*): Unit =
+      if (loopTiny && !TinyLoop.isTiny(spark, counts: _*)) loopTiny = false
+    def pin(df: DataFrame): DataFrame = TinyLoop.pin(df, loopTiny)
     var seen = spark.range(0).select(lit("").as("url")).localCheckpoint()
     var redirAcc =
       emptyPairs("redirect_from", "redirect_to").localCheckpoint()
@@ -395,6 +408,9 @@ object CrawlLoop {
         val r = snapshot("ranks")
         ranksPrev = if (r.isEmpty) None else Some(r.localCheckpoint())
       }
+      // resumed state has unknown accumulated size; measuring it would
+      // cost scans of every reconstructed frame — stay adaptive
+      loopTiny = false
     }
     val results = Seq.newBuilder[CycleResult]
 
@@ -405,9 +421,8 @@ object CrawlLoop {
       var policiesDelta = emptyState("policies")
       var smEntriesDelta = emptyState("sm_entries")
       var smAttemptsDelta = emptyState("sm_attempts")
-      val mapping = Outlinks.canonicalMapping(
-        Outlinks.resolveRedirectChains(redirAcc), canonAcc)
-        .localCheckpoint()
+      val mapping = pin(Outlinks.canonicalMapping(
+        Outlinks.resolveRedirectChains(redirAcc), canonAcc))
       def collapse(df: DataFrame): DataFrame =
         Outlinks.applyCanonical(df, "frontier_url", mapping,
           "alias_url", "canonical_url")
@@ -447,12 +462,13 @@ object CrawlLoop {
             .select(col("url").as("frontier_url"))).distinct()
         case _ => pending.limit(0)
       }
-      val frontier = collapse(pending).distinct()
+      val frontier = pin(collapse(pending).distinct()
         .join(seen.select(col("url").as("frontier_url")),
           Seq("frontier_url"), "left_anti")
         .unionByName(due)
-        .distinct().localCheckpoint()
+        .distinct())
       val frontierSize = frontier.count()
+      gate(frontierSize)
       val dueCount = if (c > 0 && clock.isDefined) due.count() else 0L
 
       // robots freshness advances with the crawl's own clock: absent
@@ -469,11 +485,10 @@ object CrawlLoop {
         val worklist = Robots.robotsFetchList(frontier, "frontier_url",
           robotsAttempts, "__ah", fetchedAtCol = Some("__af"),
           maxAgeSeconds = maxAgeSeconds, asOf = asOfC)
-        val rplan = Outlinks.fetchPlan(
+        val rplan = pin(Outlinks.fetchPlan(
             worklist.select(col("robots_url").as("frontier_url")),
             "frontier_url", emptyPairs("__h", "__r"), "__h", "__r",
-            agent, defaultDelay)
-          .localCheckpoint()
+            agent, defaultDelay))
         val n = rplan.count()
         if (n > 0) {
           // PLANNED means ATTEMPTED, stamped with the cycle clock —
@@ -485,16 +500,15 @@ object CrawlLoop {
           robotsDelta = rplan.select(
             TextAnalysis.urlHost(col("frontier_url")).as("__ah"),
             lit(clock.get(c)).cast("timestamp").as("__af"))
-          robotsAttempts = robotsAttempts.unionByName(robotsDelta)
-            .groupBy("__ah").agg(max(col("__af")).as("__af"))
-            .localCheckpoint()
+          robotsAttempts = pin(robotsAttempts.unionByName(robotsDelta)
+            .groupBy("__ah").agg(max(col("__af")).as("__af")))
           val rpages = fetch(rplan, c).localCheckpoint()
           policiesDelta = rpages.filter(col("http_status") === 200)
             .select(
               TextAnalysis.urlHost(col("target_uri")).as("__ph"),
               col("payload").cast("string").as("__pr"),
               col("warc_date").cast("timestamp").as("__pf"))
-          policiesAcc = policiesAcc.unionByName(policiesDelta)
+          policiesAcc = pin(policiesAcc.unionByName(policiesDelta)
             // latest fetch per host wins (a stamped row beats an
             // unstamped seed — nulls sort first in struct ordering);
             // the dedup also keeps the policy join fan-out-free
@@ -502,8 +516,7 @@ object CrawlLoop {
             .agg(max(struct(col("__pf"), col("__pr"))).as("__s"))
             .select(col("__ph"),
               col("__s").getField("__pr").as("__pr"),
-              col("__s").getField("__pf").as("__pf"))
-            .localCheckpoint()
+              col("__s").getField("__pf").as("__pf")))
         }
         n
       }
@@ -522,11 +535,10 @@ object CrawlLoop {
         val worklist = Outlinks.sitemapFetchList(
           declared, "sitemap_url", smEntriesAcc,
           smAttempts, "sitemap_url")
-        val splan = Outlinks.fetchPlan(
+        val splan = pin(Outlinks.fetchPlan(
             worklist.select(col("sitemap_url").as("frontier_url")),
             "frontier_url", emptyPairs("__h", "__r"), "__h", "__r",
-            agent, defaultDelay)
-          .localCheckpoint()
+            agent, defaultDelay))
         val n = splan.count()
         if (n > 0) {
           // every PLANNED sitemap records as attempted, status- and
@@ -535,17 +547,17 @@ object CrawlLoop {
           // forever (sitemaps fetch once per crawl)
           smAttemptsDelta =
             splan.select(col("frontier_url").as("sitemap_url"))
-          smAttempts = smAttempts.unionByName(smAttemptsDelta)
-            .distinct().localCheckpoint()
+          smAttempts = pin(smAttempts.unionByName(smAttemptsDelta)
+            .distinct())
           val spages = fetch(splan, c).localCheckpoint()
           val parsed = Outlinks.sitemapEntries(
             spages.filter(col("http_status") === 200)
               .select(col("payload").cast("string").as("__xml")),
             "__xml")
           smEntriesDelta = normEntries(parsed)
-          smEntriesAcc = smEntriesAcc
+          smEntriesAcc = pin(smEntriesAcc
             .unionByName(smEntriesDelta)
-            .distinct().localCheckpoint()
+            .distinct())
           smNewLocs = Outlinks.canonicalLinks(
             parsed.filter(!col("is_index"))
               .select(col("loc").as("__l")), "__l").distinct()
@@ -560,7 +572,7 @@ object CrawlLoop {
       val ranks = LinkGraph.pageRank(
         collapsedE, "src", "dst", iterations = rankIterations,
         initial = if (warmStartRanks) ranksPrev else None)
-      if (warmStartRanks) ranksPrev = Some(ranks.localCheckpoint())
+      if (warmStartRanks) ranksPrev = Some(pin(ranks))
       // with topics the priority base becomes relevance × authority
       // (see the `topics` param doc); every frame in the product keys
       // on CANONICAL urls — the anchor index rewrites through the
@@ -581,14 +593,14 @@ object CrawlLoop {
       }
       val priorities = smPagesNow.fold(baseRanks)(sm =>
         Outlinks.sitemapBoostedPriorities(baseRanks, sm))
-      val plan = Outlinks.fetchPlan(contained, "frontier_url",
+      val plan = pin(Outlinks.fetchPlan(contained, "frontier_url",
           polFrame, polHost, polRobots, agent, defaultDelay,
           maxPerHost = maxPerHost, priorities = Some(priorities),
           fetchedAtCol = polFat, maxAgeSeconds = maxAgeSeconds,
           asOf = asOfC, hostBudgets = hostBudgets,
-          budgetHostCol = budgetHostCol, budgetCol = budgetCol)
-        .localCheckpoint()
+          budgetHostCol = budgetHostCol, budgetCol = budgetCol))
       val plannedCount = plan.count()
+      gate(plannedCount)
 
       val pages = fetch(plan, c).localCheckpoint()
       val content = pages.filter(col("http_status") === 200)
@@ -599,9 +611,9 @@ object CrawlLoop {
       val archived = graft.sources.WarcIO.warcDedupSave(
         content, s"$archiveDir/batch=$c", priorIndex = prior)
 
-      seen = seen
+      seen = pin(seen
         .unionByName(plan.select(col("frontier_url").as("url")))
-        .distinct().localCheckpoint()
+        .distinct())
 
       val html = content
         .filter(lower(coalesce(col("http_content_type"), lit("")))
@@ -626,8 +638,8 @@ object CrawlLoop {
             && col("outlink").rlike("^https?://"))
       }
       if (topics.isDefined)
-        anchorsAcc = anchorsAcc.unionByName(anchorsDelta)
-          .distinct().localCheckpoint()
+        anchorsAcc = pin(anchorsAcc.unionByName(anchorsDelta)
+          .distinct())
       val redirE = Outlinks.redirectEdges(pages)
         .select(col("redirect_from").cast("string"),
           col("redirect_to").cast("string"))
@@ -637,15 +649,22 @@ object CrawlLoop {
       val canonE = Outlinks.canonicalLinkEdges(html, "text", "target_uri")
         .select(col("page_uri").cast("string"),
           col("canonical_uri").cast("string"))
-      redirAcc = redirAcc.unionByName(redirE).unionByName(refreshE)
-        .distinct().localCheckpoint()
-      canonAcc = canonAcc.unionByName(canonE)
-        .distinct().localCheckpoint()
+      redirAcc = pin(redirAcc.unionByName(redirE).unionByName(refreshE)
+        .distinct())
+      canonAcc = pin(canonAcc.unionByName(canonE)
+        .distinct())
       // anchor links only vote in the graph — redirects are aliases
       // (the mapping collapses them), and double-counting them as
       // edges would let every moved page vote twice
-      edgesAcc = edgesAcc.unionByName(anchorLinks)
-        .distinct().localCheckpoint()
+      edgesAcc = pin(edgesAcc.unionByName(anchorLinks)
+        .distinct())
+      // accumulated frames grow by per-page link fan-out, which no
+      // per-cycle count predicts — while tiny, re-measure them (cheap
+      // single-partition cached scans) so the NEXT pins see growth
+      if (loopTiny)
+        gate(seen.count(), edgesAcc.count(), redirAcc.count(),
+          canonAcc.count(), smEntriesAcc.count(),
+          (if (topics.isDefined) anchorsAcc.count() else 0L))
 
       // redirect targets AND declared canonical URIs join the feed: a
       // moved page's destination and a variant's canonical form are
@@ -654,14 +673,14 @@ object CrawlLoop {
         .unionByName(redirE.select(col("redirect_to").as("__l")))
         .unionByName(refreshE.select(col("redirect_to").as("__l")))
         .unionByName(canonE.select(col("canonical_uri").as("__l")))
-      pending = frontier
+      pending = pin(frontier
         .join(plan.select("frontier_url"), Seq("frontier_url"),
           "left_anti")
         .unionByName(Outlinks.canonicalLinks(linkFeed, "__l")
           .unionByName(smNewLocs)
           .join(seen.select(col("url").as("frontier_url")),
             Seq("frontier_url"), "left_anti"))
-        .distinct().localCheckpoint()
+        .distinct())
 
       stateDir.foreach { _ =>
         saveState(c, Map(

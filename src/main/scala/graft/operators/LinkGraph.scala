@@ -89,17 +89,23 @@ object LinkGraph {
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    // tiny-loop gate ([[TinyLoop]]): the node count is already paid
+    // for; the edge count only runs once the node side is known tiny
+    // (short-circuit — a large graph never pays the extra cached scan,
+    // and a tiny one re-joins the pinned edge list every round anyway)
+    val ss = edges.sparkSession
+    val tiny = TinyLoop.isTiny(ss, n) && TinyLoop.isTiny(ss, e.count())
     // out-degree rides the edge list from the start: the per-iteration
     // join then touches ONE static build side, not two
-    val contribEdges = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint()
+    val contribEdges = TinyLoop.pin(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src"),
+      tiny)
     // dangling = never a source; pinned once — the per-round leak is
     // then one aggregation over (ranks ⋈ this small frame)
-    lazy val dangling = nodes
+    lazy val dangling = TinyLoop.pin(nodes
       .join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
-      .localCheckpoint()
+        Seq("node"), "left_anti"),
+      tiny)
     val reset = (1.0 - damping) / n
     var ranks = initial match {
       case None => nodes.withColumn("rank", lit(1.0 / n))
@@ -108,10 +114,10 @@ object LinkGraph {
           .select(col(initNodeCol).cast("string").as("node"),
             col(initRankCol).cast("double").as("__r0"))
           .groupBy("node").agg(max(col("__r0")).as("__r0"))
-        nodes.join(i0, Seq("node"), "left")
+        TinyLoop.pin(nodes.join(i0, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("__r0"), lit(1.0 / n)).as("rank"))
-          .localCheckpoint()
+            coalesce(col("__r0"), lit(1.0 / n)).as("rank")),
+          tiny)
     }
     for (i <- 1 to iterations) {
       val inflow = contribEdges
@@ -141,7 +147,7 @@ object LinkGraph {
       // recomputed inside the broadcast side — pin every round there.
       ranks =
         if (redistributeDangling || i % 2 == 0 || i == iterations)
-          next.localCheckpoint()
+          TinyLoop.pin(next, tiny)
         else next
     }
     ranks
@@ -180,20 +186,41 @@ object LinkGraph {
       .distinct()
       .withColumn("depth", lit(0))
       .localCheckpoint()
+    // tiny-loop gate ([[TinyLoop]]): seed count first (already
+    // materialized, cheap), edge count only when the seeds are tiny.
+    // The deduped edge list bounds every later frame — a frontier is a
+    // subset of distinct dst, visited a subset of nodes — so these two
+    // counts cover the whole BFS.
+    val ss = edges.sparkSession
+    val tiny = TinyLoop.isTiny(ss, visited.count()) &&
+      TinyLoop.isTiny(ss, e.count())
     var frontier = visited
     var d = 0
     var exhausted = frontier.isEmpty
     while (!exhausted && d < maxDepth) {
-      val next = e
+      // the emptiness probe rides the materialization as an observed
+      // metric (the [[ConnectedComponents]] trick) — one job per
+      // depth, not two
+      val obs = org.apache.spark.sql.Observation(s"graft_bfs_next_$d")
+      val next = TinyLoop.pin(e
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node"))
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(d + 1))
-        .localCheckpoint()
-      exhausted = next.limit(1).count() == 0
+        .observe(obs, count(lit(1)).as("n")),
+        tiny)
+      exhausted = (obs.get.get("n") match {
+        case None | Some(null) => 0L
+        case Some(c) => c.asInstanceOf[java.lang.Number].longValue()
+      }) == 0
       if (!exhausted) {
-        visited = visited.union(next).localCheckpoint()
+        // visited stays LAZY: it is a union of already-pinned frames
+        // (the seed frame + every round's `next`), so the anti-join
+        // reads cached blocks either way — materializing the union
+        // again would copy O(|visited|) rows per depth for nothing,
+        // at any scale
+        visited = visited.union(next)
         frontier = next
       }
       d += 1
@@ -238,6 +265,9 @@ object LinkGraph {
     if (n == 0)
       return nodes.withColumn("hub", lit(0.0))
         .withColumn("authority", lit(0.0))
+    // tiny-loop gate ([[TinyLoop]]) — same shape as [[pageRank]]'s
+    val ss = edges.sparkSession
+    val tiny = TinyLoop.isTiny(ss, n) && TinyLoop.isTiny(ss, e.count())
     def l1(df: DataFrame, c: String): DataFrame = {
       val total = df.agg(sum(col(c)).as("__total"))
       df.crossJoin(broadcast(total))
@@ -247,7 +277,7 @@ object LinkGraph {
     }
     var hub = nodes.withColumn("hub", lit(1.0 / n))
     var auth = nodes.withColumn("authority", lit(0.0))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       // checkpoint every round, AFTER normalization: l1's in-plan
       // broadcast total reads its input twice, so an un-pinned round
       // is recomputed inside the next round's broadcast side — the
@@ -256,21 +286,21 @@ object LinkGraph {
       // before l1 instead measured slower still (9 s: one more
       // broadcast materialization per half-round). This is the r20
       // form, kept on measurement.
-      auth = l1(nodes.join(
+      auth = TinyLoop.pin(l1(nodes.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub")).as("authority")),
           Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0.0)).as("authority")),
-        "authority").localCheckpoint()
-      hub = l1(nodes.join(
+        "authority"), tiny)
+      hub = TinyLoop.pin(l1(nodes.join(
           e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node"))
             .agg(sum(col("authority")).as("hub")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub").localCheckpoint()
+        "hub"), tiny)
     }
     hub.join(auth, "node")
   }

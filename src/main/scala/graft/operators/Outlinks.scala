@@ -487,6 +487,9 @@ object Outlinks {
     val enough = math.max(1,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n)))
     val rounds = math.min(maxIters, enough)
+    // tiny-loop gate ([[TinyLoop]]): every round frame is exactly one
+    // row per source, so the already-paid-for count covers the loop
+    val tiny = TinyLoop.isTiny(redirects.sparkSession, n)
     var labels = base
     var iter = 0
     var changed = n > 0
@@ -495,17 +498,28 @@ object Outlinks {
       // one-hop base — each round squares the stride
       val hop = labels.select(col("__from").as("__hf"),
         col("__to").as("__ht"))
-      val next = labels
+      // the convergence probe rides the materialization as an observed
+      // metric (the [[ConnectedComponents]] trick) instead of a second
+      // per-round job over the pinned frame: __prev is already on the
+      // join, so the changed-count is free, and converged inputs still
+      // stop looping early (cycles never converge: they keep orbiting
+      // until the ⌈log2 n⌉ cap)
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_redir_changed_$iter")
+      val next = TinyLoop.pin(labels
         .join(hop, labels("__to") === hop("__hf"), "left")
         .select(col("__from"), col("__to").as("__prev"),
           coalesce(col("__ht"), col("__to")).as("__to"))
-        .localCheckpoint()
-      // the frame is already materialized — the existence probe is a
-      // cheap local scan, and converged inputs stop looping early
-      // (cycles never converge: they keep orbiting until maxIters)
-      changed = next.filter(col("__to") =!= col("__prev"))
-        .limit(1).count() > 0
-      labels = next.select("__from", "__to")
+        .observe(obs,
+          sum(when(col("__to") =!= col("__prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("__from"), col("__to")),
+        tiny)
+      changed = (obs.get.get("changed") match {
+        case None | Some(null) => 0L // empty frame: sum over zero rows
+        case Some(c) => c.asInstanceOf[java.lang.Number].longValue()
+      }) > 0
+      labels = next
       iter += 1
     }
     // a target still in the source domain after ⌈log2 65k⌉ doublings

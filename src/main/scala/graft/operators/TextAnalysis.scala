@@ -1730,6 +1730,12 @@ object TextAnalysis {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .localCheckpoint()
+    // tiny-loop gate ([[TinyLoop]]): every merge round is one pass over
+    // this pinned word table, so its count — one cheap cached scan
+    // against nMerges full passes — covers the whole loop. The
+    // per-round pass is integer arithmetic under a total order (ties
+    // break on (l, r)), so the compacted execution is bit-equal.
+    val tinyWords = TinyLoop.isTiny(docs.sparkSession, words.count())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (!done && merges.size < nMerges) {
@@ -1738,12 +1744,14 @@ object TextAnalysis {
         val s = bpeApplyMerges(bpeSymbols(w), sofar)
         (0 until s.length - 1).map(i => (s(i), s(i + 1)))
       }
-      val best = words
-        .select(explode(pairsOf(col("w"))).as("p"), col("f"))
-        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
-        .agg(sum(col("f")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val best = TinyLoop.compact(docs.sparkSession, tinyWords) {
+        words
+          .select(explode(pairsOf(col("w"))).as("p"), col("f"))
+          .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+          .agg(sum(col("f")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+      }
       if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
       else merges += ((best(0).getString(0), best(0).getString(1),
         best(0).getLong(2)))

@@ -3286,10 +3286,16 @@ object Text {
     val alias2 = when(col("doc_id") % 2 === 0, u("p", t2))
       .otherwise(concat(u("c", t2), lit("?sid=1")))
     val one = s.range(1)
+    // edges is consumed TWICE (collapse leg + the final frontier
+    // distinct) and mapping twice (collapse leg + the final
+    // applyCanonical): pin both — exactly what [[graft.operators
+    // .CrawlLoop.crawlCycles]] does with its per-cycle mapping — so
+    // the corpus-derived extraction runs once, not per consumer
     val edges = docs.select(u("p", m).as("src"), alias1.as("dst"))
       .union(docs.select(u("p", m).as("src"), alias2.as("dst")))
       .union(one.select(lit("https://cs.example/p/0").as("src"),
         lit("https://cs.example/cy/a").as("dst")))
+      .localCheckpoint()
     val redirects = docs
       .select(u("r1", m).as("redirect_from"), u("r2", m).as("redirect_to"))
       .union(docs.select(u("r2", m), u("p", m)))
@@ -3305,6 +3311,7 @@ object Text {
       .union(docs.select(u("r1", m), u("bogus", m)))
     val mapping = Outlinks.canonicalMapping(
       Outlinks.resolveRedirectChains(redirects), canon)
+      .localCheckpoint()
     val collapsed = Outlinks.collapseEdges(edges, "src", "dst", mapping)
     val ranks = graft.operators.LinkGraph.pageRank(
       collapsed, "src", "dst", iterations = 5, damping = 0.85)

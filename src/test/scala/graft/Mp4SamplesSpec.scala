@@ -102,11 +102,16 @@ class Mp4SamplesSpec extends AnyFunSuite {
     val df = Multimodal.mp4SampleTable(Multimodal.syntheticMp4s(
       docs, "doc_id"))
     val plan = df.queryExecution.executedPlan.toString
-    // the only exchange allowed is the synthetic builder's narrow-id
-    // round-robin spread (r21 encode parallelization); the walk itself
-    // must not shuffle — no hash/range exchange anywhere
+    // the only exchange allowed is the synthetic builder's ONE
+    // narrow-id round-robin spread (r21 encode parallelization); the
+    // walk itself must not shuffle — pin the exact count so a payload
+    // round-robin shuffle sneaking in would fail, not just hash/range
+    assert("(?i)Exchange roundrobinpartitioning".r
+        .findAllMatchIn(plan).size == 1,
+      s"exactly one builder round-robin spread expected:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning")
-        && !plan.contains("Exchange rangepartitioning"),
+        && !plan.contains("Exchange rangepartitioning")
+        && !plan.contains("Exchange SinglePartition"),
       "the sample walk must stay a narrow map")
     val rows = df.collect()
     assert(rows.nonEmpty)

@@ -255,11 +255,16 @@ class SampleDecoderSpec extends AnyFunSuite {
         .filter(col("doc_id") % 64 === 5), "doc_id")
     val df = Multimodal.mp3FrameTable(mp3s)
     val plan = df.queryExecution.executedPlan.toString
-    // the only exchange allowed is the synthetic builder's narrow-id
-    // round-robin spread (r21 encode parallelization); the walk itself
-    // must not shuffle — no hash/range exchange anywhere
+    // the only exchange allowed is the synthetic builder's ONE
+    // narrow-id round-robin spread (r21 encode parallelization); the
+    // walk itself must not shuffle — pin the exact count so a payload
+    // round-robin shuffle sneaking in would fail, not just hash/range
+    assert("(?i)Exchange roundrobinpartitioning".r
+        .findAllMatchIn(plan).size == 1,
+      s"exactly one builder round-robin spread expected:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning")
-        && !plan.contains("Exchange rangepartitioning"),
+        && !plan.contains("Exchange rangepartitioning")
+        && !plan.contains("Exchange SinglePartition"),
       "the frame walk must stay a narrow map")
     assert(df.count() > 0)
   }
