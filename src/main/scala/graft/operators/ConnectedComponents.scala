@@ -75,21 +75,15 @@ object ConnectedComponents {
       // blocks) instead of a separate join + count job per round: the old
       // label is already on the propagate join, so comparing it there is
       // free, and rounds cost 2 jobs (propagate, shortcut), not 3.
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$iter")
-      val prop = TinyLoop.pin(labels.as("l")
+      val (propWide, changed) = TinyLoop.pinCounted(labels.as("l")
         .join(neighborMin.as("n"), Seq("node"), "left_outer")
         .select(col("node"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("__next"))
-        .observe(obs,
-          sum(when(col("__next") =!= col("__prev"), 1L).otherwise(0L))
-            .as("changed"))
-        .select(col("node"), col("__next").as("component")),
-        tiny)
-      val changed = obs.get.get("changed") match {
-        case None | Some(null) => 0L // empty graph: sum over zero rows
-        case Some(n) => n.asInstanceOf[java.lang.Number].longValue()
-      }
+            .as("__next")),
+        tiny, s"graft_cc_changed_$iter",
+        sum(when(col("__next") =!= col("__prev"), 1L).otherwise(0L)))
+      val prop = propWide
+        .select(col("node"), col("__next").as("component"))
       converged = changed == 0
       if (converged) {
         labels = prop

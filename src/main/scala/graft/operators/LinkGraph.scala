@@ -199,21 +199,16 @@ object LinkGraph {
     var exhausted = frontier.isEmpty
     while (!exhausted && d < maxDepth) {
       // the emptiness probe rides the materialization as an observed
-      // metric (the [[ConnectedComponents]] trick) — one job per
-      // depth, not two
-      val obs = org.apache.spark.sql.Observation(s"graft_bfs_next_$d")
-      val next = TinyLoop.pin(e
+      // metric ([[TinyLoop.pinCounted]], the [[ConnectedComponents]]
+      // trick) — one job per depth, not two
+      val (next, nNext) = TinyLoop.pinCounted(e
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node"))
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("depth", lit(d + 1))
-        .observe(obs, count(lit(1)).as("n")),
-        tiny)
-      exhausted = (obs.get.get("n") match {
-        case None | Some(null) => 0L
-        case Some(c) => c.asInstanceOf[java.lang.Number].longValue()
-      }) == 0
+        .withColumn("depth", lit(d + 1)),
+        tiny, s"graft_bfs_next_$d", count(lit(1)))
+      exhausted = nNext == 0
       if (!exhausted) {
         // visited stays LAZY: it is a union of already-pinned frames
         // (the seed frame + every round's `next`), so the anti-join

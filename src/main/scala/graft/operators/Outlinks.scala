@@ -499,27 +499,19 @@ object Outlinks {
       val hop = labels.select(col("__from").as("__hf"),
         col("__to").as("__ht"))
       // the convergence probe rides the materialization as an observed
-      // metric (the [[ConnectedComponents]] trick) instead of a second
-      // per-round job over the pinned frame: __prev is already on the
-      // join, so the changed-count is free, and converged inputs still
-      // stop looping early (cycles never converge: they keep orbiting
-      // until the ⌈log2 n⌉ cap)
-      val obs = org.apache.spark.sql.Observation(
-        s"graft_redir_changed_$iter")
-      val next = TinyLoop.pin(labels
+      // metric ([[TinyLoop.pinCounted]], the [[ConnectedComponents]]
+      // trick) instead of a second per-round job over the pinned frame:
+      // __prev is already on the join, so the changed-count is free,
+      // and converged inputs still stop looping early (cycles never
+      // converge: they keep orbiting until the ⌈log2 n⌉ cap)
+      val (next, nChanged) = TinyLoop.pinCounted(labels
         .join(hop, labels("__to") === hop("__hf"), "left")
         .select(col("__from"), col("__to").as("__prev"),
-          coalesce(col("__ht"), col("__to")).as("__to"))
-        .observe(obs,
-          sum(when(col("__to") =!= col("__prev"), 1L).otherwise(0L))
-            .as("changed"))
-        .select(col("__from"), col("__to")),
-        tiny)
-      changed = (obs.get.get("changed") match {
-        case None | Some(null) => 0L // empty frame: sum over zero rows
-        case Some(c) => c.asInstanceOf[java.lang.Number].longValue()
-      }) > 0
-      labels = next
+          coalesce(col("__ht"), col("__to")).as("__to")),
+        tiny, s"graft_redir_changed_$iter",
+        sum(when(col("__to") =!= col("__prev"), 1L).otherwise(0L)))
+      changed = nChanged > 0
+      labels = next.select("__from", "__to")
       iter += 1
     }
     // a target still in the source domain after ⌈log2 65k⌉ doublings

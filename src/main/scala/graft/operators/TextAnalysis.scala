@@ -1744,14 +1744,12 @@ object TextAnalysis {
         val s = bpeApplyMerges(bpeSymbols(w), sofar)
         (0 until s.length - 1).map(i => (s(i), s(i + 1)))
       }
-      val best = TinyLoop.compact(docs.sparkSession, tinyWords) {
-        words
-          .select(explode(pairsOf(col("w"))).as("p"), col("f"))
-          .groupBy(col("p._1").as("l"), col("p._2").as("r"))
-          .agg(sum(col("f")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-      }
+      val best = TinyLoop.compactExec(words
+        .select(explode(pairsOf(col("w"))).as("p"), col("f"))
+        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1), tinyWords).collect()
       if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
       else merges += ((best(0).getString(0), best(0).getString(1),
         best(0).getLong(2)))

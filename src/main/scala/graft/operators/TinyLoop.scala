@@ -1,31 +1,42 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Materialization helper for the iterative operators' per-round frames
   * ([[LinkGraph]], [[ConnectedComponents]], [[Outlinks]] redirect
-  * resolution, [[CrawlLoop]] cycle state).
+  * resolution, [[TextAnalysis.deriveBpeMerges]], [[CrawlLoop]] cycle
+  * state).
   *
   * Under AQE every `Exchange` in a materialized round becomes its own
   * query-stage JOB (submit → execute → re-optimize → submit the next),
-  * which costs ~90-150 ms of driver/scheduler latency in local mode
-  * REGARDLESS of data volume. For an iterative operator whose round
-  * frames are provably tiny, that latency IS the runtime: q_t78's warm
-  * profile showed ~74 sub-second jobs for 82-row rank frames — pure
-  * stage-materialization overhead (optimization guide §1.1/§2.4: the
-  * shuffle *count*, not bytes, is the lever at this size).
+  * ~90-150 ms of driver/scheduler latency in local mode REGARDLESS of
+  * data volume. For an iterative operator whose round frames are
+  * provably tiny, that latency IS the runtime: q_t78's warm profile
+  * showed ~74 sub-second jobs for 82-row rank frames (optimization
+  * guide §1.1/§2.4 — at this size the shuffle *count*, not bytes, is
+  * the lever; micro-benchmarked at ~175 ms/round adaptive vs ~120 ms
+  * compact, per-round breakdown ~15 ms analysis + ~12 ms planning +
+  * the rest execution).
   *
   * When a loop holds MEASURED evidence that its frames are tiny — row
-  * counts the loop already pays for (convergence probes, node counts) —
-  * [[compact]] runs the round's materialization as ONE non-adaptive job
-  * over a single shuffle partition: every exchange in the round plan is
-  * executed inside one job by the DAG scheduler back to back, with no
-  * per-stage AQE replanning round-trips.
+  * counts it already pays for (convergence probes, node counts) — the
+  * round materializes through a COMPACT SESSION: a one-time
+  * `cloneSession` of the caller's session with AQE off and one shuffle
+  * partition. The round's logical plan is rebound into the clone
+  * ([[ColumnBridge.ofRows]]), executes as ONE non-adaptive job, and the
+  * pinned result (a `LogicalRDD` over cached blocks) is rebound back to
+  * the caller's session, so everything downstream — including the
+  * declared query's final adaptive execution — is untouched. The clone
+  * is why no session conf is ever mutated: conf flips on a shared
+  * session would leak into queries planned CONCURRENTLY on other
+  * threads (streaming micro-batches, a multi-tenant driver at scale).
   *
   * Results are unaffected: AQE never changes query semantics, and for
   * aggregations the per-key merge set (all map-side partials of the
   * key) is identical under any reduce partition count — re-certified
-  * against the DuckDB oracle after each adopting operator changed.
+  * against the DuckDB oracle (230/0/3 at sf0.001 and sf0.01) after
+  * each adopting operator changed.
   *
   * Scale-adaptive by construction, NOT a local-mode config twiddle: the
   * gate compares measured row counts against
@@ -34,15 +45,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every genuinely large run — nothing changes: the loop materializes
   * under whatever adaptive configuration the session carries, exactly
   * as before. The 100 TB path is the `else` branch.
-  *
-  * Thread-scoping caveat: the conf flip is session-visible for the
-  * duration of one materialization. Queries planned concurrently on
-  * OTHER threads of the same session during that window would plan
-  * non-adaptively — harmless for results, visible in plans. The
-  * declared query paths are sequential; streaming sinks plan their
-  * batches on their own trigger thread, so a crawl loop driven
-  * concurrently with an active streaming query may occasionally produce
-  * a non-adaptive micro-batch plan (same rows either way).
   */
 object TinyLoop {
   /** Session conf key: round frames with every measured count below
@@ -66,28 +68,64 @@ object TinyLoop {
     t > 0 && measured.nonEmpty && measured.forall(m => m >= 0 && m < t)
   }
 
-  /** Run `body` (actions over tiny frames) with AQE off and one shuffle
-    * partition, restoring the session conf afterwards. No-op when
-    * `tiny` is false. */
-  def compact[T](spark: SparkSession, tiny: Boolean)(body: => T): T =
-    if (!tiny) body
-    else {
-      val conf = spark.conf
-      val aqePrev = conf.get("spark.sql.adaptive.enabled", "true")
-      val partPrev = conf.get("spark.sql.shuffle.partitions", "200")
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", "1")
-      try body
-      finally {
-        conf.set("spark.sql.adaptive.enabled", aqePrev)
-        conf.set("spark.sql.shuffle.partitions", partPrev)
+  // one compact clone per caller session, created lazily and dropped
+  // with it (weak keys: a test harness cycling sessions must not leak)
+  private val compactSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def compactSession(spark: SparkSession): SparkSession =
+    compactSessions.synchronized {
+      val cached = compactSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val c = ColumnBridge.cloneSession(spark)
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        c.conf.set("spark.sql.shuffle.partitions", "1")
+        compactSessions.put(spark, c)
+        c
       }
     }
 
-  /** `df.localCheckpoint()` under [[compact]] when `tiny`. The plan
-    * must not have been forced yet (a Dataset's physical plan is
-    * prepared once, at first execution — which for a loop-round frame
-    * is exactly this call). */
+  /** The frame, rebound to execute under the compact session when
+    * `tiny` (the caller runs its own action — e.g. the BPE argmax
+    * `collect`); identity otherwise. */
+  def compactExec(df: DataFrame, tiny: Boolean): DataFrame =
+    if (!tiny) df
+    else ColumnBridge.ofRows(
+      compactSession(df.sparkSession), ColumnBridge.logicalPlan(df))
+
+  /** `localCheckpoint()` — through the compact session when `tiny`.
+    * The pinned result is rebound to the CALLER's session either way,
+    * so downstream composition and the final (declared) execution stay
+    * on the caller's configuration. */
   def pin(df: DataFrame, tiny: Boolean): DataFrame =
-    compact(df.sparkSession, tiny)(df.localCheckpoint())
+    if (!tiny) df.localCheckpoint()
+    else {
+      val spark = df.sparkSession
+      val pinned = compactExec(df, tiny = true).localCheckpoint()
+      ColumnBridge.ofRows(spark, ColumnBridge.logicalPlan(pinned))
+    }
+
+  /** [[pin]] with a riding long-valued metric (a sum/count over the
+    * pinned rows) — the convergence probe costs ZERO extra jobs (the
+    * [[ConnectedComponents]] Observation trick). The Observation is
+    * attached to the frame AFTER any compact-session rebinding:
+    * execution-end events are delivered per session, so observing the
+    * caller's frame and executing the clone's would wait forever. */
+  def pinCounted(
+      df: DataFrame, tiny: Boolean, name: String, metric: Column)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val obs = Observation(name)
+    val pinned = compactExec(df, tiny).observe(obs, metric.as("__tl_n"))
+      .localCheckpoint()
+    val value = obs.get.get("__tl_n") match {
+      case None | Some(null) => 0L // empty frame: aggregate over 0 rows
+      case Some(v) => v.asInstanceOf[java.lang.Number].longValue()
+    }
+    val rebound =
+      if (!tiny) pinned
+      else ColumnBridge.ofRows(spark, ColumnBridge.logicalPlan(pinned))
+    (rebound, value)
+  }
 }
