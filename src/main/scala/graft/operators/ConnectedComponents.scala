@@ -54,8 +54,10 @@ object ConnectedComponents {
       .localCheckpoint()
     // tiny-loop gate ([[TinyLoop]]): the bidirectional edge list bounds
     // every round frame (labels = its distinct sources), and each round
-    // re-joins it anyway, so one cached-scan count covers the loop
-    val tiny = TinyLoop.isTiny(edges.sparkSession, bidir.count())
+    // re-joins it anyway, so one cached-scan count covers the loop;
+    // enabled() first — disabled mode must not pay even that count
+    val tiny = TinyLoop.enabled(edges.sparkSession) &&
+      TinyLoop.isTiny(edges.sparkSession, bidir.count())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {

@@ -274,7 +274,8 @@ object CrawlLoop {
     // pays accumulator counts again), and payload-bearing frames
     // (fetched pages) are never pinned compacted: rows bound poorly
     // when each row carries a document body.
-    var loopTiny = TinyLoop.isTiny(spark, pending.count())
+    var loopTiny = TinyLoop.enabled(spark) &&
+      TinyLoop.isTiny(spark, pending.count())
     def gate(counts: Long*): Unit =
       if (loopTiny && !TinyLoop.isTiny(spark, counts: _*)) loopTiny = false
     def pin(df: DataFrame): DataFrame = TinyLoop.pin(df, loopTiny)

@@ -190,9 +190,11 @@ object LinkGraph {
     // materialized, cheap), edge count only when the seeds are tiny.
     // The deduped edge list bounds every later frame — a frontier is a
     // subset of distinct dst, visited a subset of nodes — so these two
-    // counts cover the whole BFS.
+    // counts cover the whole BFS. enabled() first: disabled mode pays
+    // zero extra jobs.
     val ss = edges.sparkSession
-    val tiny = TinyLoop.isTiny(ss, visited.count()) &&
+    val tiny = TinyLoop.enabled(ss) &&
+      TinyLoop.isTiny(ss, visited.count()) &&
       TinyLoop.isTiny(ss, e.count())
     var frontier = visited
     var d = 0

@@ -1735,7 +1735,8 @@ object TextAnalysis {
     // against nMerges full passes — covers the whole loop. The
     // per-round pass is integer arithmetic under a total order (ties
     // break on (l, r)), so the compacted execution is bit-equal.
-    val tinyWords = TinyLoop.isTiny(docs.sparkSession, words.count())
+    val tinyWords = TinyLoop.enabled(docs.sparkSession) &&
+      TinyLoop.isTiny(docs.sparkSession, words.count())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (!done && merges.size < nMerges) {

@@ -59,6 +59,14 @@ object TinyLoop {
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .getOrElse(DefaultThreshold)
 
+  /** Gate master switch. Operators whose gate needs a count the loop
+    * does NOT otherwise pay (an extra cached scan) must check this
+    * FIRST: with the mechanism disabled (threshold 0) the operator has
+    * to behave exactly as before it adopted TinyLoop — zero extra
+    * jobs — which is also what makes disabled-mode profiles an honest
+    * before/after baseline. */
+  def enabled(spark: SparkSession): Boolean = threshold(spark) > 0
+
   /** True when every measured count is known (>= 0) and below the
     * threshold. Callers must pass counts covering EVERY frame the round
     * plan reads — including the pinned edge list a round re-joins — or

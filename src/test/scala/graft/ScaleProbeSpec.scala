@@ -322,10 +322,15 @@ class ScaleProbeSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
+    // warm the compact clone BEFORE registering the listener:
+    // cloneSession snapshots the parent's listener set, so a clone
+    // created after registration would echo round events back into
+    // this session and the mode-2 assertions would depend on which
+    // suite happened to create the clone first
+    graft.operators.ConnectedComponents.components(
+      Seq((0L, 1L)).toDF("src", "dst"))
     spark.listenerManager.register(listener)
-    try {
-      val edges = (0L until 16L).map(i => (i, i + 1)).toDF("src", "dst")
-      graft.operators.ConnectedComponents.components(edges)
+    def quiesce(): Array[String] = {
       // the listener bus is async: wait for the event stream to quiesce
       val deadline = System.nanoTime() + 5000000000L
       var last = -1
@@ -333,14 +338,39 @@ class ScaleProbeSpec extends AnyFunSuite {
           && (names.size() != last || last == 0)) {
         last = names.size(); Thread.sleep(200)
       }
-      val counted = names.toArray.map(_.toString)
-      // every round is two checkpoint jobs (propagate with the observed
-      // changed-metric, shortcut); the per-round convergence count() job
-      // this test guards against would surface as a "count" action
+      names.toArray.map(_.toString)
+    }
+    val edges = (0L until 16L).map(i => (i, i + 1)).toDF("src", "dst")
+    try {
+      // mode 1 — tiny-loop gate DISABLED: the pre-TinyLoop contract
+      // verbatim. Every round is two checkpoint jobs (propagate with
+      // the observed changed-metric, shortcut); the per-round
+      // convergence count() job this test guards against would surface
+      // as a "count" action, and the disabled gate itself must not add
+      // one either.
+      spark.conf.set(graft.operators.TinyLoop.ThresholdConf, "0")
+      graft.operators.ConnectedComponents.components(edges)
+      val counted = quiesce()
       assert(counted.count(_ == "localCheckpoint") >= 3, counted.toSeq)
       assert(!counted.contains("count"),
         s"convergence must not run a count job per round: ${counted.toSeq}")
-    } finally spark.listenerManager.unregister(listener)
+
+      // mode 2 — gate ENABLED (default): rounds execute through the
+      // compact clone session, so THIS session sees only the two
+      // ungated initial pins plus exactly ONE gate count for the whole
+      // call — anything more would mean a per-round probe leaked back
+      names.clear()
+      spark.conf.unset(graft.operators.TinyLoop.ThresholdConf)
+      graft.operators.ConnectedComponents.components(edges)
+      val gated = quiesce()
+      assert(gated.count(_ == "count") == 1,
+        s"gate measures ONCE per call, never per round: ${gated.toSeq}")
+      assert(gated.count(_ == "localCheckpoint") == 2,
+        s"round pins must ride the compact session: ${gated.toSeq}")
+    } finally {
+      spark.conf.unset(graft.operators.TinyLoop.ThresholdConf)
+      spark.listenerManager.unregister(listener)
+    }
   }
 
   test("connected components fail loudly when iteration budget is too small") {
