@@ -236,8 +236,19 @@ object Curation {
             defined.checkpoint()
         }
       else defined
-    val keepRep = repetitionScreen(docs0, id, text, cfg.repetitionDropAt)
-      .filter(col("verdict") === "keep").select(col("doc_id").as(id))
+    // repetition screen INLINE (r22, guide §6 read amplification): the
+    // statistic is per-document, so judging it as a filter in the emit
+    // chain removes one full corpus pass + an id join — at 100 TB one
+    // fewer corpus read per pipeline run. Same kernel as
+    // [[TextAnalysis.repetitionScreen]] (whose standalone certification
+    // is untouched), same verdict semantics: < 2 tokens or top-bigram
+    // share ≥ dropAt drops. The screen stays threshold-independent of
+    // every verdict set below (those still compute on docs0).
+    val repDropAt = cfg.repetitionDropAt
+    val repKeep = udf { (t: String) =>
+      val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
+      toks.length >= 2 && TextAnalysis.topBigramFracOf(toks) < repDropAt
+    }
     val losers = Dedup
       .minHashLshPairs(docs0, id, text, cfg.nearDupThreshold)
       .select(col("doc_b").as(id)).distinct()
@@ -267,7 +278,7 @@ object Curation {
       case None => docs0.withColumn("__emit", col(text))
     }
     val afterDedupDf = withEmitText
-      .join(keepRep, Seq(id))
+      .filter(repKeep(col(text)))
       .observe(oRep, count(lit(1)).as("rows"))
       .join(losers, Seq(id), "left_anti")
       .observe(oDedup, count(lit(1)).as("rows"))
