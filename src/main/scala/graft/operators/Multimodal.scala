@@ -62,7 +62,14 @@ object Multimodal {
     * shuffles the full payload bytes to buy nothing; skipping it fuses
     * the decode into the encode stage, so the payload never crosses
     * the network at all. Unknown width (scans, joins, streaming
-    * frames) keeps the previous unconditional spread. */
+    * frames) keeps the previous unconditional spread.
+    *
+    * Invariant the skip relies on: the builders pin their spread width
+    * to the SAME session's `defaultParallelism` at build time, so the
+    * comparison here is same-session by construction. A synthetic
+    * frame persisted and re-read, or built under a different
+    * parallelism, loses the builder plan signature (it becomes a scan)
+    * and safely falls back to the unconditional spread. */
   private def spreadForDecode(media: DataFrame): DataFrame = {
     val p = media.sparkSession.sparkContext.defaultParallelism
     val wide = !media.isStreaming &&
