@@ -166,8 +166,11 @@ object Bench {
     // the full record always lands in a file: the env-named one when
     // set, and unconditionally bench_out.json in cwd — a tail-bounded
     // stdout capture then still leads (via the summary line below) to
-    // the complete per-query map.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeRecord)
+    // the complete per-query map. The summary names the env path when
+    // that write succeeded: the fixed default is shared cwd state, so
+    // concurrent invocations (e.g. a c8/c32 scaling pair) must each be
+    // followed to THEIR record, not to whichever run wrote last.
+    val envOk = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(writeRecord)
     val defaultOut = "bench_out.json"
     val defaultOk = writeRecord(defaultOut)
     // LAST stdout line: a compact, always-parseable summary. It
@@ -179,7 +182,9 @@ object Bench {
       s"""{"graft_bench_summary":1,"total_sec":${fmt(total)},""" +
         s""""n":${best.size},"n_errors":${failed.size},$calib,""" +
         s""""sf":"$sfDir","cpus":$cpus,""" +
-        s""""bench_out":"${if (defaultOk) defaultOut else ""}"}""")
+        s""""bench_out":"${
+          envOk.getOrElse(if (defaultOk) defaultOut else "")
+            .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
     spark.stop()
   }
 }

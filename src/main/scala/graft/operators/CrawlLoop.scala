@@ -509,7 +509,10 @@ object CrawlLoop {
               TextAnalysis.urlHost(col("target_uri")).as("__ph"),
               col("payload").cast("string").as("__pr"),
               col("warc_date").cast("timestamp").as("__pf"))
-          policiesAcc = pin(policiesAcc.unionByName(policiesDelta)
+          // plain pin, NEVER compacted: __pr carries full robots.txt
+          // BODIES, so row counts bound this frame's bytes poorly —
+          // the same payload exemption `pages` gets
+          policiesAcc = policiesAcc.unionByName(policiesDelta)
             // latest fetch per host wins (a stamped row beats an
             // unstamped seed — nulls sort first in struct ordering);
             // the dedup also keeps the policy join fan-out-free
@@ -517,7 +520,8 @@ object CrawlLoop {
             .agg(max(struct(col("__pf"), col("__pr"))).as("__s"))
             .select(col("__ph"),
               col("__s").getField("__pr").as("__pr"),
-              col("__s").getField("__pf").as("__pf")))
+              col("__s").getField("__pf").as("__pf"))
+            .localCheckpoint()
         }
         n
       }

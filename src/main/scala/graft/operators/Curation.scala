@@ -246,8 +246,7 @@ object Curation {
     // every verdict set below (those still compute on docs0).
     val repDropAt = cfg.repetitionDropAt
     val repKeep = udf { (t: String) =>
-      val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
-      toks.length >= 2 && TextAnalysis.topBigramFracOf(toks) < repDropAt
+      TextAnalysis.repetitionJudgment(t, repDropAt).exists(_._3)
     }
     val losers = Dedup
       .minHashLshPairs(docs0, id, text, cfg.nearDupThreshold)
@@ -277,8 +276,11 @@ object Curation {
         docs0.join(cut, Seq(id))
       case None => docs0.withColumn("__emit", col(text))
     }
+    // the null-id guard preserves the former join-on-id semantics
+    // exactly: a null id never matched the keep-id set, so it never
+    // survived this stage
     val afterDedupDf = withEmitText
-      .filter(repKeep(col(text)))
+      .filter(col(id).isNotNull && repKeep(col(text)))
       .observe(oRep, count(lit(1)).as("rows"))
       .join(losers, Seq(id), "left_anti")
       .observe(oDedup, count(lit(1)).as("rows"))

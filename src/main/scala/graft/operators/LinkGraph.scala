@@ -114,10 +114,15 @@ object LinkGraph {
           .select(col(initNodeCol).cast("string").as("node"),
             col(initRankCol).cast("double").as("__r0"))
           .groupBy("node").agg(max(col("__r0")).as("__r0"))
-        TinyLoop.pin(nodes.join(i0, Seq("node"), "left")
+        // ALWAYS an adaptive pin: the caller's warm-start frame is
+        // unmeasured (its aggregation would otherwise run through the
+        // compact single-partition session — the 'big build side'
+        // violation isTiny's contract warns about). The loop's gate is
+        // unaffected: rounds read only this PINNED n-row result.
+        nodes.join(i0, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("__r0"), lit(1.0 / n)).as("rank")),
-          tiny)
+            coalesce(col("__r0"), lit(1.0 / n)).as("rank"))
+          .localCheckpoint()
     }
     for (i <- 1 to iterations) {
       val inflow = contribEdges

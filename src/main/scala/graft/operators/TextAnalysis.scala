@@ -319,17 +319,34 @@ object TextAnalysis {
     // readStream alike)
     prepped.mapPartitions { it: Iterator[Row] =>
       it.flatMap { r =>
-        // exactly Spark's split(text, " "): regex, limit -1 (keep empties)
         val t = if (r.isNullAt(1)) null else r.getString(1)
-        val toks = if (t == null) Array.empty[String] else t.split(" ", -1)
-        if (toks.length < 2) Iterator.empty
-        else {
-          val frac = topBigramFracOf(toks)
-          Iterator.single(Row(r.get(0), (toks.length - 1).toLong, frac,
-            if (frac >= dropAt) "drop" else "keep"))
+        repetitionJudgment(t, dropAt) match {
+          case None => Iterator.empty
+          case Some((nBigrams, frac, keep)) =>
+            Iterator.single(Row(r.get(0), nBigrams, frac,
+              if (keep) "keep" else "drop"))
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The ONE repetition judgment shared by [[repetitionScreen]] and the
+    * curation pipeline's inline screen — a single definition so the
+    * certified operator and the pipeline can never silently diverge on
+    * tokenization or the threshold boundary.
+    *
+    * Tokenization is exactly Spark's `split(text, " ")`: regex, limit
+    * -1 (keep empties). @return None when the document has < 2 tokens
+    * (no bigrams to judge), else (n_bigrams, top_bigram_frac, keep)
+    * with keep ⇔ frac < dropAt. */
+  private[graft] def repetitionJudgment(
+      text: String, dropAt: Double): Option[(Long, Double, Boolean)] = {
+    val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+    if (toks.length < 2) None
+    else {
+      val frac = topBigramFracOf(toks)
+      Some(((toks.length - 1).toLong, frac, frac < dropAt))
+    }
   }
 
   /** The linear per-document top-bigram-fraction core of

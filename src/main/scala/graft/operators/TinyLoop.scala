@@ -77,19 +77,26 @@ object TinyLoop {
   }
 
   // one compact clone per caller session, created lazily and dropped
-  // with it (weak keys: a test harness cycling sessions must not leak)
-  private val compactSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  // with it. Weak KEYS alone would not reclaim anything: the clone
+  // strongly references its parent (SparkSession.parentSessionState),
+  // i.e. the value reaches the key — so the clone is held SOFTLY,
+  // letting the GC drop the whole pair under memory pressure (a
+  // cleared entry just re-clones, ~ms) while a stable driver keeps its
+  // clone cached.
+  private val compactSessions = new java.util.WeakHashMap[
+    SparkSession, java.lang.ref.SoftReference[SparkSession]]()
 
   private def compactSession(spark: SparkSession): SparkSession =
     compactSessions.synchronized {
       val cached = compactSessions.get(spark)
-      if (cached != null) cached
+      val live = if (cached == null) null else cached.get()
+      if (live != null) live
       else {
         val c = ColumnBridge.cloneSession(spark)
         c.conf.set("spark.sql.adaptive.enabled", "false")
         c.conf.set("spark.sql.shuffle.partitions", "1")
-        compactSessions.put(spark, c)
+        compactSessions.put(
+          spark, new java.lang.ref.SoftReference(c))
         c
       }
     }
